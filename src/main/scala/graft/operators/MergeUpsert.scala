@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S7 — keyed upsert (MERGE), last-writer-wins on the natural key.
+  *
+  * The reference relies on Postgres `INSERT ... ON CONFLICT (date,
+  * region_id) DO UPDATE` (reference: ingest_capacity.py:179-193,
+  * compute_metrics.py:76-89) to make re-ingest idempotent. Plain Parquet
+  * has no MERGE, so we implement it as a distributed algorithm over
+  * builtins — no driver materialization, no custom physical operator.
+  *
+  * Scale design (100 TB):
+  *   - `merge` uses `updates`-deduped ∪ (existing ⟕anti updates-keys).
+  *     The anti join probes existing rows against only the DISTINCT KEYS
+  *     of the update batch — typically tiny (one ingest file) → Catalyst
+  *     broadcasts it and the existing table is NEVER shuffled. Compare the
+  *     naive union+window form, which shuffles the full table on every
+  *     merge.
+  *   - `mergeWrite` additionally prunes by partition: only the date
+  *     partitions present in the update batch are read, merged, and
+  *     rewritten (dynamic partition overwrite). A day's upsert into a
+  *     100 TB table touches one day's partitions, not the table.
+  */
+object MergeUpsert {
+
+  /** Pure merge: rows of `updates` replace same-key rows of `existing`;
+    * within `updates`, later duplicates win by `updatePriority` (ties
+    * broken deterministically by the key columns' order). */
+  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+            updatePriority: Option[String] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    // Dedup inside the update batch (re-delivered files can repeat keys):
+    // keep the highest-priority row per key, mirroring "last writer wins".
+    val deduped = updatePriority match {
+      case Some(p) =>
+        val w = Window.partitionBy(keyCols: _*).orderBy(col(p).desc)
+        updates.withColumn("_mu_rn", row_number().over(w))
+          .filter(col("_mu_rn") === 1).drop("_mu_rn")
+      case None => updates.dropDuplicates(keys)
+    }
+    // Anti join against the (small) distinct update keys — broadcastable,
+    // so the big `existing` side is not shuffled.
+    val updateKeys = broadcast(deduped.select(keyCols: _*).distinct())
+    val survivors = existing.join(updateKeys, keys, "left_anti")
+    survivors.unionByName(deduped.select(existing.columns.map(col): _*))
+  }
+
+  /** Merge `updates` into the date-partitioned parquet table at `path`,
+    * rewriting ONLY the partitions the batch touches. Creates the table on
+    * first write. `partitionCol` values must be present in `updates`. */
+  def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
+                 keys: Seq[String], partitionCol: String = "date"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    if (!exists) {
+      updates.dropDuplicates(keys)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    // Partition pruning: read only touched dates. The IN-list is collected
+    // from the batch's distinct partition values (small by construction —
+    // one ingest covers few dates).
+    val touched = updates.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val pruned = existing.filter(col(partitionCol).isin(touched: _*))
+    val merged = merge(pruned, updates, keys)
+    // Dynamic partition overwrite: replace only the touched partitions.
+    merged.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    // invalidate the shared file-listing cache for readers of this path
+    spark.catalog.refreshByPath(path)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Validation
+import graft.operators.{DimResolver, MergeUpsert}
+import graft.sources.Tables
+
+/** The ingest pipeline S1→P1→P2→P3→S8→J4→P4→S7 (+S11 lineage), one lazy
+  * DataFrame plan end-to-end (reference: ingest_capacity.py:74-226).
+  *
+  * Where the reference runs pandas `iterrows()` row loops and a driver-side
+  * dict pipeline, this is a single Catalyst plan: the CSV scan, projection,
+  * validation cascade, dim-resolve broadcast join, and keyed merge all run
+  * distributed with whole-stage codegen. The only driver-side values are
+  * the lineage counters, gathered in one pass via `Dataset.observe`-style
+  * counts over the split.
+  */
+object IngestJob {
+
+  final case class IngestResult(rowsIn: Long, rowsLoaded: Long,
+                                rowsRejected: Long, runId: String)
+
+  /** S1 + P1: scan the CSV with an explicit all-string schema and apply
+    * the rename map, failing fast if required source columns are missing
+    * (reference: ingest_capacity.py:100,106-123). */
+  def scanAndRename(spark: SparkSession, csvPath: String,
+                    renameMap: Seq[(String, String)] = Tables.hhsRenameMap): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(csvPath)
+    val missing = renameMap.map(_._1).filterNot(raw.columns.contains)
+    require(missing.isEmpty, s"Missing required columns: ${missing.mkString(", ")}")
+    raw.select(renameMap.map { case (src, dst) => col(src).as(dst) }: _*)
+  }
+
+  /** P2 + P3: parse, run the ordered validation cascade, and split.
+    * Input columns: date, region, total_beds, occupied_beds, icu_beds,
+    * icu_occupied (all string). Returns (accepted-typed, rejected-raw). */
+  def validateSplit(renamed: DataFrame): (DataFrame, DataFrame) = {
+    val withIdx = renamed
+      .withColumn("_original_index",
+        monotonically_increasing_id()) // reject provenance (S8)
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    // cell must become a reject row (P2/P3), not a query error.
+    val typed = withIdx
+      .withColumn("_date_parsed", col("date").try_cast("date"))
+      .withColumn("_total_beds", col("total_beds").try_cast("int"))
+      .withColumn("_occupied_beds", col("occupied_beds").try_cast("int"))
+      .withColumn("_icu_beds", col("icu_beds").try_cast("int"))
+      .withColumn("_icu_occupied", col("icu_occupied").try_cast("int"))
+    val reason = Validation.rejectReason(Validation.capacityRules(
+      date = col("date"), dateParsed = col("_date_parsed"),
+      region = col("region"),
+      totalBeds = col("_total_beds"), occupiedBeds = col("_occupied_beds"),
+      icuBeds = col("_icu_beds"), icuOccupied = col("_icu_occupied")))
+    val flagged = typed.withColumn("_reject_reason", reason)
+    val accepted = flagged.filter(col("_reject_reason").isNull)
+      .select(
+        col("_date_parsed").as("date"), col("region"),
+        col("_total_beds").as("total_beds"),
+        col("_occupied_beds").as("occupied_beds"),
+        col("_icu_beds").as("icu_beds"),
+        col("_icu_occupied").as("icu_occupied"))
+    val rejected = flagged.filter(col("_reject_reason").isNotNull)
+      .select(renamed.columns.map(col) :+ col("_reject_reason") :+ col("_original_index"): _*)
+    (accepted, rejected)
+  }
+
+  /** Full ingest: CSV → validated facts merged into `capacityPath`,
+    * rejects to `rejectsPath` (S8), dims get-or-created at `regionsPath`
+    * (J4), lineage rows at `runsPath` (S11). */
+  def run(spark: SparkSession, csvPath: String, capacityPath: String,
+          regionsPath: String, rejectsPath: String, runsPath: String,
+          runId: String, source: String,
+          now: java.sql.Timestamp): IngestResult = {
+    Lineage.append(spark, runsPath,
+      Lineage.RunState(runId, source, "running", now))
+    try {
+      val renamed = scanAndRename(spark, csvPath)
+      val (accepted, rejected) = validateSplit(renamed)
+      val cachedAccepted = accepted.cache()
+      val rowsLoaded = cachedAccepted.count()
+      val rowsRejected = rejected.count()
+      val rowsIn = rowsLoaded + rowsRejected
+
+      // S8 — reject sink with reasons (ingest_capacity.py:146-153)
+      rejected.write.mode("overwrite").option("header", "true")
+        .csv(s"$rejectsPath/capacity_rejects_$runId")
+
+      // J4 — dim get-or-create + key substitution
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(regionsPath), spark.sparkContext.hadoopConfiguration)
+      val dim0 =
+        if (fs.exists(new org.apache.hadoop.fs.Path(regionsPath)))
+          spark.read.schema(Tables.regionsSchema).parquet(regionsPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Tables.regionsSchema)
+      val (dim1, _) = DimResolver.getOrCreate(
+        dim0.withColumn("created_at", coalesce(col("created_at"), lit(now))),
+        cachedAccepted.select(col("region").as("name")))
+      val dimOut = dim1.withColumn("created_at", coalesce(col("created_at"), lit(now)))
+      dimOut.write.mode("overwrite").parquet(s"$regionsPath.tmp")
+      swap(spark, s"$regionsPath.tmp", regionsPath)
+
+      val facts = DimResolver.resolveKeys(
+        cachedAccepted.withColumnRenamed("region", "name"),
+        spark.read.schema(Tables.regionsSchema).parquet(regionsPath),
+        factNameCol = "name")
+        .select(col("date"), col("region_id"), col("total_beds"),
+          col("occupied_beds"), col("icu_beds"), col("icu_occupied"),
+          lit(runId).as("source_run_id"))
+
+      // S7 — idempotent keyed merge on (date, region_id)
+      MergeUpsert.mergeWrite(spark, capacityPath, facts,
+        keys = Seq("date", "region_id"))
+
+      Lineage.append(spark, runsPath, Lineage.RunState(runId, source,
+        "success", now, Some(now), Some(rowsIn), Some(rowsLoaded),
+        Some(rowsRejected)))
+      cachedAccepted.unpersist()
+      IngestResult(rowsIn, rowsLoaded, rowsRejected, runId)
+    } catch {
+      case e: Throwable =>
+        Lineage.append(spark, runsPath, Lineage.RunState(runId, source,
+          "failed", now, Some(now), notes = Some(e.getMessage)))
+        throw e
+    }
+  }
+
+  /** Atomic-ish directory swap for the non-partitioned dim rewrite
+    * (SURVEY.md §7.4.4 — write-new-then-swap). */
+  private def swap(spark: SparkSession, tmp: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dst), conf)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(dstP)) fs.delete(dstP, true)
+    fs.rename(tmpP, dstP)
+    // Spark's shared FileStatusCache would otherwise serve the deleted
+    // file listing to the next read of this path.
+    spark.catalog.refreshByPath(dst)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CapacityFunctions._
+import graft.operators.MergeUpsert
+import graft.sources.Tables
+
+/** The derive pipeline S4→P5/P7/P8→S7 (reference: compute_metrics.py).
+  *
+  * The reference loads the ENTIRE fact table into driver memory
+  * (`db.query(...).all()`, compute_metrics.py:46) and loops rows in
+  * Python — its one real scalability cliff. Here the same computation is
+  * three column expressions over a distributed scan; nothing ever touches
+  * the driver (SURVEY.md §3.2).
+  */
+object MetricsJob {
+
+  /** Pure transform: capacity facts → metrics rows (ETL semantics:
+    * bed_occ 0.0 on zero beds, ICU truthiness guard, strain clamp). */
+  def derive(capacity: DataFrame, runId: String): DataFrame = {
+    val bed = bedOccPctEtl(col("occupied_beds"), col("total_beds"))
+    val icu = icuOccPct(col("icu_occupied"), col("icu_beds"))
+    capacity.select(
+      col("date"), col("region_id"),
+      bed.as("bed_occ_pct"),
+      icu.as("icu_occ_pct"),
+      strainIndex(bed, icu).as("strain_index"),
+      lit(runId).as("source_run_id"))
+  }
+
+  /** Full job with lineage: read capacity, derive, merge into
+    * `metricsPath` on (date, region_id). */
+  def run(spark: SparkSession, capacityPath: String, metricsPath: String,
+          runsPath: String, runId: String, now: java.sql.Timestamp): Long = {
+    Lineage.append(spark, runsPath,
+      Lineage.RunState(runId, "compute_metrics", "running", now))
+    try {
+      val capacity = spark.read.parquet(capacityPath)
+      val metrics = derive(capacity, runId)
+      MergeUpsert.mergeWrite(spark, metricsPath, metrics,
+        keys = Seq("date", "region_id"))
+      val n = spark.read.parquet(metricsPath).count()
+      Lineage.append(spark, runsPath, Lineage.RunState(runId,
+        "compute_metrics", "success", now, Some(now), Some(n), Some(n), Some(0L)))
+      n
+    } catch {
+      case e: Throwable =>
+        Lineage.append(spark, runsPath, Lineage.RunState(runId,
+          "compute_metrics", "failed", now, Some(now), notes = Some(e.getMessage)))
+        throw e
+    }
+  }
+}
