@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.ReferenceCatalog
+import graft.queries.{ExtensionCatalog, ReferenceCatalog}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.* catalogs; this object is the stable
   * façade the driver invokes. */
 object SparkEntry {
 
-  private def catalogs = ReferenceCatalog.all
+  private def catalogs = ReferenceCatalog.all ++ ExtensionCatalog.all
 
   /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks
     * rows > 0): revenue by region — lineitem ⋈ orders ⋈ customer ⋈

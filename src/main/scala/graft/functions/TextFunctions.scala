@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. All pure Column expressions (codegen'd builtins and
+  * higher-order functions — no UDFs), so they run at scan speed over
+  * 100 TB of documents and stay portable to the DuckDB oracle.
+  *
+  * Everything is deterministic by construction: rule-based scoring,
+  * fixed stopword regexes, md5-based hashes — no trained models, no RNG.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty string → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: word pieces + isolated punctuation, the usual
+    * `\w+|[^\w\s]` pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+      .cast("long")
+
+  /** Punctuation-mark count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0))).cast("long")
+
+  /** Uppercase-letter count. */
+  def upperCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
+
+  /** Stopword lists per language — compact, fixed, ASCII. The zh list is
+    * romanized particles (the synthetic corpus is ASCII; real CJK would
+    * use codepoint-range features instead). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "men")
+  )
+
+  private def stopRegex(words: Seq[String]): String =
+    "\\b(" + words.mkString("|") + ")\\b"
+
+  /** Hits of `lang`'s stopword list in lowercased text. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(regexp_extract_all(lower(text), lit(stopRegex(words)), lit(0))).cast("long")
+  }
+
+  /** Combined any-language stopword hit count (quality signal). */
+  def anyStopwordHits(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit(stopRegex(stopwords.flatMap(_._2).distinct)), lit(0))).cast("long")
+
+  /** n-gram-heuristic language ID: argmax of per-language stopword hits,
+    * ties broken by the fixed language order, zero hits → "und". */
+  def langId(text: Column): Column = {
+    val hits = stopwords.map { case (lang, _) => lang -> stopwordHits(text, lang) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val cascade = hits.foldRight(lit("und")) { case ((lang, h), tail) =>
+      when(h === best && best > 0, lit(lang)).otherwise(tail)
+    }
+    // foldRight keeps declaration order: first language reaching the max wins
+    cascade
+  }
+
+  /** Rule-based quality score ∈ [0,1], rounded to 4:
+    *   0.4 · min(1, tokens/100)            — enough content
+    * + 0.3 · min(1, stopword_ratio · 3)    — natural-language-ness
+    * + 0.2 · (1 − min(1, punct_ratio ·10)) — not punctuation soup
+    * + 0.1 · (1 − upper_ratio)             — not shouting
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = greatest(length(text), lit(1)).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val stopRatio = anyStopwordHits(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / nChar
+    val upperRatio = upperCount(text).cast("double") / nChar
+    portableRound(
+      lenScore * lit(0.4) +
+        least(lit(1.0), stopRatio * lit(3.0)) * lit(0.3) +
+        (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))) * lit(0.2) +
+        (lit(1.0) - upperRatio) * lit(0.1), 4)
+  }
+
+  /** Engine-portable positive-value rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+    * Spark's `round` (exact-BigDecimal HALF_UP) and DuckDB's `round`
+    * (scale-then-std::round) disagree when the scaled double lands
+    * exactly on .5; this form is the same IEEE ops in any engine. */
+  def portableRound(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct lowercased word
+    * set (the key-collision/OpenRefine fingerprint — word order and
+    * duplication invariant). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+
+  /** Portable 60-bit hash of a string: first 15 hex digits of md5.
+    * Identical in any engine with md5 + hex→int conversion; used as the
+    * base hash for minhash/simhash so oracles can reproduce signatures. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

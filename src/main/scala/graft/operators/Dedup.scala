@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication for training-data pipelines, designed for 100 TB:
+  * every variant is blocked/bucketed so candidate generation is a
+  * shuffle-on-key join, never an O(n²) cross product. Hashes are
+  * md5-derived (portable, deterministic) so the DuckDB oracle can
+  * reproduce every signature bit-for-bit.
+  *
+  * Implementation note — explode + hash-aggregate, not array lambdas:
+  * signature computation (minhash mins, simhash bit votes, shared-gram
+  * counts) runs as codegen'd aggregates over exploded (doc, token) rows.
+  * The tempting array-lambda form (`transform`/`aggregate` over a
+  * shingle array) evaluates interpreted closures AND re-inlines the
+  * shingle-hash expression once per hash function — measured ~50×
+  * slower at sf0.1. The exploded form is also the shape that scales:
+  * rows are (doc, shingle) — flat, partitionable, spillable.
+  *
+  * Scale shapes:
+  *   - exact:   one hash-shuffle groupBy (map-side partial agg).
+  *   - minhash: explode shingles → 1 md5/shingle → groupBy doc with
+  *     numHashes min-aggs → explode B band keys → groupBy band key →
+  *     pairs within bucket. Bucket sizes concentrate near 1 for non-dup
+  *     corpora; skewed buckets (boilerplate) are exactly the dups we want.
+  *   - simhash: explode tokens → 32 conditional-sum aggs → bit pack;
+  *     near-dup candidates block on signature bytes (pigeonhole).
+  *   - ngram:   shared-gram counting via a (block, gram) equi-join —
+  *     codegen'd hash join + agg, no per-pair array intersections.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * One shuffle on the 128-bit text hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-shingles (distinct) of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    // join n consecutive tokens. Guard is greatest(…,1), NOT 0: Spark's
+    // sequence(1,0) yields a DESCENDING [1,0], not empty. Docs shorter
+    // than n tokens produce one whole-text shingle.
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Modular-hash parameters shared with the oracle SQL. */
+  val MinhashP = 1000000007L
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = (98765L * i + 12345L) % MinhashP
+
+  /** MinHash signatures as a table: (doc_id_, sig array<long>).
+    * h_i(doc) = min over shingles s of (a_i·(md5_60(s) mod p) + b_i) mod p.
+    * One md5 per shingle; numHashes codegen'd min-aggregates. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id_"),
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .withColumn("h", TextFunctions.md5Hash60(col("s")) % lit(MinhashP))
+    val minAggs = (0 until numHashes).map { i =>
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % lit(MinhashP))
+        .as(s"_m$i")
+    }
+    exploded.groupBy("doc_id_")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id_"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: signatures banded into `bands` groups of
+    * `rowsPerBand`; docs sharing any band bucket become a candidate pair
+    * with estimated Jaccard = matching signature positions / numHashes.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 8, rowsPerBand: Int = 4,
+                 minEstJaccard: Double = 0.0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = minhashSignatures(df, idCol, textCol, numHashes)
+    val banded = withSig.select(col("doc_id_"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          lit(b) +: (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r)): _*))
+      }: _*)).as("band_key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id_") < col("b.doc_id_"))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 32-bit SimHash per row (Column form — interpreted; fine for small
+    * inputs and unit tests; bulk jobs use [[simhashTable]]). */
+  def simhash32(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text),
+      t => TextFunctions.md5Hash60(t) % lit(4294967296L))
+    (0 until 32).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bulk SimHash: explode tokens, one md5 per token, 32 codegen'd
+    * conditional sums, bit-pack. Returns (doc_id_, simhash). Documents
+    * whose token set is empty get signature 0 (matching simhash32). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = simhashSigs(df, idCol, textCol)
+    // re-attach docs with no tokens (empty text) as signature 0
+    df.select(col(idCol).as("doc_id_")).join(sigs, Seq("doc_id_"), "left")
+      .select(col("doc_id_"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
+  /** Signatures for docs with ≥1 token (no empty-doc rejoin). */
+  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id_"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", TextFunctions.md5Hash60(col("t")) % lit(4294967296L))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"_v$b")
+    }
+    exploded.groupBy("doc_id_").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id_"),
+        (0 until 32).map { b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. Blocking:
+    * split the 32-bit signature into 4 bytes; by pigeonhole, pairs with
+    * hamming ≤ 3 share at least one exact byte (wider maxHamming trades
+    * recall, as usual for byte-blocked simhash). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    // empty-token docs are excluded (a pair of empty docs is vacuous)
+    val sigs = simhashSigs(df, idCol, textCol)
+    val banded = sigs.select(col("doc_id_"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        concat_ws(":", lit(k), shiftright(col("simhash"), 8 * k) % 256)): _*))
+        .as("byte_key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.byte_key") === col("b.byte_key") &&
+          col("a.doc_id_") < col("b.doc_id_"))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard within (blockCol, length-bucket)
+    * blocks. Each doc's sorted distinct gram set is computed ONCE; the
+    * blocked pair join then counts overlaps with the codegen'd
+    * [[graft.plans.SortedIntersectCount]] merge (|A∪B| = |A|+|B|−|A∩B|).
+    * A (block, gram) join would square on corpus-common grams; the
+    * interpreted `array_intersect` hashes per pair — both measured far
+    * slower at sf0.1. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, n: Int = 3, bucketChars: Int = 50,
+                   minJaccard: Double = 0.0): DataFrame = {
+    // Each n-gram is encoded bijectively into one long (21 bits per
+    // codepoint — full Unicode): set sizes and intersections are
+    // IDENTICAL to string grams, so the oracle can keep string grams,
+    // while the pair merge runs on primitive long arrays. Gram arrays
+    // are built by the codegen'd NgramsLong (one pass + primitive sort).
+    val gramExpr = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.NgramsLong(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), n))
+    val prepped = df.select(col(idCol).as("doc_id_"), col(blockCol).as("block_"),
+      (length(col(textCol)).cast("long") / lit(bucketChars)).cast("long").as("lbucket_"),
+      gramExpr.as("grams"))
+    val jac = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SortedJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("a.grams")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.grams"))))
+    prepped.as("a").join(prepped.as("b"),
+        col("a.block_") === col("b.block_") &&
+          col("a.lbucket_") === col("b.lbucket_") &&
+          col("a.doc_id_") < col("b.doc_id_"))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

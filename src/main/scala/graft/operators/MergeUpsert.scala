@@ -48,6 +48,26 @@ object MergeUpsert {
     survivors.unionByName(deduped.select(existing.columns.map(col): _*))
   }
 
+  /** Merge into a NON-partitioned parquet table via write-new-then-swap
+    * (for small keyed tables: dims, streaming sinks in tests). For large
+    * facts prefer `mergeWrite` (partition-pruned rewrite). */
+  def mergeWritePlain(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) {
+      updates.dropDuplicates(keys).write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    val merged = merge(spark.read.parquet(path), updates, keys)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-merge")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Merge `updates` into the date-partitioned parquet table at `path`,
     * rewriting ONLY the partitions the batch touches. Creates the table on
     * first write. `partitionCol` values must be present in `updates`. */

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.{bridge => ExpressionUtils}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.plans.DotProduct
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two tiers, as a 100 TB design demands:
+  *   - `bruteForceTopK`: broadcast the (small) query set against the
+  *     corpus — one corpus scan, no shuffle, embarrassingly parallel.
+  *     Exact; the baseline and the verifier for the ANN path.
+  *   - `lshTopK`: random-hyperplane (sign) LSH — corpus is bucketed by a
+  *     `planes`-bit signature ONCE (write-time at scale), queries probe
+  *     their own bucket plus all hamming-1 neighbors. Candidate set per
+  *     query is |corpus| / 2^planes · (planes+1) in expectation, so the
+  *     cross product never materializes. Hyperplanes are deterministic
+  *     pseudo-random (md5-seeded), so results are replayable and
+  *     oracle-checkable.
+  *
+  * Dot products go through the codegen'd [[graft.plans.DotProduct]]
+  * expression (a tight primitive loop inside whole-stage codegen) —
+  * the interpreted `aggregate(zip_with(...))` route is ~50× slower on
+  * ANN-scale candidate sets. Norms are computed once per row, never per
+  * pair.
+  */
+object Similarity {
+
+  /** Codegen'd dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Cosine similarity (pairwise; prefer pre-normalized norms in bulk). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k by cosine: queries × corpus via broadcast nested loop
+    * (no shuffle of the corpus), ranked per query on the ROUNDED
+    * similarity with id tiebreak — deterministic across engines.
+    * Output: (qid, eid, sim, rn). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm")))
+    val c = corpus.select(col(idCol).as("eid"), col(vecCol).as("ev"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("enorm"))
+    val sims = c.join(q) // broadcast nested-loop cross join
+      .select(col("qid"), col("eid"),
+        round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
+          .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value mapped to [-1, 1). Reproducible in any engine. */
+  def planeComponent(plane: Int, dim: Column): Column =
+    (TextFunctions.md5Hash60(concat_ws(":", lit("plane"), lit(plane), dim))
+      % lit(2000001L)).cast("double") / lit(1000000.0) - lit(1.0)
+
+  /** The `planes` hyperplanes as a literal array<array<double>> column
+    * for a given dimensionality — evaluated ONCE at plan build, so the
+    * per-row bucket computation is `planes` codegen'd dot products. */
+  private def planeVector(plane: Int, dims: Int): Column = {
+    // materialize the deterministic plane as literals via the same
+    // md5-derived formula (computed here in Scala, identically)
+    val comps = (0 until dims).map { d =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$plane:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5hex.substring(0, 15), 16)
+      (h % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+    array(comps.map(lit): _*)
+  }
+
+  /** Sign-LSH bucket id from `planes` hyperplanes (bit p set iff
+    * vec · plane_p ≥ 0). `dims` lets the planes be plan-time literals
+    * (codegen'd dots); pass dims=0 to derive per-row (slower, any dim). */
+  def lshBucket(vec: Column, planes: Int, dims: Int = 0): Column =
+    (0 until planes).map { p =>
+      val dotP =
+        if (dims > 0) dot(vec, planeVector(p, dims))
+        else aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, i) => v.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: corpus bucketed by sign-LSH; each query probes its own
+    * bucket and all hamming-1 buckets (multi-probe), then exact cosine +
+    * rank within candidates. Recall < 1 by construction; pair with
+    * `bruteForceTopK` to measure. Output: (qid, eid, sim, rn). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 8, dims: Int = 64, roundTo: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("eid"), col(vecCol).as("ev"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("enorm"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val bucketCol = lshBucket(col(vecCol), planes, dims)
+    val probes = (0 until planes).map(p =>
+      bucketCol.bitwiseXOR(shiftleft(lit(1L), p)))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm"),
+      explode(array((bucketCol +: probes).map(_.as("b")): _*)).as("bucket"))
+    val cands = broadcast(q).join(c, "bucket")
+      .select(col("qid"), col("eid"),
+        round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
+          .as("sim"))
+      .dropDuplicates("qid", "eid")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
+    * exact cosine ≥ threshold. (id_a < id_b.) */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Int = 8,
+                       dims: Int = 64): DataFrame = {
+    val b = df.select(col(idCol).as("doc_id_"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("norm"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id_") < col("b.doc_id_"))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

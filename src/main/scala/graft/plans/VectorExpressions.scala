@@ -1,0 +1,279 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd dot product over array<float>/array<double> columns.
+  *
+  * The builtin route (`aggregate(zip_with(...))`) evaluates interpreted
+  * lambda closures per element — fine for one pair, ruinous for ANN
+  * candidate sets (millions of 64-dim pairs). This expression compiles to
+  * a tight primitive loop inside whole-stage codegen: no boxing, no
+  * closures, no ArrayData copies beyond element reads.
+  *
+  * Null behavior: null if either side is null (standard binary expr);
+  * arrays shorter than the other contribute up to the common length.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted distinct character n-grams of a string, each gram packed
+  * bijectively into one long (21 bits per codepoint, full Unicode) —
+  * one pass over the text + one primitive sort, replacing an
+  * interpreted `transform(sequence(...), substring …)` lambda chain
+  * that measured ~2.5 s per evaluation over 5k docs at sf0.1.
+  * Texts shorter than n yield one gram of the available codepoints
+  * (zero-padded low bits), mirroring `substring(text, 1, n)`. */
+case class NgramsLong(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 3, "long-encoding packs at most 3 codepoints")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "ngrams_long needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    NgramsLong.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NgramsLong.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramsLong {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    // codepoint array (ASCII fast path: bytes are codepoints)
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val len = cps.length
+    val count = math.max(len - n + 1, 1)
+    val grams = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val cp = if (i + k < len) cps(i + k) else 0
+        v = (v << 21) | cp
+        k += 1
+      }
+      grams(i) = v
+      i += 1
+    }
+    java.util.Arrays.sort(grams)
+    // in-place unique
+    var out = 0
+    i = 0
+    while (i < count) {
+      if (out == 0 || grams(i) != grams(out - 1)) { grams(out) = grams(i); out += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(grams, out))
+  }
+}
+
+/** Jaccard similarity of two SORTED DISTINCT array<long> columns,
+  * rounded to 4 decimals — one merge pass for numerator AND denominator
+  * (|A∪B| = |A|+|B|−|A∩B|), codegen'd. One expression means the
+  * optimizer can push a threshold filter into a join residual and still
+  * evaluate a single merge per candidate pair (separate intersect/size
+  * exprs get duplicated into the residual — measured 2-3 merges/pair).
+  * Rounding is floor(x·10⁴+0.5)/10⁴ — identical IEEE ops to DuckDB's
+  * positive-value round(x, 4). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "sorted_jaccard needs array<long> inputs")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.numElements() && j < b.numElements()) {
+      val cmp = java.lang.Long.compare(a.getLong(i), b.getLong(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = a.numElements().toLong + b.numElements() - c
+    val x = if (union == 0) 0.0 else c.toDouble / union.toDouble
+    math.floor(x * 10000.0 + 0.5) / 10000.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val u = ctx.freshName("u"); val x = ctx.freshName("x")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $cmp = java.lang.Long.compare($a.getLong($i), $b.getLong($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |long $u = (long) $a.numElements() + (long) $b.numElements() - $c;
+         |double $x = ($u == 0L) ? 0.0 : ((double) $c) / ((double) $u);
+         |${ev.value} = java.lang.Math.floor($x * 10000.0 + 0.5) / 10000.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of common elements between two SORTED arrays (string or long)
+  * — a single merge pass, codegen'd. The builtin `array_intersect`
+  * builds a hash set per row pair in interpreted code; for near-dup
+  * verification over millions of candidate pairs that's the dominant
+  * cost. Inputs MUST be sorted ascending (array_sort) and distinct;
+  * callers own that invariant (it's computed once per document, not per
+  * pair). Prefer long-encoded elements: primitive arrays avoid the
+  * per-pair UTF8String materialization that dominates string merges. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right) && left.dataType == right.dataType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_count needs two array<string> or two array<long> inputs")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val isStr = elemType == org.apache.spark.sql.types.StringType
+    while (i < a.numElements() && j < b.numElements()) {
+      val cmp =
+        if (isStr) a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        else java.lang.Long.compare(a.getLong(i), b.getLong(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (elemType == org.apache.spark.sql.types.StringType)
+          s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else
+          s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $cmp = $cmpExpr;
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

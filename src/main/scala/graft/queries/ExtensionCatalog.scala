@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.StreamIngest
+
+/** North-star extension operators (training-data-pipeline surface) as
+  * oracle-checked queries over `documents` / `embeddings` / `events`.
+  *
+  * The DuckDB SQL is GENERATED from the same Scala constants the Spark
+  * operators use (stopword lists, hash parameters, band layout), so the
+  * two sides cannot drift: a change to the operator breaks the oracle
+  * until the shared constant changes both.
+  */
+object ExtensionCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- shared SQL fragments (mirrors of TextFunctions) ----------
+
+  /** tokens(text) — whitespace split of trimmed text, empty-safe. */
+  private def tokSql(c: String) =
+    s"CASE WHEN length(trim($c)) = 0 THEN [] ELSE regexp_split_to_array(trim($c), '\\s+') END"
+
+  /** md5Hash60(x) mod m */
+  private def h60Sql(x: String, m: Long) =
+    s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $m)"
+
+  private def stopRegexSql(words: Seq[String]) =
+    "'\\b(" + words.mkString("|") + ")\\b'"
+
+  private def hitsSql(lang: String) =
+    s"len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.toMap.apply(lang))}))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: one hash-shuffle groupBy ----
+    Q("x01_dedup_exact", Some(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    // ---- token counting + document fingerprint ----
+    Q("x02_token_stats", Some(
+      s"""SELECT doc_id,
+         |  CAST(len(${tokSql("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+         |  md5(array_to_string(list_sort(list_distinct(${tokSql("lower(text)")})), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- rule-based quality scoring ----
+    Q("x03_quality_score", Some(
+      s"""SELECT doc_id, floor((
+         |    least(1.0, n_tok / 100.0) * 0.4
+         |  + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
+         |  + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
+         |  + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM (SELECT doc_id,
+         |  CAST(len(${tokSql("text")}) AS DOUBLE) AS n_tok,
+         |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+         |  CAST(len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.flatMap(_._2).distinct)})) AS DOUBLE) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+         |FROM documents) ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ---- n-gram-heuristic language ID ----
+    Q("x04_langid", {
+      val langs = TextFunctions.stopwords.map(_._1)
+      val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+      val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
+      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+        .mkString(" ")
+      Some(
+        s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted
+           |FROM (SELECT *, $best AS best FROM
+           |  (SELECT doc_id, lang, $hitCols FROM documents))
+           |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")),
+
+    // ---- n-gram Jaccard near-dup within (lang, length-bucket) blocks ----
+    Q("x05_ngram_jaccard", Some(
+      """WITH p AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> text[i : i + 2])) AS grams
+        |  FROM documents)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+        |  FROM p a JOIN p b ON a.lang = b.lang AND a.lbucket = b.lbucket
+        |    AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
+        "doc_id", "text", blockCol = "lang", n = 3, bucketChars = 25,
+        minJaccard = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // ---- MinHash + LSH candidate pairs (32 hashes, 8 bands × 4) ----
+    Q("x06_minhash_lsh", {
+      val p = Dedup.MinhashP
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+           |sh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len(tk) - 2, 1)),
+           |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
+           |  FROM toks),
+           |hs AS (
+           |  SELECT doc_id, list_transform(shingles, s -> ${h60Sql("s", p)}) AS hashes
+           |  FROM sh),
+           |sigs AS (
+           |  SELECT doc_id, list_transform(generate_series(0, 31), i ->
+           |    list_min(list_transform(hashes,
+           |      h -> ((2 * i + 1) * h + ((98765 * i + 12345) % $p)) % $p))) AS sig
+           |  FROM hs),
+           |bands AS (
+           |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, 7), b ->
+           |    md5(concat_ws(',', b, sig[b * 4 + 1], sig[b * 4 + 2],
+           |                  sig[b * 4 + 3], sig[b * 4 + 4])))) AS band_key
+           |  FROM sigs),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         a.sig AS sa, b.sig AS sb
+           |  FROM bands a JOIN bands b
+           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(list_sum(list_transform(generate_series(1, 32),
+           |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
+           |    AS est_jaccard
+           |FROM pairs ORDER BY id_a, id_b""".stripMargin)
+    },
+      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        bands = 8, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- 32-bit SimHash signatures ----
+    Q("x07_simhash", Some(
+      s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         |  CASE WHEN list_sum(list_transform(hashes,
+         |    h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id,
+         |  list_transform(${tokSql("text")}, t -> ${h60Sql("t", 4294967296L)}) AS hashes
+         |FROM documents) ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc_id_", "doc_id")
+        .orderBy("doc_id")),
+
+    // ---- exact cosine top-k (brute force, broadcast queries) ----
+    Q("x08_cosine_topk", Some(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT qid, e.vec_id AS eid,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM q, embeddings e)
+        |SELECT qid, eid, sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, eid) AS INT) AS rn
+        |  FROM sims)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+      }),
+
+    // ---- sign-LSH bucket assignment (the ANN scale path's write-time step) ----
+    Q("x09_lsh_buckets", {
+      val planeSql = (p: String, dim: String) =>
+        s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
+      Some(
+        s"""SELECT vec_id, CAST(list_sum(list_transform(generate_series(0, 7), p ->
+           |  CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+           |    i -> CAST(embedding[i] AS DOUBLE) * ${planeSql("p", "(i - 1)")})) >= 0
+           |  THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+           |FROM embeddings ORDER BY vec_id""".stripMargin)
+    },
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 8, dims = 64).as("bucket"))
+        .orderBy("vec_id")),
+
+    // ---- multimodal: payload + metadata + per-partition batch decode ----
+    Q("x10_multimodal_features", Some(
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) % 64 + 1 AS INT) AS width,
+        |  CAST(length(text) // 64 + 1 AS INT) AS height,
+        |  1 AS channels,
+        |  floor(list_avg(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(text[i : i]))) * 10000.0 + 0.5) / 10000.0 AS mean_intensity
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("doc_id")),
+
+    // ---- streaming ingest roundtrip: file source → AvailableNow →
+    //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)
+    Q("x11_stream_merge", Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val work = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // simulate the S3 arrival directory (the file source needs a dir)
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/arrivals"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$work/arrivals/events.parquet"))
+        StreamIngest.ingestAvailableNow(s, s"$work/arrivals", schema,
+          s"$work/target", keys = Seq("event_id"), checkpoint = s"$work/cp")
+        s.read.parquet(s"$work/target")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .orderBy("event_type")
+      }),
+
+    // ---- ANN top-k via LSH buckets + multiprobe (rows-only: recall<1 by
+    //      design, verified against x08 in ScalaTest instead) ----
+    Q("x12_ann_lsh_topk", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, planes = 8)
+      }),
+
+    // ---- SimHash near-dup pairs (rows-only; byte-blocked hamming) ----
+    Q("x13_simhash_pairs", None,
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 6).orderBy("id_a", "id_b")),
+
+    // ---- embedding near-dup pairs (rows-only; LSH-blocked cosine) ----
+    Q("x14_embedding_neardup", None,
+      (s, dir) => Similarity.embeddingNearDup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95, planes = 4)
+        .orderBy("id_a", "id_b"))
+  )
+}
