@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{CapacityFunctions, TextFunctions, Validation}
+import graft.operators.{Dedup, MergeUpsert}
+
+/** Property-based invariants (SURVEY.md §5.3): strain bounds, merge
+  * idempotence, validation partitioning, jaccard bounds, portable
+  * rounding parity. ScalaCheck generators produce the case batches;
+  * Spark evaluates each property as ONE job over the generated column
+  * (not one job per case). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strain index is always in [0, 100] and null-safe on icu") {
+    val cases = Gen.listOfN(200, for {
+      total <- Gen.chooseNum(0, 100000)
+      occ <- Gen.chooseNum(0, 150000)
+      icuB <- Gen.option(Gen.chooseNum(0, 50000))
+      icuO <- Gen.option(Gen.chooseNum(0, 80000))
+    } yield (total, occ, icuB.map(Int.box).orNull, icuO.map(Int.box).orNull)).sample.get
+    val df = cases.map { case (t, o, ib, io) =>
+      (t, o, Option(ib).map(_.toInt), Option(io).map(_.toInt))
+    }.toDF("total_beds", "occupied_beds", "icu_beds", "icu_occupied")
+    val bed = CapacityFunctions.bedOccPctEtl($"occupied_beds", $"total_beds")
+    val icu = CapacityFunctions.icuOccPct($"icu_occupied", $"icu_beds")
+    val out = df.select(CapacityFunctions.strainIndex(bed, icu).as("s"))
+      .agg(min("s"), max("s"), count(when($"s".isNull, 1))).head()
+    assert(out.getDouble(0) >= 0.0 && out.getDouble(1) <= 100.0)
+    assert(out.getLong(2) == 0)
+  }
+
+  test("merge is idempotent and key-unique for random batches") {
+    val gen = Gen.listOfN(60, for {
+      d <- Gen.oneOf("2024-01-15", "2024-01-16", "2024-01-17")
+      r <- Gen.oneOf("CA", "TX", "NY", "WA")
+      v <- Gen.chooseNum(0, 1000)
+    } yield (d, r, v))
+    val base = gen.sample.get.toDF("date", "region_id", "v").dropDuplicates("date", "region_id")
+    val batch = gen.sample.get.toDF("date", "region_id", "v")
+    val once = MergeUpsert.merge(base, batch, Seq("date", "region_id"))
+    val twice = MergeUpsert.merge(once, batch, Seq("date", "region_id"))
+    val a = once.as[(String, String, Int)].collect().toSet
+    val b = twice.as[(String, String, Int)].collect().toSet
+    assert(a == b)
+    // key uniqueness
+    val dupKeys = once.groupBy("date", "region_id").count().filter($"count" > 1)
+    assert(dupKeys.isEmpty)
+  }
+
+  test("validation split partitions any input") {
+    val rows = Gen.listOfN(120, for {
+      date <- Gen.oneOf("2024-01-15", "garbage", null)
+      region <- Gen.oneOf("CA", "", null)
+      tb <- Gen.oneOf("100", "-5", "abc", null)
+      ob <- Gen.oneOf("50", "200", "-1", null)
+    } yield (date, region, tb, ob)).sample.get
+    val df = rows.toDF("date", "region", "total_beds", "occupied_beds")
+      .withColumn("_dp", $"date".try_cast("date"))
+      .withColumn("_tb", $"total_beds".try_cast("int"))
+      .withColumn("_ob", $"occupied_beds".try_cast("int"))
+      .withColumn("_reject_reason", Validation.rejectReason(
+        Validation.capacityRules($"date", $"_dp", $"region", $"_tb", $"_ob",
+          lit(null).cast("int"), lit(null).cast("int"))))
+    val (acc, rej) = Validation.split(df)
+    assert(acc.count() + rej.count() == rows.size)
+    // accepted rows satisfy every rule
+    assert(acc.filter($"_tb" < 0 || $"_ob" < 0 || $"_ob" > $"_tb" ||
+      $"_dp".isNull || $"region".isNull || trim($"region") === "").isEmpty)
+  }
+
+  test("ngram jaccard values are in (0,1] and symmetric under id order") {
+    val texts = Gen.listOfN(30, Gen.nonEmptyListOf(
+      Gen.oneOf("spark", "query", "merge", "scan", "join", "row", "data"))
+      .map(_.mkString(" "))).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+      .toDF("doc_id", "text", "blk")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", "blk",
+      bucketChars = 10000, minJaccard = 0.0)
+    val bad = pairs.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0 ||
+      $"id_a" >= $"id_b")
+    assert(bad.isEmpty)
+  }
+
+  test("portable rounding matches DuckDB-style scale-round on exact .5 cases") {
+    // values whose 10^4-scaled double is exactly representable at .5
+    val vals = Seq(0.03125, 0.484250, 0.000050, 0.99995, 0.12345)
+    val got = vals.toDF("x")
+      .select(TextFunctions.portableRound($"x", 4).as("r")).as[Double].collect()
+    val expected = vals.map(v => math.floor(v * 10000.0 + 0.5) / 10000.0)
+    assert(got.toSeq == expected)
+  }
+}
