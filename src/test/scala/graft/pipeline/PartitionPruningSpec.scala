@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The 100 TB contract for the fact tables: date filters must reach the
+  * scan as PartitionFilters over the date-partitioned layout — a query
+  * for one day reads one partition, not the table (SURVEY §4: replaces
+  * the reference's UNIQUE(date, region_id) index). */
+class PartitionPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P9 date filter prunes date partitions on the metrics table") {
+    val base = Files.createTempDirectory("graft-prune").toString
+    val metrics = Seq(
+      ("2024-01-15", "CA", 80.0), ("2024-01-16", "CA", 81.0),
+      ("2024-01-17", "CA", 82.0), ("2024-01-16", "TX", 70.0))
+      .toDF("date_s", "region_id", "strain_index")
+      .withColumn("date", to_date($"date_s")).drop("date_s")
+    graft.sources.Tables.writeDatePartitioned(metrics, s"$base/metrics")
+
+    val read = spark.read.parquet(s"$base/metrics")
+    val q = read.filter($"date" === lit("2024-01-16").cast("date"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // pruned scan must touch exactly the one date partition
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.headOption.contains(1), s"partitions scanned: $scanned")
+    assert(q.count() == 2)
+  }
+
+  test("S7 merge keeps partition layout (rewrite touches only batch dates)") {
+    val base = Files.createTempDirectory("graft-prune2").toString
+    val init = Seq(("2024-01-15", "CA", 1), ("2024-01-16", "CA", 2))
+      .toDF("date", "region_id", "v")
+    graft.operators.MergeUpsert.mergeWrite(spark, s"$base/t", init,
+      Seq("date", "region_id"))
+    val dirs = new java.io.File(s"$base/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("date=2024-01-15", "date=2024-01-16")))
+  }
+}
