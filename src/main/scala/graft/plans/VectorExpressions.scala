@@ -143,6 +143,72 @@ object NgramsLong {
   }
 }
 
+/** Distinct word n-shingles of a string in one pass — the codegen'd
+  * equivalent of `array_distinct(transform(sequence(1, greatest(len-n+1,
+  * 1)), i -> concat_ws(' ', slice(split(trim(text),'\\s+'), i, n))))`,
+  * byte-for-byte identical output set (space-only trim, Java regex
+  * split semantics including a leading empty token after non-space
+  * whitespace, end-truncated final shingles for short docs). The
+  * interpreted lambda chain measured ~3.5 s over 5k docs at sf0.1;
+  * this is one string scan + one hash set. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "word_shingles needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    // space-only trim (parity with SQL trim), then Java regex split
+    // (parity with Spark/DuckDB split on '\s+')
+    var str = s.toString
+    var lo = 0; var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    str = str.substring(lo, hi)
+    if (str.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val toks = str.split("\\s+")
+    val count = math.max(toks.length - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var k = i
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(toks(k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Jaccard similarity of two SORTED DISTINCT array<long> columns,
   * rounded to 4 decimals — one merge pass for numerator AND denominator
   * (|A∪B| = |A|+|B|−|A∩B|), codegen'd. One expression means the

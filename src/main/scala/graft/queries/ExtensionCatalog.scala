@@ -36,6 +36,36 @@ object ExtensionCatalog {
   private def hitsSql(lang: String) =
     s"len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.toMap.apply(lang))}))"
 
+  /** mirrors Similarity.planeComponent */
+  private def planeSql(p: String, dim: String) =
+    s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
+
+  /** mirrors Similarity.lshBucket */
+  private def bucketSql(vec: String, planes: Int) =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
+       |  CASE WHEN list_sum(list_transform(generate_series(1, len($vec)),
+       |    i -> CAST($vec[i] AS DOUBLE) * ${planeSql("p", "(i - 1)")})) >= 0
+       |  THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+
+  /** mirrors Similarity dot/norm cosine, rounded to 4 */
+  private def cosineSql(a: String, b: String) =
+    s"""round(
+       |  list_sum(list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       |  4)""".stripMargin
+
+  /** mirrors Dedup.simhashSigs (32-bit simhash from token hashes) */
+  private def simhashSql: String =
+    s"""SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+       |  CASE WHEN list_sum(list_transform(hashes,
+       |    h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |FROM (SELECT doc_id,
+       |  list_transform(${tokSql("text")}, t -> ${h60Sql("t", 4294967296L)}) AS hashes
+       |FROM documents) WHERE len(hashes) > 0""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash-shuffle groupBy ----
@@ -248,22 +278,64 @@ object ExtensionCatalog {
           .orderBy("event_type")
       }),
 
-    // ---- ANN top-k via LSH buckets + multiprobe (rows-only: recall<1 by
-    //      design, verified against x08 in ScalaTest instead) ----
-    Q("x12_ann_lsh_topk", None,
+    // ---- ANN top-k via LSH buckets + multiprobe-1; recall measured
+    //      against x08 in ScalaTest, exact candidate/rank semantics
+    //      reproduced by the oracle ----
+    Q("x12_ann_lsh_topk", Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS eid, embedding AS ev,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings WHERE vec_id < 5),
+         |q AS (
+         |  SELECT qid, qv, unnest(list_concat([bucket],
+         |    list_transform(generate_series(0, 7), p -> xor(bucket, 1::BIGINT << p))))
+         |    AS bucket
+         |  FROM q0),
+         |cand AS (
+         |  SELECT DISTINCT qid, eid, ${cosineSql("qv", "ev")} AS sim
+         |  FROM q JOIN c USING (bucket))
+         |SELECT qid, eid, sim, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, eid) AS INT) AS rn
+         |  FROM cand)
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "embedding", k = 10, planes = 8)
       }),
 
-    // ---- SimHash near-dup pairs (rows-only; byte-blocked hamming) ----
-    Q("x13_simhash_pairs", None,
+    // ---- SimHash near-dup pairs (byte-blocked hamming ≤ 2 of 32 —
+    //      wider thresholds on a shared-vocabulary corpus degenerate
+    //      to everything-matches) ----
+    Q("x13_simhash_pairs", Some(
+      s"""WITH sig AS ($simhashSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, unnest(list_transform(generate_series(0, 3),
+         |    k -> k || ':' || ((simhash >> (8 * k)) & 255))) AS byte_key
+         |  FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.byte_key = b.byte_key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 6).orderBy("id_a", "id_b")),
+        "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
 
-    // ---- embedding near-dup pairs (rows-only; LSH-blocked cosine) ----
-    Q("x14_embedding_neardup", None,
+    // ---- embedding near-dup pairs (LSH-blocked exact cosine) ----
+    Q("x14_embedding_neardup", Some(
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |         ${cosineSql("a.embedding", "b2.embedding")} AS sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE sim >= 0.95 ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Similarity.embeddingNearDup(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.95, planes = 4)
         .orderBy("id_a", "id_b"))

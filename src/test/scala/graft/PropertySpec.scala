@@ -70,7 +70,7 @@ class PropertySpec extends SparkSpec {
       $"_dp".isNull || $"region".isNull || trim($"region") === "").isEmpty)
   }
 
-  test("ngram jaccard values are in (0,1] and symmetric under id order") {
+  test("ngram jaccard values are in [0,1] and id-ordered") {
     val texts = Gen.listOfN(30, Gen.nonEmptyListOf(
       Gen.oneOf("spark", "query", "merge", "scan", "join", "row", "data"))
       .map(_.mkString(" "))).sample.get
@@ -78,7 +78,7 @@ class PropertySpec extends SparkSpec {
       .toDF("doc_id", "text", "blk")
     val pairs = Dedup.ngramJaccard(df, "doc_id", "text", "blk",
       bucketChars = 10000, minJaccard = 0.0)
-    val bad = pairs.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0 ||
+    val bad = pairs.filter($"jaccard" < 0.0 || $"jaccard" > 1.0 ||
       $"id_a" >= $"id_b")
     assert(bad.isEmpty)
   }
