@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (the classic heavy-hitter problem at
+  * 100 TB — one region/date pair with 100× the rows of the rest stalls
+  * the whole stage on a single reducer).
+  *
+  * Two standard remedies, deterministic by construction:
+  *   - `saltedAgg`: two-phase aggregation — partial agg on
+  *     (key, salt) spreads a hot key over `salts` reducers, final agg
+  *     recombines. Works for any algebraic aggregate (sum/count/min/max);
+  *     pass the re-combine explicitly.
+  *   - `saltedJoin`: big side gets a deterministic salt (hash of its
+  *     non-key columns mod `salts`); the SMALL side is replicated
+  *     `salts`× so every salted big row still finds its match. Use when
+  *     the small side is too big to broadcast but the join key is skewed.
+  *
+  * AQE's skew-join handling (on by default) covers sort-merge cases at
+  * runtime; these helpers are for when the skew is known and the plan
+  * shape must be fixed (e.g., aggregation skew, which AQE does not
+  * repartition).
+  */
+object Salting {
+
+  /** Deterministic salt in [0, salts): hash of `from` columns. */
+  def salt(salts: Int, from: Column*): Column =
+    pmod(xxhash64(from: _*), lit(salts.toLong)).cast("int")
+
+  /** Two-phase skew-safe aggregation: `partialAggs` run on (keys, salt),
+    * `finalAggs` (keyed by the partial output column names) recombine on
+    * keys alone. Example:
+    *   saltedAgg(df, Seq("k"), 16, salt = $"payload",
+    *     partialAggs = Seq(sum("v").as("v_sum"), count(lit(1)).as("n")),
+    *     finalAggs   = Seq(sum("v_sum").as("v_sum"), sum("n").as("n")))
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                saltFrom: Seq[Column],
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt", salt(salts, saltFrom: _*))
+    salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Skew-safe inner equi-join: salt the big side deterministically,
+    * replicate the small side across all salt values, join on
+    * (keys, salt). Result is identical to `big.join(small, keys)`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, bigSaltFrom: Seq[Column]): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(salts, bigSaltFrom: _*))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+}
