@@ -311,18 +311,22 @@ object ExtensionCatalog {
     // ---- SimHash near-dup pairs (byte-blocked hamming ≤ 2 of 32 —
     //      wider thresholds on a shared-vocabulary corpus degenerate
     //      to everything-matches) ----
-    Q("x13_simhash_pairs", Some(
-      s"""WITH sig AS ($simhashSql),
-         |bands AS (
-         |  SELECT doc_id, simhash, unnest(list_transform(generate_series(0, 3),
-         |    k -> k || ':' || ((simhash >> (8 * k)) & 255))) AS byte_key
-         |  FROM sig)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.byte_key = b.byte_key AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY id_a, id_b""".stripMargin),
+    Q("x13_simhash_pairs", {
+      val blockList = Dedup.simhashBlocks(3).map { case (k, shift, w) =>
+        s"'$k:' || ((simhash >> $shift) & ${(1L << w) - 1})"
+      }.mkString(", ")
+      Some(
+        s"""WITH sig AS ($simhashSql),
+           |bands AS (
+           |  SELECT doc_id, simhash, unnest([$blockList]) AS block_key
+           |  FROM sig)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin)
+    },
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
 
