@@ -253,6 +253,21 @@ object ExtensionCatalog {
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id")),
 
+    // ---- multimodal resize: average-pool byte-"pixels" to 8 buckets ----
+    Q("x15_multimodal_resize", Some(
+      """WITH ex AS (
+        |  SELECT doc_id, i - 1 AS pos, ascii(text[i : i]) AS b, length(text) AS n
+        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        |pools AS (
+        |  SELECT doc_id, (pos * 8) // n AS pool,
+        |         floor(avg(b) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM ex GROUP BY doc_id, (pos * 8) // n)
+        |SELECT doc_id, list(v ORDER BY pool) AS pooled
+        |FROM pools GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.resizePooled(
+        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+        outLen = 8).orderBy("doc_id")),
+
     // ---- streaming ingest roundtrip: file source → AvailableNow →
     //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)
     Q("x11_stream_merge", Some(
