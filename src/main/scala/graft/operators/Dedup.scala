@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -75,15 +76,17 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 8, rowsPerBand: Int = 4,
-                 minEstJaccard: Double = 0.0): DataFrame = {
+                 minEstJaccard: Double = 0.0,
+                 maxBucket: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSig = minhashSignatures(df, idCol, textCol, numHashes)
-    val banded = withSig.select(col("doc_id_"), col("sig"),
+    val banded0 = withSig.select(col("doc_id_"), col("sig"),
       explode(array((0 until bands).map { b =>
         md5(concat_ws(",",
           lit(b) +: (0 until rowsPerBand).map(r =>
             col("sig").getItem(b * rowsPerBand + r)): _*))
       }: _*)).as("band_key"))
+    val banded = capBuckets(banded0, "band_key", maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,
@@ -155,18 +158,33 @@ object Dedup {
     }
   }
 
+  /** Candidate-bucket safety valve: blocked pair generation is Σ k² over
+    * bucket sizes k, so one mega-bucket (boilerplate cluster at corpus
+    * scale) turns a linear pass quadratic. Buckets above `maxBucket`
+    * are dropped — the standard recall-for-survival tradeoff; at the
+    * test scale factors no bucket comes near the default cap, so
+    * results (and oracles) are unchanged. */
+  private def capBuckets(banded: DataFrame, keyCol: String,
+                         maxBucket: Int): DataFrame = {
+    if (maxBucket <= 0) return banded
+    val w = Window.partitionBy(keyCol)
+    banded.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, blocked by
     * maxHamming+1 signature chunks (exact — see [[simhashBlocks]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     // empty-token docs are excluded (a pair of empty docs is vacuous)
     val sigs = simhashSigs(df, idCol, textCol)
     val blocks = simhashBlocks(maxHamming + 1)
-    val banded = sigs.select(col("doc_id_"), col("simhash"),
+    val banded0 = sigs.select(col("doc_id_"), col("simhash"),
       explode(array(blocks.map { case (k, shift, w) =>
         concat_ws(":", lit(k),
           shiftright(col("simhash"), shift) % (1L << w))
       }: _*)).as("block_key"))
+    val banded = capBuckets(banded0, "block_key", maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.block_key") === col("b.block_key") &&
           col("a.doc_id_") < col("b.doc_id_"))

@@ -1,0 +1,42 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress for the candidate-pair operators: replicate documents/
+  * embeddings Nx with perturbed ids/text and watch for superlinear
+  * blowups. Usage: runMain graft.tools.ScaleStress [factor] */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","64")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    // replicate with id offsets; perturb text per copy so replicas are
+    // not exact dups (suffix token), keeping realistic near-dup density
+    val docs = (0 until factor).map { k =>
+      docs0.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" copytag$k")).as("text"), col("lang"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    val emb = (0 until factor).map { k =>
+      emb0.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"[stress] docs=${docs.count()} emb=${emb.count()} (factor $factor)")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[stress] $label%-26s ${(System.nanoTime()-t0)/1e9}%8.1f s  out=$n")
+    }
+    import graft.operators.{Dedup, Similarity}
+    time("exact dedup")(Dedup.exact(docs, "doc_id", "text").count())
+    time("minhash lsh")(Dedup.minhashLsh(docs, "doc_id", "text").count())
+    time("simhash pairs h<=2")(Dedup.simhashPairs(docs, "doc_id", "text", 2).count())
+    time("ngram jaccard")(Dedup.ngramJaccard(docs, "doc_id", "text", "lang", 3, 25, 0.2).count())
+    time("ann lsh topk")(Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", 10, planes = 8).count())
+    time("embedding neardup")(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.95, 8).count())
+    spark.stop()
+  }
+}
