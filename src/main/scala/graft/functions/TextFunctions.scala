@@ -102,6 +102,13 @@ object TextFunctions {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** Same rule for JVM-side code (mapPartitions decoders etc.) — keep
+    * every copy of the rounding rule routed through these two. */
+  def portableRoundJvm(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
+  }
+
   /** Document fingerprint: md5 of the sorted distinct lowercased word
     * set (the key-collision/OpenRefine fingerprint — word order and
     * duplication invariant). */

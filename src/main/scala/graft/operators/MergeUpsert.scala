@@ -27,18 +27,17 @@ import org.apache.spark.sql.functions._
 object MergeUpsert {
 
   /** Pure merge: rows of `updates` replace same-key rows of `existing`;
-    * within `updates`, later duplicates win by `updatePriority` (ties
-    * broken deterministically by the key columns' order). */
+    * within `updates`, the highest `updatePriority` row per key wins —
+    * pass a per-row-unique priority (e.g. the input row index) for fully
+    * deterministic "last writer wins", mirroring the reference's
+    * row-ordered ON CONFLICT DO UPDATE loop. With no priority, in-batch
+    * duplicates collapse arbitrarily (dropDuplicates) — only safe when
+    * the batch is already key-unique. */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
             updatePriority: Option[String] = None): DataFrame = {
     val keyCols = keys.map(col)
-    // Dedup inside the update batch (re-delivered files can repeat keys):
-    // keep the highest-priority row per key, mirroring "last writer wins".
     val deduped = updatePriority match {
-      case Some(p) =>
-        val w = Window.partitionBy(keyCols: _*).orderBy(col(p).desc)
-        updates.withColumn("_mu_rn", row_number().over(w))
-          .filter(col("_mu_rn") === 1).drop("_mu_rn")
+      case Some(p) => dedupByPriority(updates, keys, p)
       case None => updates.dropDuplicates(keys)
     }
     // Anti join against the (small) distinct update keys — broadcastable,
@@ -46,6 +45,16 @@ object MergeUpsert {
     val updateKeys = broadcast(deduped.select(keyCols: _*).distinct())
     val survivors = existing.join(updateKeys, keys, "left_anti")
     survivors.unionByName(deduped.select(existing.columns.map(col): _*))
+  }
+
+  /** Keep the highest-`priorityCol` row per key (priority should be
+    * unique per row — a monotonic input index — so the result is
+    * deterministic). */
+  def dedupByPriority(df: DataFrame, keys: Seq[String],
+                      priorityCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(priorityCol).desc)
+    df.withColumn("_mu_rn", row_number().over(w))
+      .filter(col("_mu_rn") === 1).drop("_mu_rn")
   }
 
   /** Merge into a NON-partitioned parquet table via write-new-then-swap

@@ -61,8 +61,7 @@ object Multimodal {
             width = r.getAs[Int]("width"),
             height = r.getAs[Int]("height"),
             channels = 1,
-            // floor(x·10⁴+0.5)/10⁴ — matches TextFunctions.portableRound
-            mean_intensity = math.floor(mean * 10000 + 0.5) / 10000)
+            mean_intensity = graft.functions.TextFunctions.portableRoundJvm(mean, 4))
         }
       }
   }
@@ -76,6 +75,10 @@ object Multimodal {
     * operators downstream. */
   def resizePooled(withPayloads: DataFrame, outLen: Int): DataFrame = {
     val ex = withPayloads
+      // zero-byte payloads have no pixels → no pools (and sequence(1,0,1)
+      // would throw); they are simply absent from the output, matching
+      // the oracle's empty generate_series
+      .filter(col("meta.n_bytes") > 0)
       .select(col("doc_id"), col("meta.n_bytes").as("n"),
         posexplode(expr(
           "transform(sequence(1, CAST(meta.n_bytes AS INT), 1), " +
@@ -83,7 +86,7 @@ object Multimodal {
       .select(col("doc_id"), col("n"), col("pos"), col("col").as("b"))
       .withColumn("pool", expr(s"(pos * $outLen) DIV n"))
     ex.groupBy("doc_id", "pool")
-      .agg((floor(avg("b") * 10000.0 + 0.5) / 10000.0).as("v"))
+      .agg(graft.functions.TextFunctions.portableRound(avg("b"), 4).as("v"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("pool"), col("v")))).as("pv"))
       .select(col("doc_id"),
@@ -94,10 +97,16 @@ object Multimodal {
     * byte-block becomes a "frame" row (explode with ordinal). Shows the
     * fan-out plumbing (one row → many frames) without a codec. */
   def sampleFrames(withPayloads: DataFrame, stride: Int): DataFrame =
-    withPayloads.select(col("doc_id"), col("meta"),
-      posexplode(expr(
-        s"transform(sequence(0, CAST(meta.n_bytes AS INT) DIV $stride - 1), " +
-          s"i -> substring(CAST(payload AS STRING), i * $stride + 1, $stride))")))
+    withPayloads
+      .withColumn("_frames", expr(s"CAST(meta.n_bytes AS INT) DIV $stride"))
+      // payloads shorter than one stride yield NO frames (an unguarded
+      // sequence(0, -1) silently yields a DESCENDING [0, -1] and two
+      // garbage frames)
+      .filter(col("_frames") >= 1)
+      .select(col("doc_id"), col("meta"),
+        posexplode(expr(
+          s"transform(sequence(0, _frames - 1, 1), " +
+            s"i -> substring(CAST(payload AS STRING), i * $stride + 1, $stride))")))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_payload")
 }

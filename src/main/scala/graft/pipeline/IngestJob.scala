@@ -59,7 +59,9 @@ object IngestJob {
         col("_total_beds").as("total_beds"),
         col("_occupied_beds").as("occupied_beds"),
         col("_icu_beds").as("icu_beds"),
-        col("_icu_occupied").as("icu_occupied"))
+        col("_icu_occupied").as("icu_occupied"),
+        // kept for last-writer-wins in-batch dedup (reference row order)
+        col("_original_index"))
     val rejected = flagged.filter(col("_reject_reason").isNotNull)
       .select(renamed.columns.map(col) :+ col("_reject_reason") :+ col("_original_index"): _*)
     (accepted, rejected)
@@ -102,10 +104,15 @@ object IngestJob {
       dimOut.write.mode("overwrite").parquet(s"$regionsPath.tmp")
       swap(spark, s"$regionsPath.tmp", regionsPath)
 
-      val facts = DimResolver.resolveKeys(
-        cachedAccepted.withColumnRenamed("region", "name"),
-        spark.read.schema(Tables.regionsSchema).parquet(regionsPath),
-        factNameCol = "name")
+      // In-batch duplicate (date, region) rows: the LAST row in file
+      // order wins, like the reference's ON CONFLICT DO UPDATE loop —
+      // dedup by the original input index before the keyed merge.
+      val facts = MergeUpsert.dedupByPriority(
+        DimResolver.resolveKeys(
+          cachedAccepted.withColumnRenamed("region", "name"),
+          spark.read.schema(Tables.regionsSchema).parquet(regionsPath),
+          factNameCol = "name"),
+        keys = Seq("date", "region_id"), priorityCol = "_original_index")
         .select(col("date"), col("region_id"), col("total_beds"),
           col("occupied_beds"), col("icu_beds"), col("icu_occupied"),
           lit(runId).as("source_run_id"))

@@ -78,6 +78,9 @@ object QueryLayer {
     coverage(metrics, minRows)
       .agg(max_by(struct(col("date"), col("rows")), col("date")).as("best"))
       .select(col("best.date").as("best_date"), col("best.rows").as("rows"))
+      // a global agg over an empty input yields one all-NULL row; the
+      // reference's best=None maps to zero rows (main.py:357-366)
+      .filter(col("best_date").isNotNull)
 
   /** /runs — O1 recent runs, latest status per run (main.py:110-127).
     * Lineage is append-only, so reduce to the last row per run_id first. */

@@ -224,16 +224,9 @@ object ExtensionCatalog {
       }),
 
     // ---- sign-LSH bucket assignment (the ANN scale path's write-time step) ----
-    Q("x09_lsh_buckets", {
-      val planeSql = (p: String, dim: String) =>
-        s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
-      Some(
-        s"""SELECT vec_id, CAST(list_sum(list_transform(generate_series(0, 7), p ->
-           |  CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-           |    i -> CAST(embedding[i] AS DOUBLE) * ${planeSql("p", "(i - 1)")})) >= 0
-           |  THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT) AS bucket
-           |FROM embeddings ORDER BY vec_id""".stripMargin)
-    },
+    Q("x09_lsh_buckets", Some(
+      s"""SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin),
       (s, dir) => t(s, dir, "embeddings").select(
         col("vec_id"),
         Similarity.lshBucket(col("embedding"), 8, dims = 64).as("bucket"))

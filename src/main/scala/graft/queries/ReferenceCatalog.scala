@@ -36,7 +36,13 @@ object ReferenceCatalog {
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses to read as a timestamp. Read nanos as long and truncate to
     * microseconds (integer DIV — ns epoch values overflow double
-    * precision). DuckDB's ns→µs cast truncates identically. */
+    * precision). DuckDB's ns→µs cast truncates identically.
+    *
+    * NOTE the session-level side effect: `nanosAsLong` stays set for the
+    * session (it must hold at execution time, so it cannot be scoped to
+    * this call). Any later read of ns-timestamp parquet in the same
+    * session gets longs; that is this engine's documented convention for
+    * ns sources. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -44,12 +44,19 @@ object Sessionize {
       events.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
-              s.total + e.value))
-          case Some(s) =>
+          // within gap of the open session's BOUNDS (a late event may
+          // precede session start — extend backwards, not just forwards)
+          case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.last, t), s.n + 1, s.total + e.value))
+          case Some(s) if t > s.last + gapMs =>
             close(s)
             cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            // older than start − gap: belongs to an already-closed
+            // stretch of history — emit as its own degenerate session
+            // rather than corrupting the open one
+            out += Session(userId, e.ts, e.ts, 1, e.value)
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }

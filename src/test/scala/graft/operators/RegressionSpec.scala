@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Regressions from the round-1 code review. */
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resizePooled: zero-byte payloads are absent, not a job crash") {
+    val docs = Seq((1L, ""), (2L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val out = Multimodal.resizePooled(
+      Multimodal.withPayload(docs, "doc_id", "text"), outLen = 8)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+    assert(out.filter($"doc_id" === 2L)
+      .select(size($"pooled")).head().getInt(0) == 8)
+  }
+
+  test("sampleFrames: payload shorter than stride yields zero frames") {
+    val docs = Seq((1L, "abc"), (2L, "a" * 25)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(docs, "doc_id", "text"), stride = 10)
+    assert(frames.filter($"doc_id" === 1L).count() == 0)
+    assert(frames.filter($"doc_id" === 2L).count() == 2)
+  }
+
+  test("ingest: in-batch duplicate key keeps the LAST file row (reference order)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    val csv =
+      """date,state,inpatient_beds,inpatient_beds_used,total_staffed_adult_icu_beds,staffed_adult_icu_bed_occupancy
+        |2024-01-15,California,50000,40000,5000,4000
+        |2024-01-15,California,50000,42000,5000,4800
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/in.csv"), csv)
+    graft.pipeline.IngestJob.run(spark, s"$base/in.csv", s"$base/cap",
+      s"$base/reg", s"$base/rej", s"$base/runs", "r1", "test",
+      ts("2024-01-16 00:00:00"))
+    val rows = spark.read.parquet(s"$base/cap")
+      .select("occupied_beds").as[Int].collect()
+    assert(rows.toSeq == Seq(42000), "last row in file order must win")
+  }
+
+  test("bestCoverage on empty qualifying set returns zero rows, not NULL row") {
+    val metrics = Seq(("2024-01-15", "CA")).toDF("date_s", "region_id")
+      .withColumn("date", to_date($"date_s")).drop("date_s")
+    assert(graft.pipeline.QueryLayer.bestCoverage(metrics, minRows = 99).count() == 0)
+  }
+
+  test("simhash bucket cap drops oversized buckets") {
+    // 20 identical docs → every block bucket has 20 members; cap at 5
+    // removes all candidates
+    val docs = (1L to 20L).map(i => (i, "same words in every doc"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 2, maxBucket = 5)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 2, maxBucket = 10000)
+    assert(uncapped.count() == 190) // 20 choose 2
+  }
+}
