@@ -167,9 +167,13 @@ object Dedup {
   private def capBuckets(banded: DataFrame, keyCol: String,
                          maxBucket: Int): DataFrame = {
     if (maxBucket <= 0) return banded
-    val w = Window.partitionBy(keyCol)
-    banded.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucket).drop("_bsz")
+    // groupBy + broadcast ANTI-join, not a window: a window over the
+    // banded rows re-shuffles both self-join branches and blocks
+    // broadcast planning downstream (measured 5× slower at 50k docs).
+    // The oversized-key set is tiny by construction — broadcast it.
+    val oversized = banded.groupBy(keyCol).count()
+      .filter(col("count") > maxBucket).select(keyCol)
+    banded.join(broadcast(oversized), Seq(keyCol), "left_anti")
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, blocked by

@@ -37,6 +37,37 @@ object ScaleStress {
     time("ann lsh topk")(Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", 10, planes = 8).count())
     time("embedding neardup")(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.95, 8).count())
+
+    // reference-parity path at scale: replicate lineitem/orders
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o0 = spark.read.parquet(s"$dir/orders.parquet")
+    val li = (0 until factor).map { k =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    val o = (0 until factor).map { k =>
+      o0.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+    }.reduce(_ unionByName _).repartition(64).cache()
+    println(s"[stress] lineitem=${li.count()} orders=${o.count()}")
+    time("star join + agg")(
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .count())
+    time("validation cascade")(
+      li.select(graft.functions.Validation.rejectReason(Seq(
+        graft.functions.Validation.Rule(col("l_quantity").isNull, "q req"),
+        graft.functions.Validation.Rule(col("l_discount") > col("l_tax"), "d>t")))
+        .as("r")).filter(col("r").isNotNull).count())
+    time("merge 1pct batch")({
+      val updates = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.operators.MergeUpsert.merge(o, updates, Seq("o_orderkey")).count()
+    })
+    time("asof daily delta")({
+      val daily = o.groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum("o_totalprice").as("v"))
+      graft.operators.AsOfDelta.strictLag(daily, Seq("o_orderpriority"), "day", Seq("v")).count()
+    })
     spark.stop()
   }
 }
