@@ -140,6 +140,32 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** The canonical two-stage near-dup pipeline: cheap MinHash-LSH
+    * candidate generation → exact n-gram-Jaccard verification on the
+    * candidates only. This is the shape that holds at 100 TB: stage 1
+    * is shuffle-on-band-key (near-linear), stage 2 touches only the
+    * candidate pairs — never all pairs. Returns
+    * (id_a, id_b, est_jaccard, jaccard). */
+  def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      minEstJaccard: Double = 0.25,
+                      minJaccard: Double = 0.4, ngramN: Int = 3): DataFrame = {
+    val cands = minhashLsh(df, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+    val grams = df.select(col(idCol).as("doc_id_"),
+      org.apache.spark.sql.graft.bridge.column(graft.plans.NgramsLong(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), ngramN))
+        .as("grams"))
+    val jac = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SortedJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("ga.grams")),
+        org.apache.spark.sql.graft.bridge.expression(col("gb.grams"))))
+    cands
+      .join(grams.as("ga"), col("id_a") === col("ga.doc_id_"))
+      .join(grams.as("gb"), col("id_b") === col("gb.doc_id_"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Pigeonhole block layout: `numBlocks` near-even chunks of the
     * 32-bit signature as (index, shift, width). Pairs with hamming ≤
     * numBlocks − 1 are GUARANTEED to share at least one exact block —

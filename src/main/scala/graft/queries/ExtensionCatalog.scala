@@ -66,6 +66,43 @@ object ExtensionCatalog {
        |  list_transform(${tokSql("text")}, t -> ${h60Sql("t", 4294967296L)}) AS hashes
        |FROM documents) WHERE len(hashes) > 0""".stripMargin
 
+  /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
+    * (shared by x06 and x16) */
+  private def minhashPairsSql: String = {
+    val p = Dedup.MinhashP
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 1)),
+       |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${h60Sql("s", p)}) AS hashes
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 31), i ->
+       |    list_min(list_transform(hashes,
+       |      h -> ((2 * i + 1) * h + ((98765 * i + 12345) % $p)) % $p))) AS sig
+       |  FROM hs),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, 7), b ->
+       |    md5(concat_ws(',', b, sig[b * 4 + 1], sig[b * 4 + 2],
+       |                  sig[b * 4 + 3], sig[b * 4 + 4])))) AS band_key
+       |  FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |cand AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 32),
+       |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
+       |      AS est_jaccard
+       |  FROM pairs)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash-shuffle groupBy ----
@@ -149,40 +186,10 @@ object ExtensionCatalog {
         .orderBy("id_a", "id_b")),
 
     // ---- MinHash + LSH candidate pairs (32 hashes, 8 bands × 4) ----
-    Q("x06_minhash_lsh", {
-      val p = Dedup.MinhashP
-      Some(
-        s"""WITH toks AS (
-           |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
-           |sh AS (
-           |  SELECT doc_id, list_distinct(list_transform(
-           |    generate_series(1, greatest(len(tk) - 2, 1)),
-           |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
-           |  FROM toks),
-           |hs AS (
-           |  SELECT doc_id, list_transform(shingles, s -> ${h60Sql("s", p)}) AS hashes
-           |  FROM sh),
-           |sigs AS (
-           |  SELECT doc_id, list_transform(generate_series(0, 31), i ->
-           |    list_min(list_transform(hashes,
-           |      h -> ((2 * i + 1) * h + ((98765 * i + 12345) % $p)) % $p))) AS sig
-           |  FROM hs),
-           |bands AS (
-           |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, 7), b ->
-           |    md5(concat_ws(',', b, sig[b * 4 + 1], sig[b * 4 + 2],
-           |                  sig[b * 4 + 3], sig[b * 4 + 4])))) AS band_key
-           |  FROM sigs),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |         a.sig AS sa, b.sig AS sb
-           |  FROM bands a JOIN bands b
-           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b,
-           |  CAST(list_sum(list_transform(generate_series(1, 32),
-           |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
-           |    AS est_jaccard
-           |FROM pairs ORDER BY id_a, id_b""".stripMargin)
-    },
+    Q("x06_minhash_lsh", Some(
+      s"""$minhashPairsSql
+         |SELECT id_a, id_b, est_jaccard FROM cand
+         |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         bands = 8, rowsPerBand = 4)
         .orderBy("id_a", "id_b")),
@@ -260,6 +267,28 @@ object ExtensionCatalog {
       (s, dir) => Multimodal.resizePooled(
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
         outLen = 8).orderBy("doc_id")),
+
+    // ---- two-stage near-dup: LSH candidates → exact jaccard verify ----
+    Q("x16_neardup_pipeline", Some(
+      s"""$minhashPairsSql,
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents)
+         |SELECT id_a, id_b, est_jaccard, jaccard FROM (
+         |  SELECT c.id_a, c.id_b, c.est_jaccard,
+         |    round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN g ga ON c.id_a = ga.doc_id
+         |  JOIN g gb ON c.id_b = gb.doc_id
+         |  WHERE c.est_jaccard >= 0.25)
+         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.nearDupPipeline(t(s, dir, "documents"),
+        "doc_id", "text", minEstJaccard = 0.25, minJaccard = 0.4)
+        .orderBy("id_a", "id_b")),
 
     // ---- streaming ingest roundtrip: file source → AvailableNow →
     //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)

@@ -13,14 +13,19 @@ import graft.operators.{Dedup, MergeUpsert}
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Gen.sample can return None; retry instead of flaking. */
+  private def sampled[T](g: org.scalacheck.Gen[T]): T =
+    Iterator.continually(g.sample).flatten.next()
+
   test("strain index is always in [0, 100] and null-safe on icu") {
     val cases = Gen.listOfN(200, for {
       total <- Gen.chooseNum(0, 100000)
       occ <- Gen.chooseNum(0, 150000)
       icuB <- Gen.option(Gen.chooseNum(0, 50000))
       icuO <- Gen.option(Gen.chooseNum(0, 80000))
-    } yield (total, occ, icuB.map(Int.box).orNull, icuO.map(Int.box).orNull)).sample.get
-    val df = cases.map { case (t, o, ib, io) =>
+    } yield (total, occ, icuB.map(Int.box).orNull, icuO.map(Int.box).orNull))
+    val casesV = sampled(cases)
+    val df = casesV.map { case (t, o, ib, io) =>
       (t, o, Option(ib).map(_.toInt), Option(io).map(_.toInt))
     }.toDF("total_beds", "occupied_beds", "icu_beds", "icu_occupied")
     val bed = CapacityFunctions.bedOccPctEtl($"occupied_beds", $"total_beds")
@@ -37,8 +42,9 @@ class PropertySpec extends SparkSpec {
       r <- Gen.oneOf("CA", "TX", "NY", "WA")
       v <- Gen.chooseNum(0, 1000)
     } yield (d, r, v))
-    val base = gen.sample.get.toDF("date", "region_id", "v").dropDuplicates("date", "region_id")
-    val batch = gen.sample.get.toDF("date", "region_id", "v")
+    val base = sampled(gen).toDF("date", "region_id", "v")
+      .dropDuplicates("date", "region_id")
+    val batch = sampled(gen).toDF("date", "region_id", "v")
     val once = MergeUpsert.merge(base, batch, Seq("date", "region_id"))
     val twice = MergeUpsert.merge(once, batch, Seq("date", "region_id"))
     val a = once.as[(String, String, Int)].collect().toSet
@@ -55,8 +61,9 @@ class PropertySpec extends SparkSpec {
       region <- Gen.oneOf("CA", "", null)
       tb <- Gen.oneOf("100", "-5", "abc", null)
       ob <- Gen.oneOf("50", "200", "-1", null)
-    } yield (date, region, tb, ob)).sample.get
-    val df = rows.toDF("date", "region", "total_beds", "occupied_beds")
+    } yield (date, region, tb, ob))
+    val rowsV = sampled(rows)
+    val df = rowsV.toDF("date", "region", "total_beds", "occupied_beds")
       .withColumn("_dp", $"date".try_cast("date"))
       .withColumn("_tb", $"total_beds".try_cast("int"))
       .withColumn("_ob", $"occupied_beds".try_cast("int"))
@@ -64,7 +71,7 @@ class PropertySpec extends SparkSpec {
         Validation.capacityRules($"date", $"_dp", $"region", $"_tb", $"_ob",
           lit(null).cast("int"), lit(null).cast("int"))))
     val (acc, rej) = Validation.split(df)
-    assert(acc.count() + rej.count() == rows.size)
+    assert(acc.count() + rej.count() == rowsV.size)
     // accepted rows satisfy every rule
     assert(acc.filter($"_tb" < 0 || $"_ob" < 0 || $"_ob" > $"_tb" ||
       $"_dp".isNull || $"region".isNull || trim($"region") === "").isEmpty)
@@ -73,8 +80,9 @@ class PropertySpec extends SparkSpec {
   test("ngram jaccard values are in [0,1] and id-ordered") {
     val texts = Gen.listOfN(30, Gen.nonEmptyListOf(
       Gen.oneOf("spark", "query", "merge", "scan", "join", "row", "data"))
-      .map(_.mkString(" "))).sample.get
-    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
+      .map(_.mkString(" ")))
+    val textsV = sampled(texts)
+    val df = textsV.zipWithIndex.map { case (t, i) => (i.toLong, t, "b") }
       .toDF("doc_id", "text", "blk")
     val pairs = Dedup.ngramJaccard(df, "doc_id", "text", "blk",
       bucketChars = 10000, minJaccard = 0.0)
