@@ -69,29 +69,20 @@ object Multimodal {
   /** Resize stub — average-pooling the byte-"pixels" down to `outLen`
     * buckets (the deterministic stand-in for an image resize kernel).
     * Byte i lands in pool i·outLen/n — exactly outLen pools whenever
-    * n ≥ outLen. Shaped as explode → codegen'd avg aggregate (this
-    * codebase's rule: flat rows, not nested array lambdas), producing a
-    * fixed-length intensity vector ready for the embedding/ANN
-    * operators downstream. */
-  def resizePooled(withPayloads: DataFrame, outLen: Int): DataFrame = {
-    val ex = withPayloads
-      // zero-byte payloads have no pixels → no pools (and sequence(1,0,1)
-      // would throw); they are simply absent from the output, matching
+    * n ≥ outLen. One codegen'd pass per row ([[graft.plans.PooledBytes]];
+    * output is fixed-size, so a per-row expression beats explode+agg),
+    * producing a fixed-length intensity vector ready for the
+    * embedding/ANN operators downstream. */
+  def resizePooled(withPayloads: DataFrame, outLen: Int): DataFrame =
+    withPayloads
+      // zero-byte payloads have no pixels → absent from output, matching
       // the oracle's empty generate_series
       .filter(col("meta.n_bytes") > 0)
-      .select(col("doc_id"), col("meta.n_bytes").as("n"),
-        posexplode(expr(
-          "transform(sequence(1, CAST(meta.n_bytes AS INT), 1), " +
-            "i -> ascii(substring(CAST(payload AS STRING), i, 1)))")))
-      .select(col("doc_id"), col("n"), col("pos"), col("col").as("b"))
-      .withColumn("pool", expr(s"(pos * $outLen) DIV n"))
-    ex.groupBy("doc_id", "pool")
-      .agg(graft.functions.TextFunctions.portableRound(avg("b"), 4).as("v"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("pool"), col("v")))).as("pv"))
       .select(col("doc_id"),
-        expr("transform(pv, x -> x.v)").as("pooled"))
-  }
+        org.apache.spark.sql.graft.bridge.column(
+          graft.plans.PooledBytes(
+            org.apache.spark.sql.graft.bridge.expression(col("payload")), outLen))
+          .as("pooled"))
 
   /** Frame-sampling shape for video-like payloads: every `stride`-th
     * byte-block becomes a "frame" row (explode with ordinal). Shows the

@@ -209,6 +209,60 @@ object WordShingles {
   }
 }
 
+/** Average-pooled byte intensities of a binary payload: pool p = mean
+  * of bytes i with i·outLen/n == p, rounded portably to 4 — one pass
+  * over the bytes, replacing an explode→groupBy over |payload| rows
+  * per document (~10M interpreted element evals at sf0.1). Empty
+  * payloads yield an empty array. Byte values are unsigned (0–255),
+  * matching `ascii()` for ASCII payloads. */
+case class PooledBytes(child: Expression, outLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pooled_bytes needs a binary input")
+
+  override def nullSafeEval(input: Any): Any =
+    PooledBytes.compute(input.asInstanceOf[Array[Byte]], outLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PooledBytes.compute($c, $outLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PooledBytes {
+  def compute(bytes: Array[Byte], outLen: Int): ArrayData = {
+    val n = bytes.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val pools = math.min(outLen, n) // byte i → pool i·outLen/n; n<outLen fills n pools
+    val sums = new Array[Long](pools)
+    val counts = new Array[Long](pools)
+    var i = 0
+    while (i < n) {
+      val p = (i.toLong * outLen / n).toInt
+      sums(p) += bytes(i) & 0xff
+      counts(p) += 1
+      i += 1
+    }
+    val out = new Array[Any](pools)
+    i = 0
+    while (i < pools) {
+      val mean = sums(i).toDouble / counts(i).toDouble
+      out(i) = math.floor(mean * 10000.0 + 0.5) / 10000.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Jaccard similarity of two SORTED DISTINCT array<long> columns,
   * rounded to 4 decimals — one merge pass for numerator AND denominator
   * (|A∪B| = |A|+|B|−|A∩B|), codegen'd. One expression means the
