@@ -193,13 +193,14 @@ object Dedup {
   private def capBuckets(banded: DataFrame, keyCol: String,
                          maxBucket: Int): DataFrame = {
     if (maxBucket <= 0) return banded
-    // groupBy + broadcast ANTI-join, not a window: a window over the
-    // banded rows re-shuffles both self-join branches and blocks
-    // broadcast planning downstream (measured 5× slower at 50k docs).
-    // The oversized-key set is tiny by construction — broadcast it.
+    // groupBy + anti-join, not a window: a window over the banded rows
+    // re-shuffles both self-join branches and blocks broadcast planning
+    // downstream (measured 5× slower at 50k docs). No broadcast hint —
+    // the oversized set is usually tiny, but on the boilerplate-heavy
+    // corpora this guard exists for it can be large; let AQE pick.
     val oversized = banded.groupBy(keyCol).count()
       .filter(col("count") > maxBucket).select(keyCol)
-    banded.join(broadcast(oversized), Seq(keyCol), "left_anti")
+    banded.join(oversized, Seq(keyCol), "left_anti")
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, blocked by

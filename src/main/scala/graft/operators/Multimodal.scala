@@ -33,7 +33,10 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       struct(
         lit("image/fake").as("media_type"),
-        length(col(textCol)).cast("long").as("n_bytes"),
+        // true BYTE count of the payload (== char count only for ASCII;
+        // the test corpus is ASCII, which is what keeps the char-based
+        // oracle SQL equivalent)
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
         (pmod(length(col(textCol)), lit(64)) + lit(1)).cast("int").as("width"),
         (length(col(textCol)) / lit(64) + lit(1)).cast("int").as("height"))
         .as("meta"))

@@ -242,9 +242,12 @@ object PooledBytes {
     val n = bytes.length
     if (n == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val pools = math.min(outLen, n) // byte i → pool i·outLen/n; n<outLen fills n pools
-    val sums = new Array[Long](pools)
-    val counts = new Array[Long](pools)
+    // byte i → pool i·outLen/n. For n < outLen the occupied pool ids are
+    // SPARSE (e.g. n=2, outLen=8 → pools {0,4}), so accumulate over all
+    // outLen pools and emit the non-empty ones in pool order — same
+    // output as grouping by pool id and sorting.
+    val sums = new Array[Long](outLen)
+    val counts = new Array[Long](outLen)
     var i = 0
     while (i < n) {
       val p = (i.toLong * outLen / n).toInt
@@ -252,14 +255,20 @@ object PooledBytes {
       counts(p) += 1
       i += 1
     }
-    val out = new Array[Any](pools)
+    val out = new Array[Any](math.min(outLen, n))
+    var o = 0
     i = 0
-    while (i < pools) {
-      val mean = sums(i).toDouble / counts(i).toDouble
-      out(i) = math.floor(mean * 10000.0 + 0.5) / 10000.0
+    while (i < outLen) {
+      if (counts(i) > 0) {
+        val mean = sums(i).toDouble / counts(i).toDouble
+        out(o) = math.floor(mean * 10000.0 + 0.5) / 10000.0
+        o += 1
+      }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (o == out.length) out else java.util.Arrays.copyOf(
+        out.asInstanceOf[Array[AnyRef]], o).asInstanceOf[Array[Any]])
   }
 }
 

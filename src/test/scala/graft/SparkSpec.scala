@@ -13,10 +13,16 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir", // keep bucketed test tables out of the repo
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    // one shared warehouse for the one shared session (only the first
+    // getOrCreate honors configs anyway); keeps tables out of the repo
+    .config("spark.sql.warehouse.dir", SparkSpec.warehouseDir)
     .getOrCreate()
 
   def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}
+
+object SparkSpec {
+  lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
 }

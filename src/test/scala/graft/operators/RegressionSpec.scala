@@ -17,6 +17,18 @@ class RegressionSpec extends SparkSpec {
       .select(size($"pooled")).head().getInt(0) == 8)
   }
 
+  test("resizePooled: payloads shorter than outLen pool sparsely, no crash") {
+    // n in 2..7 with outLen=8 used to throw AIOOBE (pool id i*8/n >= n)
+    val docs = (2L to 7L).map(n => (n, "a" * n.toInt)).toDF("doc_id", "text")
+    val out = Multimodal.resizePooled(
+      Multimodal.withPayload(docs, "doc_id", "text"), outLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (2L to 7L).foreach { n =>
+      assert(out(n).length == n, s"n=$n: one pool per byte when n < outLen")
+      assert(out(n).forall(_ == 97.0), s"n=$n: all-'a' payload pools to 97")
+    }
+  }
+
   test("sampleFrames: payload shorter than stride yields zero frames") {
     val docs = Seq((1L, "abc"), (2L, "a" * 25)).toDF("doc_id", "text")
     val frames = Multimodal.sampleFrames(
