@@ -29,6 +29,20 @@ object MetricsJob {
       lit(runId).as("source_run_id"))
   }
 
+  /** Incremental derive: recompute metrics ONLY for the given dates —
+    * the partition-pruned path an ingest triggers (its touched dates are
+    * known). Reading 100 TB of history to rederive one day is the
+    * reference's full-recompute anti-pattern; this scans just the
+    * affected date partitions and merges just those rows. */
+  def runIncremental(spark: SparkSession, capacityPath: String,
+                     metricsPath: String, runId: String,
+                     dates: Seq[java.sql.Date]): Unit = {
+    val capacity = spark.read.parquet(capacityPath)
+      .filter(col("date").isin(dates: _*)) // prunes to the touched partitions
+    MergeUpsert.mergeWrite(spark, metricsPath, derive(capacity, runId),
+      keys = Seq("date", "region_id"))
+  }
+
   /** Full job with lineage: read capacity, derive, merge into
     * `metricsPath` on (date, region_id). */
   def run(spark: SparkSession, capacityPath: String, metricsPath: String,

@@ -33,6 +33,39 @@ class PartitionPruningSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 
+  test("incremental metrics derive prunes to the touched date partitions") {
+    val base = Files.createTempDirectory("graft-incr").toString
+    val capacity = Seq(
+      ("2024-01-15", "CA", 100, 50), ("2024-01-16", "CA", 100, 60),
+      ("2024-01-17", "CA", 100, 70))
+      .toDF("date_s", "region_id", "total_beds", "occupied_beds")
+      .withColumn("date", to_date($"date_s")).drop("date_s")
+      .withColumn("icu_beds", lit(null).cast("int"))
+      .withColumn("icu_occupied", lit(null).cast("int"))
+    graft.sources.Tables.writeDatePartitioned(capacity, s"$base/cap")
+
+    // derive all three days, then "correct" one day and rederive just it
+    MetricsJob.runIncremental(spark, s"$base/cap", s"$base/met", "r1",
+      Seq(d("2024-01-15"), d("2024-01-16"), d("2024-01-17")))
+    assert(spark.read.parquet(s"$base/met").count() == 3)
+    val before = new java.io.File(s"$base/met/date=2024-01-17")
+      .listFiles().toSet
+
+    graft.operators.MergeUpsert.mergeWrite(spark, s"$base/cap",
+      capacity.filter($"date" === lit("2024-01-16").cast("date"))
+        .withColumn("occupied_beds", lit(90)),
+      Seq("date", "region_id"))
+    MetricsJob.runIncremental(spark, s"$base/cap", s"$base/met", "r2",
+      Seq(d("2024-01-16")))
+
+    val after = new java.io.File(s"$base/met/date=2024-01-17")
+      .listFiles().toSet
+    assert(before == after, "untouched metrics partition must not be rewritten")
+    val m = spark.read.parquet(s"$base/met")
+      .filter($"date" === lit("2024-01-16").cast("date")).head()
+    assert(m.getAs[Double]("bed_occ_pct") == 0.9)
+  }
+
   test("S7 merge keeps partition layout (rewrite touches only batch dates)") {
     val base = Files.createTempDirectory("graft-prune2").toString
     val init = Seq(("2024-01-15", "CA", 1), ("2024-01-16", "CA", 2))
