@@ -123,6 +123,49 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest of `nCentroids` coarse centroids (write-time step at
+    * scale); queries probe the `nProbe` nearest centroid lists and rank
+    * exact cosine within them. Centroids are taken deterministically
+    * from the corpus (lowest ids) — replace with trained k-means
+    * centroids off-line for better partitioning; the plumbing is
+    * identical. Complements sign-LSH: IVF adapts to the data
+    * distribution, LSH needs no model at all. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2,
+              roundTo: Int = 4): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+    def nearest(side: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      // rank on ROUNDED sim with cid tiebreak — deterministic across
+      // engines (unrounded FP ordering could disagree at ~1e-15)
+      val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
+      side.join(centroids)
+        .select(col(id), col(vec),
+          col("cid"), round(cosine(col(vec), col("cvec")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .drop("csim", "crn")
+    }
+    val index = nearest(
+      corpus.select(col(idCol).as("eid"), col(vecCol).as("ev")), "eid", "ev", 1)
+      .withColumn("enorm", sqrt(dot(col("ev"), col("ev"))))
+    val probes = nearest(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nProbe)
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val cands = probes.join(index, "cid")
+      .select(col("qid"), col("eid"),
+        round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
+          .as("sim"))
+      .dropDuplicates("qid", "eid")
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
     * exact cosine ≥ threshold. (id_a < id_b.) */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

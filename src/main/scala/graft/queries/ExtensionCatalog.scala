@@ -47,14 +47,14 @@ object ExtensionCatalog {
        |    i -> CAST($vec[i] AS DOUBLE) * ${planeSql("p", "(i - 1)")})) >= 0
        |  THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
 
-  /** mirrors Similarity dot/norm cosine, rounded to 4 */
-  private def cosineSql(a: String, b: String) =
+  /** mirrors Similarity dot/norm cosine, rounded to `r` */
+  private def cosineSql(a: String, b: String, r: Int = 4) =
     s"""round(
        |  list_sum(list_transform(generate_series(1, len($a)),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
        |  (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
        |   sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-       |  4)""".stripMargin
+       |  $r)""".stripMargin
 
   /** mirrors Dedup.simhashSigs (32-bit simhash from token hashes) */
   private def simhashSql: String =
@@ -366,6 +366,38 @@ object ExtensionCatalog {
     },
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
+
+    // ---- IVF ANN: coarse-quantizer lists + nProbe probing ----
+    Q("x17_ivf_topk", Some(
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |eassign AS (
+         |  SELECT eid, ev, cid FROM (
+         |    SELECT e.vec_id AS eid, e.embedding AS ev, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c)
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id < 5)
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT qid, eid, ${cosineSql("qv", "ev")} AS sim
+         |  FROM qprobe JOIN eassign USING (cid))
+         |SELECT qid, eid, sim, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, eid) AS INT) AS rn
+         |  FROM cand)
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
+      }),
 
     // ---- embedding near-dup pairs (LSH-blocked exact cosine) ----
     Q("x14_embedding_neardup", Some(

@@ -83,6 +83,18 @@ class SimilaritySpec extends SparkSpec {
       (0L until 10L).forall(i => approx.contains((i, i))), "self must be found")
   }
 
+  test("IVF ANN: self found, recall comparable to probing fraction") {
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 2)
+      .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+    assert((0L until 10L).forall(i => ivf.contains((i, i))), "self must be found")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall") // ~2/8 of corpus probed
+  }
+
   test("embedding near-dup finds a planted duplicate vector") {
     val base = emb.limit(50)
     val dup = base.filter($"vec_id" === 0)
