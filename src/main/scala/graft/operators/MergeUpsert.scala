@@ -106,6 +106,8 @@ object MergeUpsert {
     // Dynamic partition overwrite: replace only the touched partitions.
     merged
       .repartition(col(partitionCol)) // one task per date → one file per date
+      .sortWithinPartitions(keys.map(col): _*) // clustered row groups →
+      // parquet min/max stats prune key lookups inside each date file
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
