@@ -166,6 +166,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Resolve near-dup pairs into clusters: connected components by
+    * iterative min-label propagation to fixpoint (cluster id = smallest
+    * doc id reachable through pair edges; transitive — A~B, B~C puts A,
+    * B, C in one cluster even with no direct A~C pair). `keep` marks the
+    * canonical document per cluster.
+    *
+    * Scale: each iteration is one join+agg shuffle; iterations needed =
+    * O(log(component diameter)), and dup clusters are shallow in
+    * practice. Every doc in `allDocs` appears in the output (singletons
+    * cluster with themselves). */
+  def resolveClusters(allDocs: DataFrame, idCol: String,
+                      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val nodes = allDocs.select(col(idCol).cast("long").as("node"))
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("node_"))
+        .agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("node_"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"),
+        "node").filter(col("label") < col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("keep"))
+  }
+
   /** Pigeonhole block layout: `numBlocks` near-even chunks of the
     * 32-bit signature as (index, shift, width). Pairs with hamming ≤
     * numBlocks − 1 are GUARANTEED to share at least one exact block —

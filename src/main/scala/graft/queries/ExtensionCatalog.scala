@@ -290,6 +290,45 @@ object ExtensionCatalog {
         "doc_id", "text", minEstJaccard = 0.25, minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // ---- dedup cluster resolution: pairs → connected components →
+    //      canonical keeper per cluster (Spark: min-label propagation to
+    //      fixpoint; oracle: recursive CTE closure) ----
+    Q("x18_dedup_clusters", Some(
+      s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents),
+         |vp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+         |        AS jaccard
+         |    FROM cand c
+         |    JOIN g ga ON c.id_a = ga.doc_id
+         |    JOIN g gb ON c.id_b = gb.doc_id
+         |    WHERE c.est_jaccard >= 0.25)
+         |  WHERE jaccard >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, min(label) AS cluster_id,
+         |       (min(label) = node) AS keep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.resolveClusters(docs, "doc_id",
+          Dedup.nearDupPipeline(docs, "doc_id", "text",
+            minEstJaccard = 0.25, minJaccard = 0.4))
+          .orderBy("doc_id")
+      }),
+
     // ---- streaming ingest roundtrip: file source → AvailableNow →
     //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)
     Q("x11_stream_merge", Some(

@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
   }
 
+  test("cluster resolution is transitive: A~B, B~C → one cluster, min id keeps") {
+    import org.apache.spark.sql.functions.lit
+    val all = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
+    // chain 1-2, 2-7 (no direct 1-7 pair); 0 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 7L)).toDF("id_a", "id_b")
+      .withColumn("est_jaccard", lit(1.0)).withColumn("jaccard", lit(1.0))
+    val r = Dedup.resolveClusters(all, "doc_id", pairs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(0L) == (0L, true))
+    assert(r(1L) == (1L, true))
+    assert(r(2L) == (1L, false))
+    assert(r(7L) == (1L, false)) // transitive: reaches 1 through 2
+  }
+
   test("ngram jaccard: identical 1.0, near-dup high, blocked pairs only") {
     val r = Dedup.ngramJaccard(docs, "doc_id", "text", blockCol = "lang",
       minJaccard = 0.5)
