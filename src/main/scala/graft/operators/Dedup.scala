@@ -177,12 +177,52 @@ object Dedup {
     * practice. Every doc in `allDocs` appears in the output (singletons
     * cluster with themselves). */
   def resolveClusters(allDocs: DataFrame, idCol: String,
-                      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+                      pairs: DataFrame, maxIter: Int = 20,
+                      driverMaxEdges: Long = 1000000): DataFrame = {
     val nodes = allDocs.select(col(idCol).cast("long").as("node"))
+    // materialize the edge list ONCE — every fixpoint iteration joins
+    // against it, and `pairs` may carry an expensive lineage (e.g. the
+    // whole minhash+verify pipeline)
     val edges = pairs.select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
+      .cache()
+    val nEdges = edges.count()
+
+    // Small-graph fast path: verified near-dup pairs are SPARSE (the
+    // pipeline's whole point), so the edge list usually fits the driver
+    // comfortably — a union-find there beats 10+ distributed fixpoint
+    // rounds. The iterative path below remains for genuinely huge pair
+    // sets. Both produce identical labels (min id per component).
+    if (nEdges <= driverMaxEdges) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // min id becomes the root
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val session = allDocs.sparkSession
+      import session.implicits._
+      val mapping = parent.keys.map(n => n -> find(n)).toSeq.toDF("node", "label")
+      return nodes.join(broadcast(mapping), Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("label"), col("node")).as("cluster_id"),
+          (coalesce(col("label"), col("node")) === col("node")).as("keep"))
+    }
+
     var labels = nodes.select(col("node"), col("node").as("label")).cache()
     var iter = 0
     var converged = false
@@ -202,8 +242,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
-      (col("node") === col("label")).as("keep"))
+    // detach the result from the cached lineage so edges can be freed
+    val out = labels.select(col("node").as("doc_id"),
+      col("label").as("cluster_id"),
+      (col("node") === col("label")).as("keep")).localCheckpoint()
+    edges.unpersist()
+    labels.unpersist()
+    out
   }
 
   /** Pigeonhole block layout: `numBlocks` near-even chunks of the

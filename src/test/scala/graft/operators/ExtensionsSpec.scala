@@ -48,12 +48,16 @@ class DedupSpec extends SparkSpec {
     // chain 1-2, 2-7 (no direct 1-7 pair); 0 is a singleton
     val pairs = Seq((1L, 2L), (2L, 7L)).toDF("id_a", "id_b")
       .withColumn("est_jaccard", lit(1.0)).withColumn("jaccard", lit(1.0))
-    val r = Dedup.resolveClusters(all, "doc_id", pairs)
-      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
-    assert(r(0L) == (0L, true))
-    assert(r(1L) == (1L, true))
-    assert(r(2L) == (1L, false))
-    assert(r(7L) == (1L, false)) // transitive: reaches 1 through 2
+    // both paths must agree: driver union-find and distributed fixpoint
+    Seq(1000000L, 0L).foreach { threshold =>
+      val r = Dedup.resolveClusters(all, "doc_id", pairs,
+        driverMaxEdges = threshold)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+      assert(r(0L) == (0L, true), s"threshold=$threshold")
+      assert(r(1L) == (1L, true), s"threshold=$threshold")
+      assert(r(2L) == (1L, false), s"threshold=$threshold")
+      assert(r(7L) == (1L, false), s"threshold=$threshold") // via 2
+    }
   }
 
   test("ngram jaccard: identical 1.0, near-dup high, blocked pairs only") {
