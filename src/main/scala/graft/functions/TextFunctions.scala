@@ -93,6 +93,21 @@ object TextFunctions {
         (lit(1.0) - upperRatio) * lit(0.1), 4)
   }
 
+  /** PII redaction patterns — ordered (URLs can contain @, so they
+    * redact first). Plain regex only (no lookarounds): portable between
+    * Java regex and RE2-based engines. */
+  val redactionRules: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]" -> "<PHONE>"
+  )
+
+  /** Redact URLs, emails, and phone-ish digit runs from text. */
+  def redactPii(text: Column): Column =
+    redactionRules.foldLeft(text) { case (c, (pattern, token)) =>
+      regexp_replace(c, pattern, token)
+    }
+
   /** Engine-portable positive-value rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (exact-BigDecimal HALF_UP) and DuckDB's `round`
     * (scale-then-std::round) disagree when the scaled double lands

@@ -290,6 +290,21 @@ object ExtensionCatalog {
         "doc_id", "text", minEstJaccard = 0.25, minJaccard = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // ---- PII redaction (URLs, emails, phone-ish runs; ordered rules) ----
+    Q("x19_redact_pii", {
+      // DuckDB '...' literals keep backslashes as-is — pass the Java
+      // pattern verbatim; 'g' matches Spark's global-replace default
+      val chain = TextFunctions.redactionRules.foldLeft("text") {
+        case (acc, (pattern, token)) =>
+          s"regexp_replace($acc, '$pattern', '$token', 'g')"
+      }
+      Some(s"""SELECT doc_id, $chain AS redacted
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
     // ---- dedup cluster resolution: pairs → connected components →
     //      canonical keeper per cluster (Spark: min-label propagation to
     //      fixpoint; oracle: recursive CTE closure) ----

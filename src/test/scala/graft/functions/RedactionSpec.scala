@@ -1,0 +1,23 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RedactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii: urls, emails, phones replaced; order protects url @s") {
+    val cases = Seq(
+      ("mail me at jane.doe+x@example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("see https://example.com/a?b=c@d and move on",
+        "see <URL> and move on"),
+      ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+      ("clean text stays clean", "clean text stays clean"),
+      ("two https://a.io links https://b.io here",
+        "two <URL> links <URL> here"))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextFunctions.redactPii($"text")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+}
