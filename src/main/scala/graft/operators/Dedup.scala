@@ -89,16 +89,24 @@ object Dedup {
     val banded = capBuckets(banded0, "band_key", maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
-    val pairs = a.join(b,
+    // Match-count is computed BEFORE the pair dedup, so the
+    // dropDuplicates shuffle carries (id_a, id_b, n_match) — 24 bytes —
+    // instead of two full 32-long signature arrays per candidate
+    // occurrence (the arrays made the dedup exchange the dominant cost).
+    // n_match is deterministic per pair, so the deduped result is
+    // identical. Codegen'd positional merge, not aggregate(zip_with(…)).
+    val eqCount = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graft.bridge.expression(col("a.sig")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.sig"))))
+    a.join(b,
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id_") < col("b.doc_id_"))
       .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        eqCount.as("n_match"))
       .dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .select(col("id_a"), col("id_b"),
+        (col("n_match").cast("double") / lit(numHashes.toDouble))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
@@ -306,8 +314,12 @@ object Dedup {
           col("a.doc_id_") < col("b.doc_id_"))
       .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE dropDuplicates: hamming is deterministic per pair,
+      // so filtering first is result-identical, and the dedup shuffle
+      // carries only the (rare) matching pairs instead of every
+      // block-collision candidate (hamming-31 junk included)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact character-n-gram Jaccard within (blockCol, length-bucket)

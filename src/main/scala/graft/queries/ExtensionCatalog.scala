@@ -253,7 +253,13 @@ object ExtensionCatalog {
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id")),
 
-    // ---- multimodal resize: average-pool byte-"pixels" to 8 buckets ----
+    // ---- multimodal resize: average-pool byte-"pixels" to 8 buckets.
+    //      Emitted as scalar (doc_id, pool_idx, value) rows — the oracle
+    //      comparator sorts/hashes column values and cannot hash an
+    //      array<double> column. pool_idx = position in the pooled
+    //      vector (DuckDB mirrors posexplode's ordinal via a per-doc
+    //      rank over occupied pools, robust to sparse pools when
+    //      n_bytes < outLen). ----
     Q("x15_multimodal_resize", Some(
       """WITH ex AS (
         |  SELECT doc_id, i - 1 AS pos, ascii(text[i : i]) AS b, length(text) AS n
@@ -262,11 +268,17 @@ object ExtensionCatalog {
         |  SELECT doc_id, (pos * 8) // n AS pool,
         |         floor(avg(b) * 10000.0 + 0.5) / 10000.0 AS v
         |  FROM ex GROUP BY doc_id, (pos * 8) // n)
-        |SELECT doc_id, list(v ORDER BY pool) AS pooled
-        |FROM pools GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pool) - 1 AS INT)
+        |    AS pool_idx,
+        |  v AS value
+        |FROM pools ORDER BY doc_id, pool_idx""".stripMargin),
       (s, dir) => Multimodal.resizePooled(
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
-        outLen = 8).orderBy("doc_id")),
+        outLen = 8)
+        .select(col("doc_id"),
+          posexplode(col("pooled")).as(Seq("pool_idx", "value")))
+        .orderBy("doc_id", "pool_idx")),
 
     // ---- two-stage near-dup: LSH candidates → exact jaccard verify ----
     Q("x16_neardup_pipeline", Some(
@@ -453,18 +465,39 @@ object ExtensionCatalog {
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
       }),
 
-    // ---- embedding near-dup pairs (LSH-blocked exact cosine) ----
+    // ---- embedding near-dup pairs (LSH-blocked exact cosine).
+    //      The synthetic embeddings are near-orthogonal (max natural
+    //      cosine ≈ 0.46), so the corpus is seeded with deterministic
+    //      scaled copies (vec_id + 100000, v·1.02): cosine(v, 1.02·v)
+    //      rounds to 1.0 and sign-LSH is scale-invariant, so every
+    //      planted pair is found — the oracle row is non-vacuous
+    //      (spark_rows = |corpus| instead of 0). ----
     Q("x14_embedding_neardup", Some(
-      s"""WITH b AS (
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings),
+         |seeded AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.02)
+         |  FROM base),
+         |b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
-         |  FROM embeddings)
+         |  FROM seeded)
          |SELECT id_a, id_b, sim FROM (
          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          |         ${cosineSql("a.embedding", "b2.embedding")} AS sim
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
          |WHERE sim >= 0.95 ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => Similarity.embeddingNearDup(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.95, planes = 4)
-        .orderBy("id_a", "id_b"))
+      (s, dir) => {
+        val base = t(s, dir, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.select(
+          (col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.02)).as("embedding"))
+        Similarity.embeddingNearDup(base.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.95, planes = 4)
+          .orderBy("id_a", "id_b")
+      })
   )
 }
