@@ -238,9 +238,19 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst").as("node_"))
         .agg(min("label").as("nbr_label"))
+      // pointer doubling — label(label(node)) — alongside the one-hop
+      // neighbor min: plain propagation needs O(component diameter)
+      // rounds, the indirection step contracts that to O(log diameter),
+      // so maxIter=20 covers diameters near 2^20
+      val dbl = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+        .select(col("l1.node").as("node__"), col("l2.label").as("dbl_label"))
       val next = labels.join(nbrMin, labels("node") === nbrMin("node_"), "left")
+        .join(dbl, labels("node") === col("node__"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label")),
+            coalesce(col("dbl_label"), col("label")))
             .as("label"))
         .cache()
       val changed = next.join(labels.withColumnRenamed("label", "old_label"),
@@ -249,6 +259,14 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+    }
+    // silent non-convergence would hand out WRONG cluster ids — fail loudly
+    if (!converged) {
+      edges.unpersist()
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"resolveClusters: min-label propagation not converged after " +
+          s"$maxIter rounds — component diameter exceeds 2^$maxIter?")
     }
     // detach the result from the cached lineage so edges can be freed
     val out = labels.select(col("node").as("doc_id"),

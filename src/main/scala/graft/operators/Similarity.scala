@@ -123,21 +123,70 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer.
+    *
+    * Seeds are the `k` corpus vectors first in md5(id) order — a
+    * reproducible pseudo-random draw any engine can replay. Each
+    * iteration assigns vectors to their nearest centroid by ROUNDED
+    * cosine (6 dp, cid tiebreak — unrounded FP ordering could disagree
+    * across engines at ~1e-15) and recomputes centroids as the
+    * element-wise mean, portable-rounded to 1e-6 so independent engines
+    * converge to bit-identical centroids (an ulp-level disagreement in
+    * the mean cannot survive the rounding outside a ~1e-10 boundary
+    * band). Empty clusters keep their previous centroid.
+    *
+    * Centroids are collected to the driver each iteration — O(k·dims)
+    * doubles, the standard model-fitting pattern: the next assignment
+    * then joins a broadcast literal table, so the corpus itself never
+    * shuffles (cache the projected corpus upstream when iterating over
+    * a parquet scan at real scale). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val proj = corpus.select(col(idCol).cast("long").as("eid"),
+      col(vecCol).as("ev"))
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"),
+        md5(col(idCol).cast("string").cast("binary")).as("h"))
+      .orderBy("h").limit(k).drop("h")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("cid", "cvec"))
+      val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
+      val assigned = proj.join(centDf)
+        .select(col("eid"), col("ev"), col("cid"),
+          round(cosine(col("ev"), col("cvec")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+      val updated = assigned
+        .select(col("cid"), posexplode(col("ev")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(TextFunctions.portableRound(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), s => s.getField("m")).as("cvec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    cents.toDF("cid", "cvec")
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCentroids` coarse centroids (write-time step at
     * scale); queries probe the `nProbe` nearest centroid lists and rank
-    * exact cosine within them. Centroids are taken deterministically
-    * from the corpus (lowest ids) — replace with trained k-means
-    * centroids off-line for better partitioning; the plumbing is
-    * identical. Complements sign-LSH: IVF adapts to the data
-    * distribution, LSH needs no model at all. */
+    * exact cosine within them. Centroids come from the deterministic
+    * [[kmeansCentroids]] (set `kmeansIters = 0` for the untrained
+    * md5-seed quantizer — useful as the recall baseline). Complements
+    * sign-LSH: IVF adapts to the data distribution, LSH needs no model
+    * at all. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
-              roundTo: Int = 4): DataFrame = {
+              roundTo: Int = 4, kmeansIters: Int = 2): DataFrame = {
     val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
     def nearest(side: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       // rank on ROUNDED sim with cid tiebreak — deterministic across
       // engines (unrounded FP ordering could disagree at ~1e-15)

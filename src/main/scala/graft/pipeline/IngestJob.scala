@@ -39,6 +39,17 @@ object IngestJob {
     val withIdx = renamed
       .withColumn("_original_index",
         monotonically_increasing_id()) // reject provenance (S8)
+      // Last-writer-wins priority: (file path, intra-file position).
+      // The path dominates, so "later file wins" holds for multi-file
+      // batches regardless of how Spark bin-packs splits into
+      // partitions (the monotonic id alone is layout-dependent there);
+      // within one file the monotonic id gives exact row order whenever
+      // the file maps to a single split — true for every CSV the
+      // reference ingests (multi-split files keep a per-split-
+      // deterministic but layout-dependent intra-file order).
+      .withColumn("_src_order",
+        struct(input_file_name().as("f"),
+          monotonically_increasing_id().as("i")))
     // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
     // cell must become a reject row (P2/P3), not a query error.
     val typed = withIdx
@@ -61,7 +72,7 @@ object IngestJob {
         col("_icu_beds").as("icu_beds"),
         col("_icu_occupied").as("icu_occupied"),
         // kept for last-writer-wins in-batch dedup (reference row order)
-        col("_original_index"))
+        col("_src_order"))
     val rejected = flagged.filter(col("_reject_reason").isNotNull)
       .select(renamed.columns.map(col) :+ col("_reject_reason") :+ col("_original_index"): _*)
     (accepted, rejected)
@@ -106,13 +117,13 @@ object IngestJob {
 
       // In-batch duplicate (date, region) rows: the LAST row in file
       // order wins, like the reference's ON CONFLICT DO UPDATE loop —
-      // dedup by the original input index before the keyed merge.
+      // dedup by (file path, intra-file position) before the keyed merge.
       val facts = MergeUpsert.dedupByPriority(
         DimResolver.resolveKeys(
           cachedAccepted.withColumnRenamed("region", "name"),
           spark.read.schema(Tables.regionsSchema).parquet(regionsPath),
           factNameCol = "name"),
-        keys = Seq("date", "region_id"), priorityCol = "_original_index")
+        keys = Seq("date", "region_id"), priorityCol = "_src_order")
         .select(col("date"), col("region_id"), col("total_beds"),
           col("occupied_beds"), col("icu_beds"), col("icu_occupied"),
           lit(runId).as("source_run_id"))

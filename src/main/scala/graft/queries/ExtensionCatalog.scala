@@ -36,6 +36,10 @@ object ExtensionCatalog {
   private def hitsSql(lang: String) =
     s"len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.toMap.apply(lang))}))"
 
+  /** x20's session gap: 12 h — the sf0.01 median inter-event gap per
+    * user is ~7.3 h, so sessions are multi-event but plural per user. */
+  private val SessionGapMs: Long = 12L * 3600 * 1000
+
   /** mirrors Similarity.planeComponent */
   private def planeSql(p: String, dim: String) =
     s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
@@ -65,6 +69,40 @@ object ExtensionCatalog {
        |FROM (SELECT doc_id,
        |  list_transform(${tokSql("text")}, t -> ${h60Sql("t", 4294967296L)}) AS hashes
        |FROM documents) WHERE len(hashes) > 0""".stripMargin
+
+  /** mirrors Similarity.kmeansCentroids: md5-ordered seeds, then `iters`
+    * unrolled Lloyd steps (assign by rounded cosine with cid tiebreak,
+    * recompute element-wise means portable-rounded to 1e-6, empty
+    * clusters keep the previous centroid). CTE chain ends at
+    * `cent{iters}`. */
+  private def kmeansCentSql(k: Int, iters: Int): String = {
+    val init =
+      s"""cent0 AS (
+         |  SELECT vec_id AS cid,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""assign$i AS (
+         |  SELECT eid, ev, cid FROM (
+         |    SELECT e.vec_id AS eid, e.embedding AS ev, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM embeddings e, $prev c)
+         |  WHERE rn = 1),
+         |mean$i AS (
+         |  SELECT cid, d,
+         |         floor(avg(CAST(ev[d] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS m
+         |  FROM assign$i, unnest(generate_series(1, len(ev))) AS u(d)
+         |  GROUP BY cid, d),
+         |cent$i AS (
+         |  SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY d) AS cvec FROM mean$i GROUP BY cid) n
+         |  USING (cid))""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
 
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
     * (shared by x06 and x16) */
@@ -433,11 +471,13 @@ object ExtensionCatalog {
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
 
-    // ---- IVF ANN: coarse-quantizer lists + nProbe probing ----
+    // ---- IVF ANN: deterministic-k-means coarse quantizer + nProbe
+    //      probing. The oracle replays the k-means training itself
+    //      (kmeansCentSql), so the trained centroids — not just the
+    //      probe/rank plumbing — are cross-engine verified. ----
     Q("x17_ivf_topk", Some(
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         |  ORDER BY vec_id LIMIT 16),
+      s"""WITH ${kmeansCentSql(k = 16, iters = 2)},
+         |cent AS (SELECT cid, cvec FROM cent2),
          |eassign AS (
          |  SELECT eid, ev, cid FROM (
          |    SELECT e.vec_id AS eid, e.embedding AS ev, c.cid,
@@ -498,6 +538,66 @@ object ExtensionCatalog {
         Similarity.embeddingNearDup(base.unionByName(planted),
           "vec_id", "embedding", threshold = 0.95, planes = 4)
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- stateful sessionization, oracle-proven: the batch path runs
+    //      the SAME per-key fold as the streaming flatMapGroupsWithState
+    //      (Sessionize.foldSessions), checked against a SQL
+    //      gaps-and-islands equivalent (lag → break flag → running sum =
+    //      session id). Millisecond event times on both sides (Spark µs
+    //      truncates to ms in the fold; DuckDB ns // 1e6). ----
+    Q("x20_sessionize", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms, value FROM events),
+         |m AS (
+         |  SELECT user_id, ms, value,
+         |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+         |              > $SessionGapMs
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, ms, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+         |       count(*) AS n_events, round(sum(value), 4) AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, start_ms""".stripMargin),
+      (s, dir) => {
+        import graft.streaming.Sessionize
+        implicit val ee = org.apache.spark.sql.Encoders.product[Sessionize.Event]
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[Sessionize.Event]
+        Sessionize.sessionizeBatch(ev, gapMs = SessionGapMs)
+          .select(col("user_id"),
+            unix_millis(col("session_start")).as("start_ms"),
+            unix_millis(col("session_end")).as("end_ms"),
+            col("n_events"),
+            round(col("total_value"), 4).as("total_value"))
+          .orderBy("user_id", "start_ms")
+      }),
+
+    // ---- watermarked tumbling-window aggregation, oracle-proven via
+    //      the batch equivalence Spark guarantees (the watermark node is
+    //      eliminated in batch; window bucketing is identical): epoch-
+    //      aligned 1h windows as BIGINT ms bounds on both engines. ----
+    Q("x21_window_agg", Some(
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
+        |       (epoch_ns(ts) // 3600000000000) * 3600000 + 3600000 AS win_end_ms,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY win_start_ms, event_type""".stripMargin),
+      (s, dir) => {
+        import graft.streaming.WindowedAgg
+        WindowedAgg.tumbling(ReferenceCatalog.events(s, dir),
+            "ts", "event_type", "value", "1 hour", "0 seconds")
+          .select(unix_millis(col("window_start")).as("win_start_ms"),
+            unix_millis(col("window_end")).as("win_end_ms"),
+            col("event_type"), col("n"),
+            round(col("total"), 4).as("total"))
+          .orderBy("win_start_ms", "event_type")
       })
   )
 }

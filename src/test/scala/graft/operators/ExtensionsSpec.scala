@@ -113,6 +113,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall") // ~2/8 of corpus probed
   }
 
+  test("IVF ANN: trained k-means centroids don't lose recall vs untrained seeds") {
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+    def recallAt(iters: Int) = {
+      val got = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10,
+        nCentroids = 8, nProbe = 2, kmeansIters = iters)
+        .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val untrained = recallAt(0)
+    val trained = recallAt(2)
+    // Lloyd steps balance the inverted lists toward the data's density;
+    // on this corpus that must not COST recall at equal nProbe
+    assert(trained >= untrained, s"trained=$trained untrained=$untrained")
+  }
+
   test("embedding near-dup finds a planted duplicate vector") {
     val base = emb.limit(50)
     val dup = base.filter($"vec_id" === 0)
