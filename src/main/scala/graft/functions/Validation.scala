@@ -26,11 +26,24 @@ object Validation {
   /** The reference's capacity rules, in declared order
     * (ingest_capacity.py:29-57). Columns are the canonical (renamed)
     * names; date is the raw string, dateParsed its to_date result so the
-    * "parseable" requirement can distinguish absent vs malformed. */
+    * "parseable" requirement can distinguish absent vs malformed.
+    *
+    * Two DELIBERATE divergences from the reference's reject contract:
+    *   - Malformed-but-present dates: the reference runs parse_date
+    *     BEFORE validation (main.py) and raises ValueError, failing the
+    *     whole run on one bad cell. Here the row rejects with its own
+    *     'invalid date format' reason — at 100 TB one bad cell must not
+    *     kill the batch, and the distinct reason keeps the failure
+    *     diagnosable.
+    *   - Whitespace-only regions: the reference's pd.isna('   ') is
+    *     False, so '   ' passes as a region name; here trim(region)=''
+    *     rejects it — a blank-string region is a data error, not a dim.
+    */
   def capacityRules(date: Column, dateParsed: Column, region: Column,
                     totalBeds: Column, occupiedBeds: Column,
                     icuBeds: Column, icuOccupied: Column): Seq[Rule] = Seq(
-    Rule(date.isNull || (dateParsed.isNull && date.isNotNull), "date is required"),
+    Rule(date.isNull, "date is required"),
+    Rule(dateParsed.isNull, "invalid date format"), // date present (rule order)
     Rule(region.isNull || trim(region) === "", "region is required"),
     Rule(totalBeds.isNull, "total_beds is required"),
     Rule(occupiedBeds.isNull, "occupied_beds is required"),

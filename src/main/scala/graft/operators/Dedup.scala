@@ -188,15 +188,17 @@ object Dedup {
                       pairs: DataFrame, maxIter: Int = 20,
                       driverMaxEdges: Long = 1000000): DataFrame = {
     val nodes = allDocs.select(col(idCol).cast("long").as("node"))
-    // materialize the edge list ONCE — every fixpoint iteration joins
-    // against it, and `pairs` may carry an expensive lineage (e.g. the
-    // whole minhash+verify pipeline)
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+    // materialize the pair list ONCE before mirroring it into edges —
+    // `pairs` may carry an expensive lineage (the whole minhash+verify
+    // pipeline), and the two union branches below would otherwise each
+    // recompute it (measured ~2× the candidate-generation cost)
+    val p = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst")).cache()
+    val edges = p.unionByName(p.select(col("dst").as("src"),
+        col("src").as("dst")))
       .cache()
     val nEdges = edges.count()
+    p.unpersist()
 
     // Small-graph fast path: verified near-dup pairs are SPARSE (the
     // pipeline's whole point), so the edge list usually fits the driver
@@ -372,5 +374,55 @@ object Dedup {
       .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
         jac.as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Winnowing fingerprints (rolling k-gram hashes → per-window minima;
+    * see [[graft.plans.WinnowFingerprint]]): (doc_id_, fp array<long>).
+    * Docs shorter than k characters have an empty fingerprint. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id_"),
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.WinnowFingerprint(
+          org.apache.spark.sql.graft.bridge.expression(col(textCol)), k, w))
+        .as("fp"))
+
+  /** Copy-detection pairs à la MOSS: hashes appearing in more than
+    * `maxDocFreq` documents are boilerplate and IGNORED (standard MOSS
+    * practice — and the scale guarantee: with bucket sizes capped at a
+    * constant, candidate pairs are ≤ maxDocFreq · |rows|, linear in the
+    * corpus where the uncapped join grows quadratically — measured
+    * 135M candidate pairs from 5k template docs at sf0.1). Containment
+    * = shared / min rare-set size over the SURVIVING (rare) fingerprint
+    * sets on both sides, with `minShared` guarding the tiny-denominator
+    * pairs a handful of rare hashes would otherwise promote.
+    * Trade-off, documented: overlap that consists ENTIRELY of
+    * corpus-wide boilerplate is invisible — by design, that overlap is
+    * the template, not a copy. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4,
+                         maxDocFreq: Int = 20, minShared: Int = 3,
+                         minContainment: Double = 0.5): DataFrame = {
+    val ex0 = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc_id_"), explode(col("fp")).as("h"))
+    val hot = ex0.groupBy("h").count()
+      .filter(col("count") > maxDocFreq).select("h")
+    val ex = ex0.join(hot, Seq("h"), "left_anti")
+    // rare-set size rides every row via one window pass (shuffle on
+    // doc), then the pair join carries it as a 4-byte grouping key —
+    // no per-pair fingerprint-count join-back
+    val nf = ex.withColumn("nfp",
+      count(lit(1)).over(Window.partitionBy("doc_id_")))
+    nf.as("a").join(nf.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id_") < col("b.doc_id_"))
+      .groupBy(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        col("a.nfp").as("nfp_a"), col("b.nfp").as("nfp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        TextFunctions.portableRound(
+          col("n_shared").cast("double") / least(col("nfp_a"), col("nfp_b")),
+          4).as("containment"))
+      .filter(col("containment") >= minContainment)
   }
 }

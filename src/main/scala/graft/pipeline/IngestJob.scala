@@ -89,15 +89,28 @@ object IngestJob {
       Lineage.RunState(runId, source, "running", now))
     try {
       val renamed = scanAndRename(spark, csvPath)
-      val (accepted, rejected) = validateSplit(renamed)
+      // S11 lineage counters ride the main pass via Dataset.observe
+      // (SURVEY §2.1): the input count and reject count both fire on
+      // the reject-sink write (the input observe node is below the
+      // split, so the reject branch's plan contains it), and
+      // loaded = in − rejected because the validation split partitions
+      // the input (ValidationSpec proves disjoint + complete). No
+      // dedicated count() jobs. NOTE: observe cannot sit below cache()
+      // — metrics inside a cache build don't surface to the action's
+      // query execution — hence counting on the uncached reject branch.
+      val obsIn = new org.apache.spark.sql.Observation("graft_rows_in")
+      val obsRej = new org.apache.spark.sql.Observation("graft_rejected")
+      val (accepted, rejected) = validateSplit(
+        renamed.observe(obsIn, count(lit(1)).as("n")))
       val cachedAccepted = accepted.cache()
-      val rowsLoaded = cachedAccepted.count()
-      val rowsRejected = rejected.count()
-      val rowsIn = rowsLoaded + rowsRejected
 
       // S8 — reject sink with reasons (ingest_capacity.py:146-153)
-      rejected.write.mode("overwrite").option("header", "true")
+      rejected.observe(obsRej, count(lit(1)).as("n"))
+        .write.mode("overwrite").option("header", "true")
         .csv(s"$rejectsPath/capacity_rejects_$runId")
+      val rowsRejected = obsRej.get("n").asInstanceOf[Long]
+      val rowsIn = obsIn.get("n").asInstanceOf[Long]
+      val rowsLoaded = rowsIn - rowsRejected
 
       // J4 — dim get-or-create + key substitution
       val fs = org.apache.hadoop.fs.FileSystem.get(

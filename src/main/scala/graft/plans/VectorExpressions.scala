@@ -464,3 +464,101 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * — the MOSS algorithm): polynomial rolling hashes of the k-char-grams,
+  * then the minimum hash of each w-hash window; the fingerprint is the
+  * sorted distinct set of selected hashes. Guarantee: any shared
+  * substring of length ≥ w + k − 1 contributes at least one shared
+  * fingerprint, so overlap joins on fingerprint values find copies
+  * without comparing documents pairwise.
+  *
+  * Hash: h(i) = Σ_j cp(i+j) · 31^j (j = 0..k−1), exact in a signed
+  * 64-bit long for k ≤ 10 (31^9·0x10FFFF < 2^63) — no modulus, so any
+  * engine reproduces it bit-for-bit (the DuckDB oracle recomputes it
+  * with list arithmetic). Short docs: no grams → empty; fewer than w
+  * hashes → the single global minimum.
+  *
+  * One pass, primitive arrays, inside whole-stage codegen. The O(n·w)
+  * window scan beats a deque for the small w (4–8) used in practice.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 10, "k-gram hash must stay exact in 64 bits")
+  require(w >= 1, "window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "winnow_fingerprint needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprint.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.WinnowFingerprint.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    if (nGrams <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var pow = 1L
+      var j = 0
+      while (j < k) {
+        h += cps(i + j) * pow
+        pow *= 31L
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val nWin = nGrams - w + 1
+    val sel =
+      if (nWin <= 0) {
+        // fewer hashes than a window: fall back to the global minimum
+        var m = hashes(0)
+        i = 1
+        while (i < nGrams) { if (hashes(i) < m) m = hashes(i); i += 1 }
+        Array(m)
+      } else {
+        val out = new Array[Long](nWin)
+        var p = 0
+        while (p < nWin) {
+          var m = hashes(p)
+          var q = p + 1
+          while (q < p + w) { if (hashes(q) < m) m = hashes(q); q += 1 }
+          out(p) = m
+          p += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(sel)
+    var outN = 0
+    i = 0
+    while (i < sel.length) {
+      if (outN == 0 || sel(i) != sel(outN - 1)) { sel(outN) = sel(i); outN += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(sel, outN))
+  }
+}

@@ -104,6 +104,29 @@ object ExtensionCatalog {
     (init +: steps).mkString(",\n")
   }
 
+  /** mirrors Dedup.winnowFingerprints (graft.plans.WinnowFingerprint):
+    * exact-integer polynomial k-gram hashes (Σ cp·31^j — no modulus, so
+    * any engine reproduces it bit-for-bit), per-w-window minima,
+    * distinct. CTE chain ends at `fps(doc_id, sel)`. */
+  private def winnowFpsSql(k: Int, w: Int): String = {
+    val pow31 = (0 until k).map(j => math.pow(31, j).toLong)
+    val hsum = (0 until k).map(j =>
+      s"(ascii(text[i + $j : i + $j])::BIGINT) * ${pow31(j)}").mkString(" + ")
+    s"""h AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(1, greatest(length(text) - ${k - 1}, 0)),
+       |    i -> $hsum) AS hashes
+       |  FROM documents),
+       |fps AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hashes) = 0 THEN []
+       |         WHEN len(hashes) < $w THEN [list_min(hashes)]
+       |         ELSE list_distinct(list_transform(
+       |           generate_series(1, len(hashes) - $w + 1),
+       |           p -> list_min(hashes[p : p + $w - 1]))) END AS sel
+       |  FROM h)""".stripMargin
+  }
+
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
     * (shared by x06 and x16) */
   private def minhashPairsSql: String = {
@@ -114,7 +137,8 @@ object ExtensionCatalog {
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 1)),
        |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
-       |  FROM toks),
+       |  FROM toks
+       |  WHERE len(tk) > 0),
        |hs AS (
        |  SELECT doc_id, list_transform(shingles, s -> ${h60Sql("s", p)}) AS hashes
        |  FROM sh),
@@ -284,8 +308,8 @@ object ExtensionCatalog {
         |  CAST(length(text) % 64 + 1 AS INT) AS width,
         |  CAST(length(text) // 64 + 1 AS INT) AS height,
         |  1 AS channels,
-        |  floor(list_avg(list_transform(generate_series(1, length(text)),
-        |    i -> ascii(text[i : i]))) * 10000.0 + 0.5) / 10000.0 AS mean_intensity
+        |  coalesce(floor(list_avg(list_transform(generate_series(1, length(text)),
+        |    i -> ascii(text[i : i]))) * 10000.0 + 0.5) / 10000.0, 0.0) AS mean_intensity
         |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => Multimodal.decodeFeatures(
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
@@ -598,6 +622,48 @@ object ExtensionCatalog {
             col("event_type"), col("n"),
             round(col("total"), 4).as("total"))
           .orderBy("win_start_ms", "event_type")
-      })
+      }),
+
+    // ---- winnowing fingerprints (rolling-hash document fingerprinting,
+    //      the MOSS algorithm): exact-integer k-gram hashes, per-window
+    //      minima — emitted as scalar (doc_id, fp_hash) rows ----
+    Q("x22_winnow_fingerprint", Some(
+      s"""WITH ${winnowFpsSql(8, 4)}
+         |SELECT doc_id, unnest(sel) AS fp_hash
+         |FROM fps ORDER BY doc_id, fp_hash""".stripMargin),
+      (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, w = 4)
+        .select(col("doc_id_").as("doc_id"), explode(col("fp")).as("fp_hash"))
+        .orderBy("doc_id", "fp_hash")),
+
+    // ---- copy-detection pairs over shared winnowing fingerprints:
+    //      hashes in > 20 docs are boilerplate and ignored (MOSS rule +
+    //      the linear-candidates scale guarantee); containment over the
+    //      surviving rare sets, n_shared ≥ 3 guarding tiny denominators ----
+    Q("x23_winnow_overlap", Some(
+      s"""WITH ${winnowFpsSql(8, 4)},
+         |ex0 AS (
+         |  SELECT doc_id, unnest(sel) AS h FROM fps),
+         |hot AS (
+         |  SELECT h FROM ex0 GROUP BY h HAVING count(*) > 20),
+         |ex AS (SELECT * FROM ex0 ANTI JOIN hot USING (h)),
+         |nf AS (SELECT doc_id, count(*) AS nfp FROM ex GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, containment FROM (
+         |  SELECT id_a, id_b, n_shared,
+         |    floor(n_shared::DOUBLE / least(na.nfp, nb.nfp) * 10000.0 + 0.5)
+         |      / 10000.0 AS containment
+         |  FROM pairs
+         |  JOIN nf na ON na.doc_id = id_a
+         |  JOIN nf nb ON nb.doc_id = id_b
+         |  WHERE n_shared >= 3)
+         |WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.winnowOverlapPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, w = 4, maxDocFreq = 20, minShared = 3,
+          minContainment = 0.5)
+        .orderBy("id_a", "id_b"))
   )
 }

@@ -37,6 +37,11 @@ object ScaleStress {
     time("ann lsh topk")(Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", 10, planes = 8).count())
     time("embedding neardup")(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.95, 8).count())
+    time("winnow overlap")(Dedup.winnowOverlapPairs(docs, "doc_id", "text").count())
+    time("dedup clusters")(Dedup.resolveClusters(docs, "doc_id",
+      Dedup.nearDupPipeline(docs, "doc_id", "text")).count())
+    time("ivf topk (kmeans)")(Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", 10).count())
 
     // reference-parity path at scale: replicate lineitem/orders
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -11,7 +11,7 @@ class ValidationSpec extends SparkSpec {
   private val rows = Seq(
     ("2024-01-15", "CA", "100", "50", "10", "5"),   // valid
     (null, "CA", "100", "50", null, null),          // date required
-    ("garbage", "CA", "100", "50", null, null),     // date unparseable → required
+    ("garbage", "CA", "100", "50", null, null),     // date unparseable → invalid format
     ("2024-01-15", null, "100", "50", null, null),  // region required
     ("2024-01-15", "CA", null, "50", null, null),   // total required
     ("2024-01-15", "CA", "100", null, null, null),  // occupied required
@@ -40,7 +40,7 @@ class ValidationSpec extends SparkSpec {
   test("P3 cascade: each rule fires with its reference message, in order") {
     val expected = Array(
       null,
-      "date is required", "date is required", "region is required",
+      "date is required", "invalid date format", "region is required",
       "total_beds is required", "occupied_beds is required",
       "total_beds cannot be negative", "occupied_beds cannot be negative",
       "occupied_beds cannot exceed total_beds", "icu_beds cannot be negative",

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0/1 near-identical (one word differs), 2 identical to 0, 3 unrelated
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+    (3L, "completely different content about spark query engines at scale", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+    assert(r.count() == 3)
+    val dup = r.filter($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH surfaces the near-dup pair with high estimated jaccard") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // identical pair (0,2) must estimate 1.0; near-dup (0,1)/(1,2) high
+    assert(pairs.exists { case (a, b, j) => a == 0 && b == 2 && j == 1.0 })
+    assert(pairs.filter { case (a, b, _) => (a, b) == (0L, 1L) || (a, b) == (1L, 2L) }
+      .forall(_._3 > 0.5))
+    assert(!pairs.exists { case (a, b, _) => b == 3 || a == 3 })
+  }
+
+  test("winnowing: identical docs identical fp; shared substring of " +
+    "length >= w+k-1 guarantees a shared fingerprint; short docs degrade") {
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(0L) == fp(2L), "identical docs → identical fingerprints")
+    // docs 0/1 share long runs ("the quick brown fox jumps over the lazy ")
+    assert(fp(0L).toSet.intersect(fp(1L).toSet).nonEmpty,
+      "winnowing guarantee: shared run of >= w+k-1 chars shares a hash")
+    assert(fp(0L).toSet.intersect(fp(3L).toSet).isEmpty,
+      "no shared 8-gram → no shared fingerprint")
+    val shorts = Seq((10L, ""), (11L, "abcdefg"), (12L, "abcdefgh"),
+      (13L, "abcdefghij")).toDF("doc_id", "text")
+    val sfp = Dedup.winnowFingerprints(shorts, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sfp(10L).isEmpty && sfp(11L).isEmpty, "shorter than k → empty")
+    assert(sfp(12L).length == 1, "exactly one gram → one fingerprint")
+    assert(sfp(13L).length == 1, "fewer hashes than w → global min only")
+  }
+
+  test("winnow overlap pairs: copies above containment, unrelated absent") {
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+      minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((0L, 2L)) == 1.0, "identical docs → containment 1.0")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simhash32($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 8)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
+  }
+
+  test("cluster resolution is transitive: A~B, B~C → one cluster, min id keeps") {
+    import org.apache.spark.sql.functions.lit
+    val all = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
+    // chain 1-2, 2-7 (no direct 1-7 pair); 0 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 7L)).toDF("id_a", "id_b")
+      .withColumn("est_jaccard", lit(1.0)).withColumn("jaccard", lit(1.0))
+    // both paths must agree: driver union-find and distributed fixpoint
+    Seq(1000000L, 0L).foreach { threshold =>
+      val r = Dedup.resolveClusters(all, "doc_id", pairs,
+        driverMaxEdges = threshold)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+      assert(r(0L) == (0L, true), s"threshold=$threshold")
+      assert(r(1L) == (1L, true), s"threshold=$threshold")
+      assert(r(2L) == (1L, false), s"threshold=$threshold")
+      assert(r(7L) == (1L, false), s"threshold=$threshold") // via 2
+    }
+  }
+
+  test("ngram jaccard: identical 1.0, near-dup high, blocked pairs only") {
+    val r = Dedup.ngramJaccard(docs, "doc_id", "text", blockCol = "lang",
+      minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(r((0L, 2L)) == 1.0)
+    assert(r((0L, 1L)) > 0.7)
+    assert(!r.contains((0L, 3L)))
+  }
+}

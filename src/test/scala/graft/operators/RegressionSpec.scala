@@ -37,6 +37,52 @@ class RegressionSpec extends SparkSpec {
     assert(frames.filter($"doc_id" === 2L).count() == 2)
   }
 
+  test("empty documents: minhash drops them, decodeFeatures means 0.0 " +
+    "(the contract the oracle SQL mirrors)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "three word doc here"))
+      .toDF("doc_id", "text")
+    // WordShingles on empty/whitespace-only text is an empty array, so
+    // the doc has no signature and can never pair
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+      .select("doc_id_").as[Long].collect().toSet
+    assert(sigs == Set(3L))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").collect()
+    assert(pairs.isEmpty)
+    val mean = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs.filter($"doc_id" === 1L), "doc_id", "text"))
+      .toDF().select("mean_intensity").as[Double].head()
+    assert(mean == 0.0)
+  }
+
+  test("ingest: across files, the lexically-later file wins duplicate keys " +
+    "regardless of split layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft-reg-mf").toString
+    val hdr = "date,state,inpatient_beds,inpatient_beds_used," +
+      "total_staffed_adult_icu_beds,staffed_adult_icu_bed_occupancy"
+    // the same (date, region) key in two files; file b is much smaller,
+    // so size-ordered bin-packing reads it FIRST — the (file, pos)
+    // priority must still pick it as the winner
+    val rowsA = (1 to 200).map(i => s"2024-02-${i % 9 + 10},Pad$i,10,5,2,1")
+      .mkString("\n")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/in/a_batch.csv"),
+      s"$hdr\n2024-01-15,California,50000,40000,5000,4000\n$rowsA\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/in/b_batch.csv"),
+      s"$hdr\n2024-01-15,California,50000,43000,5000,4800\n")
+    graft.pipeline.IngestJob.run(spark, s"$base/in", s"$base/cap",
+      s"$base/reg", s"$base/rej", s"$base/runs", "r1", "test",
+      ts("2024-01-16 00:00:00"))
+    val ca = spark.read.parquet(s"$base/cap")
+      .filter($"date" === lit(java.sql.Date.valueOf("2024-01-15")))
+      .join(spark.read.parquet(s"$base/reg"), Seq("region_id"))
+      .filter($"name" === "California")
+      .select("occupied_beds").as[Int].collect()
+    assert(ca.toSeq == Seq(43000), "row from the later-named file must win")
+  }
+
   test("ingest: in-batch duplicate key keeps the LAST file row (reference order)") {
     val base = java.nio.file.Files.createTempDirectory("graft-reg").toString
     val csv =

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.types._
+  import spark.implicits._
+  import graft.streaming.StreamIngest
+
+  test("availableNow drains are exactly-once per file and upsert on key") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+
+    // the file source does not recurse: arrivals must be real files, so
+    // write to a staging dir and move the part file in (as S3 put would)
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$work/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name"))
+    }
+
+    arrive(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f1.parquet")
+    StreamIngest.ingestAvailableNow(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp")
+    assert(spark.read.parquet(s"$work/target").count() == 2)
+
+    // corrected re-delivery: same key new value + a new key
+    arrive(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "f2.parquet")
+    StreamIngest.ingestAvailableNow(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp")
+    val got = spark.read.parquet(s"$work/target")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+}

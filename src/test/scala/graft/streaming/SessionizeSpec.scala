@@ -44,6 +44,25 @@ class SessionizeSpec extends SparkSpec {
       assert(got.contains((1L, 1L, 3.0)))
       // user 2 single-event session flushed by timeout
       assert(got.contains((2L, 1L, 5.0)))
+
+      // batch vs streaming on the same events (shared foldSessions):
+      // the x20 oracle checks the batch path against SQL; this closes
+      // the loop back to streaming. Streaming emits a strict subset —
+      // the final event's session (user 9) is still open, waiting on a
+      // watermark that never comes; batch flushes it at end-of-input.
+      val batch = sessionizeBatch(
+        Seq(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(2, 5, 5.0), ev(1, 500, 3.0),
+          ev(1, 2000, 4.0), ev(9, 4000, 0.0)).toDS(), gapMs = 30 * 1000)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      val streamed = spark.table("sessions")
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(streamed.subsetOf(batch))
+      assert((batch -- streamed).map(_._1) == Set(9L),
+        "batch and streaming must agree on every watermark-flushed session")
     } finally q.stop()
   }
 }
