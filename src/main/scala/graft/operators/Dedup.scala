@@ -188,17 +188,14 @@ object Dedup {
                       pairs: DataFrame, maxIter: Int = 20,
                       driverMaxEdges: Long = 1000000): DataFrame = {
     val nodes = allDocs.select(col(idCol).cast("long").as("node"))
-    // materialize the pair list ONCE before mirroring it into edges —
-    // `pairs` may carry an expensive lineage (the whole minhash+verify
-    // pipeline), and the two union branches below would otherwise each
-    // recompute it (measured ~2× the candidate-generation cost)
+    // materialize the (directed) pair list ONCE — `pairs` may carry an
+    // expensive lineage (the whole minhash+verify pipeline); the
+    // mirrored edge list is derived from this cache, and only when the
+    // distributed path actually needs it (the driver path mirrors in
+    // memory — union-find is direction-blind anyway)
     val p = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst")).cache()
-    val edges = p.unionByName(p.select(col("dst").as("src"),
-        col("src").as("dst")))
-      .cache()
-    val nEdges = edges.count()
-    p.unpersist()
+    val nEdges = p.count() * 2
 
     // Small-graph fast path: verified near-dup pairs are SPARSE (the
     // pipeline's whole point), so the edge list usually fits the driver
@@ -206,8 +203,8 @@ object Dedup {
     // rounds. The iterative path below remains for genuinely huge pair
     // sets. Both produce identical labels (min id per component).
     if (nEdges <= driverMaxEdges) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -233,6 +230,12 @@ object Dedup {
           (coalesce(col("label"), col("node")) === col("node")).as("keep"))
     }
 
+    // distributed fixpoint: mirror the cached pairs into undirected
+    // edges (reads the p cache twice — cheap — not the pair lineage)
+    val edges = p.unionByName(p.select(col("dst").as("src"),
+      col("src").as("dst"))).cache()
+    edges.count()
+    p.unpersist()
     var labels = nodes.select(col("node"), col("node").as("label")).cache()
     var iter = 0
     var converged = false

@@ -215,6 +215,33 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Scalar int8 quantization for embedding storage at scale: 4× (fp32)
+    * to 8× (fp64) smaller vectors — the standard first compression tier
+    * before product quantization, and the difference between shipping
+    * 100 TB or 25 TB of embeddings through every ANN scan. Per-vector
+    * symmetric scale = max|v| / 127; code_i = floor(v_i/scale + 0.5),
+    * which lands in [−127, 127] without clamping because |v_i| ≤ max|v|.
+    * All-zero vectors get scale 0 and all-zero codes. Write-time op:
+    * the interpreted array lambdas run once per vector at ingest, never
+    * per candidate pair, so codegen is not worth the surface here.
+    * Output: (idCol, v array<original>, scale double, codes array<int>). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxabs = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol).as("v"),
+        (maxabs / lit(127.0)).as("scale"))
+      .select(col(idCol), col("v"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / col("scale") + lit(0.5))
+              .cast("int")))
+          .as("codes"))
+  }
+
+  /** Reconstruct a quantized vector: code · scale, per element. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
     * exact cosine ≥ threshold. (id_a < id_b.) */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

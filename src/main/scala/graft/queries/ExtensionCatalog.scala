@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Salting, Similarity}
 import graft.streaming.StreamIngest
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -664,6 +664,74 @@ object ExtensionCatalog {
       (s, dir) => Dedup.winnowOverlapPairs(t(s, dir, "documents"),
           "doc_id", "text", k = 8, w = 4, maxDocFreq = 20, minShared = 3,
           minContainment = 0.5)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- skew-safe two-phase aggregation is RESULT-TRANSPARENT: the
+    //      oracle is the plain GROUP BY (sum_qty is integer-valued, so
+    //      the double sum is exact under any partial-agg order) ----
+    Q("x24_salted_agg", Some(
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => Salting.saltedAgg(t(s, dir, "lineitem"),
+          keys = Seq("l_returnflag"), salts = 16,
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")),
+          partialAggs = Seq(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n")),
+          finalAggs = Seq(sum("sum_qty").as("sum_qty"), sum("n").as("n")))
+        .orderBy("l_returnflag")),
+
+    // ---- skew-safe replicated join, same transparency proof: salted
+    //      big side × 8-replicated small side ≡ the plain equi join ----
+    Q("x25_salted_join", Some(
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "okey")
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        Salting.saltedJoin(li, o, keys = Seq("okey"), salts = 8,
+            bigSaltFrom = Seq(col("l_linenumber"), col("l_quantity")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // ---- int8 scalar quantization of embeddings: per-vector symmetric
+    //      scale + reconstruction RMSE, both portable-rounded — proves
+    //      the quantizer (not just its plumbing) against the oracle ----
+    Q("x26_quantize_embeddings", Some(
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(x / scale + 0.5) AS INT) END) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale_r,
+        |  floor(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)))
+        |    / len(v)) * 1000000.0 + 0.5) / 1000000.0 AS rmse
+        |FROM q ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val q = Similarity.quantizeInt8(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        val dq = Similarity.dequantizeInt8(col("codes"), col("scale"))
+        q.select(col("vec_id"),
+            TextFunctions.portableRound(col("scale"), 6).as("scale_r"),
+            TextFunctions.portableRound(
+              sqrt(aggregate(
+                zip_with(col("v"), dq,
+                  (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+                lit(0.0), (acc, x) => acc + x) / size(col("v"))),
+              6).as("rmse"))
+          .orderBy("vec_id")
+      })
   )
 }

@@ -91,6 +91,35 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("winnowing guarantee: a planted shared run of w+k-1 chars always " +
+    "yields a shared fingerprint; disjoint alphabets never do") {
+    val k = 8; val w = 4
+    val alpha = Gen.listOfN(40, Gen.alphaLowerChar).map(_.mkString)
+    val digits = Gen.listOfN(40, Gen.numChar).map(_.mkString)
+    val cases = Gen.listOfN(25, for {
+      a <- alpha; b <- alpha
+      shared <- Gen.listOfN(w + k - 1, Gen.alphaUpperChar).map(_.mkString)
+      cutA <- Gen.chooseNum(0, 40); cutB <- Gen.chooseNum(0, 40)
+    } yield (a.take(cutA) + shared + a.drop(cutA),
+             b.take(cutB) + shared + b.drop(cutB)))
+    val casesV = sampled(cases)
+    val docs = casesV.zipWithIndex.flatMap { case ((ta, tb), i) =>
+      Seq((2L * i, ta), (2L * i + 1, tb))
+    }.toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    casesV.indices.foreach { i =>
+      assert(fp(2L * i).intersect(fp(2L * i + 1)).nonEmpty,
+        s"case $i: shared ${w + k - 1}-char run must share a fingerprint")
+    }
+    // disjoint alphabets (lowercase vs digits) share no 8-gram at all
+    val da = sampled(alpha); val db = sampled(digits)
+    val dfp = Dedup.winnowFingerprints(
+      Seq((0L, da), (1L, db)).toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(dfp(0L).intersect(dfp(1L)).isEmpty)
+  }
+
   test("portable rounding matches DuckDB-style scale-round on exact .5 cases") {
     // values whose 10^4-scaled double is exactly representable at .5
     val vals = Seq(0.03125, 0.484250, 0.000050, 0.99995, 0.12345)

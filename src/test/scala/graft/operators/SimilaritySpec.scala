@@ -72,4 +72,29 @@ class SimilaritySpec extends SparkSpec {
     val pairs = r.select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(pairs.contains((0L, 99999L)))
   }
+
+  test("int8 quantization: codes bounded, reconstruction tight, top-k preserved") {
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val stats = q.select(
+      array_max(transform($"codes", c => abs(c))).as("cmax"),
+      aggregate(zip_with($"v",
+          Similarity.dequantizeInt8($"codes", $"scale"),
+          (a, b) => abs(a.cast("double") - b)), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("maxerr"),
+      $"scale")
+    // codes within int8 range; per-element error ≤ scale/2 by construction
+    assert(stats.filter($"cmax" > 127).isEmpty)
+    assert(stats.filter($"maxerr" > $"scale" * 0.5 + 1e-12).isEmpty)
+    // exact top-k on DEQUANTIZED vectors ≈ top-k on originals
+    val dq = q.select($"vec_id",
+      Similarity.dequantizeInt8($"codes", $"scale").as("embedding"))
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", 10)
+      .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.bruteForceTopK(
+        dq.filter($"vec_id" < 10), dq, "vec_id", "embedding", 10)
+      .select($"qid", $"eid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall — int8 must not break ranking")
+  }
 }
