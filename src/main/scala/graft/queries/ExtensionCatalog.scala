@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Salting, Similarity}
+import graft.operators.{Dedup, Multimodal, Salting, Sampling, Similarity}
 import graft.streaming.StreamIngest
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -732,6 +732,65 @@ object ExtensionCatalog {
                 lit(0.0), (acc, x) => acc + x) / size(col("v"))),
               6).as("rmse"))
           .orderBy("vec_id")
-      })
+      }),
+
+    // ---- the dedup pipeline's END PRODUCT: the curated corpus — every
+    //      document that is its cluster's canonical keeper (singletons
+    //      keep themselves). Closes the loop from pair generation
+    //      through cluster resolution to an actual training corpus. ----
+    Q("x27_corpus_dedupped", Some(
+      s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents),
+         |vp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+         |        AS jaccard
+         |    FROM cand c
+         |    JOIN g ga ON c.id_a = ga.doc_id
+         |    JOIN g gb ON c.id_b = gb.doc_id
+         |    WHERE c.est_jaccard >= 0.25)
+         |  WHERE jaccard >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM vp
+         |  UNION ALL SELECT id_b, id_a FROM vp),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+         |keepers AS (
+         |  SELECT node AS doc_id FROM reach GROUP BY node
+         |  HAVING min(label) = node)
+         |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
+         |FROM documents d JOIN keepers USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.resolveClusters(docs, "doc_id",
+          Dedup.nearDupPipeline(docs, "doc_id", "text",
+            minEstJaccard = 0.25, minJaccard = 0.4))
+        docs.join(clusters.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- deterministic stratified sampling (curation mix): hash-gated
+    //      on (salt, doc_id), so the sample is identical on any engine
+    //      and any partitioning — df.sample() is neither ----
+    Q("x28_stratified_sample", Some(
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60Sql("('sample:' || CAST(doc_id AS VARCHAR))", 10000L)} <
+         |  CASE WHEN lang = 'en' THEN 4000 ELSE 1000 END
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang", rates = Map("en" -> 0.4), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"))
   )
 }

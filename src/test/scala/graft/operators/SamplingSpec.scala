@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
+
+  test("deterministic sample: rate honored, layout-independent, replayable") {
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // rate within binomial noise of 25% over 2000 ids
+    assert(s1.size > 380 && s1.size < 620, s"got ${s1.size}")
+    // identical decision under a different partition layout (df.sample
+    // would diverge here — that's the whole point of the hash gate)
+    val s2 = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // monotone in rate: a 10% sample is a subset of the 25% sample
+    val s3 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // a different salt draws a genuinely different sample
+    val s4 = Sampling.deterministicSample(docs, "doc_id", 0.25, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s4 != s1)
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 0.8), defaultRate = 0.1)
+    val byLang = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 en docs at 80%, 1500 de docs at 10%
+    assert(byLang("en") > 350 && byLang("en") <= 500, s"en=${byLang("en")}")
+    assert(byLang("de") > 80 && byLang("de") < 250, s"de=${byLang("de")}")
+  }
+}
