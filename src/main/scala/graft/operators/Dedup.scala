@@ -201,10 +201,24 @@ object Dedup {
     // pipeline's whole point), so the edge list usually fits the driver
     // comfortably — a union-find there beats 10+ distributed fixpoint
     // rounds. The iterative path below remains for genuinely huge pair
-    // sets. Both produce identical labels (min id per component).
+    // sets. Both produce identical labels: min id per component of the
+    // subgraph INDUCED on allDocs — the fixpoint only propagates
+    // through nodes that have labels, so an edge touching an id absent
+    // from allDocs is inert there, and the union-find must drop it too
+    // (else a foreign id could become a cluster label, or bridge two
+    // docs the distributed path keeps separate).
     if (nEdges <= driverMaxEdges) {
-      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rawEs = p.collect().map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist()
+      val session = allDocs.sparkSession
+      import session.implicits._
+      // membership of just the (small) endpoint set: one broadcast-probe
+      // scan of the docs — no shuffle, no full id collect
+      val endpoints = rawEs.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+      val known = nodes
+        .join(broadcast(endpoints.toDF("node")), Seq("node"), "left_semi")
+        .as[Long].collect().toSet
+      val es = rawEs.filter(e => known(e._1) && known(e._2))
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -221,8 +235,6 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val session = allDocs.sparkSession
-      import session.implicits._
       val mapping = parent.keys.map(n => n -> find(n)).toSeq.toDF("node", "label")
       return nodes.join(broadcast(mapping), Seq("node"), "left")
         .select(col("node").as("doc_id"),

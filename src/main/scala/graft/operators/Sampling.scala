@@ -22,32 +22,35 @@ import graft.functions.TextFunctions
   */
 object Sampling {
 
-  /** Keep-decision column: md5-hash gate on (salt, id) at `rate`. */
-  def hashGate(idCol: Column, rate: Double, salt: String = "sample"): Column = {
-    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
-    TextFunctions.md5Hash60(concat_ws(":", lit(salt), idCol.cast("string"))) %
-      lit(10000L) < lit(math.round(rate * 10000).toLong)
+  /** Rate as basis points of the 10000-bucket hash space; every rate —
+    * uniform, per-stratum, or default — funnels through this check. */
+  private def basisPoints(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.round(rate * 10000)
   }
+
+  /** Keep-decision column: md5-hash gate on (salt, id) against a
+    * basis-point threshold column. */
+  private def hashGate(idCol: Column, thresholdBp: Column,
+                       salt: String): Column =
+    TextFunctions.md5Hash60(concat_ws(":", lit(salt), idCol.cast("string"))) %
+      lit(10000L) < thresholdBp
 
   /** Uniform deterministic sample at `rate`. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double,
                           salt: String = "sample"): DataFrame =
-    df.filter(hashGate(col(idCol), rate, salt))
+    df.filter(hashGate(col(idCol), lit(basisPoints(rate)), salt))
 
   /** Stratified deterministic sample: per-stratum rates (fallback
-    * `defaultRate` for unlisted strata). One codegen'd CASE + hash
-    * filter — no shuffle, no per-stratum pass. */
+    * `defaultRate` for unlisted strata; every rate validated). One
+    * codegen'd CASE + hash filter — no shuffle, no per-stratum pass. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String = "sample"): DataFrame = {
-    val rateCol = rates.foldLeft(lit(math.round(defaultRate * 10000).toLong)) {
+    val rateCol = rates.foldLeft(lit(basisPoints(defaultRate))) {
       case (tail, (stratum, r)) =>
-        when(col(strataCol) === stratum, lit(math.round(r * 10000).toLong))
-          .otherwise(tail)
+        when(col(strataCol) === stratum, lit(basisPoints(r))).otherwise(tail)
     }
-    df.filter(
-      TextFunctions.md5Hash60(
-        concat_ws(":", lit(salt), col(idCol).cast("string"))) %
-        lit(10000L) < rateCol)
+    df.filter(hashGate(col(idCol), rateCol, salt))
   }
 }

@@ -144,12 +144,16 @@ object Similarity {
                       k: Int, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the training loop is eager (collect per iteration), so the
+    // projected corpus caches for exactly the training scans and is
+    // freed before return — without this, every Lloyd iteration
+    // re-executes the corpus lineage (a full parquet scan at scale)
     val proj = corpus.select(col(idCol).cast("long").as("eid"),
-      col(vecCol).as("ev"))
-    var cents: Seq[(Long, Seq[Double])] = corpus
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("cvec"),
-        md5(col(idCol).cast("string").cast("binary")).as("h"))
+      col(vecCol).as("ev")).cache()
+    var cents: Seq[(Long, Seq[Double])] = proj
+      .select(col("eid").as("cid"),
+        col("ev").cast("array<double>").as("cvec"),
+        md5(col("eid").cast("string").cast("binary")).as("h"))
       .orderBy("h").limit(k).drop("h")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
     for (_ <- 1 to iters) {
@@ -170,6 +174,7 @@ object Similarity {
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
+    proj.unpersist()
     cents.toDF("cid", "cvec")
   }
 

@@ -47,9 +47,12 @@ object IngestJob {
       // the file maps to a single split — true for every CSV the
       // reference ingests (multi-split files keep a per-split-
       // deterministic but layout-dependent intra-file order).
+      // reuses _original_index rather than a second independent
+      // monotonically_increasing_id(): two instances of a
+      // nondeterministic expression only agree while they stay in one
+      // collapsed projection — referencing the column is provably stable
       .withColumn("_src_order",
-        struct(input_file_name().as("f"),
-          monotonically_increasing_id().as("i")))
+        struct(input_file_name().as("f"), col("_original_index").as("i")))
     // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
     // cell must become a reject row (P2/P3), not a query error.
     val typed = withIdx

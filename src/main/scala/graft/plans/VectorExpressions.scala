@@ -474,9 +474,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * without comparing documents pairwise.
   *
   * Hash: h(i) = Σ_j cp(i+j) · 31^j (j = 0..k−1), exact in a signed
-  * 64-bit long for k ≤ 10 (31^9·0x10FFFF < 2^63) — no modulus, so any
-  * engine reproduces it bit-for-bit (the DuckDB oracle recomputes it
-  * with list arithmetic). Short docs: no grams → empty; fewer than w
+  * 64-bit long for k ≤ 9: the worst case is every code point at the
+  * Unicode max, Σ = 0x10FFFF·(31^9−1)/30 ≈ 9.8·10^17 < 2^63−1; at
+  * k = 10 the sum reaches ≈ 3·10^19 and wraps, which would silently
+  * break the bit-for-bit oracle parity (DuckDB raises on BIGINT
+  * overflow instead of wrapping). No modulus, so any engine reproduces
+  * the value exactly. Short docs: no grams → empty; fewer than w
   * hashes → the single global minimum.
   *
   * One pass, primitive arrays, inside whole-stage codegen. The O(n·w)
@@ -485,7 +488,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
-  require(k >= 1 && k <= 10, "k-gram hash must stay exact in 64 bits")
+  require(k >= 1 && k <= 9, "k-gram hash must stay exact in 64 bits " +
+    "(k = 10 overflows on supplementary-plane code points)")
   require(w >= 1, "window must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -532,7 +532,7 @@ object ExtensionCatalog {
     // ---- embedding near-dup pairs (LSH-blocked exact cosine).
     //      The synthetic embeddings are near-orthogonal (max natural
     //      cosine ≈ 0.46), so the corpus is seeded with deterministic
-    //      scaled copies (vec_id + 100000, v·1.02): cosine(v, 1.02·v)
+    //      scaled copies (vec_id + 1e12, v·1.02): cosine(v, 1.02·v)
     //      rounds to 1.0 and sign-LSH is scale-invariant, so every
     //      planted pair is found — the oracle row is non-vacuous
     //      (spark_rows = |corpus| instead of 0). ----
@@ -543,7 +543,7 @@ object ExtensionCatalog {
          |seeded AS (
          |  SELECT vec_id, embedding FROM base
          |  UNION ALL
-         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.02)
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * 1.02)
          |  FROM base),
          |b AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
@@ -556,8 +556,10 @@ object ExtensionCatalog {
       (s, dir) => {
         val base = t(s, dir, "embeddings").select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
+        // offset far above any natural vec_id (collision would silently
+        // pair unrelated vectors under one id on both engines)
         val planted = base.select(
-          (col("vec_id") + lit(100000L)).as("vec_id"),
+          (col("vec_id") + lit(1000000000000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.02)).as("embedding"))
         Similarity.embeddingNearDup(base.unionByName(planted),
           "vec_id", "embedding", threshold = 0.95, planes = 4)
@@ -681,7 +683,7 @@ object ExtensionCatalog {
         .orderBy("l_returnflag")),
 
     // ---- skew-safe replicated join, same transparency proof: salted
-    //      big side × 8-replicated small side ≡ the plain equi join ----
+    //      big side × 4-replicated small side ≡ the plain equi join ----
     Q("x25_salted_join", Some(
       """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -691,7 +693,7 @@ object ExtensionCatalog {
           .withColumnRenamed("l_orderkey", "okey")
         val o = t(s, dir, "orders")
           .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-        Salting.saltedJoin(li, o, keys = Seq("okey"), salts = 8,
+        Salting.saltedJoin(li, o, keys = Seq("okey"), salts = 4,
             bigSaltFrom = Seq(col("l_linenumber"), col("l_quantity")))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))

@@ -88,6 +88,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster resolution: edges touching ids absent from allDocs are " +
+    "inert on BOTH paths (induced-subgraph semantics)") {
+    import org.apache.spark.sql.functions.lit
+    val all = Seq(5L, 9L).toDF("doc_id")
+    // 0 is not a doc: (0,5) must be dropped, (5,9) must still cluster
+    val pairs = Seq((0L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+      .withColumn("est_jaccard", lit(1.0)).withColumn("jaccard", lit(1.0))
+    Seq(1000000L, 0L).foreach { threshold =>
+      val r = Dedup.resolveClusters(all, "doc_id", pairs,
+        driverMaxEdges = threshold)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+      assert(r(5L) == (5L, true), s"threshold=$threshold")
+      assert(r(9L) == (5L, false), s"threshold=$threshold")
+    }
+  }
+
   test("ngram jaccard: identical 1.0, near-dup high, blocked pairs only") {
     val r = Dedup.ngramJaccard(docs, "doc_id", "text", blockCol = "lang",
       minJaccard = 0.5)
