@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** KMV (k-minimum-values) distinct-count sketch.
+  *
+  * Why KMV and not HyperLogLog: Spark's `approx_count_distinct` and
+  * DuckDB's are different HLL implementations with engine-private
+  * register layouts — their estimates can never hash-match. KMV built
+  * on the deterministic md5 hash is exactly reproducible on any
+  * engine (the oracle recomputes it bit-for-bit), mergeable
+  * (union of sketches = k smallest of the union), and still O(k)
+  * space with ~1/√k relative error.
+  *
+  * Estimator: with h_k the k-th smallest of the distinct hash values
+  * mapped into [0, m), the distinct count ≈ (k−1)·m / h_k. A group
+  * with fewer than k distinct values keeps them ALL — the sketch IS
+  * the exact set, and the estimate is its size.
+  *
+  * Scale shape: one distinct-shuffle on (group, hash) — linear — then
+  * a per-group window trimmed to k rows before the tiny collect_list;
+  * the sketch per group is ≤ k longs regardless of corpus size.
+  */
+object Sketches {
+
+  /** Per-group sketch: the k smallest distinct md5-derived hash values
+    * of `value` in [0, m). Output: (groupCol, sketch array<long> asc,
+    * n_distinct — exact distinct HASH count, same on any engine). */
+  def kmvSketch(df: DataFrame, groupCol: String, value: Column,
+                k: Int, m: Long): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val h = df.select(col(groupCol),
+      (TextFunctions.md5Hash60(value) % lit(m)).as("hv")).distinct()
+    val w = Window.partitionBy(groupCol).orderBy("hv")
+    val counts = h.groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
+    h.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(col("hv"))).as("sketch"))
+      .join(counts, Seq(groupCol))
+  }
+
+  /** Distinct-count estimate from a sketch (portable-rounded, 4 dp). */
+  def kmvEstimate(sketch: Column, k: Int, m: Long): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(TextFunctions.portableRound(
+        lit((k - 1).toDouble) * lit(m.toDouble) / element_at(sketch, k), 4))
+
+  /** Merge two sketches: k smallest of the distinct union — the KMV
+    * union property that makes per-partition / per-day sketches
+    * combinable without re-scanning. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+}

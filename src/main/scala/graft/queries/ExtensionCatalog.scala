@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Salting, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, RangeJoin, Salting, Sampling,
+  Similarity, Sketches}
 import graft.streaming.StreamIngest
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -793,6 +794,67 @@ object ExtensionCatalog {
       (s, dir) => Sampling.stratifiedSample(t(s, dir, "documents"),
           "doc_id", "lang", rates = Map("en" -> 0.4), defaultRate = 0.1)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- bucketized range join: point-in-interval as a hash EQUI-join
+    //      on manufactured bucket keys (Spark would otherwise plan the
+    //      BETWEEN join as a nested loop). Windows are derived
+    //      deterministically from the events themselves (every 50th
+    //      event opens a 30-min window); the oracle is the plain
+    //      BETWEEN join. ----
+    Q("x29_range_join", Some(
+      """WITH e AS (
+        |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+        |w AS (
+        |  SELECT event_id AS win_id, ms AS lo, ms + 1800000 AS hi
+        |  FROM e WHERE event_id % 50 = 0)
+        |SELECT w.win_id, count(*) AS n_events
+        |FROM w JOIN e ON e.ms >= w.lo AND e.ms <= w.hi
+        |GROUP BY 1 ORDER BY win_id""".stripMargin),
+      (s, dir) => {
+        val e = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+        val w = e.filter(col("event_id") % 50 === 0)
+          .select(col("event_id").as("win_id"), col("ms").as("lo"),
+            (col("ms") + lit(1800000L)).as("hi"))
+        RangeJoin.pointInInterval(e.select("ms"), "ms", w, "lo", "hi",
+            bucketWidth = 3600000L)
+          .groupBy("win_id").agg(count(lit(1)).as("n_events"))
+          .orderBy("win_id")
+      }),
+
+    // ---- KMV distinct-count sketch per language: deterministic
+    //      md5-based k-minimum-values, so the SKETCH ITSELF (not just
+    //      the estimate) is cross-engine reproducible — HLL never is.
+    //      Output: exact distinct hash count, sketch estimate. ----
+    Q("x30_kmv_distinct", {
+      val k = 64
+      val m = 1099511627776L // 2^40
+      Some(
+        s"""WITH tok AS (
+           |  SELECT lang, unnest(${tokSql("text")}) AS t FROM documents),
+           |h AS (
+           |  SELECT DISTINCT lang, ${h60Sql("t", m)} AS hv FROM tok),
+           |r AS (
+           |  SELECT lang, hv,
+           |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n_distinct
+           |  FROM h)
+           |SELECT lang, n_distinct,
+           |  CASE WHEN n_distinct < $k THEN CAST(n_distinct AS DOUBLE)
+           |       ELSE floor(${k - 1}.0 * $m.0 / max(CASE WHEN rn = $k THEN hv END)
+           |              * 10000.0 + 0.5) / 10000.0 END AS kmv_estimate
+           |FROM r GROUP BY lang, n_distinct ORDER BY lang""".stripMargin)
+    },
+      (s, dir) => {
+        val k = 64
+        val m = 1099511627776L
+        val toks = t(s, dir, "documents").select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        Sketches.kmvSketch(toks, "lang", col("t"), k, m)
+          .select(col("lang"), col("n_distinct"),
+            Sketches.kmvEstimate(col("sketch"), k, m).as("kmv_estimate"))
+          .orderBy("lang")
+      })
   )
 }

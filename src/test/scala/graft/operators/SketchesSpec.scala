@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 64
+  private val M = 1099511627776L // 2^40
+
+  test("KMV estimate tracks exact distinct within ~3/sqrt(k), exact below k") {
+    val df = (0 until 5000).map(i => ("big", s"tok$i")) ++
+      (0 until 20).map(i => ("small", s"tok$i"))
+    val sk = Sketches.kmvSketch(df.toDF("g", "v"), "g", col("v"), K, M)
+      .select(col("g"), col("n_distinct"),
+        Sketches.kmvEstimate(col("sketch"), K, M).as("est"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sk("small") == ((20L, 20.0)), "below k the sketch is exact")
+    val (exact, est) = sk("big")
+    assert(exact == 5000L)
+    assert(math.abs(est - exact) / exact < 3.0 / math.sqrt(K),
+      s"est=$est exact=$exact")
+  }
+
+  test("KMV merge of disjoint halves equals the sketch of the union") {
+    val all = (0 until 2000).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val sketchOf = (d: org.apache.spark.sql.DataFrame) =>
+      Sketches.kmvSketch(d, "g", col("v"), K, M)
+        .select("sketch").as[Seq[Long]].head()
+    val whole = sketchOf(all)
+    val a = sketchOf(all.filter(substring(col("v"), 4, 10).cast("int") % 2 === 0))
+    val b = sketchOf(all.filter(substring(col("v"), 4, 10).cast("int") % 2 === 1))
+    val merged = Seq((a, b)).toDF("a", "b")
+      .select(Sketches.kmvMerge(col("a"), col("b"), K).as("m"))
+      .as[Seq[Long]].head()
+    assert(merged == whole, "union property: min-k of union = merged min-k")
+  }
+}
