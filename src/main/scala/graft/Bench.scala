@@ -11,11 +11,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader init and file listing
-    // for every input table — not query work
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "documents", "embeddings").foreach { t =>
+    // for every table the catalog actually reads — not query work
+    Seq("lineitem", "orders", "customer", "nation", "region",
+      "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // events carries TIMESTAMP(NANOS): warm it the way the catalog
+    // reads it (nanosAsLong is the session-wide convention for ns
+    // parquet — a bare read would throw under Spark 4)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Intervals with lo > hi match nothing (SQL BETWEEN semantics) and
   * are dropped before the explode — `sequence(a, b)` would otherwise
-  * DESCEND and replicate them everywhere.
+  * DESCEND and replicate them everywhere. An interval spanning more
+  * than `maxBucketsPerInterval` buckets fails the job loudly: a
+  * sentinel hi (Long.MaxValue as "still open") would otherwise ask
+  * sequence() for ~10^12 elements and kill executors at scale —
+  * widen the bucket or cap the interval instead.
+  *
+  * Bucketing uses floor division on doubles — monotone, so coverage
+  * is correct for negative values too; magnitudes must stay within
+  * double's exact-integer range (|v| < 2^53 — any epoch-ms/µs fits).
   */
 object RangeJoin {
 
@@ -30,15 +38,25 @@ object RangeJoin {
     * columns, one row per containment match. */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Int = 100000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val pb = points.withColumn("_rj_bucket",
-      expr(s"$ptCol DIV $bucketWidth"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    val pb = points.withColumn("_rj_bucket", bucket(col(ptCol)))
     val ib = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn("_rj_bucket",
-        explode(sequence(expr(s"$loCol DIV $bucketWidth"),
-          expr(s"$hiCol DIV $bucketWidth"))))
+      .withColumn("_rj_lo", bucket(col(loCol)))
+      .withColumn("_rj_hi", bucket(col(hiCol)))
+      .withColumn("_rj_bucket", explode(sequence(col("_rj_lo"),
+        when(col("_rj_hi") - col("_rj_lo") < maxBucketsPerInterval,
+          col("_rj_hi"))
+          .otherwise(raise_error(concat_ws("",
+            lit(s"range join interval spans > $maxBucketsPerInterval " +
+              s"buckets of width $bucketWidth: ["),
+            col(loCol).cast("string"), lit(", "),
+            col(hiCol).cast("string"), lit("]")))))))
+      .drop("_rj_lo", "_rj_hi")
     pb.join(ib, Seq("_rj_bucket"))
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_rj_bucket")

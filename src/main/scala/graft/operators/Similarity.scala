@@ -150,6 +150,7 @@ object Similarity {
     // re-executes the corpus lineage (a full parquet scan at scale)
     val proj = corpus.select(col(idCol).cast("long").as("eid"),
       col(vecCol).as("ev")).cache()
+    try {
     var cents: Seq[(Long, Seq[Double])] = proj
       .select(col("eid").as("cid"),
         col("ev").cast("array<double>").as("cvec"),
@@ -174,8 +175,11 @@ object Similarity {
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    proj.unpersist()
     cents.toDF("cid", "cvec")
+    // unpersist on every exit — a mid-training failure (executor loss,
+    // OOM) must not leave the cached corpus pinned in a session that
+    // catches and retries
+    } finally proj.unpersist()
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their

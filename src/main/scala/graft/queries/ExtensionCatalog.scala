@@ -41,6 +41,19 @@ object ExtensionCatalog {
     * user is ~7.3 h, so sessions are multi-event but plural per user. */
   private val SessionGapMs: Long = 12L * 3600 * 1000
 
+  /** x29's deterministic window derivation: every `RangeEvery`-th event
+    * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
+    * by the SQL string and the Spark closure (one edit point — the
+    * file-header no-drift rule). Declared BEFORE `all`: vals
+    * interpolate into the SQL strings at object init. */
+  private val RangeWinMs = 1800000L
+  private val RangeEvery = 50
+  private val RangeBucketMs = 3600000L
+
+  /** x30's KMV parameters: 64 minima over a 2^40 hash space. */
+  private val KmvK = 64
+  private val KmvM = 1099511627776L
+
   /** mirrors Similarity.planeComponent */
   private def planeSql(p: String, dim: String) =
     s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
@@ -803,22 +816,22 @@ object ExtensionCatalog {
     //      event opens a 30-min window); the oracle is the plain
     //      BETWEEN join. ----
     Q("x29_range_join", Some(
-      """WITH e AS (
-        |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
-        |w AS (
-        |  SELECT event_id AS win_id, ms AS lo, ms + 1800000 AS hi
-        |  FROM e WHERE event_id % 50 = 0)
-        |SELECT w.win_id, count(*) AS n_events
-        |FROM w JOIN e ON e.ms >= w.lo AND e.ms <= w.hi
-        |GROUP BY 1 ORDER BY win_id""".stripMargin),
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+         |w AS (
+         |  SELECT event_id AS win_id, ms AS lo, ms + $RangeWinMs AS hi
+         |  FROM e WHERE event_id % $RangeEvery = 0)
+         |SELECT w.win_id, count(*) AS n_events
+         |FROM w JOIN e ON e.ms >= w.lo AND e.ms <= w.hi
+         |GROUP BY 1 ORDER BY win_id""".stripMargin),
       (s, dir) => {
         val e = ReferenceCatalog.events(s, dir)
           .select(col("event_id"), unix_millis(col("ts")).as("ms"))
-        val w = e.filter(col("event_id") % 50 === 0)
+        val w = e.filter(col("event_id") % RangeEvery === 0)
           .select(col("event_id").as("win_id"), col("ms").as("lo"),
-            (col("ms") + lit(1800000L)).as("hi"))
+            (col("ms") + lit(RangeWinMs)).as("hi"))
         RangeJoin.pointInInterval(e.select("ms"), "ms", w, "lo", "hi",
-            bucketWidth = 3600000L)
+            bucketWidth = RangeBucketMs)
           .groupBy("win_id").agg(count(lit(1)).as("n_events"))
           .orderBy("win_id")
       }),
@@ -827,33 +840,27 @@ object ExtensionCatalog {
     //      md5-based k-minimum-values, so the SKETCH ITSELF (not just
     //      the estimate) is cross-engine reproducible — HLL never is.
     //      Output: exact distinct hash count, sketch estimate. ----
-    Q("x30_kmv_distinct", {
-      val k = 64
-      val m = 1099511627776L // 2^40
-      Some(
-        s"""WITH tok AS (
-           |  SELECT lang, unnest(${tokSql("text")}) AS t FROM documents),
-           |h AS (
-           |  SELECT DISTINCT lang, ${h60Sql("t", m)} AS hv FROM tok),
-           |r AS (
-           |  SELECT lang, hv,
-           |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
-           |    count(*) OVER (PARTITION BY lang) AS n_distinct
-           |  FROM h)
-           |SELECT lang, n_distinct,
-           |  CASE WHEN n_distinct < $k THEN CAST(n_distinct AS DOUBLE)
-           |       ELSE floor(${k - 1}.0 * $m.0 / max(CASE WHEN rn = $k THEN hv END)
-           |              * 10000.0 + 0.5) / 10000.0 END AS kmv_estimate
-           |FROM r GROUP BY lang, n_distinct ORDER BY lang""".stripMargin)
-    },
+    Q("x30_kmv_distinct", Some(
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${tokSql("text")}) AS t FROM documents),
+         |h AS (
+         |  SELECT DISTINCT lang, ${h60Sql("t", KmvM)} AS hv FROM tok),
+         |r AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_distinct
+         |  FROM h)
+         |SELECT lang, n_distinct,
+         |  CASE WHEN n_distinct < $KmvK THEN CAST(n_distinct AS DOUBLE)
+         |       ELSE floor(${KmvK - 1}.0 * $KmvM.0 / max(CASE WHEN rn = $KmvK THEN hv END)
+         |              * 10000.0 + 0.5) / 10000.0 END AS kmv_estimate
+         |FROM r GROUP BY lang, n_distinct ORDER BY lang""".stripMargin),
       (s, dir) => {
-        val k = 64
-        val m = 1099511627776L
         val toks = t(s, dir, "documents").select(col("lang"),
           explode(TextFunctions.tokens(col("text"))).as("t"))
-        Sketches.kmvSketch(toks, "lang", col("t"), k, m)
+        Sketches.kmvSketch(toks, "lang", col("t"), KmvK, KmvM)
           .select(col("lang"), col("n_distinct"),
-            Sketches.kmvEstimate(col("sketch"), k, m).as("kmv_estimate"))
+            Sketches.kmvEstimate(col("sketch"), KmvK, KmvM).as("kmv_estimate"))
           .orderBy("lang")
       })
   )

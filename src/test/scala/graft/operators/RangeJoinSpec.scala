@@ -26,6 +26,15 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("an interval spanning too many buckets fails loudly, not with OOM") {
+    val openEnded = Seq((9L, 0L, Long.MaxValue / 2)).toDF("iv_id", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", openEnded, "lo", "hi",
+        bucketWidth = 10L, maxBucketsPerInterval = 1000).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("range join plans as a hash equi-join, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi",
       bucketWidth = 100L).queryExecution.executedPlan.toString
