@@ -42,6 +42,12 @@ object ScaleStress {
       Dedup.nearDupPipeline(docs, "doc_id", "text")).count())
     time("ivf topk (kmeans)")(Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", 10).count())
+    time("int8 quantize")(Similarity.quantizeInt8(emb, "vec_id", "embedding").count())
+    time("stratified sample")(graft.operators.Sampling.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.4), 0.1).count())
+    time("kmv sketch")(graft.operators.Sketches.kmvSketch(
+      docs.select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
+      "lang", col("t"), 64, 1099511627776L).count())
 
     // reference-parity path at scale: replicate lineitem/orders
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -67,6 +73,15 @@ object ScaleStress {
       val updates = o.filter(col("o_orderkey") % 100 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       graft.operators.MergeUpsert.merge(o, updates, Seq("o_orderkey")).count()
+    })
+    time("range join (1.5k windows)")({
+      val pts = o.select(unix_date(to_date(col("o_orderdate"))).as("d"))
+      val windows = o.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          unix_date(to_date(col("o_orderdate"))).as("lo"),
+          (unix_date(to_date(col("o_orderdate"))) + 30).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(pts, "d", windows,
+        "lo", "hi", bucketWidth = 30L).count()
     })
     time("asof daily delta")({
       val daily = o.groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
