@@ -862,6 +862,111 @@ object ExtensionCatalog {
           .select(col("lang"), col("n_distinct"),
             Sketches.kmvEstimate(col("sketch"), KmvK, KmvM).as("kmv_estimate"))
           .orderBy("lang")
+      }),
+
+    // ---- the CurationJob funnel, cross-engine verified END TO END:
+    //      quality gate → language ID → near-dup closure keepers →
+    //      stratified sample on PREDICTED language → quantizer scale
+    //      attached. Each stage is already oracle-checked alone
+    //      (x03/x04/x27/x28/x26); this proves the COMPOSITION — filter
+    //      interactions, predicted-vs-labeled lang, dedup over the
+    //      quality-filtered subset — agrees across engines. ----
+    Q("x31_curation_funnel", {
+      val langs = TextFunctions.stopwords.map(_._1)
+      val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+      val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
+      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+        .mkString(" ")
+      Some(
+        s"""WITH RECURSIVE qdocs AS (
+           |  SELECT doc_id, text, lang_pred FROM (
+           |    SELECT doc_id, text,
+           |      floor((
+           |          least(1.0, n_tok / 100.0) * 0.4
+           |        + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
+           |        + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
+           |        + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5)
+           |        / 10000.0 AS quality,
+           |      CASE $cases ELSE 'und' END AS lang_pred
+           |    FROM (SELECT *, $best AS best FROM (
+           |      SELECT doc_id, text,
+           |        CAST(len(${tokSql("text")}) AS DOUBLE) AS n_tok,
+           |        CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
+           |        CAST(len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.flatMap(_._2).distinct)})) AS DOUBLE) AS n_stop,
+           |        CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
+           |        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+           |        $hitCols
+           |      FROM documents)))
+           |  WHERE quality >= 0.3),
+           |${minhashPairsSql.replace("WITH toks", "toks").replace("FROM documents", "FROM qdocs")},
+           |g AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    generate_series(1, greatest(length(text) - 2, 1)),
+           |    i -> text[i : i + 2])) AS grams
+           |  FROM qdocs),
+           |vp AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT c.id_a, c.id_b,
+           |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+           |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+           |        AS jaccard
+           |    FROM cand c
+           |    JOIN g ga ON c.id_a = ga.doc_id
+           |    JOIN g gb ON c.id_b = gb.doc_id
+           |    WHERE c.est_jaccard >= 0.25)
+           |  WHERE jaccard >= 0.4),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM vp
+           |  UNION ALL SELECT id_b, id_a FROM vp),
+           |reach(node, label) AS (
+           |  SELECT doc_id, doc_id FROM qdocs
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |keepers AS (
+           |  SELECT node AS doc_id FROM reach GROUP BY node
+           |  HAVING min(label) = node),
+           |sampled AS (
+           |  SELECT q.doc_id, q.lang_pred
+           |  FROM qdocs q JOIN keepers USING (doc_id)
+           |  WHERE ${h60Sql("('sample:' || CAST(doc_id AS VARCHAR))", 10000L)} <
+           |    CASE WHEN lang_pred = 'en' THEN 8000 ELSE 5000 END),
+           |qscale AS (
+           |  SELECT vec_id AS doc_id,
+           |    floor(list_max(list_transform(embedding,
+           |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 * 1000000.0 + 0.5)
+           |      / 1000000.0 AS scale_r
+           |  FROM embeddings)
+           |SELECT s.doc_id, s.lang_pred, qs.scale_r
+           |FROM sampled s LEFT JOIN qscale qs USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        // the same stage composition CurationJob.run performs (fixed
+        // params; the job adds observe counters and the parquet write).
+        // Cached: the dedup pipeline consumes scored three times, and
+        // quality+langid are the catalog's heaviest regex scans — the
+        // (small) cache outlives the query, which is fine at catalog
+        // scale; long-lived pipelines use CurationJob.run, which
+        // manages its cache lifecycle.
+        val scored = t(s, dir, "documents")
+          .withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .withColumn("lang_pred", TextFunctions.langId(col("text")))
+          .filter(col("quality") >= 0.3)
+          .cache()
+        val keepers = Dedup.resolveClusters(scored, "doc_id",
+            Dedup.nearDupPipeline(scored, "doc_id", "text",
+              minEstJaccard = 0.25, minJaccard = 0.4))
+          .filter(col("keep")).select("doc_id")
+        val sampled = Sampling.stratifiedSample(
+          scored.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
+          rates = Map("en" -> 0.8), defaultRate = 0.5)
+        val qscale = Similarity.quantizeInt8(
+            t(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("vec_id").as("doc_id"),
+            TextFunctions.portableRound(col("scale"), 6).as("scale_r"))
+        sampled.join(qscale, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang_pred"), col("scale_r"))
+          .orderBy("doc_id")
       })
   )
 }
