@@ -44,10 +44,15 @@ object CurationJob {
 
     // 1. quality gate + language ID (scan-time, codegen'd). Cached:
     //    the dedup stage's candidate generation and the keeper join
-    //    both re-consume it. The observe node sits ABOVE the cache
-    //    (metrics inside a cache build never surface — see IngestJob);
-    //    the dedup stage consumes the observed variant, so its first
-    //    eager action fires the quality count.
+    //    both re-consume it. The quality observation sits ABOVE the
+    //    cache: whether metrics below a cache surface is SHAPE-DEPENDENT
+    //    on Spark 4.1.2 (IngestJob's below-cache variant returned no
+    //    metrics when the first action consumed a pruned in-memory
+    //    scan; this job's obsIn — inside the cache build — does fire,
+    //    verified by CurationJobSpec). Above-cache placement fires
+    //    unconditionally, so the load-bearing counter lives there; the
+    //    dedup stage consumes the observed variant, so its first eager
+    //    action fires the quality count.
     val scored = docs
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
@@ -77,8 +82,10 @@ object CurationJob {
     val curated = sampled.join(quantized, Seq("doc_id"), "left")
       .observe(obsE, count(col("codes")).as("n"))
 
-    curated.write.mode("overwrite").parquet(outPath)
-    scored.unpersist()
+    // unpersist on every exit: a failed write must not leave the
+    // quality-filtered corpus pinned for the session lifetime
+    try curated.write.mode("overwrite").parquet(outPath)
+    finally scored.unpersist()
 
     Counts(
       obsIn.get("n").asInstanceOf[Long],

@@ -98,9 +98,12 @@ object IngestJob {
       // split, so the reject branch's plan contains it), and
       // loaded = in − rejected because the validation split partitions
       // the input (ValidationSpec proves disjoint + complete). No
-      // dedicated count() jobs. NOTE: observe cannot sit below cache()
-      // — metrics inside a cache build don't surface to the action's
-      // query execution — hence counting on the uncached reject branch.
+      // dedicated count() jobs. NOTE: a below-cache observation failed
+      // to surface in this pipeline's shape (first consuming action =
+      // the dim write over a pruned in-memory scan returned an empty
+      // metrics map) — whether cache-interior metrics fire is
+      // shape-dependent on Spark 4.1.2, so the counters sit on the
+      // uncached reject branch, where firing is unconditional.
       val obsIn = new org.apache.spark.sql.Observation("graft_rows_in")
       val obsRej = new org.apache.spark.sql.Observation("graft_rejected")
       val (accepted, rejected) = validateSplit(

@@ -141,6 +141,70 @@ object ExtensionCatalog {
        |  FROM h)""".stripMargin
   }
 
+  /** mirrors TextFunctions.qualityScore: per-doc stats columns + the
+    * portable-rounded score formula (shared by x03 and x31 — one
+    * definition so the weights cannot drift between oracles). */
+  private def qualityStatsSql: String = Seq(
+    s"CAST(len(${tokSql("text")}) AS DOUBLE) AS n_tok",
+    "CAST(greatest(length(text), 1) AS DOUBLE) AS n_char",
+    s"CAST(len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.flatMap(_._2).distinct)})) AS DOUBLE) AS n_stop",
+    "CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct",
+    "CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper")
+    .mkString(",\n  ")
+
+  private def qualityFormulaSql: String =
+    """floor((
+      |    least(1.0, n_tok / 100.0) * 0.4
+      |  + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
+      |  + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
+      |  + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5) / 10000.0""".stripMargin
+
+  /** mirrors TextFunctions.langId: (hit-count columns, best expression,
+    * CASE arms) — shared by x04 and x31. */
+  private def langIdSqlPieces: (String, String, String) = {
+    val langs = TextFunctions.stopwords.map(_._1)
+    val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+    val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
+    val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
+      .mkString(" ")
+    (hitCols, best, cases)
+  }
+
+  /** mirrors Dedup.nearDupPipeline verification + resolveClusters:
+    * grams → verified pairs (est ≥ 0.25, jaccard ≥ 0.4) → undirected
+    * edges → transitive closure. Appended after `minhashPairsSql`'s
+    * `cand`; callers add their own final aggregation. Shared by
+    * x18/x27/x31 so the closure semantics cannot drift. */
+  private def neardupClosureSql(src: String): String =
+    s"""g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(length(text) - 2, 1)),
+       |    i -> text[i : i + 2])) AS grams
+       |  FROM $src),
+       |vp AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b,
+       |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+       |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+       |        AS jaccard
+       |    FROM cand c
+       |    JOIN g ga ON c.id_a = ga.doc_id
+       |    JOIN g gb ON c.id_b = gb.doc_id
+       |    WHERE c.est_jaccard >= 0.25)
+       |  WHERE jaccard >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM vp
+       |  UNION ALL SELECT id_b, id_a FROM vp),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM $src
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
+  private def keepersSql: String =
+    """keepers AS (
+      |  SELECT node AS doc_id FROM reach GROUP BY node
+      |  HAVING min(label) = node)""".stripMargin
+
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
     * (shared by x06 and x16) */
   private def minhashPairsSql: String = {
@@ -206,17 +270,9 @@ object ExtensionCatalog {
 
     // ---- rule-based quality scoring ----
     Q("x03_quality_score", Some(
-      s"""SELECT doc_id, floor((
-         |    least(1.0, n_tok / 100.0) * 0.4
-         |  + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
-         |  + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
-         |  + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality
+      s"""SELECT doc_id, $qualityFormulaSql AS quality
          |FROM (SELECT doc_id,
-         |  CAST(len(${tokSql("text")}) AS DOUBLE) AS n_tok,
-         |  CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-         |  CAST(len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.flatMap(_._2).distinct)})) AS DOUBLE) AS n_stop,
-         |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
-         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+         |  $qualityStatsSql
          |FROM documents) ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
@@ -225,11 +281,7 @@ object ExtensionCatalog {
 
     // ---- n-gram-heuristic language ID ----
     Q("x04_langid", {
-      val langs = TextFunctions.stopwords.map(_._1)
-      val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
-      val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
-      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
-        .mkString(" ")
+      val (hitCols, best, cases) = langIdSqlPieces
       Some(
         s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS predicted
            |FROM (SELECT *, $best AS best FROM
@@ -398,29 +450,7 @@ object ExtensionCatalog {
     //      fixpoint; oracle: recursive CTE closure) ----
     Q("x18_dedup_clusters", Some(
       s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
-         |g AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(length(text) - 2, 1)),
-         |    i -> text[i : i + 2])) AS grams
-         |  FROM documents),
-         |vp AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT c.id_a, c.id_b,
-         |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
-         |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
-         |        AS jaccard
-         |    FROM cand c
-         |    JOIN g ga ON c.id_a = ga.doc_id
-         |    JOIN g gb ON c.id_b = gb.doc_id
-         |    WHERE c.est_jaccard >= 0.25)
-         |  WHERE jaccard >= 0.4),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM vp
-         |  UNION ALL SELECT id_b, id_a FROM vp),
-         |reach(node, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+         |${neardupClosureSql("documents")}
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |       (min(label) = node) AS keep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
@@ -756,32 +786,8 @@ object ExtensionCatalog {
     //      through cluster resolution to an actual training corpus. ----
     Q("x27_corpus_dedupped", Some(
       s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
-         |g AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(length(text) - 2, 1)),
-         |    i -> text[i : i + 2])) AS grams
-         |  FROM documents),
-         |vp AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT c.id_a, c.id_b,
-         |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
-         |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
-         |        AS jaccard
-         |    FROM cand c
-         |    JOIN g ga ON c.id_a = ga.doc_id
-         |    JOIN g gb ON c.id_b = gb.doc_id
-         |    WHERE c.est_jaccard >= 0.25)
-         |  WHERE jaccard >= 0.4),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM vp
-         |  UNION ALL SELECT id_b, id_a FROM vp),
-         |reach(node, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-         |keepers AS (
-         |  SELECT node AS doc_id FROM reach GROUP BY node
-         |  HAVING min(label) = node)
+         |${neardupClosureSql("documents")},
+         |$keepersSql
          |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
          |FROM documents d JOIN keepers USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
@@ -872,59 +878,22 @@ object ExtensionCatalog {
     //      interactions, predicted-vs-labeled lang, dedup over the
     //      quality-filtered subset — agrees across engines. ----
     Q("x31_curation_funnel", {
-      val langs = TextFunctions.stopwords.map(_._1)
-      val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
-      val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
-      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
-        .mkString(" ")
+      val (hitCols, best, cases) = langIdSqlPieces
       Some(
         s"""WITH RECURSIVE qdocs AS (
            |  SELECT doc_id, text, lang_pred FROM (
            |    SELECT doc_id, text,
-           |      floor((
-           |          least(1.0, n_tok / 100.0) * 0.4
-           |        + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
-           |        + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
-           |        + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5)
-           |        / 10000.0 AS quality,
+           |      $qualityFormulaSql AS quality,
            |      CASE $cases ELSE 'und' END AS lang_pred
            |    FROM (SELECT *, $best AS best FROM (
            |      SELECT doc_id, text,
-           |        CAST(len(${tokSql("text")}) AS DOUBLE) AS n_tok,
-           |        CAST(greatest(length(text), 1) AS DOUBLE) AS n_char,
-           |        CAST(len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.flatMap(_._2).distinct)})) AS DOUBLE) AS n_stop,
-           |        CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS n_punct,
-           |        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+           |        $qualityStatsSql,
            |        $hitCols
            |      FROM documents)))
            |  WHERE quality >= 0.3),
            |${minhashPairsSql.replace("WITH toks", "toks").replace("FROM documents", "FROM qdocs")},
-           |g AS (
-           |  SELECT doc_id, list_distinct(list_transform(
-           |    generate_series(1, greatest(length(text) - 2, 1)),
-           |    i -> text[i : i + 2])) AS grams
-           |  FROM qdocs),
-           |vp AS (
-           |  SELECT id_a, id_b FROM (
-           |    SELECT c.id_a, c.id_b,
-           |      round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
-           |            CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
-           |        AS jaccard
-           |    FROM cand c
-           |    JOIN g ga ON c.id_a = ga.doc_id
-           |    JOIN g gb ON c.id_b = gb.doc_id
-           |    WHERE c.est_jaccard >= 0.25)
-           |  WHERE jaccard >= 0.4),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM vp
-           |  UNION ALL SELECT id_b, id_a FROM vp),
-           |reach(node, label) AS (
-           |  SELECT doc_id, doc_id FROM qdocs
-           |  UNION
-           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-           |keepers AS (
-           |  SELECT node AS doc_id FROM reach GROUP BY node
-           |  HAVING min(label) = node),
+           |${neardupClosureSql("qdocs")},
+           |$keepersSql,
            |sampled AS (
            |  SELECT q.doc_id, q.lang_pred
            |  FROM qdocs q JOIN keepers USING (doc_id)

@@ -26,13 +26,18 @@ object StreamDedup {
 
   /** Drop redelivered events by `keyCols`, with state bounded by the
     * watermark on `tsCol` (must carry `allowedLateness` at least as
-    * large as the source's redelivery horizon). Works on a streaming
-    * DataFrame; on a batch frame it degrades to plain dropDuplicates
-    * semantics (the watermark node is eliminated). */
+    * large as the source's redelivery horizon). On a batch frame the
+    * same call degrades to plain `dropDuplicates` EXPLICITLY — Spark
+    * rejects `dropDuplicatesWithinWatermark` for batch outright
+    * (UnsupportedOperationChecker), and batch has all the data, so
+    * whole-history dedup IS the within-watermark semantics there
+    * (backfills reuse this one entry point). */
   def dedupWithinWatermark(events: DataFrame, tsCol: String,
                            allowedLateness: String,
                            keyCols: Seq[String]): DataFrame =
-    events
-      .withWatermark(tsCol, allowedLateness)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events
+        .withWatermark(tsCol, allowedLateness)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 }
