@@ -21,15 +21,38 @@ object Bench {
     // parquet — a bare read would throw under Spark 4)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet").count()
+    // a crashing query must FAIL the bench visibly (nonzero exit + its
+    // error in the JSON), never bench as a fast query — r1's x15 failure
+    // was invisible here and caught only by the correctness oracle
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }.toSeq
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      Console.err.println(s"BENCH FAILED: ${failed.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

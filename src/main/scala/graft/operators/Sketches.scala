@@ -32,8 +32,13 @@ object Sketches {
   def kmvSketch(df: DataFrame, groupCol: String, value: Column,
                 k: Int, m: Long): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    // drop null values explicitly: md5Hash60(null) is a null hv, which
+    // Spark's row_number orders NULLS FIRST but DuckDB orders NULLS LAST
+    // — a null input would both pollute the sketch and break the
+    // cross-engine bit-parity this sketch exists for
     val h = df.select(col(groupCol),
-      (TextFunctions.md5Hash60(value) % lit(m)).as("hv")).distinct()
+      (TextFunctions.md5Hash60(value) % lit(m)).as("hv"))
+      .filter(col("hv").isNotNull).distinct()
     val w = Window.partitionBy(groupCol).orderBy("hv")
     val counts = h.groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
     h.withColumn("rn", row_number().over(w))

@@ -361,6 +361,11 @@ case class ArrayEqCount(left: Expression, right: Expression)
         "array_eq_count needs two array<long> inputs")
   }
 
+  // null elements never count as a positional match (getLong on a null
+  // slot would read garbage/0): a position contributes only when BOTH
+  // sides are non-null and equal. Current callers (minhash signatures)
+  // produce containsNull=false arrays, but the expression is a general
+  // primitive and must not misread null slots.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -368,7 +373,8 @@ case class ArrayEqCount(left: Expression, right: Expression)
     var c = 0L
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
       i += 1
     }
     c
@@ -383,7 +389,8 @@ case class ArrayEqCount(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $c = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -206,11 +206,15 @@ object ExtensionCatalog {
       |  HAVING min(label) = node)""".stripMargin
 
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
-    * (shared by x06 and x16) */
-  private def minhashPairsSql: String = {
+    * (shared by x06/x16/x18/x31). Emits the CTE chain WITHOUT the
+    * leading WITH keyword (callers own WITH vs WITH RECURSIVE), and the
+    * source table is a parameter — not post-hoc string .replace, which
+    * would silently rewrite any future `documents` reference inside the
+    * fragment (or silently stop matching after a rename). */
+  private def minhashPairsSql(src: String = "documents"): String = {
     val p = Dedup.MinhashP
-    s"""WITH toks AS (
-       |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+    s"""toks AS (
+       |  SELECT doc_id, ${tokSql("text")} AS tk FROM $src),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 1)),
@@ -315,7 +319,7 @@ object ExtensionCatalog {
 
     // ---- MinHash + LSH candidate pairs (32 hashes, 8 bands × 4) ----
     Q("x06_minhash_lsh", Some(
-      s"""$minhashPairsSql
+      s"""WITH ${minhashPairsSql()}
          |SELECT id_a, id_b, est_jaccard FROM cand
          |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
@@ -410,7 +414,7 @@ object ExtensionCatalog {
 
     // ---- two-stage near-dup: LSH candidates → exact jaccard verify ----
     Q("x16_neardup_pipeline", Some(
-      s"""$minhashPairsSql,
+      s"""WITH ${minhashPairsSql()},
          |g AS (
          |  SELECT doc_id, list_distinct(list_transform(
          |    generate_series(1, greatest(length(text) - 2, 1)),
@@ -449,7 +453,7 @@ object ExtensionCatalog {
     //      canonical keeper per cluster (Spark: min-label propagation to
     //      fixpoint; oracle: recursive CTE closure) ----
     Q("x18_dedup_clusters", Some(
-      s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
+      s"""WITH RECURSIVE ${minhashPairsSql()},
          |${neardupClosureSql("documents")}
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |       (min(label) = node) AS keep
@@ -465,7 +469,8 @@ object ExtensionCatalog {
     // ---- streaming ingest roundtrip: file source → AvailableNow →
     //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)
     Q("x11_stream_merge", Some(
-      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+      """SELECT event_type, count(*) AS n,
+        |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
       (s, dir) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -483,7 +488,8 @@ object ExtensionCatalog {
           s"$work/target", keys = Seq("event_id"), checkpoint = s"$work/cp")
         s.read.parquet(s"$work/target")
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+          .agg(count(lit(1)).as("n"),
+            TextFunctions.portableRound(sum("value"), 4).as("total"))
           .orderBy("event_type")
       }),
 
@@ -631,7 +637,8 @@ object ExtensionCatalog {
          |                   ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM m)
          |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
-         |       count(*) AS n_events, round(sum(value), 4) AS total_value
+         |       count(*) AS n_events,
+         |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, start_ms""".stripMargin),
       (s, dir) => {
@@ -645,7 +652,7 @@ object ExtensionCatalog {
             unix_millis(col("session_start")).as("start_ms"),
             unix_millis(col("session_end")).as("end_ms"),
             col("n_events"),
-            round(col("total_value"), 4).as("total_value"))
+            TextFunctions.portableRound(col("total_value"), 4).as("total_value"))
           .orderBy("user_id", "start_ms")
       }),
 
@@ -656,7 +663,8 @@ object ExtensionCatalog {
     Q("x21_window_agg", Some(
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS win_start_ms,
         |       (epoch_ns(ts) // 3600000000000) * 3600000 + 3600000 AS win_end_ms,
-        |       event_type, count(*) AS n, round(sum(value), 4) AS total
+        |       event_type, count(*) AS n,
+        |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY win_start_ms, event_type""".stripMargin),
       (s, dir) => {
@@ -666,7 +674,7 @@ object ExtensionCatalog {
           .select(unix_millis(col("window_start")).as("win_start_ms"),
             unix_millis(col("window_end")).as("win_end_ms"),
             col("event_type"), col("n"),
-            round(col("total"), 4).as("total"))
+            TextFunctions.portableRound(col("total"), 4).as("total"))
           .orderBy("win_start_ms", "event_type")
       }),
 
@@ -785,7 +793,7 @@ object ExtensionCatalog {
     //      keep themselves). Closes the loop from pair generation
     //      through cluster resolution to an actual training corpus. ----
     Q("x27_corpus_dedupped", Some(
-      s"""${minhashPairsSql.replace("WITH toks", "WITH RECURSIVE toks")},
+      s"""WITH RECURSIVE ${minhashPairsSql()},
          |${neardupClosureSql("documents")},
          |$keepersSql
          |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
@@ -891,7 +899,7 @@ object ExtensionCatalog {
            |        $hitCols
            |      FROM documents)))
            |  WHERE quality >= 0.3),
-           |${minhashPairsSql.replace("WITH toks", "toks").replace("FROM documents", "FROM qdocs")},
+           |${minhashPairsSql("qdocs")},
            |${neardupClosureSql("qdocs")},
            |$keepersSql,
            |sampled AS (

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{CapacityFunctions, Validation}
+import graft.functions.{CapacityFunctions, TextFunctions, Validation}
 import graft.operators.{AsOfDelta, DimResolver, MergeUpsert}
 
 /** One driver-contract query: Spark plan + (when SQL-expressible) the
@@ -193,20 +193,22 @@ object ReferenceCatalog {
     // J3 — strict day-over-day as-of self join with NULL-propagating delta
     Q("q10_asof_delta", Some(
       """WITH d AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, round(SUM(value), 4) AS v
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         floor(SUM(value) * 10000.0 + 0.5) / 10000.0 AS v
         |  FROM events GROUP BY 1, 2)
         |SELECT c.event_type, c.day, c.v, p.v AS prev_v,
-        |       round(c.v - p.v, 4) AS delta
+        |       floor((c.v - p.v) * 10000.0 + 0.5) / 10000.0 AS delta
         |FROM d c LEFT JOIN d p
         |  ON p.event_type = c.event_type AND p.day = c.day - 1
         |ORDER BY c.event_type, c.day""".stripMargin),
       (s, dir) => {
         val daily = events(s, dir)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(round(sum("value"), 4).as("v"))
+          .agg(TextFunctions.portableRound(sum("value"), 4).as("v"))
         AsOfDelta.strictLag(daily, Seq("event_type"), "day", Seq("v"))
           .select(col("event_type"), col("day"), col("v"),
-            col("prev_v"), round(col("delta_v"), 4).as("delta"))
+            col("prev_v"),
+            TextFunctions.portableRound(col("delta_v"), 4).as("delta"))
           .orderBy("event_type", "day")
       }),
 
