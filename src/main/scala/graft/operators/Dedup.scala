@@ -54,21 +54,23 @@ object Dedup {
 
   /** MinHash signatures as a table: (doc_id_, sig array<long>).
     * h_i(doc) = min over shingles s of (a_i·(md5_60(s) mod p) + b_i) mod p.
-    * One md5 per shingle; numHashes codegen'd min-aggregates. */
+    *
+    * ONE codegen'd pass per document ([[graft.plans.MinhashSig]]) — no
+    * explode, no shuffle, no aggregation. The previous explode → 32
+    * min-aggregates form produced the same values but materialized
+    * ~|shingles|·|docs| intermediate rows through a wide partial-agg
+    * exchange — the stage most sensitive to executor memory pressure
+    * (it spills first; a per-row loop cannot). Docs with no shingles
+    * (empty/whitespace-only text) are absent, as they were under
+    * explode. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id_"),
-        explode(shingles(col(textCol), shingleN)).as("s"))
-      .withColumn("h", TextFunctions.md5Hash60(col("s")) % lit(MinhashP))
-    val minAggs = (0 until numHashes).map { i =>
-      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % lit(MinhashP))
-        .as(s"_m$i")
-    }
-    exploded.groupBy("doc_id_")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id_"),
-        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
-  }
+                        numHashes: Int, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id_"),
+        org.apache.spark.sql.graft.bridge.column(
+          graft.plans.MinhashSig(
+            org.apache.spark.sql.graft.bridge.expression(col(textCol)),
+            numHashes, shingleN)).as("sig"))
+      .filter(size(col("sig")) > 0)
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; docs sharing any band bucket become a candidate pair
@@ -77,9 +79,17 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 8, rowsPerBand: Int = 4,
                  minEstJaccard: Double = 0.0,
-                 maxBucket: Int = 10000): DataFrame = {
+                 maxBucket: Int = 10000,
+                 sigs: Option[DataFrame] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = minhashSignatures(df, idCol, textCol, numHashes)
+    // `sigs` lets pipelines that run several dedup stages over one corpus
+    // (candidates → verify → clusters → curated corpus) compute or cache
+    // the signature table once: it must be (doc_id_, sig) with
+    // numHashes-long signatures for exactly the docs of `df` that have
+    // ≥1 shingle — e.g. a cached minhashSignatures output, or that
+    // output semi-joined to a filtered subset (signatures are per-doc,
+    // so restriction commutes with computation).
+    val withSig = sigs.getOrElse(minhashSignatures(df, idCol, textCol, numHashes))
     val banded0 = withSig.select(col("doc_id_"), col("sig"),
       explode(array((0 until bands).map { b =>
         md5(concat_ws(",",
@@ -123,30 +133,29 @@ object Dedup {
     }.reduce(_ + _)
   }
 
-  /** Bulk SimHash: explode tokens, one md5 per token, 32 codegen'd
-    * conditional sums, bit-pack. Returns (doc_id_, simhash). Documents
-    * whose token set is empty get signature 0 (matching simhash32). */
+  /** Bulk SimHash in one codegen'd pass per document
+    * ([[graft.plans.SimhashSig]] — same fusion story as
+    * [[minhashSignatures]]: the explode → 32 conditional-sum form
+    * produced identical values through a wide agg exchange; this is a
+    * scan-time projection). Returns (doc_id_, simhash). Documents whose
+    * token set is empty get signature 0 (matching simhash32). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = simhashSigs(df, idCol, textCol)
-    // re-attach docs with no tokens (empty text) as signature 0
-    df.select(col(idCol).as("doc_id_")).join(sigs, Seq("doc_id_"), "left")
-      .select(col("doc_id_"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+    val sig = rawSimhash(textCol)
+    df.select(col(idCol).as("doc_id_"),
+      when(sig === lit(graft.plans.SimhashSig.Empty), lit(0L))
+        .otherwise(sig).as("simhash"))
   }
 
-  /** Signatures for docs with ≥1 token (no empty-doc rejoin). */
-  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc_id_"),
-        explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", TextFunctions.md5Hash60(col("t")) % lit(4294967296L))
-    val votes = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"_v$b")
-    }
-    exploded.groupBy("doc_id_").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id_"),
-        (0 until 32).map { b =>
-          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
-  }
+  private def rawSimhash(textCol: String): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SimhashSig(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol))))
+
+  /** Signatures for docs with ≥1 token (no empty-doc rows). */
+  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id_"),
+        rawSimhash(textCol).as("simhash"))
+      .filter(col("simhash") =!= lit(graft.plans.SimhashSig.Empty))
 
   /** The canonical two-stage near-dup pipeline: cheap MinHash-LSH
     * candidate generation → exact n-gram-Jaccard verification on the
@@ -157,8 +166,21 @@ object Dedup {
   def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 8, rowsPerBand: Int = 4,
                       minEstJaccard: Double = 0.25,
-                      minJaccard: Double = 0.4, ngramN: Int = 3): DataFrame = {
-    val cands = minhashLsh(df, idCol, textCol, bands, rowsPerBand, minEstJaccard)
+                      minJaccard: Double = 0.4, ngramN: Int = 3,
+                      sigs: Option[DataFrame] = None): DataFrame =
+    verifyCandidates(df, idCol, textCol,
+      minhashLsh(df, idCol, textCol, bands, rowsPerBand, minEstJaccard,
+        sigs = sigs),
+      minJaccard, ngramN)
+
+  /** Stage 2 of [[nearDupPipeline]] alone: exact n-gram-Jaccard
+    * verification of a candidate-pair table (id_a, id_b, est_jaccard).
+    * Exposed so pipelines that already hold candidate pairs (cached LSH
+    * output shared across several downstream stages) don't regenerate
+    * them. Touches only the candidates — never all pairs. */
+  def verifyCandidates(df: DataFrame, idCol: String, textCol: String,
+                       cands: DataFrame, minJaccard: Double = 0.4,
+                       ngramN: Int = 3): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id_"),
       org.apache.spark.sql.graft.bridge.column(graft.plans.NgramsLong(
         org.apache.spark.sql.graft.bridge.expression(col(textCol)), ngramN))

@@ -28,10 +28,17 @@ object CurationJob {
   final case class Counts(input: Long, quality: Long, keepers: Long,
                           sampled: Long, withEmbedding: Long)
 
+  /** @param precomputedPairs verified near-dup pairs (id_a, id_b, …)
+    *   over the quality-filtered corpus, if an earlier stage already
+    *   produced them (e.g. a cached `Dedup.nearDupPipeline` run with the
+    *   same thresholds over the same filtered docs) — the funnel then
+    *   skips candidate generation entirely. Caller owns the equivalence;
+    *   pairs from a different corpus or thresholds give wrong clusters. */
   def run(spark: SparkSession, docsPath: String, embeddingsPath: String,
           outPath: String, minQuality: Double = 0.3,
           rates: Map[String, Double] = Map("en" -> 0.8),
-          defaultRate: Double = 0.5): Counts = {
+          defaultRate: Double = 0.5,
+          precomputedPairs: Option[DataFrame] = None): Counts = {
     import org.apache.spark.sql.Observation
     val obsIn = new Observation("cur_in")
     val obsQ = new Observation("cur_quality")
@@ -63,8 +70,9 @@ object CurationJob {
     // 2. near-dup clusters over the quality-surviving docs; keep the
     //    canonical doc per cluster (the x27 shape)
     val keepers = Dedup.resolveClusters(scoredObs, "doc_id",
-        Dedup.nearDupPipeline(scoredObs, "doc_id", "text",
-          minEstJaccard = 0.25, minJaccard = 0.4))
+        precomputedPairs.getOrElse(
+          Dedup.nearDupPipeline(scoredObs, "doc_id", "text",
+            minEstJaccard = 0.25, minJaccard = 0.4)))
       .filter(col("keep")).select("doc_id")
     val deduped = scored.join(keepers, Seq("doc_id"))
       .observe(obsK, count(lit(1)).as("n"))

@@ -42,7 +42,15 @@ object GraftExtensions {
     ("graft_ngrams_long",
       "graft_ngrams_long(text, n) - sorted distinct char n-grams packed into longs (n<=3)",
       exprs => NgramsLong(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
+        exprs(1).eval().asInstanceOf[Int])),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(text, numHashes, shingleN) - one-pass MinHash signature " +
+        "(md5-60 mod p base hash; empty-shingle texts yield an empty array)",
+      exprs => MinhashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
+    ("graft_simhash_sig",
+      "graft_simhash_sig(text) - one-pass 32-bit SimHash (-1 for token-less texts)",
+      exprs => SimhashSig(exprs(0)))
   )
 
   /** Register into an ALREADY-BUILT session (extensions only apply at

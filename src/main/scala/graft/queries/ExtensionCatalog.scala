@@ -21,6 +21,49 @@ object ExtensionCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ---------- shared intermediates of the minhash dedup family ----------
+  // x06 (candidates), x16 (verified pairs), x18 (clusters), x27 (curated
+  // corpus) and x31 (funnel) are successive stages of ONE pipeline over
+  // the same documents table. Each stage is memoized per (session, dir)
+  // and cached, so a session running several stages pays for candidate
+  // generation once — the library-level answer to "x31 must not re-pay
+  // for x06's work". The memo key includes the session: results are
+  // session-scoped materializations, dropped with the session. (Plain
+  // HashMap + reentrant synchronized, not ConcurrentHashMap: the stages
+  // memoize recursively, which computeIfAbsent forbids.)
+  private val memo = scala.collection.mutable.HashMap[String, DataFrame]()
+  private def memoized(s: SparkSession, dir: String, key: String)
+                      (build: => DataFrame): DataFrame = memo.synchronized {
+    memo.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir|$key",
+      build.cache())
+  }
+
+  /** MinHash signatures of every document (32 hashes) — per-doc, so a
+    * filtered pipeline (x31) reuses them via semi-join restriction. */
+  private def docSigs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "minhash_sigs")(
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32))
+
+  /** LSH candidate pairs (8 bands × 4 rows, no est filter) = x06. */
+  private def lshCands(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "lsh_cands")(
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        bands = 8, rowsPerBand = 4, sigs = Some(docSigs(s, dir))))
+
+  /** Verified near-dup pairs (est ≥ 0.25, jaccard ≥ 0.4) = x16. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "verified_pairs")(
+      Dedup.verifyCandidates(t(s, dir, "documents"), "doc_id", "text",
+        lshCands(s, dir).filter(col("est_jaccard") >= 0.25),
+        minJaccard = 0.4))
+
+  /** Resolved clusters over all documents = x18 (feeds x27). */
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "clusters")(
+      Dedup.resolveClusters(t(s, dir, "documents"), "doc_id",
+        verifiedPairs(s, dir)))
+
   // ---------- shared SQL fragments (mirrors of TextFunctions) ----------
 
   /** tokens(text) — whitespace split of trimmed text, empty-safe. */
@@ -322,9 +365,7 @@ object ExtensionCatalog {
       s"""WITH ${minhashPairsSql()}
          |SELECT id_a, id_b, est_jaccard FROM cand
          |ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        bands = 8, rowsPerBand = 4)
-        .orderBy("id_a", "id_b")),
+      (s, dir) => lshCands(s, dir).orderBy("id_a", "id_b")),
 
     // ---- 32-bit SimHash signatures ----
     Q("x07_simhash", Some(
@@ -430,9 +471,7 @@ object ExtensionCatalog {
          |  JOIN g gb ON c.id_b = gb.doc_id
          |  WHERE c.est_jaccard >= 0.25)
          |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => Dedup.nearDupPipeline(t(s, dir, "documents"),
-        "doc_id", "text", minEstJaccard = 0.25, minJaccard = 0.4)
-        .orderBy("id_a", "id_b")),
+      (s, dir) => verifiedPairs(s, dir).orderBy("id_a", "id_b")),
 
     // ---- PII redaction (URLs, emails, phone-ish runs; ordered rules) ----
     Q("x19_redact_pii", {
@@ -458,13 +497,7 @@ object ExtensionCatalog {
          |SELECT node AS doc_id, min(label) AS cluster_id,
          |       (min(label) = node) AS keep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.resolveClusters(docs, "doc_id",
-          Dedup.nearDupPipeline(docs, "doc_id", "text",
-            minEstJaccard = 0.25, minJaccard = 0.4))
-          .orderBy("doc_id")
-      }),
+      (s, dir) => docClusters(s, dir).orderBy("doc_id")),
 
     // ---- streaming ingest roundtrip: file source → AvailableNow →
     //      foreachBatch merge → read back (S3 semantics, oracle = batch agg)
@@ -801,10 +834,8 @@ object ExtensionCatalog {
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val clusters = Dedup.resolveClusters(docs, "doc_id",
-          Dedup.nearDupPipeline(docs, "doc_id", "text",
-            minEstJaccard = 0.25, minJaccard = 0.4))
-        docs.join(clusters.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        docs.join(docClusters(s, dir).filter(col("keep")).select("doc_id"),
+            Seq("doc_id"))
           .select(col("doc_id"), col("lang"),
             length(col("text")).cast("long").as("n_chars"))
           .orderBy("doc_id")
@@ -930,9 +961,17 @@ object ExtensionCatalog {
           .withColumn("lang_pred", TextFunctions.langId(col("text")))
           .filter(col("quality") >= 0.3)
           .cache()
+        // signatures are per-doc, so the cached full-corpus signature
+        // table restricted to the quality survivors IS the signature
+        // table of the filtered corpus — the funnel re-pays for band
+        // join + verify over the subset, but not for shingling/hashing
+        val scoredSigs = docSigs(s, dir).join(
+          scored.select(col("doc_id").as("doc_id_")), Seq("doc_id_"),
+          "left_semi")
         val keepers = Dedup.resolveClusters(scored, "doc_id",
             Dedup.nearDupPipeline(scored, "doc_id", "text",
-              minEstJaccard = 0.25, minJaccard = 0.4))
+              minEstJaccard = 0.25, minJaccard = 0.4,
+              sigs = Some(scoredSigs)))
           .filter(col("keep")).select("doc_id")
         val sampled = Sampling.stratifiedSample(
           scored.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
