@@ -57,25 +57,116 @@ object MergeUpsert {
       .filter(col("_mu_rn") === 1).drop("_mu_rn")
   }
 
-  /** Merge into a NON-partitioned parquet table via write-new-then-swap
-    * (for small keyed tables: dims, streaming sinks in tests). For large
-    * facts prefer `mergeWrite` (partition-pruned rewrite). */
+  /** Merge into a NON-partitioned keyed parquet table with ATOMIC
+    * publish (for small keyed tables: dims, streaming sinks).
+    *
+    * Layout: `path/v-NNNNNNNNNN/` immutable parquet version dirs plus
+    * `path/_CURRENT`, a one-line pointer file naming the live version.
+    * A merge writes the merged table to a NEW version dir, then flips
+    * the pointer with one atomic file rename. Readers ([[readPlain]])
+    * resolve the pointer first, so a writer crash at ANY point — during
+    * the data write, or between write and publish — leaves readers on
+    * the previous version with no gap; a half-written version dir is
+    * invisible garbage, collected by the next successful merge. This is
+    * the reference's transactional ON CONFLICT upsert
+    * (ingest_capacity.py:179-193) re-expressed for immutable storage:
+    * the protocol Delta/Iceberg implement with a transaction log,
+    * reduced to its minimal pointer form. Single-writer, like the
+    * reference's ingest — concurrent writers would need a lock service.
+    *
+    * A legacy flat table (parquet files directly at `path`, no pointer)
+    * is read as the merge base on first call, left untouched until the
+    * new version is live, then cleaned best-effort. For large facts
+    * prefer `mergeWrite` (partition-pruned rewrite). */
   def mergeWritePlain(spark: SparkSession, path: String, updates: DataFrame,
                       keys: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) {
-      updates.dropDuplicates(keys).write.mode(SaveMode.Overwrite).parquet(path)
-      return
+    val cur = currentPlainVersion(spark, path)
+    val legacyFlat = cur.isEmpty && hasFlatParquet(fs, p)
+    val base =
+      cur.map(v => spark.read.parquet(s"$path/$v"))
+        .orElse(if (legacyFlat) Some(spark.read.parquet(path)) else None)
+    val merged = base match {
+      case Some(existing) => merge(existing, updates, keys)
+      case None => updates.dropDuplicates(keys)
     }
-    val merged = merge(spark.read.parquet(path), updates, keys)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-merge")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
+    val vname = f"v-$nextN%010d"
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
+    // publish: write the pointer beside the table, then one atomic
+    // rename. rename-over works on POSIX; filesystems that refuse to
+    // clobber get delete+rename of the POINTER FILE only (a lost
+    // pointer is recoverable — readers fall back to the newest
+    // version dir, see currentPlainVersion).
+    val ptr = new org.apache.hadoop.fs.Path(p, PointerName)
+    val tmp = new org.apache.hadoop.fs.Path(p, s"$PointerName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(vname.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"cannot publish pointer $ptr")
+    }
+    // GC (best-effort, post-publish): superseded + orphaned version
+    // dirs, and migrated legacy flat files
+    versionDirs(fs, p).filter(_ != vname)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
+    if (legacyFlat)
+      fs.listStatus(p).filter(_.isFile)
+        .map(_.getPath).filter(f => f.getName != PointerName)
+        .foreach(fs.delete(_, false))
     spark.catalog.refreshByPath(path)
   }
+
+  /** Read the live version of a [[mergeWritePlain]] table: the
+    * `_CURRENT` pointer's version dir; with no pointer (legacy layout or
+    * a lost pointer) the newest version dir, else the flat path. */
+  def readPlain(spark: SparkSession, path: String): DataFrame =
+    currentPlainVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"$path/$v")
+      case None => spark.read.parquet(path)
+    }
+
+  private val PointerName = "_CURRENT"
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** The live version-dir name: pointer first; newest version dir as
+    * the recovery fallback; None for flat/absent tables. */
+  def currentPlainVersion(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val ptr = new org.apache.hadoop.fs.Path(p, PointerName)
+    val pointed =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+            in, java.nio.charset.StandardCharsets.UTF_8))
+          Option(r.readLine()).map(_.trim).filter(_.nonEmpty)
+        } finally in.close()
+      }
+    pointed.filter(v => fs.exists(new org.apache.hadoop.fs.Path(p, v)))
+      .orElse(versionDirs(fs, p).sorted.lastOption)
+  }
+
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && n.drop(2).forall(_.isDigit)).toSeq
+
+  private def versionNumber(name: String): Long = name.drop(2).toLong
+
+  private def hasFlatParquet(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
 
   /** Merge `updates` into the date-partitioned parquet table at `path`,
     * rewriting ONLY the partitions the batch touches. Creates the table on

@@ -8,14 +8,21 @@ import org.apache.spark.sql.types._
   * payloads with typed metadata, decoded/feature-extracted in batch over
   * partitions.
   *
-  * The media codecs themselves are NOT in this container, so the decode
-  * step is a clearly-marked deterministic stub (`fakeDecode`) — but the
-  * Spark-side plumbing is real and what matters at 100 TB: the schema
-  * shape (payload + metadata struct), per-partition batch processing via
-  * `mapPartitions` (the Scala analogue of `mapInPandas` — one
-  * iterator-batch per task, amortizing decoder init), and
-  * column-pruning-friendly layout (metadata readable without touching
-  * payload bytes).
+  * The decode step is REAL for image payloads: PNG/BMP/GIF/JPEG are
+  * decoded in-JVM via `javax.imageio` (ships with the JRE — no container
+  * codec needed), yielding true width/height/band-count/mean-intensity.
+  * Payloads that aren't a recognized image (e.g. the text-derived opaque
+  * blobs the synthetic corpus carries) fall back to the documented
+  * deterministic byte-stats path — bytes as 1-channel "pixels", metadata
+  * from the typed struct — so the pipeline is total over mixed corpora.
+  * Audio/video codecs are NOT in the JRE; those payloads take the
+  * fallback path by design.
+  *
+  * The Spark-side shape is what matters at 100 TB: payload + metadata
+  * struct (metadata readable without touching payload bytes — column
+  * pruning), per-partition batch processing via `mapPartitions` (the
+  * Scala analogue of `mapInPandas`: one iterator-batch per task,
+  * amortizing decoder init).
   */
 object Multimodal {
 
@@ -41,30 +48,44 @@ object Multimodal {
         (length(col(textCol)) / lit(64) + lit(1)).cast("int").as("height"))
         .as("meta"))
 
-  /** STUB DECODER — deterministic fake standing in for an image decode
-    * (`???` boundary: replace with a real codec off-container). Treats
-    * payload bytes as 1-channel "pixels"; mean intensity = mean byte
-    * value. Runs per-partition so a real decoder would init once per
-    * task, not once per row. */
+  /** Batch feature extraction over payloads. Real decode
+    * ([[ImageCodec]]) for recognized image formats; deterministic
+    * byte-stats fallback for opaque payloads (bytes as 1-channel
+    * "pixels", mean intensity = mean byte value, metadata from the
+    * typed struct). Runs per-partition so decoder state is initialized
+    * once per task, not once per row. */
   def decodeFeatures(withPayloads: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     withPayloads.select("doc_id", "payload", "meta.media_type",
         "meta.n_bytes", "meta.width", "meta.height")
       .mapPartitions { rows =>
-        // real impl: decoder = Codec.init() ONCE here, then map
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val mean =
-            if (payload.isEmpty) 0.0
-            else payload.map(b => (b & 0xff).toDouble).sum / payload.length
-          MediaFeatures(
-            doc_id = r.getAs[Long]("doc_id"),
-            media_type = r.getAs[String]("media_type"),
-            n_bytes = r.getAs[Long]("n_bytes"),
-            width = r.getAs[Int]("width"),
-            height = r.getAs[Int]("height"),
-            channels = 1,
-            mean_intensity = graft.functions.TextFunctions.portableRoundJvm(mean, 4))
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              MediaFeatures(
+                doc_id = r.getAs[Long]("doc_id"),
+                media_type = img.mediaType,
+                n_bytes = payload.length.toLong,
+                width = img.width,
+                height = img.height,
+                channels = img.channels,
+                mean_intensity = graft.functions.TextFunctions
+                  .portableRoundJvm(img.meanIntensity, 4))
+            case None =>
+              val mean =
+                if (payload.isEmpty) 0.0
+                else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+              MediaFeatures(
+                doc_id = r.getAs[Long]("doc_id"),
+                media_type = r.getAs[String]("media_type"),
+                n_bytes = r.getAs[Long]("n_bytes"),
+                width = r.getAs[Int]("width"),
+                height = r.getAs[Int]("height"),
+                channels = 1,
+                mean_intensity = graft.functions.TextFunctions
+                  .portableRoundJvm(mean, 4))
+          }
         }
       }
   }

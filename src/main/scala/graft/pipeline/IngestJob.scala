@@ -29,7 +29,13 @@ object IngestJob {
     val raw = spark.read.option("header", "true").csv(csvPath)
     val missing = renameMap.map(_._1).filterNot(raw.columns.contains)
     require(missing.isEmpty, s"Missing required columns: ${missing.mkString(", ")}")
-    raw.select(renameMap.map { case (src, dst) => col(src).as(dst) }: _*)
+    // _metadata is only resolvable on the scan itself, so the split's
+    // file offset is captured here: it anchors the last-writer-wins
+    // priority to TRUE file order even when one file spans several
+    // splits (split→partition assignment orders by split size, not
+    // offset — see validateSplit)
+    raw.select(renameMap.map { case (src, dst) => col(src).as(dst) } :+
+      col("_metadata.file_block_start").as("_graft_block_start"): _*)
   }
 
   /** P2 + P3: parse, run the ordered validation cascade, and split.
@@ -39,20 +45,25 @@ object IngestJob {
     val withIdx = renamed
       .withColumn("_original_index",
         monotonically_increasing_id()) // reject provenance (S8)
-      // Last-writer-wins priority: (file path, intra-file position).
-      // The path dominates, so "later file wins" holds for multi-file
-      // batches regardless of how Spark bin-packs splits into
-      // partitions (the monotonic id alone is layout-dependent there);
-      // within one file the monotonic id gives exact row order whenever
-      // the file maps to a single split — true for every CSV the
-      // reference ingests (multi-split files keep a per-split-
-      // deterministic but layout-dependent intra-file order).
+      // Last-writer-wins priority: (file path, split offset, row index)
+      // — TRUE global file order, independent of split sizing:
+      //   · file path dominates → later file wins across files;
+      //   · _graft_block_start (the split's byte offset, captured from
+      //     _metadata at the scan) orders splits WITHIN a file — Spark
+      //     assigns splits to partitions by size, not offset, so the
+      //     monotonic id alone is layout-dependent for multi-split
+      //     files;
+      //   · within one split rows are parsed sequentially, so the
+      //     monotonic id gives exact row order there.
       // reuses _original_index rather than a second independent
       // monotonically_increasing_id(): two instances of a
       // nondeterministic expression only agree while they stay in one
       // collapsed projection — referencing the column is provably stable
       .withColumn("_src_order",
-        struct(input_file_name().as("f"), col("_original_index").as("i")))
+        struct(input_file_name().as("f"),
+          (if (renamed.columns.contains("_graft_block_start"))
+             col("_graft_block_start") else lit(0L)).as("b"),
+          col("_original_index").as("i")))
     // try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
     // cell must become a reject row (P2/P3), not a query error.
     val typed = withIdx
@@ -76,8 +87,11 @@ object IngestJob {
         col("_icu_occupied").as("icu_occupied"),
         // kept for last-writer-wins in-batch dedup (reference row order)
         col("_src_order"))
+    // the block-start column is plumbing for _src_order, not user data —
+    // keep it out of the reject sink's provenance columns
     val rejected = flagged.filter(col("_reject_reason").isNotNull)
-      .select(renamed.columns.map(col) :+ col("_reject_reason") :+ col("_original_index"): _*)
+      .select(renamed.columns.filterNot(_ == "_graft_block_start").map(col) :+
+        col("_reject_reason") :+ col("_original_index"): _*)
     (accepted, rejected)
   }
 

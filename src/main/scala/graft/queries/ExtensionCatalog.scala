@@ -519,7 +519,7 @@ object ExtensionCatalog {
           java.nio.file.Paths.get(s"$work/arrivals/events.parquet"))
         StreamIngest.ingestAvailableNow(s, s"$work/arrivals", schema,
           s"$work/target", keys = Seq("event_id"), checkpoint = s"$work/cp")
-        s.read.parquet(s"$work/target")
+        graft.operators.MergeUpsert.readPlain(s, s"$work/target")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             TextFunctions.portableRound(sum("value"), 4).as("total"))

@@ -27,14 +27,40 @@ object StreamIngest {
   def ingestAvailableNow(spark: SparkSession, srcGlob: String,
                          schema: StructType, targetPath: String,
                          keys: Seq[String], checkpoint: String): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(srcGlob)
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
+    val q = start(spark, srcGlob, schema, targetPath, keys, checkpoint,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  /** Continuous ingestion: poll `srcGlob` on a ProcessingTime cadence,
+    * merging each micro-batch of newly-arrived files. NON-blocking —
+    * returns the running query; callers own stop/await. Restarting with
+    * the same `checkpoint` resumes exactly where the previous run
+    * committed: files merged before a crash are never re-merged (the
+    * file-source offset log), and a batch that died mid-merge re-runs
+    * against the still-live previous table version (mergeWritePlain's
+    * pointer flip is the commit point), so redelivery is idempotent.
+    * This is the at-scale deployment shape; AvailableNow above is the
+    * same pipeline as a finite drain. */
+  def ingestContinuous(spark: SparkSession, srcGlob: String,
+                       schema: StructType, targetPath: String,
+                       keys: Seq[String], checkpoint: String,
+                       interval: String = "1 second")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    start(spark, srcGlob, schema, targetPath, keys, checkpoint,
+      Trigger.ProcessingTime(interval))
+
+  private def start(spark: SparkSession, srcGlob: String,
+                    schema: StructType, targetPath: String,
+                    keys: Seq[String], checkpoint: String,
+                    trigger: Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcGlob)
+      .writeStream
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         MergeUpsert.mergeWritePlain(batch.sparkSession, targetPath, batch, keys)
       }
       .start()
-    q.awaitTermination()
-  }
 }

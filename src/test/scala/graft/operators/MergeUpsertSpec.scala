@@ -36,6 +36,47 @@ class MergeUpsertSpec extends SparkSpec {
     assert(m.select("total_beds").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("S7 mergeWritePlain: versioned publish survives a crashed writer") {
+    val dir = Files.createTempDirectory("graft-plain").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 100)), Seq("date", "region_id"))
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(100))
+
+    // a writer that finished its version-dir write but DIED before the
+    // pointer flip: the orphan version must be invisible to readers
+    tbl(("2024-01-15", "CA", 999)).write.parquet(s"$dir/v-0000000099")
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(100),
+      "readers must stay on the pointed version, not a crashed writer's orphan")
+
+    // the next successful merge supersedes the orphan and collects it
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 123)), Seq("date", "region_id"))
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(123))
+    assert(!new java.io.File(s"$dir/v-0000000099").exists(),
+      "orphaned version dirs are garbage-collected post-publish")
+    // exactly one live version dir + the pointer remain
+    val vs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v-"))
+    assert(vs.length == 1)
+  }
+
+  test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {
+    val dir = Files.createTempDirectory("graft-flat").toString + "/t"
+    tbl(("2024-01-15", "CA", 100), ("2024-01-15", "TX", 200))
+      .write.parquet(dir) // pre-versioning layout
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 111)), Seq("date", "region_id"))
+    val got = MergeUpsert.readPlain(spark, dir)
+      .orderBy("region_id").select("total_beds").as[Int].collect().toSeq
+    assert(got == Seq(111, 200), "flat base rows merge into the new version")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "migrated flat files are cleaned after the version goes live")
+  }
+
   test("S7 mergeWrite rewrites only touched date partitions") {
     val dir = Files.createTempDirectory("graft-merge").toString + "/fact"
     val init = tbl(("2024-01-15", "CA", 100), ("2024-01-16", "CA", 200))

@@ -24,6 +24,62 @@ class MultimodalSpec extends SparkSpec {
     assert(again(2L) == f(2L).mean_intensity)
   }
 
+  private def rgbPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def grayPng(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, level)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode to true pixel stats via javax.imageio") {
+    val rgb = rgbPng(5, 3, 10, 20, 30)   // 3 bands, mean (10+20+30)/3
+    val gray = grayPng(4, 4, 200)        // 1 band, every sample 200
+    val mixed = Seq(
+      (1L, rgb), (2L, gray),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select($"doc_id", $"payload",
+        struct(lit("application/octet-stream").as("media_type"),
+          length($"payload").cast("long").as("n_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val f = Multimodal.decodeFeatures(mixed).collect()
+      .map(m => m.doc_id -> m).toMap
+    // real decode: true dimensions, band count, per-sample mean
+    assert(f(1L).media_type == "image/png")
+    assert(f(1L).width == 5 && f(1L).height == 3 && f(1L).channels == 3)
+    assert(f(1L).mean_intensity == 20.0)
+    assert(f(1L).n_bytes == rgb.length)
+    assert(f(2L).media_type == "image/png")
+    assert(f(2L).width == 4 && f(2L).height == 4 && f(2L).channels == 1)
+    assert(f(2L).mean_intensity == 200.0)
+    // non-image payloads take the deterministic byte-stats fallback
+    assert(f(3L).media_type == "application/octet-stream")
+    assert(f(3L).channels == 1 && f(3L).width == 0)
+  }
+
+  test("ImageCodec sniffs magic bytes before ever invoking a reader") {
+    assert(ImageCodec.sniff(rgbPng(2, 2, 0, 0, 0)).contains("image/png"))
+    assert(ImageCodec.sniff("plain text".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.sniff(Array.emptyByteArray).isEmpty)
+    // a PNG magic prefix with garbage body: sniffed, but decode rejects
+    val corrupt = rgbPng(2, 2, 0, 0, 0).take(12)
+    assert(ImageCodec.sniff(corrupt).contains("image/png"))
+    assert(ImageCodec.decode(corrupt).isEmpty)
+  }
+
   test("frame sampling fans one payload into ordered frame rows") {
     val frames = Multimodal.sampleFrames(
       Multimodal.withPayload(docs, "doc_id", "text"), stride = 10)

@@ -28,14 +28,61 @@ class StreamIngestSpec extends SparkSpec {
     arrive(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f1.parquet")
     StreamIngest.ingestAvailableNow(spark, s"$work/in", schema,
       s"$work/target", Seq("k"), s"$work/cp")
-    assert(spark.read.parquet(s"$work/target").count() == 2)
+    assert(MergeUpsert.readPlain(spark, s"$work/target").count() == 2)
 
     // corrected re-delivery: same key new value + a new key
     arrive(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "f2.parquet")
     StreamIngest.ingestAvailableNow(spark, s"$work/in", schema,
       s"$work/target", Seq("k"), s"$work/cp")
-    val got = spark.read.parquet(s"$work/target")
+    val got = MergeUpsert.readPlain(spark, s"$work/target")
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("continuous trigger: micro-batches merge as files arrive, and a " +
+       "restart from checkpoint resumes exactly-once") {
+    val work = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$work/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name"))
+    }
+    def target = MergeUpsert.readPlain(spark, s"$work/target")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+
+    // run 1: two micro-batches under a ProcessingTime trigger
+    arrive(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "f1.parquet")
+    val q1 = StreamIngest.ingestContinuous(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp", interval = "100 milliseconds")
+    try {
+      q1.processAllAvailable()
+      assert(target == Seq((1L, "a"), (2L, "b")))
+      arrive(Seq((2L, "b2")).toDF("k", "v"), "f2.parquet")
+      q1.processAllAvailable()
+      assert(target == Seq((1L, "a"), (2L, "b2")))
+    } finally q1.stop() // "kill" between micro-batches (offsets committed)
+
+    // while the query is down, a file arrives — nobody processes it
+    arrive(Seq((3L, "c")).toDF("k", "v"), "f3.parquet")
+    assert(target == Seq((1L, "a"), (2L, "b2")))
+
+    // run 2, SAME checkpoint: resumes with only the unseen file. The
+    // versioned sink makes batch count observable: exactly 3 merges
+    // total means f1/f2 were NOT re-merged on restart.
+    val q2 = StreamIngest.ingestContinuous(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp", interval = "100 milliseconds")
+    try {
+      q2.processAllAvailable()
+      assert(target == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+      assert(MergeUpsert.currentPlainVersion(spark, s"$work/target")
+        .contains("v-0000000003"),
+        "restart must not re-merge committed batches (one version per merge)")
+    } finally q2.stop()
   }
 }

@@ -28,6 +28,36 @@ class EndToEndSpec extends SparkSpec {
     p
   }
 
+  test("multi-file ingest: last row in FILE order wins, independent of split sizing") {
+    val dir = Files.createTempDirectory("graft-order").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/in"))
+    val header = "date,state,inpatient_beds,inpatient_beds_used," +
+      "total_staffed_adult_icu_beds,staffed_adult_icu_bed_occupancy"
+    def row(beds: Int) = s"2024-01-15,California,$beds,100,10,5"
+    // three files with the SAME key; the last file is padded with many
+    // conflicting rows so it spans several splits under a tiny
+    // maxPartitionBytes — the winner must be its LAST row regardless
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/a.csv"),
+      (header +: Seq(row(101), row(102))).mkString("\n") + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/b.csv"),
+      (header +: Seq(row(201))).mkString("\n") + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in/c.csv"),
+      (header +: ((1 to 400).map(i => row(300 + i % 7)) :+ row(999)))
+        .mkString("\n") + "\n")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      IngestJob.run(spark, s"$dir/in",
+        capacityPath = s"$dir/capacity", regionsPath = s"$dir/regions",
+        rejectsPath = s"$dir/rejects", runsPath = s"$dir/runs",
+        runId = "run-o", source = "order", now = ts("2024-01-18 00:00:00"))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val got = spark.read.parquet(s"$dir/capacity")
+      .select("total_beds").as[Int].collect().toSeq
+    assert(got == Seq(999),
+      s"expected the last row of the last file (999) to win, got $got")
+  }
+
   test("ingest → metrics → compare reproduces hand-computed strain deltas") {
     val res = IngestJob.run(spark, csvPath,
       capacityPath = s"$base/capacity", regionsPath = s"$base/regions",
