@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build a derived testdata dir with adversarial edge-case documents
+planted, to prove the cross-engine oracle contract does NOT depend on
+the generated corpus's "no text shorter than 48 chars" property
+(round-2 verdict item 7).
+
+Planted rows (doc_ids above the natural range):
+  - empty text            ("" — no tokens, no shingles, no payload bytes)
+  - whitespace-only text  (spaces: trims to empty)
+  - tab-leading text      (regex-split yields a leading EMPTY token on
+                           both engines — the nastiest parity corner)
+  - single-token text     (shingle count = max(len-n+1, 1) floor case)
+  - two-char text         (shorter than winnow k, char-gram padding case)
+
+Usage: python3 scripts/make_edge_testdata.py SRC_SF_DIR DST_DIR
+Everything except documents.parquet is symlinked; documents.parquet is
+rewritten with the planted rows appended.
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def main(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        if name == "documents.parquet" or name.startswith("."):
+            continue
+        link = os.path.join(dst, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src, name), link)
+
+    t = pq.read_table(os.path.join(src, "documents.parquet"))
+    base = t.num_rows  # natural doc_ids are 0..n-1; plant above
+    next_id = max(t.column("doc_id").to_pylist()) + 1
+    edge_texts = [
+        "",
+        "     ",
+        "\tindented first line and then some text",
+        "solo",
+        "ab",
+    ]
+    rows = {
+        "doc_id": [next_id + i for i in range(len(edge_texts))],
+        "text": edge_texts,
+        "lang": ["en"] * len(edge_texts),
+        "source": ["edge"] * len(edge_texts),
+        "n_chars": [len(s) for s in edge_texts],
+    }
+    edge = pa.table(rows, schema=t.schema)
+    out = pa.concat_tables([t, edge])
+    pq.write_table(out, os.path.join(dst, "documents.parquet"))
+    print(f"wrote {out.num_rows} docs ({base} natural + {len(edge_texts)} edge) "
+          f"to {dst}/documents.parquet")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

@@ -305,7 +305,7 @@ object ExtensionCatalog {
          |  CAST(len(${tokSql("text")}) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
          |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
-         |  md5(array_to_string(list_sort(list_distinct(${tokSql("lower(text)")})), ' ')) AS fingerprint
+         |  md5(coalesce(array_to_string(list_sort(list_distinct(${tokSql("lower(text)")})), ' '), '')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
