@@ -34,15 +34,23 @@ object MergeUpsert {
     * duplicates collapse arbitrarily (dropDuplicates) — only safe when
     * the batch is already key-unique. */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
-            updatePriority: Option[String] = None): DataFrame = {
+            updatePriority: Option[String] = None,
+            broadcastKeys: Boolean = true): DataFrame = {
     val keyCols = keys.map(col)
     val deduped = updatePriority match {
       case Some(p) => dedupByPriority(updates, keys, p)
       case None => updates.dropDuplicates(keys)
     }
-    // Anti join against the (small) distinct update keys — broadcastable,
-    // so the big `existing` side is not shuffled.
-    val updateKeys = broadcast(deduped.select(keyCols: _*).distinct())
+    // Anti join against the distinct update keys. For an incremental
+    // batch (the design target) the key set is tiny → forced broadcast
+    // means the big `existing` side is scanned once and NEVER shuffle-
+    // written. For a backfill-scale batch (millions of keys) a forced
+    // broadcast inverts into the bottleneck — callers that know they're
+    // backfilling pass broadcastKeys = false for a plain shuffle join
+    // (mergeWrite flips this automatically off its touched-partition
+    // count).
+    val distinctKeys = deduped.select(keyCols: _*).distinct()
+    val updateKeys = if (broadcastKeys) broadcast(distinctKeys) else distinctKeys
     val survivors = existing.join(updateKeys, keys, "left_anti")
     survivors.unionByName(deduped.select(existing.columns.map(col): _*))
   }
@@ -172,7 +180,8 @@ object MergeUpsert {
     * rewriting ONLY the partitions the batch touches. Creates the table on
     * first write. `partitionCol` values must be present in `updates`. */
   def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
-                 keys: Seq[String], partitionCol: String = "date"): Unit = {
+                 keys: Seq[String], partitionCol: String = "date",
+                 broadcastMaxPartitions: Int = 200): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
@@ -193,7 +202,12 @@ object MergeUpsert {
     val touched = updates.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
     val pruned = existing.filter(col(partitionCol).isin(touched: _*))
-    val merged = merge(pruned, updates, keys)
+    // Incremental batches (few touched partitions → few distinct keys)
+    // keep the broadcast anti-join; a backfill spanning many partitions
+    // has a key set proportional to them — switch to a shuffle join
+    // before the broadcast becomes the bottleneck.
+    val merged = merge(pruned, updates, keys,
+      broadcastKeys = touched.length <= broadcastMaxPartitions)
     // Dynamic partition overwrite: replace only the touched partitions.
     merged
       .repartition(col(partitionCol)) // one task per date → one file per date

@@ -50,7 +50,11 @@ object GraftExtensions {
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
     ("graft_simhash_sig",
       "graft_simhash_sig(text) - one-pass 32-bit SimHash (-1 for token-less texts)",
-      exprs => SimhashSig(exprs(0)))
+      exprs => SimhashSig(exprs(0))),
+    ("graft_token_stats",
+      "graft_token_stats(text) - one-pass (n_tok, mean_tok_len, " +
+        "max_freq_ratio, alpha_ratio) struct for quality-rule gates",
+      exprs => TokenStatsExpr(exprs(0)))
   )
 
   /** Register into an ALREADY-BUILT session (extensions only apply at

@@ -742,3 +742,85 @@ object SimhashSig {
     sig
   }
 }
+
+/** Gopher/C4-style per-document token statistics in ONE codegen'd pass:
+  * (n_tok, mean_tok_len, max_freq_ratio, alpha_ratio). Token semantics
+  * are exactly `split(trim(text), "\\s+")` with Spark's limit −1 (same
+  * contract as [[SimhashSig]]); lengths are codepoint counts (DuckDB
+  * `length` parity). A token-less text yields (0, 0.0, 0.0, 0.0).
+  * Ratios are portable-rounded to 4 so threshold comparisons agree
+  * across engines. The exploded groupBy form computes the same values
+  * through two shuffles; this is a scan-time projection with a per-row
+  * hash map — the quality-gate shape that runs at 100 TB. */
+case class TokenStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TokenStatsExpr.schema
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "token_stats needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenStatsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenStatsExpr {
+  import org.apache.spark.sql.types.StructType
+
+  val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tok", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("mean_tok_len", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_freq_ratio", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("alpha_ratio", DoubleType, nullable = false)))
+
+  private def pr4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var str = s.toString
+    var lo = 0; var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    str = str.substring(lo, hi)
+    if (str.isEmpty)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0.0, 0.0, 0.0))
+    val toks = str.split("\\s+", -1)
+    val n = toks.length
+    val freq = new java.util.HashMap[String, Int](n * 2)
+    var charSum = 0L
+    var alpha = 0L
+    var maxc = 0
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      charSum += t.codePointCount(0, t.length)
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < t.length) {
+        val c = t.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      val c = freq.merge(t, 1, (a, b) => a + b)
+      if (c > maxc) maxc = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong,
+      pr4(charSum.toDouble / n),
+      pr4(maxc.toDouble / n),
+      pr4(alpha.toDouble / n)))
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, RangeJoin, Salting, Sampling,
-  Similarity, Sketches}
+import graft.operators.{Chunking, Contamination, Dedup, Multimodal,
+  RangeJoin, Salting, Sampling, Similarity, Sketches, TfIdf}
 import graft.streaming.StreamIngest
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -983,6 +983,123 @@ object ExtensionCatalog {
         sampled.join(qscale, Seq("doc_id"), "left")
           .select(col("doc_id"), col("lang_pred"), col("scale_r"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- Gopher/C4-style heuristic quality rules: four per-doc token
+    //      statistics from ONE codegen'd pass + the composed keep
+    //      decision (the scan-time pre-filter every pre-training
+    //      pipeline runs before model-based scoring) ----
+    Q("x32_gopher_rules", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS t FROM documents),
+         |per AS (
+         |  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, sum(c) AS n_tok,
+         |    floor(sum(length(t) * c) * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0
+         |      AS mean_tok_len,
+         |    floor(max(c) * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0
+         |      AS max_freq_ratio,
+         |    floor(sum(CASE WHEN regexp_matches(t, '[A-Za-z]') THEN c ELSE 0 END)
+         |          * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio
+         |  FROM per GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_tok, 0) AS n_tok,
+         |  coalesce(mean_tok_len, 0.0) AS mean_tok_len,
+         |  coalesce(max_freq_ratio, 0.0) AS max_freq_ratio,
+         |  coalesce(alpha_ratio, 0.0) AS alpha_ratio,
+         |  (coalesce(n_tok, 0) BETWEEN 50 AND 100000
+         |   AND coalesce(mean_tok_len, 0.0) BETWEEN 3.0 AND 10.0
+         |   AND coalesce(max_freq_ratio, 0.0) <= 0.2
+         |   AND coalesce(alpha_ratio, 0.0) >= 0.8) AS keep
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            QualityRules.tokenStats(col("text")).as("st"))
+          .select(col("doc_id"),
+            col("st.n_tok").as("n_tok"),
+            col("st.mean_tok_len").as("mean_tok_len"),
+            col("st.max_freq_ratio").as("max_freq_ratio"),
+            col("st.alpha_ratio").as("alpha_ratio"),
+            QualityRules.gopherKeep(col("st")).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- benchmark-contamination flagging: corpus docs sharing any
+    //      5-word shingle with a held-out "benchmark" subset (stand-in:
+    //      every 29th doc), via a broadcast semi-join on 60-bit shingle
+    //      hashes — the GPT-3-style decontamination pass ----
+    Q("x33_contamination", Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 4, 1)),
+         |    i -> array_to_string(tk[i : i + 4], ' '))) AS shingles
+         |  FROM toks WHERE len(tk) > 0),
+         |hs AS (
+         |  SELECT doc_id, unnest(list_transform(shingles,
+         |    s -> ${h60Sql("s", 1152921504606846976L)})) AS h
+         |  FROM sh),
+         |bench AS (
+         |  SELECT DISTINCT h FROM hs WHERE doc_id % 29 = 0)
+         |SELECT doc_id, count(*) AS n_contaminated
+         |FROM hs JOIN bench USING (h)
+         |WHERE doc_id % 29 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.flag(
+          docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 29 === 0), "text", shingleN = 5)
+          .orderBy("doc_id")
+      }),
+
+    // ---- context-window chunking: overlapping 64-token windows at
+    //      stride 48 (the document -> training-example fan-out); pure
+    //      codegen'd per-row explode, chunk content verified by hash ----
+    Q("x34_chunk_windows", Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(0, len(tk) - 1, 48)) AS s
+         |  FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id,
+         |  CAST(s // 48 AS INT) AS chunk_id,
+         |  CAST(s AS INT) AS start_tok,
+         |  CAST(len(tk[s + 1 : s + 64]) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(tk[s + 1 : s + 64], ' ')) AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) => Chunking.tokenWindows(t(s, dir, "documents"),
+        "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- TF-IDF top terms per doc (log-free tf·N/df score: exact
+    //      integer inputs + one IEEE division = bit-identical ranks on
+    //      both engines; ln-based idf would hinge on libm rounding) ----
+    Q("x35_tfidf_topk", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, score, rn FROM (
+         |  SELECT t.doc_id, t.term, t.tf,
+         |    CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score,
+         |    CAST(row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY CAST(t.tf AS DOUBLE) * n.n_docs / d.df DESC, t.term)
+         |      AS INT) AS rn
+         |  FROM tf t JOIN dfq d USING (term) CROSS JOIN n)
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      (s, dir) => TfIdf.topTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn"))
   )
 }

@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.MergeUpsert
+
+/** Merge-path stress (r2 verdict stretch): a date-partitioned keyed
+  * table at factor*6M rows (2400 dates × factor*2500 regions), then the
+  * three merge shapes that matter at backfill scale:
+  *   - incremental 1-day batch — broadcast anti-join, touches ONE
+  *     partition of 2400;
+  *   - a 600-date backfill — the touched-partition IN-list and the
+  *     dynamic-overwrite fan-out at their worst, and the key set is far
+  *     past broadcast size (mergeWrite auto-switches to a shuffle join);
+  *   - a point-lookup read proving the sorted row groups prune.
+  * Update batches are materialized (cached + counted) BEFORE the timed
+  * region — the first cut of this harness re-derived each batch from a
+  * 60M-row `spark.range` three times inside mergeWrite's plan (touched
+  * collect, anti-join build, write), and the batch-generation scans
+  * dwarfed the merge being measured.
+  *
+  * Standalone: `runMain graft.tools.MergeStress [factor]`; also runs as
+  * the tail of ScaleStress. */
+object MergeStress {
+
+  def run(spark: SparkSession, factor: Int, work: String): Unit = {
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[stress] $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s  out=$n")
+    }
+    val nDates = 2400
+    val nRegions = factor * 2500
+    def capTable(bump: Int) = spark.range(nDates.toLong * nRegions).select(
+      date_add(lit("2018-01-01").cast("date"),
+        (col("id") % nDates).cast("int")).as("date"),
+      concat(lit("r"), (col("id") / nDates).cast("long")).as("region_id"),
+      ((col("id") % 1000) + bump).cast("int").as("total_beds"))
+    println(s"[stress] merge table rows=${nDates.toLong * nRegions} dates=$nDates")
+
+    val init = capTable(0)
+    time("mergeWrite init (2400 dates)")({
+      MergeUpsert.mergeWrite(spark, s"$work/bigcap", init,
+        Seq("date", "region_id"))
+      spark.read.parquet(s"$work/bigcap").count()
+    })
+
+    val oneDay = capTable(1)
+      .filter(col("date") === lit("2018-06-01").cast("date")).cache()
+    val oneDayRows = oneDay.count()
+    time("mergeWrite 1-day batch")({
+      MergeUpsert.mergeWrite(spark, s"$work/bigcap", oneDay,
+        Seq("date", "region_id"))
+      oneDayRows
+    })
+
+    val backfill = capTable(2)
+      .filter(col("date") < lit("2019-09-01").cast("date")).cache()
+    val backfillRows = backfill.count()
+    time("mergeWrite 600-date backfill")({
+      MergeUpsert.mergeWrite(spark, s"$work/bigcap", backfill,
+        Seq("date", "region_id"))
+      backfillRows
+    })
+    oneDay.unpersist()
+    backfill.unpersist()
+
+    time("point lookup (sorted row groups)")(
+      spark.read.parquet(s"$work/bigcap")
+        .filter(col("date") === lit("2018-06-01").cast("date") &&
+          col("region_id") === "r1234")
+        .count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("graft-merge-stress").toString
+    run(spark, factor, work)
+    spark.stop()
+  }
+}

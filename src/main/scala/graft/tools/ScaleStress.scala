@@ -116,6 +116,8 @@ object ScaleStress {
       graft.pipeline.MetricsJob.run(spark, s"$work/cap", s"$work/met",
         s"$work/runs", "stress-met", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"))
     })
+
+    MergeStress.run(spark, factor, work)
     spark.stop()
   }
 }

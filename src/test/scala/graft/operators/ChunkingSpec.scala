@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlapping token windows: starts, sizes, tail, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only two"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.tokenWindows(docs, "doc_id", "text",
+      window = 4, stride = 3).orderBy("doc_id", "chunk_id").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    // doc 1: starts 0,3,6,9 → sizes 4,4,4,1
+    assert(byDoc(1L).map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq ==
+      Seq((0, 0, 4L), (1, 3, 4L), (2, 6, 4L), (3, 9, 1L)))
+    // doc 2: one window of 2 tokens
+    assert(byDoc(2L).map(r => (r.getInt(1), r.getLong(3))).toSeq == Seq((0, 2L)))
+    // empty doc: no chunks (and no descending-sequence garbage)
+    assert(!byDoc.contains(3L))
+    // chunk hash matches the joined slice
+    val h = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 3).get.getString(4)
+    assert(h == org.apache.commons.codec.digest.DigestUtils.md5Hex("t10"))
+  }
+}
