@@ -30,7 +30,9 @@ def main(src: str, dst: str) -> None:
             continue
         link = os.path.join(dst, name)
         if not os.path.exists(link):
-            os.symlink(os.path.join(src, name), link)
+            # absolute target: symlinks resolve relative to the LINK's
+            # directory, so a relative SRC would dangle
+            os.symlink(os.path.abspath(os.path.join(src, name)), link)
 
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     base = t.num_rows  # natural doc_ids are 0..n-1; plant above

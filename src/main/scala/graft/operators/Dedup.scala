@@ -138,11 +138,13 @@ object Dedup {
     * [[minhashSignatures]]: the explode → 32 conditional-sum form
     * produced identical values through a wide agg exchange; this is a
     * scan-time projection). Returns (doc_id_, simhash). Documents whose
-    * token set is empty get signature 0 (matching simhash32). */
+    * token set is empty — including NULL text, matching the old
+    * explode+rejoin form's left-join default — get signature 0
+    * (matching simhash32 over no tokens). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = rawSimhash(textCol)
     df.select(col(idCol).as("doc_id_"),
-      when(sig === lit(graft.plans.SimhashSig.Empty), lit(0L))
+      when(sig.isNull || sig === lit(graft.plans.SimhashSig.Empty), lit(0L))
         .otherwise(sig).as("simhash"))
   }
 

@@ -4,20 +4,35 @@ package graft.operators
   *
   * PNG, BMP, GIF, and JPEG readers ship with the JRE (`javax.imageio`),
   * so decoding needs no container-level codec. Format detection is by
-  * magic bytes FIRST — `ImageIO.read` is only attempted on payloads that
+  * magic bytes FIRST — a reader is only attempted on payloads that
   * sniff as an image, so arbitrary binary/text payloads (the synthetic
   * corpus) never pay a failed-decode attempt and deterministically take
   * the caller's fallback path.
   *
-  * Decoded stats are computed from the raster, not the RGB-converted
-  * view: `channels` is the true band count (1 for grayscale PNG, 3 for
-  * RGB, 4 for RGBA), and `meanIntensity` is the mean of every sample of
-  * every band (0–255), which is defined for any band layout.
+  * Robustness contract (a corrupt payload must NEVER fail the Spark
+  * task — it falls back): decode catches all non-fatal throwables, not
+  * just IOException, because the JRE readers throw RuntimeExceptions
+  * (ArrayIndexOutOfBounds, IllegalArgument, NegativeArraySize) on
+  * truncated or forged bodies. Dimensions are read from the HEADER
+  * (ImageReader.getWidth/getHeight — no pixel decode) and bounded by
+  * `MaxPixels` before the full decode, so a forged header declaring
+  * huge dimensions cannot drive a multi-GB allocation inside an
+  * executor.
+  *
+  * Decoded stats come from the raster: `channels` is the true band
+  * count (1 for grayscale, 3 RGB, 4 RGBA), and `meanIntensity` is the
+  * mean over every sample of every band NORMALIZED to the 0–255 scale
+  * (16-bit-per-sample PNGs divide by 257), so thresholds compare
+  * across bit depths and against the byte-stats fallback path.
   */
 object ImageCodec {
 
   final case class Decoded(mediaType: String, width: Int, height: Int,
                            channels: Int, meanIntensity: Double)
+
+  /** Decode-size guard: reject images whose header declares more than
+    * this many pixels (64 MPix ≈ 256 MB as 4-band int raster). */
+  val MaxPixels: Long = 64L * 1024 * 1024
 
   // no tmp-file cache: executors shouldn't touch local disk per image
   javax.imageio.ImageIO.setUseCache(false)
@@ -38,33 +53,59 @@ object ImageCodec {
   }
 
   /** Decode a payload that sniffs as an image; None for anything the
-    * sniff or the JRE reader rejects (caller falls back). */
+    * sniff, the size guard, or the JRE reader rejects (caller falls
+    * back). Never throws on malformed payloads. */
   def decode(payload: Array[Byte]): Option[Decoded] =
     sniff(payload).flatMap { mediaType =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
-        val raster = img.getRaster
-        val w = img.getWidth
-        val h = img.getHeight
-        val bands = raster.getNumBands
-        var sum = 0.0
-        val rowBuf = new Array[Int](w)
-        var band = 0
-        while (band < bands) {
-          var y = 0
-          while (y < h) {
-            raster.getSamples(0, y, w, 1, band, rowBuf)
-            var x = 0
-            while (x < w) { sum += rowBuf(x); x += 1 }
-            y += 1
-          }
-          band += 1
-        }
-        Some(Decoded(mediaType, w, h, bands,
-          sum / (w.toLong * h * bands).toDouble))
+      try decodeChecked(payload, mediaType)
+      catch {
+        // JRE readers throw RuntimeExceptions (not just IOException) on
+        // truncated/forged bodies — any such payload falls back
+        case scala.util.control.NonFatal(_) => None
       }
     }
+
+  private def decodeChecked(payload: Array[Byte],
+                            mediaType: String): Option[Decoded] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // header-only dimension read — guards the full-decode
+          // allocation against forged headers
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+          else {
+            val raster = reader.read(0).getRaster
+            val bands = raster.getNumBands
+            var sum = 0.0
+            val rowBuf = new Array[Int](w)
+            var band = 0
+            while (band < bands) {
+              // normalize this band's samples to 0–255 (8-bit: ÷1;
+              // 16-bit: ÷257 — 65535/255)
+              val maxVal = (1L << raster.getSampleModel.getSampleSize(band)) - 1
+              val scale = 255.0 / maxVal.toDouble
+              var y = 0
+              while (y < h) {
+                raster.getSamples(0, y, w, 1, band, rowBuf)
+                var x = 0
+                while (x < w) { sum += rowBuf(x) * scale; x += 1 }
+                y += 1
+              }
+              band += 1
+            }
+            Some(Decoded(mediaType, w, h, bands,
+              sum / (w.toLong * h * bands).toDouble))
+          }
+        } finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
 }

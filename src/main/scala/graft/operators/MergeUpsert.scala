@@ -117,9 +117,14 @@ object MergeUpsert {
       if (!fs.rename(tmp, ptr))
         throw new java.io.IOException(s"cannot publish pointer $ptr")
     }
-    // GC (best-effort, post-publish): superseded + orphaned version
-    // dirs, and migrated legacy flat files
-    versionDirs(fs, p).filter(_ != vname)
+    // GC (best-effort, post-publish): crashed-writer orphans and
+    // versions older than the IMMEDIATELY superseded one. That one is
+    // RETAINED: an in-flight reader that resolved the pointer just
+    // before this flip is still scanning it — deleting it now would
+    // fail any query slower than the merge cadence (continuous
+    // streaming publishes every second). Readers therefore get one
+    // full merge cycle to finish; the version dies on the NEXT merge.
+    versionDirs(fs, p).filter(v => v != vname && !cur.contains(v))
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
     if (legacyFlat)
       fs.listStatus(p).filter(_.isFile)
@@ -143,8 +148,12 @@ object MergeUpsert {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
-  /** The live version-dir name: pointer first; newest version dir as
-    * the recovery fallback; None for flat/absent tables. */
+  /** The live version-dir name: pointer first; as the lost-pointer
+    * recovery fallback, the newest version dir that CARRIES A _SUCCESS
+    * MARKER — a bare newest dir can be a crashed writer's half-written
+    * version, exactly the garbage the pointer protocol exists to hide
+    * (and choosing it as a merge base would resurrect uncommitted
+    * rows). None for flat/absent tables. */
   def currentPlainVersion(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -159,8 +168,11 @@ object MergeUpsert {
           Option(r.readLine()).map(_.trim).filter(_.nonEmpty)
         } finally in.close()
       }
+    def committed(v: String): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
+        "_SUCCESS"))
     pointed.filter(v => fs.exists(new org.apache.hadoop.fs.Path(p, v)))
-      .orElse(versionDirs(fs, p).sorted.lastOption)
+      .orElse(versionDirs(fs, p).filter(committed).sorted.lastOption)
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,

@@ -27,15 +27,27 @@ object ExtensionCatalog {
   // the same documents table. Each stage is memoized per (session, dir)
   // and cached, so a session running several stages pays for candidate
   // generation once — the library-level answer to "x31 must not re-pay
-  // for x06's work". The memo key includes the session: results are
-  // session-scoped materializations, dropped with the session. (Plain
-  // HashMap + reentrant synchronized, not ConcurrentHashMap: the stages
-  // memoize recursively, which computeIfAbsent forbids.)
-  private val memo = scala.collection.mutable.HashMap[String, DataFrame]()
+  // for x06's work". Results are session-scoped materializations:
+  // entries of stopped sessions are swept on every access (a long-lived
+  // JVM creating sessions repeatedly must not pin dead session state),
+  // and the stored session reference is compared by identity so an
+  // identityHashCode collision between two live sessions can never
+  // hand one a DataFrame bound to the other. (Plain HashMap +
+  // reentrant synchronized, not ConcurrentHashMap: the stages memoize
+  // recursively, which computeIfAbsent forbids.)
+  private val memo =
+    scala.collection.mutable.HashMap[String, (SparkSession, DataFrame)]()
   private def memoized(s: SparkSession, dir: String, key: String)
                       (build: => DataFrame): DataFrame = memo.synchronized {
-    memo.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir|$key",
-      build.cache())
+    memo.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+    val k = s"${System.identityHashCode(s)}|$dir|$key"
+    memo.get(k) match {
+      case Some((sess, df)) if sess eq s => df
+      case _ =>
+        val df = build.cache()
+        memo(k) = (s, df)
+        df
+    }
   }
 
   /** MinHash signatures of every document (32 hashes) — per-doc, so a

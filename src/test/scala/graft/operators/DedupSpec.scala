@@ -70,6 +70,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
   }
 
+  test("simhashTable: empty and NULL texts both map to signature 0") {
+    val weird = Seq((1L, Some("real text here")), (2L, Some("")),
+      (3L, Some("   ")), (4L, None))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashTable(weird, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(2L) == 0L && sigs(3L) == 0L)
+    assert(sigs(4L) == 0L, "NULL text matches the old rejoin default of 0")
+    assert(sigs(1L) != 0L)
+  }
+
   test("cluster resolution is transitive: A~B, B~C → one cluster, min id keeps") {
     import org.apache.spark.sql.functions.lit
     val all = Seq(0L, 1L, 2L, 7L).toDF("doc_id")

@@ -50,17 +50,23 @@ class MergeUpsertSpec extends SparkSpec {
       .select("total_beds").as[Int].collect().toSeq == Seq(100),
       "readers must stay on the pointed version, not a crashed writer's orphan")
 
-    // the next successful merge supersedes the orphan and collects it
+    // the next successful merge supersedes the orphan and collects it,
+    // but RETAINS the immediately superseded version (an in-flight
+    // reader may still be scanning it — one merge cycle of grace)
     MergeUpsert.mergeWritePlain(spark, dir,
       tbl(("2024-01-15", "CA", 123)), Seq("date", "region_id"))
     assert(MergeUpsert.readPlain(spark, dir)
       .select("total_beds").as[Int].collect().toSeq == Seq(123))
     assert(!new java.io.File(s"$dir/v-0000000099").exists(),
       "orphaned version dirs are garbage-collected post-publish")
-    // exactly one live version dir + the pointer remain
-    val vs = new java.io.File(dir).listFiles().map(_.getName)
-      .filter(_.startsWith("v-"))
-    assert(vs.length == 1)
+    def versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v-")).sorted.toSeq
+    assert(versions == Seq("v-0000000001", "v-0000000100"),
+      "current + immediately superseded versions remain")
+    // the retained version dies on the NEXT merge
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 124)), Seq("date", "region_id"))
+    assert(versions == Seq("v-0000000100", "v-0000000101"))
   }
 
   test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {

@@ -80,6 +80,18 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decode(corrupt).isEmpty)
   }
 
+  test("forged giant-dimension header is rejected before allocation") {
+    // patch the IHDR width field (bytes 16-19, big-endian) of a real
+    // PNG to 2^30: the header-only size guard must bail without
+    // attempting the multi-GB decode
+    val forged = rgbPng(2, 2, 0, 0, 0).clone()
+    forged(16) = 0x40.toByte; forged(17) = 0; forged(18) = 0; forged(19) = 0
+    assert(ImageCodec.decode(forged).isEmpty)
+    // and a corrupt body after a VALID header falls back, never throws
+    val truncated = rgbPng(8, 8, 10, 20, 30).take(40)
+    assert(ImageCodec.decode(truncated).isEmpty)
+  }
+
   test("frame sampling fans one payload into ordered frame rows") {
     val frames = Multimodal.sampleFrames(
       Multimodal.withPayload(docs, "doc_id", "text"), stride = 10)
