@@ -30,12 +30,17 @@ object SparkEntry {
       .orderBy(desc("revenue"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. ListMap:
+    * callers iterate in CATALOG order (a plain toMap hashes the order,
+    * so the dedup family's shared-stage build cost would land on an
+    * arbitrary family member in benchmarks — with catalog order, x06
+    * pays for candidates, x16 for verification, x18 for clusters). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalogs.map(q => q.name -> q.fn).toMap
+    scala.collection.immutable.ListMap.from(catalogs.map(q => q.name -> q.fn))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    catalogs.flatMap(q => q.sql.map(q.name -> _)).toMap
+    scala.collection.immutable.ListMap.from(
+      catalogs.flatMap(q => q.sql.map(q.name -> _)))
 }

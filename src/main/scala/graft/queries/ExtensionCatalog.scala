@@ -50,18 +50,18 @@ object ExtensionCatalog {
     }
   }
 
-  /** MinHash signatures of every document (32 hashes) — per-doc, so a
-    * filtered pipeline (x31) reuses them via semi-join restriction. */
-  private def docSigs(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "minhash_sigs")(
-      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 32))
+  // NOTE the signature TABLE is deliberately NOT memoized: MinhashSig
+  // makes signatures a scan-time projection (~50 ms of md5 at sf0.1),
+  // and profiling showed an in-memory-cached array<long> column costs
+  // MORE to re-read (columnar array decode) than recomputing the
+  // expression from the parquet scan. Only small SCALAR tables (pairs,
+  // clusters) are worth pinning.
 
   /** LSH candidate pairs (8 bands × 4 rows, no est filter) = x06. */
   private def lshCands(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "lsh_cands")(
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-        bands = 8, rowsPerBand = 4, sigs = Some(docSigs(s, dir))))
+        bands = 8, rowsPerBand = 4))
 
   /** Verified near-dup pairs (est ≥ 0.25, jaccard ≥ 0.4) = x16. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
@@ -973,17 +973,12 @@ object ExtensionCatalog {
           .withColumn("lang_pred", TextFunctions.langId(col("text")))
           .filter(col("quality") >= 0.3)
           .cache()
-        // signatures are per-doc, so the cached full-corpus signature
-        // table restricted to the quality survivors IS the signature
-        // table of the filtered corpus — the funnel re-pays for band
-        // join + verify over the subset, but not for shingling/hashing
-        val scoredSigs = docSigs(s, dir).join(
-          scored.select(col("doc_id").as("doc_id_")), Seq("doc_id_"),
-          "left_semi")
+        // signatures recompute at scan speed over the cached `scored`
+        // (MinhashSig is a projection — cheaper than reading a cached
+        // signature table back; see the memo note above)
         val keepers = Dedup.resolveClusters(scored, "doc_id",
             Dedup.nearDupPipeline(scored, "doc_id", "text",
-              minEstJaccard = 0.25, minJaccard = 0.4,
-              sigs = Some(scoredSigs)))
+              minEstJaccard = 0.25, minJaccard = 0.4))
           .filter(col("keep")).select("doc_id")
         val sampled = Sampling.stratifiedSample(
           scored.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
