@@ -53,4 +53,40 @@ object Sampling {
     }
     df.filter(hashGate(col(idCol), rateCol, salt))
   }
+
+  /** Rebalance the corpus toward a TARGET MIX (the domain/language
+    * reweighting step of a training-data pipeline): given target
+    * proportions per stratum, derive the per-stratum acceptance rates
+    * of the LARGEST corpus that satisfies the mix exactly —
+    * budget B = minₛ(nₛ/pₛ), rateₛ = B·pₛ/nₛ (the binding stratum keeps
+    * everything, the rest downsample) — then apply the deterministic
+    * hash gate. Strata absent from `targetMix` are dropped (rate 0);
+    * target strata absent from the corpus are ignored for the budget.
+    *
+    * Scale shape: one tiny groupBy-count collect (O(#strata) driver
+    * rows — the k-means-centroid pattern) to derive rates, then the
+    * same scan-time codegen filter as [[stratifiedSample]]. Fully
+    * deterministic: same corpus + same targets → same rows, any
+    * engine, any partitioning. */
+  def rebalanceMix(df: DataFrame, idCol: String, strataCol: String,
+                   targetMix: Map[String, Double],
+                   salt: String = "mix"): DataFrame = {
+    require(targetMix.nonEmpty && targetMix.values.forall(_ > 0.0),
+      "target mix needs positive proportions")
+    val counts = df.groupBy(strataCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val present = targetMix.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty,
+      s"no target stratum present in corpus (targets: ${targetMix.keys})")
+    // B and the rates are plain IEEE double ops in a fixed order —
+    // (n/p) min, then B·p/n — so an oracle re-deriving them in SQL
+    // lands on identical basis points
+    val budget = present.map { case (s, p) => counts(s).toDouble / p }.min
+    // clamp: the binding stratum's rate is mathematically exactly 1 but
+    // FP can land an ulp above (oracles mirror with least(x, 1.0))
+    val rates = present.map { case (s, p) =>
+      s -> math.min(budget * p / counts(s).toDouble, 1.0)
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
+  }
 }

@@ -59,4 +59,12 @@ object Sketches {
     * combinable without re-scanning. */
   def kmvMerge(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate of the UNION of two sketched sets — the
+    * building block of sketch-based corpus-overlap reports:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion–exclusion, and
+    * Jaccard from there, all in O(k) per pair without ever joining the
+    * underlying corpora. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int, m: Long): Column =
+    kmvEstimate(kmvMerge(a, b, k), k, m)
 }

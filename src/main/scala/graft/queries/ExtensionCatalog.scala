@@ -109,6 +109,12 @@ object ExtensionCatalog {
   private val KmvK = 64
   private val KmvM = 1099511627776L
 
+  /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
+    * x30's inline form and x37's pairwise overlap). */
+  private def kmvEstSql(l: String): String =
+    s"CASE WHEN len($l) < $KmvK THEN CAST(len($l) AS DOUBLE) " +
+      s"ELSE floor(${KmvK - 1}.0 * $KmvM.0 / $l[$KmvK] * 10000.0 + 0.5) / 10000.0 END"
+
   /** mirrors Similarity.planeComponent */
   private def planeSql(p: String, dim: String) =
     s"((('0x' || substr(md5('plane:' || $p || ':' || $dim), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0)"
@@ -1107,6 +1113,84 @@ object ExtensionCatalog {
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
       (s, dir) => TfIdf.topTerms(t(s, dir, "documents"),
         "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rn"))
+        .orderBy("doc_id", "rn")),
+
+    // ---- target-mix rebalancing: derive the per-language acceptance
+    //      rates of the LARGEST corpus satisfying a target mix
+    //      (budget = min nₛ/pₛ; binding stratum keeps all), then the
+    //      deterministic hash gate — the domain-reweighting step of a
+    //      training pipeline, oracled end to end including the rate
+    //      derivation ----
+    Q("x36_mix_rebalance", Some(
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tgt(lang, p) AS (VALUES ('en', 0.5), ('de', 0.2), ('es', 0.3)),
+         |b AS (
+         |  SELECT min(n / p) AS budget FROM cnt JOIN tgt USING (lang)),
+         |rates AS (
+         |  SELECT t.lang,
+         |    CAST(floor(least(budget * p / n, 1.0) * 10000.0 + 0.5) AS BIGINT)
+         |      AS bp
+         |  FROM tgt t JOIN cnt USING (lang) CROSS JOIN b)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE ${h60Sql("('mix:' || CAST(doc_id AS VARCHAR))", 10000L)} < bp
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.rebalanceMix(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.3))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ---- sketch-based corpus overlap: pairwise language-vocabulary
+    //      Jaccard from the x30 KMV sketches alone (inclusion-exclusion
+    //      on O(k) state — no corpus join), the cheap cross-source
+    //      overlap report a 100 TB curation dashboard runs ----
+    Q("x37_kmv_overlap", Some(
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${tokSql("text")}) AS t FROM documents),
+         |h AS (
+         |  SELECT DISTINCT lang, ${h60Sql("t", KmvM)} AS hv FROM tok),
+         |r AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT lang, list(hv ORDER BY hv) AS sketch
+         |  FROM r WHERE rn <= $KmvK GROUP BY lang),
+         |pairs AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |    a.sketch AS sa, b.sketch AS sb,
+         |    list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1 : $KmvK]
+         |      AS su
+         |  FROM sk a JOIN sk b ON a.lang < b.lang),
+         |est AS (
+         |  SELECT lang_a, lang_b,
+         |    ${kmvEstSql("sa")} AS est_a,
+         |    ${kmvEstSql("sb")} AS est_b,
+         |    ${kmvEstSql("su")} AS est_union
+         |  FROM pairs)
+         |SELECT lang_a, lang_b, est_a, est_b, est_union,
+         |  floor((est_a + est_b - est_union) / est_union * 10000.0 + 0.5)
+         |    / 10000.0 AS est_jaccard
+         |FROM est ORDER BY lang_a, lang_b""".stripMargin),
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        val sk = Sketches.kmvSketch(toks, "lang", col("t"), KmvK, KmvM)
+          .select(col("lang"), col("sketch"))
+        val estU = Sketches.kmvUnionEstimate(
+          col("a.sketch"), col("b.sketch"), KmvK, KmvM)
+        sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+          .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+            Sketches.kmvEstimate(col("a.sketch"), KmvK, KmvM).as("est_a"),
+            Sketches.kmvEstimate(col("b.sketch"), KmvK, KmvM).as("est_b"),
+            estU.as("est_union"))
+          .select(col("lang_a"), col("lang_b"), col("est_a"), col("est_b"),
+            col("est_union"),
+            TextFunctions.portableRound(
+              (col("est_a") + col("est_b") - col("est_union")) / col("est_union"),
+              4).as("est_jaccard"))
+          .orderBy("lang_a", "lang_b")
+      })
   )
 }

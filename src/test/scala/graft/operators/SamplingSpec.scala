@@ -38,4 +38,29 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("en") > 350 && byLang("en") <= 500, s"en=${byLang("en")}")
     assert(byLang("de") > 80 && byLang("de") < 250, s"de=${byLang("de")}")
   }
+
+  test("mix rebalance hits the target proportions, binding stratum keeps all") {
+    // 400 en / 100 de / 60 es; target 50/20/30 -> budget = min(800, 500,
+    // 200) = 200 -> keep ~100 en (rate .5), ~40 de (rate .4), 60 es (rate 1)
+    val mixDocs = ((1 to 400).map(i => (i.toLong, "en")) ++
+      (1 to 100).map(i => (1000L + i, "de")) ++
+      (1 to 60).map(i => (2000L + i, "es")) ++
+      (1 to 30).map(i => (3000L + i, "zh"))) // not in target -> dropped
+      .toDF("doc_id", "lang")
+    val got = Sampling.rebalanceMix(mixDocs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.3))
+    val byLang = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"), "non-target strata are dropped")
+    assert(byLang("es") == 60, "binding stratum keeps everything")
+    // hash-gate sampling is approximate per stratum; proportions should
+    // land near the target within sampling noise
+    assert(byLang("en") > 70 && byLang("en") < 130, s"en=${byLang("en")}")
+    assert(byLang("de") > 22 && byLang("de") < 58, s"de=${byLang("de")}")
+    // deterministic: same inputs -> same rows
+    val again = Sampling.rebalanceMix(mixDocs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
 }

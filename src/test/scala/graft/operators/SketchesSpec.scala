@@ -36,4 +36,23 @@ class SketchesSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(merged == whole, "union property: min-k of union = merged min-k")
   }
+
+  test("KMV union estimate supports inclusion-exclusion overlap") {
+    // two sets sharing half their elements
+    val a = (0 until 1000).map(i => ("a", s"tok$i")).toDF("g", "v")
+    val b = (500 until 1500).map(i => ("b", s"tok$i")).toDF("g", "v")
+    val sk = Sketches.kmvSketch(a.unionByName(b), "g", col("v"), K, M)
+      .select("g", "sketch").collect().map(r => r.getString(0) ->
+        r.getSeq[Long](1)).toMap
+    val row = Seq((sk("a"), sk("b"))).toDF("sa", "sb")
+      .select(Sketches.kmvEstimate(col("sa"), K, M).as("ea"),
+        Sketches.kmvEstimate(col("sb"), K, M).as("eb"),
+        Sketches.kmvUnionEstimate(col("sa"), col("sb"), K, M).as("eu"))
+      .head()
+    val (ea, eb, eu) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    val inter = ea + eb - eu
+    // truth: |A|=|B|=1000, union 1500, intersection 500
+    assert(math.abs(eu - 1500) / 1500.0 < 3.0 / math.sqrt(K), s"eu=$eu")
+    assert(inter > 150 && inter < 900, s"inter=$inter") // noisy but present
+  }
 }
