@@ -22,19 +22,26 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Count of regex matches — codegen'd, no match-array
+    * materialization ([[graft.plans.RegexCount]]; same java.util.regex
+    * engine as `regexp_extract_all`, so counts are identical). */
+  private def regexCount(text: Column, pattern: String): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.RegexCount(
+        org.apache.spark.sql.graft.bridge.expression(text), pattern))
+
   /** BPE-ish token count: word pieces + isolated punctuation, the usual
     * `\w+|[^\w\s]` pre-tokenizer shape. */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
-      .cast("long")
+    regexCount(text, "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]")
 
   /** Punctuation-mark count. */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.!?,;:]"), lit(0))).cast("long")
+    regexCount(text, "[.!?,;:]")
 
   /** Uppercase-letter count. */
   def upperCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
+    regexCount(text, "[A-Z]")
 
   /** Stopword lists per language — compact, fixed, ASCII. The zh list is
     * romanized particles (the synthetic corpus is ASCII; real CJK would
@@ -51,15 +58,12 @@ object TextFunctions {
     "\\b(" + words.mkString("|") + ")\\b"
 
   /** Hits of `lang`'s stopword list in lowercased text. */
-  def stopwordHits(text: Column, lang: String): Column = {
-    val words = stopwords.toMap.apply(lang)
-    size(regexp_extract_all(lower(text), lit(stopRegex(words)), lit(0))).cast("long")
-  }
+  def stopwordHits(text: Column, lang: String): Column =
+    regexCount(lower(text), stopRegex(stopwords.toMap.apply(lang)))
 
   /** Combined any-language stopword hit count (quality signal). */
   def anyStopwordHits(text: Column): Column =
-    size(regexp_extract_all(lower(text),
-      lit(stopRegex(stopwords.flatMap(_._2).distinct)), lit(0))).cast("long")
+    regexCount(lower(text), stopRegex(stopwords.flatMap(_._2).distinct))
 
   /** n-gram-heuristic language ID: argmax of per-language stopword hits,
     * ties broken by the fixed language order, zero hits → "und". */

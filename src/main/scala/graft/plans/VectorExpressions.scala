@@ -824,3 +824,49 @@ object TokenStatsExpr {
       pr4(alpha.toDouble / n)))
   }
 }
+
+/** Count of non-overlapping regex matches in a string — the codegen'd
+  * equivalent of `size(regexp_extract_all(text, pattern, 0))` WITHOUT
+  * materializing the match array (UTF8String per match + ArrayData per
+  * row, just to take its size). Same java.util.regex engine Spark's
+  * regexp functions use, so counts are identical; the Pattern compiles
+  * once per operator instance, not per row. Quality scoring + language
+  * ID run ~9 of these per document — this keeps the whole text-profile
+  * pass allocation-free. */
+case class RegexCount(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "regex_count needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    RegexCount.compute(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("regexCountPattern", compiled,
+      classOf[java.util.regex.Pattern].getName)
+    defineCodeGen(ctx, ev, c => s"graft.plans.RegexCount.compute($c, $patRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RegexCount {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, p: java.util.regex.Pattern): Long = {
+    val m = p.matcher(s.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+}

@@ -969,11 +969,10 @@ object ExtensionCatalog {
       (s, dir) => {
         // the same stage composition CurationJob.run performs (fixed
         // params; the job adds observe counters and the parquet write).
-        // Cached: the dedup pipeline consumes scored three times, and
-        // quality+langid are the catalog's heaviest regex scans — the
-        // (small) cache outlives the query, which is fine at catalog
-        // scale; long-lived pipelines use CurationJob.run, which
-        // manages its cache lifecycle.
+        // Cached: the dedup pipeline consumes scored several times
+        // (measured faster WITH the cache even after RegexCount made
+        // the quality pass cheap — unlike the signature-array cache,
+        // this one carries the strings the whole subtree needs).
         val scored = t(s, dir, "documents")
           .withColumn("quality", TextFunctions.qualityScore(col("text")))
           .withColumn("lang_pred", TextFunctions.langId(col("text")))
