@@ -73,7 +73,10 @@ object Sampling {
                    salt: String = "mix"): DataFrame = {
     require(targetMix.nonEmpty && targetMix.values.forall(_ > 0.0),
       "target mix needs positive proportions")
+    // null strata can't be targeted (stratifiedSample's CASE never
+    // matches null) — drop the null group instead of NPE-ing on it
     val counts = df.groupBy(strataCol).count().collect()
+      .filter(!_.isNullAt(0))
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val present = targetMix.filter { case (s, _) => counts.contains(s) }
     require(present.nonEmpty,

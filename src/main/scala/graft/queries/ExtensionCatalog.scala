@@ -912,12 +912,13 @@ object ExtensionCatalog {
          |  SELECT lang, hv,
          |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
          |    count(*) OVER (PARTITION BY lang) AS n_distinct
-         |  FROM h)
-         |SELECT lang, n_distinct,
-         |  CASE WHEN n_distinct < $KmvK THEN CAST(n_distinct AS DOUBLE)
-         |       ELSE floor(${KmvK - 1}.0 * $KmvM.0 / max(CASE WHEN rn = $KmvK THEN hv END)
-         |              * 10000.0 + 0.5) / 10000.0 END AS kmv_estimate
-         |FROM r GROUP BY lang, n_distinct ORDER BY lang""".stripMargin),
+         |  FROM h),
+         |sk AS (
+         |  SELECT lang, any_value(n_distinct) AS n_distinct,
+         |         list(hv ORDER BY hv) AS sketch
+         |  FROM r WHERE rn <= $KmvK GROUP BY lang)
+         |SELECT lang, n_distinct, ${kmvEstSql("sketch")} AS kmv_estimate
+         |FROM sk ORDER BY lang""".stripMargin),
       (s, dir) => {
         val toks = t(s, dir, "documents").select(col("lang"),
           explode(TextFunctions.tokens(col("text"))).as("t"))

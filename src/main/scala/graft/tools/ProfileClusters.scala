@@ -55,6 +55,13 @@ object ProfileClusters {
       Dedup.resolveClusters(docs, "doc_id", pairs)
     }
     time("clusters orderBy+count")(clusters.orderBy("doc_id").count())
+    // unpersist EVERYTHING first: Spark's CacheManager substitutes any
+    // sameResult subtree with its InMemoryRelation, so a live signature
+    // cache would silently feed the "no cache" measurement below
+    sigs.unpersist(blocking = true)
+    cands.unpersist(blocking = true)
+    pairs.unpersist(blocking = true)
+    p2.unpersist(blocking = true)
     time("x18 shape end-to-end (no shared cache)") {
       Dedup.resolveClusters(docs, "doc_id",
         Dedup.nearDupPipeline(docs, "doc_id", "text",

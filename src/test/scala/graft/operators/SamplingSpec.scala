@@ -41,7 +41,7 @@ class SamplingSpec extends SparkSpec {
 
   test("mix rebalance hits the target proportions, binding stratum keeps all") {
     // 400 en / 100 de / 60 es; target 50/20/30 -> budget = min(800, 500,
-    // 200) = 200 -> keep ~100 en (rate .5), ~40 de (rate .4), 60 es (rate 1)
+    // 200) = 200 -> keep ~100 en (rate .25), ~40 de (rate .4), 60 es (rate 1)
     val mixDocs = ((1 to 400).map(i => (i.toLong, "en")) ++
       (1 to 100).map(i => (1000L + i, "de")) ++
       (1 to 60).map(i => (2000L + i, "es")) ++
