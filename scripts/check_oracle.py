@@ -51,6 +51,18 @@ def main(out_dir, sf_dir):
             print(f"FAIL  {name}: columns spark={spark_cols} duck={duck_cols}")
             n_fail += 1
             continue
+        # Dtype gate: the driver's hash is type-sensitive, so an oracle
+        # column whose DuckDB type differs from the Spark parquet type
+        # (e.g. sum(BIGINT) -> HUGEINT vs Spark LongType) hash-mismatches
+        # even when every value agrees. Compare per-column DuckDB types.
+        s_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        d_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        type_bad = [f"{c}: spark={s_types[c]} oracle={d_types[c]}"
+                    for c in spark_cols if s_types[c] != d_types[c]]
+        if type_bad:
+            print(f"FAIL  {name}: dtype mismatch ({'; '.join(type_bad)})")
+            n_fail += 1
+            continue
         if len(s_rows) != len(d_rows):
             print(f"FAIL  {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             n_fail += 1

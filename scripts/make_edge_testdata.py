@@ -11,6 +11,9 @@ Planted rows (doc_ids above the natural range):
                            both engines — the nastiest parity corner)
   - single-token text     (shingle count = max(len-n+1, 1) floor case)
   - two-char text         (shorter than winnow k, char-gram padding case)
+  - trailing-tab text     (regex-split yields a trailing EMPTY token on
+                           both engines — the mirror of the leading case)
+  - trailing-newline text (same corner via a different whitespace char)
 
 Usage: python3 scripts/make_edge_testdata.py SRC_SF_DIR DST_DIR
 Everything except documents.parquet is symlinked; documents.parquet is
@@ -43,6 +46,8 @@ def main(src: str, dst: str) -> None:
         "\tindented first line and then some text",
         "solo",
         "ab",
+        "body text that ends in a tab\t",
+        "body text that ends in a newline\n",
     ]
     rows = {
         "doc_id": [next_id + i for i in range(len(edge_texts))],

@@ -16,19 +16,24 @@ object Bench {
       "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    // events carries TIMESTAMP(NANOS): warm it the way the catalog
-    // reads it (nanosAsLong is the session-wide convention for ns
-    // parquet — a bare read would throw under Spark 4)
+    // events carries TIMESTAMP(NANOS): warm it under a scoped
+    // nanosAsLong window, then restore — the catalog's events helper
+    // does its own scoped inference, so the benched queries must run
+    // (and do run) in a conf-clean session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet").count()
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     // a crashing query must FAIL the bench visibly (nonzero exit + its
     // error in the JSON), never bench as a fast query — r1's x15 failure
-    // was invisible here and caught only by the correctness oracle
+    // was invisible here and caught only by the correctness oracle.
+    // NonFatal only: an OOM or other VM error leaves the JVM unreliable,
+    // so timings recorded after it would be meaningless — let it kill
+    // the run instead of benchmarking through it.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }.toSeq

@@ -87,7 +87,10 @@ object MergeUpsert {
     * new version is live, then cleaned best-effort. For large facts
     * prefer `mergeWrite` (partition-pruned rewrite). */
   def mergeWritePlain(spark: SparkSession, path: String, updates: DataFrame,
-                      keys: Seq[String]): Unit = {
+                      keys: Seq[String], retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 2,
+      s"retainVersions must keep at least the live version plus one " +
+        s"superseded version for in-flight readers, got $retainVersions")
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val cur = currentPlainVersion(spark, path)
@@ -117,14 +120,28 @@ object MergeUpsert {
       if (!fs.rename(tmp, ptr))
         throw new java.io.IOException(s"cannot publish pointer $ptr")
     }
-    // GC (best-effort, post-publish): crashed-writer orphans and
-    // versions older than the IMMEDIATELY superseded one. That one is
-    // RETAINED: an in-flight reader that resolved the pointer just
-    // before this flip is still scanning it — deleting it now would
-    // fail any query slower than the merge cadence (continuous
-    // streaming publishes every second). Readers therefore get one
-    // full merge cycle to finish; the version dies on the NEXT merge.
-    versionDirs(fs, p).filter(v => v != vname && !cur.contains(v))
+    // GC (best-effort, post-publish): crashed-writer orphans, plus
+    // published versions beyond the newest `retainVersions`. Superseded
+    // versions are RETAINED for retainVersions-1 merge cycles: an
+    // in-flight reader that resolved the pointer just before a flip is
+    // still scanning the old dir — deleting it immediately would fail
+    // any query slower than the merge cadence (continuous streaming
+    // publishes every second). Size retainVersions to the slowest
+    // expected reader: a reader taking R seconds against a merge
+    // cadence of C seconds needs retainVersions > R/C + 1.
+    // Orphan detection: published numbers are strictly increasing, so
+    // a dir numbered ABOVE the version that was current when this merge
+    // began was never published (a crashed writer's complete-but-
+    // unpublished write — it may even carry _SUCCESS); below it, an
+    // uncommitted dir is a writer that died mid-write.
+    def committedDir(v: String): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
+        "_SUCCESS"))
+    val curN = cur.map(versionNumber).getOrElse(-1L)
+    val (orphans, lineage) = versionDirs(fs, p).filter(_ != vname)
+      .partition(v => !committedDir(v) || versionNumber(v) > curN)
+    val keep = lineage.sortBy(versionNumber).takeRight(retainVersions - 1).toSet
+    (orphans ++ lineage.filterNot(keep))
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
     if (legacyFlat)
       fs.listStatus(p).filter(_.isFile)

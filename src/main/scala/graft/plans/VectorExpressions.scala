@@ -175,8 +175,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
   def compute(s: UTF8String, n: Int): ArrayData = {
-    // space-only trim (parity with SQL trim), then Java regex split
-    // (parity with Spark/DuckDB split on '\s+')
+    // space-only trim (parity with SQL trim), then Java regex split with
+    // limit -1 (parity with Spark's split default and DuckDB's
+    // regexp_split_to_array — trailing empty token after e.g. "text\t"
+    // kept, same as SimhashSig/TokenStatsExpr)
     var str = s.toString
     var lo = 0; var hi = str.length
     while (lo < hi && str.charAt(lo) == ' ') lo += 1
@@ -185,7 +187,7 @@ object WordShingles {
     if (str.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
-    val toks = str.split("\\s+")
+    val toks = str.split("\\s+", -1)
     val count = math.max(toks.length - n + 1, 1)
     val seen = new java.util.LinkedHashSet[String](count * 2)
     var i = 0

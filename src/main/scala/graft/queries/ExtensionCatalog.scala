@@ -524,7 +524,8 @@ object ExtensionCatalog {
         |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // no conf needed: the streaming source gets an explicit long
+        // schema below, which reads ns parquet without nanosAsLong
         val work = java.nio.file.Files.createTempDirectory("graft-stream").toString
         val schema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
@@ -1017,7 +1018,7 @@ object ExtensionCatalog {
          |          * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio
          |  FROM per GROUP BY doc_id)
          |SELECT d.doc_id,
-         |  coalesce(n_tok, 0) AS n_tok,
+         |  CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tok,
          |  coalesce(mean_tok_len, 0.0) AS mean_tok_len,
          |  coalesce(max_freq_ratio, 0.0) AS max_freq_ratio,
          |  coalesce(alpha_ratio, 0.0) AS alpha_ratio,

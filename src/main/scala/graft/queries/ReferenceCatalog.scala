@@ -38,14 +38,26 @@ object ReferenceCatalog {
     * microseconds (integer DIV — ns epoch values overflow double
     * precision). DuckDB's ns→µs cast truncates identically.
     *
-    * NOTE the session-level side effect: `nanosAsLong` stays set for the
-    * session (it must hold at execution time, so it cannot be scoped to
-    * this call). Any later read of ns-timestamp parquet in the same
-    * session gets longs; that is this engine's documented convention for
-    * ns sources. */
+    * No session-level side effect: `nanosAsLong` is needed only for
+    * eager, driver-side SCHEMA INFERENCE (the footer's ns type maps to
+    * LongType), so it is set and restored around that call alone. The
+    * returned lazy frame carries the inferred schema explicitly, and a
+    * scan with an explicit long schema needs no conf at execution time
+    * (NanosProbeSpec proves this). Later reads in the same session see
+    * whatever conf they started with. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val path = s"$dir/events.parquet"
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val schema =
+      try s.read.parquet(path).schema
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    s.read.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   // ---- shared synthetic semantics over lineitem ----
@@ -163,9 +175,13 @@ object ReferenceCatalog {
         |  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
       (s, dir) => {
+        // one plan, no driver round-trip: the scalar max is a 1-row
+        // aggregate broadcast against the scan (at 100× scale the old
+        // .head() was a separate collect job + a literal re-plan)
         val o = t(s, dir, "orders")
-        val maxD = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
-        o.filter(to_date(col("o_orderdate")) === lit(maxD))
+          .withColumn("o_d", to_date(col("o_orderdate")))
+        val maxD = o.agg(max(col("o_d")).as("max_d"))
+        o.join(broadcast(maxD), col("o_d") === col("max_d"))
           .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
       }),
 

@@ -41,26 +41,33 @@ object StreamIngest {
     * against the still-live previous table version (mergeWritePlain's
     * pointer flip is the commit point), so redelivery is idempotent.
     * This is the at-scale deployment shape; AvailableNow above is the
-    * same pipeline as a finite drain. */
+    * same pipeline as a finite drain.
+    *
+    * `retainVersions` sizes the reader window: superseded table versions
+    * survive `retainVersions - 1` merge cycles before GC, so a reader
+    * taking R seconds against an `interval` of C seconds needs
+    * retainVersions > R/C + 1 (default 2 = one cycle). */
   def ingestContinuous(spark: SparkSession, srcGlob: String,
                        schema: StructType, targetPath: String,
                        keys: Seq[String], checkpoint: String,
-                       interval: String = "1 second")
+                       interval: String = "1 second",
+                       retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     start(spark, srcGlob, schema, targetPath, keys, checkpoint,
-      Trigger.ProcessingTime(interval))
+      Trigger.ProcessingTime(interval), retainVersions)
 
   private def start(spark: SparkSession, srcGlob: String,
                     schema: StructType, targetPath: String,
                     keys: Seq[String], checkpoint: String,
-                    trigger: Trigger)
+                    trigger: Trigger, retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(srcGlob)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeUpsert.mergeWritePlain(batch.sparkSession, targetPath, batch, keys)
+        MergeUpsert.mergeWritePlain(batch.sparkSession, targetPath, batch,
+          keys, retainVersions)
       }
       .start()
 }

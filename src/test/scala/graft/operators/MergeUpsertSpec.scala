@@ -69,6 +69,26 @@ class MergeUpsertSpec extends SparkSpec {
     assert(versions == Seq("v-0000000100", "v-0000000101"))
   }
 
+  test("S7 mergeWritePlain: retainVersions widens the reader window") {
+    val dir = Files.createTempDirectory("graft-retain").toString + "/t"
+    def versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v-")).sorted.toSeq
+    for (i <- 1 to 4)
+      MergeUpsert.mergeWritePlain(spark, dir,
+        tbl(("2024-01-15", "CA", i)), Seq("date", "region_id"),
+        retainVersions = 3)
+    assert(versions ==
+      Seq("v-0000000002", "v-0000000003", "v-0000000004"),
+      "the newest retainVersions published versions survive GC")
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(4))
+    intercept[IllegalArgumentException] {
+      MergeUpsert.mergeWritePlain(spark, dir,
+        tbl(("2024-01-15", "CA", 9)), Seq("date", "region_id"),
+        retainVersions = 1)
+    }
+  }
+
   test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {
     val dir = Files.createTempDirectory("graft-flat").toString + "/t"
     tbl(("2024-01-15", "CA", 100), ("2024-01-15", "TX", 200))
