@@ -90,13 +90,8 @@ object Dedup {
     // output semi-joined to a filtered subset (signatures are per-doc,
     // so restriction commutes with computation).
     val withSig = sigs.getOrElse(minhashSignatures(df, idCol, textCol, numHashes))
-    val banded0 = withSig.select(col("doc_id_"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        md5(concat_ws(",",
-          lit(b) +: (0 until rowsPerBand).map(r =>
-            col("sig").getItem(b * rowsPerBand + r)): _*))
-      }: _*)).as("band_key"))
-    val banded = capBuckets(banded0, "band_key", maxBucket)
+    val banded = capBuckets(bandKeys(withSig, bands, rowsPerBand),
+      "band_key", maxBucket)
     val a = banded.as("a")
     val b = banded.as("b")
     // Match-count is computed BEFORE the pair dedup, so the
@@ -120,6 +115,19 @@ object Dedup {
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
+
+  /** Band keys for a signature table (doc_id_, sig): one row per
+    * (doc, band), key = md5 over the band's signature slice. Shared by
+    * [[minhashLsh]] and [[IncrementalDedup]] so from-scratch and
+    * incremental candidate generation bucket identically. */
+  private[operators] def bandKeys(withSig: DataFrame, bands: Int,
+                                  rowsPerBand: Int): DataFrame =
+    withSig.select(col("doc_id_"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws(",",
+          lit(b) +: (0 until rowsPerBand).map(r =>
+            col("sig").getItem(b * rowsPerBand + r)): _*))
+      }: _*)).as("band_key"))
 
   /** 32-bit SimHash per row (Column form — interpreted; fine for small
     * inputs and unit tests; bulk jobs use [[simhashTable]]). */
@@ -342,8 +350,8 @@ object Dedup {
     * are dropped — the standard recall-for-survival tradeoff; at the
     * test scale factors no bucket comes near the default cap, so
     * results (and oracles) are unchanged. */
-  private def capBuckets(banded: DataFrame, keyCol: String,
-                         maxBucket: Int): DataFrame = {
+  private[operators] def capBuckets(banded: DataFrame, keyCol: String,
+                                    maxBucket: Int): DataFrame = {
     if (maxBucket <= 0) return banded
     // groupBy + anti-join, not a window: a window over the banded rows
     // re-shuffles both self-join branches and blocks broadcast planning

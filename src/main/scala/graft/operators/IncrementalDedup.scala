@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup detection against a persisted signature store —
+  * the 100 TB deployment shape: a petabyte corpus is never
+  * re-deduplicated from scratch; each arriving batch computes its
+  * MinHash signatures ONCE, persists them, and generates candidate
+  * pairs batch-vs-corpus only. The expensive text-derived work
+  * (shingling + hashing, the only stage that touches document bytes)
+  * is O(batch); the corpus side re-reads nothing but its slim
+  * (doc_id, sig) signature table.
+  *
+  * Store layout: a [[MergeUpsert.mergeWritePlain]]-versioned parquet
+  * table keyed on doc_id_ — idempotent re-appends (the reference
+  * pipeline's re-ingest model: ingest_capacity.py:179-193 re-ingests
+  * files idempotently via keyed upsert, extended here to the curation
+  * surface), atomic version publish, retention window for readers.
+  *
+  * Completeness invariant (oracle x38): the union of candidate pairs
+  * emitted across appends equals a from-scratch [[Dedup.minhashLsh]]
+  * run on the union corpus. Induction: a pair's emission time is the
+  * append of its later-arriving member — appendBatch emits exactly the
+  * pairs with ≥1 member in the batch, and earlier appends emitted the
+  * rest. The `maxBucket` valve is evaluated against the union-so-far
+  * at each emission: a bucket that grows past the cap LATER stops
+  * producing new pairs from that point on, but pairs already emitted
+  * stand (a from-scratch run would drop the whole bucket) — at default
+  * caps no test-scale bucket comes near the valve, so the invariant is
+  * exact there. A re-appended doc overwrites its store row (signatures
+  * are deterministic, so the store is unchanged) and its pairs are
+  * RE-emitted — consumers keyed on (id_a, id_b) absorb this, the same
+  * idempotence contract as the merge sink.
+  */
+object IncrementalDedup {
+
+  /** Merge the batch's MinHash signatures into the store, then emit
+    * candidate pairs involving the batch (batch×corpus ∪ batch×batch).
+    * One pass over the batch text; the candidate plan reads signatures
+    * back from the just-published immutable store version (pinned by
+    * path, so later appends don't shift it under a lazy consumer —
+    * consume within `retainVersions - 1` further appends).
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def appendBatch(spark: SparkSession, storePath: String, batch: DataFrame,
+                  idCol: String, textCol: String,
+                  bands: Int = 8, rowsPerBand: Int = 4,
+                  minEstJaccard: Double = 0.0, maxBucket: Int = 10000,
+                  retainVersions: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    MergeUpsert.mergeWritePlain(spark, storePath,
+      Dedup.minhashSignatures(batch, idCol, textCol, numHashes),
+      Seq("doc_id_"), retainVersions)
+    val live = MergeUpsert.currentPlainVersion(spark, storePath).getOrElse(
+      throw new IllegalStateException(
+        s"signature store $storePath has no live version after merge"))
+    // id-column-only scan of the batch (parquet reads one column) to
+    // flag which store rows are new this append
+    val batchIds = batch.select(col(idCol).as("doc_id_")).distinct()
+    candidatesVsCorpus(spark.read.parquet(s"$storePath/$live"), batchIds,
+      bands, rowsPerBand, minEstJaccard, maxBucket)
+  }
+
+  /** The store's live signature table (doc_id_, sig). */
+  def signatures(spark: SparkSession, storePath: String): DataFrame =
+    MergeUpsert.readPlain(spark, storePath)
+
+  /** Candidate pairs over `storeSigs` with at least one member in
+    * `batchIds`, bucketed exactly like [[Dedup.minhashLsh]] over the
+    * whole store (same band keys, same union-wide bucket cap — corpus
+    * band rows derive from the slim signature table, never corpus
+    * text — same est_jaccard arithmetic). Corpus-internal pairs are
+    * NOT regenerated — that is the point. */
+  def candidatesVsCorpus(storeSigs: DataFrame, batchIds: DataFrame,
+                         bands: Int, rowsPerBand: Int,
+                         minEstJaccard: Double, maxBucket: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val banded = Dedup
+      .capBuckets(Dedup.bandKeys(storeSigs, bands, rowsPerBand),
+        "band_key", maxBucket)
+      .join(batchIds.select("doc_id_").withColumn("is_new", lit(true)),
+        Seq("doc_id_"), "left")
+      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+    val eqCount = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.ArrayEqCount(
+        org.apache.spark.sql.graft.bridge.expression(col("a.sig")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.sig"))))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id_") < col("b.doc_id_") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        eqCount.as("n_match"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_match").cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+}

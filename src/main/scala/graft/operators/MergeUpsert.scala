@@ -88,9 +88,6 @@ object MergeUpsert {
     * prefer `mergeWrite` (partition-pruned rewrite). */
   def mergeWritePlain(spark: SparkSession, path: String, updates: DataFrame,
                       keys: Seq[String], retainVersions: Int = 2): Unit = {
-    require(retainVersions >= 2,
-      s"retainVersions must keep at least the live version plus one " +
-        s"superseded version for in-flight readers, got $retainVersions")
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val cur = currentPlainVersion(spark, path)
@@ -102,9 +99,29 @@ object MergeUpsert {
       case Some(existing) => merge(existing, updates, keys)
       case None => updates.dropDuplicates(keys)
     }
+    publishPlain(spark, path, merged, retainVersions)
+  }
+
+  /** Atomic full-table publish: write `df` as a new immutable version
+    * and flip the `_CURRENT` pointer — the whole-table-replace analogue
+    * of [[mergeWritePlain]] (no key merge; the previous contents are
+    * superseded entirely). For derived tables whose row set can SHRINK
+    * between publishes — e.g. a curated corpus where a newly arrived
+    * document displaces a previously kept near-duplicate — which a
+    * keyed upsert cannot express (upserts never delete). Readers keep
+    * the same [[readPlain]] protocol and retention window. */
+  def publishPlain(spark: SparkSession, path: String, df: DataFrame,
+                   retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 2,
+      s"retainVersions must keep at least the live version plus one " +
+        s"superseded version for in-flight readers, got $retainVersions")
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cur = currentPlainVersion(spark, path)
+    val legacyFlat = cur.isEmpty && hasFlatParquet(fs, p)
     val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
     val vname = f"v-$nextN%010d"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
     // publish: write the pointer beside the table, then one atomic
     // rename. rename-over works on POSIX; filesystems that refuse to
     // clobber get delete+rename of the POINTER FILE only (a lost

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Contamination, Dedup, Multimodal,
-  RangeJoin, Salting, Sampling, Similarity, Sketches, TfIdf}
-import graft.streaming.StreamIngest
+import graft.operators.{Chunking, Contamination, Dedup, IncrementalDedup,
+  Multimodal, RangeJoin, Salting, Sampling, Similarity, Sketches, TfIdf}
+import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
   * oracle-checked queries over `documents` / `embeddings` / `events`.
@@ -306,6 +306,43 @@ object ExtensionCatalog {
        |      i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0
        |      AS est_jaccard
        |  FROM pairs)""".stripMargin
+  }
+
+  /** The full curation-funnel replay (quality → langid → near-dup
+    * closure → keepers → stratified sample → quantize scale), shared by
+    * x31 (batch composition) and x39 (incremental streaming
+    * composition — the same fixpoint by the x38 completeness
+    * invariant). */
+  private def curationFunnelSql: String = {
+    val (hitCols, best, cases) = langIdSqlPieces
+    s"""WITH RECURSIVE qdocs AS (
+       |  SELECT doc_id, text, lang_pred FROM (
+       |    SELECT doc_id, text,
+       |      $qualityFormulaSql AS quality,
+       |      CASE $cases ELSE 'und' END AS lang_pred
+       |    FROM (SELECT *, $best AS best FROM (
+       |      SELECT doc_id, text,
+       |        $qualityStatsSql,
+       |        $hitCols
+       |      FROM documents)))
+       |  WHERE quality >= 0.3),
+       |${minhashPairsSql("qdocs")},
+       |${neardupClosureSql("qdocs")},
+       |$keepersSql,
+       |sampled AS (
+       |  SELECT q.doc_id, q.lang_pred
+       |  FROM qdocs q JOIN keepers USING (doc_id)
+       |  WHERE ${h60Sql("('sample:' || CAST(doc_id AS VARCHAR))", 10000L)} <
+       |    CASE WHEN lang_pred = 'en' THEN 8000 ELSE 5000 END),
+       |qscale AS (
+       |  SELECT vec_id AS doc_id,
+       |    floor(list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 * 1000000.0 + 0.5)
+       |      / 1000000.0 AS scale_r
+       |  FROM embeddings)
+       |SELECT s.doc_id, s.lang_pred, qs.scale_r
+       |FROM sampled s LEFT JOIN qscale qs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -936,38 +973,7 @@ object ExtensionCatalog {
     //      (x03/x04/x27/x28/x26); this proves the COMPOSITION — filter
     //      interactions, predicted-vs-labeled lang, dedup over the
     //      quality-filtered subset — agrees across engines. ----
-    Q("x31_curation_funnel", {
-      val (hitCols, best, cases) = langIdSqlPieces
-      Some(
-        s"""WITH RECURSIVE qdocs AS (
-           |  SELECT doc_id, text, lang_pred FROM (
-           |    SELECT doc_id, text,
-           |      $qualityFormulaSql AS quality,
-           |      CASE $cases ELSE 'und' END AS lang_pred
-           |    FROM (SELECT *, $best AS best FROM (
-           |      SELECT doc_id, text,
-           |        $qualityStatsSql,
-           |        $hitCols
-           |      FROM documents)))
-           |  WHERE quality >= 0.3),
-           |${minhashPairsSql("qdocs")},
-           |${neardupClosureSql("qdocs")},
-           |$keepersSql,
-           |sampled AS (
-           |  SELECT q.doc_id, q.lang_pred
-           |  FROM qdocs q JOIN keepers USING (doc_id)
-           |  WHERE ${h60Sql("('sample:' || CAST(doc_id AS VARCHAR))", 10000L)} <
-           |    CASE WHEN lang_pred = 'en' THEN 8000 ELSE 5000 END),
-           |qscale AS (
-           |  SELECT vec_id AS doc_id,
-           |    floor(list_max(list_transform(embedding,
-           |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 * 1000000.0 + 0.5)
-           |      / 1000000.0 AS scale_r
-           |  FROM embeddings)
-           |SELECT s.doc_id, s.lang_pred, qs.scale_r
-           |FROM sampled s LEFT JOIN qscale qs USING (doc_id)
-           |ORDER BY doc_id""".stripMargin)
-    },
+    Q("x31_curation_funnel", Some(curationFunnelSql),
       (s, dir) => {
         // the same stage composition CurationJob.run performs (fixed
         // params; the job adds observe counters and the parquet write).
@@ -1192,6 +1198,60 @@ object ExtensionCatalog {
               (col("est_a") + col("est_b") - col("est_union")) / col("est_union"),
               4).as("est_jaccard"))
           .orderBy("lang_a", "lang_b")
+      }),
+
+    // ---- incremental dedup against a persisted signature store: the
+    //      corpus arrives in three batches, each appending its minhash
+    //      signatures and emitting candidates batch-vs-corpus only;
+    //      the union of emissions must equal a from-scratch LSH run on
+    //      the whole corpus (the oracle replays exactly that — the x06
+    //      pipeline). The 100 TB shape: re-ingest never re-shingles
+    //      the corpus, it joins the new batch against the slim
+    //      signature table. ----
+    Q("x38_incremental_lsh", Some(
+      s"""WITH ${minhashPairsSql()}
+         |SELECT id_a, id_b, est_jaccard FROM cand
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-incdedup").toString + "/sigs"
+        (0 until 3).map { k =>
+          // localCheckpoint: each emission is materialized before the
+          // next append supersedes the store version it reads
+          IncrementalDedup.appendBatch(s, store,
+            docs.filter(col("doc_id") % 3 === k), "doc_id", "text")
+            .localCheckpoint()
+        }.reduce(_ unionByName _)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- incremental STREAMING curation: the corpus arrives in three
+    //      batches through StreamCuration.curateBatch (the exact code
+    //      the foreachBatch stream runs — the file-source/checkpoint
+    //      machinery itself is oracled by x11 and proven by
+    //      StreamCurationSpec's restart test); the final curated table
+    //      must equal the batch funnel's fixpoint, so the oracle is
+    //      x31's from-scratch SQL replay, verbatim. ----
+    Q("x39_stream_curation", Some(curationFunnelSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-scur").toString + "/cur"
+        // mirror StreamCuration.start's one-time embedding quantization
+        graft.operators.MergeUpsert.publishPlain(s, s"$work/emb_q",
+          Similarity.quantizeInt8(
+              t(s, dir, "embeddings"), "vec_id", "embedding")
+            .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
+        (0 until 3).foreach { k =>
+          StreamCuration.curateBatch(s, docs.filter(col("doc_id") % 3 === k),
+            work, minQuality = 0.3, rates = Map("en" -> 0.8),
+            defaultRate = 0.5)
+        }
+        StreamCuration.readCurated(s, work)
+          .select(col("doc_id"), col("lang_pred"),
+            TextFunctions.portableRound(col("scale"), 6).as("scale_r"))
+          .orderBy("doc_id")
       })
   )
 }

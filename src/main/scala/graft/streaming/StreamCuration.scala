@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similarity}
+
+/** Event-triggered CURATION — the reference's S3 → Lambda → ETL shape
+  * (aws/lambda_handler.py:7-52) applied to the training-data surface:
+  * document files arrive, and each micro-batch incrementally extends
+  * the curated corpus instead of re-running the batch CurationJob from
+  * scratch.
+  *
+  * Per micro-batch (foreachBatch):
+  *   1. quality gate + language ID — codegen'd scan of the NEW docs only;
+  *   2. docs-store merge (keyed upsert; idempotent under redelivery);
+  *   3. [[IncrementalDedup.appendBatch]] — minhash vs the signature
+  *      store, candidates batch-vs-corpus only;
+  *   4. exact n-gram verify of those candidates, text served by the
+  *      docs store (the join prunes to the candidates' ids);
+  *   5. verified-pairs merge (keyed on the pair);
+  *   6. republish curated: cluster resolution over ACCUMULATED pairs →
+  *      keepers → stratified sample → pre-quantized embeddings joined →
+  *      [[MergeUpsert.publishPlain]] (atomic version flip — the row set
+  *      can shrink when an arriving doc displaces a kept near-dup, so
+  *      this is a publish, not an upsert).
+  *
+  * Convergence: steps 1–5 accumulate exactly the quality-filtered docs
+  * and verified pairs a batch CurationJob run over the union corpus
+  * would compute (the x38 invariant for candidates; the verify filter
+  * is per-pair so it commutes with accumulation). Step 6's cluster
+  * resolution, sampling and embedding join are deterministic functions
+  * of that state — so after any prefix of batches, the curated table
+  * EQUALS the batch pipeline's output on the documents seen so far,
+  * and a checkpoint restart resumes mid-stream to the same fixpoint
+  * (StreamCurationSpec proves both).
+  *
+  * Scale notes: per-batch text work is O(batch) (the whole point);
+  * cluster resolution re-runs over the accumulated pair set but pairs
+  * are SPARSE (verified near-dups) and label propagation touches ids,
+  * not text. The curated republish rewrites the output table each
+  * batch — at production cadence, publish every N merges instead
+  * (retention already decouples readers from cadence); the stores
+  * themselves never rewrite history. Embeddings are int8-quantized
+  * ONCE at stream start, not per batch. */
+object StreamCuration {
+
+  /** Paths inside a curation work dir. */
+  def docsPath(work: String) = s"$work/docs"
+  def sigsPath(work: String) = s"$work/sigs"
+  def pairsPath(work: String) = s"$work/pairs"
+  def curatedPath(work: String) = s"$work/curated"
+  private def embPath(work: String) = s"$work/emb_q"
+
+  /** Drain all currently-available document files, curating
+    * incrementally; blocking. */
+  def curateAvailableNow(spark: SparkSession, srcGlob: String,
+                         schema: StructType, workDir: String,
+                         embeddingsPath: String, checkpoint: String,
+                         minQuality: Double = 0.3,
+                         rates: Map[String, Double] = Map("en" -> 0.8),
+                         defaultRate: Double = 0.5): Unit =
+    start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
+      minQuality, rates, defaultRate, Trigger.AvailableNow())
+      .awaitTermination()
+
+  /** Continuous curation on a ProcessingTime cadence; non-blocking. */
+  def curateContinuous(spark: SparkSession, srcGlob: String,
+                       schema: StructType, workDir: String,
+                       embeddingsPath: String, checkpoint: String,
+                       minQuality: Double = 0.3,
+                       rates: Map[String, Double] = Map("en" -> 0.8),
+                       defaultRate: Double = 0.5,
+                       interval: String = "1 second")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
+      minQuality, rates, defaultRate, Trigger.ProcessingTime(interval))
+
+  /** The live curated corpus (readers see atomic version flips). */
+  def readCurated(spark: SparkSession, workDir: String): DataFrame =
+    MergeUpsert.readPlain(spark, curatedPath(workDir))
+
+  private def start(spark: SparkSession, srcGlob: String,
+                    schema: StructType, workDir: String,
+                    embeddingsPath: String, checkpoint: String,
+                    minQuality: Double, rates: Map[String, Double],
+                    defaultRate: Double, trigger: Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // quantize embeddings once per stream start (idempotent republish —
+    // deterministic output, and a restart mid-write is healed by the
+    // version protocol)
+    MergeUpsert.publishPlain(spark, embPath(workDir),
+      Similarity.quantizeInt8(
+          spark.read.parquet(embeddingsPath), "vec_id", "embedding")
+        .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
+    spark.readStream.schema(schema).parquet(srcGlob)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch.sparkSession, batch, workDir, minQuality,
+          rates, defaultRate)
+      }
+      .start()
+  }
+
+  /** One incremental curation step — also the backfill entry point
+    * (batch callers can feed historical chunks through the same code
+    * the stream runs). */
+  def curateBatch(spark: SparkSession, batch: DataFrame, workDir: String,
+                  minQuality: Double, rates: Map[String, Double],
+                  defaultRate: Double): Unit = {
+    val scored = batch
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("quality") >= minQuality)
+    // docs store first: the verify join needs BOTH pair sides' text,
+    // and a candidate's corpus-side doc lives only here
+    MergeUpsert.mergeWritePlain(spark, docsPath(workDir), scored,
+      Seq("doc_id"))
+    val cands = IncrementalDedup.appendBatch(spark, sigsPath(workDir),
+      scored, "doc_id", "text", minEstJaccard = 0.25)
+    val allDocs = MergeUpsert.readPlain(spark, docsPath(workDir))
+    val verified = Dedup.verifyCandidates(allDocs, "doc_id", "text",
+      cands, minJaccard = 0.4)
+    MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
+      Seq("id_a", "id_b"))
+    // republish curated from accumulated state (ids + sparse pairs —
+    // no text re-scan beyond the output write itself)
+    val pairs = MergeUpsert.readPlain(spark, pairsPath(workDir))
+    val keepers = Dedup.resolveClusters(allDocs, "doc_id", pairs)
+      .filter(col("keep")).select("doc_id")
+    val sampled = Sampling.stratifiedSample(
+      allDocs.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
+      rates, defaultRate)
+    val curated = sampled.join(
+      MergeUpsert.readPlain(spark, embPath(workDir)), Seq("doc_id"), "left")
+    MergeUpsert.publishPlain(spark, curatedPath(workDir), curated)
+  }
+}

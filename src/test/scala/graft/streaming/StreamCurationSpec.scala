@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.CurationJob
+import org.apache.spark.sql.functions._
+
+class StreamCurationSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (doc_id, quality, lang_pred, has_embedding) fingerprint of a
+    * curated table — the full row identity the convergence claim is
+    * about. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), col("quality"), col("lang_pred"),
+        col("codes").isNotNull.as("has_emb"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        r.getBoolean(3))).toSet
+
+  /** Batch-pipeline output over `docsPath` with the spec's parameters. */
+  private def batchCurated(docsPath: String): org.apache.spark.sql.DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-scb").toString
+    CurationJob.run(spark, docsPath, s"$sfDir/embeddings.parquet",
+      s"$out/curated", minQuality = 0.3,
+      rates = Map("en" -> 0.8), defaultRate = 0.5)
+    spark.read.parquet(s"$out/curated")
+  }
+
+  private def arrive(work: String, df: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+    val stage = s"$work/stage-$name"
+    df.coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$work/in/$name"))
+  }
+
+  test("incremental curation converges to the batch pipeline, including " +
+    "across a checkpoint restart mid-stream") {
+    val work = java.nio.file.Files.createTempDirectory("graft-scur").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val schema = docs.schema
+
+    // batch 1 arrives; first drain
+    arrive(work, docs.filter(col("doc_id") % 3 === 0), "f1.parquet")
+    StreamCuration.curateAvailableNow(spark, s"$work/in", schema,
+      s"$work/cur", s"$sfDir/embeddings.parquet", s"$work/cp")
+    // mid-stream convergence: curated == batch pipeline on batch 1 alone
+    val b1Path = s"$work/b1docs"
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(b1Path)
+    assert(fingerprint(StreamCuration.readCurated(spark, s"$work/cur")) ==
+      fingerprint(batchCurated(b1Path)),
+      "after one batch, curated must equal the batch run on that prefix")
+
+    // the stream is DOWN (AvailableNow terminated = the restart gap);
+    // two more batches arrive, then a drain from the SAME checkpoint
+    arrive(work, docs.filter(col("doc_id") % 3 === 1), "f2.parquet")
+    arrive(work, docs.filter(col("doc_id") % 3 === 2), "f3.parquet")
+    StreamCuration.curateAvailableNow(spark, s"$work/in", schema,
+      s"$work/cur", s"$sfDir/embeddings.parquet", s"$work/cp")
+
+    val streamed = StreamCuration.readCurated(spark, s"$work/cur")
+    val batch = batchCurated(s"$sfDir/documents.parquet")
+    assert(fingerprint(streamed) == fingerprint(batch),
+      "after the full stream, curated must equal the from-scratch batch run")
+    assert(streamed.count() > 0)
+    // docs store accumulated exactly the quality survivors; the restart
+    // did not double-merge batch 1 (doc_id is the upsert key, and the
+    // signature store holds one row per shingled survivor)
+    val nDocs = graft.operators.MergeUpsert
+      .readPlain(spark, StreamCuration.docsPath(s"$work/cur")).count()
+    val nSurvivors = docs
+      .filter(graft.functions.TextFunctions
+        .qualityScore(col("text")) >= 0.3).count()
+    assert(nDocs == nSurvivors)
+  }
+}
