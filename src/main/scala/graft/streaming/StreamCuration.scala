@@ -37,6 +37,13 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * and a checkpoint restart resumes mid-stream to the same fixpoint
   * (StreamCurationSpec proves both).
   *
+  * Contract: doc_id is content-stable — redelivery means the same
+  * bytes (the at-least-once file-source model; every store here is
+  * idempotent under it). A MUTATED document under a reused id would
+  * overwrite its doc/signature rows but leave previously verified
+  * pairs computed from the old text standing; corrections need a new
+  * doc_id (append-only corpus semantics, the norm for training data).
+  *
   * Scale notes: per-batch text work is O(batch) (the whole point);
   * cluster resolution re-runs over the accumulated pair set but pairs
   * are SPARSE (verified near-dups) and label propagation touches ids,

@@ -49,6 +49,38 @@ object ScaleStress {
       docs.select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
       "lang", col("t"), 64, 1099511627776L).count())
 
+    // ---- r3 additions (x32–x38) ----
+    import graft.functions.QualityRules
+    import graft.operators.{Chunking, Contamination, IncrementalDedup, Sketches, TfIdf}
+    time("gopher rules")(docs
+      .select(col("doc_id"), QualityRules.tokenStats(col("text")).as("st"))
+      .filter(QualityRules.gopherKeep(col("st"))).count())
+    time("contamination flag")(Contamination.flag(docs, "doc_id", "text",
+      docs0.filter(col("doc_id") % 50 === 0), "text").count())
+    time("token chunking w128 s96")(Chunking.tokenWindows(
+      docs, "doc_id", "text", window = 128, stride = 96).count())
+    time("tfidf top-3")(TfIdf.topTerms(docs, "doc_id", "text", k = 3).count())
+    time("mix rebalance")(graft.operators.Sampling.rebalanceMix(
+      docs, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.3)).count())
+    time("kmv pairwise overlap")({
+      val toks = docs.select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      val sk = Sketches.kmvSketch(toks, "lang", col("t"), 64, 1099511627776L)
+        .select(col("lang"), col("sketch"))
+      sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+        .select(Sketches.kmvUnionEstimate(col("a.sketch"), col("b.sketch"),
+          64, 1099511627776L).as("u")).count()
+    })
+    time("incremental dedup 2 appends")({
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-stress-inc").toString + "/sigs"
+      val n1 = IncrementalDedup.appendBatch(spark, store,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").count()
+      val n2 = IncrementalDedup.appendBatch(spark, store,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").count()
+      n1 + n2
+    })
+
     // reference-parity path at scale: replicate lineitem/orders
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
     val o0 = spark.read.parquet(s"$dir/orders.parquet")
