@@ -79,18 +79,25 @@ object IncrementalDedup {
     val banded = Dedup
       .capBuckets(Dedup.bandKeys(storeSigs, bands, rowsPerBand),
         "band_key", maxBucket)
-      .join(batchIds.select("doc_id_").withColumn("is_new", lit(true)),
-        Seq("doc_id_"), "left")
-      .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+    // the probe side is the BATCH's banded rows only (a semi-join on
+    // the batch ids): per-bucket join work is new_k × bucket_k, not
+    // bucket_k² — an all×all self-join with a residual "one side is
+    // new" predicate would re-enumerate every corpus-internal
+    // same-bucket pair on every append just to discard it
+    val newSide = banded
+      .join(batchIds.select("doc_id_"), Seq("doc_id_"), "left_semi")
     val eqCount = org.apache.spark.sql.graft.bridge.column(
       graft.plans.ArrayEqCount(
         org.apache.spark.sql.graft.bridge.expression(col("a.sig")),
         org.apache.spark.sql.graft.bridge.expression(col("b.sig"))))
-    banded.as("a").join(banded.as("b"),
+    // batch-internal pairs match in both orders; least/greatest
+    // canonicalization + the pair dedup collapse them (n_match is
+    // symmetric, so both orders carry identical rows)
+    newSide.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id_") < col("b.doc_id_") &&
-          (col("a.is_new") || col("b.is_new")))
-      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+          col("a.doc_id_") =!= col("b.doc_id_"))
+      .select(least(col("a.doc_id_"), col("b.doc_id_")).as("id_a"),
+        greatest(col("a.doc_id_"), col("b.doc_id_")).as("id_b"),
         eqCount.as("n_match"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),

@@ -99,7 +99,7 @@ object MergeUpsert {
       case Some(existing) => merge(existing, updates, keys)
       case None => updates.dropDuplicates(keys)
     }
-    publishPlain(spark, path, merged, retainVersions)
+    publishVersion(spark, path, merged, retainVersions, cur, legacyFlat)
   }
 
   /** Atomic full-table publish: write `df` as a new immutable version
@@ -112,13 +112,25 @@ object MergeUpsert {
     * the same [[readPlain]] protocol and retention window. */
   def publishPlain(spark: SparkSession, path: String, df: DataFrame,
                    retainVersions: Int = 2): Unit = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cur = currentPlainVersion(spark, path)
+    publishVersion(spark, path, df, retainVersions, cur,
+      cur.isEmpty && hasFlatParquet(fs, p))
+  }
+
+  /** Shared publish core: version write, pointer flip, GC. `cur` and
+    * `legacyFlat` are the caller's already-resolved filesystem state
+    * (one pointer read + listing per publish, not two). */
+  private def publishVersion(spark: SparkSession, path: String,
+                             df: DataFrame, retainVersions: Int,
+                             cur: Option[String],
+                             legacyFlat: Boolean): Unit = {
     require(retainVersions >= 2,
       s"retainVersions must keep at least the live version plus one " +
         s"superseded version for in-flight readers, got $retainVersions")
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    val cur = currentPlainVersion(spark, path)
-    val legacyFlat = cur.isEmpty && hasFlatParquet(fs, p)
     val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
     val vname = f"v-$nextN%010d"
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
@@ -146,17 +158,18 @@ object MergeUpsert {
     // publishes every second). Size retainVersions to the slowest
     // expected reader: a reader taking R seconds against a merge
     // cadence of C seconds needs retainVersions > R/C + 1.
-    // Orphan detection: published numbers are strictly increasing, so
-    // a dir numbered ABOVE the version that was current when this merge
-    // began was never published (a crashed writer's complete-but-
-    // unpublished write — it may even carry _SUCCESS); below it, an
-    // uncommitted dir is a writer that died mid-write.
-    def committedDir(v: String): Boolean = fs.exists(
-      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
-        "_SUCCESS"))
+    // Orphan detection is purely NUMERIC: published numbers are
+    // strictly increasing, so a dir numbered ABOVE the version that was
+    // current when this publish began was never published (a crashed
+    // writer's write, half-done or complete — either way unpointed),
+    // and a dir at-or-below it is published lineage (it was _CURRENT
+    // once). Deliberately NOT keyed on _SUCCESS: committers configured
+    // with marksuccessfuljobs=false (common on object stores) write no
+    // markers, and a marker-based rule would misclassify every live
+    // lineage version as an orphan and delete the reader window.
     val curN = cur.map(versionNumber).getOrElse(-1L)
     val (orphans, lineage) = versionDirs(fs, p).filter(_ != vname)
-      .partition(v => !committedDir(v) || versionNumber(v) > curN)
+      .partition(v => versionNumber(v) > curN)
     val keep = lineage.sortBy(versionNumber).takeRight(retainVersions - 1).toSet
     (orphans ++ lineage.filterNot(keep))
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))

@@ -1238,11 +1238,10 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val work = java.nio.file.Files
           .createTempDirectory("graft-scur").toString + "/cur"
-        // mirror StreamCuration.start's one-time embedding quantization
-        graft.operators.MergeUpsert.publishPlain(s, s"$work/emb_q",
-          Similarity.quantizeInt8(
-              t(s, dir, "embeddings"), "vec_id", "embedding")
-            .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
+        // the same one-time embedding quantization the stream's start()
+        // performs (shared helper — same layout by construction)
+        StreamCuration.publishQuantizedEmbeddings(s, work,
+          s"$dir/embeddings.parquet")
         (0 until 3).foreach { k =>
           StreamCuration.curateBatch(s, docs.filter(col("doc_id") % 3 === k),
             work, minQuality = 0.3, rates = Map("en" -> 0.8),

@@ -95,13 +95,7 @@ object StreamCuration {
                     minQuality: Double, rates: Map[String, Double],
                     defaultRate: Double, trigger: Trigger)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // quantize embeddings once per stream start (idempotent republish —
-    // deterministic output, and a restart mid-write is healed by the
-    // version protocol)
-    MergeUpsert.publishPlain(spark, embPath(workDir),
-      Similarity.quantizeInt8(
-          spark.read.parquet(embeddingsPath), "vec_id", "embedding")
-        .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
+    publishQuantizedEmbeddings(spark, workDir, embeddingsPath)
     spark.readStream.schema(schema).parquet(srcGlob)
       .writeStream
       .trigger(trigger)
@@ -113,24 +107,50 @@ object StreamCuration {
       .start()
   }
 
+  /** Quantize the embedding table once into the work dir (idempotent
+    * republish — deterministic output, and a restart mid-write is
+    * healed by the version protocol). Called by [[start]]; exposed so
+    * batch/catalog callers preparing a work dir for [[curateBatch]]
+    * share the exact layout instead of duplicating it. */
+  def publishQuantizedEmbeddings(spark: SparkSession, workDir: String,
+                                 embeddingsPath: String): Unit =
+    MergeUpsert.publishPlain(spark, embPath(workDir),
+      Similarity.quantizeInt8(
+          spark.read.parquet(embeddingsPath), "vec_id", "embedding")
+        .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
+
   /** One incremental curation step — also the backfill entry point
     * (batch callers can feed historical chunks through the same code
     * the stream runs). */
   def curateBatch(spark: SparkSession, batch: DataFrame, workDir: String,
                   minQuality: Double, rates: Map[String, Double],
                   defaultRate: Double): Unit = {
+    // localCheckpoint (eager): scored feeds the docs-store merge AND
+    // the signature append — without it each action re-reads and
+    // re-scores the batch text
     val scored = batch
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .filter(col("quality") >= minQuality)
+      .localCheckpoint()
     // docs store first: the verify join needs BOTH pair sides' text,
     // and a candidate's corpus-side doc lives only here
     MergeUpsert.mergeWritePlain(spark, docsPath(workDir), scored,
       Seq("doc_id"))
+    // candidates materialized (they are consumed twice below, and the
+    // documented appendBatch contract wants them consumed before the
+    // store version window moves anyway)
     val cands = IncrementalDedup.appendBatch(spark, sigsPath(workDir),
       scored, "doc_id", "text", minEstJaccard = 0.25)
+      .localCheckpoint()
     val allDocs = MergeUpsert.readPlain(spark, docsPath(workDir))
-    val verified = Dedup.verifyCandidates(allDocs, "doc_id", "text",
+    // verify touches only the docs the candidates involve — O(batch
+    // candidates), NOT a per-batch n-gram pass over the whole corpus
+    val involved = allDocs.join(
+      cands.select(col("id_a").as("doc_id"))
+        .unionByName(cands.select(col("id_b").as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_semi")
+    val verified = Dedup.verifyCandidates(involved, "doc_id", "text",
       cands, minJaccard = 0.4)
     MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
       Seq("id_a", "id_b"))

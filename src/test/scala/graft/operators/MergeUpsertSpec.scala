@@ -89,6 +89,26 @@ class MergeUpsertSpec extends SparkSpec {
     }
   }
 
+  test("S7 mergeWritePlain: reader window survives committers that " +
+    "write no _SUCCESS markers") {
+    val dir = Files.createTempDirectory("graft-nosucc").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 1)), Seq("date", "region_id"))
+    // simulate mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+    // (standard on object-store committers): no version carries a marker
+    new java.io.File(s"$dir/v-0000000001/_SUCCESS").delete()
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 2)), Seq("date", "region_id"))
+    val versions = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v-")).sorted.toSeq
+    assert(versions == Seq("v-0000000001", "v-0000000002"),
+      "the superseded live version must be retained for in-flight " +
+        "readers even without a _SUCCESS marker (orphan detection is " +
+        "numeric, not marker-based)")
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {
     val dir = Files.createTempDirectory("graft-flat").toString + "/t"
     tbl(("2024-01-15", "CA", 100), ("2024-01-15", "TX", 200))
