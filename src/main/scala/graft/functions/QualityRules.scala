@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gopher/C4-style heuristic corpus filters — the rule family large
@@ -42,4 +42,43 @@ object QualityRules {
       stats.getField("mean_tok_len").between(minMeanLen, maxMeanLen) &&
       (stats.getField("max_freq_ratio") <= maxRepetition) &&
       (stats.getField("alpha_ratio") >= minAlpha)
+
+  /** WITHIN-document repetition statistics over LINES — the other half
+    * of Gopher's repetition family (Rae et al. 2021 §A1.1 measures
+    * duplicate line fraction and duplicate line CHARACTER fraction;
+    * thresholds 0.30 / 0.20): scraped pages repeat nav bars, cookie
+    * banners and boilerplate paragraphs that token-level stats miss.
+    *
+    * Returns (doc_id, n_lines, dup_line_frac, dup_char_frac, keep).
+    * A line is a duplicate if an identical line occurred earlier in
+    * the SAME document; fractions are occurrence-weighted (a line
+    * appearing c times contributes c−1 duplicates), portable-rounded
+    * to 4 so thresholding agrees bit-for-bit with the DuckDB oracle.
+    *
+    * Shape that scales: explode to (doc, line) rows → two codegen'd
+    * hash aggregations (per-line counts with map-side partial agg,
+    * then per-doc ratios) — flat, partitionable, spillable; every
+    * arithmetic step stays integer until the final division. */
+  def lineRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+                          maxDupLineFrac: Double = 0.3,
+                          maxDupCharFrac: Double = 0.2): DataFrame = {
+    val totChars = sum(col("c") * col("len"))
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n", -1)).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("line")))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_lines"),
+        TextFunctions.portableRound(
+          sum(col("c") - 1).cast("double") / sum(col("c")), 4)
+          .as("dup_line_frac"),
+        when(totChars === 0, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            sum((col("c") - 1) * col("len")).cast("double") / totChars, 4))
+          .as("dup_char_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_char_frac") <= maxDupCharFrac)
+  }
 }

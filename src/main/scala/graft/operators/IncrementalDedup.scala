@@ -66,6 +66,32 @@ object IncrementalDedup {
   def signatures(spark: SparkSession, storePath: String): DataFrame =
     MergeUpsert.readPlain(spark, storePath)
 
+  /** Incremental EXACT dedup: upsert the batch's (doc_id_, text_hash)
+    * rows into a keyed store, then derive the exact-dup report. The
+    * store is doc-keyed, NOT hash-aggregated, deliberately: an
+    * aggregated (hash → min_id, count) store would double-count a
+    * redelivered batch, while the keyed upsert is idempotent under the
+    * same at-least-once contract as [[appendBatch]]. Per-append text
+    * work is one md5 pass over the batch; the report aggregation runs
+    * over slim (id, hash) rows — never document text. */
+  def appendExact(spark: SparkSession, storePath: String, batch: DataFrame,
+                  idCol: String, textCol: String,
+                  retainVersions: Int = 2): DataFrame = {
+    MergeUpsert.mergeWritePlain(spark, storePath,
+      batch.select(col(idCol).as("doc_id_"),
+        md5(col(textCol)).as("text_hash")),
+      Seq("doc_id_"), retainVersions)
+    exactReport(spark, storePath)
+  }
+
+  /** The exact-dup report over the accumulated store: one row per
+    * distinct text (keep_id = smallest doc id carrying it) — equals
+    * [[Dedup.exact]] on the union corpus by construction. */
+  def exactReport(spark: SparkSession, storePath: String): DataFrame =
+    MergeUpsert.readPlain(spark, storePath)
+      .groupBy("text_hash")
+      .agg(min("doc_id_").as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Candidate pairs over `storeSigs` with at least one member in
     * `batchIds`, bucketed exactly like [[Dedup.minhashLsh]] over the
     * whole store (same band keys, same union-wide bucket cap — corpus

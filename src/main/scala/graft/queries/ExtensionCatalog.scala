@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.TextFunctions
+import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{Chunking, Contamination, Dedup, IncrementalDedup,
   Multimodal, RangeJoin, Salting, Sampling, Similarity, Sketches, TfIdf}
 import graft.streaming.{StreamCuration, StreamIngest}
@@ -1251,6 +1251,52 @@ object ExtensionCatalog {
           .select(col("doc_id"), col("lang_pred"),
             TextFunctions.portableRound(col("scale"), 6).as("scale_r"))
           .orderBy("doc_id")
+      }),
+
+    // ---- within-document line repetition (Gopher's OTHER repetition
+    //      family: duplicate-line and duplicate-line-character
+    //      fractions — nav bars / cookie banners / boilerplate
+    //      paragraphs that token-level stats miss) ----
+    Q("x40_line_repetition", Some(
+      """WITH ln AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS len
+        |  FROM ln GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    floor(sum(c - 1) * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0
+        |      AS dup_line_frac,
+        |    CASE WHEN sum(c * len) = 0 THEN 0.0
+        |         ELSE floor(sum((c - 1) * len) * 1.0 / sum(c * len)
+        |                    * 10000.0 + 0.5) / 10000.0 END AS dup_char_frac
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac,
+        |  (dup_line_frac <= 0.3 AND dup_char_frac <= 0.2) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin),
+      (s, dir) => QualityRules.lineRepetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- incremental EXACT dedup: doc-keyed (id, hash) store — the
+    //      idempotent-under-redelivery counterpart of x38's signature
+    //      store; the report over three appends must equal x01's
+    //      from-scratch exact dedup ----
+    Q("x41_incremental_exact", Some(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-incexact").toString + "/hashes"
+        (0 until 3).foreach { k =>
+          IncrementalDedup.appendExact(s, store,
+            docs.filter(col("doc_id") % 3 === k), "doc_id", "text").count()
+        }
+        IncrementalDedup.exactReport(s, store).orderBy("text_hash")
       })
   )
 }

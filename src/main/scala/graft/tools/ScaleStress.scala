@@ -71,6 +71,16 @@ object ScaleStress {
         .select(Sketches.kmvUnionEstimate(col("a.sketch"), col("b.sketch"),
           64, 1099511627776L).as("u")).count()
     })
+    time("line repetition stats")(graft.functions.QualityRules
+      .lineRepetitionStats(docs, "doc_id", "text").count())
+    time("incremental exact 2 appends")({
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-stress-ince").toString + "/hashes"
+      IncrementalDedup.appendExact(spark, store,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").count()
+      IncrementalDedup.appendExact(spark, store,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").count()
+    })
     time("incremental dedup 2 appends")({
       val store = java.nio.file.Files
         .createTempDirectory("graft-stress-inc").toString + "/sigs"

@@ -29,6 +29,29 @@ class QualityRulesSpec extends SparkSpec {
     assert(statsOf("    ") == ((0L, 0.0, 0.0, 0.0)))
   }
 
+  test("line repetition: hand-computed fractions, boilerplate flagged") {
+    val docs = Seq(
+      // 4 lines: "nav" twice (1 dup of 3 chars), others unique.
+      // n_lines=4, dup_line_frac=1/4, chars 3+3+19+9=34, dup 3/34
+      (1L, "nav\nreal content here 1\nsome tail\nnav"),
+      // pathological boilerplate: same line 10x
+      (2L, (1 to 10).map(_ => "cookie banner").mkString("\n")),
+      // no newline at all: one line, zero repetition
+      (3L, "single line doc"),
+      // empty text: one empty line, zero chars → both fractions 0
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.lineRepetitionStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getBoolean(4))))
+      .toMap
+    assert(r(1L) == ((4L, 0.25, math.floor(3.0 / 34 * 10000 + 0.5) / 10000,
+      true)))
+    assert(r(2L) == ((10L, 0.9, 0.9, false)))
+    assert(r(3L) == ((1L, 0.0, 0.0, true)))
+    assert(r(4L) == ((1L, 0.0, 0.0, true)))
+  }
+
   test("gopher keep composes the four gates") {
     val df = Seq(
       (1L, (1 to 60).map(i => s"word$i").mkString(" ")),      // healthy

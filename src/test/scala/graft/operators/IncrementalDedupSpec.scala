@@ -56,6 +56,26 @@ class IncrementalDedupSpec extends SparkSpec {
     assert((e0 union e1) == pairSet(Dedup.minhashLsh(docs, "doc_id", "text")))
   }
 
+  test("x41 invariant: exact-dup report over appends == from-scratch " +
+    "exact dedup, and redelivery does not double-count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val store = Files.createTempDirectory("graft-ince").toString + "/hashes"
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      df.select("text_hash", "keep_id", "n_copies").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    (0 until 3).foreach { k =>
+      IncrementalDedup.appendExact(spark, store,
+        docs.filter(col("doc_id") % 3 === k), "doc_id", "text").count()
+    }
+    val scratch = rep(Dedup.exact(docs, "doc_id", "text"))
+    assert(rep(IncrementalDedup.exactReport(spark, store)) == scratch)
+    // redeliver batch 1 (at-least-once): the doc-keyed store absorbs it
+    IncrementalDedup.appendExact(spark, store,
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text").count()
+    assert(rep(IncrementalDedup.exactReport(spark, store)) == scratch,
+      "an aggregated store would double-count here; the keyed one must not")
+  }
+
   test("store growth is bounded: version retention holds across appends") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val store = Files.createTempDirectory("graft-incd3").toString + "/sigs"
