@@ -55,18 +55,25 @@ object QualityRules {
     * appearing c times contributes c−1 duplicates), portable-rounded
     * to 4 so thresholding agrees bit-for-bit with the DuckDB oracle.
     *
-    * Shape that scales: explode to (doc, line) rows → two codegen'd
-    * hash aggregations (per-line counts with map-side partial agg,
-    * then per-doc ratios) — flat, partitionable, spillable; every
-    * arithmetic step stays integer until the final division. */
+    * Shape that scales: explode to (doc, line) rows, then IMMEDIATELY
+    * reduce each line to (xxhash64, length) so the shuffle carries
+    * ~20 bytes per row instead of the line text (boilerplate lines run
+    * to hundreds of chars — a raw-line key would shuffle roughly the
+    * whole corpus). Two codegen'd hash aggregations follow (per-line
+    * counts with map-side partial agg, then per-doc ratios); every
+    * arithmetic step stays integer until the final division. Line
+    * identity via (64-bit hash, length) is the same hash-equality
+    * convention [[graft.operators.Dedup.exact]] uses for whole texts;
+    * the oracle groups raw lines, identical up to hash collisions. */
   def lineRepetitionStats(df: DataFrame, idCol: String, textCol: String,
                           maxDupLineFrac: Double = 0.3,
                           maxDupCharFrac: Double = 0.2): DataFrame = {
     val totChars = sum(col("c") * col("len"))
     df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\n", -1)).as("line"))
-      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
-      .withColumn("len", length(col("line")))
+      .select(col("doc_id"), xxhash64(col("line")).as("h"),
+        length(col("line")).as("len"))
+      .groupBy("doc_id", "h", "len").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(
         sum("c").as("n_lines"),

@@ -133,7 +133,20 @@ object MergeUpsert {
     val p = new org.apache.hadoop.fs.Path(path)
     val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
     val vname = f"v-$nextN%010d"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/$vname")
+    // version dirs are COMPLETE BY CONSTRUCTION: the parquet job writes
+    // into a hidden temp dir, which becomes `v-N` only through one
+    // directory rename after the job finishes. A writer dying mid-write
+    // leaves `.tmp-v-N` (invisible to versionDirs and to readers), so a
+    // `v-` dir can never be half-written — which is what lets the
+    // lost-pointer fallback adopt a bare newest version dir even on
+    // committers that write no _SUCCESS markers (see
+    // currentPlainVersion). Single-writer protocol, so any `.tmp-` dir
+    // present at publish time belongs to a dead writer (GC'd below).
+    val vdir = new org.apache.hadoop.fs.Path(p, vname)
+    val vtmp = new org.apache.hadoop.fs.Path(p, s".tmp-$vname")
+    df.write.mode(SaveMode.Overwrite).parquet(vtmp.toString)
+    if (!fs.rename(vtmp, vdir))
+      throw new java.io.IOException(s"cannot commit version dir $vdir")
     // publish: write the pointer beside the table, then one atomic
     // rename. rename-over works on POSIX; filesystems that refuse to
     // clobber get delete+rename of the POINTER FILE only (a lost
@@ -160,8 +173,10 @@ object MergeUpsert {
     // cadence of C seconds needs retainVersions > R/C + 1.
     // Orphan detection is purely NUMERIC: published numbers are
     // strictly increasing, so a dir numbered ABOVE the version that was
-    // current when this publish began was never published (a crashed
-    // writer's write, half-done or complete — either way unpointed),
+    // current when this publish began was never published (rename-
+    // commit means it is a COMPLETE version whose writer died before
+    // the pointer flip — superseded by this publish, and its source
+    // batch is unacknowledged upstream, so redelivery re-merges it),
     // and a dir at-or-below it is published lineage (it was _CURRENT
     // once). Deliberately NOT keyed on _SUCCESS: committers configured
     // with marksuccessfuljobs=false (common on object stores) write no
@@ -173,6 +188,11 @@ object MergeUpsert {
     val keep = lineage.sortBy(versionNumber).takeRight(retainVersions - 1).toSet
     (orphans ++ lineage.filterNot(keep))
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
+    // dead writers' half-written temp dirs (single-writer: any .tmp-
+    // other than the one just renamed away is stale)
+    fs.listStatus(p)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(".tmp-v-"))
+      .foreach(d => fs.delete(d.getPath, true))
     if (legacyFlat)
       fs.listStatus(p).filter(_.isFile)
         .map(_.getPath).filter(f => f.getName != PointerName)
@@ -196,11 +216,19 @@ object MergeUpsert {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   /** The live version-dir name: pointer first; as the lost-pointer
-    * recovery fallback, the newest version dir that CARRIES A _SUCCESS
-    * MARKER — a bare newest dir can be a crashed writer's half-written
-    * version, exactly the garbage the pointer protocol exists to hide
-    * (and choosing it as a merge base would resurrect uncommitted
-    * rows). None for flat/absent tables. */
+    * recovery fallback, the newest version dir carrying a _SUCCESS
+    * marker, else the newest version dir outright. The bare-newest
+    * fallback is SAFE under the current writer because version dirs are
+    * complete by construction (rename-commit in publishVersion — a
+    * half-written dir is still named `.tmp-…` and invisible here), and
+    * it is what keeps a lost pointer recoverable on committers that
+    * write no _SUCCESS markers — without it, a lost pointer on such a
+    * table would resolve to "no current version" and the next merge
+    * would rebuild from an empty base while the numeric GC deleted
+    * every live version. The marker preference remains only for tables
+    * written by pre-rename-commit layouts, where a bare newest dir
+    * could be a crashed writer's half-written version. None for
+    * flat/absent tables. */
   def currentPlainVersion(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -218,8 +246,10 @@ object MergeUpsert {
     def committed(v: String): Boolean = fs.exists(
       new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
         "_SUCCESS"))
+    val dirs = versionDirs(fs, p)
     pointed.filter(v => fs.exists(new org.apache.hadoop.fs.Path(p, v)))
-      .orElse(versionDirs(fs, p).filter(committed).sorted.lastOption)
+      .orElse(dirs.filter(committed).sorted.lastOption)
+      .orElse(dirs.sorted.lastOption)
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,

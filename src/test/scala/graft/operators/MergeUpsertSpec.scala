@@ -109,6 +109,29 @@ class MergeUpsertSpec extends SparkSpec {
       .select("total_beds").as[Int].collect().toSeq == Seq(2))
   }
 
+  test("S7 mergeWritePlain: lost pointer + no _SUCCESS markers recovers " +
+    "to the newest version instead of wiping the table") {
+    val dir = Files.createTempDirectory("graft-lostptr").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 1)), Seq("date", "region_id"))
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 2)), Seq("date", "region_id"))
+    // object-store config (marksuccessfuljobs=false) + a lost pointer
+    new java.io.File(dir).listFiles().filter(_.getName.startsWith("v-"))
+      .foreach(v => new java.io.File(v, "_SUCCESS").delete())
+    new java.io.File(s"$dir/_CURRENT").delete()
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(2),
+      "rename-commit makes the bare newest version dir a safe fallback")
+    // the next merge must build on the recovered base, not an empty one
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "TX", 9)), Seq("date", "region_id"))
+    val got = MergeUpsert.readPlain(spark, dir)
+      .orderBy("region_id").select("total_beds").as[Int].collect().toSeq
+    assert(got == Seq(2, 9),
+      "prior rows survive pointer loss (no silent table wipe)")
+  }
+
   test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {
     val dir = Files.createTempDirectory("graft-flat").toString + "/t"
     tbl(("2024-01-15", "CA", 100), ("2024-01-15", "TX", 200))
