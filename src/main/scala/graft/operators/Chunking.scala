@@ -37,4 +37,40 @@ object Chunking {
         md5(concat_ws(" ",
           slice(col("tk"), col("start_tok") + 1, lit(window)))).as("chunk_hash"))
   }
+
+  /** Deterministic SEQUENCE PACKING: assign documents to fixed-length
+    * training sequences by contiguous fill — doc d starts at the
+    * running token offset of its shard, and its sequence id is that
+    * offset divided by `seqLen` (the "concat then cut every seqLen
+    * tokens" model every packed-pre-training loader uses; a doc longer
+    * than the remaining room simply spans into the next sequence, and
+    * [[tokenWindows]] is the splitter when per-example boundaries must
+    * not cross documents).
+    *
+    * Deterministic by construction: the fill order is (shard, doc_id),
+    * independent of partition layout, so the packing is reproducible
+    * run-to-run and engine-to-engine (the oracle replays it as a
+    * windowed cumulative sum).
+    *
+    * Scale shape: ONE window aggregation partitioned by `shardCol` —
+    * state per task is a running long, and shards (language, source,
+    * date bucket…) bound each window's data; there is no global
+    * total-order shuffle, which is what makes this runnable at 100 TB
+    * (a single global ORDER BY cumsum would serialize the corpus
+    * through one task). Returns (doc_id, shard, n_tok, seq_id,
+    * offset) — offset = the doc's start position within its sequence. */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    shardCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .withColumn("end_tok", sum("n_tok").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        // integer `div`, not `/`: the double round-trip would lose
+        // exactness past 2^53 cumulative tokens
+        expr(s"(end_tok - n_tok) div ${seqLen.toLong}").as("seq_id"),
+        ((col("end_tok") - col("n_tok")) % lit(seqLen.toLong)).as("offset"))
+  }
 }

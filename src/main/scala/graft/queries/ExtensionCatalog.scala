@@ -1297,6 +1297,32 @@ object ExtensionCatalog {
             docs.filter(col("doc_id") % 3 === k), "doc_id", "text").count()
         }
         IncrementalDedup.exactReport(s, store).orderBy("text_hash")
-      })
+      }),
+
+    // ---- deterministic sequence packing: documents fill fixed-length
+    //      training sequences by contiguous (shard, doc_id) order —
+    //      the "concat then cut every seqLen tokens" model of packed
+    //      pre-training loaders, sharded by language so no global
+    //      total-order shuffle exists at scale ----
+    Q("x42_sequence_pack", Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang AS shard,
+         |    CAST(len(${tokSql("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS end_tok
+         |  FROM d)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST((end_tok - n_tok) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((end_tok - n_tok) % 2048 AS BIGINT) AS offset
+         |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => Chunking.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", "lang", seqLen = 2048)
+        .orderBy("doc_id"))
   )
 }

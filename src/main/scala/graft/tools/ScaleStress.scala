@@ -73,6 +73,10 @@ object ScaleStress {
     })
     time("line repetition stats")(graft.functions.QualityRules
       .lineRepetitionStats(docs, "doc_id", "text").count())
+    time("sequence packing")(Chunking.packSequences(
+      docs.select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", "lang", seqLen = 2048).count())
     time("incremental exact 2 appends")({
       val store = java.nio.file.Files
         .createTempDirectory("graft-stress-ince").toString + "/hashes"

@@ -120,6 +120,33 @@ class PropertySpec extends SparkSpec {
     assert(dfp(0L).intersect(dfp(1L)).isEmpty)
   }
 
+  test("incremental LSH equals from-scratch LSH for random batch splits") {
+    import graft.operators.IncrementalDedup
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val scratch = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // random partition of the corpus into 1..4 batches, random order
+    val splitGen = for {
+      k <- Gen.chooseNum(1, 4)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (k, seed)
+    (1 to 3).foreach { _ =>
+      val (k, seed) = sampled(splitGen)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-prop-inc").toString + "/sigs"
+      val order = new scala.util.Random(seed).shuffle((0 until k).toList)
+      val got = order.map { part =>
+        IncrementalDedup.appendBatch(spark, store,
+            docs.filter(abs(hash(col("doc_id"), lit(seed))) % k === part),
+            "doc_id", "text")
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      }.reduce(_ union _)
+      assert(got == scratch, s"split k=$k seed=$seed")
+    }
+    docs.unpersist()
+  }
+
   test("portable rounding matches DuckDB-style scale-round on exact .5 cases") {
     // values whose 10^4-scaled double is exactly representable at .5
     val vals = Seq(0.03125, 0.484250, 0.000050, 0.99995, 0.12345)

@@ -26,4 +26,20 @@ class ChunkingSpec extends SparkSpec {
     val h = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 3).get.getString(4)
     assert(h == org.apache.commons.codec.digest.DigestUtils.md5Hex("t10"))
   }
+
+  test("sequence packing: contiguous fill per shard, spanning docs keep " +
+    "their start offset") {
+    // shard "en": docs of 3, 4, 6, 2 tokens into seqLen 8 →
+    // starts 0, 3, 7, 13 → seq ids 0, 0, 0 (starts at 7, spans), 1
+    // shard "de": one 9-token doc → start 0, seq 0 (spans into seq 1)
+    val docs = Seq(
+      (1L, "en", 3L), (2L, "en", 4L), (3L, "en", 6L), (4L, "en", 2L),
+      (5L, "de", 9L)
+    ).toDF("doc_id", "lang", "n_tok")
+    val r = Chunking.packSequences(docs, "doc_id", "n_tok", "lang", 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r == Map(1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((0L, 7L)),
+      4L -> ((1L, 5L)), 5L -> ((0L, 0L))))
+  }
 }
