@@ -133,20 +133,29 @@ object MergeUpsert {
     val p = new org.apache.hadoop.fs.Path(path)
     val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
     val vname = f"v-$nextN%010d"
-    // version dirs are COMPLETE BY CONSTRUCTION: the parquet job writes
-    // into a hidden temp dir, which becomes `v-N` only through one
-    // directory rename after the job finishes. A writer dying mid-write
-    // leaves `.tmp-v-N` (invisible to versionDirs and to readers), so a
-    // `v-` dir can never be half-written — which is what lets the
-    // lost-pointer fallback adopt a bare newest version dir even on
-    // committers that write no _SUCCESS markers (see
-    // currentPlainVersion). Single-writer protocol, so any `.tmp-` dir
-    // present at publish time belongs to a dead writer (GC'd below).
+    // Version-dir commit protocol, in three steps whose ORDER is the
+    // correctness argument:
+    //   1. the parquet job writes into a hidden `.tmp-v-N` dir
+    //      (invisible to versionDirs and readers);
+    //   2. the dir is renamed to `v-N` — atomic on POSIX/HDFS; on
+    //      object stores rename is a file-by-file copy, which is why
+    //      step 3 exists;
+    //   3. a zero-byte `_GRAFT_COMMITTED` marker is created INSIDE
+    //      `v-N` as the last act before the pointer flip. The marker
+    //      is OURS — written regardless of the committer's
+    //      marksuccessfuljobs setting — and nothing reads a version
+    //      dir without it unless the `_CURRENT` pointer names it.
+    // A writer dying at any point leaves either a `.tmp-` dir, or an
+    // unmarked partial/complete `v-N` — both invisible to the
+    // lost-pointer fallback (currentPlainVersion) and GC'd on the next
+    // publish. Single-writer protocol, so any `.tmp-` dir present at
+    // publish time belongs to a dead writer.
     val vdir = new org.apache.hadoop.fs.Path(p, vname)
     val vtmp = new org.apache.hadoop.fs.Path(p, s".tmp-$vname")
     df.write.mode(SaveMode.Overwrite).parquet(vtmp.toString)
     if (!fs.rename(vtmp, vdir))
       throw new java.io.IOException(s"cannot commit version dir $vdir")
+    fs.create(new org.apache.hadoop.fs.Path(vdir, CommitMarker), true).close()
     // publish: write the pointer beside the table, then one atomic
     // rename. rename-over works on POSIX; filesystems that refuse to
     // clobber get delete+rename of the POINTER FILE only (a lost
@@ -173,28 +182,33 @@ object MergeUpsert {
     // cadence of C seconds needs retainVersions > R/C + 1.
     // Orphan detection is purely NUMERIC: published numbers are
     // strictly increasing, so a dir numbered ABOVE the version that was
-    // current when this publish began was never published (rename-
-    // commit means it is a COMPLETE version whose writer died before
-    // the pointer flip — superseded by this publish, and its source
-    // batch is unacknowledged upstream, so redelivery re-merges it),
-    // and a dir at-or-below it is published lineage (it was _CURRENT
-    // once). Deliberately NOT keyed on _SUCCESS: committers configured
-    // with marksuccessfuljobs=false (common on object stores) write no
-    // markers, and a marker-based rule would misclassify every live
-    // lineage version as an orphan and delete the reader window.
+    // current when this publish began was never published (a dead
+    // writer's leftover — complete or partial, either way superseded by
+    // this publish; its source batch was never pointer-acknowledged, so
+    // at-least-once upstream redelivery re-merges it), and a dir
+    // at-or-below it is published lineage (it was _CURRENT once).
+    // Deliberately NOT keyed on job markers: committers configured with
+    // marksuccessfuljobs=false write no _SUCCESS, and a marker-based
+    // rule would misclassify live lineage as orphans and delete the
+    // reader window. ONE listing serves orphan GC, tmp GC and legacy
+    // cleanup — on object stores every LIST is a billable RPC and this
+    // runs at streaming cadence.
     val curN = cur.map(versionNumber).getOrElse(-1L)
-    val (orphans, lineage) = versionDirs(fs, p).filter(_ != vname)
+    val entries = fs.listStatus(p)
+    val vdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && n.drop(2).forall(_.isDigit)).toSeq
+    val (orphans, lineage) = vdirs.filter(_ != vname)
       .partition(v => versionNumber(v) > curN)
     val keep = lineage.sortBy(versionNumber).takeRight(retainVersions - 1).toSet
     (orphans ++ lineage.filterNot(keep))
       .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
     // dead writers' half-written temp dirs (single-writer: any .tmp-
     // other than the one just renamed away is stale)
-    fs.listStatus(p)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith(".tmp-v-"))
+    entries.filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(".tmp-v-"))
       .foreach(d => fs.delete(d.getPath, true))
     if (legacyFlat)
-      fs.listStatus(p).filter(_.isFile)
+      entries.filter(_.isFile)
         .map(_.getPath).filter(f => f.getName != PointerName)
         .foreach(fs.delete(_, false))
     spark.catalog.refreshByPath(path)
@@ -210,25 +224,25 @@ object MergeUpsert {
     }
 
   private val PointerName = "_CURRENT"
+  private val CommitMarker = "_GRAFT_COMMITTED"
 
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   /** The live version-dir name: pointer first; as the lost-pointer
-    * recovery fallback, the newest version dir carrying a _SUCCESS
-    * marker, else the newest version dir outright. The bare-newest
-    * fallback is SAFE under the current writer because version dirs are
-    * complete by construction (rename-commit in publishVersion — a
-    * half-written dir is still named `.tmp-…` and invisible here), and
-    * it is what keeps a lost pointer recoverable on committers that
-    * write no _SUCCESS markers — without it, a lost pointer on such a
-    * table would resolve to "no current version" and the next merge
-    * would rebuild from an empty base while the numeric GC deleted
-    * every live version. The marker preference remains only for tables
-    * written by pre-rename-commit layouts, where a bare newest dir
-    * could be a crashed writer's half-written version. None for
-    * flat/absent tables. */
+    * recovery fallback, the newest version dir carrying a completion
+    * marker — our own `_GRAFT_COMMITTED` (written by publishVersion as
+    * the last act before the pointer flip, independent of the
+    * committer's marksuccessfuljobs setting) or the committer's
+    * `_SUCCESS` (pre-_GRAFT_COMMITTED layouts). A bare unmarked dir is
+    * NEVER adopted: on object stores the dir rename is a file-by-file
+    * copy, so an unmarked `v-` dir can be a dead writer's half-copied
+    * version — exactly the garbage the marker exists to exclude. A
+    * crash between rename and marker leaves the dir unadopted AND the
+    * pointer unflipped, so that publish simply never happened
+    * (upstream redelivery re-merges its batch). None for flat/absent
+    * tables. */
   def currentPlainVersion(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -243,13 +257,13 @@ object MergeUpsert {
           Option(r.readLine()).map(_.trim).filter(_.nonEmpty)
         } finally in.close()
       }
-    def committed(v: String): Boolean = fs.exists(
-      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
-        "_SUCCESS"))
-    val dirs = versionDirs(fs, p)
+    def committed(v: String): Boolean = {
+      val d = new org.apache.hadoop.fs.Path(p, v)
+      fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    }
     pointed.filter(v => fs.exists(new org.apache.hadoop.fs.Path(p, v)))
-      .orElse(dirs.filter(committed).sorted.lastOption)
-      .orElse(dirs.sorted.lastOption)
+      .orElse(versionDirs(fs, p).filter(committed).sorted.lastOption)
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,

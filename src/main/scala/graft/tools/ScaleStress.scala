@@ -49,7 +49,7 @@ object ScaleStress {
       docs.select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t")),
       "lang", col("t"), 64, 1099511627776L).count())
 
-    // ---- r3/r4 additions (x32–x41) ----
+    // ---- r3/r4 additions (x32–x42) ----
     import graft.functions.QualityRules
     import graft.operators.{Chunking, Contamination, IncrementalDedup, Sketches, TfIdf}
     time("gopher rules")(docs

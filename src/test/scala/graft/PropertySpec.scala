@@ -138,7 +138,10 @@ class PropertySpec extends SparkSpec {
       val order = new scala.util.Random(seed).shuffle((0 until k).toList)
       val got = order.map { part =>
         IncrementalDedup.appendBatch(spark, store,
-            docs.filter(abs(hash(col("doc_id"), lit(seed))) % k === part),
+            // pmod, not abs(h) % k: abs(Int.MinValue) overflows
+            // negative and would silently drop that doc from every
+            // batch (a ~n/2^32 seed-dependent flake)
+            docs.filter(pmod(hash(col("doc_id"), lit(seed)), lit(k)) === part),
             "doc_id", "text")
           .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       }.reduce(_ union _)

@@ -116,13 +116,32 @@ class MergeUpsertSpec extends SparkSpec {
       tbl(("2024-01-15", "CA", 1)), Seq("date", "region_id"))
     MergeUpsert.mergeWritePlain(spark, dir,
       tbl(("2024-01-15", "CA", 2)), Seq("date", "region_id"))
-    // object-store config (marksuccessfuljobs=false) + a lost pointer
+    // object-store config (marksuccessfuljobs=false) + a lost pointer:
+    // no _SUCCESS anywhere, but our own _GRAFT_COMMITTED markers stand
     new java.io.File(dir).listFiles().filter(_.getName.startsWith("v-"))
       .foreach(v => new java.io.File(v, "_SUCCESS").delete())
     new java.io.File(s"$dir/_CURRENT").delete()
     assert(MergeUpsert.readPlain(spark, dir)
       .select("total_beds").as[Int].collect().toSeq == Seq(2),
-      "rename-commit makes the bare newest version dir a safe fallback")
+      "recovery keys on the engine-written commit marker, not the " +
+        "committer's _SUCCESS")
+    // mixed lineage: a legacy _SUCCESS-only older version must NOT
+    // shadow a newer marker-committed one (stale-base adoption would
+    // silently drop the newer acknowledged batch), and an UNMARKED
+    // newer dir (half-copied object-store rename) must not be adopted
+    new java.io.File(s"$dir/v-0000000001/_GRAFT_COMMITTED").delete()
+    tbl(("2024-01-15", "CA", 1)).write.mode("overwrite")
+      .parquet(s"$dir/v-0000000001")       // legacy: _SUCCESS, no marker
+    tbl(("2024-01-15", "CA", 7)).write.mode("overwrite")
+      .parquet(s"$dir/v-0000000007")
+    new java.io.File(s"$dir/v-0000000007/_SUCCESS").delete() // unmarked
+    assert(MergeUpsert.currentPlainVersion(spark, dir)
+      .contains("v-0000000002"),
+      "newest COMMITTED version wins: legacy-markered v1 is older, " +
+        "unmarked v7 is a dead writer's half-copied dir")
+    new java.io.File(s"$dir/v-0000000007").listFiles()
+      .foreach(_.delete())
+    new java.io.File(s"$dir/v-0000000007").delete()
     // the next merge must build on the recovered base, not an empty one
     MergeUpsert.mergeWritePlain(spark, dir,
       tbl(("2024-01-15", "TX", 9)), Seq("date", "region_id"))
