@@ -54,6 +54,11 @@ object QualityRules {
     * the SAME document; fractions are occurrence-weighted (a line
     * appearing c times contributes c−1 duplicates), portable-rounded
     * to 4 so thresholding agrees bit-for-bit with the DuckDB oracle.
+    * BLANK lines (empty after space-trim) are excluded before
+    * counting: they are paragraph SEPARATORS, and counting them as
+    * repeats would reject any ordinary prose with ≥5 blank-separated
+    * paragraphs (4 duplicate empties / 9 lines = 0.33 > 0.3). A doc
+    * with no non-blank lines reports n_lines 0 and zero fractions.
     *
     * Shape that scales: explode to (doc, line) rows, then IMMEDIATELY
     * reduce each line to (xxhash64, length) so the shuffle carries
@@ -69,8 +74,9 @@ object QualityRules {
                           maxDupLineFrac: Double = 0.3,
                           maxDupCharFrac: Double = 0.2): DataFrame = {
     val totChars = sum(col("c") * col("len"))
-    df.select(col(idCol).as("doc_id"),
+    val perLine = df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(length(trim(col("line"))) > 0)
       .select(col("doc_id"), xxhash64(col("line")).as("h"),
         length(col("line")).as("len"))
       .groupBy("doc_id", "h", "len").agg(count(lit(1)).as("c"))
@@ -84,6 +90,14 @@ object QualityRules {
           .otherwise(TextFunctions.portableRound(
             sum((col("c") - 1) * col("len")).cast("double") / totChars, 4))
           .as("dup_char_frac"))
+    // all-blank docs dropped by the filter re-enter with zero stats
+    // (same left-join shape as the x32 oracle)
+    df.select(col(idCol).as("doc_id"))
+      .join(perLine, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_char_frac"), lit(0.0)).as("dup_char_frac"))
       .withColumn("keep",
         col("dup_line_frac") <= maxDupLineFrac &&
           col("dup_char_frac") <= maxDupCharFrac)

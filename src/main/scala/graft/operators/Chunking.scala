@@ -67,6 +67,18 @@ object Chunking {
     df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
         col(nTokCol).cast("long").as("n_tok"))
       .withColumn("end_tok", sum("n_tok").over(w))
+      // doc_id must be unique per shard: the RANGE frame treats equal
+      // ids as peers, so duplicates would silently double-pack the
+      // same token span. Duplicate ids sort adjacent, so one lag()
+      // over the SAME window (no extra exchange) turns silent
+      // corruption into a loud failure.
+      .withColumn("end_tok",
+        when(lag(col("doc_id"), 1).over(w) === col("doc_id"),
+          raise_error(concat(
+            lit("packSequences: duplicate doc_id within shard: "),
+            col("doc_id").cast("string"), lit(" / "),
+            col("shard").cast("string"))))
+          .otherwise(col("end_tok")))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         // integer `div`, not `/`: the double round-trip would lose
         // exactness past 2^53 cumulative tokens

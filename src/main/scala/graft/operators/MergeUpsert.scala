@@ -131,7 +131,16 @@ object MergeUpsert {
         s"superseded version for in-flight readers, got $retainVersions")
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    val nextN = (versionDirs(fs, p).map(versionNumber) :+ 0L).max + 1
+    // ONE pre-write listing serves nextN, orphan GC, tmp GC and legacy
+    // cleanup (LIST is a billable RPC at streaming cadence): under
+    // single-writer, the only entries created between this listing and
+    // the GC are this publish's own vname (explicitly excluded) and
+    // its tmp dir (renamed away before the GC runs).
+    val entries = if (fs.exists(p)) fs.listStatus(p)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val vdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && n.drop(2).forall(_.isDigit)).toSeq
+    val nextN = (vdirs.map(versionNumber) :+ 0L).max + 1
     val vname = f"v-$nextN%010d"
     // Version-dir commit protocol, in three steps whose ORDER is the
     // correctness argument:
@@ -190,13 +199,8 @@ object MergeUpsert {
     // Deliberately NOT keyed on job markers: committers configured with
     // marksuccessfuljobs=false write no _SUCCESS, and a marker-based
     // rule would misclassify live lineage as orphans and delete the
-    // reader window. ONE listing serves orphan GC, tmp GC and legacy
-    // cleanup — on object stores every LIST is a billable RPC and this
-    // runs at streaming cadence.
+    // reader window. Reuses the single pre-write listing (see above).
     val curN = cur.map(versionNumber).getOrElse(-1L)
-    val entries = fs.listStatus(p)
-    val vdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith("v-") && n.drop(2).forall(_.isDigit)).toSeq
     val (orphans, lineage) = vdirs.filter(_ != vname)
       .partition(v => versionNumber(v) > curN)
     val keep = lineage.sortBy(versionNumber).takeRight(retainVersions - 1).toSet
@@ -257,13 +261,22 @@ object MergeUpsert {
           Option(r.readLine()).map(_.trim).filter(_.nonEmpty)
         } finally in.close()
       }
-    def committed(v: String): Boolean = {
-      val d = new org.apache.hadoop.fs.Path(p, v)
-      fs.exists(new org.apache.hadoop.fs.Path(d, CommitMarker)) ||
-        fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
-    }
+    def marked(v: String): Boolean = fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p, v), CommitMarker))
+    def legacyCommitted(v: String): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(p, v),
+        "_SUCCESS"))
+    val dirs = versionDirs(fs, p)
+    val markedDirs = dirs.filter(marked)
+    // _SUCCESS counts as commit proof ONLY on a pure pre-marker table:
+    // once any dir carries our marker, the writer is marker-layout, and
+    // an unmarked dir — even with _SUCCESS — is a dead writer's
+    // half-copied rename (the parquet job writes _SUCCESS into the tmp
+    // dir BEFORE the copy, so a partial dir can still carry it)
     pointed.filter(v => fs.exists(new org.apache.hadoop.fs.Path(p, v)))
-      .orElse(versionDirs(fs, p).filter(committed).sorted.lastOption)
+      .orElse(markedDirs.sorted.lastOption)
+      .orElse(if (markedDirs.isEmpty)
+        dirs.filter(legacyCommitted).sorted.lastOption else None)
   }
 
   private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,

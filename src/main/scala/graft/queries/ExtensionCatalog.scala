@@ -1263,7 +1263,7 @@ object ExtensionCatalog {
         |  FROM documents),
         |per AS (
         |  SELECT doc_id, line, count(*) AS c, length(line) AS len
-        |  FROM ln GROUP BY 1, 2),
+        |  FROM ln WHERE length(trim(line)) > 0 GROUP BY 1, 2),
         |agg AS (
         |  SELECT doc_id,
         |    CAST(sum(c) AS BIGINT) AS n_lines,
@@ -1273,9 +1273,14 @@ object ExtensionCatalog {
         |         ELSE floor(sum((c - 1) * len) * 1.0 / sum(c * len)
         |                    * 10000.0 + 0.5) / 10000.0 END AS dup_char_frac
         |  FROM per GROUP BY doc_id)
-        |SELECT doc_id, n_lines, dup_line_frac, dup_char_frac,
-        |  (dup_line_frac <= 0.3 AND dup_char_frac <= 0.2) AS keep
-        |FROM agg ORDER BY doc_id""".stripMargin),
+        |SELECT d.doc_id,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+        |  coalesce(dup_char_frac, 0.0) AS dup_char_frac,
+        |  (coalesce(dup_line_frac, 0.0) <= 0.3 AND
+        |   coalesce(dup_char_frac, 0.0) <= 0.2) AS keep
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
       (s, dir) => QualityRules.lineRepetitionStats(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

@@ -45,17 +45,27 @@ object ReferenceCatalog {
     * scan with an explicit long schema needs no conf at execution time
     * (NanosProbeSpec proves this). Later reads in the same session see
     * whatever conf they started with. */
+  /** Guards the set-infer-restore window below: two threads of one
+    * session interleaving set/restore could leave the conf flipped
+    * (A restores, then B "restores" the value it read during A's
+    * window). Serializing the window makes restore exact; a concurrent
+    * bare ns-parquet read OUTSIDE this helper can still observe the
+    * in-window value — the helper is the convention point, direct
+    * reads are on the caller. */
+  private val nanosInferLock = new Object
+
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    val schema =
+    val schema = nanosInferLock.synchronized {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
       try s.read.parquet(path).schema
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
+    }
     s.read.schema(schema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -38,8 +38,11 @@ class QualityRulesSpec extends SparkSpec {
       (2L, (1 to 10).map(_ => "cookie banner").mkString("\n")),
       // no newline at all: one line, zero repetition
       (3L, "single line doc"),
-      // empty text: one empty line, zero chars → both fractions 0
-      (4L, "")
+      // empty text: the lone blank line is a separator, not content
+      (4L, ""),
+      // ordinary prose, 5 paragraphs with blank separators: the 4
+      // duplicate empties must NOT count (3/9 = 0.33 would reject it)
+      (5L, "para one\n\npara two\n\npara three\n\npara four\n\npara five")
     ).toDF("doc_id", "text")
     val r = QualityRules.lineRepetitionStats(docs, "doc_id", "text")
       .collect().map(x => x.getLong(0) ->
@@ -49,7 +52,9 @@ class QualityRulesSpec extends SparkSpec {
       true)))
     assert(r(2L) == ((10L, 0.9, 0.9, false)))
     assert(r(3L) == ((1L, 0.0, 0.0, true)))
-    assert(r(4L) == ((1L, 0.0, 0.0, true)))
+    assert(r(4L) == ((0L, 0.0, 0.0, true)))
+    assert(r(5L) == ((5L, 0.0, 0.0, true)),
+      "blank paragraph separators are not duplicate lines")
   }
 
   test("gopher keep composes the four gates") {

@@ -41,5 +41,13 @@ class ChunkingSpec extends SparkSpec {
       .toMap
     assert(r == Map(1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((0L, 7L)),
       4L -> ((1L, 5L)), 5L -> ((0L, 0L))))
+    // duplicate doc_id within a shard would double-pack the same token
+    // span — must fail loudly, not corrupt silently
+    val dup = Seq((1L, "en", 3L), (1L, "en", 3L)).toDF("doc_id", "lang", "n_tok")
+    val e = intercept[Exception] {
+      Chunking.packSequences(dup, "doc_id", "n_tok", "lang", 8).collect()
+    }
+    assert(e.getMessage.contains("duplicate doc_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate doc_id")))
   }
 }

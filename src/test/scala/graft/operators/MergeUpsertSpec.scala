@@ -151,6 +151,21 @@ class MergeUpsertSpec extends SparkSpec {
       "prior rows survive pointer loss (no silent table wipe)")
   }
 
+  test("S7 publishPlain: whole-table replace can SHRINK the row set, " +
+    "atomically versioned") {
+    val dir = Files.createTempDirectory("graft-pub").toString + "/t"
+    MergeUpsert.publishPlain(spark, dir,
+      tbl(("2024-01-15", "CA", 1), ("2024-01-15", "TX", 2)))
+    assert(MergeUpsert.readPlain(spark, dir).count() == 2)
+    // a keyed upsert could never delete TX; publish replaces outright
+    MergeUpsert.publishPlain(spark, dir, tbl(("2024-01-15", "CA", 3)))
+    val got = MergeUpsert.readPlain(spark, dir)
+      .select("region_id", "total_beds").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("CA", 3)), "superseded rows are gone")
+    assert(MergeUpsert.currentPlainVersion(spark, dir)
+      .contains("v-0000000002"))
+  }
+
   test("S7 mergeWritePlain: legacy flat tables migrate on first merge") {
     val dir = Files.createTempDirectory("graft-flat").toString + "/t"
     tbl(("2024-01-15", "CA", 100), ("2024-01-15", "TX", 200))
