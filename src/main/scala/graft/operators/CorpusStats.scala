@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level analytics for training-data curation: the vocabulary,
+  * composition, novelty and length-distribution reports a data team
+  * reads before deciding mixing weights and filter thresholds.
+  *
+  * All four operators are deterministic (fixed tiebreaks, integer
+  * arithmetic until the final division, portable rounding) so their
+  * results hash-match the DuckDB oracle bit for bit.
+  */
+object CorpusStats {
+
+  /** Corpus vocabulary: the `k` most frequent lowercased whitespace
+    * tokens, rank-numbered, ties broken by the term itself.
+    *
+    * Scale shape: explode → one map-side-combined hash aggregation on
+    * term → distributed top-k (`orderBy.limit` plans as
+    * TakeOrderedAndProject: each partition keeps k rows, the driver
+    * merges — no global sort shuffle). The final rank window runs over
+    * the ≤ k surviving rows only. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int = 500): DataFrame = {
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    counts.orderBy(col("freq").desc, col("term").asc).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("freq").desc, col("term").asc)))
+      .select(col("rank"), col("term"), col("freq"))
+  }
+
+  /** Corpus composition report: per group (e.g. source × lang) the doc
+    * count, char and token totals, and how many docs clear the quality
+    * gate — the mixing dashboard. One map-side-combined aggregation;
+    * every statistic is computed inside the same scan pass. */
+  def compositionReport(df: DataFrame, groupCols: Seq[String],
+                        textCol: String,
+                        minQuality: Double = 0.3): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(TextFunctions.tokenCount(col(textCol))).cast("long").as("n_tok"),
+        sum(when(TextFunctions.qualityScore(col(textCol)) >= minQuality,
+          1L).otherwise(0L)).cast("long").as("n_quality"))
+
+  /** Per-document bigram novelty: how much of a document's phrasing is
+    * unique to it corpus-wide. Returns (doc_id, n_bigrams,
+    * n_distinct, n_solo, novelty) where n_solo counts the distinct
+    * bigrams appearing in NO other document and novelty =
+    * n_solo / n_distinct (portable-rounded). The integer counts are the
+    * LM-flavored signal (a doc of entirely corpus-common bigrams is
+    * boilerplate; one of mostly solo bigrams is fresh text).
+    *
+    * Scale shape mirrors [[RepeatedSpans]]: bigrams reduce to 60-bit
+    * hashes at scan time and are de-duplicated per doc BEFORE the
+    * shuffle (array_distinct on the scan side), so the one
+    * hash-partitioned window that computes document frequency carries
+    * ~16 bytes per distinct (doc, bigram). */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        greatest(size(col("tk")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        col("tk"))
+    // sequence(0, n-2) runs descending for n < 2 — filter first.
+    val bi = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(2))))))).as("h"))
+    // rows are distinct per (doc, h), so a count over the h partition
+    // IS the document frequency (the Contamination.scala convention)
+    val per = bi
+      .withColumn("docs", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(when(col("docs") === 1, 1L).otherwise(0L)).cast("long").as("n_solo"))
+    base.select(col("doc_id"), col("n_bigrams"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_solo"), lit(0L)).as("n_solo"))
+      .withColumn("novelty",
+        when(col("n_distinct") === 0, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            col("n_solo").cast("double") / col("n_distinct"), 4)))
+  }
+
+  /** Per-group exact length quantiles (p25/p50/p75 with linear
+    * interpolation — the `quantile_cont` definition) plus min/max/count.
+    * One sort-based aggregation per group; for a 100 TB corpus swap the
+    * exact percentile for `percentile_approx` at the same call site
+    * (identical plan shape, bounded state) — exactness here is what
+    * makes the cross-engine oracle able to hash-match. */
+  def lengthQuantiles(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).cast("long").as("min_v"),
+        max(col(valueCol)).cast("long").as("max_v"),
+        percentile(v, lit(0.25)).as("p25"),
+        percentile(v, lit(0.5)).as("p50"),
+        percentile(v, lit(0.75)).as("p75"))
+  }
+}

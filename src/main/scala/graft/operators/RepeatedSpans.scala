@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Exact-substring repetition statistics — the deduplicate-repeated-
+  * spans signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+  * Language Models Better"), re-expressed as a distributed k-gram-hash
+  * coverage computation instead of a suffix array (which is inherently
+  * single-machine: it needs the whole corpus in one address space).
+  *
+  * A position p in a document is DUPLICATED if the k-token span starting
+  * at p occurs at least twice in the corpus (anywhere — other documents
+  * or elsewhere in the same one). The per-document statistic is the
+  * number of tokens covered by the union of duplicated spans
+  * [p, p+k−1], the same "fraction of tokens in a repeated substring of
+  * ≥k tokens" a suffix array would report (k-gram counting finds
+  * exactly the spans of length ≥ k, since any longer repeat is a run of
+  * overlapping duplicated k-grams that the interval union re-merges).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   1. positional k-gram hashes — scan-time fan-out of (doc, pos, h)
+  *      rows, 60-bit md5 hashes so the shuffle carries ~24 bytes per
+  *      token, never the span text;
+  *   2. one hash-partitioned window counts occurrences per h (a single
+  *      shuffle; map-side nothing to combine since rows must survive);
+  *   3. positions with count ≥ 2 — typically a small fraction of the
+  *      corpus — shuffle AGAIN by doc for the gaps-and-islands interval
+  *      union (running max of span end), so the second shuffle is
+  *      proportional to the DUPLICATED subset only;
+  *   4. left-join the per-doc coverage back to the full document list.
+  * Every arithmetic step stays integer until the final fraction, which
+  * is portable-rounded to 4 — bit-identical to the DuckDB oracle.
+  */
+object RepeatedSpans {
+
+  /** Per-document repeated-span coverage over whitespace tokens.
+    *
+    * Returns (doc_id, n_tok, dup_tok, dup_frac, keep) — one row per
+    * input document; documents shorter than k tokens report zero
+    * coverage (they contain no k-span at all).
+    *
+    * @param k          span width in tokens (the minimum repeat length
+    *                   the statistic can see)
+    * @param maxDupFrac keep-threshold on the covered-token fraction
+    */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, maxDupFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        col("tk"))
+
+    // sequence(0, n-k) would run DESCENDING for n < k (Spark generates
+    // descending sequences when stop < start) — the n_tok >= k filter
+    // is correctness, not just pruning.
+    val grams = base.filter(col("n_tok") >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+
+    // gaps-and-islands union of [pos, pos+k-1] intervals per doc:
+    // a position's fresh coverage is its span end minus the furthest
+    // span end seen at earlier positions (clamped to [0, k]).
+    val prevEnd = max(col("pos") + k).over(
+      Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val cov = dup
+      .withColumn("contrib", greatest(lit(0),
+        col("pos") + k - greatest(coalesce(prevEnd, col("pos")), col("pos"))))
+      .groupBy("doc_id")
+      .agg(sum("contrib").cast("long").as("dup_tok"))
+
+    base.select(col("doc_id"), col("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            coalesce(col("dup_tok"), lit(0L)).cast("double") /
+              col("n_tok"), 4))
+          .as("dup_frac"))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+}

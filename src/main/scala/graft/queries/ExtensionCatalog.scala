@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Chunking, Contamination, Dedup, IncrementalDedup,
-  Multimodal, RangeJoin, Salting, Sampling, Similarity, Sketches, TfIdf}
+import graft.operators.{Chunking, Contamination, CorpusStats, Dedup,
+  IncrementalDedup, Multimodal, RangeJoin, RepeatedSpans, Salting,
+  Sampling, Similarity, Sketches, TfIdf}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -1328,6 +1329,138 @@ object ExtensionCatalog {
           .select(col("doc_id"), col("lang"),
             TextFunctions.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", "lang", seqLen = 2048)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- exact-substring repetition coverage (Lee et al. 2022's
+    //      dedup-repeated-spans signal): fraction of each doc's tokens
+    //      inside a ≥8-token span that occurs twice anywhere in the
+    //      corpus — k-gram-hash counting + interval union instead of a
+    //      suffix array, which cannot distribute ----
+    Q("x43_repeated_spans", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - 8)) AS u(i)
+         |  WHERE n_tok >= 8),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM g)
+         |  WHERE c >= 2),
+         |cov AS (
+         |  SELECT doc_id, CAST(sum(greatest(0, pos + 8 -
+         |      greatest(coalesce(prev_end, pos), pos))) AS BIGINT) AS dup_tok
+         |  FROM (SELECT doc_id, pos,
+         |          max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |            AS prev_end
+         |        FROM dup)
+         |  GROUP BY doc_id),
+         |rep AS (
+         |  SELECT b.doc_id, n_tok, coalesce(dup_tok, 0) AS dup_tok,
+         |    CASE WHEN n_tok = 0 THEN 0.0
+         |         ELSE floor(coalesce(dup_tok, 0) * 1.0 / n_tok
+         |                    * 10000.0 + 0.5) / 10000.0 END AS dup_frac
+         |  FROM base b LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, n_tok, dup_tok, dup_frac, dup_frac <= 0.5 AS keep
+         |FROM rep ORDER BY doc_id""".stripMargin),
+      (s, dir) => RepeatedSpans.spanStats(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, maxDupFrac = 0.5)
+        .orderBy("doc_id")),
+
+    // ---- corpus vocabulary: top-500 terms by frequency — the
+    //      tokenizer-training / stopword-curation report; distributed
+    //      top-k (TakeOrderedAndProject), rank window only over the
+    //      500 survivors ----
+    Q("x44_vocab_topk", Some(
+      s"""WITH tk AS (
+         |  SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents),
+         |counts AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tk GROUP BY term),
+         |top AS (
+         |  SELECT term, freq FROM counts ORDER BY freq DESC, term LIMIT 500)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT)
+         |    AS "rank", term, freq
+         |FROM top ORDER BY "rank"""".stripMargin),
+      (s, dir) => CorpusStats.vocabTopK(t(s, dir, "documents"), "text", 500)
+        .orderBy("rank")),
+
+    // ---- corpus composition report per (source, lang): docs, chars,
+    //      tokens, quality-gate passes — the mixing dashboard; one
+    //      map-side-combined aggregation ----
+    Q("x45_composition_report", Some(
+      s"""WITH s AS (
+         |  SELECT source, lang, text,
+         |  $qualityStatsSql
+         |  FROM documents),
+         |sc AS (
+         |  SELECT source, lang, text, n_tok,
+         |    $qualityFormulaSql AS q
+         |  FROM s)
+         |SELECT source, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN q >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality
+         |FROM sc GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin),
+      (s, dir) => CorpusStats.compositionReport(
+        t(s, dir, "documents"), Seq("source", "lang"), "text", 0.3)
+        .orderBy("source", "lang")),
+
+    // ---- per-document bigram novelty: distinct bigrams vs bigrams
+    //      unique to the doc corpus-wide — boilerplate vs fresh text;
+    //      scan-side distinct hashes, one df window, one doc agg ----
+    Q("x46_bigram_novelty", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(greatest(len(t) - 1, 0) AS BIGINT)
+         |    AS n_bigrams, t FROM tk),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(0, len(t) - 2),
+         |    i -> ('0x' || substr(md5(array_to_string(t[i+1:i+2], ' ')), 1, 15))::BIGINT)))
+         |    AS h
+         |  FROM base WHERE len(t) >= 2),
+         |wd AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS docs FROM bi),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_solo
+         |  FROM wd GROUP BY doc_id)
+         |SELECT b.doc_id, n_bigrams,
+         |  coalesce(n_distinct, 0) AS n_distinct,
+         |  coalesce(n_solo, 0) AS n_solo,
+         |  CASE WHEN coalesce(n_distinct, 0) = 0 THEN 0.0
+         |       ELSE floor(coalesce(n_solo, 0) * 1.0 / n_distinct
+         |                  * 10000.0 + 0.5) / 10000.0 END AS novelty
+         |FROM base b LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.bigramNovelty(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- per-language length distribution: exact interpolated
+    //      quantiles (the filter-threshold-setting report; swap to
+    //      percentile_approx at 100 TB — same plan shape) ----
+    Q("x47_length_quantiles", Some(
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => CorpusStats.lengthQuantiles(
+        t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang"))
   )
 }
