@@ -218,6 +218,62 @@ object MergeUpsert {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Result of [[compactPlain]]: file/byte counts before, files after
+    * (== before when the store was already compact and the call was a
+    * no-op that published nothing). */
+  final case class CompactionReport(filesBefore: Int, filesAfter: Int,
+                                    bytes: Long, compacted: Boolean)
+
+  /** Small-file compaction of a [[mergeWritePlain]] store — the
+    * OPTIMIZE pass every merge-on-write table needs at streaming
+    * cadence: each merge publishes a version laid out by the merge
+    * plan's parallelism (shuffle-partition-many files of a few KB for
+    * a dim-sized table), and a reader's cost is per-FILE (open + footer
+    * + row-group seek), so a store merged every second decays toward
+    * thousands of tiny files per version.
+    *
+    * Rewrites the LIVE version into `ceil(bytes / targetBytes)` files
+    * (coalesce — a narrow dependency, no shuffle) and republishes it
+    * through the same atomic version-dir + pointer-flip protocol as a
+    * merge: readers either resolve the old version (retained for the
+    * usual `retainVersions` window) or the compacted one, never a
+    * partial state; a crash mid-compaction leaves an unmarked dir that
+    * the next publish GCs. Contents are bit-identical by construction —
+    * compaction is a pure re-layout.
+    *
+    * A legacy FLAT table (bare parquet files, no version pointer) is
+    * adopted into the versioned layout by the same call. Already-compact
+    * stores (file count ≤ target) are left untouched — repeated
+    * compaction must not bump versions forever.
+    *
+    * The partitioned [[mergeWrite]] layout needs no analogue: dynamic
+    * partition overwrite rewrites every touched partition wholesale
+    * (one file per date by construction), so partitions never fragment.
+    */
+  def compactPlain(spark: SparkSession, path: String,
+                   targetBytes: Long = 128L << 20,
+                   retainVersions: Int = 2): CompactionReport = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cur = currentPlainVersion(spark, path)
+    val dataDir = cur match {
+      case Some(v) => new org.apache.hadoop.fs.Path(p, v)
+      case None if hasFlatParquet(fs, p) => p
+      case None => return CompactionReport(0, 0, 0L, compacted = false)
+    }
+    val files = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val targetN = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (cur.isDefined && files.length <= targetN)
+      return CompactionReport(files.length, files.length, bytes,
+        compacted = false)
+    val df = spark.read.parquet(dataDir.toString).coalesce(targetN)
+    publishPlain(spark, path, df, retainVersions)
+    CompactionReport(files.length, targetN, bytes, compacted = true)
+  }
+
   /** Read the live version of a [[mergeWritePlain]] table: the
     * `_CURRENT` pointer's version dir; with no pointer (legacy layout or
     * a lost pointer) the newest version dir, else the flat path. */

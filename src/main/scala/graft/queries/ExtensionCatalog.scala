@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{Chunking, Contamination, CorpusStats, Dedup,
-  IncrementalDedup, Multimodal, RangeJoin, RepeatedSpans, Salting,
-  Sampling, Similarity, Sketches, TfIdf}
+  IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
+  Salting, Sampling, Similarity, Sketches, TfIdf}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -1461,6 +1461,36 @@ object ExtensionCatalog {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       (s, dir) => CorpusStats.lengthQuantiles(
         t(s, dir, "documents"), "lang", "n_chars")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ---- versioned-store compaction (the OPTIMIZE pass): three
+    //      multi-file merge publishes, then a compaction republish —
+    //      the oracle proves the re-layout is contents-identical, the
+    //      engine-side require proves compaction actually rewrote
+    //      (files shrank; a no-op would not satisfy it) ----
+    Q("x48_compacted_store", Some(
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-compact48").toString + "/docs"
+        (0 until 3).foreach { k =>
+          MergeUpsert.mergeWritePlain(s, store,
+            docs.filter(col("doc_id") % 3 === k), Seq("doc_id"))
+        }
+        // streaming-cadence decay stand-in: republish the live version
+        // fragmented (explicit numPartitions — AQE never coalesces a
+        // user repartition, so the 8-file layout is deterministic)
+        MergeUpsert.publishPlain(s, store,
+          MergeUpsert.readPlain(s, store).repartition(8))
+        val rep = MergeUpsert.compactPlain(s, store, targetBytes = 256L << 20)
+        require(rep.compacted && rep.filesAfter < rep.filesBefore,
+          s"compaction should have reduced files, got $rep")
+        MergeUpsert.readPlain(s, store)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            md5(col("text")).as("text_hash"))
+          .orderBy("doc_id")
+      })
   )
 }
