@@ -92,4 +92,39 @@ object Sampling {
     }
     stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
   }
+
+  /** Temperature-based mixture sampling — the multilingual rebalancing
+    * scheme of mBERT/XLM-R/mT5 (Devlin et al. 2019 app. A;
+    * Conneau et al. 2020 §3): sample stratum s proportionally to
+    * nₛ^α, flattening the head without inverting the distribution.
+    * This is [[rebalanceMix]] with the target mix DERIVED from the
+    * corpus itself (pₛ ∝ nₛ^α) instead of hand-picked: the smallest
+    * stratum keeps everything (a filter cannot upsample) and larger
+    * strata downsample by (n_min-derived budget)·nₛ^(α−1).
+    *
+    * α = 0.5 (the default) computes weights with `sqrt`, which IEEE 754
+    * requires to be CORRECTLY ROUNDED — so the derived basis points are
+    * bit-identical on any engine and the hash gate stays cross-engine
+    * reproducible. Other α use `pow`, which carries no such guarantee
+    * (1-ulp differences between libm implementations could flip a
+    * boundary row) — fine for production, not for a hash-compared
+    * oracle. Same scale shape as rebalanceMix: one O(#strata) count
+    * collect, then a scan-time codegen filter. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(strataCol).count().collect()
+      .filter(!_.isNullAt(0))
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "corpus has no non-null strata")
+    def powA(n: Double): Double =
+      if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha)
+    val w = counts.map { case (s, n) => s -> powA(n.toDouble) }
+    // same op order as the SQL mirror: budget = min(n/w), rate = B·w/n
+    val budget = counts.map { case (s, n) => n.toDouble / w(s) }.min
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(budget * w(s) / n.toDouble, 1.0)
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
+  }
 }

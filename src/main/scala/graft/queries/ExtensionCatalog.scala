@@ -1491,6 +1491,30 @@ object ExtensionCatalog {
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             md5(col("text")).as("text_hash"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- temperature sampling (α = 0.5): the corpus-derived mixture
+    //      flattening of multilingual pre-training — pₛ ∝ √nₛ; sqrt is
+    //      IEEE-correctly-rounded, so the derived basis points (and
+    //      therefore the kept row set) are bit-identical cross-engine ----
+    Q("x49_temperature_mix", Some(
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+         |  WHERE lang IS NOT NULL GROUP BY lang),
+         |b AS (
+         |  SELECT min(n / sqrt(n)) AS budget FROM cnt),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(least(budget * sqrt(n) / n, 1.0) * 10000.0 + 0.5)
+         |      AS BIGINT) AS bp
+         |  FROM cnt CROSS JOIN b)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE ${h60Sql("('temp:' || CAST(doc_id AS VARCHAR))", 10000L)} < bp
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.temperatureMix(t(s, dir, "documents"),
+        "doc_id", "lang", alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"))
   )
 }

@@ -63,4 +63,30 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == got.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("temperature mix flattens the head, smallest stratum keeps all") {
+    // 900 en / 100 de: α=0.5 → weights 30/10, budget = min(n/√n) =
+    // √100 = 10 → rates en = 10·30/900 = 1/3, de = 10·10/100 = 1
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (1 to 100).map(i => (5000L + i, "de"))).toDF("doc_id", "lang")
+    val got = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+    val byLang = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 100, "smallest stratum keeps everything")
+    assert(byLang("en") > 240 && byLang("en") < 360, s"en=${byLang("en")}")
+    // layout-independent determinism
+    val again = Sampling.temperatureMix(docs.repartition(5), "doc_id", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("temperature mix validates alpha") {
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 1.5)
+    }
+  }
 }
