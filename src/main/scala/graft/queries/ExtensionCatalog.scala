@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{Chunking, Contamination, CorpusStats, Dedup,
   IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
-  Salting, Sampling, Similarity, Sketches, TfIdf}
+  Salting, Sampling, Similarity, Sketches, TfIdf, ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -1515,6 +1515,40 @@ object ExtensionCatalog {
       (s, dir) => Sampling.temperatureMix(t(s, dir, "documents"),
         "doc_id", "lang", alpha = 0.5)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    //      the multi-dimensional layout key behind OPTIMIZE ZORDER BY —
+    //      min-max normalize (exact integer product, IEEE division,
+    //      floor) then bit-interleave; ranges derived per-corpus by one
+    //      tiny stats agg (the centroid pattern). The layout rewrite
+    //      itself is ZOrder.cluster (spec-asserted tiling); this query
+    //      proves the KEY is bit-identical cross-engine ----
+    Q("x50_zorder_key", Some(
+      s"""WITH r AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS p_lo,
+         |         CAST(max(l_partkey) AS BIGINT) AS p_hi,
+         |         CAST(min(l_suppkey) AS BIGINT) AS s_lo,
+         |         CAST(max(l_suppkey) AS BIGINT) AS s_hi
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(floor(CAST((CAST(l_partkey AS BIGINT) - p_lo) * 65535
+         |      AS DOUBLE) / CAST(p_hi - p_lo AS DOUBLE)) AS BIGINT) AS nx,
+         |    CAST(floor(CAST((CAST(l_suppkey AS BIGINT) - s_lo) * 65535
+         |      AS DOUBLE) / CAST(s_hi - s_lo AS DOUBLE)) AS BIGINT) AS ny
+         |  FROM lineitem CROSS JOIN r)
+         |SELECT l_orderkey, l_linenumber,
+         |  ${ZOrder.interleaveSql(Seq("nx", "ny"), 16)} AS z
+         |FROM n ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rs = ZOrder.ranges(li, Seq("l_partkey", "l_suppkey"))
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.zValueRanged(
+            Seq(col("l_partkey") -> rs(0), col("l_suppkey") -> rs(1)),
+            bits = 16).as("z"))
+          .orderBy("l_orderkey", "l_linenumber")
+      })
   )
 }
