@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Distributed Bloom filter over builtins — the scale path for
+  * membership tests whose reference set is too big to broadcast
+  * exactly: [[Contamination.flag]] broadcasts the benchmark's DISTINCT
+  * shingle hashes (8 bytes each — fine for eval sets, prohibitive for
+  * "have we already ingested this" sets in the billions), while a Bloom
+  * bitmap is a FIXED m-bit broadcast regardless of member count, at the
+  * price of a tunable false-positive rate (never false negatives — safe
+  * for decontamination, where a false positive only over-drops).
+  *
+  * Everything is engine-portable integer math:
+  *   - k bit positions per element by Kirsch–Mitzenmacher double
+  *     hashing over the 60-bit md5 base hash:
+  *     pos_j = (h mod m + j·(1 + (h≫30 mod (m−1)))) mod m — no per-j
+  *     re-hash, identical in any engine with `%` and `>>`;
+  *   - the bitmap is built with ordinary aggregations (explode
+  *     positions → distinct → per-word `bit_or` of single-bit masks →
+  *     one dense array<long> row) — mergeable, shuffle-light
+  *     (distinct positions ≤ m), no UDAF;
+  *   - probing is `element_at` + shift + mask over the broadcast 1-row
+  *     bitmap — codegen'd builtins in the scan.
+  * The DuckDB oracle cross-checks with a DIFFERENT algorithm (position
+  * subset-count, no bitmap): both reduce to "all k positions set", so
+  * agreeing results — false positives included, which are deterministic
+  * here — validate the whole hash/bit pipeline. */
+object BloomFilter {
+
+  /** The k bit positions of `h` (a non-negative 60-bit hash). */
+  def positions(h: Column, m: Int, k: Int): Seq[Column] = {
+    require(m > 1 && k >= 1, s"need m > 1 bits and k >= 1 hashes, got m=$m k=$k")
+    val h1 = h % lit(m.toLong)
+    val h2 = lit(1L) + (shiftright(h, 30) % lit((m - 1).toLong))
+    (0 until k).map(j => (h1 + lit(j.toLong) * h2) % lit(m.toLong))
+  }
+
+  /** Build the m-bit bitmap as ONE row (`bitmap` array<long> of m/64
+    * words) from a column of 60-bit hashes. */
+  def build(hashes: DataFrame, hashCol: String, m: Int, k: Int): DataFrame = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    val pos = hashes
+      .select(explode(array(positions(col(hashCol), m, k): _*)).as("pos"))
+      .distinct()
+    val words = pos.select(shiftright(col("pos"), 6).as("widx"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+          .as("mask"))
+      .groupBy("widx").agg(bit_or(col("mask")).as("word"))
+    hashes.sparkSession.range(m / 64).toDF("widx")
+      .join(words, Seq("widx"), "left")
+      .select(col("widx"), coalesce(col("word"), lit(0L)).as("word"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("widx"), col("word"))))
+        .as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("word")).as("bitmap"))
+  }
+
+  /** Membership probe against a [[build]] bitmap column: true iff all k
+    * positions are set (may false-positive, never false-negative). */
+  def mightContain(bitmap: Column, h: Column, m: Int, k: Int): Column =
+    positions(h, m, k).map { pos =>
+      call_function("shiftright",
+        element_at(bitmap, (shiftright(pos, 6) + 1).cast("int")),
+        (pos % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** [[Contamination.flag]] with the benchmark side Bloom-compressed:
+    * (doc_id, n_bloom_hits) for corpus docs whose distinct shingles hit
+    * the benchmark bloom — a deterministic superset of the exact
+    * contamination report. The corpus side stays a scan + codegen
+    * filter; only the (rare) hits shuffle for the per-doc count. */
+  def flagBloom(corpus: DataFrame, idCol: String, textCol: String,
+                bench: DataFrame, benchTextCol: String,
+                shingleN: Int = 5, m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val benchHashes = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
+      .select(TextFunctions.md5Hash60(col("s")).as("h"))
+    val bloom = build(benchHashes, "h", m, k)
+    corpus.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), shingleN)).as("s"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).as("h"))
+      // 1-row build side: the broadcast nested loop IS the plan here
+      .crossJoin(broadcast(bloom))
+      .filter(mightContain(col("bitmap"), col("h"), m, k))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom_hits"))
+  }
+}

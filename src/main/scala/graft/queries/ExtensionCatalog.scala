@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{Chunking, Contamination, CorpusStats, Dedup,
-  IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
-  Salting, Sampling, Similarity, Sketches, TfIdf, ZOrder}
+import graft.operators.{BloomFilter, Chunking, Contamination, CorpusStats,
+  Dedup, IncrementalDedup, MergeUpsert, Multimodal, RangeJoin,
+  RepeatedSpans, Salting, Sampling, Similarity, Sketches, TfIdf, ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -1549,6 +1549,49 @@ object ExtensionCatalog {
             Seq(col("l_partkey") -> rs(0), col("l_suppkey") -> rs(1)),
             bits = 16).as("z"))
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // ---- Bloom-compressed contamination: same decontamination pass as
+    //      x33 but the benchmark side rides as a fixed 64 Kbit bitmap
+    //      (8 KB broadcast at ANY member count) instead of the exact
+    //      hash set. The oracle runs a DIFFERENT algorithm (position
+    //      subset-count, no bitmap) over the same double-hash math, so
+    //      a match — deterministic false positives included — validates
+    //      the entire hash/bit pipeline cross-engine ----
+    Q("x51_bloom_contamination", Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 4, 1)),
+         |    i -> array_to_string(tk[i : i + 4], ' '))) AS shingles
+         |  FROM toks WHERE len(tk) > 0),
+         |hs AS (
+         |  SELECT doc_id, unnest(list_transform(shingles,
+         |    s -> ${h60Sql("s", 1152921504606846976L)})) AS h
+         |  FROM sh),
+         |bench_pos AS (
+         |  SELECT DISTINCT ((h % 65536) + j * (1 + ((h >> 30) % 65535)))
+         |    % 65536 AS pos
+         |  FROM (SELECT DISTINCT h FROM hs WHERE doc_id % 29 = 0) b,
+         |       unnest(generate_series(0, 2)) AS u(j)),
+         |probe AS (
+         |  SELECT doc_id, h,
+         |    ((h % 65536) + j * (1 + ((h >> 30) % 65535))) % 65536 AS pos
+         |  FROM hs, unnest(generate_series(0, 2)) AS u(j)
+         |  WHERE doc_id % 29 <> 0),
+         |hit AS (
+         |  SELECT doc_id, h FROM probe JOIN bench_pos USING (pos)
+         |  GROUP BY doc_id, h HAVING count(*) = 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        BloomFilter.flagBloom(
+          docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 29 === 0), "text",
+          shingleN = 5, m = 1 << 16, k = 3)
+          .orderBy("doc_id")
       })
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 1 << 12
+  private val K = 3
+
+  test("no false negatives: every inserted hash probes positive") {
+    val members = (1L to 500L).map(i => math.abs(i * 2654435761L) % (1L << 60))
+    val bloom = BloomFilter.build(members.toDF("h"), "h", M, K)
+    val probed = members.toDF("h").crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bitmap"), col("h"), M, K))
+    assert(probed.count() == members.distinct.size)
+  }
+
+  test("false-positive rate is near theory for disjoint probes") {
+    val members = (1L to 500L).map(i => math.abs(i * 2654435761L) % (1L << 60))
+    val bloom = BloomFilter.build(members.toDF("h"), "h", M, K)
+    val probes = (1L to 2000L).map(i => math.abs(i * 40503L + 7L) % (1L << 60))
+      .filterNot(members.toSet)
+    val fp = probes.toDF("h").crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bitmap"), col("h"), M, K))
+      .count()
+    // ~1500 set bits of 4096 -> p ≈ (0.31)^3 ≈ 3% ; allow generous slack
+    assert(fp < probes.size * 0.12, s"fp=$fp of ${probes.size}")
+  }
+
+  test("bitmap is dense, ordered, and fixed-size") {
+    val bloom = BloomFilter.build(Seq(42L).toDF("h"), "h", M, K).head()
+    val words = bloom.getSeq[Long](0)
+    assert(words.size == M / 64)
+    assert(words.count(_ != 0L) <= K) // one element sets at most K words
+  }
+
+  test("flagBloom is a superset of exact contamination, same shingles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    val exact = Contamination.flag(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloomed = BloomFilter.flagBloom(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exactly-contaminated doc is flagged with
+    // at least as many hits
+    exact.foreach { case (id, n) =>
+      assert(bloomed.contains(id) && bloomed(id) >= n,
+        s"doc $id exact=$n bloom=${bloomed.get(id)}")
+    }
+  }
+}
