@@ -95,6 +95,36 @@ object ScaleStress {
       n1 + n2
     })
 
+    // ---- r4 additions (x43–x51) ----
+    import graft.operators.{BloomFilter, CorpusStats, MergeUpsert,
+      RepeatedSpans, ZOrder}
+    time("repeated spans k=8")(RepeatedSpans.spanStats(
+      docs, "doc_id", "text").count())
+    time("vocab top-500")(CorpusStats.vocabTopK(docs, "text", 500).count())
+    time("composition report")(CorpusStats.compositionReport(
+      docs.withColumn("source", col("lang")), Seq("source", "lang"),
+      "text").count())
+    time("bigram novelty")(CorpusStats.bigramNovelty(
+      docs, "doc_id", "text").count())
+    time("length quantiles")(CorpusStats.lengthQuantiles(
+      docs.withColumn("n_chars", length(col("text"))), "lang",
+      "n_chars").count())
+    time("temperature mix a=0.5")(graft.operators.Sampling.temperatureMix(
+      docs, "doc_id", "lang").count())
+    time("bloom contamination")(BloomFilter.flagBloom(docs, "doc_id", "text",
+      docs0.filter(col("doc_id") % 50 === 0), "text").count())
+    time("store compact (3 merges)")({
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-stress-compact").toString + "/docs"
+      (0 until 3).foreach { k =>
+        MergeUpsert.mergeWritePlain(spark, store,
+          docs.filter(col("doc_id") % 3 === k), Seq("doc_id"))
+      }
+      val rep = MergeUpsert.compactPlain(spark, store,
+        targetBytes = 64L << 20)
+      rep.filesAfter.toLong
+    })
+
     // reference-parity path at scale: replicate lineitem/orders
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
     val o0 = spark.read.parquet(s"$dir/orders.parquet")
@@ -105,6 +135,12 @@ object ScaleStress {
       o0.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"[stress] lineitem=${li.count()} orders=${o.count()}")
+    time("zorder key 6M rows")({
+      val rs = ZOrder.ranges(li, Seq("l_partkey", "l_suppkey"))
+      li.select(ZOrder.zValueRanged(
+        Seq(col("l_partkey") -> rs(0), col("l_suppkey") -> rs(1))).as("z"))
+        .agg(sum("z")).count()
+    })
     time("star join + agg")(
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

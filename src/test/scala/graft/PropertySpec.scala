@@ -150,6 +150,59 @@ class PropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("repeated-span coverage is bounded by n_tok; an exact duplicate " +
+    "of a long-enough doc is fully covered") {
+    import graft.operators.RepeatedSpans
+    val docGen = Gen.listOfN(40, for {
+      n <- Gen.chooseNum(0, 30)
+      toks <- Gen.listOfN(n, Gen.oneOf(
+        "aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+    } yield toks.mkString(" "))
+    val texts = sampled(docGen)
+    // duplicate every third doc verbatim under a fresh id
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.zipWithIndex.collect { case (t, i) if i % 3 == 0 =>
+        (1000L + i, t) }
+    val k = 4
+    val out = RepeatedSpans.spanStats(rows.toDF("doc_id", "text"),
+      "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.foreach { case (id, (nTok, dupTok)) =>
+      assert(dupTok >= 0 && dupTok <= nTok, s"doc $id: $dupTok of $nTok")
+    }
+    rows.filter(_._1 >= 1000L).foreach { case (id, _) =>
+      val (nTok, dupTok) = out(id)
+      if (nTok >= k)
+        assert(dupTok == nTok, s"duplicated doc $id should be fully covered")
+    }
+  }
+
+  test("z-value is monotone in each dimension with the other fixed") {
+    import graft.operators.ZOrder
+    val pairGen = Gen.listOfN(150, for {
+      x <- Gen.chooseNum(0L, 1023L)
+      y <- Gen.chooseNum(0L, 1023L)
+    } yield (x, y))
+    val pts = sampled(pairGen).distinct
+    val z = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.zValue(Seq(col("x"), col("y")), bits = 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.groupBy(_._2).values.foreach { sameY =>
+      val sorted = sameY.sortBy(_._1)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(z(a) < z(b), s"z not monotone in x at $a -> $b")
+      }
+    }
+    pts.groupBy(_._1).values.foreach { sameX =>
+      val sorted = sameX.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(z(a) < z(b), s"z not monotone in y at $a -> $b")
+      }
+    }
+  }
+
   test("portable rounding matches DuckDB-style scale-round on exact .5 cases") {
     // values whose 10^4-scaled double is exactly representable at .5
     val vals = Seq(0.03125, 0.484250, 0.000050, 0.99995, 0.12345)
