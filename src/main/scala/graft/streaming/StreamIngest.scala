@@ -47,27 +47,47 @@ object StreamIngest {
     * survive `retainVersions - 1` merge cycles before GC, so a reader
     * taking R seconds against an `interval` of C seconds needs
     * retainVersions > R/C + 1 (default 2 = one cycle). */
+  /** `compactEvery`: run [[MergeUpsert.compactPlain]] on the target
+    * after every N data micro-batches (0 = never). At streaming cadence
+    * each merge publishes a version laid out by the merge plan's
+    * parallelism, so an unmaintained store decays toward
+    * shuffle-partition-many tiny files per version; a periodic
+    * compaction republish (same atomic pointer-flip protocol, same
+    * reader window) bounds reader cost without pausing ingestion. */
   def ingestContinuous(spark: SparkSession, srcGlob: String,
                        schema: StructType, targetPath: String,
                        keys: Seq[String], checkpoint: String,
                        interval: String = "1 second",
-                       retainVersions: Int = 2)
+                       retainVersions: Int = 2,
+                       compactEvery: Int = 0,
+                       compactTargetBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.StreamingQuery =
     start(spark, srcGlob, schema, targetPath, keys, checkpoint,
-      Trigger.ProcessingTime(interval), retainVersions)
+      Trigger.ProcessingTime(interval), retainVersions, compactEvery,
+      compactTargetBytes)
 
   private def start(spark: SparkSession, srcGlob: String,
                     schema: StructType, targetPath: String,
                     keys: Seq[String], checkpoint: String,
-                    trigger: Trigger, retainVersions: Int = 2)
+                    trigger: Trigger, retainVersions: Int = 2,
+                    compactEvery: Int = 0,
+                    compactTargetBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).parquet(srcGlob)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         MergeUpsert.mergeWritePlain(batch.sparkSession, targetPath, batch,
           keys, retainVersions)
+        // maintenance cadence counts DATA batches (empty micro-batches
+        // don't reach foreachBatch); a compaction that races a crash is
+        // safe — it's a publish like any other
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          MergeUpsert.compactPlain(batch.sparkSession, targetPath,
+            compactTargetBytes, retainVersions)
+          ()
+        }
       }
       .start()
 }

@@ -85,4 +85,51 @@ class StreamIngestSpec extends SparkSpec {
         "restart must not re-merge committed batches (one version per merge)")
     } finally q2.stop()
   }
+
+  test("compaction cadence bounds live-version file decay under streaming") {
+    val work = java.nio.file.Files.createTempDirectory("graft-scomp").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$work/stage-$name"
+      // several files per arrival -> multi-partition merge inputs
+      df.repartition(4).write.parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      parts.foreach { case (part, i) =>
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$work/in/$name-$i.parquet"))
+      }
+    }
+    def liveFiles: Int = {
+      val v = MergeUpsert.currentPlainVersion(spark, s"$work/target").get
+      new java.io.File(s"$work/target/$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val q = StreamIngest.ingestContinuous(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp", interval = "100 milliseconds",
+      compactEvery = 2, compactTargetBytes = 1L << 30)
+    try {
+      (0 until 4).foreach { b =>
+        arrive((1L to 40L).map(k => (k, s"b$b")).toDF("k", "v"),
+          s"f$b")
+        q.processAllAvailable()
+      }
+      // every 2nd data batch triggers a compaction republish: the live
+      // version must be the single-file compacted layout, not the
+      // merge parallelism's multi-file one
+      assert(liveFiles == 1, s"live version should be compacted, got $liveFiles files")
+      // 4 merge publishes + 2 cadence compaction publishes = version 6
+      // (proves the cadence actually fired; liveFiles alone could pass
+      // vacuously if AQE coalesced a tiny merge to one file)
+      assert(MergeUpsert.currentPlainVersion(spark, s"$work/target")
+        .contains("v-0000000006"),
+        s"expected 2 compaction publishes, at ${
+          MergeUpsert.currentPlainVersion(spark, s"$work/target")}")
+      val got = MergeUpsert.readPlain(spark, s"$work/target")
+        .orderBy("k").as[(Long, String)].collect().toSeq
+      assert(got == (1L to 40L).map(k => (k, "b3")))
+    } finally q.stop()
+  }
 }
