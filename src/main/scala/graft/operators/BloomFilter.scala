@@ -38,6 +38,14 @@ object BloomFilter {
     (0 until k).map(j => (h1 + lit(j.toLong) * h2) % lit(m.toLong))
   }
 
+  /** SQL mirror of [[positions]]' Kirsch–Mitzenmacher formula for hash
+    * expression `h` and hash-index expression `j` — oracles interpolate
+    * THIS (and the same m/k constants they pass to [[flagBloom]])
+    * instead of hand-inlining the formula, so a change to the position
+    * math changes both engines or neither (the shared-fragment rule). */
+  def positionSql(h: String, j: String, m: Int): String =
+    s"((($h % $m) + $j * (1 + (($h >> 30) % ${m - 1}))) % $m)"
+
   /** Build the m-bit bitmap as ONE row (`bitmap` array<long> of m/64
     * words) from a column of 60-bit hashes. */
   def build(hashes: DataFrame, hashCol: String, m: Int, k: Int): DataFrame = {

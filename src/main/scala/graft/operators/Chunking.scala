@@ -73,11 +73,16 @@ object Chunking {
       // over the SAME window (no extra exchange) turns silent
       // corruption into a loud failure.
       .withColumn("end_tok",
-        when(lag(col("doc_id"), 1).over(w) === col("doc_id"),
+        // null-safe <=>: two NULL doc_ids are still duplicates, and a
+        // null-unsafe === would let exactly that pair double-pack
+        when(lag(col("doc_id"), 1).over(w) <=> col("doc_id"),
           raise_error(concat(
             lit("packSequences: duplicate doc_id within shard: "),
-            col("doc_id").cast("string"), lit(" / "),
-            col("shard").cast("string"))))
+            // coalesce: a NULL id/shard must not null out the whole
+            // concat (raise_error(NULL) reports a blank "null" message)
+            coalesce(col("doc_id").cast("string"), lit("NULL")),
+            lit(" / "),
+            coalesce(col("shard").cast("string"), lit("NULL")))))
           .otherwise(col("end_tok")))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         // integer `div`, not `/`: the double round-trip would lose

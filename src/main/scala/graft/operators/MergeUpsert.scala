@@ -271,7 +271,15 @@ object MergeUpsert {
         compacted = false)
     val df = spark.read.parquet(dataDir.toString).coalesce(targetN)
     publishPlain(spark, path, df, retainVersions)
-    CompactionReport(files.length, targetN, bytes, compacted = true)
+    // report what was PUBLISHED, not the target: the parquet read packs
+    // small files into fewer partitions than targetN when they fit one
+    // maxPartitionBytes split, and coalesce never splits — so the new
+    // version can legitimately carry fewer than targetN files
+    val published = currentPlainVersion(spark, path)
+      .map(v => fs.listStatus(new org.apache.hadoop.fs.Path(p, v))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")))
+      .getOrElse(targetN)
+    CompactionReport(files.length, published, bytes, compacted = true)
   }
 
   /** Read the live version of a [[mergeWritePlain]] table: the

@@ -60,12 +60,19 @@ object ZOrder {
     zValue(cols.map { case (c, (lo, hi)) => normalize(c, lo, hi, bits) },
       bits)
 
-  /** Collect per-column (min, max) in ONE aggregation job. */
+  /** Collect per-column (min, max) in ONE aggregation job. Fails with
+    * a descriptive error (not an opaque NPE) on an empty frame or an
+    * all-null column — min/max return null for both. */
   def ranges(df: DataFrame, colNames: Seq[String]): Seq[(Long, Long)] = {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    colNames.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    colNames.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"ZOrder.ranges: column '$c' has no non-null values " +
+          "(empty input or all-null column) — nothing to cluster")
+      (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
   }
 
   /** Rewrite `df` z-clustered on `colNames` into `numFiles` files:

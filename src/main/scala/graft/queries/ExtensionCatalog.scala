@@ -110,6 +110,12 @@ object ExtensionCatalog {
   private val KmvK = 64
   private val KmvM = 1099511627776L
 
+  /** x51's Bloom parameters: 64 Kbit bitmap, 3 hash functions — shared
+    * by the Spark call and the oracle SQL (via BloomFilter.positionSql)
+    * so the two sides cannot drift. */
+  private val BloomM = 1 << 16
+  private val BloomK = 3
+
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
   private def kmvEstSql(l: String): String =
@@ -1571,18 +1577,17 @@ object ExtensionCatalog {
          |    s -> ${h60Sql("s", 1152921504606846976L)})) AS h
          |  FROM sh),
          |bench_pos AS (
-         |  SELECT DISTINCT ((h % 65536) + j * (1 + ((h >> 30) % 65535)))
-         |    % 65536 AS pos
+         |  SELECT DISTINCT ${BloomFilter.positionSql("h", "j", BloomM)} AS pos
          |  FROM (SELECT DISTINCT h FROM hs WHERE doc_id % 29 = 0) b,
-         |       unnest(generate_series(0, 2)) AS u(j)),
+         |       unnest(generate_series(0, ${BloomK - 1})) AS u(j)),
          |probe AS (
          |  SELECT doc_id, h,
-         |    ((h % 65536) + j * (1 + ((h >> 30) % 65535))) % 65536 AS pos
-         |  FROM hs, unnest(generate_series(0, 2)) AS u(j)
+         |    ${BloomFilter.positionSql("h", "j", BloomM)} AS pos
+         |  FROM hs, unnest(generate_series(0, ${BloomK - 1})) AS u(j)
          |  WHERE doc_id % 29 <> 0),
          |hit AS (
          |  SELECT doc_id, h FROM probe JOIN bench_pos USING (pos)
-         |  GROUP BY doc_id, h HAVING count(*) = 3)
+         |  GROUP BY doc_id, h HAVING count(*) = $BloomK)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
          |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
@@ -1590,7 +1595,7 @@ object ExtensionCatalog {
         BloomFilter.flagBloom(
           docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 29 === 0), "text",
-          shingleN = 5, m = 1 << 16, k = 3)
+          shingleN = 5, m = BloomM, k = BloomK)
           .orderBy("doc_id")
       })
   )

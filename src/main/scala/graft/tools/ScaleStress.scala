@@ -137,9 +137,12 @@ object ScaleStress {
     println(s"[stress] lineitem=${li.count()} orders=${o.count()}")
     time("zorder key 6M rows")({
       val rs = ZOrder.ranges(li, Seq("l_partkey", "l_suppkey"))
+      // consume the aggregate VALUE (collect, not count): a count()
+      // over an ungrouped agg lets Catalyst prune the sum and the
+      // whole z projection, timing a bare row-count scan instead
       li.select(ZOrder.zValueRanged(
         Seq(col("l_partkey") -> rs(0), col("l_suppkey") -> rs(1))).as("z"))
-        .agg(sum("z")).count()
+        .agg(sum("z")).collect().length.toLong
     })
     time("star join + agg")(
       li.join(o, col("l_orderkey") === col("o_orderkey"))

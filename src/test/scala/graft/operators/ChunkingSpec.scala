@@ -49,5 +49,14 @@ class ChunkingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate doc_id") ||
       Option(e.getCause).exists(_.getMessage.contains("duplicate doc_id")))
+    // duplicate NULL ids are duplicates too: the guard must use
+    // null-safe equality or this pair double-packs silently
+    val nullDup = Seq((Option.empty[Long], "en", 3L),
+      (Option.empty[Long], "en", 3L)).toDF("doc_id", "lang", "n_tok")
+    val e2 = intercept[Exception] {
+      Chunking.packSequences(nullDup, "doc_id", "n_tok", "lang", 8).collect()
+    }
+    assert(e2.getMessage.contains("duplicate doc_id") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate doc_id")))
   }
 }
