@@ -91,6 +91,36 @@ object CorpusStats {
             col("n_solo").cast("double") / col("n_distinct"), 4)))
   }
 
+  /** Per-document vocabulary coverage: token count, tokens inside the
+    * corpus top-`vocabK` vocabulary, and the out-of-vocabulary rate —
+    * the tokenizer-coverage report that decides whether a vocab is big
+    * enough for a corpus (high OOV docs degrade to byte-fallback).
+    *
+    * Scale shape: the vocabulary is ≤ vocabK rows → broadcast; the
+    * corpus side is explode → broadcast left join → one per-doc
+    * aggregation. Counts stay integer; the rate is portable-rounded. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocabK: Int = 500): DataFrame = {
+    val vocab = vocabTopK(df, textCol, vocabK)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    val per = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("in_vocab"), lit(0L))).cast("long").as("n_in_vocab"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"))
+      .withColumn("oov_rate",
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            lit(1.0) - col("n_in_vocab").cast("double") /
+              col("n_tok").cast("double"), 4)))
+  }
+
   /** Per-group exact length quantiles (p25/p50/p75 with linear
     * interpolation — the `quantile_cont` definition) plus min/max/count.
     * One sort-based aggregation per group; for a 100 TB corpus swap the

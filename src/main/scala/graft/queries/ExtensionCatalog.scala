@@ -1597,6 +1597,68 @@ object ExtensionCatalog {
           docs.filter(col("doc_id") % 29 === 0), "text",
           shingleN = 5, m = BloomM, k = BloomK)
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- the pipeline's last mile, composition-oracled like x31:
+    //      sequence-pack the DEDUPPED corpus (x27's keepers) — dedup
+    //      changes every downstream offset, so a cross-engine match
+    //      proves the composed keepers→pack dataflow, not just each
+    //      stage ----
+    Q("x52_curated_pack", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |$keepersSql,
+         |kd AS (
+         |  SELECT d.doc_id, d.lang AS shard,
+         |    CAST(len(${tokSql("d.text")}) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN keepers USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS end_tok
+         |  FROM kd)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST((end_tok - n_tok) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((end_tok - n_tok) % 2048 AS BIGINT) AS offset
+         |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = docs.join(
+          docClusters(s, dir).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"))
+        Chunking.packSequences(
+          kept.select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tok")),
+          "doc_id", "n_tok", "lang", seqLen = 2048)
+          .orderBy("doc_id")
+      }),
+
+    // ---- vocabulary coverage / OOV rate per doc against the corpus
+    //      top-500 vocab (x44's) — the tokenizer-coverage report;
+    //      broadcast vocab join, integer counts, portable-rounded rate ----
+    Q("x53_oov_rate", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents),
+         |counts AS (
+         |  SELECT term, count(*) AS freq FROM tk GROUP BY term),
+         |vocab AS (
+         |  SELECT term FROM counts ORDER BY freq DESC, term LIMIT 500),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_in_vocab
+         |  FROM tk LEFT JOIN vocab v USING (term) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_tok, 0) AS n_tok,
+         |  coalesce(n_in_vocab, 0) AS n_in_vocab,
+         |  CASE WHEN coalesce(n_tok, 0) = 0 THEN 0.0
+         |       ELSE floor((1.0 - n_in_vocab * 1.0 / n_tok) * 10000.0
+         |                  + 0.5) / 10000.0 END AS oov_rate
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => CorpusStats.oovStats(
+        t(s, dir, "documents"), "doc_id", "text", vocabK = 500)
+        .orderBy("doc_id"))
   )
 }

@@ -52,6 +52,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m(1L) == ((3L, 2L, 2L)))
   }
 
+  test("oovStats measures coverage against the top-k vocab") {
+    val docs = Seq((1L, "a A b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1 -> top-2 vocab = {a, b}
+    val m = CorpusStats.oovStats(docs, "doc_id", "text", vocabK = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((3L, 3L, 0.0)))
+    assert(m(2L) == ((2L, 1L, 0.5)))
+    assert(m(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("lengthQuantiles interpolates like quantile_cont") {
     val df = Seq(("en", 10), ("en", 20), ("en", 30), ("en", 40), ("de", 7))
       .toDF("lang", "n_chars")
