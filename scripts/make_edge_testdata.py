@@ -48,6 +48,16 @@ def main(src: str, dst: str) -> None:
         "ab",
         "body text that ends in a tab\t",
         "body text that ends in a newline\n",
+        # one token repeated: periodic k-gram runs (x43 interval union),
+        # a single distinct bigram repeated (x46), max_freq_ratio = 1
+        "rep " * 40,
+        # exactly 8 tokens: the x43 span-width boundary (one k-gram)
+        "t1 t2 t3 t4 t5 t6 t7 t8",
+        # 7 tokens: one below the boundary (no k-gram at all)
+        "u1 u2 u3 u4 u5 u6 u7",
+        # identical line repeated with blank separators (x40 dup-line
+        # fractions with blanks excluded)
+        "same line\n\nsame line\n\nsame line",
     ]
     rows = {
         "doc_id": [next_id + i for i in range(len(edge_texts))],
