@@ -32,10 +32,18 @@ object MergeUpsert {
     * deterministic "last writer wins", mirroring the reference's
     * row-ordered ON CONFLICT DO UPDATE loop. With no priority, in-batch
     * duplicates collapse arbitrarily (dropDuplicates) — only safe when
-    * the batch is already key-unique. */
+    * the batch is already key-unique.
+    *
+    * `evolveSchema = true` aligns by name with null backfill (the
+    * ADD-COLUMN class of schema evolution): a batch carrying a new
+    * column widens the table (existing rows read null there), a batch
+    * missing a column leaves nulls for its rows. The default strictly
+    * projects the batch onto the existing schema — a batch missing a
+    * required column fails the plan instead of silently nulling. */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
             updatePriority: Option[String] = None,
-            broadcastKeys: Boolean = true): DataFrame = {
+            broadcastKeys: Boolean = true,
+            evolveSchema: Boolean = false): DataFrame = {
     val keyCols = keys.map(col)
     val deduped = updatePriority match {
       case Some(p) => dedupByPriority(updates, keys, p)
@@ -52,7 +60,70 @@ object MergeUpsert {
     val distinctKeys = deduped.select(keyCols: _*).distinct()
     val updateKeys = if (broadcastKeys) broadcast(distinctKeys) else distinctKeys
     val survivors = existing.join(updateKeys, keys, "left_anti")
-    survivors.unionByName(deduped.select(existing.columns.map(col): _*))
+    if (evolveSchema)
+      survivors.unionByName(deduped, allowMissingColumns = true)
+    else
+      survivors.unionByName(deduped.select(existing.columns.map(col): _*))
+  }
+
+  /** ADDITIVE merge — counters, not last-writer-wins: per key, the
+    * numeric `sumCols` are summed across `existing` and `updates`
+    * (absent keys start at the batch's value). The merge-on-write shape
+    * for incrementally maintained aggregates: vocabulary counts,
+    * per-domain stats, document frequencies — stores that a 100 TB
+    * pipeline updates per batch but never recomputes from scratch.
+    *
+    * Scale shape: one union + key aggregation. Map-side partial
+    * aggregation collapses the batch before the exchange; the store
+    * side re-shuffles unless it is laid out bucketed by key
+    * ([[graft.sources.Bucketing]]) — at streaming cadence write the
+    * counter store bucketed and this merge plans bucket-local. */
+  def mergeAdditive(existing: DataFrame, updates: DataFrame,
+                    keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "mergeAdditive needs at least one sum column")
+    val proj = (keys ++ sumCols).map(col)
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    existing.select(proj: _*).unionByName(updates.select(proj: _*))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[mergeAdditive]] against a versioned plain store (same atomic
+    * publish/retention protocol as [[mergeWritePlain]]). First write
+    * bootstraps from the batch alone (keys deduplicated by summing). */
+  def mergeAdditiveWritePlain(spark: SparkSession, path: String,
+                              updates: DataFrame, keys: Seq[String],
+                              sumCols: Seq[String],
+                              retainVersions: Int = 2): Unit = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cur = currentPlainVersion(spark, path)
+    val legacyFlat = cur.isEmpty && hasFlatParquet(fs, p)
+    val base =
+      cur.map(v => spark.read.parquet(s"$path/$v"))
+        .orElse(if (legacyFlat) Some(spark.read.parquet(path)) else None)
+    val merged = base match {
+      case Some(existing) => mergeAdditive(existing, updates, keys, sumCols)
+      case None =>
+        val aggs = sumCols.map(c => sum(col(c)).as(c))
+        updates.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    publishVersion(spark, path, merged, retainVersions, cur, legacyFlat)
+  }
+
+  /** Delete matching rows from a versioned plain store — the retention/
+    * takedown pass upserts cannot express. Publishes the filtered
+    * contents as a new version through the same atomic protocol
+    * (readers keep the usual window) and returns the number of rows
+    * removed. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  condition: org.apache.spark.sql.Column,
+                  retainVersions: Int = 2): Long = {
+    val current = readPlain(spark, path)
+    val removed = current.filter(condition).count()
+    if (removed > 0)
+      publishPlain(spark, path, current.filter(!condition), retainVersions)
+    removed
   }
 
   /** Keep the highest-`priorityCol` row per key (priority should be

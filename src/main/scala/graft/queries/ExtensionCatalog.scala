@@ -1659,6 +1659,49 @@ object ExtensionCatalog {
          |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => CorpusStats.oovStats(
         t(s, dir, "documents"), "doc_id", "text", vocabK = 500)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- incrementally maintained vocabulary: three ADDITIVE counter
+    //      merges into a versioned store must equal the from-scratch
+    //      word count — the never-recompute-from-scratch shape for
+    //      corpus-level aggregates ----
+    Q("x54_incremental_vocab", Some(
+      s"""WITH tk AS (
+         |  SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents)
+         |SELECT term, count(*) AS freq FROM tk
+         |GROUP BY term ORDER BY term""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-incvocab").toString + "/vocab"
+        (0 until 3).foreach { k =>
+          val batch = docs.filter(col("doc_id") % 3 === k)
+            .select(explode(TextFunctions.tokens(lower(col("text"))))
+              .as("term"))
+            .groupBy("term").agg(count(lit(1)).as("freq"))
+          MergeUpsert.mergeAdditiveWritePlain(s, store, batch,
+            Seq("term"), Seq("freq"))
+        }
+        MergeUpsert.readPlain(s, store).orderBy("term")
+      }),
+
+    // ---- takedown/retention delete on the versioned store: publish a
+    //      filtered version atomically; the oracle proves the surviving
+    //      row set exactly, the engine-side require proves rows were
+    //      actually removed (not a vacuous filter) ----
+    Q("x55_store_delete", Some(
+      """SELECT doc_id, lang, md5(text) AS text_hash
+        |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-del55").toString + "/docs"
+        MergeUpsert.mergeWritePlain(s, store, docs, Seq("doc_id"))
+        val removed = MergeUpsert.deleteWhere(s, store, col("lang") === "de")
+        require(removed > 0, "delete should have removed the de partition")
+        MergeUpsert.readPlain(s, store)
+          .select(col("doc_id"), col("lang"), md5(col("text")).as("text_hash"))
+          .orderBy("doc_id")
+      })
   )
 }

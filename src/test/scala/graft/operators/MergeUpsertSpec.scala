@@ -194,4 +194,59 @@ class MergeUpsertSpec extends SparkSpec {
       .orderBy("date").select("total_beds").as[Int].collect()
     assert(got.toSeq == Seq(150, 200))
   }
+
+  test("additive merge sums per key; store bootstrap sums in-batch dups") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-addm").toString + "/counts"
+    // bootstrap: in-batch duplicate keys must SUM, not collapse
+    MergeUpsert.mergeAdditiveWritePlain(spark, store,
+      Seq(("a", 2L), ("b", 1L), ("a", 3L)).toDF("term", "freq"),
+      Seq("term"), Seq("freq"))
+    MergeUpsert.mergeAdditiveWritePlain(spark, store,
+      Seq(("a", 1L), ("c", 7L)).toDF("term", "freq"),
+      Seq("term"), Seq("freq"))
+    val got = MergeUpsert.readPlain(spark, store)
+      .orderBy("term").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 6L), ("b", 1L), ("c", 7L)))
+  }
+
+  test("deleteWhere removes matching rows atomically, no-ops on no match") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-del").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, store,
+      Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang"), Seq("id"))
+    val v1 = MergeUpsert.currentPlainVersion(spark, store)
+    assert(MergeUpsert.deleteWhere(spark, store, col("lang") === "de") == 1L)
+    assert(MergeUpsert.readPlain(spark, store)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "en"), (3L, "en")))
+    assert(MergeUpsert.currentPlainVersion(spark, store) != v1)
+    val v2 = MergeUpsert.currentPlainVersion(spark, store)
+    // no match -> zero removed, no version churn
+    assert(MergeUpsert.deleteWhere(spark, store, col("lang") === "zz") == 0L)
+    assert(MergeUpsert.currentPlainVersion(spark, store) == v2)
+  }
+
+  test("schema evolution: a batch with a new column widens the table") {
+    val existing = Seq((1L, "x")).toDF("id", "v")
+    val batch = Seq((2L, "y", 0.9)).toDF("id", "v", "score")
+    val evolved = MergeUpsert.merge(existing, batch, Seq("id"),
+      evolveSchema = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(evolved.toSeq == Seq((1L, "x", None), (2L, "y", Some(0.9))))
+    // a batch MISSING a column backfills null for its rows
+    val narrow = MergeUpsert.merge(
+      Seq((1L, "x", 0.5)).toDF("id", "v", "score"),
+      Seq((2L, "y")).toDF("id", "v"), Seq("id"), evolveSchema = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(narrow.toSeq == Seq((1L, Some(0.5)), (2L, None)))
+    // and WITHOUT evolveSchema the extra column is dropped (strict
+    // projection onto the existing schema)
+    val strict = MergeUpsert.merge(existing, batch, Seq("id"))
+    assert(strict.columns.toSeq == Seq("id", "v"))
+  }
 }
