@@ -362,6 +362,57 @@ object MergeUpsert {
       case None => spark.read.parquet(path)
     }
 
+  /** Time travel: read a SPECIFIC retained version (as listed by
+    * [[retainedVersions]]). Versions outside the retention window are
+    * GC'd — size `retainVersions` to how far back readers look. */
+  def readPlainVersion(spark: SparkSession, path: String,
+                       version: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val vdir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), version)
+    require(fs.exists(vdir),
+      s"version $version of $path does not exist (GC'd or never published)")
+    spark.read.parquet(vdir.toString)
+  }
+
+  /** The version-dir names currently on disk, oldest first. */
+  def retainedVersions(spark: SparkSession, path: String): Seq[String] =
+    versionDirs(fsFor(spark, path),
+      new org.apache.hadoop.fs.Path(path)).sortBy(versionNumber)
+
+  /** Change-data capture between two retained versions of a plain
+    * store: one full-outer join on `keys` comparing the md5 of the
+    * remaining columns' JSON struct form. Returns the key
+    * columns plus `change` ∈ {insert, delete, update} — unchanged rows
+    * are absent. The diff is key-partitioned work (one shuffle per
+    * side, or none when the store is written bucketed), never a
+    * row-by-row driver loop — at 100 TB this is how downstream
+    * consumers learn what a merge changed without re-reading the
+    * table. */
+  def diffVersions(spark: SparkSession, path: String,
+                   oldVersion: String, newVersion: String,
+                   keys: Seq[String]): DataFrame = {
+    val o = readPlainVersion(spark, path, oldVersion)
+    val n = readPlainVersion(spark, path, newVersion)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"schema changed between $oldVersion and $newVersion — diff the " +
+        "overlapping columns explicitly")
+    val valueCols = o.columns.filterNot(keys.contains).sorted
+    def hashed(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+
+        // to_json(struct(...)): unambiguous field boundaries and
+        // null-discriminating; a separator-joined concat could alias
+        // rows across column boundaries
+        md5(to_json(struct(valueCols.map(col): _*))).as(as): _*)
+    hashed(o, "_h_old").join(hashed(n, "_h_new"), keys, "full_outer")
+      .withColumn("change",
+        when(col("_h_old").isNull, lit("insert"))
+          .when(col("_h_new").isNull, lit("delete"))
+          .when(col("_h_old") =!= col("_h_new"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   private val PointerName = "_CURRENT"
   private val CommitMarker = "_GRAFT_COMMITTED"
 

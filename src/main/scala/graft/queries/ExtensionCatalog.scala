@@ -1702,6 +1702,32 @@ object ExtensionCatalog {
         MergeUpsert.readPlain(s, store)
           .select(col("doc_id"), col("lang"), md5(col("text")).as("text_hash"))
           .orderBy("doc_id")
+      }),
+
+    // ---- change-data capture between store versions: what did that
+    //      merge change? One full-outer key join over two retained
+    //      versions; the oracle re-derives the expected change set from
+    //      the batch definitions ----
+    Q("x56_version_diff", Some(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'update' ELSE 'insert' END
+        |    AS change
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-diff56").toString + "/d"
+        MergeUpsert.mergeWritePlain(s, store,
+          docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
+        val v1 = MergeUpsert.currentPlainVersion(s, store).get
+        MergeUpsert.mergeWritePlain(s, store,
+          docs.filter(col("doc_id") % 3 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000),
+          Seq("doc_id"))
+        val v2 = MergeUpsert.currentPlainVersion(s, store).get
+        MergeUpsert.diffVersions(s, store, v1, v2, Seq("doc_id"))
+          .orderBy("doc_id")
       })
   )
 }

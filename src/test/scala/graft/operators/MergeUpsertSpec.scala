@@ -227,6 +227,32 @@ class MergeUpsertSpec extends SparkSpec {
     assert(MergeUpsert.currentPlainVersion(spark, store) == v2)
   }
 
+  test("time travel + version diff: insert/update/delete detected, " +
+    "null-discriminating row hash") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-diff").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, store,
+      Seq((1L, Some("a"), Some("")), (2L, Some("b"), Some("x")),
+        (3L, Some("c"), Some("y"))).toDF("id", "u", "v"), Seq("id"),
+      retainVersions = 3)
+    val v1 = MergeUpsert.currentPlainVersion(spark, store).get
+    // 1 unchanged; 2 updated ("" vs null swap — a concat hash would
+    // alias these); 3 deleted via deleteWhere; 4 inserted
+    MergeUpsert.mergeWritePlain(spark, store,
+      Seq((2L, Some(""), Option.empty[String]),
+        (4L, Some("d"), Some("z"))).toDF("id", "u", "v"), Seq("id"),
+      retainVersions = 3)
+    MergeUpsert.deleteWhere(spark, store, col("id") === 3L,
+      retainVersions = 3)
+    val v3 = MergeUpsert.currentPlainVersion(spark, store).get
+    assert(MergeUpsert.retainedVersions(spark, store).size == 3)
+    // time travel: v1 still readable and intact
+    assert(MergeUpsert.readPlainVersion(spark, store, v1).count() == 3)
+    val diff = MergeUpsert.diffVersions(spark, store, v1, v3, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+  }
+
   test("schema evolution: a batch with a new column widens the table") {
     val existing = Seq((1L, "x")).toDF("id", "v")
     val batch = Seq((2L, "y", 0.9)).toDF("id", "v", "score")
