@@ -58,6 +58,12 @@ def main(src: str, dst: str) -> None:
         # identical line repeated with blank separators (x40 dup-line
         # fractions with blanks excluded)
         "same line\n\nsame line\n\nsame line",
+        # Unicode parity probes: code-point lengths, UTF-8 md5 hashing,
+        # \s regex splits, lower() behavior must agree across engines
+        "café naïve résumé straße",
+        "你好世界 日本語の文書",
+        "emoji \U0001f600 beyond-bmp \U0001f9ea end",
+        "mixed CASE ÉÈ and TÜRKÇE text",
     ]
     rows = {
         "doc_id": [next_id + i for i in range(len(edge_texts))],

@@ -40,9 +40,9 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       struct(
         lit("image/fake").as("media_type"),
-        // true BYTE count of the payload (== char count only for ASCII;
-        // the test corpus is ASCII, which is what keeps the char-based
-        // oracle SQL equivalent)
+        // true BYTE count of the payload (the oracle mirrors bytes too
+        // — encode(text) + unsigned hex-byte values — so multi-byte
+        // UTF-8 documents hash-match; the Unicode edge docs prove it)
         octet_length(col(textCol)).cast("long").as("n_bytes"),
         (pmod(length(col(textCol)), lit(64)) + lit(1)).cast("int").as("width"),
         (length(col(textCol)) / lit(64) + lit(1)).cast("int").as("height"))

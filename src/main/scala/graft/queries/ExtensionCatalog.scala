@@ -476,14 +476,25 @@ object ExtensionCatalog {
 
     // ---- multimodal: payload + metadata + per-partition batch decode ----
     Q("x10_multimodal_features", Some(
-      """SELECT doc_id, 'image/fake' AS media_type,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
-        |  CAST(length(text) % 64 + 1 AS INT) AS width,
-        |  CAST(length(text) // 64 + 1 AS INT) AS height,
+      // byte-based, not char-based: the payload is the text's UTF-8
+      // BYTES (encode), and intensities are unsigned byte values
+      // (('0x'||hex(byte))::INT) — ascii(char) would diverge on any
+      // multi-byte character (the Unicode edge docs catch exactly that)
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, 'image/fake' AS media_type,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(n_chars % 64 + 1 AS INT) AS width,
+        |  CAST(n_chars // 64 + 1 AS INT) AS height,
         |  1 AS channels,
-        |  coalesce(floor(list_avg(list_transform(generate_series(1, length(text)),
-        |    i -> ascii(text[i : i]))) * 10000.0 + 0.5) / 10000.0, 0.0) AS mean_intensity
-        |FROM documents ORDER BY doc_id""".stripMargin),
+        |  coalesce(floor(list_avg(list_transform(
+        |    generate_series(1, n_bytes),
+        |    i -> ('0x' || substr(h, 2 * i - 1, 2))::INT)) * 10000.0 + 0.5)
+        |    / 10000.0, 0.0) AS mean_intensity
+        |FROM b ORDER BY doc_id""".stripMargin),
       (s, dir) => Multimodal.decodeFeatures(
         Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id")),
@@ -496,9 +507,14 @@ object ExtensionCatalog {
     //      rank over occupied pools, robust to sparse pools when
     //      n_bytes < outLen). ----
     Q("x15_multimodal_resize", Some(
-      """WITH ex AS (
-        |  SELECT doc_id, i - 1 AS pos, ascii(text[i : i]) AS b, length(text) AS n
-        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+      """WITH bl AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(h, 2 * i - 1, 2))::INT AS b, n
+        |  FROM bl, unnest(generate_series(1, n)) AS u(i)),
         |pools AS (
         |  SELECT doc_id, (pos * 8) // n AS pool,
         |         floor(avg(b) * 10000.0 + 0.5) / 10000.0 AS v
