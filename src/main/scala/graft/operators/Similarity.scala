@@ -251,6 +251,41 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
 
+  /** Product-quantization codes — the compression tier after
+    * [[quantizeInt8]] and the index layout behind billion-vector ANN
+    * (IVF+PQ): the vector splits into `m` contiguous subspaces, each
+    * subspace trains its own deterministic k-means codebook
+    * ([[kmeansCentroids]] — md5 seeds, rounded-cosine assignment), and
+    * a vector's code is its nearest codebook entry per subspace. m
+    * codes of log2(k) bits replace the full vector in the index: 64
+    * float64 dims → 4 bytes at m=4/k=8-ish — the difference between an
+    * index that fits executor memory and one that doesn't.
+    *
+    * Codes are labeled by the winning centroid's seed vec_id (stable,
+    * engine-portable) rather than a 0..k−1 ordinal. At scale the
+    * codebooks are a write-time artifact exactly like the IVF
+    * centroids; assignment is a broadcast join + per-row rank. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, k: Int = 8, iters: Int = 1): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    val codes = (0 until m).map { s =>
+      val sv = corpus.select(col(idCol).cast("long").as("eid"),
+        slice(col(vecCol), s * sub + 1, sub).as("sv"))
+      val cents = broadcast(kmeansCentroids(sv, "eid", "sv", k, iters))
+      val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
+      sv.join(cents)
+        .select(col("eid"), col("cid"),
+          round(cosine(col("sv"), col("cvec")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eid"), col("cid").as(s"code$s"))
+    }
+    codes.reduce((a, b) => a.join(b, "eid"))
+      .withColumnRenamed("eid", "vec_id")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
     * exact cosine ≥ threshold. (id_a < id_b.) */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

@@ -157,30 +157,37 @@ object ExtensionCatalog {
     * recompute element-wise means portable-rounded to 1e-6, empty
     * clusters keep the previous centroid). CTE chain ends at
     * `cent{iters}`. */
-  private def kmeansCentSql(k: Int, iters: Int): String = {
+  private def kmeansCentSql(k: Int, iters: Int): String =
+    kmeansCentSqlFor(k, iters, identity, "")
+
+  /** Generalized form: `vec` maps a qualified embedding reference to
+    * the (possibly sliced) vector expression, `sfx` suffixes every CTE
+    * name so several trainings (PQ subspaces) coexist in one WITH. */
+  private def kmeansCentSqlFor(k: Int, iters: Int,
+                               vec: String => String, sfx: String): String = {
     val init =
-      s"""cent0 AS (
+      s"""cent0$sfx AS (
          |  SELECT vec_id AS cid,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |         list_transform(${vec("embedding")}, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)""".stripMargin
     val steps = (1 to iters).map { i =>
-      val prev = s"cent${i - 1}"
-      s"""assign$i AS (
+      val prev = s"cent${i - 1}$sfx"
+      s"""assign$i$sfx AS (
          |  SELECT eid, ev, cid FROM (
-         |    SELECT e.vec_id AS eid, e.embedding AS ev, c.cid,
+         |    SELECT e.vec_id AS eid, ${vec("e.embedding")} AS ev, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |        ORDER BY ${cosineSql(vec("e.embedding"), "c.cvec", 6)} DESC, c.cid) AS rn
          |    FROM embeddings e, $prev c)
          |  WHERE rn = 1),
-         |mean$i AS (
+         |mean$i$sfx AS (
          |  SELECT cid, d,
          |         floor(avg(CAST(ev[d] AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS m
-         |  FROM assign$i, unnest(generate_series(1, len(ev))) AS u(d)
+         |  FROM assign$i$sfx, unnest(generate_series(1, len(ev))) AS u(d)
          |  GROUP BY cid, d),
-         |cent$i AS (
+         |cent$i$sfx AS (
          |  SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN (
-         |    SELECT cid, list(m ORDER BY d) AS cvec FROM mean$i GROUP BY cid) n
+         |    SELECT cid, list(m ORDER BY d) AS cvec FROM mean$i$sfx GROUP BY cid) n
          |  USING (cid))""".stripMargin
     }
     (init +: steps).mkString(",\n")
@@ -1744,6 +1751,44 @@ object ExtensionCatalog {
         val v2 = MergeUpsert.currentPlainVersion(s, store).get
         MergeUpsert.diffVersions(s, store, v1, v2, Seq("doc_id"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- product-quantization codes (the IVF+PQ index tier): 4
+    //      subspaces × 16 dims, each with its own deterministic k=8
+    //      codebook; a vector's code = nearest codebook entry per
+    //      subspace. The oracle re-trains all four codebooks in SQL
+    //      (the generalized k-means mirror) and re-derives every
+    //      assignment ----
+    Q("x57_pq_codes", Some({
+      val m = 4; val sub = 16; val k = 8
+      val slices = (0 until m).map(s =>
+        (s, (qual: String) => s"$qual[${s * sub + 1}:${(s + 1) * sub}]"))
+      val trainings = slices.map { case (s, vec) =>
+        kmeansCentSqlFor(k, 1, vec, s"_p$s") }.mkString(",\n")
+      val codeCtes = slices.map { case (s, vec) =>
+        s"""code_p$s AS (
+           |  SELECT eid, cid FROM (
+           |    SELECT e.vec_id AS eid, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosineSql(vec("e.embedding"), "c.cvec", 6)} DESC,
+           |          c.cid) AS rn
+           |    FROM embeddings e, cent1_p$s c)
+           |  WHERE rn = 1)""".stripMargin }.mkString(",\n")
+      s"""WITH $trainings,
+         |$codeCtes
+         |SELECT e.vec_id,
+         |  c0.cid AS code0, c1.cid AS code1, c2.cid AS code2,
+         |  c3.cid AS code3
+         |FROM embeddings e
+         |JOIN code_p0 c0 ON c0.eid = e.vec_id
+         |JOIN code_p1 c1 ON c1.eid = e.vec_id
+         |JOIN code_p2 c2 ON c2.eid = e.vec_id
+         |JOIN code_p3 c3 ON c3.eid = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    }),
+      (s, dir) => Similarity.pqCodes(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+        .orderBy("vec_id"))
   )
 }

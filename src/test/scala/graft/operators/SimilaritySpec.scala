@@ -97,4 +97,31 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall — int8 must not break ranking")
   }
+
+  test("pq codes: complete, layout-independent, equal vectors share codes") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding", m = 4, k = 4)
+    val rows = codes.collect()
+    assert(rows.length == emb.count())
+    assert(codes.columns.toSeq ==
+      Seq("vec_id", "code0", "code1", "code2", "code3"))
+    // a duplicated vector under a fresh id must code identically
+    val dup = emb.limit(1).select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val withDup = emb.unionByName(dup)
+    val m2 = Similarity.pqCodes(withDup, "vec_id", "embedding", m = 4, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val origId = emb.limit(1).select("vec_id").head().getLong(0)
+    assert(m2(origId + 1000000L) == m2(origId))
+    // layout independence
+    val m3 = Similarity.pqCodes(emb.repartition(7), "vec_id", "embedding",
+      m = 4, k = 4).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val m1 = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m1 == m3)
+  }
 }
