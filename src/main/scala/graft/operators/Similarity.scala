@@ -286,6 +286,56 @@ object Similarity {
       .withColumnRenamed("eid", "vec_id")
   }
 
+  /** PQ asymmetric-distance top-k (ADC): queries stay full-precision,
+    * the corpus is its PQ codes, and a query's score against an entry
+    * is the sum of per-subspace dot products with the entry's CODEBOOK
+    * CENTROIDS — looked up from an O(#queries · k) table instead of
+    * touching corpus vectors. This is what makes PQ an INDEX: the scan
+    * reads m small ints per corpus row plus a broadcast LUT, not the
+    * 64-dim vector. Scores are rounded (parts to 6, sum to 4) with eid
+    * tiebreak — deterministic across engines. Approximate by design;
+    * recall vs exact is spec-asserted, exactness is the oracle's job. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 4, kCent: Int = 8, iters: Int = 1): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    val parts = (0 until m).map { s =>
+      val sv = corpus.select(col(idCol).cast("long").as("eid"),
+        slice(col(vecCol), s * sub + 1, sub).as("sv"))
+      val cents = broadcast(kmeansCentroids(sv, "eid", "sv", kCent, iters))
+      val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
+      val codes = sv.join(cents)
+        .select(col("eid"), col("cid"),
+          round(cosine(col("sv"), col("cvec")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eid"), col("cid").as(s"k$s"))
+      val lut = queries
+        .select(col(idCol).cast("long").as("qid"),
+          slice(col(vecCol), s * sub + 1, sub).as("qv"))
+        .join(cents)
+        .select(col("qid"), col("cid").as(s"k$s"),
+          round(dot(col("qv"), col("cvec")), 6).as(s"part$s"))
+      (codes, broadcast(lut))
+    }
+    val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
+    val scored = parts.zipWithIndex
+      .foldLeft(coded) { case (acc, ((_, lut), s)) =>
+        if (s == 0) acc.join(lut, Seq(s"k$s"))
+        else acc.join(lut, Seq(s"k$s", "qid"))
+      }
+      .withColumn("adc", round(
+        (0 until m).map(s => col(s"part$s")).reduce(_ + _), 4))
+    val w = Window.partitionBy("qid").orderBy(desc("adc"), col("eid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("eid"), col("adc"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
     * exact cosine ≥ threshold. (id_a < id_b.) */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

@@ -133,6 +133,11 @@ object ExtensionCatalog {
        |    i -> CAST($vec[i] AS DOUBLE) * ${planeSql("p", "(i - 1)")})) >= 0
        |  THEN 1::BIGINT << p ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
 
+  /** mirrors Similarity.dot rounded to `r` (PQ ADC lookup parts) */
+  private def dotSql(a: String, b: String, r: Int) =
+    s"""round(list_sum(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), $r)""".stripMargin
+
   /** mirrors Similarity dot/norm cosine, rounded to `r` */
   private def cosineSql(a: String, b: String, r: Int = 4) =
     s"""round(
@@ -1789,6 +1794,63 @@ object ExtensionCatalog {
       (s, dir) => Similarity.pqCodes(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 4, k = 8, iters = 1)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- PQ asymmetric-distance top-k (ADC): queries full-precision,
+    //      corpus as codes, scores from an O(#queries·k) centroid
+    //      lookup table — the search that makes PQ an index. Parts
+    //      rounded to 6, sum to 4, eid tiebreak ----
+    Q("x58_pq_adc_topk", Some({
+      val m = 4; val sub = 16; val k = 8
+      val slices = (0 until m).map(s =>
+        (s, (qual: String) => s"$qual[${s * sub + 1}:${(s + 1) * sub}]"))
+      val trainings = slices.map { case (s, vec) =>
+        kmeansCentSqlFor(k, 1, vec, s"_p$s") }.mkString(",\n")
+      val codeCtes = slices.map { case (s, vec) =>
+        s"""code_p$s AS (
+           |  SELECT eid, cid FROM (
+           |    SELECT e.vec_id AS eid, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosineSql(vec("e.embedding"), "c.cvec", 6)} DESC,
+           |          c.cid) AS rn
+           |    FROM embeddings e, cent1_p$s c)
+           |  WHERE rn = 1)""".stripMargin }.mkString(",\n")
+      val lutCtes = slices.map { case (s, vec) =>
+        s"""lut_p$s AS (
+           |  SELECT q.vec_id AS qid, c.cid,
+           |    ${dotSql(vec("q.embedding"), "c.cvec", 6)} AS part
+           |  FROM embeddings q, cent1_p$s c WHERE q.vec_id < 5)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH $trainings,
+         |$codeCtes,
+         |$lutCtes,
+         |codes AS (
+         |  SELECT e.vec_id AS eid, c0.cid AS k0, c1.cid AS k1,
+         |         c2.cid AS k2, c3.cid AS k3
+         |  FROM embeddings e
+         |  JOIN code_p0 c0 ON c0.eid = e.vec_id
+         |  JOIN code_p1 c1 ON c1.eid = e.vec_id
+         |  JOIN code_p2 c2 ON c2.eid = e.vec_id
+         |  JOIN code_p3 c3 ON c3.eid = e.vec_id),
+         |scored AS (
+         |  SELECT l0.qid, c.eid,
+         |    round(l0.part + l1.part + l2.part + l3.part, 4) AS adc
+         |  FROM codes c
+         |  JOIN lut_p0 l0 ON l0.cid = c.k0
+         |  JOIN lut_p1 l1 ON l1.cid = c.k1 AND l1.qid = l0.qid
+         |  JOIN lut_p2 l2 ON l2.cid = c.k2 AND l2.qid = l0.qid
+         |  JOIN lut_p3 l3 ON l3.cid = c.k3 AND l3.qid = l0.qid)
+         |SELECT qid, eid, adc, rn FROM (
+         |  SELECT qid, eid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc DESC, eid) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+    }),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, m = 4, kCent = 8, iters = 1)
+      })
   )
 }

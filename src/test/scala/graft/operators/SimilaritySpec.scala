@@ -124,4 +124,22 @@ class SimilaritySpec extends SparkSpec {
       ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(m1 == m3)
   }
+
+  test("pq ADC top-k: k rows per query, far above chance on 500 vectors") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val adc = Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adc.length == 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("qid", "eid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = adc.count(exact.contains).toDouble / exact.size
+    // unstructured random vectors are PQ's worst case (no cluster
+    // structure to exploit) — the floor guards against a broken
+    // LUT/code join, where recall collapses to chance (10/500 = 0.02)
+    assert(recall >= 0.1, s"ADC recall=$recall (chance = 0.02)")
+  }
 }
