@@ -294,6 +294,12 @@ object Dedup {
       val dbl = labels.as("l1")
         .join(labels.as("l2"), col("l1.label") === col("l2.node"))
         .select(col("l1.node").as("node__"), col("l2.label").as("dbl_label"))
+      // localCheckpoint, NOT cache: each step references `labels` three
+      // times (self-join + neighbor join), so the logical plan grows
+      // ~4^iter under cache (which truncates execution, never lineage)
+      // — by iteration ~10 even RENDERING the plan string OOMs the
+      // driver (observed at the factor-30 stress). Checkpointing cuts
+      // the lineage to the materialized partitions each round.
       val next = labels.join(nbrMin, labels("node") === nbrMin("node_"), "left")
         .join(dbl, labels("node") === col("node__"), "left")
         .select(col("node"),
@@ -301,7 +307,7 @@ object Dedup {
             coalesce(col("nbr_label"), col("label")),
             coalesce(col("dbl_label"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old_label"),
         "node").filter(col("label") < col("old_label")).count()
       labels.unpersist()
