@@ -67,4 +67,28 @@ object Sketches {
     * underlying corpora. */
   def kmvUnionEstimate(a: Column, b: Column, k: Int, m: Long): Column =
     kmvEstimate(kmvMerge(a, b, k), k, m)
+
+  /** Incrementally maintained sketch store: merge a batch's per-group
+    * sketches into a [[MergeUpsert]]-versioned table. The KMV union
+    * property makes this EXACT, not approximate-on-approximate: the k
+    * smallest of (k smallest of A) ∪ (k smallest of B) ARE the k
+    * smallest of A∪B, so any append order converges to the from-scratch
+    * sketch — the never-rescan shape for corpus cardinality dashboards
+    * (per-batch text work is O(batch); the store is O(groups·k)). */
+  def appendSketch(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                   batch: DataFrame, groupCol: String, value: Column,
+                   k: Int, m: Long, retainVersions: Int = 2): Unit = {
+    val batchSk = kmvSketch(batch, groupCol, value, k, m)
+      .select(col(groupCol), col("sketch"))
+    val merged =
+      if (MergeUpsert.currentPlainVersion(spark, storePath).isEmpty) batchSk
+      else MergeUpsert.readPlain(spark, storePath).as("o")
+        .join(batchSk.as("b"), Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          when(col("o.sketch").isNull, col("b.sketch"))
+            .when(col("b.sketch").isNull, col("o.sketch"))
+            .otherwise(kmvMerge(col("o.sketch"), col("b.sketch"), k))
+            .as("sketch"))
+    MergeUpsert.publishPlain(spark, storePath, merged, retainVersions)
+  }
 }

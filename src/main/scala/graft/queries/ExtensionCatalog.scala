@@ -1851,6 +1851,42 @@ object ExtensionCatalog {
         val emb = t(s, dir, "embeddings")
         Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "embedding", k = 10, m = 4, kCent = 8, iters = 1)
+      }),
+
+    // ---- incrementally maintained KMV sketches: three appends into a
+    //      versioned sketch store must equal the from-scratch sketch
+    //      EXACTLY (the KMV union property is exact on sketches, not
+    //      approximate-on-approximate) ----
+    Q("x59_incremental_kmv", Some(
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${tokSql("text")}) AS t FROM documents),
+         |h AS (
+         |  SELECT DISTINCT lang, ${h60Sql("t", KmvM)} AS hv FROM tok),
+         |r AS (
+         |  SELECT lang, hv,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT lang, list(hv ORDER BY hv) AS sketch
+         |  FROM r WHERE rn <= $KmvK GROUP BY lang)
+         |SELECT lang, ${kmvEstSql("sketch")} AS kmv_estimate
+         |FROM sk ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-inckmv").toString + "/kmv"
+        (0 until 3).foreach { kk =>
+          Sketches.appendSketch(s, store,
+            docs.filter(col("doc_id") % 3 === kk)
+              .select(col("lang"),
+                explode(TextFunctions.tokens(col("text"))).as("t")),
+            "lang", col("t"), KmvK, KmvM)
+        }
+        MergeUpsert.readPlain(s, store)
+          .select(col("lang"),
+            Sketches.kmvEstimate(col("sketch"), KmvK, KmvM)
+              .as("kmv_estimate"))
+          .orderBy("lang")
       })
   )
 }

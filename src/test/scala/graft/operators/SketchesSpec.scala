@@ -55,4 +55,25 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(eu - 1500) / 1500.0 < 3.0 / math.sqrt(K), s"eu=$eu")
     assert(inter > 150 && inter < 900, s"inter=$inter") // noisy but present
   }
+
+  test("incremental sketch store equals from-scratch in any append order") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (s"g${i % 3}", s"tok$i")).toDF("g", "v")
+    val scratch = Sketches.kmvSketch(rows, "g", col("v"), K, M)
+      .select("g", "sketch").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    Seq(Seq(0, 1, 2), Seq(2, 0, 1)).foreach { order =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-kmvstore").toString + "/s"
+      order.foreach { p =>
+        Sketches.appendSketch(spark, store,
+          rows.filter(hash(col("v")) % 3 === p || hash(col("v")) % 3 === p - 3),
+          "g", col("v"), K, M)
+      }
+      val inc = MergeUpsert.readPlain(spark, store)
+        .select("g", "sketch").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(inc == scratch, s"order $order diverged")
+    }
+  }
 }
