@@ -1887,6 +1887,28 @@ object ExtensionCatalog {
             Sketches.kmvEstimate(col("sketch"), KmvK, KmvM)
               .as("kmv_estimate"))
           .orderBy("lang")
+      }),
+
+    // ---- exactly-once streamed vocabulary: three ledgered batch
+    //      applies WITH a deliberate mid-sequence redelivery must equal
+    //      the from-scratch word count — additive sinks double-count
+    //      redelivery unless the applied-batch watermark commits
+    //      atomically with the data (it rides in the same version
+    //      publish) ----
+    Q("x60_stream_vocab", Some(
+      s"""WITH tk AS (
+         |  SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents)
+         |SELECT term, count(*) AS freq FROM tk
+         |GROUP BY term ORDER BY term""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-svocab60").toString + "/v"
+        Seq(0L, 1L, 1L, 2L).foreach { bid => // batch 1 redelivered
+          graft.streaming.StreamStats.applyBatch(s, store,
+            docs.filter(col("doc_id") % 3 === bid % 3), "text", bid)
+        }
+        graft.streaming.StreamStats.readVocab(s, store).orderBy("term")
       })
   )
 }
