@@ -1909,6 +1909,36 @@ object ExtensionCatalog {
             docs.filter(col("doc_id") % 3 === bid % 3), "text", bid)
         }
         graft.streaming.StreamStats.readVocab(s, store).orderBy("term")
+      }),
+
+    // ---- interval-overlap join (two-sided x29): bucketized equi-join
+    //      with canonical-bucket dedup-free emission vs the oracle's
+    //      naive overlap predicate ----
+    Q("x61_interval_overlap", Some(
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+         |a AS (
+         |  SELECT event_id AS a_id, ms AS a_lo, ms + $RangeWinMs AS a_hi
+         |  FROM e WHERE event_id % $RangeEvery = 0),
+         |b AS (
+         |  SELECT event_id AS b_id, ms AS b_lo, ms + 2700000 AS b_hi
+         |  FROM e WHERE event_id % 71 = 0)
+         |SELECT a_id, b_id FROM a JOIN b
+         |ON a_lo <= b_hi AND b_lo <= a_hi
+         |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val e = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+        val a = e.filter(col("event_id") % RangeEvery === 0)
+          .select(col("event_id").as("a_id"), col("ms").as("a_lo"),
+            (col("ms") + lit(RangeWinMs)).as("a_hi"))
+        val b = e.filter(col("event_id") % 71 === 0)
+          .select(col("event_id").as("b_id"), col("ms").as("b_lo"),
+            (col("ms") + lit(2700000L)).as("b_hi"))
+        RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+            bucketWidth = RangeBucketMs)
+          .select(col("a_id"), col("b_id"))
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -41,4 +41,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("interval overlap == naive predicate join, exactly-once, equi-join plan") {
+    val a = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 500L, 900L),
+      (4L, 905L, 904L)) // inverted: matches nothing
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 50L, 120L), (11L, 90L, 300L), (12L, 600L, 700L),
+      (13L, 901L, 1000L)).toDF("b_id", "b_lo", "b_hi")
+    Seq(7L, 100L, 1000L).foreach { width =>
+      val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", bucketWidth = width)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+      val naive = a.filter($"a_lo" <= $"a_hi")
+        .join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == naive.sorted, s"width=$width")
+      assert(got.size == got.toSet.size,
+        s"width=$width: canonical-bucket emission must be exactly-once")
+    }
+    val plan = RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+        b, "b_lo", "b_hi", bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, "a_lo", "a_hi",
+        a.withColumnRenamed("a_id", "x"), "a_lo", "a_hi", 10L)
+    }
+  }
 }
