@@ -95,15 +95,18 @@ object MergeUpsert {
                               updates: DataFrame, keys: Seq[String],
                               sumCols: Seq[String],
                               retainVersions: Int = 2): Unit = {
-    val fs = fsFor(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val cur = currentPlainVersion(spark, path)
-    val legacyFlat = cur.isEmpty && hasFlatParquet(fs, p)
-    val base =
-      cur.map(v => spark.read.parquet(s"$path/$v"))
-        .orElse(if (legacyFlat) Some(spark.read.parquet(path)) else None)
+    val (cur, legacyFlat, base) = resolveBase(spark, path)
     val merged = base match {
-      case Some(existing) => mergeAdditive(existing, updates, keys, sumCols)
+      case Some(existing) =>
+        // additive semantics are defined over keys ++ sumCols ONLY;
+        // silently projecting a wider store onto them would PUBLISH the
+        // narrowed schema and permanently drop the other columns
+        val expected = (keys ++ sumCols).sorted
+        require(existing.columns.sorted.sameElements(expected),
+          s"additive merge would narrow the store's schema " +
+            s"(${existing.columns.sorted.mkString(",")}) to " +
+            s"(${expected.mkString(",")}) — not a counter store")
+        mergeAdditive(existing, updates, keys, sumCols)
       case None =>
         val aggs = sumCols.map(c => sum(col(c)).as(c))
         updates.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -120,9 +123,13 @@ object MergeUpsert {
                   condition: org.apache.spark.sql.Column,
                   retainVersions: Int = 2): Long = {
     val current = readPlain(spark, path)
-    val removed = current.filter(condition).count()
+    // NULL-condition rows are NOT matches: a bare !condition is also
+    // NULL there, which filter() drops — silently deleting (and not
+    // counting) every row where the predicate is undecidable
+    val matches = coalesce(condition, lit(false))
+    val removed = current.filter(matches).count()
     if (removed > 0)
-      publishPlain(spark, path, current.filter(!condition), retainVersions)
+      publishPlain(spark, path, current.filter(!matches), retainVersions)
     removed
   }
 
@@ -159,6 +166,23 @@ object MergeUpsert {
     * prefer `mergeWrite` (partition-pruned rewrite). */
   def mergeWritePlain(spark: SparkSession, path: String, updates: DataFrame,
                       keys: Seq[String], retainVersions: Int = 2): Unit = {
+    val (cur, legacyFlat, base) = resolveBase(spark, path)
+    val merged = base match {
+      case Some(existing) => merge(existing, updates, keys)
+      case None => updates.dropDuplicates(keys)
+    }
+    publishVersion(spark, path, merged, retainVersions, cur, legacyFlat)
+  }
+
+  /** The ONE place the merge-base protocol lives: the live version if
+    * published, else a legacy flat table if present, else nothing.
+    * Every writer that builds on the store's current contents must
+    * route through this (or [[existingPlain]]) — checking only
+    * `currentPlainVersion` treats a legacy flat store as empty, and
+    * the subsequent publish's legacy cleanup would then DELETE the
+    * flat files it never read. */
+  private def resolveBase(spark: SparkSession, path: String)
+      : (Option[String], Boolean, Option[DataFrame]) = {
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val cur = currentPlainVersion(spark, path)
@@ -166,12 +190,13 @@ object MergeUpsert {
     val base =
       cur.map(v => spark.read.parquet(s"$path/$v"))
         .orElse(if (legacyFlat) Some(spark.read.parquet(path)) else None)
-    val merged = base match {
-      case Some(existing) => merge(existing, updates, keys)
-      case None => updates.dropDuplicates(keys)
-    }
-    publishVersion(spark, path, merged, retainVersions, cur, legacyFlat)
+    (cur, legacyFlat, base)
   }
+
+  /** The store's current contents (versioned or legacy flat), if any —
+    * the safe existence check for external incremental writers. */
+  def existingPlain(spark: SparkSession, path: String): Option[DataFrame] =
+    resolveBase(spark, path)._3
 
   /** Atomic full-table publish: write `df` as a new immutable version
     * and flip the `_CURRENT` pointer — the whole-table-replace analogue

@@ -265,22 +265,41 @@ object Similarity {
     * engine-portable) rather than a 0..k−1 ordinal. At scale the
     * codebooks are a write-time artifact exactly like the IVF
     * centroids; assignment is a broadcast join + per-row rank. */
+  /** First row's vector width, with a descriptive failure on an empty
+    * frame (head() would throw a bare NoSuchElementException). Only the
+    * first row is checked — ragged vector columns are the caller's
+    * schema bug, surfaced downstream by slice(). */
+  private def vecDims(df: DataFrame, vecCol: String, what: String): Int = {
+    val row = df.select(size(col(vecCol))).limit(1).collect()
+    require(row.nonEmpty, s"pq: $what has no rows — nothing to quantize")
+    row(0).getInt(0)
+  }
+
+  /** Nearest-codebook-entry assignment for one subspace — shared by
+    * [[pqCodes]] and [[pqTopK]] so the load-bearing rounding precision
+    * and tiebreak (round-6 cosine, cid asc) can never diverge between
+    * the code table and the search. */
+  private def subspaceCodes(sv: DataFrame, cents: DataFrame,
+                            outCol: String): DataFrame = {
+    val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
+    sv.join(cents)
+      .select(col("eid"), col("cid"),
+        round(cosine(col("sv"), col("cvec")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eid"), col("cid").as(outCol))
+  }
+
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 4, k: Int = 8, iters: Int = 1): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(corpus, vecCol, "corpus")
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val sub = dims / m
     val codes = (0 until m).map { s =>
       val sv = corpus.select(col(idCol).cast("long").as("eid"),
         slice(col(vecCol), s * sub + 1, sub).as("sv"))
       val cents = broadcast(kmeansCentroids(sv, "eid", "sv", k, iters))
-      val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
-      sv.join(cents)
-        .select(col("eid"), col("cid"),
-          round(cosine(col("sv"), col("cvec")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("eid"), col("cid").as(s"code$s"))
+      subspaceCodes(sv, cents, s"code$s")
     }
     codes.reduce((a, b) => a.join(b, "eid"))
       .withColumnRenamed("eid", "vec_id")
@@ -298,20 +317,18 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int = 4, kCent: Int = 8, iters: Int = 1): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dims = vecDims(corpus, vecCol, "corpus")
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val qDims = vecDims(queries, vecCol, "queries")
+    require(qDims == dims,
+      s"query vectors are $qDims-dim but the corpus is $dims-dim — " +
+        "slice() would silently truncate the LUT scores")
     val sub = dims / m
     val parts = (0 until m).map { s =>
       val sv = corpus.select(col(idCol).cast("long").as("eid"),
         slice(col(vecCol), s * sub + 1, sub).as("sv"))
       val cents = broadcast(kmeansCentroids(sv, "eid", "sv", kCent, iters))
-      val w = Window.partitionBy("eid").orderBy(desc("csim"), col("cid"))
-      val codes = sv.join(cents)
-        .select(col("eid"), col("cid"),
-          round(cosine(col("sv"), col("cvec")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("eid"), col("cid").as(s"k$s"))
+      val codes = subspaceCodes(sv, cents, s"k$s")
       val lut = queries
         .select(col(idCol).cast("long").as("qid"),
           slice(col(vecCol), s * sub + 1, sub).as("qv"))

@@ -80,15 +80,19 @@ object Sketches {
                    k: Int, m: Long, retainVersions: Int = 2): Unit = {
     val batchSk = kmvSketch(batch, groupCol, value, k, m)
       .select(col(groupCol), col("sketch"))
-    val merged =
-      if (MergeUpsert.currentPlainVersion(spark, storePath).isEmpty) batchSk
-      else MergeUpsert.readPlain(spark, storePath).as("o")
+    // existingPlain, NOT currentPlainVersion: a legacy FLAT sketch
+    // table must be merged as the base (and adopted by the publish),
+    // not treated as empty and have its files deleted by the cleanup
+    val merged = MergeUpsert.existingPlain(spark, storePath) match {
+      case None => batchSk
+      case Some(existing) => existing.as("o")
         .join(batchSk.as("b"), Seq(groupCol), "full_outer")
         .select(col(groupCol),
           when(col("o.sketch").isNull, col("b.sketch"))
             .when(col("b.sketch").isNull, col("o.sketch"))
             .otherwise(kmvMerge(col("o.sketch"), col("b.sketch"), k))
             .as("sketch"))
+    }
     MergeUpsert.publishPlain(spark, storePath, merged, retainVersions)
   }
 }

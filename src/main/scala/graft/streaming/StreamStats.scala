@@ -27,12 +27,13 @@ object StreamStats {
     * collide with corpus vocabulary). */
   val LedgerKey = "__graft last batch__"
 
-  /** The last applied batch id, if the store exists. */
+  /** The last applied batch id, if the store exists (versioned OR
+    * legacy flat — a flat store's ledger row still counts; ignoring it
+    * would double-apply a redelivered batch). */
   def lastApplied(spark: SparkSession, storePath: String): Option[Long] =
-    if (MergeUpsert.currentPlainVersion(spark, storePath).isEmpty) None
-    else MergeUpsert.readPlain(spark, storePath)
-      .filter(col("term") === LedgerKey)
-      .select("freq").collect().headOption.map(_.getLong(0))
+    MergeUpsert.existingPlain(spark, storePath).flatMap(
+      _.filter(col("term") === LedgerKey)
+        .select("freq").collect().headOption.map(_.getLong(0)))
 
   /** The maintained vocabulary (ledger row excluded). */
   def readVocab(spark: SparkSession, storePath: String): DataFrame =
@@ -49,10 +50,14 @@ object StreamStats {
     val counts = batch
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
-    val merged =
-      if (MergeUpsert.currentPlainVersion(spark, storePath).isEmpty) counts
-      else MergeUpsert.mergeAdditive(
-        readVocab(spark, storePath), counts, Seq("term"), Seq("freq"))
+    // existingPlain so a legacy flat vocab store is merged and adopted,
+    // never overwritten by the batch alone
+    val merged = MergeUpsert.existingPlain(spark, storePath) match {
+      case None => counts
+      case Some(existing) => MergeUpsert.mergeAdditive(
+        existing.filter(col("term") =!= LedgerKey), counts,
+        Seq("term"), Seq("freq"))
+    }
     val ledger = spark.range(1)
       .select(lit(LedgerKey).as("term"), lit(batchId).as("freq"))
     MergeUpsert.publishPlain(spark, storePath,

@@ -227,6 +227,34 @@ class MergeUpsertSpec extends SparkSpec {
     assert(MergeUpsert.currentPlainVersion(spark, store) == v2)
   }
 
+  test("deleteWhere keeps NULL-condition rows (they are not matches)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-delnull").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, store,
+      Seq((1L, Some("en")), (2L, Some("de")), (3L, Option.empty[String]))
+        .toDF("id", "lang"), Seq("id"))
+    assert(MergeUpsert.deleteWhere(spark, store, col("lang") === "de") == 1L)
+    // the null-lang row must survive: the predicate is NULL there, and
+    // a bare !condition would silently drop it uncounted
+    assert(MergeUpsert.readPlain(spark, store).select("id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("additive merge refuses to narrow a wider store's schema") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-addnarrow").toString + "/t"
+    MergeUpsert.mergeWritePlain(spark, store,
+      Seq(("a", 1L, "keepme")).toDF("term", "freq", "extra"), Seq("term"))
+    val e = intercept[IllegalArgumentException] {
+      MergeUpsert.mergeAdditiveWritePlain(spark, store,
+        Seq(("a", 2L)).toDF("term", "freq"), Seq("term"), Seq("freq"))
+    }
+    assert(e.getMessage.contains("narrow"))
+    // store untouched
+    assert(MergeUpsert.readPlain(spark, store).columns.toSet ==
+      Set("term", "freq", "extra"))
+  }
+
   test("time travel + version diff: insert/update/delete detected, " +
     "null-discriminating row hash") {
     val store = java.nio.file.Files
