@@ -353,6 +353,52 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and dropping near-identical
+    * vectors WITHIN each cluster — the scale trick is that the k-means
+    * partition bounds the pairwise comparison to cluster-sized blocks,
+    * exactly like LSH buckets bound the minhash join, but adapted to the
+    * data distribution instead of random planes.
+    *
+    * Deterministic keeper rule: a vector is dropped iff some same-cluster
+    * vector with a SMALLER id has rounded cosine ≥ threshold to it (the
+    * paper keeps a random representative per ε-ball; smallest-id is the
+    * engine-portable choice, mirroring [[Dedup.exact]]). Centroids come
+    * from the deterministic [[kmeansCentroids]], assignment uses the
+    * same round-6 cosine + cid tiebreak as [[ivfTopK]], so the whole
+    * result is replayable cross-engine.
+    *
+    * Scale shape: centroid table is O(k·dims) broadcast; assignment is
+    * one corpus scan; the within-cluster self-join shuffles on cid only
+    * (cluster count sized so |cluster| ≈ |corpus|/k keeps the quadratic
+    * block bounded — at 100 TB, k grows with the corpus and the
+    * pairwise stays per-block). Output: (vec_id, cid, keep). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, threshold: Double,
+               kmeansIters: Int = 2, roundTo: Int = 4): DataFrame = {
+    val cents = broadcast(
+      kmeansCentroids(df, idCol, vecCol, nClusters, kmeansIters))
+    val w = Window.partitionBy("vid").orderBy(desc("csim"), col("cid"))
+    val assigned = df
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("norm"))
+      .join(cents)
+      .select(col("vid"), col("v"), col("norm"), col("cid"),
+        round(cosine(col("v"), col("cvec")), 6).as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vid"), col("v"), col("norm"), col("cid"))
+    val dupIds = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid") &&
+          round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")),
+            roundTo) >= threshold)
+      .select(col("b.vid").as("vid")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dupIds, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        not(coalesce(col("dup"), lit(false))).as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket sign-LSH blocking, then
     * exact cosine ≥ threshold. (id_a < id_b.) */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

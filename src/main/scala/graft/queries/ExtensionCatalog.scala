@@ -167,14 +167,16 @@ object ExtensionCatalog {
 
   /** Generalized form: `vec` maps a qualified embedding reference to
     * the (possibly sliced) vector expression, `sfx` suffixes every CTE
-    * name so several trainings (PQ subspaces) coexist in one WITH. */
+    * name so several trainings (PQ subspaces) coexist in one WITH, and
+    * `src` names the training table (a seeded CTE for x62). */
   private def kmeansCentSqlFor(k: Int, iters: Int,
-                               vec: String => String, sfx: String): String = {
+                               vec: String => String, sfx: String,
+                               src: String = "embeddings"): String = {
     val init =
       s"""cent0$sfx AS (
          |  SELECT vec_id AS cid,
          |         list_transform(${vec("embedding")}, x -> CAST(x AS DOUBLE)) AS cvec
-         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)""".stripMargin
+         |  FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $k)""".stripMargin
     val steps = (1 to iters).map { i =>
       val prev = s"cent${i - 1}$sfx"
       s"""assign$i$sfx AS (
@@ -182,7 +184,7 @@ object ExtensionCatalog {
          |    SELECT e.vec_id AS eid, ${vec("e.embedding")} AS ev, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosineSql(vec("e.embedding"), "c.cvec", 6)} DESC, c.cid) AS rn
-         |    FROM embeddings e, $prev c)
+         |    FROM $src e, $prev c)
          |  WHERE rn = 1),
          |mean$i$sfx AS (
          |  SELECT cid, d,
@@ -1939,6 +1941,46 @@ object ExtensionCatalog {
             bucketWidth = RangeBucketMs)
           .select(col("a_id"), col("b_id"))
           .orderBy("a_id", "b_id")
+      }),
+
+    // ---- SemDeDup: k-means clusters bound the pairwise cosine to
+    //      within-cluster blocks; smallest-id keeper per ε-ball. The
+    //      oracle replays the k-means training over the SEEDED corpus
+    //      (natural embeddings are near-orthogonal — max cosine ≈ 0.46 —
+    //      so scaled copies are planted exactly as in x14; cosine and
+    //      its round are scale-invariant, so a copy always lands in its
+    //      original's cluster and the planted rows are non-vacuous). ----
+    Q("x62_semdedup", Some(
+      s"""WITH semsrc AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * 1.02)
+         |  FROM embeddings),
+         |${kmeansCentSqlFor(16, 2, identity, "", src = "semsrc")},
+         |assign AS (
+         |  SELECT vid, v, cid FROM (
+         |    SELECT e.vec_id AS vid, e.embedding AS v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM semsrc e, cent2 c)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vid FROM assign a JOIN assign b
+         |  ON a.cid = b.cid AND a.vid < b.vid
+         |  WHERE ${cosineSql("a.v", "b.v")} >= 0.95)
+         |SELECT a.vid AS vec_id, a.cid, d.vid IS NULL AS keep
+         |FROM assign a LEFT JOIN dups d ON a.vid = d.vid
+         |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.select(
+          (col("vec_id") + lit(1000000000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.02)).as("embedding"))
+        Similarity.semDedup(base.unionByName(planted),
+            "vec_id", "embedding", nClusters = 16, threshold = 0.95)
+          .orderBy("vec_id")
       })
   )
 }

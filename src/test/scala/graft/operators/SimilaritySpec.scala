@@ -142,4 +142,31 @@ class SimilaritySpec extends SparkSpec {
     // LUT/code join, where recall collapses to chance (10/500 = 0.02)
     assert(recall >= 0.1, s"ADC recall=$recall (chance = 0.02)")
   }
+
+  test("semDedup: planted scaled copies drop, originals keep, clusters bound pairs") {
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val planted = base.select(($"vec_id" + 1000000000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.02)).as("embedding"))
+    val out = Similarity.semDedup(base.unionByName(planted),
+      "vec_id", "embedding", nClusters = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = base.count()
+    assert(out.length == 2 * n, "every input vector is labeled")
+    // every planted copy has its original at smaller id with cosine 1.0
+    // in the SAME cluster (cosine is scale-invariant) → dropped
+    assert(out.filter(_._1 >= 1000000000000L).forall(!_._3), "copies drop")
+    // near-orthogonal originals never reach 0.95 → all kept
+    assert(out.filter(_._1 < 1000000000000L).forall(_._3), "originals keep")
+    // copy and original share a cluster
+    val cid = out.map(t => t._1 -> t._2).toMap
+    assert(out.filter(_._1 < 1000000000000L).forall(t =>
+      cid(t._1 + 1000000000000L) == t._2))
+  }
+
+  test("semDedup: empty dup set (high threshold, no planted copies) keeps all") {
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.999)
+    assert(out.filter(!$"keep").count() == 0)
+    assert(out.count() == emb.count())
+  }
 }
