@@ -46,4 +46,67 @@ object TfIdf {
       .select(col("doc_id"), col("term"), col("tf"), col("score"),
         col("rn").cast("int").as("rn"))
   }
+
+  /** BM25 retrieval: the top-`k` documents for a bag-of-terms query —
+    * the lexical ranking half of every retrieval-augmented pipeline
+    * (and of dataset search over a 100 TB corpus).
+    *
+    * score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with the Lucene idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism across engines, term by term:
+    *   - tf per query term is PIVOTED into fixed columns (one hash agg
+    *     over the term-filtered explode), so the score is a sum in
+    *     fixed expression order — never an aggregation-order float sum;
+    *   - idf is computed once from exact integer (N, df) and
+    *     portable-rounded to 1e-6 before entering the score;
+    *   - the score is rounded to `roundTo` BEFORE ranking, doc_id
+    *     tiebreak.
+    *
+    * Scale shape: the explode is filtered to the query terms at scan
+    * (predicate pushdown on the token — the inverted-index access path
+    * without the index); corpus stats (N, Σdl) and per-term df are two
+    * O(#terms) scalar jobs parameterizing the plan (the k-means-centroid
+    * pattern); ranking is orderBy·limit = TakeOrderedAndProject (each
+    * partition keeps k, no global sort). Docs containing no query term
+    * score 0 and are not returned. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               roundTo: Int = 4): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val dl = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(lower(col(textCol))).as("dl"))
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    require(nDocs > 0, "bm25: empty corpus")
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val tf = toks.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+      .join(dl, Seq("doc_id"))
+    val dfRow = tf.select(queryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*).head()
+    val idfs = queryTerms.indices.map { i =>
+      val dfT = if (dfRow.isNullAt(i)) 0L else dfRow.getLong(i)
+      math.floor(math.log(
+        1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5)) * 1e6 + 0.5) / 1e6
+    }
+    val denomTail = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    val score = queryTerms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double")
+      lit(idfs(i)) * (tfD * lit(k1 + 1.0)) / (tfD + denomTail)
+    }.reduce(_ + _)
+    val scored = tf
+      .withColumn("score", TextFunctions.portableRound(score, roundTo))
+      .select(col("doc_id"), col("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+  }
 }

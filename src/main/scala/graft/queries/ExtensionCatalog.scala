@@ -116,6 +116,12 @@ object ExtensionCatalog {
   private val BloomM = 1 << 16
   private val BloomK = 3
 
+  /** x63's BM25 query + parameters (interpolated Scala doubles render
+    * shortest-round-trip, so DuckDB parses bit-identical constants). */
+  private val Bm25Terms = Seq("merge", "vector", "spark")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
   private def kmvEstSql(l: String): String =
@@ -1981,6 +1987,49 @@ object ExtensionCatalog {
         Similarity.semDedup(base.unionByName(planted),
             "vec_id", "embedding", nClusters = 16, threshold = 0.95)
           .orderBy("vec_id")
-      })
+      }),
+
+    // ---- BM25 top-k retrieval: pivoted per-term tf (fixed-order
+    //      score sum — no aggregation-order float sums), driver-side
+    //      round-6 idf, round-4 score before ranking. The oracle
+    //      recomputes N/avgdl/df/idf from the same integers. ----
+    Q("x63_bm25_topk", {
+      val ts = Bm25Terms
+      val tfCols = ts.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
+      val dfCols = ts.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val idfCols = ts.indices.map(i =>
+        s"floor(ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf$i")
+        .mkString(",\n    ")
+      val parts = ts.indices.map(i =>
+        s"idf$i * (tf$i * ${Bm25K1 + 1.0}) / (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))")
+        .mkString("\n      + ")
+      Some(
+        s"""WITH dl AS (
+           |  SELECT doc_id, CAST(len(${tokSql("lower(text)")}) AS BIGINT) AS dl
+           |  FROM documents),
+           |st AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+           |tk AS (SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term FROM documents),
+           |tf AS (
+           |  SELECT doc_id, $tfCols
+           |  FROM tk WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY doc_id),
+           |dfs AS (SELECT $dfCols FROM tf),
+           |idf AS (
+           |  SELECT $idfCols
+           |  FROM dfs, st),
+           |scored AS (
+           |  SELECT doc_id,
+           |    floor(($parts) * 10000.0 + 0.5) / 10000.0 AS score
+           |  FROM tf JOIN dl USING (doc_id), idf, st)
+           |SELECT doc_id, score, rn FROM (
+           |  SELECT doc_id, score,
+           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+           |  FROM scored)
+           |WHERE rn <= 20 ORDER BY rn""".stripMargin)
+    },
+      (s, dir) => TfIdf.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B))
   )
 }

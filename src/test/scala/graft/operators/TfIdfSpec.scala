@@ -27,4 +27,39 @@ class TfIdfSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).toSeq == Seq(
       (3L, "date", 1L, 3.0, 1), (3L, "cherry", 1L, 1.5, 2)))
   }
+
+  test("bm25: rare term beats common term; length normalization; no-match docs absent") {
+    val docs = Seq(
+      (1L, "rare common common common common common"),
+      (2L, "common common common common common common"),
+      (3L, "rare rare other words here now"),
+      (4L, "nothing matches in this document at all"),
+      (5L, "common")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.bm25TopK(docs, "doc_id", "text",
+        Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 4 contains neither term — not returned
+    assert(!got.exists(_._1 == 4L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+    // rare (df=2) carries higher idf than common (df=3): doc 3 with
+    // tf(rare)=2 must outrank doc 2 with tf(common)=6 — BM25's tf
+    // saturation + idf is the whole point vs raw counts
+    val rank = got.map(t => t._1 -> t._3).toMap
+    assert(rank(3L) < rank(2L), s"got $got")
+    // ranks are dense 1..n in score order
+    assert(got.sortBy(_._3).map(_._3).toSeq == (1 to 4).toSeq)
+    val byRank = got.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: empty corpus rejected, duplicate terms rejected") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TfIdf.bm25TopK(docs.filter($"doc_id" < 0), "doc_id", "text", Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      TfIdf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"))
+    }
+  }
 }
