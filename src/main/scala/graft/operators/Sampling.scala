@@ -127,4 +127,63 @@ object Sampling {
     }
     stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * per-document log importance weight log p_target(d)/p_source(d)
+    * under hashed-unigram bag-of-words models — the principled way to
+    * upsample web data that "looks like" a high-quality target corpus
+    * without training a classifier.
+    *
+    * Features are md5-hashed unigrams in `buckets` buckets; both
+    * distributions are add-1 smoothed over the bucket space. The target
+    * model trains on the `targetPred` rows, the source model on the
+    * whole corpus, BOTH in one aggregation pass (conditional agg).
+    *
+    * Cross-engine determinism of the float sum: the per-doc weight
+    * folds over the doc's bucket list SORTED BY BUCKET (Spark
+    * `aggregate` and DuckDB `list_reduce` are both sequential left
+    * folds), so addition order is fixed — never an aggregation-order
+    * float sum. Totals enter as exact integers; the result is
+    * portable-rounded.
+    *
+    * Scale shape: one explode → two hash aggregations (per-doc-bucket
+    * and global-bucket) + one O(1) totals job; the global table is ≤
+    * `buckets` rows → broadcast join; per-doc state is the doc's
+    * DISTINCT buckets (≤ buckets), not its tokens. Output: (doc_id,
+    * n_tok, logw) for every input row; tokenless docs weigh 0. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 1024,
+                  roundTo: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), targetPred.as("tgt"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .select(col("doc_id"), col("tgt"),
+        (TextFunctions.md5Hash60(col("term")) % buckets).as("h"))
+    val tot = toks.agg(count(lit(1)),
+      sum(when(col("tgt"), 1L).otherwise(0L))).head()
+    val (ts, tt) =
+      if (tot.isNullAt(1)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
+    val tsB = (ts + buckets).toDouble
+    val ttB = (tt + buckets).toDouble
+    val g = toks.groupBy("h").agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val dc = toks.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val per = dc.join(broadcast(g), Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        array_sort(collect_list(struct(col("h"), col("c"),
+          col("ct"), col("cs")))).as("arr"))
+      .select(col("doc_id"), col("n_tok"),
+        TextFunctions.portableRound(
+          aggregate(col("arr"), lit(0.0), (acc, s) =>
+            acc + s.getField("c").cast("double") *
+              (log((s.getField("ct").cast("double") + lit(1.0)) / lit(ttB)) -
+               log((s.getField("cs").cast("double") + lit(1.0)) / lit(tsB)))),
+          roundTo).as("logw"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
 }

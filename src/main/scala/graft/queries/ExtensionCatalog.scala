@@ -122,6 +122,9 @@ object ExtensionCatalog {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** x64's DSIR hashed-feature space (buckets of the unigram hash). */
+  private val DsirBuckets = 1024
+
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
   private def kmvEstSql(l: String): String =
@@ -2030,6 +2033,48 @@ object ExtensionCatalog {
            |WHERE rn <= 20 ORDER BY rn""".stripMargin)
     },
       (s, dir) => TfIdf.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B))
+        Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B)),
+
+    // ---- DSIR importance weights: hashed-unigram log p_tgt/p_src with
+    //      add-1 smoothing (target = lang 'en', source = everything).
+    //      The float sum folds over the BUCKET-SORTED list on both
+    //      engines (aggregate vs list_reduce — sequential left folds),
+    //      so addition order can never differ. ----
+    Q("x64_dsir_weights", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, tgt, ${h60Sql("t", DsirBuckets)} AS h FROM (
+         |    SELECT doc_id, lang = 'en' AS tgt,
+         |           unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)),
+         |tot AS (
+         |  SELECT count(*) AS ts,
+         |         coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS tt
+         |  FROM tk),
+         |g AS (
+         |  SELECT h, count(*) AS cs,
+         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tk GROUP BY h),
+         |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
+         |per AS (
+         |  SELECT dc.doc_id,
+         |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
+         |    list_sort(list(struct_pack(h := dc.h, c := dc.c,
+         |                               ct := g.ct, cs := g.cs))) AS arr
+         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_tok,
+         |    floor(list_reduce(list_prepend(0.0, list_transform(arr, s ->
+         |        s.c * (ln((s.ct + 1.0) / (tt + $DsirBuckets))
+         |             - ln((s.cs + 1.0) / (ts + $DsirBuckets))))),
+         |      (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS logw
+         |  FROM per, tot)
+         |SELECT d.doc_id,
+         |       coalesce(w.n_tok, 0) AS n_tok,
+         |       coalesce(w.logw, 0.0) AS logw
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Sampling.dsirWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = DsirBuckets)
+        .orderBy("doc_id"))
   )
 }

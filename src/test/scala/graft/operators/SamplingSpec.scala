@@ -89,4 +89,42 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 1.5)
     }
   }
+
+  test("dsir: target-vocabulary docs weigh higher than source-only docs") {
+    import org.apache.spark.sql.functions.col
+    // target (tgt=true) speaks {alpha beta}, the rest speak {noise junk}
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "beta alpha beta alpha", true),
+      (3L, "noise junk noise junk", false),
+      (4L, "junk noise junk noise", false),
+      (5L, "alpha beta beta alpha", false), // target-LIKE but not labeled
+      (6L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.size == 6, "every input doc is weighted")
+    assert(w(6L) == (0L, 0.0), "tokenless doc weighs 0")
+    // doc 5 uses the target vocabulary → importance weight ABOVE the
+    // source-only docs (this is the DSIR selling point: it upsamples
+    // unlabeled data that LOOKS like the target)
+    assert(w(5L)._2 > w(3L)._2 && w(5L)._2 > w(4L)._2, s"got $w")
+    assert(w(1L)._2 > w(3L)._2)
+    // token counts ride along
+    assert(w(1L)._1 == 4L && w(5L)._1 == 4L)
+  }
+
+  test("dsir: layout-independent (repartition does not change weights)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma", true), (2L, "gamma delta", false),
+      (3L, "alpha alpha", false), (4L, "delta beta", true)
+    ).toDF("doc_id", "text", "is_tgt")
+    val a = Sampling.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = Sampling.dsirWeights(docs.repartition(7), "doc_id", "text",
+        col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
 }
