@@ -478,4 +478,44 @@ object Dedup {
           4).as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** Corpus-level line deduplication — the MassiveText/CCNet
+    * "boilerplate removal" pass: any non-blank line appearing in at
+    * least `minDocs` DISTINCT documents (cookie banners, nav menus,
+    * copyright footers) is stripped from every document.
+    *
+    * Scale shape: lines reduce to 60-bit md5 hashes at scan time, so
+    * the document-frequency aggregation and the boilerplate anti-join
+    * both shuffle ~16-byte keys, never line text; per-doc reassembly is
+    * one groupBy collecting (pos, line) structs sorted by position —
+    * state bounded by the document's own line count. Blank lines are
+    * never counted and never removed (they carry document structure).
+    * A 60-bit collision could strip an innocent line — the same
+    * accepted odds as every other hash-keyed operator here
+    * ([[Contamination]], [[winnowFingerprints]]).
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text) for every input row,
+    * clean_text = kept lines joined by '\n' in original order. */
+  def lineBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h", TextFunctions.md5Hash60(col("line")))
+    val bl = lines.filter(length(trim(col("line"))) > 0)
+      .select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("h"), lit(true).as("is_bl"))
+    lines.join(bl, Seq("h"), "left")
+      .withColumn("keep", col("is_bl").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
 }

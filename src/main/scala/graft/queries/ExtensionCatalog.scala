@@ -125,6 +125,10 @@ object ExtensionCatalog {
   /** x64's DSIR hashed-feature space (buckets of the unigram hash). */
   private val DsirBuckets = 1024
 
+  /** x65's boilerplate doc-frequency threshold (planted footers hit
+    * ~250–500 docs at sf0.01; natural full-text dup lines stay < 10). */
+  private val BoilerMinDocs = 50
+
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
   private def kmvEstSql(l: String): String =
@@ -2075,6 +2079,51 @@ object ExtensionCatalog {
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => Sampling.dsirWeights(t(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en", buckets = DsirBuckets)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- corpus-wide line boilerplate (MassiveText/CCNet pass). The
+    //      natural corpus is single-line word salads (zero cross-doc
+    //      line duplication), so the query plants two footer lines on
+    //      every document IN BOTH ENGINES — one corpus-wide, one on
+    //      even ids — exactly as x14 plants scaled embedding copies:
+    //      the removal path is exercised non-vacuously while each
+    //      doc's own (unique) body line survives. ----
+    Q("x65_line_boilerplate", Some(
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+         |         ELSE 'privacy policy' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+         |e AS (
+         |  SELECT doc_id, i AS pos, ls[i] AS line
+         |  FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+         |d AS (
+         |  SELECT DISTINCT doc_id, ${h60Sql("line", 1152921504606846976L)} AS h
+         |  FROM e WHERE length(trim(line)) > 0),
+         |bl AS (
+         |  SELECT h FROM (SELECT h, count(*) AS docs FROM d GROUP BY h)
+         |  WHERE docs >= $BoilerMinDocs),
+         |f AS (
+         |  SELECT e.doc_id, e.pos, e.line, bl.h IS NULL AS keep
+         |  FROM e LEFT JOIN bl
+         |    ON ${h60Sql("e.line", 1152921504606846976L)} = bl.h)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |             FILTER (WHERE keep), '') AS clean_text
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nsubscribe to our newsletter\n"),
+            when(col("doc_id") % 2 === 0, "all rights reserved")
+              .otherwise("privacy policy")).as("text"))
+        Dedup.lineBoilerplate(planted, "doc_id", "text",
+            minDocs = BoilerMinDocs)
+          .orderBy("doc_id")
+      })
   )
 }

@@ -123,4 +123,38 @@ class DedupSpec extends SparkSpec {
     assert(r((0L, 1L)) > 0.7)
     assert(!r.contains((0L, 3L)))
   }
+
+  test("line boilerplate: common lines strip, unique/blank lines survive, order kept") {
+    val docs = Seq(
+      (1L, "unique alpha\ncommon footer\n\nbody one"),
+      (2L, "body two\ncommon footer\nunique beta"),
+      (3L, "common footer\nbody three"),
+      (4L, "no shared lines here at all"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // 'common footer' appears in 3 docs >= minDocs → stripped everywhere
+    assert(got(1L) == ((4L, 3L, "unique alpha\n\nbody one")))
+    assert(got(2L) == ((3L, 2L, "body two\nunique beta")))
+    assert(got(3L) == ((2L, 1L, "body three")))
+    // untouched doc reassembles byte-identically
+    assert(got(4L) == ((1L, 1L, "no shared lines here at all")))
+    // empty doc: one blank line, kept (blank lines are never boilerplate)
+    assert(got(5L) == ((1L, 1L, "")))
+  }
+
+  test("line boilerplate: blank lines never count toward doc frequency") {
+    val docs = (1L to 10L).map(i => (i, s"body $i\n\nbody tail $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineBoilerplate(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // the blank middle line is in all 10 docs but must survive
+    assert(got.forall(_ == ((3L, 3L))))
+    intercept[IllegalArgumentException] {
+      Dedup.lineBoilerplate(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
 }
