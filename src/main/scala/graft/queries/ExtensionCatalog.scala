@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{BloomFilter, Chunking, Contamination, CorpusStats,
   Dedup, IncrementalDedup, MergeUpsert, Multimodal, RangeJoin,
-  RepeatedSpans, Salting, Sampling, Similarity, Sketches, TfIdf, ZOrder}
+  RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches, TfIdf,
+  ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -2124,6 +2125,35 @@ object ExtensionCatalog {
         Dedup.lineBoilerplate(planted, "doc_id", "text",
             minDocs = BoilerMinDocs)
           .orderBy("doc_id")
+      }),
+
+    // ---- SCD2 dimension history: per-customer order-status snapshots
+    //      (one per order date) → half-open validity intervals; runs of
+    //      unchanged status merge, last interval per key is current ----
+    Q("x66_scd2_history", Some(
+      """WITH snap AS (
+        |  SELECT o_custkey AS key, o_orderdate AS batch,
+        |         max(o_orderstatus) AS status
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT key, batch, status,
+        |    (lag(batch) OVER w IS NULL
+        |     OR status IS DISTINCT FROM lag(status) OVER w) AS chg
+        |  FROM snap WINDOW w AS (PARTITION BY key ORDER BY batch)),
+        |runs AS (SELECT key, status, batch AS valid_from FROM m WHERE chg)
+        |SELECT key, status, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY key ORDER BY valid_from)
+        |ORDER BY key, valid_from""".stripMargin),
+      (s, dir) => {
+        val snap = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("key"),
+            col("o_orderdate").as("batch"))
+          .agg(max(col("o_orderstatus")).as("status"))
+        Scd2.history(snap, "key", "batch", Seq("status"))
+          .orderBy("key", "valid_from")
       })
   )
 }
