@@ -121,6 +121,58 @@ object CorpusStats {
               col("n_tok").cast("double"), 4)))
   }
 
+  /** Per-document unigram cross-entropy (bits per token) under the
+    * corpus's OWN unigram model — the CCNet-style perplexity signal:
+    * documents whose token distribution is far from the corpus (very
+    * high bpt: random strings, OCR noise; very low bpt: degenerate
+    * repetition of the most common words) are filter candidates at
+    * both tails.
+    *
+    * bpt(d) = −(1/n_d) Σ_t log2 p̂(t), with p̂ = (cnt+1)/(T+V) add-1
+    * smoothed over the observed vocabulary (tokens keyed by 60-bit md5
+    * hashes — the house convention — so the model table shuffles
+    * 16-byte keys). T = corpus tokens, V = distinct hashes.
+    *
+    * Cross-engine float determinism: same construction as
+    * [[Sampling.dsirWeights]] — the per-doc sum folds over the doc's
+    * HASH-SORTED bucket list (Spark `aggregate` / DuckDB `list_reduce`,
+    * both sequential left folds), totals enter as exact integers, the
+    * result is portable-rounded.
+    *
+    * Scale shape: one explode → per-doc-hash and global-hash
+    * aggregations; the model join is hash-keyed (shuffle or broadcast
+    * at the planner's discretion — the model has one row per distinct
+    * corpus token, so NOT forced broadcast); per-doc state is the doc's
+    * distinct tokens. Output: (doc_id, n_tok, bpt); tokenless docs 0. */
+  def unigramBits(df: DataFrame, idCol: String, textCol: String,
+                  roundTo: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("term")).as("h"))
+    val g = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val totRow = g.agg(sum(col("cnt")), count(lit(1))).head()
+    val tv =
+      (if (totRow.isNullAt(0)) 0L else totRow.getLong(0)) + totRow.getLong(1)
+    val dc = toks.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val per = dc.join(g, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        array_sort(collect_list(struct(col("h"), col("c"), col("cnt"))))
+          .as("arr"))
+      .select(col("doc_id"), col("n_tok"),
+        TextFunctions.portableRound(
+          (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) =>
+            acc + s.getField("c").cast("double") *
+              log2((s.getField("cnt").cast("double") + lit(1.0)) /
+                lit(tv.toDouble)))) / col("n_tok").cast("double"),
+          roundTo).as("bpt"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("bpt"), lit(0.0)).as("bpt"))
+  }
+
   /** Per-group exact length quantiles (p25/p50/p75 with linear
     * interpolation — the `quantile_cont` definition) plus min/max/count.
     * One sort-based aggregation per group; for a 100 TB corpus swap the

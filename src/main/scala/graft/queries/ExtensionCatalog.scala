@@ -2154,6 +2154,40 @@ object ExtensionCatalog {
           .agg(max(col("o_orderstatus")).as("status"))
         Scd2.history(snap, "key", "batch", Seq("status"))
           .orderBy("key", "valid_from")
-      })
+      }),
+
+    // ---- unigram cross-entropy (CCNet-style perplexity signal):
+    //      bits/token under the corpus's own add-1-smoothed unigram
+    //      model; hash-sorted left fold = deterministic float sum ----
+    Q("x67_unigram_bits", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${h60Sql("t", 1152921504606846976L)} AS h FROM (
+         |    SELECT doc_id, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)),
+         |g AS (SELECT h, count(*) AS cnt FROM tk GROUP BY h),
+         |tot AS (
+         |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) + count(*) AS tv
+         |  FROM g),
+         |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
+         |per AS (
+         |  SELECT dc.doc_id,
+         |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
+         |    list_sort(list(struct_pack(h := dc.h, c := dc.c, cnt := g.cnt)))
+         |      AS arr
+         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_tok,
+         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+         |        s -> s.c * log2((s.cnt + 1.0) / tv))), (a, x) -> a + x))
+         |      / n_tok * 10000.0 + 0.5) / 10000.0 AS bpt
+         |  FROM per, tot)
+         |SELECT d.doc_id,
+         |       coalesce(w.n_tok, 0) AS n_tok,
+         |       coalesce(w.bpt, 0.0) AS bpt
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.unigramBits(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 }

@@ -73,4 +73,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m("en") == ((4L, 10L, 40L, 17.5, 25.0, 32.5)))
     assert(m("de") == ((1L, 7L, 7L, 7.0, 7.0, 7.0)))
   }
+
+  test("unigram bits: common-word docs score low, rare-word docs high") {
+    // 'the' dominates the corpus; 'zyx' appears once
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "zyxqj"),
+      (3L, "the the zyxqj the"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.unigramBits(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.size == 4)
+    assert(got(4L) == ((0L, 0.0)), "tokenless doc scores 0")
+    // T=13, V=2, tv=15: cnt(the)=11, cnt(zyxqj)=2 (docs 2 AND 3) →
+    // p(the)=(11+1)/15, p(zyxqj)=(2+1)/15
+    val bThe = -math.log(12.0 / 15) / math.log(2)
+    val bZyx = -math.log(3.0 / 15) / math.log(2)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got(1L) == ((8L, r4(bThe))))
+    assert(got(2L) == ((1L, r4(bZyx))))
+    assert(got(3L) == ((4L, r4((3 * bThe + bZyx) / 4))))
+    // the filterable ordering: degenerate-common < mixed < all-rare
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2)
+  }
+
+  test("unigram bits: layout-independent") {
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val a = CorpusStats.unigramBits(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = CorpusStats.unigramBits(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
 }
