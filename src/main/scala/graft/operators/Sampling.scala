@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -126,6 +127,26 @@ object Sampling {
       s -> math.min(budget * w(s) / n.toDouble, 1.0)
     }
     stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0, salt)
+  }
+
+  /** Per-group document cap — the C4/CommonCrawl "at most N pages per
+    * domain" rule, quality-ranked: within each group keep the `cap`
+    * best rows by `rankCol` (desc), deterministic id tiebreak. The
+    * rank-based complement of the hash-gate samplers above: a cap
+    * bounds a single runaway domain, a rate cannot.
+    *
+    * Scale shape: ONE window shuffle on the group key. A mega-domain is
+    * the classic window skew — at 100 TB pre-filter with an
+    * approximate per-group quantile or salt the heavy groups
+    * ([[Salting]]) before the exact rank. Output: input columns +
+    * rk (1-based rank within group). */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  rankCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(rankCol).desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= cap)
   }
 
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):

@@ -2188,6 +2188,26 @@ object ExtensionCatalog {
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => CorpusStats.unigramBits(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- per-source quality cap (C4's "<= N pages per domain"):
+    //      rank-based bound on runaway domains, quality-ordered ----
+    Q("x68_source_cap", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, source, $qualityStatsSql FROM documents))
+         |SELECT doc_id, source, quality, rk FROM (
+         |  SELECT doc_id, source, quality,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS INT) AS rk
+         |  FROM q)
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        Sampling.capPerGroup(scored, "doc_id", "source", "quality", cap = 10)
+          .orderBy("source", "rk")
+      })
   )
 }

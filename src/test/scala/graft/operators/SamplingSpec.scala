@@ -90,6 +90,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup: keeps the cap best rows per group, id tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.1),
+      (5L, "b", 0.5)
+    ).toDF("doc_id", "src", "q")
+    val got = Sampling.capPerGroup(docs, "doc_id", "src", "q", cap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    // group a: 0.9 → rk1; tie at 0.8 broken by doc_id (2 before 3);
+    // doc 3 and the 0.1 doc fall out
+    assert(got == Map(1L -> 1, 2L -> 2, 5L -> 1))
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(docs, "doc_id", "src", "q", cap = 0)
+    }
+  }
+
   test("dsir: target-vocabulary docs weigh higher than source-only docs") {
     import org.apache.spark.sql.functions.col
     // target (tgt=true) speaks {alpha beta}, the rest speak {noise junk}
