@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{BloomFilter, Chunking, Contamination, CorpusStats,
-  Dedup, IncrementalDedup, MergeUpsert, Multimodal, RangeJoin,
+  Dedup, GraphRank, IncrementalDedup, MergeUpsert, Multimodal, RangeJoin,
   RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches, TfIdf,
   ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
@@ -129,6 +129,10 @@ object ExtensionCatalog {
   /** x65's boilerplate doc-frequency threshold (planted footers hit
     * ~250–500 docs at sf0.01; natural full-text dup lines stay < 10). */
   private val BoilerMinDocs = 50
+
+  /** x69's PageRank damping (rendered into the SQL as the same literal
+    * the Spark side uses, so both engines compute 1.0 − d identically). */
+  private val PrDamping = 0.85
 
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
@@ -266,12 +270,12 @@ object ExtensionCatalog {
     (hitCols, best, cases)
   }
 
-  /** mirrors Dedup.nearDupPipeline verification + resolveClusters:
-    * grams → verified pairs (est ≥ 0.25, jaccard ≥ 0.4) → undirected
-    * edges → transitive closure. Appended after `minhashPairsSql`'s
-    * `cand`; callers add their own final aggregation. Shared by
-    * x18/x27/x31 so the closure semantics cannot drift. */
-  private def neardupClosureSql(src: String): String =
+  /** mirrors Dedup.verifyCandidates: grams → verified pairs
+    * (est ≥ 0.25, jaccard ≥ 0.4) → undirected edges. Appended after
+    * `minhashPairsSql`'s `cand`; shared by the closure (x18/x27/x31)
+    * and the graph ops (x69) so the verification semantics cannot
+    * drift. */
+  private def verifiedPairsSql(src: String): String =
     s"""g AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(length(text) - 2, 1)),
@@ -290,7 +294,13 @@ object ExtensionCatalog {
        |  WHERE jaccard >= 0.4),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM vp
-       |  UNION ALL SELECT id_b, id_a FROM vp),
+       |  UNION ALL SELECT id_b, id_a FROM vp)""".stripMargin
+
+  /** mirrors Dedup.nearDupPipeline verification + resolveClusters:
+    * [[verifiedPairsSql]] plus the transitive closure. Shared by
+    * x18/x27/x31. */
+  private def neardupClosureSql(src: String): String =
+    s"""${verifiedPairsSql(src)},
        |reach(node, label) AS (
        |  SELECT doc_id, doc_id FROM $src
        |  UNION
@@ -2208,6 +2218,47 @@ object ExtensionCatalog {
           TextFunctions.qualityScore(col("text")).as("quality"))
         Sampling.capPerGroup(scored, "doc_id", "source", "quality", cap = 10)
           .orderBy("source", "rk")
+      }),
+
+    // ---- PageRank over the near-dup graph (template-hub detection):
+    //      3 unrolled deterministic iterations, per-node sums folded
+    //      over source-sorted contribution lists, rank re-rounded every
+    //      iteration so float divergence cannot accumulate. The oracle
+    //      replays the iterations CTE by CTE. NOTE (1.0 - 0.85) is
+    //      written as the same IEEE subtraction on both engines — a
+    //      0.15 literal parses to a DIFFERENT double. ----
+    Q("x69_pagerank", {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst,
+           |    list_sort(list(struct_pack(s := e.src, w := p.pr / d.deg))) AS arr
+           |  FROM edges e JOIN deg d USING (src) JOIN pr${i - 1} p ON e.src = p.id
+           |  GROUP BY e.dst),
+           |pr$i AS (
+           |  SELECT b.id,
+           |    floor(((1.0 - $PrDamping) / n + $PrDamping * coalesce(
+           |        list_reduce(list_prepend(0.0, list_transform(arr, s -> s.w)),
+           |          (a, x) -> a + x), 0.0)) * 10000000000.0 + 0.5)
+           |      / 10000000000.0 AS pr
+           |  FROM (SELECT doc_id AS id FROM documents) b
+           |  LEFT JOIN c$i c ON b.id = c.dst, nn)""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH ${minhashPairsSql()},
+           |${verifiedPairsSql("documents")},
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |pr0 AS (SELECT doc_id AS id, 1.0 / n AS pr FROM documents, nn),
+           |$iters
+           |SELECT id AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        GraphRank.pageRank(docs.select("doc_id"), "doc_id",
+            verifiedPairs(s, dir).select("id_a", "id_b"),
+            iters = 3, damping = PrDamping)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
       })
   )
 }
