@@ -202,6 +202,36 @@ object ScaleStress {
         s"$work/runs", "stress-met", java.sql.Timestamp.valueOf("2026-01-01 00:01:00"))
     })
 
+    // ---- r4 session-3 additions (x62–x69) ----
+    import graft.operators.{CorpusStats, GraphRank, Sampling, Scd2}
+    time("semdedup (kmeans 64)")(Similarity.semDedup(emb, "vec_id",
+      "embedding", nClusters = 64, threshold = 0.95).count())
+    time("bm25 topk")(TfIdf.bm25TopK(docs, "doc_id", "text",
+      Seq("merge", "vector", "spark"), k = 20).count())
+    time("dsir weights")(Sampling.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en").count())
+    time("line boilerplate")({
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter")).as("text"))
+      Dedup.lineBoilerplate(planted, "doc_id", "text", minDocs = 100).count()
+    })
+    time("unigram bits")(CorpusStats.unigramBits(docs, "doc_id", "text")
+      .count())
+    time("source cap")(Sampling.capPerGroup(
+      docs.select(col("doc_id"), col("lang"),
+        length(col("text")).as("len")),
+      "doc_id", "lang", "len", cap = 1000).count())
+    time("scd2 history")({
+      val snap = o.groupBy(col("o_custkey").as("key"),
+          col("o_orderdate").as("batch"))
+        .agg(max(col("o_orderstatus")).as("status"))
+      Scd2.history(snap, "key", "batch", Seq("status")).count()
+    })
+    time("pagerank 3 iters")(GraphRank.pageRank(
+      docs.select("doc_id"), "doc_id",
+      Dedup.nearDupPipeline(docs, "doc_id", "text")
+        .select("id_a", "id_b"), iters = 3).count())
+
     MergeStress.run(spark, factor, work)
     spark.stop()
   }
