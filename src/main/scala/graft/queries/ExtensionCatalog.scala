@@ -2259,6 +2259,53 @@ object ExtensionCatalog {
             iters = 3, damping = PrDamping)
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
+      }),
+
+    // ---- exactly-once incremental SCD2: three chronological batch
+    //      applies WITH a deliberate mid-sequence redelivery must equal
+    //      the from-scratch batch operator (x66's oracle verbatim) —
+    //      the history store is its own compacted state, and the
+    //      applied-batch watermark rides in the same version publish ----
+    Q("x70_stream_scd2", Some(
+      """WITH snap AS (
+        |  SELECT o_custkey AS key, o_orderdate AS batch,
+        |         max(o_orderstatus) AS status
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT key, batch, status,
+        |    (lag(batch) OVER w IS NULL
+        |     OR status IS DISTINCT FROM lag(status) OVER w) AS chg
+        |  FROM snap WINDOW w AS (PARTITION BY key ORDER BY batch)),
+        |runs AS (SELECT key, status, batch AS valid_from FROM m WHERE chg)
+        |SELECT key, status, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY key ORDER BY valid_from)
+        |ORDER BY key, valid_from""".stripMargin),
+      (s, dir) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft-scd70").toString + "/hist"
+        val orders = t(s, dir, "orders")
+        def snap(df: DataFrame): DataFrame = df
+          .groupBy(col("o_custkey").as("key"),
+            col("o_orderdate").as("batch"))
+          .agg(max(col("o_orderstatus")).as("status"))
+        val d = col("o_orderdate")
+        val cut1 = to_timestamp(lit("1994-01-01"))
+        val cut2 = to_timestamp(lit("1996-01-01"))
+        val batches = Seq(
+          0L -> snap(orders.filter(d < cut1)),
+          1L -> snap(orders.filter(d >= cut1 && d < cut2)),
+          1L -> snap(orders.filter(d >= cut1 && d < cut2)), // redelivered
+          2L -> snap(orders.filter(d >= cut2)))
+        batches.foreach { case (id, b) =>
+          graft.streaming.StreamScd2.applyBatch(s, store, b,
+            "key", "batch", Seq("status"), id)
+        }
+        graft.streaming.StreamScd2.readHistory(s, store)
+          .select("key", "status", "valid_from", "valid_to", "is_current")
+          .orderBy("key", "valid_from")
       })
   )
 }
