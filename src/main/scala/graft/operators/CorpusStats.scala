@@ -121,6 +121,21 @@ object CorpusStats {
               col("n_tok").cast("double"), 4)))
   }
 
+  /** Hierarchical composition report: one aggregation producing every
+    * ROLLUP level (source × lang, per source, grand total) in a single
+    * shuffle — the mixing dashboard's drill-down table without N
+    * separate GROUP BYs over a 100 TB scan. `grouping()` flags
+    * disambiguate subtotal rows from genuine NULL dimension values
+    * (cast to int — the engines' native grouping types differ). */
+  def rollupReport(df: DataFrame, dim1: String, dim2: String,
+                   textCol: String): DataFrame =
+    df.rollup(col(dim1), col(dim2))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol))).cast("long").as("n_tok"),
+        grouping(col(dim1)).cast("int").as("g1"),
+        grouping(col(dim2)).cast("int").as("g2"))
+
   /** Per-document unigram cross-entropy (bits per token) under the
     * corpus's OWN unigram model — the CCNet-style perplexity signal:
     * documents whose token distribution is far from the corpus (very

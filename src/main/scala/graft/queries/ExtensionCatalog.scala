@@ -2306,6 +2306,21 @@ object ExtensionCatalog {
         graft.streaming.StreamScd2.readHistory(s, store)
           .select("key", "status", "valid_from", "valid_to", "is_current")
           .orderBy("key", "valid_from")
-      })
+      }),
+
+    // ---- ROLLUP drill-down report: every aggregation level in ONE
+    //      shuffle; grouping() flags split subtotals from real NULLs ----
+    Q("x71_rollup_report", Some(
+      s"""SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(${tokSql("text")})) AS BIGINT) AS n_tok,
+         |  CAST(grouping(source) AS INT) AS g1,
+         |  CAST(grouping(lang) AS INT) AS g2
+         |FROM documents
+         |GROUP BY ROLLUP (source, lang)
+         |ORDER BY g1, g2, source, lang""".stripMargin),
+      (s, dir) => CorpusStats.rollupReport(t(s, dir, "documents"),
+          "source", "lang", "text")
+        .orderBy("g1", "g2", "source", "lang"))
   )
 }

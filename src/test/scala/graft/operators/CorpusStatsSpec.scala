@@ -99,6 +99,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2)
   }
 
+  test("rollup report: all levels in one pass, subtotals vs real nulls") {
+    val docs = Seq(
+      (1L, "s1", "en", "a b"),
+      (2L, "s1", "de", "c"),
+      (3L, "s2", null, "d e f")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = CorpusStats.rollupReport(docs, "source", "lang", "text")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))).toSet
+    assert(got == Set(
+      (Some("s1"), Some("en"), 1L, 2L, 0, 0),
+      (Some("s1"), Some("de"), 1L, 1L, 0, 0),
+      (Some("s2"), None, 1L, 3L, 0, 0),       // REAL null lang: g2=0
+      (Some("s1"), None, 2L, 3L, 0, 1),       // subtotal: g2=1
+      (Some("s2"), None, 1L, 3L, 0, 1),
+      (None, None, 3L, 6L, 1, 1)))            // grand total
+  }
+
   test("unigram bits: layout-independent") {
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a a a"))
       .toDF("doc_id", "text")
