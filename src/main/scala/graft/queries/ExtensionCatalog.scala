@@ -2321,6 +2321,54 @@ object ExtensionCatalog {
          |ORDER BY g1, g2, source, lang""".stripMargin),
       (s, dir) => CorpusStats.rollupReport(t(s, dir, "documents"),
           "source", "lang", "text")
-        .orderBy("g1", "g2", "source", "lang"))
+        .orderBy("g1", "g2", "source", "lang")),
+
+    // ---- per-event trailing 1h moving average (RANGE-frame window:
+    //      event-time distance bounds the frame, so same-ms peers are
+    //      always all included — deterministic under any row order) ----
+    Q("x72_moving_avg", Some(
+      s"""SELECT event_id, user_id, ms,
+         |  count(*) OVER w AS n_win,
+         |  floor(avg(value) OVER w * 10000.0 + 0.5) / 10000.0 AS avg_win
+         |FROM (SELECT event_id, user_id, value,
+         |        epoch_ns(ts) // 1000000 AS ms FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+         |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        import graft.streaming.WindowedAgg
+        WindowedAgg.movingAvg(ReferenceCatalog.events(s, dir),
+            "ts", "user_id", "value", windowMs = 3600000L)
+          .orderBy("event_id")
+      }),
+
+    // ---- pivot: event types to columns with an EXPLICIT value list
+    //      (deterministic schema — discovery-pivot would scan twice and
+    //      let a new type silently widen the table), one pass ----
+    Q("x73_event_pivot", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val sums = types.map(t =>
+        s"floor(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0.0) * 10000.0 + 0.5) / 10000.0 AS $t")
+        .mkString(",\n  ")
+      Some(
+        s"""SELECT user_id % 10 AS cohort,
+           |  $sums
+           |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin)
+    },
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val piv = ReferenceCatalog.events(s, dir)
+          .select((col("user_id") % 10).as("cohort"),
+            col("event_type"), col("value"))
+          .groupBy("cohort")
+          // explicit value list: one pass, fixed schema (the operator
+          // here IS Dataset.pivot — no discovery scan)
+          .pivot("event_type", types)
+          .sum("value")
+        piv.select(col("cohort") +: types.map(t =>
+            TextFunctions.portableRound(coalesce(col(t), lit(0.0)), 4)
+              .as(t)): _*)
+          .orderBy("cohort")
+      })
   )
 }

@@ -30,4 +30,29 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("total"))
+
+  /** Per-event trailing moving average: for every event, the mean of
+    * `valueCol` over the key's events in the last `windowMs`
+    * milliseconds INCLUDING the event — a RANGE-frame window (the frame
+    * is bounded by event-time distance, not row count; same-timestamp
+    * peers are always all included, so the result is deterministic
+    * under any row order). Batch form of the sliding signal a
+    * dashboard overlays on [[tumbling]]'s buckets.
+    *
+    * Scale shape: one shuffle on the key, one sort within partitions;
+    * the RANGE frame evaluates incrementally (Spark's sliding window
+    * aggregation), never re-scanning the trail per row. */
+  def movingAvg(events: DataFrame, tsCol: String, keyCol: String,
+                valueCol: String, windowMs: Long,
+                roundTo: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("ms").rangeBetween(-windowMs, 0)
+    events
+      .select(col("event_id"), col(keyCol),
+        unix_millis(col(tsCol)).as("ms"), col(valueCol))
+      .select(col("event_id"), col(keyCol), col("ms"),
+        count(lit(1)).over(w).cast("long").as("n_win"),
+        graft.functions.TextFunctions.portableRound(
+          avg(col(valueCol)).over(w), roundTo).as("avg_win"))
+  }
 }

@@ -44,4 +44,27 @@ class WindowedAggSpec extends SparkSpec {
       assert(rows(180L) == (1L, 16.0))
     } finally q.stop()
   }
+
+  test("moving avg: trailing RANGE frame, same-ms peers always included") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, 10L, 0L, 10.0),     // user 10, t=0
+      (2L, 10L, 1000L, 20.0),  // t=1s: within 2s of t=0
+      (3L, 10L, 5000L, 30.0),  // t=5s: alone in its 2s trail
+      (4L, 10L, 5000L, 50.0),  // same ms as event 3 — peer row
+      (5L, 11L, 0L, 99.0)      // other key
+    ).toDF("event_id", "user_id", "ms0", "value")
+      .select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.timestamp_millis(col("ms0")).as("ts"),
+        col("value"))
+    val got = WindowedAgg.movingAvg(events, "ts", "user_id", "value",
+        windowMs = 2000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((1L, 10.0)))
+    assert(got(2L) == ((2L, 15.0)))
+    // events 3 and 4 share t=5000: RANGE includes BOTH for both rows
+    assert(got(3L) == ((2L, 40.0)) && got(4L) == ((2L, 40.0)))
+    assert(got(5L) == ((1L, 99.0)), "keys are independent")
+  }
 }
