@@ -134,6 +134,75 @@ object ExtensionCatalog {
     * the Spark side uses, so both engines compute 1.0 − d identically). */
   private val PrDamping = 0.85
 
+  /** x74/x75's BPE merge budget. */
+  private val BpeMerges = 20
+
+  /** BPE training is eager (one argmax collect per merge), so x74 and
+    * x75 share one training per (session, dir) — same discipline as
+    * the dedup family memo, with the same dead-session sweep. */
+  private val bpeMemo = scala.collection.mutable
+    .HashMap[String, (SparkSession, Seq[graft.operators.Bpe.Merge], DataFrame)]()
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (Seq[graft.operators.Bpe.Merge], DataFrame) = bpeMemo.synchronized {
+    bpeMemo.filterInPlace { case (_, (sess, _, _)) =>
+      !sess.sparkContext.isStopped }
+    val k = s"${System.identityHashCode(s)}|$dir"
+    bpeMemo.get(k) match {
+      case Some((sess, m, v)) if sess eq s => (m, v)
+      case _ =>
+        val mv = graft.operators.Bpe.train(
+          t(s, dir, "documents"), "text", BpeMerges)
+        bpeMemo(k) = (s, mv._1, mv._2)
+        mv
+    }
+  }
+
+  /** The unrolled BPE training CTE chain: w0 (filtered distinct words)
+    * → s0 (char symbols) → per merge r: p_r (pair counts), b_r (argmax
+    * or NULL sentinel once exhausted), s_r (greedy fold applied via the
+    * delimited-string trick — symbols never contain chr(31), the
+    * engine-side fallback filter guarantees it). Ends at s$BpeMerges. */
+  private def bpeTrainSql: String = {
+    val head =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(${tokSql("lower(text)")}) AS w FROM documents)
+         |  WHERE NOT contains(w, chr(31))
+         |    AND NOT regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]')
+         |  GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    list_transform(generate_series(1, length(w)), i -> w[i:i]) AS syms
+         |  FROM w0)""".stripMargin
+    val steps = (1 to BpeMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s.syms[i] AS a, s.syms[i + 1] AS b, sum(s.cnt) AS c
+         |  FROM s${r - 1} s,
+         |       unnest(generate_series(1, len(s.syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1)
+         |  UNION ALL
+         |  (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |   WHERE NOT EXISTS (SELECT 1 FROM p$r))),
+         |s$r AS MATERIALIZED (
+         |  SELECT s.w, s.cnt,
+         |    -- len = 0 guard: the delimited-string fold cannot
+         |    -- represent an empty sequence (string_split('') = [''])
+         |    CASE WHEN m.a IS NULL OR len(s.syms) = 0 THEN s.syms
+         |    ELSE string_split(
+         |      list_reduce(list_prepend('', s.syms), (acc, x) ->
+         |        CASE WHEN acc = '' THEN x
+         |             WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a))
+         |                  AND x = m.b
+         |               THEN acc || m.b
+         |             ELSE acc || chr(31) || x END), chr(31))
+         |    END AS syms
+         |  FROM s${r - 1} s, b$r m)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** mirrors Sketches.kmvEstimate over a sketch-list column (shared by
     * x30's inline form and x37's pairwise overlap). */
   private def kmvEstSql(l: String): String =
@@ -2369,6 +2438,54 @@ object ExtensionCatalog {
             TextFunctions.portableRound(coalesce(col(t), lit(0.0)), 4)
               .as(t)): _*)
           .orderBy("cohort")
+      }),
+
+    // ---- BPE subword training (Sennrich 2016): the merge table
+    //      itself is the oracle target — the DuckDB side re-runs all
+    //      20 greedy merge iterations CTE by CTE, so pair counting,
+    //      argmax tiebreak, AND fold application are cross-engine
+    //      verified, not just the downstream counts ----
+    Q("x74_bpe_merges", Some({
+      val rows = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS INT) AS merge_rank, a AS lhs, b AS rhs FROM b$r WHERE a IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $bpeTrainSql
+         |SELECT * FROM (
+         |  $rows)
+         |ORDER BY merge_rank""".stripMargin
+    }),
+      (s, dir) => {
+        import s.implicits._
+        val (merges, _) = bpeTrained(s, dir)
+        merges.map(m => (m.rank, m.lhs, m.rhs))
+          .toDF("merge_rank", "lhs", "rhs")
+          .orderBy("merge_rank")
+      }),
+
+    // ---- BPE encoding statistics: pieces per document under the
+    //      trained vocabulary (fallback/OOV words = 1 piece) — the
+    //      "what will this corpus cost in tokens" audit ----
+    Q("x75_bpe_encode", Some(
+      s"""WITH $bpeTrainSql,
+         |enc AS (
+         |  SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces FROM s$BpeMerges),
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS w
+         |  FROM documents),
+         |per AS (
+         |  SELECT tk.doc_id, count(*) AS n_tok,
+         |         CAST(sum(coalesce(e.n_pieces, 1)) AS BIGINT) AS n_pieces
+         |  FROM tk LEFT JOIN enc e USING (w) GROUP BY tk.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(per.n_tok, 0) AS n_tok,
+         |       coalesce(per.n_pieces, 0) AS n_pieces
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val (_, vocab) = bpeTrained(s, dir)
+        graft.operators.Bpe.encodeStats(t(s, dir, "documents"),
+            "doc_id", "text", vocab)
+          .orderBy("doc_id")
       })
   )
 }
