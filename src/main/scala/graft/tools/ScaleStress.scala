@@ -203,7 +203,7 @@ object ScaleStress {
     })
 
     // ---- r4 session-3 additions (x62–x69) ----
-    import graft.operators.{CorpusStats, GraphRank, Sampling, Scd2}
+    import graft.operators.{Bpe, CorpusStats, GraphRank, Sampling, Scd2}
     time("semdedup (kmeans 64)")(Similarity.semDedup(emb, "vec_id",
       "embedding", nClusters = 64, threshold = 0.95).count())
     time("bm25 topk")(TfIdf.bm25TopK(docs, "doc_id", "text",
@@ -231,6 +231,37 @@ object ScaleStress {
       docs.select("doc_id"), "doc_id",
       Dedup.nearDupPipeline(docs, "doc_id", "text")
         .select("id_a", "id_b"), iters = 3).count())
+    time("bpe train+encode")({
+      val (_, vocab) = Bpe.train(docs, "text", numMerges = 20)
+      Bpe.encodeStats(docs, "doc_id", "text", vocab).count()
+    })
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    val ev = (0 until factor).map { k =>
+      ev0.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+    time("moving avg 1h")(graft.streaming.WindowedAgg.movingAvg(
+      ev, "ts", "user_id", "value", 3600000L).count())
+    time("rollup report")(CorpusStats.rollupReport(
+      docs, "lang", "lang", "text").count())
+    time("incremental scd2 3 applies")({
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-scd2s").toString + "/h"
+      def snap(f: org.apache.spark.sql.DataFrame) = f
+        .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("batch"))
+        .agg(max(col("o_orderstatus")).as("status"))
+      val cut1 = to_timestamp(lit("1994-01-01"))
+      val cut2 = to_timestamp(lit("1996-01-01"))
+      Seq(0L -> o.filter(col("o_orderdate") < cut1),
+        1L -> o.filter(col("o_orderdate") >= cut1 &&
+          col("o_orderdate") < cut2),
+        2L -> o.filter(col("o_orderdate") >= cut2)).foreach {
+        case (id, b) => graft.streaming.StreamScd2.applyBatch(
+          spark, p, snap(b), "key", "batch", Seq("status"), id)
+      }
+      graft.streaming.StreamScd2.readHistory(spark, p).count()
+    })
 
     MergeStress.run(spark, factor, work)
     spark.stop()
