@@ -314,9 +314,14 @@ object Similarity {
     * 64-dim vector. Scores are rounded (parts to 6, sum to 4) with eid
     * tiebreak — deterministic across engines. Approximate by design;
     * recall vs exact is spec-asserted, exactness is the oracle's job. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame,
-             idCol: String, vecCol: String, k: Int,
-             m: Int = 4, kCent: Int = 8, iters: Int = 1): DataFrame = {
+  /** Per-subspace (codes, broadcast LUT) pairs — shared by [[pqTopK]]
+    * and [[ivfPqTopK]] so the codebook training, code assignment and
+    * LUT rounding can never diverge between the flat and the
+    * IVF-gated search. */
+  private def pqParts(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      m: Int, kCent: Int, iters: Int)
+      : Seq[(DataFrame, DataFrame)] = {
     val dims = vecDims(corpus, vecCol, "corpus")
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val qDims = vecDims(queries, vecCol, "queries")
@@ -324,7 +329,7 @@ object Similarity {
       s"query vectors are $qDims-dim but the corpus is $dims-dim — " +
         "slice() would silently truncate the LUT scores")
     val sub = dims / m
-    val parts = (0 until m).map { s =>
+    (0 until m).map { s =>
       val sv = corpus.select(col(idCol).cast("long").as("eid"),
         slice(col(vecCol), s * sub + 1, sub).as("sv"))
       val cents = broadcast(kmeansCentroids(sv, "eid", "sv", kCent, iters))
@@ -337,10 +342,17 @@ object Similarity {
           round(dot(col("qv"), col("cvec")), 6).as(s"part$s"))
       (codes, broadcast(lut))
     }
-    val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
+  }
+
+  /** ADC scoring + per-query top-k over a coded candidate frame (which
+    * may already be query-gated, i.e. carry a qid column). */
+  private def adcRank(coded: DataFrame, parts: Seq[(DataFrame, DataFrame)],
+                      k: Int): DataFrame = {
+    val m = parts.size
+    val hasQid = coded.columns.contains("qid")
     val scored = parts.zipWithIndex
       .foldLeft(coded) { case (acc, ((_, lut), s)) =>
-        if (s == 0) acc.join(lut, Seq(s"k$s"))
+        if (s == 0 && !hasQid) acc.join(lut, Seq(s"k$s"))
         else acc.join(lut, Seq(s"k$s", "qid"))
       }
       .withColumn("adc", round(
@@ -351,6 +363,51 @@ object Similarity {
       .select(col("qid"), col("eid"), col("adc"),
         col("rn").cast("int").as("rn"))
       .orderBy("qid", "rn")
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 4, kCent: Int = 8, iters: Int = 1): DataFrame = {
+    val parts = pqParts(queries, corpus, idCol, vecCol, m, kCent, iters)
+    val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
+    adcRank(coded, parts, k)
+  }
+
+  /** IVF+PQ — the composed index tier behind billion-vector ANN (the
+    * FAISS IVFPQ layout): a coarse IVF quantizer gates WHICH corpus
+    * rows are scored, and PQ codes + a per-query LUT decide HOW —
+    * the scan touches m small ints for |corpus|·nProbe/nCentroids
+    * rows instead of full vectors for everything. Both quantizers are
+    * the deterministic [[kmeansCentroids]]; assignment/LUT pieces are
+    * shared verbatim with [[ivfTopK]] / [[pqTopK]] (same rounding,
+    * same tiebreaks), so the composition adds no new divergence
+    * surface. Approximate by design — recall vs [[bruteForceTopK]] is
+    * the spec's job, exactness of the replay is the oracle's. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 2,
+                m: Int = 4, kCent: Int = 8,
+                coarseIters: Int = 2, pqIters: Int = 1): DataFrame = {
+    val coarse = broadcast(
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, coarseIters))
+    def nearest(side: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
+      side.join(coarse)
+        .select(col(id), col("cid"),
+          round(cosine(col(vec), col("cvec")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(col(id), col("cid"))
+    }
+    val index = nearest(corpus.select(col(idCol).cast("long").as("eid"),
+      col(vecCol).as("ev")), "eid", "ev", 1)
+    val probes = nearest(queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv")), "qid", "qv", nProbe)
+    val parts = pqParts(queries, corpus, idCol, vecCol, m, kCent, pqIters)
+    val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
+      .join(index, Seq("eid"))
+      .join(probes, Seq("cid"))
+    adcRank(coded.drop("cid"), parts, k)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -2486,6 +2486,81 @@ object ExtensionCatalog {
         graft.operators.Bpe.encodeStats(t(s, dir, "documents"),
             "doc_id", "text", vocab)
           .orderBy("doc_id")
+      }),
+
+    // ---- IVF+PQ composed ANN (the FAISS IVFPQ layout): coarse IVF
+    //      gates WHICH rows are scored, PQ codes + query LUT decide
+    //      HOW. The oracle replays BOTH quantizer trainings and the
+    //      gated ADC join — the composition shares every fragment
+    //      (and thus every rounding/tiebreak) with x17 and x58. ----
+    Q("x76_ivfpq_topk", Some({
+      val m = 4; val sub = 16; val k = 8
+      val slices = (0 until m).map(s =>
+        (s, (qual: String) => s"$qual[${s * sub + 1}:${(s + 1) * sub}]"))
+      val trainings = slices.map { case (s, vec) =>
+        kmeansCentSqlFor(k, 1, vec, s"_p$s") }.mkString(",\n")
+      val codeCtes = slices.map { case (s, vec) =>
+        s"""code_p$s AS (
+           |  SELECT eid, cid FROM (
+           |    SELECT e.vec_id AS eid, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosineSql(vec("e.embedding"), "c.cvec", 6)} DESC,
+           |          c.cid) AS rn
+           |    FROM embeddings e, cent1_p$s c)
+           |  WHERE rn = 1)""".stripMargin }.mkString(",\n")
+      val lutCtes = slices.map { case (s, vec) =>
+        s"""lut_p$s AS (
+           |  SELECT q.vec_id AS qid, c.cid,
+           |    ${dotSql(vec("q.embedding"), "c.cvec", 6)} AS part
+           |  FROM embeddings q, cent1_p$s c WHERE q.vec_id < 5)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH ${kmeansCentSqlFor(16, 2, identity, "_c")},
+         |$trainings,
+         |$codeCtes,
+         |$lutCtes,
+         |eassign AS (
+         |  SELECT eid, cid FROM (
+         |    SELECT e.vec_id AS eid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent2_c c)
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM embeddings q, cent2_c c WHERE q.vec_id < 5)
+         |  WHERE rn <= 2),
+         |codes AS (
+         |  SELECT e.vec_id AS eid, c0.cid AS k0, c1.cid AS k1,
+         |         c2.cid AS k2, c3.cid AS k3
+         |  FROM embeddings e
+         |  JOIN code_p0 c0 ON c0.eid = e.vec_id
+         |  JOIN code_p1 c1 ON c1.eid = e.vec_id
+         |  JOIN code_p2 c2 ON c2.eid = e.vec_id
+         |  JOIN code_p3 c3 ON c3.eid = e.vec_id),
+         |scored AS (
+         |  SELECT qp.qid, c.eid,
+         |    round(l0.part + l1.part + l2.part + l3.part, 4) AS adc
+         |  FROM codes c
+         |  JOIN eassign ea ON ea.eid = c.eid
+         |  JOIN qprobe qp ON qp.cid = ea.cid
+         |  JOIN lut_p0 l0 ON l0.cid = c.k0 AND l0.qid = qp.qid
+         |  JOIN lut_p1 l1 ON l1.cid = c.k1 AND l1.qid = qp.qid
+         |  JOIN lut_p2 l2 ON l2.cid = c.k2 AND l2.qid = qp.qid
+         |  JOIN lut_p3 l3 ON l3.cid = c.k3 AND l3.qid = qp.qid)
+         |SELECT qid, eid, adc, rn FROM (
+         |  SELECT qid, eid, adc,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc DESC, eid) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+    }),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
       })
   )
 }
