@@ -2561,6 +2561,37 @@ object ExtensionCatalog {
         val emb = t(s, dir, "embeddings")
         Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
+      }),
+
+    // ---- stream-static enrichment (J1's fact×dim join, streaming
+    //      face): events stream joins the broadcast customer dim into
+    //      an exactly-once parquet file sink; the oracle is the plain
+    //      relational join over everything that arrived ----
+    Q("x77_stream_enrich", Some(
+      """SELECT e.event_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-enrich").toString
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$work/arrivals"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$work/arrivals/events.parquet"))
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        graft.streaming.StreamEnrich.enrichAvailableNow(s,
+          s"$work/arrivals", schema, dim, "user_id", "c_custkey",
+          s"$work/out", s"$work/cp")
+        graft.streaming.StreamEnrich.readEnriched(s, s"$work/out")
+          .select("event_id", "event_type", "segment")
+          .orderBy("event_id")
       })
   )
 }

@@ -54,7 +54,7 @@ object ReferenceCatalog {
     * reads are on the caller. */
   private val nanosInferLock = new Object
 
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val schema = nanosInferLock.synchronized {

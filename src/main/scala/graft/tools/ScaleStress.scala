@@ -235,7 +235,9 @@ object ScaleStress {
       val (_, vocab) = Bpe.train(docs, "text", numMerges = 20)
       Bpe.encodeStats(docs, "doc_id", "text", vocab).count()
     })
-    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    // events carry ns timestamps — the raw parquet read throws
+    // PARQUET_TYPE_ILLEGAL; the catalog's reader scopes the nanos conf
+    val ev0 = graft.queries.ReferenceCatalog.events(spark, dir)
     val ev = (0 until factor).map { k =>
       ev0.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
         col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),

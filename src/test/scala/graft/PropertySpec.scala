@@ -211,4 +211,63 @@ class PropertySpec extends SparkSpec {
     val expected = vals.map(v => math.floor(v * 10000.0 + 0.5) / 10000.0)
     assert(got.toSeq == expected)
   }
+
+  test("line boilerplate below threshold is the identity (reassembly is lossless)") {
+    // random multi-line docs with unique-per-doc lines: nothing reaches
+    // minDocs, so clean_text must reproduce text BYTE-identically —
+    // including blank lines, trailing newlines and tab edges
+    val docGen = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(1L, 1000000L)
+      lines <- Gen.listOf(Gen.oneOf("", " ", "\t", "alpha", "beta b"))
+    } yield (id, lines.mkString("\n") + s" uniq$id"))
+    val docs = sampled(docGen).distinctBy(_._1)
+    val got = graft.operators.Dedup
+      .lineBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text",
+        minDocs = docs.size + 1)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == text, s"doc $id not reassembled losslessly")
+    }
+  }
+
+  test("scd2 intervals partition each key's observed span with no overlaps") {
+    val snapGen = Gen.listOfN(300, for {
+      key <- Gen.chooseNum(1L, 8L)
+      batch <- Gen.chooseNum(1, 40)
+      v <- Gen.oneOf("A", "B", "C")
+    } yield (key, batch, v))
+    val snaps = sampled(snapGen).distinctBy(t => (t._1, t._2))
+    val hist = graft.operators.Scd2
+      .history(snaps.toDF("key", "batch", "v"), "key", "batch", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(2),
+        if (r.isNullAt(3)) Int.MaxValue else r.getInt(3), r.getBoolean(4)))
+    hist.groupBy(_._1).foreach { case (key, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // exactly one current, and it is the last
+      assert(sorted.count(_._4) == 1 && sorted.last._4)
+      // half-open intervals chain exactly: valid_to == next valid_from
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3 == b._2, s"key $key: gap/overlap between $a and $b")
+      }
+      // first interval starts at the key's first observed batch
+      val firstObs = snaps.filter(_._1 == key).map(_._2).min
+      assert(sorted.head._2 == firstObs)
+    }
+  }
+
+  test("bpe encode: piece count per word is within [1, word length] and total shrinks monotonically") {
+    val words = Seq("alpha", "alphabet", "beta", "betamax", "gamma",
+      "gam", "a", "ab", "abc")
+    val docs = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, (w + " ") * 3)
+    }.toDF("doc_id", "text")
+    val (_, v5) = graft.operators.Bpe.train(docs, "text", 5)
+    val (_, v10) = graft.operators.Bpe.train(docs, "text", 10)
+    val p5 = v5.as[(String, Long)].collect().toMap
+    val p10 = v10.as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(p5(w) >= 1 && p5(w) <= w.length)
+      assert(p10(w) <= p5(w), s"more merges can never grow $w's pieces")
+    }
+  }
 }
