@@ -188,6 +188,19 @@ object CorpusStats {
         coalesce(col("bpt"), lit(0.0)).as("bpt"))
   }
 
+  /** Per-group percentile normalization: percent_rank of `valueCol`
+    * within each group — the quality-calibration step that makes a
+    * threshold mean the same thing in every source (raw score
+    * distributions differ per domain; "drop the worst decile" should
+    * not gut one source and spare another). percent_rank is
+    * (rank−1)/(n−1) over exact integers — bit-identical across
+    * engines with no rounding discipline; ties share a rank, so the
+    * result is layout-independent. One window shuffle on the group. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame =
+    df.withColumn("pctl", percent_rank().over(
+      Window.partitionBy(groupCol).orderBy(valueCol)))
+
   /** Per-group exact length quantiles (p25/p50/p75 with linear
     * interpolation — the `quantile_cont` definition) plus min/max/count.
     * One sort-based aggregation per group; for a 100 TB corpus swap the

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and cohort analytics over an event stream — the two
+  * questions every event pipeline answers right after sessionization
+  * (x20): "how many users progressed through these steps IN ORDER",
+  * and "how do weekly cohorts retain".
+  *
+  * Both are exact-integer aggregations (counts, epoch-week quotients,
+  * millisecond minima), so results hash-match across engines with no
+  * rounding discipline needed.
+  */
+object Funnels {
+
+  /** Strictly-ordered funnel: stage k counts users whose earliest
+    * stage-k event happens STRICTLY AFTER their earliest qualifying
+    * stage-(k−1) event (the standard ordered-funnel semantics — a
+    * purchase before signup does not convert). Input needs
+    * (userCol, tsMsCol, typeCol). Output: one row,
+    * n_stage1..n_stageN as the per-stage distinct-user counts.
+    *
+    * Scale shape: one shuffle-on-user aggregation per stage, each over
+    * the per-user minima of the previous stage (monotonically
+    * shrinking), never a self-join of raw events against raw events. */
+  def orderedFunnel(events: DataFrame, userCol: String, tsMsCol: String,
+                    typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val frontiers = stages.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(col(userCol).as("u"))
+        .agg(min(col(tsMsCol)).as("t"))) { (prev, st) =>
+      events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsMsCol).as("ts_"))
+        .join(prev, Seq("u"))
+        .filter(col("ts_") > col("t"))
+        .groupBy("u").agg(min(col("ts_")).as("t"))
+    }
+    // one lazy plan: each stage count is a 1-row agg, cross-joined —
+    // no per-stage driver action
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as(s"n_stage${i + 1}")) }
+      .reduce(_ crossJoin _)
+  }
+
+  /** Weekly cohort retention: a user's cohort is their first-event
+    * epoch week; each (cohort_week, weeks_since) cell counts the
+    * cohort's users active that week. One first-seen aggregation +
+    * one distinct-count aggregation, both user-keyed. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsMsCol: String,
+                      weekMs: Long = 604800000L): DataFrame = {
+    val weeks = events.select(col(userCol).as("u"),
+      (col(tsMsCol) / weekMs).cast("long").as("w"))
+    val first = weeks.groupBy("u").agg(min(col("w")).as("cohort_week"))
+    weeks.join(first, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (col("w") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+}

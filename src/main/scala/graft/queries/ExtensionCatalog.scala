@@ -2592,6 +2592,76 @@ object ExtensionCatalog {
         graft.streaming.StreamEnrich.readEnriched(s, s"$work/out")
           .select("event_id", "event_type", "segment")
           .orderBy("event_id")
+      }),
+
+    // ---- strictly-ordered conversion funnel: stage k's earliest
+    //      event must fall AFTER the user's earliest stage-(k-1)
+    //      qualification; per-user minima shrink monotonically, so
+    //      each stage is a user-keyed agg, never events × events ----
+    Q("x78_funnel", Some(
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) // 1000000 AS ms, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT u, min(ms) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY u),
+        |s2 AS (
+        |  SELECT c.u, min(c.ms) AS t
+        |  FROM e c JOIN s1 ON c.u = s1.u
+        |  WHERE c.event_type = 'click' AND c.ms > s1.t
+        |  GROUP BY c.u),
+        |s3 AS (
+        |  SELECT p.u, min(p.ms) AS t
+        |  FROM e p JOIN s2 ON p.u = s2.u
+        |  WHERE p.event_type = 'purchase' AND p.ms > s2.t
+        |  GROUP BY p.u)
+        |SELECT (SELECT count(*) FROM s1) AS n_stage1,
+        |       (SELECT count(*) FROM s2) AS n_stage2,
+        |       (SELECT count(*) FROM s3) AS n_stage3""".stripMargin),
+      (s, dir) => {
+        val e = ReferenceCatalog.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+            col("event_type"))
+        graft.operators.Funnels.orderedFunnel(e, "user_id", "ms",
+          "event_type", Seq("signup", "click", "purchase"))
+      }),
+
+    // ---- weekly cohort retention: first-seen epoch week × weeks
+    //      since, distinct active users per cell ----
+    Q("x79_cohort_retention", Some(
+      """WITH w AS (
+        |  SELECT user_id AS u,
+        |         (epoch_ns(ts) // 1000000) // 604800000 AS w
+        |  FROM events),
+        |f AS (SELECT u, min(w) AS cohort_week FROM w GROUP BY u)
+        |SELECT f.cohort_week, w.w - f.cohort_week AS weeks_since,
+        |       count(DISTINCT w.u) AS n_users
+        |FROM w JOIN f USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val e = ReferenceCatalog.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        graft.operators.Funnels.cohortRetention(e, "user_id", "ms")
+          .orderBy("cohort_week", "weeks_since")
+      }),
+
+    // ---- per-source quality percentile normalization: percent_rank
+    //      is (rank-1)/(n-1) over exact integers — bit-identical
+    //      cross-engine, ties rank-share, layout-independent ----
+    Q("x80_quality_pctl", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, source, $qualityStatsSql FROM documents))
+         |SELECT doc_id, source, quality,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY quality)
+         |    AS pctl
+         |FROM q ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        CorpusStats.percentileNormalize(scored, "source", "quality")
+          .orderBy("doc_id")
       })
   )
 }

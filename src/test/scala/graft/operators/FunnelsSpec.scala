@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FunnelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ordered funnel: order matters, not mere presence") {
+    val events = Seq(
+      // A: signup(1) -> click(2) -> purchase(3): all stages
+      (1L, 1L, "signup"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      // B: click(1) BEFORE signup(2): stage 1 only
+      (2L, 1L, "click"), (2L, 2L, "signup"),
+      // C: signup(1) -> purchase(2) -> click(3): purchase precedes the
+      // qualifying click, so stages 1-2 only
+      (3L, 1L, "signup"), (3L, 2L, "purchase"), (3L, 3L, "click"),
+      // D: never signs up: no stage
+      (4L, 1L, "click"), (4L, 2L, "purchase"),
+      // E: simultaneous signup/click (strict > excludes the tie)
+      (5L, 1L, "signup"), (5L, 1L, "click")
+    ).toDF("user_id", "ms", "event_type")
+    val got = Funnels.orderedFunnel(events, "user_id", "ms",
+        "event_type", Seq("signup", "click", "purchase"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 2L, 1L)))
+  }
+
+  test("ordered funnel: repeat events use the EARLIEST qualifying time") {
+    // click at 5 qualifies; the later click at 50 must not push the
+    // purchase-at-10 out of the funnel
+    val events = Seq(
+      (1L, 1L, "signup"), (1L, 5L, "click"), (1L, 50L, "click"),
+      (1L, 10L, "purchase")
+    ).toDF("user_id", "ms", "event_type")
+    val got = Funnels.orderedFunnel(events, "user_id", "ms",
+        "event_type", Seq("signup", "click", "purchase"))
+      .collect().head
+    assert(got.getLong(2) == 1L)
+  }
+
+  test("cohort retention: cells count distinct users of the cohort's active weeks") {
+    val wk = 604800000L
+    val events = Seq(
+      (1L, 0L), (1L, wk + 1), (1L, 3 * wk),  // cohort 0: weeks 0,1,3
+      (2L, 1L), (2L, wk),                    // cohort 0: weeks 0,1
+      (3L, wk * 2 + 5)                       // cohort 2: week 0
+    ).toDF("user_id", "ms")
+    val got = Funnels.cohortRetention(events, "user_id", "ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L, (2L, 0L) -> 1L))
+  }
+
+  test("percentile normalization: per-group percent_rank with tie sharing") {
+    val docs = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.5), (3L, "a", 0.5), (4L, "a", 0.9),
+      (5L, "b", 0.7)
+    ).toDF("doc_id", "source", "q")
+    val got = CorpusStats.percentileNormalize(docs, "source", "q")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group a, n=4: ranks 1,2,2,4 -> (r-1)/3
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == got(3L) && got(2L) == 1.0 / 3)
+    assert(got(5L) == 0.0, "single-row group normalizes to 0")
+  }
+}
