@@ -2662,6 +2662,45 @@ object ExtensionCatalog {
           TextFunctions.qualityScore(col("text")).as("quality"))
         CorpusStats.percentileNormalize(scored, "source", "quality")
           .orderBy("doc_id")
+      }),
+
+    // ---- span-level decontamination (x33's benchmark, but WHERE):
+    //      positional shingle hits merge into maximal token intervals
+    //      via gaps-and-islands — redact the span, keep the page ----
+    Q("x81_contamination_spans", Some(
+      s"""WITH toks AS (SELECT doc_id, ${tokSql("text")} AS tk FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${h60Sql("array_to_string(tk[i : i + 4], ' ')", 1152921504606846976L)} AS h
+         |  FROM toks, unnest(generate_series(1, len(tk) - 4)) AS u(i)
+         |  WHERE len(tk) >= 5),
+         |bench AS (SELECT DISTINCT h FROM pos WHERE doc_id % 29 = 0),
+         |hits AS (
+         |  SELECT p.doc_id, p.pos FROM pos p JOIN bench USING (h)
+         |  WHERE p.doc_id % 29 <> 0),
+         |m AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(max(pos + 4) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+         |  count(*) AS n_shingles
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.spans(
+            docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 29 === 0), "text")
+          .orderBy("doc_id", "span_start")
       })
   )
 }
