@@ -188,6 +188,56 @@ object CorpusStats {
         coalesce(col("bpt"), lit(0.0)).as("bpt"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the groups' hashed
+    * unigram distributions — the drift/similarity matrix a data team
+    * reads to decide whether two sources are near-duplicates of each
+    * other, whether a new crawl drifted from the last one, and how
+    * "far apart" mixture components are. Symmetric, bounded by ln 2,
+    * zero iff identical.
+    *
+    * Distributions are add-1 smoothed over a FIXED `buckets`-bucket
+    * hash space, and the divergence sums over the whole space (the
+    * smoothing mass of unseen buckets contributes), so the state per
+    * group is exactly `buckets` integers regardless of corpus size.
+    * The per-pair float sum folds over the bucket-SORTED list — the
+    * [[Sampling.dsirWeights]] determinism recipe. One token scan, one
+    * (group, bucket) aggregation; the pair join is over
+    * groups² × buckets rows, all bounded by construction. */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String,
+                   buckets: Int = 512, roundTo: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .select(col("g"), (TextFunctions.md5Hash60(col("term")) % buckets)
+        .as("h"))
+    val cnt = toks.groupBy("g", "h").agg(count(lit(1)).as("c"))
+    val tot = toks.groupBy("g").agg(count(lit(1)).as("t"))
+    val grid = toks.select("g").distinct()
+      .crossJoin(spark.range(buckets).select(col("id").as("h")))
+    val full = grid.join(cnt, Seq("g", "h"), "left")
+      .select(col("g"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val pair = full.as("a").join(full.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"), col("a.h").as("h"),
+        col("a.c").as("c1"), col("b.c").as("c2"))
+    val arr = pair
+      .join(tot.select(col("g").as("g1"), col("t").as("t1")), Seq("g1"))
+      .join(tot.select(col("g").as("g2"), col("t").as("t2")), Seq("g2"))
+      .groupBy("g1", "g2", "t1", "t2")
+      .agg(array_sort(collect_list(struct(col("h"), col("c1"), col("c2"))))
+        .as("l"))
+    arr.select(col("g1"), col("g2"),
+      TextFunctions.portableRound(
+        aggregate(col("l"), lit(0.0), (acc, s) => {
+          val p = (s.getField("c1").cast("double") + lit(1.0)) /
+            (col("t1") + lit(buckets)).cast("double")
+          val q = (s.getField("c2").cast("double") + lit(1.0)) /
+            (col("t2") + lit(buckets)).cast("double")
+          val m = (p + q) / lit(2.0)
+          acc + lit(0.5) * (p * log(p / m) + q * log(q / m))
+        }), roundTo).as("jsd"))
+  }
+
   /** Per-group percentile normalization: percent_rank of `valueCol`
     * within each group — the quality-calibration step that makes a
     * threshold mean the same thing in every source (raw score

@@ -130,6 +130,10 @@ object ExtensionCatalog {
     * ~250–500 docs at sf0.01; natural full-text dup lines stay < 10). */
   private val BoilerMinDocs = 50
 
+  /** x82's JSD hash space (fixed — per-group state is exactly this
+    * many integers regardless of corpus size). */
+  private val JsdBuckets = 512
+
   /** x69's PageRank damping (rendered into the SQL as the same literal
     * the Spark side uses, so both engines compute 1.0 − d identically). */
   private val PrDamping = 0.85
@@ -2701,6 +2705,48 @@ object ExtensionCatalog {
             docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
             docs.filter(col("doc_id") % 29 === 0), "text")
           .orderBy("doc_id", "span_start")
-      })
+      }),
+
+    // ---- pairwise Jensen-Shannon divergence between language
+    //      distributions: fixed-bucket smoothed unigram models, sum
+    //      over the WHOLE bucket space, bucket-sorted fold ----
+    Q("x82_js_divergence", Some({
+      val b = JsdBuckets
+      val p = s"(s.c1 + 1.0) / (t1 + $b)"
+      val q = s"(s.c2 + 1.0) / (t2 + $b)"
+      val m = s"(($p + $q) / 2.0)"
+      s"""WITH tk AS (
+         |  SELECT g, ${h60Sql("t", b.toLong)} AS h FROM (
+         |    SELECT lang AS g, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)),
+         |cnt AS (SELECT g, h, count(*) AS c FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT g, count(*) AS t FROM tk GROUP BY g),
+         |grid AS (
+         |  SELECT g, i AS h
+         |  FROM (SELECT DISTINCT g FROM tk),
+         |       unnest(generate_series(0, ${b - 1})) AS u(i)),
+         |f AS (
+         |  SELECT grid.g, grid.h, coalesce(cnt.c, 0) AS c
+         |  FROM grid LEFT JOIN cnt USING (g, h)),
+         |pair AS (
+         |  SELECT a.g AS g1, b2.g AS g2, a.h, a.c AS c1, b2.c AS c2
+         |  FROM f a JOIN f b2 ON a.h = b2.h AND a.g < b2.g),
+         |arr AS (
+         |  SELECT g1, g2, ta.t AS t1, tb.t AS t2,
+         |    list_sort(list(struct_pack(h := pair.h, c1 := pair.c1,
+         |                               c2 := pair.c2))) AS l
+         |  FROM pair
+         |  JOIN tot ta ON ta.g = pair.g1
+         |  JOIN tot tb ON tb.g = pair.g2
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT g1, g2,
+         |  floor(list_reduce(list_prepend(0.0, list_transform(l, s ->
+         |      0.5 * ($p * ln($p / $m) + $q * ln($q / $m)))),
+         |    (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS jsd
+         |FROM arr ORDER BY g1, g2""".stripMargin
+    }),
+      (s, dir) => CorpusStats.jsDivergence(t(s, dir, "documents"),
+          "lang", "text", buckets = JsdBuckets)
+        .orderBy("g1", "g2"))
   )
 }

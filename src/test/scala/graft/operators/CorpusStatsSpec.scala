@@ -117,6 +117,33 @@ class CorpusStatsSpec extends SparkSpec {
       (None, None, 3L, 6L, 1, 1)))            // grand total
   }
 
+  test("jsd: identical groups diverge ~0, disjoint groups approach ln 2") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma alpha beta"),
+      (2L, "b", "alpha beta gamma alpha beta"),  // identical to a
+      (3L, "c", "zeta eta theta iota kappa")     // disjoint vocab
+    ).toDF("doc_id", "grp", "text")
+    val got = CorpusStats.jsDivergence(docs, "grp", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", "b")) == 0.0, "identical distributions")
+    assert(got(("a", "c")) > 0.001 && got(("a", "c")) <= math.log(2.0),
+      s"disjoint: ${got(("a", "c"))}")
+    assert(got(("a", "c")) == got(("b", "c")),
+      "a and b are identical, so both diverge equally from c")
+  }
+
+  test("jsd: layout-independent") {
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "b", "x y w"), (3L, "a", "y z z")
+    ).toDF("doc_id", "grp", "text")
+    val one = CorpusStats.jsDivergence(docs, "grp", "text")
+      .collect().map(r => r.getDouble(2)).toSeq
+    val two = CorpusStats.jsDivergence(docs.repartition(5), "grp", "text")
+      .collect().map(r => r.getDouble(2)).toSeq
+    assert(one == two)
+  }
+
   test("unigram bits: layout-independent") {
     val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a a a"))
       .toDF("doc_id", "text")
