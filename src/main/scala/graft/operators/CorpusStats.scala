@@ -205,15 +205,17 @@ object CorpusStats {
     * groups² × buckets rows, all bounded by construction. */
   def jsDivergence(df: DataFrame, groupCol: String, textCol: String,
                    buckets: Int = 512, roundTo: Int = 4): DataFrame = {
-    val spark = df.sparkSession
     val toks = df.select(col(groupCol).as("g"),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .select(col("g"), (TextFunctions.md5Hash60(col("term")) % buckets)
         .as("h"))
     val cnt = toks.groupBy("g", "h").agg(count(lit(1)).as("c"))
     val tot = toks.groupBy("g").agg(count(lit(1)).as("t"))
+    // full (group × bucket) grid by exploding a literal sequence —
+    // a per-group generator, not a cross join
     val grid = toks.select("g").distinct()
-      .crossJoin(spark.range(buckets).select(col("id").as("h")))
+      .select(col("g"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("h"))
     val full = grid.join(cnt, Seq("g", "h"), "left")
       .select(col("g"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
     val pair = full.as("a").join(full.as("b"),
