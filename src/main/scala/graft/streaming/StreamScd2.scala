@@ -56,6 +56,12 @@ object StreamScd2 {
       case None => incoming
       case Some(hist) => hist
         .select((keyCol +: attrCols).map(col) :+ col("valid_from"): _*)
+        // a batch re-observing a key at an already-stored snapshot
+        // time would give Scd2.history two rows at one (key,
+        // valid_from) — the incoming row is the newer truth and wins
+        // deterministically
+        .join(incoming.select(col(keyCol), col("valid_from")),
+          Seq(keyCol, "valid_from"), "left_anti")
         .unionByName(incoming)
     }
     // run starts are snapshots keyed by their own valid_from; re-derive

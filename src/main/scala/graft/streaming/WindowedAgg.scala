@@ -44,13 +44,13 @@ object WindowedAgg {
     * aggregation), never re-scanning the trail per row. */
   def movingAvg(events: DataFrame, tsCol: String, keyCol: String,
                 valueCol: String, windowMs: Long,
-                roundTo: Int = 4): DataFrame = {
+                roundTo: Int = 4, idCol: String = "event_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("ms").rangeBetween(-windowMs, 0)
     events
-      .select(col("event_id"), col(keyCol),
+      .select(col(idCol), col(keyCol),
         unix_millis(col(tsCol)).as("ms"), col(valueCol))
-      .select(col("event_id"), col(keyCol), col("ms"),
+      .select(col(idCol), col(keyCol), col("ms"),
         count(lit(1)).over(w).cast("long").as("n_win"),
         graft.functions.TextFunctions.portableRound(
           avg(col(valueCol)).over(w), roundTo).as("avg_win"))

@@ -247,6 +247,11 @@ object ScaleStress {
       ev, "ts", "user_id", "value", 3600000L).count())
     time("rollup report")(CorpusStats.rollupReport(
       docs, "lang", "lang", "text").count())
+    time("contamination spans")(graft.operators.Contamination.spans(
+      docs, "doc_id", "text",
+      docs0.filter(col("doc_id") % 50 === 0), "text").count())
+    time("js divergence")(CorpusStats.jsDivergence(
+      docs, "lang", "text").count())
     time("incremental scd2 3 applies")({
       val p = java.nio.file.Files
         .createTempDirectory("graft-scd2s").toString + "/h"

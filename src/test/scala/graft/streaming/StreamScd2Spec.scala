@@ -57,6 +57,30 @@ class StreamScd2Spec extends SparkSpec {
     assert(hist(p) == once)
   }
 
+  test("same-timestamp re-observation: the newer batch's attrs win deterministically") {
+    val p = store()
+    StreamScd2.applyBatch(spark, p,
+      Seq((1L, 5, "A")).toDF("key", "batch", "status"),
+      "key", "batch", Seq("status"), 0L)
+    // batch 1 re-observes key 1 at the SAME snapshot time with a new
+    // value — without the anti-join this is two run starts at one
+    // (key, valid_from) and a nondeterministic merge
+    StreamScd2.applyBatch(spark, p,
+      Seq((1L, 5, "B")).toDF("key", "batch", "status"),
+      "key", "batch", Seq("status"), 1L)
+    assert(hist(p) == Seq((1L, "B", 5, -1, true)))
+  }
+
+  test("empty batch applies harmlessly and later batches still apply") {
+    val p = store()
+    val empty = Seq.empty[(Long, Int, String)].toDF("key", "batch", "status")
+    StreamScd2.applyBatch(spark, p, empty, "key", "batch", Seq("status"), 0L)
+    StreamScd2.applyBatch(spark, p,
+      Seq((1L, 1, "A")).toDF("key", "batch", "status"),
+      "key", "batch", Seq("status"), 1L)
+    assert(hist(p) == Seq((1L, "A", 1, -1, true)))
+  }
+
   test("interval provenance: surviving intervals keep their creating batch id") {
     val p = store()
     StreamScd2.applyBatch(spark, p,
