@@ -149,6 +149,30 @@ object Sampling {
       .filter(col("rk") <= cap)
   }
 
+  /** Duplication-weighted sampling over resolved dedup clusters: each
+    * cluster's keeper survives with probability min(1, rate·size) —
+    * dedup deletes the copies, but HOW OFTEN something was copied is
+    * signal (mirrored pages are popular or templated), and discarding
+    * it entirely biases the mix toward one-off pages. Standard practice
+    * when dedup meets mixture design (cf. the dedup discussion in Lee
+    * et al. 2022). Expects [[Dedup.resolveClusters]] output
+    * (doc_id, cluster_id, keep).
+    *
+    * Scale shape: one cluster-keyed count + a broadcastable join back
+    * to the keepers, then the usual scan-time hash gate — integer
+    * basis points throughout, deterministic on any engine/layout. */
+  def dupWeightedSample(clusters: DataFrame, baseRate: Double,
+                        salt: String = "wsamp"): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    clusters.filter(col("keep"))
+      .join(sizes, Seq("cluster_id"))
+      .withColumn("bp",
+        least(lit(10000L), lit(basisPoints(baseRate)) * col("csize")))
+      .select(col("doc_id"), col("csize"), col("bp"),
+        hashGate(col("doc_id"), col("bp"), salt).as("kept"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     * per-document log importance weight log p_target(d)/p_source(d)
     * under hashed-unigram bag-of-words models — the principled way to

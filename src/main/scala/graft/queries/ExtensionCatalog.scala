@@ -2747,6 +2747,27 @@ object ExtensionCatalog {
     }),
       (s, dir) => CorpusStats.jsDivergence(t(s, dir, "documents"),
           "lang", "text", buckets = JsdBuckets)
-        .orderBy("g1", "g2"))
+        .orderBy("g1", "g2")),
+
+    // ---- duplication-weighted sampling: dedup keepers survive with
+    //      probability min(1, 0.3·cluster_size) — copy count is
+    //      signal, not waste; rides the memoized dedup family ----
+    Q("x83_dup_weighted_sample", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |cl AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, sz.csize,
+         |  least(10000, 3000 * sz.csize) AS bp,
+         |  ${h60Sql("('wsamp:' || CAST(cl.doc_id AS VARCHAR))", 10000L)}
+         |    < least(10000, 3000 * sz.csize) AS kept
+         |FROM cl JOIN sz USING (cluster_id)
+         |WHERE cl.doc_id = cl.cluster_id
+         |ORDER BY cl.doc_id""".stripMargin),
+      (s, dir) => Sampling.dupWeightedSample(docClusters(s, dir),
+          baseRate = 0.3)
+        .orderBy("doc_id"))
   )
 }

@@ -90,6 +90,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dupWeightedSample: cluster size scales the keep rate, non-keepers drop") {
+    val clusters = Seq(
+      // cluster 1: 4 members, keeper 1 -> bp = min(10000, 4*3000) = 10000
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      // singleton keepers -> bp 3000
+      (10L, 10L, true), (11L, 11L, true), (12L, 12L, true)
+    ).toDF("doc_id", "cluster_id", "keep")
+    val got = Sampling.dupWeightedSample(clusters, baseRate = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got.keySet == Set(1L, 10L, 11L, 12L), "only keepers emitted")
+    assert(got(1L) == ((4L, 10000L, true)), "saturated bp always keeps")
+    got.filterKeys(_ >= 10L).values.foreach { case (cs, bp, _) =>
+      assert(cs == 1L && bp == 3000L)
+    }
+    // layout independence
+    val again = Sampling.dupWeightedSample(clusters.repartition(5), 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(again == got.map { case (k, v) => k -> v._3 })
+  }
+
   test("capPerGroup: keeps the cap best rows per group, id tiebreak") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
