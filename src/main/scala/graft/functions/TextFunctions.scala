@@ -19,6 +19,19 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Canonical text form — the normalize-before-hash pass of a
+    * curation pipeline (exact dedup over raw bytes misses trivially
+    * reformatted copies): strip non-whitespace control characters,
+    * collapse every whitespace run to one space, trim. Two
+    * regexp_replace passes in fixed order, identical semantics in any
+    * RE2/Java-regex engine; tabs/newlines inside text collapse, so
+    * normalize(a) == normalize(b) iff the documents differ only in
+    * formatting. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+      "\\s+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -2768,6 +2768,33 @@ object ExtensionCatalog {
          |ORDER BY cl.doc_id""".stripMargin),
       (s, dir) => Sampling.dupWeightedSample(docClusters(s, dir),
           baseRate = 0.3)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- text canonicalization (normalize-before-hash): control
+    //      chars strip, whitespace runs collapse, trim — exact dedup
+    //      over the canonical form catches reformatted copies raw-byte
+    //      hashing misses. md5 of the canonical form rides along as
+    //      the dedup key the pipeline would actually store. ----
+    Q("x84_normalize_text", Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) - length(trim(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS n_removed,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val norm = TextFunctions.normalizeText(col("text"))
+        t(s, dir, "documents").select(col("doc_id"),
+            norm.as("norm_text"),
+            (length(col("text")) - length(norm)).cast("long")
+              .as("n_removed"),
+            md5(norm.cast("binary")).as("norm_hash"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -20,4 +20,23 @@ class RedactionSpec extends SparkSpec {
       .select(TextFunctions.redactPii($"text")).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("normalizeText: formatting variants collapse to one canonical form") {
+    val cases = Seq(
+      ("hello   world", "hello world"),
+      ("\thello\nworld  ", "hello world"),
+      ("hello \u0001world\u007f", "hello world"), // control chars strip
+      ("", ""),
+      ("   \t\n  ", ""),
+      ("already normal", "already normal"))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextFunctions.normalizeText($"text")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // the dedup property: reformatted copies share a canonical form
+    val variants = Seq("a  b\tc", "a b c", "\na b\n\nc\n")
+    val canon = variants.toDF("text")
+      .select(TextFunctions.normalizeText($"text")).as[String]
+      .collect().toSet
+    assert(canon == Set("a b c"))
+  }
 }
