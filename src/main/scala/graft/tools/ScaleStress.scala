@@ -252,6 +252,11 @@ object ScaleStress {
       docs0.filter(col("doc_id") % 50 === 0), "text").count())
     time("js divergence")(CorpusStats.jsDivergence(
       docs, "lang", "text").count())
+    time("dup-weighted sample")(Sampling.dupWeightedSample(
+      Dedup.resolveClusters(docs, "doc_id",
+        Dedup.nearDupPipeline(docs, "doc_id", "text")), 0.3).count())
+    time("normalize text")(docs.select(
+      graft.functions.TextFunctions.normalizeText(col("text"))).count())
     time("incremental scd2 3 applies")({
       val p = java.nio.file.Files
         .createTempDirectory("graft-scd2s").toString + "/h"
