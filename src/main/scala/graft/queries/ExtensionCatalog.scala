@@ -1376,10 +1376,14 @@ object ExtensionCatalog {
         // performs (shared helper — same layout by construction)
         StreamCuration.publishQuantizedEmbeddings(s, work,
           s"$dir/embeddings.parquet")
+        // publishEvery=3 cadence: three accumulate-only batches, one
+        // publish at the cadence tick — the production shape (the
+        // curated rebuild amortizes over the cadence; final state is
+        // cadence-independent, proven by StreamCurationSpec)
         (0 until 3).foreach { k =>
           StreamCuration.curateBatch(s, docs.filter(col("doc_id") % 3 === k),
             work, minQuality = 0.3, rates = Map("en" -> 0.8),
-            defaultRate = 0.5)
+            defaultRate = 0.5, publish = k == 2)
         }
         StreamCuration.readCurated(s, work)
           .select(col("doc_id"), col("lang_pred"),

@@ -47,11 +47,17 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * Scale notes: per-batch text work is O(batch) (the whole point);
   * cluster resolution re-runs over the accumulated pair set but pairs
   * are SPARSE (verified near-dups) and label propagation touches ids,
-  * not text. The curated republish rewrites the output table each
-  * batch — at production cadence, publish every N merges instead
-  * (retention already decouples readers from cadence); the stores
-  * themselves never rewrite history. Embeddings are int8-quantized
-  * ONCE at stream start, not per batch. */
+  * not text. The curated republish rewrites the output table, so it
+  * runs on a `publishEvery`-batch cadence (the `compactEvery` pattern
+  * from [[StreamIngest]]): steps 1-5 accumulate every batch, step 6
+  * fires every Nth data batch — retention already decouples readers
+  * from cadence, and the stores themselves never rewrite history.
+  * Because the publish is a deterministic function of the accumulated
+  * stores, an AvailableNow drain finishes with one convergence
+  * republish, so the final table is cadence-independent (and a
+  * checkpoint restart mid-cadence resumes the batch counter — proven
+  * by StreamCurationSpec). Embeddings are int8-quantized ONCE at
+  * stream start, not per batch. */
 object StreamCuration {
 
   /** Paths inside a curation work dir. */
@@ -62,28 +68,46 @@ object StreamCuration {
   private def embPath(work: String) = s"$work/emb_q"
 
   /** Drain all currently-available document files, curating
-    * incrementally; blocking. */
+    * incrementally; blocking. `publishEvery` = republish the curated
+    * table every N data batches (1 = every batch). A drain whose last
+    * batch falls mid-cadence would leave `curated` at the previous
+    * publish tick, so the drain always ends with one convergence
+    * republish — idempotent when the last batch already published —
+    * making the final table independent of the cadence. */
   def curateAvailableNow(spark: SparkSession, srcGlob: String,
                          schema: StructType, workDir: String,
                          embeddingsPath: String, checkpoint: String,
                          minQuality: Double = 0.3,
                          rates: Map[String, Double] = Map("en" -> 0.8),
-                         defaultRate: Double = 0.5): Unit =
+                         defaultRate: Double = 0.5,
+                         publishEvery: Int = 1): Unit = {
     start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
-      minQuality, rates, defaultRate, Trigger.AvailableNow())
+      minQuality, rates, defaultRate, Trigger.AvailableNow(), publishEvery)
       .awaitTermination()
+    // guard: a zero-data drain has no stores to publish from
+    val docsDir = new org.apache.hadoop.fs.Path(docsPath(workDir))
+    if (publishEvery > 1 &&
+        docsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(docsDir))
+      republishCurated(spark, workDir, rates, defaultRate)
+  }
 
-  /** Continuous curation on a ProcessingTime cadence; non-blocking. */
+  /** Continuous curation on a ProcessingTime cadence; non-blocking.
+    * With `publishEvery` > 1 the curated table trails the stores by up
+    * to N-1 batches between ticks (the production trade: publish cost
+    * amortizes over N batches of accumulation). */
   def curateContinuous(spark: SparkSession, srcGlob: String,
                        schema: StructType, workDir: String,
                        embeddingsPath: String, checkpoint: String,
                        minQuality: Double = 0.3,
                        rates: Map[String, Double] = Map("en" -> 0.8),
                        defaultRate: Double = 0.5,
-                       interval: String = "1 second")
+                       interval: String = "1 second",
+                       publishEvery: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
-      minQuality, rates, defaultRate, Trigger.ProcessingTime(interval))
+      minQuality, rates, defaultRate, Trigger.ProcessingTime(interval),
+      publishEvery)
 
   /** The live curated corpus (readers see atomic version flips). */
   def readCurated(spark: SparkSession, workDir: String): DataFrame =
@@ -93,16 +117,21 @@ object StreamCuration {
                     schema: StructType, workDir: String,
                     embeddingsPath: String, checkpoint: String,
                     minQuality: Double, rates: Map[String, Double],
-                    defaultRate: Double, trigger: Trigger)
+                    defaultRate: Double, trigger: Trigger,
+                    publishEvery: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(publishEvery >= 1, s"publishEvery must be >= 1: $publishEvery")
     publishQuantizedEmbeddings(spark, workDir, embeddingsPath)
     spark.readStream.schema(schema).parquet(srcGlob)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // cadence counts DATA batches by checkpointed batchId, so a
+        // restart mid-cadence resumes the same publish schedule
         curateBatch(batch.sparkSession, batch, workDir, minQuality,
-          rates, defaultRate)
+          rates, defaultRate,
+          publish = (batchId + 1) % publishEvery == 0)
       }
       .start()
   }
@@ -121,10 +150,13 @@ object StreamCuration {
 
   /** One incremental curation step — also the backfill entry point
     * (batch callers can feed historical chunks through the same code
-    * the stream runs). */
+    * the stream runs). `publish = false` accumulates the stores only
+    * (steps 1-5); a later [[republishCurated]] — or any subsequent
+    * publishing batch — converges the curated table, because the
+    * publish is a deterministic function of the accumulated state. */
   def curateBatch(spark: SparkSession, batch: DataFrame, workDir: String,
                   minQuality: Double, rates: Map[String, Double],
-                  defaultRate: Double): Unit = {
+                  defaultRate: Double, publish: Boolean = true): Unit = {
     // localCheckpoint (eager): scored feeds the docs-store merge AND
     // the signature append — without it each action re-reads and
     // re-scores the batch text
@@ -154,8 +186,18 @@ object StreamCuration {
       cands, minJaccard = 0.4)
     MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
       Seq("id_a", "id_b"))
-    // republish curated from accumulated state (ids + sparse pairs —
-    // no text re-scan beyond the output write itself)
+    if (publish) republishCurated(spark, workDir, rates, defaultRate)
+  }
+
+  /** Step 6 alone: rebuild + atomically republish the curated table
+    * from the accumulated stores (ids + sparse pairs — no text re-scan
+    * beyond the output write itself). Deterministic in the store state,
+    * so calling it twice, or after a crash/restart anywhere in the
+    * cadence, converges to the same table. */
+  def republishCurated(spark: SparkSession, workDir: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): Unit = {
+    val allDocs = MergeUpsert.readPlain(spark, docsPath(workDir))
     val pairs = MergeUpsert.readPlain(spark, pairsPath(workDir))
     val keepers = Dedup.resolveClusters(allDocs, "doc_id", pairs)
       .filter(col("keep")).select("doc_id")

@@ -76,4 +76,50 @@ class StreamCurationSpec extends SparkSpec {
         .qualityScore(col("text")) >= 0.3).count()
     assert(nDocs == nSurvivors)
   }
+
+  test("publishEvery-N cadence skips mid-cadence publishes but converges " +
+    "to the publishEvery-1 table, including across a restart mid-cadence") {
+    val work = java.nio.file.Files.createTempDirectory("graft-scurN").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val schema = docs.schema
+
+    // accumulate-only step never creates/advances the curated table
+    val direct = s"$work/direct"
+    StreamCuration.publishQuantizedEmbeddings(spark, direct,
+      s"$sfDir/embeddings.parquet")
+    StreamCuration.curateBatch(spark, docs.filter(col("doc_id") % 3 === 0),
+      direct, minQuality = 0.3, rates = Map("en" -> 0.8), defaultRate = 0.5,
+      publish = false)
+    assert(!new java.io.File(StreamCuration.curatedPath(direct)).exists(),
+      "publish=false must not write the curated table")
+    // ...and the deferred publish is a pure function of the stores
+    StreamCuration.republishCurated(spark, direct, Map("en" -> 0.8), 0.5)
+    assert(new java.io.File(StreamCuration.curatedPath(direct)).exists())
+
+    // streamed with publishEvery=2 over three batches, with a restart
+    // after batch 1 — i.e. mid-cadence (batchId 0 has not published)
+    arrive(work, docs.filter(col("doc_id") % 3 === 0), "f1.parquet")
+    StreamCuration.curateAvailableNow(spark, s"$work/in", schema,
+      s"$work/cur", s"$sfDir/embeddings.parquet", s"$work/cp",
+      publishEvery = 2)
+    // the drain-end convergence republish covers the mid-cadence stop
+    val b1Path = s"$work/b1docs"
+    docs.filter(col("doc_id") % 3 === 0).write.parquet(b1Path)
+    assert(fingerprint(StreamCuration.readCurated(spark, s"$work/cur")) ==
+      fingerprint(batchCurated(b1Path)),
+      "drain ending mid-cadence must still converge the curated table")
+
+    arrive(work, docs.filter(col("doc_id") % 3 === 1), "f2.parquet")
+    arrive(work, docs.filter(col("doc_id") % 3 === 2), "f3.parquet")
+    StreamCuration.curateAvailableNow(spark, s"$work/in", schema,
+      s"$work/cur", s"$sfDir/embeddings.parquet", s"$work/cp",
+      publishEvery = 2)
+
+    // publishEvery ∈ {1, N} final-state equality: N-cadence == batch run
+    val streamed = StreamCuration.readCurated(spark, s"$work/cur")
+    assert(fingerprint(streamed) ==
+      fingerprint(batchCurated(s"$sfDir/documents.parquet")),
+      "publishEvery=N must converge to the same final curated table")
+  }
 }
