@@ -51,8 +51,11 @@ object Funnels {
   def cohortRetention(events: DataFrame, userCol: String,
                       tsMsCol: String,
                       weekMs: Long = 604800000L): DataFrame = {
+    // floor, not cast-truncation: cast("long") truncates toward zero,
+    // which disagrees with epoch-week floor division for pre-1970
+    // timestamps (negative ms)
     val weeks = events.select(col(userCol).as("u"),
-      (col(tsMsCol) / weekMs).cast("long").as("w"))
+      floor(col(tsMsCol) / weekMs).cast("long").as("w"))
     val first = weeks.groupBy("u").agg(min(col("w")).as("cohort_week"))
     weeks.join(first, Seq("u"))
       .groupBy(col("cohort_week"),

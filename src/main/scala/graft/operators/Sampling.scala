@@ -143,6 +143,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
                   rankCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    // rk is part of the output contract, so a pre-existing rk column
+    // would be silently overwritten — refuse instead
+    require(!df.columns.contains("rk"),
+      "input already has an 'rk' column; rename it before capPerGroup " +
+        "(rk is capPerGroup's output rank column)")
     val w = Window.partitionBy(groupCol)
       .orderBy(col(rankCol).desc, col(idCol).asc)
     df.withColumn("rk", row_number().over(w).cast("int"))

@@ -30,11 +30,21 @@ object JsonLines {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Read with explicit schema; returns (good, rejects). Rejects carry
-    * (raw line, reason). The input schema must not itself contain the
-    * corrupt-record column. */
+  /** A [[read]] result: the good/reject split plus the cache handle.
+    * The split shares one cached scan (the corrupt-record predicate
+    * must see the same parse), so the caller owns the cache lifetime —
+    * call [[unpersist]] after both sides are consumed, or the blocks
+    * live until the session ends. */
+  final case class Split(good: DataFrame, rejects: DataFrame,
+                         private val raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
+
+  /** Read with explicit schema; returns the good/reject [[Split]].
+    * Rejects carry (raw line, reason). The input schema must not
+    * itself contain the corrupt-record column. */
   def read(spark: SparkSession, path: String,
-           schema: StructType): (DataFrame, DataFrame) = {
+           schema: StructType): Split = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not contain $CorruptCol")
     val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
@@ -49,7 +59,7 @@ object JsonLines {
     val rejects = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"),
         lit("malformed json").as("_reject_reason"))
-    (good, rejects)
+    Split(good, rejects, raw)
   }
 
   /** Write one JSON object per line (column order = frame order). */

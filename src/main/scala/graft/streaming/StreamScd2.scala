@@ -68,14 +68,26 @@ object StreamScd2 {
     // intervals (adjacent equal-attr runs re-merge across the batch
     // boundary, valid_to/is_current recompute)
     val merged = Scd2.history(starts, keyCol, "valid_from", attrCols)
-    // provenance: intervals that already existed keep their creating
-    // batch id; genuinely new intervals get this one
+    // provenance: intervals that already existed WITH THE SAME CONTENTS
+    // keep their creating batch id; genuinely new intervals — including
+    // a re-observed (key, valid_from) whose attributes changed, where
+    // the incoming row won above — get this one. Keying on
+    // (key, valid_from) alone would let a replaced interval keep the
+    // superseded batch's id, misattributing the correction; attrs
+    // compare null-safely (<=>) so a null attribute still matches.
     val old = MergeUpsert.existingPlain(spark, storePath).map(
-      _.select(col(keyCol), col("valid_from"), col(BatchCol)))
+      _.select((keyCol +: attrCols).map(c => col(c).as(s"_old_$c"))
+        :+ col("valid_from").as("_old_valid_from") :+ col(BatchCol): _*))
     val tagged = old match {
       case None => merged.withColumn(BatchCol, lit(batchId))
-      case Some(o) => merged.join(o, Seq(keyCol, "valid_from"), "left")
-        .withColumn(BatchCol, coalesce(col(BatchCol), lit(batchId)))
+      case Some(o) =>
+        val cond = (merged(keyCol) === o(s"_old_$keyCol")) &&
+          (merged("valid_from") === o("_old_valid_from")) &&
+          attrCols.map(a => merged(a) <=> o(s"_old_$a"))
+            .foldLeft(lit(true))(_ && _)
+        merged.join(o, cond, "left")
+          .withColumn(BatchCol, coalesce(col(BatchCol), lit(batchId)))
+          .select(merged.columns.map(merged(_)) :+ col(BatchCol): _*)
     }
     MergeUpsert.publishPlain(spark, storePath, tagged, retainVersions)
   }

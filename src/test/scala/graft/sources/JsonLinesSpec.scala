@@ -25,14 +25,19 @@ class JsonLinesSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/out/zz-corrupt.txt"),
       "{\"doc_id\": 4, \"text\": \"unclosed\n{not json at all}\n")
-    val (good, rejects) = JsonLines.read(spark, s"$dir/out", docSchema)
-    val got = good.as[(Long, String, String)].collect().toSet
+    val split = JsonLines.read(spark, s"$dir/out", docSchema)
+    val got = split.good.as[(Long, String, String)].collect().toSet
     assert(got == Set((1L, "hello world", "en"), (2L, "guten tag", "de"),
       (3L, "", "en")))
-    val rej = rejects.collect().map(_.getString(0))
+    val rej = split.rejects.collect().map(_.getString(0))
     assert(rej.length == 2, s"got ${rej.toSeq}")
     assert(rej.exists(_.contains("unclosed")) &&
       rej.exists(_.contains("not json")))
+    // the split owns exactly one cached scan; unpersist releases it
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    split.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore - 1,
+      "unpersist must release the shared cached scan")
   }
 
   test("jsonl: schema is enforced, not inferred (extra fields pruned, missing null)") {
@@ -43,11 +48,12 @@ class JsonLinesSpec extends SparkSpec {
       """{"doc_id": 1, "text": "x", "lang": "en", "extra": 99}
         |{"doc_id": 2, "text": "y"}
         |""".stripMargin)
-    val (good, rejects) = JsonLines.read(spark, s"$dir/in", docSchema)
-    assert(rejects.count() == 0)
-    assert(good.columns.toSeq == Seq("doc_id", "text", "lang"))
-    val rows = good.orderBy("doc_id").collect()
+    val split = JsonLines.read(spark, s"$dir/in", docSchema)
+    assert(split.rejects.count() == 0)
+    assert(split.good.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val rows = split.good.orderBy("doc_id").collect()
     assert(rows(1).isNullAt(2), "missing field reads as null")
+    split.unpersist()
   }
 
   test("jsonl: corrupt-record column collision rejected") {

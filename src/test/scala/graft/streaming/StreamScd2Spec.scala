@@ -94,4 +94,23 @@ class StreamScd2Spec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(tags == Map(1 -> 0L, 5 -> 1L))
   }
+
+  test("interval provenance: a same-(key, valid_from) correction is " +
+    "attributed to the correcting batch, unchanged intervals keep theirs") {
+    val p = store()
+    StreamScd2.applyBatch(spark, p,
+      Seq((1L, 1, "A"), (2L, 1, "X")).toDF("key", "batch", "status"),
+      "key", "batch", Seq("status"), 0L)
+    // batch 1 re-observes key 1 at the SAME valid_from with changed
+    // attrs: the recreated interval's contents come from batch 1, so
+    // its _batch_id must say so; key 2's untouched interval keeps 0
+    StreamScd2.applyBatch(spark, p,
+      Seq((1L, 1, "B")).toDF("key", "batch", "status"),
+      "key", "batch", Seq("status"), 1L)
+    val tags = StreamScd2.readHistory(spark, p)
+      .select("key", StreamScd2.BatchCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tags == Map(1L -> 1L, 2L -> 0L),
+      "corrected interval must carry the correcting batch's id")
+  }
 }
