@@ -10,14 +10,15 @@ import graft.functions.TextFunctions
   * above an isolated page); on a citation/link graph it is the classic
   * quality prior.
   *
-  * Determinism, the same recipe as [[Sampling.dsirWeights]]: a FIXED
-  * iteration count, per-node neighbor sums folded over the
-  * source-id-SORTED contribution list (sequential left fold on any
-  * engine), and the rank portable-rounded EVERY iteration so float
-  * divergence can never accumulate across iterations. Dangling-node
-  * mass is NOT redistributed (ranks sum to < 1; the relative ordering
-  * — what curation consumes — is unaffected and the oracle stays free
-  * of a global float reduction).
+  * Determinism: a FIXED iteration count, per-node neighbor sums via
+  * [[graft.plans.SortedSumD]] — one native aggregate that buffers the
+  * contributions, sorts them ascending and left-folds, the same
+  * canonical order on any engine or partitioning — and the rank
+  * portable-rounded EVERY iteration so float divergence can never
+  * accumulate across iterations. Dangling-node mass is NOT
+  * redistributed (ranks sum to < 1; the relative ordering — what
+  * curation consumes — is unaffected and the oracle stays free of a
+  * global float reduction).
   *
   * Scale shape: each iteration is one (join on src) + one
   * shuffle-on-dst aggregation + one left join back to the node table —
@@ -47,14 +48,10 @@ object GraphRank {
     for (_ <- 1 to iters) {
       val contrib = und.join(deg, Seq("src"))
         .join(pr, col("src") === col("id"))
-        .select(col("dst"), col("src"),
+        .select(col("dst"),
           (col("pr") / col("deg").cast("double")).as("w"))
       val inSum = contrib.groupBy("dst")
-        .agg(array_sort(collect_list(struct(col("src"), col("w"))))
-          .as("arr"))
-        .select(col("dst"),
-          aggregate(col("arr"), lit(0.0),
-            (acc, s) => acc + s.getField("w")).as("s"))
+        .agg(graft.plans.SortedSumD(col("w")).as("s"))
       pr = nodes.select(col(idCol).as("id"))
         .join(inSum, col("id") === col("dst"), "left")
         .select(col("id"),

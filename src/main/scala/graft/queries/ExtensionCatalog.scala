@@ -2308,14 +2308,14 @@ object ExtensionCatalog {
       val iters = (1 to 3).map { i =>
         s"""c$i AS (
            |  SELECT e.dst,
-           |    list_sort(list(struct_pack(s := e.src, w := p.pr / d.deg))) AS arr
+           |    list_sort(list(p.pr / d.deg)) AS arr
            |  FROM edges e JOIN deg d USING (src) JOIN pr${i - 1} p ON e.src = p.id
            |  GROUP BY e.dst),
            |pr$i AS (
            |  SELECT b.id,
            |    floor(((1.0 - $PrDamping) / n + $PrDamping * coalesce(
-           |        list_reduce(list_prepend(0.0, list_transform(arr, s -> s.w)),
-           |          (a, x) -> a + x), 0.0)) * 10000000000.0 + 0.5)
+           |        list_reduce(list_prepend(0.0, arr), (a, x) -> a + x), 0.0))
+           |      * 10000000000.0 + 0.5)
            |      / 10000000000.0 AS pr
            |  FROM (SELECT doc_id AS id FROM documents) b
            |  LEFT JOIN c$i c ON b.id = c.dst, nn)""".stripMargin
@@ -2406,7 +2406,10 @@ object ExtensionCatalog {
     Q("x72_moving_avg", Some(
       s"""SELECT event_id, user_id, ms,
          |  count(*) OVER w AS n_win,
-         |  floor(avg(value) OVER w * 10000.0 + 0.5) / 10000.0 AS avg_win
+         |  floor(list_reduce(list_prepend(0.0,
+         |          list_sort(list(CAST(value AS DOUBLE)) OVER w)),
+         |        (a, x) -> a + x)
+         |      / count(*) OVER w * 10000.0 + 0.5) / 10000.0 AS avg_win
          |FROM (SELECT event_id, user_id, value,
          |        epoch_ns(ts) // 1000000 AS ms FROM events)
          |WINDOW w AS (PARTITION BY user_id ORDER BY ms

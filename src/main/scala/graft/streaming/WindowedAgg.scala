@@ -35,13 +35,19 @@ object WindowedAgg {
     * `valueCol` over the key's events in the last `windowMs`
     * milliseconds INCLUDING the event — a RANGE-frame window (the frame
     * is bounded by event-time distance, not row count; same-timestamp
-    * peers are always all included, so the result is deterministic
-    * under any row order). Batch form of the sliding signal a
-    * dashboard overlays on [[tumbling]]'s buckets.
+    * peers are always all included, so the frame's VALUE SET is
+    * order-independent). The mean itself is
+    * [[graft.plans.SortedSumD]] / count — a value-sorted sequential
+    * fold, so the float result is bit-deterministic under any row
+    * order too (a plain `avg` accumulates in physical peer order,
+    * which is nondeterministic for same-ms peers and could flip a
+    * value at a rounding boundary). Batch form of the sliding signal
+    * a dashboard overlays on [[tumbling]]'s buckets.
     *
     * Scale shape: one shuffle on the key, one sort within partitions;
-    * the RANGE frame evaluates incrementally (Spark's sliding window
-    * aggregation), never re-scanning the trail per row. */
+    * sliding RANGE frames re-aggregate per distinct frame either way
+    * (Spark has no retract path), so the sorted fold adds only the
+    * in-frame sort. */
   def movingAvg(events: DataFrame, tsCol: String, keyCol: String,
                 valueCol: String, windowMs: Long,
                 roundTo: Int = 4, idCol: String = "event_id"): DataFrame = {
@@ -49,10 +55,12 @@ object WindowedAgg {
       .partitionBy(keyCol).orderBy("ms").rangeBetween(-windowMs, 0)
     events
       .select(col(idCol), col(keyCol),
-        unix_millis(col(tsCol)).as("ms"), col(valueCol))
+        unix_millis(col(tsCol)).as("ms"),
+        col(valueCol).cast("double").as("_v"))
       .select(col(idCol), col(keyCol), col("ms"),
         count(lit(1)).over(w).cast("long").as("n_win"),
         graft.functions.TextFunctions.portableRound(
-          avg(col(valueCol)).over(w), roundTo).as("avg_win"))
+          graft.plans.SortedSumD(col("_v")).over(w) /
+            count(lit(1)).over(w).cast("double"), roundTo).as("avg_win"))
   }
 }
