@@ -43,58 +43,125 @@ object Bpe {
   def fallbackWord(c: Column): Column =
     c.contains(Sep) || c.rlike("[\\x{10000}-\\x{10FFFF}]")
 
-  /** One greedy merge pass of (a, b) over a symbol-array column. */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+  /** Greedy merge passes over a symbol-array column, one full
+    * left-to-right pass per merge in order — the native
+    * [[graft.plans.BpeMergePasses]] expression (the interpreted
+    * `aggregate`-lambda fold it replaces cost minutes per 64-merge
+    * round at a 100k-word vocabulary). */
+  private def applyMerges(syms: Column,
+                          merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.BpeMergePasses(
+        org.apache.spark.sql.graft.bridge.expression(syms), merges))
+
+  /** The distinct-word working table: (w, cnt, syms).
+    * localCheckpoint, not cache, every generation: cache truncates
+    * execution but NOT lineage — 20 generations of nested fold
+    * lambdas make the logical plan itself driver-fatal (the
+    * resolveClusters lesson, PERF.md r4). Checkpointing pins only the
+    * materialized partitions of the tiny distinct-word table.
+    * empty-token guard: sequence(1, 0) runs DESCENDING in Spark (the
+    * x46 footgun), which would hand the tokenizer's empty-string edge
+    * token two phantom symbols; both engines give it an empty symbol
+    * list → zero pieces */
+  private def initWork(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(!fallbackWord(col("w")))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        when(length(col("w")) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1)))).as("syms"))
+      .localCheckpoint()
+
+  /** Adjacent-pair frequencies of the working table, in selection
+    * order: exact integer counts, (count desc, left asc, right asc)
+    * tiebreak. */
+  private def pairCounts(work: DataFrame): DataFrame =
+    work.filter(size(col("syms")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(desc("c"), col("a"), col("b"))
 
   /** Train `numMerges` merges; returns (merge table, word→pieces
     * vocabulary of the non-fallback words). Early exhaustion (no
     * adjacent pairs left) yields fewer merges; later ranks are no-ops
-    * on both engines. */
+    * on both engines. One driver round-trip per merge — the oracle
+    * path; at real vocabulary sizes use [[trainBatched]]. */
   def train(df: DataFrame, textCol: String,
             numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val words = df
-      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
-      .filter(!fallbackWord(col("w")))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-    // localCheckpoint, not cache, every generation: cache truncates
-    // execution but NOT lineage — 20 generations of nested fold
-    // lambdas make the logical plan itself driver-fatal (the
-    // resolveClusters lesson, PERF.md r4). Checkpointing pins only the
-    // materialized partitions of the tiny distinct-word table.
-    // empty-token guard: sequence(1, 0) runs DESCENDING in Spark (the
-    // x46 footgun), which would hand the tokenizer's empty-string edge
-    // token two phantom symbols; both engines give it an empty symbol
-    // list → zero pieces
-    var work = words.select(col("w"), col("cnt"),
-      when(length(col("w")) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))).as("syms"))
-      .localCheckpoint()
+    var work = initWork(df, textCol)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var exhausted = false
     for (r <- 1 to numMerges if !exhausted) {
-      val best = work.filter(size(col("syms")) >= 2)
-        .select(col("cnt"),
-          explode(transform(sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("a"),
-              element_at(col("syms"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(desc("c"), col("a"), col("b"))
-        .limit(1).collect()
+      val best = pairCounts(work).limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += Merge(r, a, b)
         work = work.select(col("w"), col("cnt"),
-          applyMerge(col("syms"), a, b).as("syms")).localCheckpoint()
+          applyMerges(col("syms"), Seq((a, b))).as("syms")).localCheckpoint()
+      }
+    }
+    (merges.toSeq,
+      work.select(col("w"), size(col("syms")).cast("long").as("n_pieces")))
+  }
+
+  /** Batched training: per ROUND, one pair aggregation selects the
+    * top-`batchSize` mutually NON-CONFLICTING pairs (in the same
+    * (count desc, left, right) order as [[train]]), which are then
+    * applied as one chained greedy pass and one checkpoint — 32k
+    * merges cost ~32k/batchSize cluster round-trips instead of 32k.
+    * The standard scaled-BPE batching technique (cf. the multi-merge
+    * step in fast BPE trainers such as YouTokenToMe).
+    *
+    * Non-conflict rule (conservative): an accepted pair claims its
+    * left symbol, right symbol, and merged string; a candidate
+    * touching any claimed symbol is deferred to a later round. Under
+    * that rule no accepted merge can change another accepted pair's
+    * occurrence count, so within a round the batch equals the
+    * sequential selection whenever sequential's next pick is also
+    * conflict-free (BpeSpec proves batched ≡ sequential on such a
+    * corpus, and that batchSize = 1 degenerates to [[train]] exactly).
+    * Where they diverge (a deferred conflicting pair, or a
+    * new-symbol pair outranking the batch tail), batched is the
+    * documented approximation every production tokenizer ships. */
+  def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                   batchSize: Int = 64): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var work = initWork(df, textCol)
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val m = math.min(batchSize, numMerges - merges.size)
+      // headroom: conflicts defer candidates, so over-fetch the top
+      val cands = pairCounts(work).limit(m * 4 + 8).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val claimed = scala.collection.mutable.Set[String]()
+        for (r <- cands if accepted.size < m) {
+          val (a, b) = (r.getString(0), r.getString(1))
+          val parts = Seq(a, b, a + b)
+          if (parts.forall(!claimed.contains(_))) {
+            accepted += ((a, b))
+            claimed ++= parts
+          }
+        }
+        // one native multi-pass application in accepted order
+        // (identical semantics to m sequential passes), one checkpoint
+        work = work.select(col("w"), col("cnt"),
+            applyMerges(col("syms"), accepted.toSeq).as("syms"))
+          .localCheckpoint()
+        accepted.foreach { case (a, b) =>
+          merges += Merge(merges.size + 1, a, b)
+        }
       }
     }
     (merges.toSeq,

@@ -872,3 +872,74 @@ object RegexCount {
     c
   }
 }
+
+/** Apply a ROUND of BPE merges — each merge one full greedy
+  * left-to-right pass over the symbol array, in rank order — as one
+  * native expression. Pass semantics are exactly
+  * `graft.operators.Bpe`'s single-merge fold (no re-merge of the
+  * freshly merged symbol within a pass), so chaining m of those folds
+  * and one `BpeMergePasses` of m merges are interchangeable; the
+  * interpreted higher-order `aggregate` chain this replaces evaluated
+  * each element through the expression interpreter m times
+  * (~minutes/round at a 64-merge batch over a 100k-word vocabulary —
+  * measured before ScaleStress's `bpe batched` entry was viable). */
+case class BpeMergePasses(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_passes needs array<string>, got ${other.simpleString}")
+    }
+
+  // flattened (lhs, rhs, merged) triples, precomputed once per plan
+  private lazy val flat: Array[String] =
+    merges.iterator.flatMap { case (a, b) => Iterator(a, b, a + b) }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergePasses.compute(input.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.BpeMergePasses.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeMergePasses {
+  /** Static entry shared by interpreted eval and generated code.
+    * `flat` holds (lhs, rhs, merged) triples; the in-place write
+    * pointer is safe because the output never outruns the read. */
+  def compute(arr: ArrayData, flat: Array[String]): ArrayData = {
+    var len = arr.numElements()
+    val cur = new Array[String](len)
+    var i = 0
+    while (i < len) { cur(i) = arr.getUTF8String(i).toString; i += 1 }
+    var k = 0
+    while (k < flat.length) {
+      val a = flat(k); val b = flat(k + 1); val ab = flat(k + 2)
+      var w = 0
+      var r = 0
+      while (r < len) {
+        val x = cur(r)
+        if (w > 0 && x == b && cur(w - 1) == a) cur(w - 1) = ab
+        else { cur(w) = x; w += 1 }
+        r += 1
+      }
+      len = w
+      k += 3
+    }
+    val out = new Array[AnyRef](len)
+    i = 0
+    while (i < len) { out(i) = UTF8String.fromString(cur(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

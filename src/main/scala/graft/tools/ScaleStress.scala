@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Scale-stress for the candidate-pair operators: replicate documents/
   * embeddings Nx with perturbed ids/text and watch for superlinear
-  * blowups. Usage: runMain graft.tools.ScaleStress [factor] */
+  * blowups. Usage: runMain graft.tools.ScaleStress [factor] [onlySubstr]
+  * — the optional second arg runs just the entries whose label contains
+  * it (data prep still runs). */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val only = args.drop(1).headOption
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","64")
       .config("spark.ui.enabled","false").getOrCreate()
@@ -25,10 +28,11 @@ object ScaleStress {
       emb0.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"), col("embedding"))
     }.reduce(_ unionByName _).repartition(64).cache()
     println(s"[stress] docs=${docs.count()} emb=${emb.count()} (factor $factor)")
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[stress] $label%-26s ${(System.nanoTime()-t0)/1e9}%8.1f s  out=$n")
-    }
+    def time(label: String)(f: => Long): Unit =
+      if (only.forall(label.contains)) {
+        val t0 = System.nanoTime(); val n = f
+        println(f"[stress] $label%-26s ${(System.nanoTime()-t0)/1e9}%8.1f s  out=$n")
+      }
     import graft.operators.{Dedup, Similarity}
     time("exact dedup")(Dedup.exact(docs, "doc_id", "text").count())
     time("minhash lsh")(Dedup.minhashLsh(docs, "doc_id", "text").count())
@@ -235,6 +239,21 @@ object ScaleStress {
       val (_, vocab) = Bpe.train(docs, "text", numMerges = 20)
       Bpe.encodeStats(docs, "doc_id", "text", vocab).count()
     })
+    // realistic-vocab training cadence: batched top-m selection, one
+    // pair aggregation + one checkpoint per ROUND of up to 64 merges
+    // (sequential train would be 1024 driver round-trips here). The
+    // synthetic corpus's word vocabulary exhausts after ~100 merges,
+    // so high-entropy hash words are mixed in to give the trainer a
+    // realistically deep pair structure.
+    time("bpe batched 1024 merges")({
+      val hexed = docs.select(concat_ws(" ", col("text"),
+        md5(col("doc_id").cast("string")),
+        md5(concat(col("doc_id").cast("string"), lit("x"))),
+        sha1(col("doc_id").cast("string"))).as("text"))
+      val (m, _) = Bpe.trainBatched(hexed, "text", numMerges = 1024,
+        batchSize = 64)
+      m.size.toLong
+    })
     // events carry ns timestamps — the raw parquet read throws
     // PARQUET_TYPE_ILLEGAL; the catalog's reader scopes the nanos conf
     val ev0 = graft.queries.ReferenceCatalog.events(spark, dir)
@@ -275,7 +294,7 @@ object ScaleStress {
       graft.streaming.StreamScd2.readHistory(spark, p).count()
     })
 
-    MergeStress.run(spark, factor, work)
+    if (only.isEmpty) MergeStress.run(spark, factor, work)
     spark.stop()
   }
 }

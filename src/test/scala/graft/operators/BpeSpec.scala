@@ -53,4 +53,50 @@ class BpeSpec extends SparkSpec {
     val (m2, _) = Bpe.train(docs.repartition(7), "text", 5)
     assert(m1 == m2)
   }
+
+  test("bpe batched == sequential on a conflict-free corpus") {
+    // isolated two-char words: each merge consumes a disjoint symbol
+    // pair and produces a length-1 symbol list (no new adjacencies),
+    // so the top-3 batch is exactly sequential's first three picks
+    val docs = Seq((1L, ("ab " * 10) + ("cd " * 9) + ("ef " * 8)))
+      .toDF("doc_id", "text")
+    val (seq3, vSeq) = Bpe.train(docs, "text", numMerges = 3)
+    val (bat3, vBat) = Bpe.trainBatched(docs, "text", numMerges = 3,
+      batchSize = 3)
+    assert(seq3 == bat3)
+    assert(seq3.map(m => (m.lhs, m.rhs)) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    assert(vSeq.as[(String, Long)].collect().toMap ==
+      vBat.as[(String, Long)].collect().toMap)
+  }
+
+  test("bpe batched with batchSize=1 degenerates to sequential exactly") {
+    // conflict-FUL corpus (the aaab fixture): per-round top-1 must
+    // replay sequential's recount-between-merges behavior
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val (seqM, vSeq) = Bpe.train(docs, "text", numMerges = 3)
+    val (batM, vBat) = Bpe.trainBatched(docs, "text", numMerges = 3,
+      batchSize = 1)
+    assert(seqM == batM)
+    assert(vSeq.as[(String, Long)].collect().toMap ==
+      vBat.as[(String, Long)].collect().toMap)
+  }
+
+  test("bpe batched defers conflicting pairs within a round") {
+    // 'aaab'x3 + 'ab'x2: round-1 candidates (a,a)=6 then (a,b)=5 —
+    // (a,b) conflicts (claims 'a'), so a batch of 2 accepts (a,a)
+    // only, recounts, and merges (a,b) next round; ranks stay dense
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val (m, _) = Bpe.trainBatched(docs, "text", numMerges = 2,
+      batchSize = 2)
+    assert(m.map(x => (x.rank, x.lhs, x.rhs)) ==
+      Seq((1, "a", "a"), (2, "a", "b")))
+  }
+
+  test("bpe batched: early exhaustion still stops") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (m, _) = Bpe.trainBatched(docs, "text", numMerges = 50,
+      batchSize = 8)
+    assert(m.size < 50)
+  }
 }
