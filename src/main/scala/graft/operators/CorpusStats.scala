@@ -253,22 +253,34 @@ object CorpusStats {
     df.withColumn("pctl", percent_rank().over(
       Window.partitionBy(groupCol).orderBy(valueCol)))
 
-  /** Per-group exact length quantiles (p25/p50/p75 with linear
-    * interpolation — the `quantile_cont` definition) plus min/max/count.
-    * One sort-based aggregation per group; for a 100 TB corpus swap the
-    * exact percentile for `percentile_approx` at the same call site
-    * (identical plan shape, bounded state) — exactness here is what
-    * makes the cross-engine oracle able to hash-match. */
-  def lengthQuantiles(df: DataFrame, groupCol: String,
-                      valueCol: String): DataFrame = {
+  /** Per-group length quantiles (p25/p50/p75) plus min/max/count.
+    *
+    * `approx = false` (default): exact `percentile` with linear
+    * interpolation — the `quantile_cont` definition, which is what
+    * lets the cross-engine oracle hash-match (x47). Exact percentile
+    * buffers each group's values: fine while a group fits an
+    * executor, the wrong tool at 100 TB.
+    *
+    * `approx = true`: `percentile_approx` (Greenwald-Khanna sketch,
+    * `accuracy` controls the ε = 1/accuracy rank-error bound) —
+    * identical plan shape and output schema, O(accuracy) state per
+    * group regardless of group size. Rank error ε means the returned
+    * p50 is some value whose true rank is within n·ε of the target —
+    * CorpusStatsSpec bounds it against the exact path. */
+  def lengthQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      approx: Boolean = false,
+                      accuracy: Int = 10000): DataFrame = {
     val v = col(valueCol).cast("double")
+    def pct(p: Double) =
+      if (approx) percentile_approx(v, lit(p), lit(accuracy)).cast("double")
+      else percentile(v, lit(p))
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
         min(col(valueCol)).cast("long").as("min_v"),
         max(col(valueCol)).cast("long").as("max_v"),
-        percentile(v, lit(0.25)).as("p25"),
-        percentile(v, lit(0.5)).as("p50"),
-        percentile(v, lit(0.75)).as("p75"))
+        pct(0.25).as("p25"),
+        pct(0.5).as("p50"),
+        pct(0.75).as("p75"))
   }
 }

@@ -74,6 +74,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(m("de") == ((1L, 7L, 7L, 7.0, 7.0, 7.0)))
   }
 
+  test("lengthQuantiles approx path: same schema, rank error within the " +
+    "sketch bound") {
+    // 10k distinct values per group; accuracy=100 → rank error ε=1%,
+    // so each approx quantile's TRUE rank must be within n·ε of target
+    val n = 10000
+    val df = (1 to n).map(i => ("en", i)).toDF("lang", "n_chars")
+    val exact = CorpusStats.lengthQuantiles(df, "lang", "n_chars")
+    val approx = CorpusStats.lengthQuantiles(df, "lang", "n_chars",
+      approx = true, accuracy = 100)
+    assert(approx.schema.map(f => (f.name, f.dataType)) ==
+      exact.schema.map(f => (f.name, f.dataType)),
+      "approx path must be a drop-in (same schema)")
+    val r = approx.collect().head
+    val eps = n * (1.0 / 100) // n·ε values of slack on either side
+    for ((p, idx) <- Seq(0.25 -> 4, 0.5 -> 5, 0.75 -> 6)) {
+      val got = r.getDouble(idx)
+      // values are 1..n, so value v has rank v
+      assert(math.abs(got - p * n) <= eps + 1,
+        s"p$p approx=$got expected within ±$eps of ${p * n}")
+    }
+    // exact default is unchanged (the oracle-checked path)
+    val e = exact.collect().head
+    assert(e.getDouble(5) == (n + 1) / 2.0)
+  }
+
   test("unigram bits: common-word docs score low, rare-word docs high") {
     // 'the' dominates the corpus; 'zyx' appears once
     val docs = Seq(
