@@ -55,8 +55,8 @@ object MergeUpsert {
     // written. For a backfill-scale batch (millions of keys) a forced
     // broadcast inverts into the bottleneck — callers that know they're
     // backfilling pass broadcastKeys = false for a plain shuffle join
-    // (mergeWrite flips this automatically off its touched-partition
-    // count).
+    // (mergeWrite flips this automatically off the batch's estimated
+    // distinct-key count).
     val distinctKeys = deduped.select(keyCols: _*).distinct()
     val updateKeys = if (broadcastKeys) broadcast(distinctKeys) else distinctKeys
     val survivors = existing.join(updateKeys, keys, "left_anti")
@@ -503,12 +503,28 @@ object MergeUpsert {
     fs.exists(p) && fs.listStatus(p)
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
 
+  /** What [[mergeWrite]] decided: how many partitions the batch
+    * touched, the estimated distinct-key cardinality of the batch, and
+    * whether the anti-join broadcast the key set. The create-table
+    * first write reports (0, 0, false) — there is no join to plan. */
+  final case class MergeWriteReport(touchedPartitions: Int,
+                                    keyEstimate: Long,
+                                    broadcastKeys: Boolean)
+
   /** Merge `updates` into the date-partitioned parquet table at `path`,
     * rewriting ONLY the partitions the batch touches. Creates the table on
-    * first write. `partitionCol` values must be present in `updates`. */
+    * first write. `partitionCol` values must be present in `updates`.
+    *
+    * The broadcast-vs-shuffle anti-join decision gates on the batch's
+    * ESTIMATED DISTINCT-KEY COUNT (`approx_count_distinct`, computed in
+    * the same single stats pass as the touched-partition IN-list), not
+    * on how many partitions it touches — two touched dates of a
+    * mega-table can carry millions of keys, and a partition-count gate
+    * would happily broadcast them (the r4 audit's few-but-huge hole;
+    * MergeStress's `few-huge` case proves the switch). */
   def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
                  keys: Seq[String], partitionCol: String = "date",
-                 broadcastMaxPartitions: Int = 200): Unit = {
+                 broadcastMaxKeys: Long = 500000L): MergeWriteReport = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
@@ -520,21 +536,26 @@ object MergeUpsert {
       updates.dropDuplicates(keys)
         .repartition(col(partitionCol))
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-      return
+      return MergeWriteReport(0, 0L, broadcastKeys = false)
     }
     val existing = spark.read.parquet(path)
-    // Partition pruning: read only touched dates. The IN-list is collected
-    // from the batch's distinct partition values (small by construction —
-    // one ingest covers few dates).
-    val touched = updates.select(partitionCol).distinct()
-      .collect().map(_.get(0)).toSeq
+    // ONE stats pass over the batch: the touched-partition IN-list
+    // (small by construction — one ingest covers few dates) and the
+    // key-cardinality estimate the join decision needs.
+    val statsRow = updates.agg(
+      collect_set(col(partitionCol)).as("parts"),
+      approx_count_distinct(xxhash64(keys.map(col): _*)).as("key_est"))
+      .collect().head
+    val touched = statsRow.getSeq[Any](0)
+    val keyEst = statsRow.getLong(1)
     val pruned = existing.filter(col(partitionCol).isin(touched: _*))
-    // Incremental batches (few touched partitions → few distinct keys)
-    // keep the broadcast anti-join; a backfill spanning many partitions
-    // has a key set proportional to them — switch to a shuffle join
-    // before the broadcast becomes the bottleneck.
+    // Incremental batches (few distinct keys) keep the broadcast
+    // anti-join; a backfill-scale key set — whether spread over 600
+    // dates or packed into 2 — switches to a shuffle join before the
+    // broadcast becomes the bottleneck.
+    val broadcastDecision = keyEst <= broadcastMaxKeys
     val merged = merge(pruned, updates, keys,
-      broadcastKeys = touched.length <= broadcastMaxPartitions)
+      broadcastKeys = broadcastDecision)
     // Dynamic partition overwrite: replace only the touched partitions.
     merged
       .repartition(col(partitionCol)) // one task per date → one file per date
@@ -547,5 +568,6 @@ object MergeUpsert {
       .parquet(path)
     // invalidate the shared file-listing cache for readers of this path
     spark.catalog.refreshByPath(path)
+    MergeWriteReport(touched.length, keyEst, broadcastDecision)
   }
 }

@@ -57,12 +57,34 @@ object MergeStress {
       .filter(col("date") < lit("2019-09-01").cast("date")).cache()
     val backfillRows = backfill.count()
     time("mergeWrite 600-date backfill")({
-      MergeUpsert.mergeWrite(spark, s"$work/bigcap", backfill,
+      val rep = MergeUpsert.mergeWrite(spark, s"$work/bigcap", backfill,
         Seq("date", "region_id"))
+      println(s"[stress]   backfill report: $rep")
+      assert(!rep.broadcastKeys, s"600-date backfill must not broadcast: $rep")
       backfillRows
     })
     oneDay.unpersist()
     backfill.unpersist()
+
+    // few-but-HUGE: 2 touched dates carrying factor*600k keys — the
+    // case a touched-partition-count gate would broadcast (and die on
+    // at cluster scale); the key-estimate gate must pick the shuffle
+    // join
+    val fewHuge = spark.range(2L * factor * 300000).select(
+      date_add(lit("2018-01-01").cast("date"),
+        (col("id") % 2).cast("int")).as("date"),
+      concat(lit("fh"), (col("id") / 2).cast("long")).as("region_id"),
+      lit(7).cast("int").as("total_beds")).cache()
+    val fewHugeRows = fewHuge.count()
+    time("mergeWrite few-huge (2 dates)")({
+      val rep = MergeUpsert.mergeWrite(spark, s"$work/bigcap", fewHuge,
+        Seq("date", "region_id"))
+      println(s"[stress]   few-huge report: $rep")
+      assert(rep.touchedPartitions == 2 && !rep.broadcastKeys,
+        s"few-but-huge batch must shuffle, not broadcast: $rep")
+      fewHugeRows
+    })
+    fewHuge.unpersist()
 
     time("point lookup (sorted row groups)")(
       spark.read.parquet(s"$work/bigcap")

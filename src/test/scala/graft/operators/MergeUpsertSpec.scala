@@ -195,6 +195,36 @@ class MergeUpsertSpec extends SparkSpec {
     assert(got.toSeq == Seq(150, 200))
   }
 
+  test("mergeWrite gates broadcast on key estimate, not partition count") {
+    val dir = Files.createTempDirectory("graft-mergegate").toString + "/fact"
+    def rows(tag: String, n: Long, dates: Int) = spark.range(n).select(
+      date_add(lit("2024-01-01").cast("date"),
+        (col("id") % dates).cast("int")).as("date"),
+      concat(lit(tag), col("id")).as("region_id"),
+      lit(1).as("total_beds"))
+    val create = MergeUpsert.mergeWrite(spark, dir, rows("c", 100, 4),
+      Seq("date", "region_id"))
+    assert(create == MergeUpsert.MergeWriteReport(0, 0L, false),
+      "create path plans no join")
+    // small batch, few keys -> broadcast
+    val small = MergeUpsert.mergeWrite(spark, dir, rows("s", 50, 2),
+      Seq("date", "region_id"))
+    assert(small.touchedPartitions == 2 && small.broadcastKeys,
+      s"small batch should broadcast: $small")
+    // few-but-HUGE: 2 touched dates, keys far past the threshold ->
+    // shuffle (a partition-count gate would broadcast here)
+    val fewHuge = MergeUpsert.mergeWrite(spark, dir, rows("h", 40000, 2),
+      Seq("date", "region_id"), broadcastMaxKeys = 10000L)
+    assert(fewHuge.touchedPartitions == 2 && !fewHuge.broadcastKeys,
+      s"few-but-huge batch must shuffle: $fewHuge")
+    // the estimate is approximate (HLL) but must be in the right decade
+    assert(fewHuge.keyEstimate > 30000L && fewHuge.keyEstimate < 50000L,
+      s"key estimate off: $fewHuge")
+    // correctness unaffected by the join strategy (tags disjoint ->
+    // every batch row inserts)
+    assert(spark.read.parquet(dir).count() == 100L + 50L + 40000L)
+  }
+
   test("additive merge sums per key; store bootstrap sums in-batch dups") {
     val store = java.nio.file.Files
       .createTempDirectory("graft-addm").toString + "/counts"
