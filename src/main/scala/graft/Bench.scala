@@ -1,15 +1,46 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-query telemetry: shuffle bytes written, shuffle bytes read,
+    * and the max per-task peak execution memory — the numbers that
+    * expose a plan regression (a new shuffle, a ballooning hash table)
+    * even when wall time hides it in the noise band. Counters reset
+    * per query after draining the listener bus. */
+  private final class Telemetry extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val peakTaskMem = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        peakTaskMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); shuffleRead.set(0)
+      peakTaskMem.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev aid: bench a comma-separated subset (same contract as Verify)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = new Telemetry
+    spark.sparkContext.addSparkListener(telemetry)
     // untimed warmup: JVM/codegen/parquet-reader init and file listing
     // for every table the catalog actually reads — not query work
     Seq("lineitem", "orders", "customer", "nation", "region",
@@ -29,14 +60,23 @@ object Bench {
     // NonFatal only: an OOM or other VM error leaves the JVM unreliable,
     // so timings recorded after it would be meaningless — let it kill
     // the run instead of benchmarking through it.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case scala.util.control.NonFatal(e) =>
-          Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }.toSeq
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+        telemetry.reset()
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case scala.util.control.NonFatal(e) =>
+            Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+        val shufMb =
+          (telemetry.shuffleWrite.get + telemetry.shuffleRead.get) / 1e6
+        val peakMb = telemetry.peakTaskMem.get / 1e6
+        (name, sec, shufMb, peakMb, err)
+      }.toSeq
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -47,13 +87,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    def numMap(f: ((String, Double, Double, Double, Option[String])) => Double)
+        : String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = numMap(_._2)
+    // telemetry maps parallel to "queries" (additive: the driver's
+    // seconds-map contract is untouched). shuffle_mb counts write+read
+    // (a shuffle that runs shows up even if its read side is pruned);
+    // peak_mem_mb is the max single-task peak execution memory.
+    val shuf = numMap(r => math.round(r._3 * 100.0) / 100.0)
+    val peak = numMap(r => math.round(r._4 * 100.0) / 100.0)
+    val failed = results.collect { case (k, _, _, _, Some(e)) => k -> e }
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       Console.err.println(s"BENCH FAILED: ${failed.map(_._1).mkString(", ")}")
