@@ -369,6 +369,26 @@ object Dedup {
     banded.join(oversized, Seq(keyCol), "left_anti")
   }
 
+  /** No-silent-caps companion to [[minhashLsh]]: the band buckets its
+    * `maxBucket` valve excludes, as (band_key, n_docs) — run it with
+    * the SAME banding parameters (and the same cached `sigs`, if any)
+    * and log the result next to the pair count, so a capped run says
+    * WHAT it skipped instead of silently under-reporting near-dups.
+    * A mega-bucket here is a boilerplate cluster the valve protected
+    * the pair join from (n_docs² candidate pairs); exact dedup and
+    * [[lineBoilerplate]] are the right tools for what's inside it.
+    * Empty when nothing was dropped. */
+  def lshDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 10000,
+                        sigs: Option[DataFrame] = None): DataFrame = {
+    val withSig = sigs.getOrElse(
+      minhashSignatures(df, idCol, textCol, bands * rowsPerBand))
+    bandKeys(withSig, bands, rowsPerBand)
+      .groupBy("band_key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+  }
+
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, blocked by
     * maxHamming+1 signature chunks (exact — see [[simhashBlocks]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -42,6 +42,34 @@ object ScaleStress {
       "vec_id", "embedding", 10, planes = 8).count())
     time("embedding neardup")(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.95, 8).count())
     time("winnow overlap")(Dedup.winnowOverlapPairs(docs, "doc_id", "text").count())
+    // adversarial skew: 10% of the corpus is ONE boilerplate text, so
+    // its band buckets hold factor*500 docs each — n² pair blowup
+    // without the maxBucket valve. Prove the valve keeps the pair count
+    // linear AND report what it dropped (the no-silent-caps rule).
+    time("skewed lsh mega-bucket")({
+      val boiler = "subscribe to our newsletter for daily updates and " +
+        "follow us on social media all rights reserved terms of service " +
+        "privacy policy cookie settings contact us about careers"
+      val skewed = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      val dropped = Dedup.lshDroppedBuckets(skewed, "doc_id", "text",
+        maxBucket = 1000).collect()
+      val pairs = Dedup.minhashLsh(skewed, "doc_id", "text",
+        maxBucket = 1000).count()
+      val megaDocs = dropped.map(_.getLong(1)).sum / 8 // 8 bands/doc
+      println(s"[stress]   skew report: ${dropped.length} buckets " +
+        s"dropped (~$megaDocs docs); capped pairs=$pairs " +
+        s"(uncapped would add ~${megaDocs * (megaDocs - 1) / 2}")
+      assert(dropped.nonEmpty, "mega-bucket must be reported, not silent")
+      // linear bound: the replicated corpus legitimately pairs each
+      // base doc's `factor` copies (≈ docs·factor/2 pairs); the capped
+      // run must stay in that band, nowhere near the +n²/2 mega-bucket
+      // blowup the valve prevented
+      assert(pairs < docs.count() * factor,
+        s"capped pair count must stay linear in the corpus, got $pairs")
+      pairs
+    })
     time("dedup clusters")(Dedup.resolveClusters(docs, "doc_id",
       Dedup.nearDupPipeline(docs, "doc_id", "text")).count())
     time("ivf topk (kmeans)")(Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,

@@ -157,4 +157,40 @@ class DedupSpec extends SparkSpec {
       Dedup.lineBoilerplate(docs, "doc_id", "text", minDocs = 1)
     }
   }
+
+  test("maxBucket valve: mega-bucket pairs are capped AND reported, " +
+    "not silently dropped") {
+    val boiler = "subscribe to our newsletter for daily updates and " +
+      "follow us on social media all rights reserved"
+    // 30 identical boilerplate docs (every band bucket holds all 30)
+    // in a sea of 200 distinct docs
+    val docs = ((1L to 30L).map(i => (i, boiler)) ++
+      (100L to 299L).map(i =>
+        (i, s"wholly distinct document number $i talking about topic " +
+          s"${i % 7} in its own words ${i * 31}")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(docs, "doc_id", "text", maxBucket = 10)
+    val cappedPairs = capped.collect()
+    // no boilerplate×boilerplate pair survives the valve (those would
+    // be 30·29/2 = 435 pairs)
+    assert(!cappedPairs.exists(r => r.getLong(0) <= 30L && r.getLong(1) <= 30L),
+      "mega-bucket pairs must be excluded by the cap")
+    // the drop is REPORTED: every boilerplate band bucket (8 of them,
+    // all 30 docs) shows up with its size
+    val dropped = Dedup.lshDroppedBuckets(docs, "doc_id", "text",
+      maxBucket = 10).collect()
+    assert(dropped.nonEmpty, "capped run must report its dropped buckets")
+    assert(dropped.forall(_.getLong(1) > 10L),
+      s"only oversized buckets may be reported: ${dropped.toSeq}")
+    assert(dropped.count(_.getLong(1) == 30L) == 8,
+      s"all 8 boilerplate band buckets must be reported: ${dropped.toSeq}")
+    // uncapped control: the valve was load-bearing
+    val uncapped = Dedup.minhashLsh(docs, "doc_id", "text", maxBucket = 0)
+      .collect()
+    assert(uncapped.count(r => r.getLong(0) <= 30L && r.getLong(1) <= 30L)
+      == 435, "without the cap the mega-bucket pairs all materialize")
+    // and nothing was dropped that wasn't oversized
+    assert(Dedup.lshDroppedBuckets(docs, "doc_id", "text",
+      maxBucket = 1000).collect().isEmpty)
+  }
 }
