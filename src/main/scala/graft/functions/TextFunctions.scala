@@ -110,6 +110,46 @@ object TextFunctions {
         (lit(1.0) - upperRatio) * lit(0.1), 4)
   }
 
+  /** Fixed weights of the logistic quality classifier — the
+    * fasttext-style "does this read like reference text" gate (DCLM /
+    * CCNet shape): a linear model over cheap scan-time features, frozen
+    * here as literals so the Spark expression and the DuckDB oracle
+    * share one source of truth. In production the weights come from a
+    * trained model; the ENGINE contract is only "logistic over
+    * scan-computable features", which is what this encodes. */
+  val ClassifierBias: Double = -3.0
+  val ClassifierW: Seq[(String, Double)] = Seq(
+    "log_n_tok" -> 0.55, // ln(tokens+1): substance
+    "stop_ratio" -> 3.0, // stopword density: natural-language-ness
+    "punct_per_char" -> -8.0, // punctuation soup
+    "upper_per_char" -> -4.0, // shouting
+    "mean_tok_len" -> 0.12) // fragment-vs-word balance
+
+  /** Classifier probability in [0,1], portable-rounded to 4 dp. One
+    * pass of codegen'd builtins per row — at 100 TB this is a
+    * scan-time projection like [[qualityScore]], no shuffle, no model
+    * service in the loop. exp/ln are IEEE libm on both engines; the
+    * 1e-4 rounding absorbs ULP-level divergence (the x67 recipe). */
+  def classifierProb(text: Column): Column = {
+    val w = ClassifierW.toMap
+    val nTok = tokenCount(text).cast("double")
+    val nChar = greatest(length(text), lit(1)).cast("double")
+    val logNTok = log(nTok + lit(1.0))
+    val stopRatio = anyStopwordHits(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctPc = punctCount(text).cast("double") / nChar
+    val upperPc = upperCount(text).cast("double") / nChar
+    val meanTokLen =
+      length(array_join(tokens(text), "")).cast("double") /
+        greatest(nTok, lit(1.0))
+    val z = lit(ClassifierBias) +
+      lit(w("log_n_tok")) * logNTok +
+      lit(w("stop_ratio")) * stopRatio +
+      lit(w("punct_per_char")) * punctPc +
+      lit(w("upper_per_char")) * upperPc +
+      lit(w("mean_tok_len")) * meanTokLen
+    portableRound(lit(1.0) / (lit(1.0) + exp(lit(0.0) - z)), 4)
+  }
+
   /** PII redaction patterns — ordered (URLs can contain @, so they
     * redact first). Plain regex only (no lookarounds): portable between
     * Java regex and RE2-based engines. */

@@ -95,4 +95,60 @@ object Sketches {
     }
     MergeUpsert.publishPlain(spark, storePath, merged, retainVersions)
   }
+
+  /** Count–min sketch of token frequencies: `depth` rows × `width`
+    * buckets of summed counts, each row keyed by an independent
+    * md5-derived hash. The sketch is `depth·width` longs REGARDLESS of
+    * vocabulary size — the mergeable, broadcast-able frequency state a
+    * 100 TB corpus keeps when the exact token→count table (billions of
+    * distinct tokens) cannot be held or shipped. Point estimate for a
+    * token = min over rows of its bucket sum; always ≥ the true count
+    * (collisions only ADD), with the classic (ε, δ) bound
+    * ε = e/width, δ = e^−depth.
+    *
+    * Output: (d, bkt, s) — the sketch table itself, one shuffle of
+    * depth × (distinct tokens per partition) combiner rows. Determinism
+    * is exact-integer: counts are longs, hashes are md5-derived. */
+  def cmsSketch(df: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 1024): DataFrame =
+    sketchOf(termCounts(df, textCol), depth, width)
+
+  private def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  private def rowBucket(depth: Int, width: Int): DataFrame => DataFrame =
+    tc => tc.select(col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .withColumn("bkt",
+        TextFunctions.md5Hash60(
+          concat(col("d").cast("string"), lit(":"), col("term")))
+          % lit(width.toLong))
+
+  private def sketchOf(tc: DataFrame, depth: Int, width: Int): DataFrame =
+    rowBucket(depth, width)(tc)
+      .groupBy("d", "bkt").agg(sum(col("cnt")).as("s"))
+
+  /** Heavy hitters via the count–min sketch: every distinct token is
+    * probed against the sketch and the top `k` by ESTIMATED count are
+    * returned alongside the true count, exhibiting the one-sided error
+    * (overcount ≥ 0 always). At scale the probe set is not "all
+    * tokens" — it is the per-partition local top-k union (a candidate
+    * superset of the global top-k), so the expensive global exact
+    * count exists only for audit here; the sketch itself is the
+    * maintained state. Ties break on the token string — deterministic
+    * on any engine. */
+  def cmsTopK(df: DataFrame, textCol: String, depth: Int = 4,
+              width: Int = 1024, k: Int = 50): DataFrame = {
+    // one token scan feeds both the sketch build and the probe side
+    val tc = termCounts(df, textCol).localCheckpoint()
+    rowBucket(depth, width)(tc)
+      .join(sketchOf(tc, depth, width), Seq("d", "bkt"))
+      .groupBy("term", "cnt").agg(min(col("s")).as("est"))
+      .select(col("term"), col("cnt").cast("long").as("true_cnt"),
+        col("est").cast("long").as("est_cnt"),
+        (col("est") - col("cnt")).cast("long").as("overcount"))
+      .orderBy(desc("est_cnt"), col("term")).limit(k)
+  }
 }

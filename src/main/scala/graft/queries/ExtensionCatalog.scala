@@ -98,6 +98,11 @@ object ExtensionCatalog {
     * user is ~7.3 h, so sessions are multi-event but plural per user. */
   private val SessionGapMs: Long = 12L * 3600 * 1000
 
+  /** Count–min sketch shape shared by x85's Spark and oracle sides. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+  private val CmsTopK = 50
+
   /** x29's deterministic window derivation: every `RangeEvery`-th event
     * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
     * by the SQL string and the Spark closure (one edit point — the
@@ -2802,6 +2807,67 @@ object ExtensionCatalog {
               .as("n_removed"),
             md5(norm.cast("binary")).as("norm_hash"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- count–min sketch heavy hitters: the fixed-size (depth ×
+    //      width longs) mergeable frequency state a 100 TB corpus
+    //      keeps when the exact token→count table cannot be held;
+    //      every distinct token probed to exhibit the one-sided error
+    //      (overcount ≥ 0 by construction — collisions only add) ----
+    Q("x85_cms_topk", Some({
+      val depthArr = (0 until CmsDepth).mkString("[", ", ", "]")
+      s"""WITH tc AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents)
+         |  GROUP BY term),
+         |b AS (
+         |  SELECT term, cnt, d,
+         |    ${h60Sql("CAST(d AS VARCHAR) || ':' || term", CmsWidth)} AS bkt
+         |  FROM tc, unnest($depthArr) AS u(d)),
+         |sk AS (SELECT d, bkt, sum(cnt) AS s FROM b GROUP BY d, bkt)
+         |SELECT term, CAST(cnt AS BIGINT) AS true_cnt,
+         |  CAST(min(s) AS BIGINT) AS est_cnt,
+         |  CAST(min(s) - cnt AS BIGINT) AS overcount
+         |FROM b JOIN sk USING (d, bkt)
+         |GROUP BY term, cnt
+         |ORDER BY est_cnt DESC, term LIMIT $CmsTopK""".stripMargin
+    }),
+      (s, dir) => Sketches.cmsTopK(t(s, dir, "documents"), "text",
+        depth = CmsDepth, width = CmsWidth.toInt, k = CmsTopK)),
+
+    // ---- fixed-weight logistic quality classifier (the fasttext /
+    //      DCLM-style "reads like reference text" gate): scan-time
+    //      features → frozen linear model → sigmoid; weights are one
+    //      set of Scala literals shared with the oracle ----
+    Q("x86_quality_classifier", Some({
+      val w = TextFunctions.ClassifierW.toMap
+      s"""WITH f AS (
+         |  SELECT doc_id, $qualityStatsSql,
+         |    CAST(coalesce(length(array_to_string(${tokSql("text")}, '')), 0)
+         |      AS DOUBLE) AS sum_tok_len
+         |  FROM documents),
+         |z AS (
+         |  SELECT doc_id,
+         |    (${TextFunctions.ClassifierBias}
+         |     + ${w("log_n_tok")} * ln(n_tok + 1.0)
+         |     + ${w("stop_ratio")} * (n_stop / greatest(n_tok, 1.0))
+         |     + ${w("punct_per_char")} * (n_punct / n_char)
+         |     + ${w("upper_per_char")} * (n_upper / n_char)
+         |     + ${w("mean_tok_len")} * (sum_tok_len / greatest(n_tok, 1.0)))
+         |      AS z
+         |  FROM f),
+         |p AS (
+         |  SELECT doc_id,
+         |    floor(1.0 / (1.0 + exp(0.0 - z)) * 10000.0 + 0.5) / 10000.0
+         |      AS cls_prob
+         |  FROM z)
+         |SELECT doc_id, cls_prob, cls_prob >= 0.5 AS keep
+         |FROM p ORDER BY doc_id""".stripMargin
+    }),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        .withColumn("keep", col("cls_prob") >= 0.5)
+        .orderBy("doc_id"))
   )
 }

@@ -68,4 +68,27 @@ class QualityRulesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(df(1L) && !df(2L) && !df(3L))
   }
+
+  private def probOf(text: String): Double =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextFunctions.classifierProb(col("text")).as("p"))
+      .head().getDouble(0)
+
+  test("logistic classifier ranks prose over soup, shouting, emptiness") {
+    val prose = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox sits by the river for a while watching the water flow"
+    assert(probOf(prose) > probOf("!!! ??? ;;; ,,, ... :::"),
+      "punctuation soup scores below prose")
+    assert(probOf(prose) > probOf("BUY NOW LIMITED OFFER ACT FAST TODAY"),
+      "all-caps spam scores below prose")
+    assert(probOf("") == math.floor(
+      1.0 / (1.0 + math.exp(-TextFunctions.ClassifierBias)) * 1e4 + 0.5) / 1e4,
+      "featureless doc sits at sigmoid(bias)")
+  }
+
+  test("classifier probability is monotone in stopword density") {
+    val low = (1 to 40).map(i => s"zq$i").mkString(" ")
+    val high = (1 to 20).map(i => s"zq$i the").mkString(" ")
+    assert(probOf(high) > probOf(low))
+  }
 }

@@ -99,4 +99,35 @@ class SketchesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(inc == scratch)
   }
+
+  test("CMS sketch is bounded depth×width rows at any vocabulary size") {
+    val docs = (0 until 400)
+      .map(i => (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text") // 8000 distinct tokens
+    val sk = Sketches.cmsSketch(docs, "text", depth = 4, width = 64)
+    assert(sk.count() <= 4L * 64, "sketch rows bounded by depth×width")
+  }
+
+  test("CMS estimates are one-sided (est ≥ true) and collisions overcount") {
+    // 2000 distinct tokens into width 64 forces collisions in every row
+    val docs = (0 until 200)
+      .map(i => (i.toLong, (0 until 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val top = Sketches.cmsTopK(docs, "text", depth = 4, width = 64, k = 2000)
+      .collect()
+    assert(top.forall(_.getAs[Long]("overcount") >= 0L),
+      "CMS never undercounts")
+    assert(top.exists(_.getAs[Long]("overcount") > 0L),
+      "width 64 over 2000 tokens must collide somewhere")
+  }
+
+  test("CMS top-k recovers the planted heavy hitter first") {
+    val noise = (0 until 100)
+      .map(i => (i.toLong, s"rare$i uncommon$i"))
+    val heavy = (100 until 400).map(i => (i.toLong, "jackpot jackpot"))
+    val top = Sketches.cmsTopK((noise ++ heavy).toDF("doc_id", "text"),
+      "text", depth = 4, width = 1024, k = 5).collect()
+    assert(top.head.getAs[String]("term") == "jackpot")
+    assert(top.head.getAs[Long]("true_cnt") == 600L)
+  }
 }
