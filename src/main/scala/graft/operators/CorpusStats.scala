@@ -283,4 +283,108 @@ object CorpusStats {
         pct(0.5).as("p50"),
         pct(0.75).as("p75"))
   }
+
+  /** Zipf-law fit over the top-`topN` token frequencies: least-squares
+    * regression of ln(freq) on ln(rank). A healthy natural-language
+    * corpus fits slope ≈ −1 with high r²; a corpus drowning in
+    * boilerplate (one template at every rank) or in serial-numbered
+    * junk (flat head) bends away — this is the one-row dashboard
+    * number that says "this crawl stopped looking like language".
+    *
+    * Scale shape: token count (one shuffle, map-side combined) →
+    * distributed top-N (`TakeOrderedAndProject`) → a single 200-row
+    * array fold. Determinism: ranks and counts enter ln() as exact
+    * integers; every Σ folds sequentially over the rank-ordered array
+    * (ties in count carry equal y, so tie order cannot move any sum);
+    * outputs portable-rounded. Within-tie rank assignment uses count
+    * desc then term desc — mirrored on both engines. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200,
+              roundTo: Int = 4): DataFrame = {
+    val top = df.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("term")).limit(topN)
+    val one = top
+      .agg(reverse(array_sort(collect_list(struct(col("cnt"), col("term")))))
+        .as("arr"))
+      .select(size(col("arr")).as("n"), col("arr"))
+    def fold(xs: Column): Column =
+      aggregate(xs, lit(0.0), (acc, x) => acc + x)
+    // x = ln(rank) via transform-with-index (no sequence(1, n): Spark's
+    // sequence runs DESCENDING for n = 0); rank = 0-based index + 1
+    def lnRank(j: Column): Column = log((j + lit(1)).cast("double"))
+    def lnCnt(s: Column): Column = log(s.getField("cnt").cast("double"))
+    val withSums = one.select(col("n"),
+      fold(transform(col("arr"), (_, j) => lnRank(j))).as("sx"),
+      fold(transform(col("arr"), s => lnCnt(s))).as("sy"),
+      fold(transform(col("arr"), (s, j) => lnRank(j) * lnCnt(s))).as("sxy"),
+      fold(transform(col("arr"), (_, j) => lnRank(j) * lnRank(j))).as("sxx"),
+      fold(transform(col("arr"), s => lnCnt(s) * lnCnt(s))).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    // degenerate heads (one term, or a perfectly flat y) have no
+    // defined fit — report 0 rather than divide by zero (ANSI throws)
+    val slope = when(varx === 0.0, lit(0.0)).otherwise(cov / varx)
+    withSums.select(
+      col("n").cast("long").as("n_terms"),
+      TextFunctions.portableRound(slope + lit(1000.0), roundTo)
+        .minus(lit(1000.0)).as("slope"),
+      TextFunctions.portableRound(
+        when(col("n") === 0, lit(0.0))
+          .otherwise((col("sy") - slope * col("sx")) / n), roundTo)
+        .as("intercept"),
+      TextFunctions.portableRound(
+        when(varx * vary === 0.0, lit(0.0))
+          .otherwise(cov * cov / (varx * vary)), roundTo).as("r2"))
+  }
+
+  /** Bigram language-model score: bits per bigram under the corpus's
+    * own add-1-smoothed bigram model — the KenLM-style perplexity
+    * filter one step up from [[unigramBits]] (context-aware: catches
+    * scrambled-word soup that unigram stats score as fluent).
+    * p(t₂|t₁) = (c(t₁t₂)+1) / (c(t₁·)+V), V = distinct unigram count.
+    *
+    * Scale shape: one pass builds per-doc hashed bigram arrays (no
+    * self-join — adjacent pairs come from one `zip_with` over the
+    * token array); global model = two map-side-combined counts; the
+    * per-doc score joins model rows for the doc's DISTINCT bigrams
+    * only. Determinism: the x67 recipe — exact-integer counts, fold
+    * over the (h1,h2)-sorted list, portable-round last. */
+  def bigramBits(df: DataFrame, idCol: String, textCol: String,
+                 roundTo: Int = 4): DataFrame = {
+    val hs = df.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.tokens(lower(col(textCol))),
+        t => TextFunctions.md5Hash60(t)).as("hs"))
+    val nb = greatest(size(col("hs")) - 1, lit(0))
+    val bg = hs.select(col("doc_id"),
+        explode(zip_with(slice(col("hs"), lit(1), nb),
+          slice(col("hs"), lit(2), nb),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
+      .select(col("doc_id"), col("b.h1"), col("b.h2"))
+    val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val v = hs.select(explode(col("hs")).as("h"))
+      .agg(count_distinct(col("h"))).head().getLong(0)
+    val dc = bg.groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+    val per = dc.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_big"),
+        array_sort(collect_list(struct(col("h1"), col("h2"), col("c"),
+          col("c2"), col("c1")))).as("arr"))
+      .select(col("doc_id"), col("n_big"),
+        TextFunctions.portableRound(
+          (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) =>
+            acc + s.getField("c").cast("double") *
+              log2((s.getField("c2").cast("double") + lit(1.0)) /
+                (s.getField("c1") + lit(v)).cast("double")))) /
+            col("n_big").cast("double"),
+          roundTo).as("bpt2"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("bpt2"), lit(0.0)).as("bpt2"))
+  }
 }

@@ -2868,6 +2868,97 @@ object ExtensionCatalog {
         .select(col("doc_id"),
           TextFunctions.classifierProb(col("text")).as("cls_prob"))
         .withColumn("keep", col("cls_prob") >= 0.5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- Zipf-law fit (ln freq vs ln rank least squares over the
+    //      top-200 tokens): the one-row "does this crawl still look
+    //      like language" dashboard number. Sums fold rank-ordered;
+    //      ln() args are exact integers (the x67 recipe). ----
+    Q("x87_zipf_fit", Some(
+      s"""WITH tc AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents)
+         |  GROUP BY term),
+         |top AS (SELECT cnt, term FROM tc ORDER BY cnt DESC, term LIMIT 200),
+         |one AS (
+         |  SELECT list_sort(list(struct_pack(cnt := cnt, term := term)),
+         |    'DESC') AS arr FROM top),
+         |s AS (
+         |  SELECT len(arr) AS n,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, len(arr)),
+         |      i -> ln(CAST(i AS DOUBLE)))), (a, x) -> a + x) AS sx,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      t -> ln(CAST(t.cnt AS DOUBLE)))), (a, x) -> a + x) AS sy,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, len(arr)),
+         |      i -> ln(CAST(i AS DOUBLE)) * ln(CAST(arr[i].cnt AS DOUBLE)))),
+         |      (a, x) -> a + x) AS sxy,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      generate_series(1, len(arr)),
+         |      i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))),
+         |      (a, x) -> a + x) AS sxx,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      t -> ln(CAST(t.cnt AS DOUBLE)) * ln(CAST(t.cnt AS DOUBLE)))),
+         |      (a, x) -> a + x) AS syy
+         |  FROM one)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  floor((CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+         |      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END + 1000.0)
+         |    * 10000.0 + 0.5) / 10000.0 - 1000.0 AS slope,
+         |  floor((CASE WHEN n = 0 THEN 0.0
+         |      ELSE (sy - (CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+         |        ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n
+         |      END)
+         |    * 10000.0 + 0.5) / 10000.0 AS intercept,
+         |  floor((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0
+         |      THEN 0.0
+         |      ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS r2
+         |FROM s""".stripMargin),
+      (s, dir) => CorpusStats.zipfFit(t(s, dir, "documents"), "text",
+        topN = 200)),
+
+    // ---- bigram LM bits per token (add-1 smoothed, the KenLM-style
+    //      context-aware perplexity filter one step up from x67):
+    //      adjacent pairs from ONE zip_with pass, no self-join ----
+    Q("x88_bigram_bits", Some(
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(${tokSql("lower(text)")},
+         |      t -> ${h60Sql("t", 1152921504606846976L)}) AS hs
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 1, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1]))) AS b
+         |  FROM hs),
+         |bg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM bgl),
+         |c2 AS (SELECT h1, h2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT h1, count(*) AS c1 FROM bg GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT h) AS v FROM (
+         |  SELECT unnest(hs) AS h FROM hs)),
+         |dc AS (
+         |  SELECT doc_id, h1, h2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_big,
+         |    list_sort(list(struct_pack(h1 := dc.h1, h2 := dc.h2,
+         |      c := dc.c, c2 := c2.c2, c1 := c1.c1))) AS arr
+         |  FROM dc JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+         |  GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_big,
+         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+         |        t -> t.c * log2((t.c2 + 1.0) / CAST(t.c1 + v AS DOUBLE)))),
+         |        (a, x) -> a + x)) / n_big * 10000.0 + 0.5) / 10000.0 AS bpt2
+         |  FROM per, vv)
+         |SELECT d.doc_id,
+         |  coalesce(w.n_big, 0) AS n_big,
+         |  coalesce(w.bpt2, 0.0) AS bpt2
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.bigramBits(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id"))
   )
 }

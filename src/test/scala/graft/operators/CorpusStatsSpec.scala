@@ -178,4 +178,58 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(a == b)
   }
+
+  test("zipf fit recovers slope ≈ −1, r² near 1 on an exact Zipf corpus") {
+    // token w_r appears ceil(600/r) times, r = 1..50
+    val text = (1 to 50)
+      .flatMap(r => Seq.fill(math.ceil(600.0 / r).toInt)(s"w$r"))
+      .mkString(" ")
+    val row = CorpusStats.zipfFit(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", topN = 50).head()
+    assert(row.getAs[Long]("n_terms") == 50L)
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(slope > -1.1 && slope < -0.9, s"slope=$slope")
+    assert(r2 > 0.99, s"r2=$r2")
+  }
+
+  test("zipf fit: serial-numbered junk bends away from Zipf") {
+    val junk = (1 to 300).map(i => s"sn$i").mkString(" ") // flat head
+    val zipf = (1 to 50)
+      .flatMap(r => Seq.fill(math.ceil(600.0 / r).toInt)(s"w$r"))
+      .mkString(" ")
+    def fitOf(t: String) = CorpusStats.zipfFit(
+      Seq((1L, t)).toDF("doc_id", "text"), "text", topN = 50).head()
+    // a flat frequency head fits a much shallower slope
+    assert(fitOf(junk).getAs[Double]("slope") >
+      fitOf(zipf).getAs[Double]("slope") + 0.5)
+  }
+
+  test("bigram bits: hand-computed add-1 smoothed scores") {
+    val docs = Seq((1L, "a b a b"), (2L, "c c"), (3L, "only"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.bigramBits(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    // corpus: c2(a,b)=2 c2(b,a)=1 c2(c,c)=1; prefix c1(a)=2 c1(b)=1
+    // c1(c)=1; V=4 distinct unigrams (a, b, c, only)
+    // doc1: -(2·log2((2+1)/(2+4)) + 1·log2((1+1)/(1+4)))/3
+    val d1 = -(2 * (math.log(3.0 / 6) / math.log(2)) +
+      math.log(2.0 / 5) / math.log(2)) / 3
+    assert(r(1L) == ((3L, math.floor(d1 * 1e4 + 0.5) / 1e4)))
+    // doc2: -log2((1+1)/(1+4))
+    val d2 = -math.log(2.0 / 5) / math.log(2)
+    assert(r(2L) == ((1L, math.floor(d2 * 1e4 + 0.5) / 1e4)))
+    assert(r(3L) == ((0L, 0.0)), "single-token doc has no bigrams")
+    assert(r(4L) == ((0L, 0.0)), "empty doc has no bigrams")
+  }
+
+  test("bigram bits: repetitive context scores fewer bits than shuffled") {
+    val fluent = (1 to 30).map(_ => "the cat sat here").mkString(" ")
+    val soup = "the the cat here sat cat the here sat sat here cat " * 10
+    val docs = Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text")
+    val r = CorpusStats.bigramBits(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < r(2L), s"fluent=${r(1L)} soup=${r(2L)}")
+  }
 }
