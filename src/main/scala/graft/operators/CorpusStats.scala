@@ -387,4 +387,74 @@ object CorpusStats {
         coalesce(col("n_big"), lit(0L)).as("n_big"),
         coalesce(col("bpt2"), lit(0.0)).as("bpt2"))
   }
+
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * lowercased token bigrams:
+    * pmi = log2(c₂·N / (c₁ˡ(t1)·c₁ʳ(t2))), with the marginals taken
+    * from the bigram table itself (left-slot and right-slot counts),
+    * so the three counts form an exact contingency table.
+    *
+    * Scale shape: bigrams come from ONE zip_with pass per document (no
+    * self-join), then three map-side-combined hash aggregations; the
+    * `minCount` support floor cuts the c₂ table before the marginal
+    * joins, and the final top-k plans as TakeOrderedAndProject.
+    * Counts stay exact integers until one double division; the raw
+    * products are cast to double BEFORE multiplying — `c₂·N` can pass
+    * 2⁶³ on a 100 TB corpus, and both engines must overflow (not) the
+    * same way. */
+  def pmiTopK(df: DataFrame, textCol: String, minCount: Long = 5,
+              k: Int = 100, roundTo: Int = 4): DataFrame = {
+    val tk = df.select(TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val nb = greatest(size(col("tk")) - 1, lit(0))
+    val bg = tk.select(explode(zip_with(
+        slice(col("tk"), lit(1), nb), slice(col("tk"), lit(2), nb),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("b"))
+      .select(col("b.t1"), col("b.t2"))
+    val c2 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val c1l = bg.groupBy("t1").agg(count(lit(1)).as("c1l"))
+    val c1r = bg.groupBy("t2").agg(count(lit(1)).as("c1r"))
+    val n = bg.count()
+    c2.join(c1l, Seq("t1")).join(c1r, Seq("t2"))
+      .select(col("t1"), col("t2"), col("c2"),
+        TextFunctions.portableRound(
+          log2((col("c2").cast("double") * lit(n.toDouble)) /
+            (col("c1l").cast("double") * col("c1r").cast("double"))),
+          roundTo).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  /** Quality-curriculum ordering: split the corpus into `phases` bands
+    * by a score column (band 1 = highest scores) and give each row a
+    * deterministic pseudo-random position within its band — the
+    * "sorted by difficulty, shuffled within stage" layout curriculum
+    * training reads.
+    *
+    * Bands come from exact interpolated percentile CUTPOINTS, not
+    * `ntile` — ntile is a global total-order sort (one reducer at
+    * 100 TB); cutpoints are one small aggregate plus an embarrassingly
+    * parallel comparison scan (swap in `approx = true` percentiles at
+    * scale, same plan shape as [[lengthQuantiles]]). A row whose score
+    * equals a cutpoint lands in the LOWER band (strict `>` arithmetic
+    * on both engines). In-band positions order by a salted md5 of the
+    * id — partition-independent, so the "shuffle" is replayable. */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+                 phases: Int = 10): DataFrame = {
+    require(phases >= 2, "need at least 2 phases")
+    val ps = (1 until phases).map(i => lit(i.toDouble / phases))
+    val cuts = df.agg(
+      percentile(col(scoreCol).cast("double"), array(ps: _*)).as("cuts"))
+    val phase = aggregate(col("cuts"), lit(1),
+      (acc, c) => acc + when(col(scoreCol).cast("double") > c, 1)
+        .otherwise(0))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("phase", (lit(phases) + lit(1) - phase).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("phase")).orderBy(
+          TextFunctions.md5Hash60(concat(lit("curriculum:"),
+            col(idCol).cast("string"))),
+          col(idCol))))
+      .drop("cuts")
+  }
 }

@@ -538,4 +538,45 @@ object Dedup {
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), "\n").as("clean_text"))
   }
+
+  /** Asymmetric near-duplication: containment |A∩B| / min(|A|,|B|)
+    * over char n-gram SETS of candidate pairs — catches a short
+    * document EMBEDDED in a long one (quote pages, aggregators,
+    * snippet farms), which symmetric Jaccard misses because the union
+    * is dominated by the longer side.
+    *
+    * Runs only on `cands` (id_a, id_b) from an upstream blocked
+    * generator (LSH bands etc.), so the text work is O(|candidates|),
+    * never all-pairs. Grams are the long-packed char n-grams of
+    * [[ngramJaccard]] (codegen'd one pass, primitive arrays);
+    * intersection is a hash probe over two ≤doc-length arrays.
+    *
+    * Output per surviving pair: ids, set sizes, intersection size,
+    * containment (portable-rounded), and `contained_id` — the smaller
+    * set, i.e. the document that is (mostly) inside the other;
+    * size ties resolve to id_a (`<=`). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       cands: DataFrame, minContainment: Double,
+                       n: Int = 3, roundTo: Int = 4): DataFrame = {
+    val gramExpr = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.NgramsLong(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), n))
+    val grams = df.select(col(idCol).as("doc_id_"), gramExpr.as("grams"))
+    cands.select("id_a", "id_b")
+      .join(grams.select(col("doc_id_").as("id_a"),
+        col("grams").as("ga")), Seq("id_a"))
+      .join(grams.select(col("doc_id_").as("id_b"),
+        col("grams").as("gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long")
+          .as("n_inter"))
+      .withColumn("containment", TextFunctions.portableRound(
+        col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), roundTo))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained_id",
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
+  }
 }

@@ -472,4 +472,47 @@ object Similarity {
           .as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Per-group embedding centroid drift: cosine of each group's mean
+    * vector against the whole corpus's mean vector — the "is this
+    * source/shard/day pulling away from the corpus" dashboard row
+    * (complement of the token-space drift matrix in
+    * [[CorpusStats.jsDivergence]]).
+    *
+    * Determinism at any partitioning: float components are fixed-point
+    * quantized (×2²⁰, round-half-up) to longs FIRST, so the dim-wise
+    * sums are exact integer arithmetic — no float-accumulation order
+    * dependence anywhere. Cosine is scale-invariant, so it's taken
+    * directly between the integer sum vectors (the 1/n·q factors
+    * cancel); the only float work is one 64-term dot product folded in
+    * fixed dimension order. Shuffle profile: one hash aggregation on
+    * (group, dim) — rows × dims keys — then an O(groups × dims)
+    * reduce; nothing quadratic, no collect. */
+  def centroidDrift(df: DataFrame, vecCol: String, groupCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val q = lit((1L << 20).toDouble)
+    val ex = df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("grp"), col("i"),
+        floor(col("x").cast("double") * q + lit(0.5)).cast("long").as("xf"))
+    val byGrp = ex.groupBy("grp", "i")
+      .agg(sum("xf").as("s"), count(lit(1)).as("n"))
+    val glob = ex.groupBy("i").agg(sum("xf").as("gs"))
+    val arr = byGrp.join(glob, Seq("i"))
+      .groupBy("grp")
+      .agg(max("n").as("n_vecs"),
+        array_sort(collect_list(struct(col("i"), col("s"), col("gs"))))
+          .as("a"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, t) => acc + f(t))
+    val dotSG = fold(t => t.getField("s").cast("double") *
+      t.getField("gs").cast("double"))
+    val nS = sqrt(fold(t => t.getField("s").cast("double") *
+      t.getField("s").cast("double")))
+    val nG = sqrt(fold(t => t.getField("gs").cast("double") *
+      t.getField("gs").cast("double")))
+    arr.select(col("grp").as(groupCol), col("n_vecs"),
+      TextFunctions.portableRound(dotSG / (nS * nG), roundTo)
+        .as("cos_to_global"))
+  }
 }

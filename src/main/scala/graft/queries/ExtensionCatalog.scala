@@ -1,13 +1,14 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{BloomFilter, Chunking, Contamination, CorpusStats,
-  Dedup, GraphRank, IncrementalDedup, MergeUpsert, Multimodal, RangeJoin,
-  RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches, TfIdf,
-  ZOrder}
+import graft.operators.{AsOfJoin, BloomFilter, Chunking, Contamination,
+  CorpusStats, Dedup, GraphRank, IncrementalDedup, MergeUpsert, Multimodal,
+  RangeJoin, RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches,
+  TfIdf, ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -102,6 +103,20 @@ object ExtensionCatalog {
   private val CmsDepth = 4
   private val CmsWidth = 1024L
   private val CmsTopK = 50
+
+  /** x90's PMI support floor and result size. */
+  private val PmiMinCount = 5L
+  private val PmiTopK = 100
+
+  /** x92's containment threshold ("short doc mostly inside long"). */
+  private val ContainMin = 0.5
+
+  /** x93's absolute edit-distance cap — bounds the O(n·m) DP per
+    * candidate pair regardless of document length. */
+  private val EditDistMax = 400
+
+  /** x94's curriculum band count. */
+  private val CurriculumPhases = 10
 
   /** x29's deterministic window derivation: every `RangeEvery`-th event
     * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
@@ -336,6 +351,33 @@ object ExtensionCatalog {
       |  + least(1.0, (n_stop / greatest(n_tok, 1.0)) * 3.0) * 0.3
       |  + (1.0 - least(1.0, (n_punct / n_char) * 10.0)) * 0.2
       |  + (1.0 - (n_upper / n_char)) * 0.1) * 10000.0 + 0.5) / 10000.0""".stripMargin
+
+  /** mirrors TextFunctions.classifierProb: CTE chain ending in
+    * `cp(doc_id, cls_prob)` — shared by x86, x91 and x94 so the frozen
+    * model weights cannot drift between oracles. */
+  private def classifierCtes(src: String): String = {
+    val w = TextFunctions.ClassifierW.toMap
+    s"""cf AS (
+       |  SELECT doc_id, $qualityStatsSql,
+       |    CAST(coalesce(length(array_to_string(${tokSql("text")}, '')), 0)
+       |      AS DOUBLE) AS sum_tok_len
+       |  FROM $src),
+       |cz AS (
+       |  SELECT doc_id,
+       |    (${TextFunctions.ClassifierBias}
+       |     + ${w("log_n_tok")} * ln(n_tok + 1.0)
+       |     + ${w("stop_ratio")} * (n_stop / greatest(n_tok, 1.0))
+       |     + ${w("punct_per_char")} * (n_punct / n_char)
+       |     + ${w("upper_per_char")} * (n_upper / n_char)
+       |     + ${w("mean_tok_len")} * (sum_tok_len / greatest(n_tok, 1.0)))
+       |      AS z
+       |  FROM cf),
+       |cp AS (
+       |  SELECT doc_id,
+       |    floor(1.0 / (1.0 + exp(0.0 - z)) * 10000.0 + 0.5) / 10000.0
+       |      AS cls_prob
+       |  FROM cz)""".stripMargin
+  }
 
   /** mirrors TextFunctions.langId: (hit-count columns, best expression,
     * CASE arms) — shared by x04 and x31. */
@@ -2839,31 +2881,10 @@ object ExtensionCatalog {
     //      DCLM-style "reads like reference text" gate): scan-time
     //      features → frozen linear model → sigmoid; weights are one
     //      set of Scala literals shared with the oracle ----
-    Q("x86_quality_classifier", Some({
-      val w = TextFunctions.ClassifierW.toMap
-      s"""WITH f AS (
-         |  SELECT doc_id, $qualityStatsSql,
-         |    CAST(coalesce(length(array_to_string(${tokSql("text")}, '')), 0)
-         |      AS DOUBLE) AS sum_tok_len
-         |  FROM documents),
-         |z AS (
-         |  SELECT doc_id,
-         |    (${TextFunctions.ClassifierBias}
-         |     + ${w("log_n_tok")} * ln(n_tok + 1.0)
-         |     + ${w("stop_ratio")} * (n_stop / greatest(n_tok, 1.0))
-         |     + ${w("punct_per_char")} * (n_punct / n_char)
-         |     + ${w("upper_per_char")} * (n_upper / n_char)
-         |     + ${w("mean_tok_len")} * (sum_tok_len / greatest(n_tok, 1.0)))
-         |      AS z
-         |  FROM f),
-         |p AS (
-         |  SELECT doc_id,
-         |    floor(1.0 / (1.0 + exp(0.0 - z)) * 10000.0 + 0.5) / 10000.0
-         |      AS cls_prob
-         |  FROM z)
+    Q("x86_quality_classifier", Some(
+      s"""WITH ${classifierCtes("documents")}
          |SELECT doc_id, cls_prob, cls_prob >= 0.5 AS keep
-         |FROM p ORDER BY doc_id""".stripMargin
-    }),
+         |FROM cp ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.classifierProb(col("text")).as("cls_prob"))
@@ -2959,6 +2980,292 @@ object ExtensionCatalog {
          |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => CorpusStats.bigramBits(t(s, dir, "documents"),
-        "doc_id", "text").orderBy("doc_id"))
+        "doc_id", "text").orderBy("doc_id")),
+
+    // ---- generic backward as-of join (union + one keyed window pass,
+    //      zero row amplification — see operators.AsOfJoin): each
+    //      purchase event picks up the user's most recent prior view.
+    //      The oracle is the NAIVE inequality join + keep-latest — an
+    //      independent O(L·R-per-key) formulation of the same
+    //      semantics. ----
+    Q("x89_asof_join", Some(
+      """WITH e AS (
+        |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms, user_id,
+        |         event_type, value
+        |  FROM events),
+        |al AS (SELECT event_id, user_id, ms FROM e
+        |       WHERE event_type = 'purchase'),
+        |ar AS (SELECT event_id, user_id, ms, value FROM e
+        |       WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT al.event_id, al.user_id, al.ms,
+        |         ar.event_id AS asof_event_id, ar.value AS asof_value,
+        |         ar.ms AS asof_ms,
+        |         row_number() OVER (PARTITION BY al.event_id
+        |           ORDER BY ar.ms DESC, ar.event_id DESC) AS rn
+        |  FROM al LEFT JOIN ar
+        |    ON ar.user_id = al.user_id AND ar.ms <= al.ms)
+        |SELECT event_id, user_id, ms, asof_event_id, asof_value,
+        |       ms - asof_ms AS gap_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val e = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), unix_millis(col("ts")).as("ms"),
+            col("user_id"), col("event_type"), col("value"))
+        val l = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ms")
+        val r = e.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ms", "value")
+        AsOfJoin.asOf(l, r, keys = Seq("user_id"), leftTs = "ms",
+            rightTs = "ms", tieCol = "event_id",
+            payload = Seq("event_id", "value", "ms"))
+          .select(col("event_id"), col("user_id"), col("ms"),
+            col("asof_event_id"), col("asof_value"),
+            (col("ms") - col("asof_ms")).as("gap_ms"))
+          .orderBy("event_id")
+      }),
+
+    // ---- PMI collocations: the phrase-mining / tokenizer-seeding
+    //      report. Counts stay exact integers to the last division. ----
+    Q("x90_pmi_topk", Some(
+      s"""WITH tkn AS (
+         |  SELECT ${tokSql("lower(text)")} AS tk FROM documents),
+         |bgl AS (
+         |  SELECT unnest(list_transform(
+         |    generate_series(1, greatest(len(tk) - 1, 0)),
+         |    i -> struct_pack(t1 := tk[i], t2 := tk[i + 1]))) AS b
+         |  FROM tkn),
+         |bg AS (SELECT b.t1 AS t1, b.t2 AS t2 FROM bgl),
+         |p2 AS (SELECT t1, t2, count(*) AS c2 FROM bg GROUP BY 1, 2
+         |       HAVING count(*) >= $PmiMinCount),
+         |p1l AS (SELECT t1, count(*) AS c1l FROM bg GROUP BY 1),
+         |p1r AS (SELECT t2, count(*) AS c1r FROM bg GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM bg)
+         |SELECT t1, t2, c2,
+         |  floor(log2((CAST(c2 AS DOUBLE) * n) /
+         |    (CAST(c1l AS DOUBLE) * CAST(c1r AS DOUBLE)))
+         |    * 10000.0 + 0.5) / 10000.0 AS pmi
+         |FROM p2 JOIN p1l USING (t1) JOIN p1r USING (t2), nn
+         |ORDER BY pmi DESC, t1, t2 LIMIT $PmiTopK""".stripMargin),
+      (s, dir) => CorpusStats.pmiTopK(t(s, dir, "documents"), "text",
+        minCount = PmiMinCount, k = PmiTopK)),
+
+    // ---- quality-aware cluster representatives: near-dup dedup that
+    //      keeps the BEST document per cluster (by the x86 classifier),
+    //      not the smallest id — what a curation pipeline actually
+    //      ships. Deterministic argmax: prob desc, then id. ----
+    Q("x91_keep_best", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |lab AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |${classifierCtes("documents")},
+         |rk AS (
+         |  SELECT l.cluster_id, l.doc_id, p.cls_prob,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY p.cls_prob DESC, l.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS nm
+         |  FROM lab l JOIN cp p USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_doc_id,
+         |  CAST(nm AS BIGINT) AS n_members, cls_prob AS best_prob
+         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, dir) => {
+        val probs = t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        val m = docClusters(s, dir).join(probs, Seq("doc_id"))
+        val reps = m.withColumn("rn", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(col("cls_prob").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+        val cnt = m.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"))
+        reps.join(cnt, Seq("cluster_id"))
+          .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+            col("n_members"), col("cls_prob").as("best_prob"))
+          .orderBy("cluster_id")
+      }),
+
+    // ---- asymmetric containment over LSH candidates: |A∩B|/min —
+    //      the "short doc embedded in long doc" detector symmetric
+    //      Jaccard misses. Gram sets identical to the oracle's string
+    //      grams by NgramsLong's bijective packing. ----
+    Q("x92_containment", Some(
+      s"""WITH ${minhashPairsSql()},
+         |gset AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents),
+         |px AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(ga.grams) AS n_a, len(gb.grams) AS n_b,
+         |    len(list_intersect(ga.grams, gb.grams)) AS n_inter
+         |  FROM cand c
+         |  JOIN gset ga ON c.id_a = ga.doc_id
+         |  JOIN gset gb ON c.id_b = gb.doc_id),
+         |cx AS (
+         |  SELECT id_a, id_b,
+         |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |    CAST(n_inter AS BIGINT) AS n_inter,
+         |    floor(CAST(n_inter AS DOUBLE) /
+         |      CAST(least(n_a, n_b) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |      AS containment,
+         |    CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id
+         |  FROM px)
+         |SELECT * FROM cx WHERE containment >= $ContainMin
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", lshCands(s, dir), ContainMin)
+        .orderBy("id_a", "id_b")),
+
+    // ---- edit-distance-verified near-dups: character-level Levenshtein
+    //      over LSH candidates (threshold'd DP — bounded cost per pair),
+    //      the strictest verifier in the family; both engines implement
+    //      classic unit-cost edit distance. ----
+    Q("x93_editdist_neardup", Some(
+      s"""WITH ${minhashPairsSql()}
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         |  floor((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(length(da.text), length(db.text), 1))
+         |    * 10000.0 + 0.5) / 10000.0 AS edit_sim
+         |FROM cand c
+         |JOIN documents da ON c.id_a = da.doc_id
+         |JOIN documents db ON c.id_b = db.doc_id
+         |WHERE c.est_jaccard >= 0.25
+         |  AND levenshtein(da.text, db.text) <= $EditDistMax
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        lshCands(s, dir).filter(col("est_jaccard") >= 0.25)
+          .join(docs.select(col("doc_id").as("id_a"),
+            col("text").as("ta")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"),
+            col("text").as("tb")), Seq("id_b"))
+          .withColumn("dist",
+            levenshtein(col("ta"), col("tb"), EditDistMax).cast("long"))
+          .filter(col("dist") >= 0)
+          .select(col("id_a"), col("id_b"), col("dist"),
+            TextFunctions.portableRound(
+              lit(1.0) - col("dist").cast("double") /
+                greatest(length(col("ta")), length(col("tb")), lit(1))
+                  .cast("double"), 4).as("edit_sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- quality-curriculum ordering: percentile-cutpoint bands (no
+    //      global ntile sort) + deterministic in-band shuffle ----
+    Q("x94_curriculum", Some({
+      val qs = (1 until CurriculumPhases)
+        .map(i => s"quantile_cont(cls_prob, ${i.toDouble / CurriculumPhases})")
+        .mkString("[", ", ", "]")
+      s"""WITH ${classifierCtes("documents")},
+         |cuts AS (SELECT $qs AS cs FROM cp),
+         |ph AS (
+         |  SELECT p.doc_id,
+         |    CAST($CurriculumPhases -
+         |      len(list_filter(c.cs, x -> p.cls_prob > x)) AS INT) AS phase
+         |  FROM cp p, cuts c)
+         |SELECT doc_id, phase,
+         |  CAST(row_number() OVER (PARTITION BY phase ORDER BY
+         |    ('0x' || substr(md5('curriculum:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15))::BIGINT, doc_id) AS INT) AS pos
+         |FROM ph ORDER BY doc_id""".stripMargin
+    }),
+      (s, dir) => {
+        val probs = t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        CorpusStats.curriculum(probs, "doc_id", "cls_prob",
+            phases = CurriculumPhases)
+          .select(col("doc_id"), col("phase"), col("pos"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- ANN index quality: recall@10 of the sign-LSH index against
+    //      the exact top-10 per query — the dashboard row that decides
+    //      whether the 100 TB index needs more planes/probes ----
+    Q("x95_ann_recall", Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS eid, embedding AS ev,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings WHERE vec_id < 5),
+         |qp AS (
+         |  SELECT qid, qv, unnest(list_concat([bucket],
+         |    list_transform(generate_series(0, 7),
+         |      p -> xor(bucket, 1::BIGINT << p)))) AS bucket
+         |  FROM q0),
+         |acand AS (
+         |  SELECT DISTINCT qid, eid, ${cosineSql("qv", "ev")} AS sim
+         |  FROM qp JOIN c USING (bucket)),
+         |approx AS (
+         |  SELECT qid, eid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn FROM acand)
+         |  WHERE rn <= 10),
+         |esims AS (
+         |  SELECT q0.qid, c.eid, ${cosineSql("q0.qv", "c.ev")} AS sim
+         |  FROM q0, c),
+         |ex AS (
+         |  SELECT qid, eid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn FROM esims)
+         |  WHERE rn <= 10)
+         |SELECT ex.qid, count(a.eid) AS n_hit,
+         |  floor(count(a.eid) / 10.0 * 10000.0 + 0.5) / 10000.0 AS recall
+         |FROM ex LEFT JOIN approx a USING (qid, eid)
+         |GROUP BY ex.qid ORDER BY qid""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(q, emb, "vec_id",
+          "embedding", k = 10).select("qid", "eid")
+        val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding",
+            k = 10, planes = 8)
+          .select(col("qid"), col("eid"), lit(1).as("hit"))
+        exact.join(approx, Seq("qid", "eid"), "left")
+          .groupBy("qid")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            TextFunctions.portableRound(
+              col("n_hit").cast("double") / 10.0, 4).as("recall"))
+          .orderBy("qid")
+      }),
+
+    // ---- per-label embedding centroid drift vs the corpus centroid:
+    //      fixed-point integer sums (order-independent), cosine on the
+    //      raw sum vectors (scale invariance cancels 1/nq) ----
+    Q("x96_centroid_drift", Some(
+      """WITH ex AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT) AS xf
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |bl AS (SELECT label, i, sum(xf) AS s, count(*) AS n
+        |       FROM ex GROUP BY 1, 2),
+        |gl AS (SELECT i, sum(xf) AS gs FROM ex GROUP BY 1),
+        |ar AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    list_sort(list(struct_pack(i := i, s := s, gs := gs))) AS a
+        |  FROM bl JOIN gl USING (i) GROUP BY label)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  floor(
+        |    list_reduce(list_prepend(0.0, list_transform(a,
+        |      t -> CAST(t.s AS DOUBLE) * CAST(t.gs AS DOUBLE))),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(a,
+        |         t -> CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))),
+        |         (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(a,
+        |         t -> CAST(t.gs AS DOUBLE) * CAST(t.gs AS DOUBLE))),
+        |         (x, y) -> x + y)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS cos_to_global
+        |FROM ar ORDER BY label""".stripMargin),
+      (s, dir) => Similarity.centroidDrift(t(s, dir, "embeddings"),
+        "embedding", "label").orderBy("label"))
   )
 }

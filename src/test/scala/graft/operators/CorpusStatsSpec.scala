@@ -232,4 +232,39 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(r(1L) < r(2L), s"fluent=${r(1L)} soup=${r(2L)}")
   }
+
+  test("pmi: collocation outranks independent pair; support floor holds") {
+    // "san francisco" always adjacent; "the" pairs with everything
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "the san francisco fog meets the bay area chill")) ++
+      Seq((11L, "the fog the bay the chill san jose"))
+    val out = CorpusStats.pmiTopK(docs.toDF("doc_id", "text"), "text",
+      minCount = 5, k = 50).collect()
+    val pmi = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(pmi.contains(("san", "francisco")))
+    assert(pmi(("san", "francisco")) > pmi(("the", "bay")),
+      "deterministic collocation must outrank a promiscuous token pair")
+    // ("san","jose") occurs once — below minCount, must be absent
+    assert(!pmi.contains(("san", "jose")))
+  }
+
+  test("curriculum: bands by score cutpoints, positions dense per band") {
+    val rows = (1 to 100).map(i => (i.toLong, i.toDouble / 100))
+    val out = CorpusStats.curriculum(rows.toDF("id", "score"),
+      "id", "score", phases = 4).collect()
+    val phase = out.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // score 1.00 → band 1; score 0.01 → band 4
+    assert(phase(100L) == 1 && phase(1L) == 4)
+    // exact cutpoint (p25 of 1..100/100) belongs to the LOWER band
+    assert(phase(26L) == 4 || phase(26L) == 3) // boundary sanity
+    // monotone: higher score never lands in a later band
+    val sorted = out.sortBy(r => -r.getDouble(1)).map(_.getInt(2))
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // positions are a 1..n permutation within each band
+    out.groupBy(_.getInt(2)).foreach { case (_, rs) =>
+      val ps = rs.map(_.getInt(3)).sorted
+      assert(ps.toSeq == (1 to rs.length).toSeq)
+    }
+  }
 }

@@ -193,4 +193,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshDroppedBuckets(docs, "doc_id", "text",
       maxBucket = 1000).collect().isEmpty)
   }
+
+  test("containment: embedded doc scores ~1.0 where jaccard stays low") {
+    val short = "the quick brown fox jumps over the lazy dog tonight"
+    val long = short + " " + (1 to 40).map(i => s"filler sentence $i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally unrelated words"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", cands,
+      minContainment = 0.9).collect()
+    assert(out.length == 1, "unrelated pair must not survive the threshold")
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") >= 0.99)
+    assert(r.getAs[Long]("contained_id") == 1L, "short doc is the contained one")
+    // the same pair's Jaccard is far below near-dup thresholds — the
+    // asymmetric signal is real, not a re-labeled jaccard
+    assert(r.getAs[Long]("n_inter").toDouble /
+      (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
+        r.getAs[Long]("n_inter")) < 0.35)
+  }
 }

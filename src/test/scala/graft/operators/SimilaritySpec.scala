@@ -190,4 +190,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(!$"keep").count() == 0)
     assert(out.count() == emb.count())
   }
+
+  test("centroidDrift: aligned group → cos 1.0, opposed group lower") {
+    // group A: all vectors along +e1 (the corpus mean points +e1 too);
+    // group B: along -e1 → cosine with the global centroid is negative
+    val rows =
+      (1 to 6).map(i => ("a", Array(1.0f * i, 0f, 0f))) ++
+      (1 to 2).map(i => ("b", Array(-0.5f * i, 0f, 0f)))
+    val out = Similarity.centroidDrift(
+        rows.toDF("src", "embedding"), "embedding", "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a")._1 == 6L && out("b")._1 == 2L)
+    assert(out("a")._2 == 1.0, s"aligned group: ${out("a")._2}")
+    assert(out("b")._2 == -1.0, s"opposed group: ${out("b")._2}")
+  }
+
+  test("centroidDrift is invariant to input partitioning/order") {
+    val rows = (1 to 40).map(i =>
+      (s"g${i % 4}", Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6) / 3.0f)))
+    val df = rows.toDF("src", "embedding")
+    val a = Similarity.centroidDrift(df, "embedding", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val b = Similarity.centroidDrift(df.repartition(7).sortWithinPartitions(
+        org.apache.spark.sql.functions.rand(99)), "embedding", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a == b, "fixed-point sums must kill float-order dependence")
+  }
 }
