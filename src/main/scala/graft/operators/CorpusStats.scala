@@ -457,4 +457,107 @@ object CorpusStats {
           col(idCol))))
       .drop("cuts")
   }
+
+  /** Per-document Shannon entropy (bits) of the WITHIN-document token
+    * distribution — the repetition-collapse detector one step finer
+    * than [[Dedup.lineRepetition]]: a doc that loops a 5-word phrase
+    * has near-zero entropy however long it grows, while natural prose
+    * tracks log2 of its vocabulary.
+    *
+    * entropy = log2(n) − (Σ c·log2 c)/n over per-doc token counts c —
+    * the counts stay exact integers; the one float fold runs over the
+    * HASH-SORTED count list (the [[unigramBits]] determinism recipe),
+    * so the result is identical at any partitioning and in any engine.
+    *
+    * Scale shape: one token scan, then a (doc, hash) aggregation whose
+    * key count is docs × per-doc DISTINCT tokens (bounded by doc
+    * length), then a per-doc fold — no corpus-global state at all, so
+    * the operator is embarrassingly parallel at any corpus size. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String,
+                   roundTo: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("term")).as("h"))
+    val dc = toks.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val per = dc.groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        array_sort(collect_list(struct(col("h"), col("c")))).as("arr"))
+      .select(col("doc_id"), col("n_tok"),
+        TextFunctions.portableRound(
+          log2(col("n_tok").cast("double")) -
+            aggregate(col("arr"), lit(0.0), (acc, s) =>
+              acc + s.getField("c").cast("double") *
+                log2(s.getField("c").cast("double"))) /
+              col("n_tok").cast("double"),
+          roundTo).as("entropy"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
+  /** Distinct-n diversity per group (Li et al. 2016's distinct-n,
+    * computed per source): unique token n-grams / total token n-grams.
+    * The metric synthetic-data pipelines watch to catch mode collapse —
+    * a generator looping templates shows a falling ratio long before
+    * loss moves.
+    *
+    * N-grams enumerate inside the row (`transform` over an index
+    * sequence — no explode-then-self-join), keyed by 60-bit md5 of the
+    * space-joined window so the distinct aggregation shuffles 8-byte
+    * keys, not strings. Exact distinct via the (grp, h) pre-aggregation
+    * — two hash shuffles total; swap the inner one for a KMV sketch
+    * ([[Sketches]]) when exact counts stop mattering at 100 TB. */
+  def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
+                     n: Int = 3, roundTo: Int = 4): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val tk = df.select(col(groupCol).as("grp"),
+      TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val grams = tk.select(col("grp"), explode(
+        when(size(col("t")) >= n, transform(
+          sequence(lit(1), size(col("t")) - lit(n - 1)),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("t"), i, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as("h"))
+    grams.groupBy("grp", "h").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum(col("c")).cast("long").as("n_ngrams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("grp").as(groupCol), col("n_ngrams"), col("n_distinct"),
+        TextFunctions.portableRound(
+          col("n_distinct").cast("double") /
+            greatest(col("n_ngrams"), lit(1L)).cast("double"),
+          roundTo).as("distinct_ratio"))
+  }
+
+  /** Gini coefficient of token mass across groups — the one-number
+    * "how concentrated is my training mix" report (0 = perfectly even
+    * sources, →1 = one source holds everything). Governance dashboards
+    * pair this with [[jsDivergence]]'s pairwise drift matrix.
+    *
+    * gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over groups ranked ascending by
+    * token count (ties broken by group name). Everything stays exact
+    * integer arithmetic until the single final division. The global
+    * rank window runs over ONE ROW PER GROUP after a map-side-combined
+    * aggregation — group cardinality (sources, languages, shards) is
+    * small by construction, so the single-partition window is O(groups),
+    * never O(rows). */
+  def tokenGini(df: DataFrame, groupCol: String, textCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val cnt = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).cast("long")
+        .as("tok"))
+    val ranked = cnt.withColumn("i",
+      row_number().over(Window.orderBy(col("tok"), col("grp"))))
+    ranked.agg(count(lit(1)).as("n_groups"),
+        sum(col("tok")).cast("long").as("total_tok"),
+        sum((lit(2) * col("i").cast("long") - lit(1)) * col("tok"))
+          .cast("long").as("wsum"))
+      .select(col("n_groups"), col("total_tok"),
+        TextFunctions.portableRound(
+          (col("wsum") - col("n_groups") * col("total_tok")).cast("double") /
+            (col("n_groups") * col("total_tok")).cast("double"),
+          roundTo).as("gini"))
+  }
 }

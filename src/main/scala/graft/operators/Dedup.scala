@@ -579,4 +579,49 @@ object Dedup {
       .withColumn("contained_id",
         when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
   }
+
+  /** Corpus-wide FIRST-OCCURRENCE line deduplication — the Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * keep-one policy at line granularity: every later occurrence of a
+    * line already seen earlier in the corpus (order = (doc_id, pos)) is
+    * removed; exactly one copy survives. Complements
+    * [[lineBoilerplate]], whose doc-frequency rule strips ALL copies of
+    * frequent lines and none of rare ones — keep-first removes the
+    * copies but preserves the content itself.
+    *
+    * Scale shape: lines reduce to 60-bit domain-separated md5 hashes at
+    * scan time; choosing the survivor is ONE window pass partitioned by
+    * hash (each partition holds only the copies of one line — bounded
+    * by that line's corpus frequency, the same skew bound as any keyed
+    * window; a pathological universal line is exactly what
+    * [[lineBoilerplate]] strips first in a production funnel). Blank
+    * lines hash on (doc, pos) so each is its own partition — always
+    * kept, never a hot key. Reassembly is the [[lineBoilerplate]]
+    * per-doc struct sort.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text) for every input
+    * row; clean_text = surviving lines joined by '\n' in original
+    * order. */
+  def keepFirstLines(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h",
+        when(length(trim(col("line"))) > 0,
+          TextFunctions.md5Hash60(concat(lit("line:"), col("line"))))
+          .otherwise(TextFunctions.md5Hash60(concat(lit("blank:"),
+            col("doc_id").cast("string"), lit(":"),
+            col("pos").cast("string")))))
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    lines.withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
 }

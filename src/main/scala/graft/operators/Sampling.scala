@@ -236,4 +236,42 @@ object Sampling {
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("logw"), lit(0.0)).as("logw"))
   }
+
+  /** Weighted sampling WITHOUT replacement, one pass, no replay:
+    * Efraimidis–Spirakis priority sampling (A-ES, 2006). Each row gets
+    * key = −ln(u)/w with u ~ U(0,1] derived from the salted md5 of its
+    * id; the k SMALLEST keys are exactly a weight-proportional
+    * without-replacement sample — higher weight ⇒ stochastically
+    * smaller key.
+    *
+    * Against the alternatives at 100 TB: rejection sampling replays the
+    * scan an unbounded number of times; a global `rand()` sort is
+    * nondeterministic AND a full shuffle. This is one scan + a
+    * TakeOrderedAndProject (per-partition heaps of k, driver merges
+    * k × partitions rows) — and because u is a pure function of the id,
+    * the sample is replayable on retries/restarts, the property every
+    * other sampler in this file is built around.
+    *
+    * Weights clamp to ≥ 1 (zero/negative weights would send the key to
+    * ±∞). Keys are portable-rounded and ties break by id, so the
+    * selected SET is stable across engines up to documented rounding.
+    * Output: the k winners with their weight, key, and 1-based rank. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val u = (TextFunctions.md5Hash60(concat(lit("prio:"),
+      col(idCol).cast("string"))).cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60: u in (0, 1]
+    val key = TextFunctions.portableRound(
+      (lit(0.0) - log(u)) /
+        greatest(col(weightCol).cast("double"), lit(1.0)),
+      roundTo)
+    val top = df.select(col(idCol).as("doc_id"),
+        col(weightCol).cast("long").as("weight"), key.as("prio_key"))
+      .orderBy(col("prio_key"), col("doc_id"))
+      .limit(k)
+    // rank window runs over the k survivors only
+    top.withColumn("rn", row_number().over(
+      Window.orderBy(col("prio_key"), col("doc_id"))).cast("int"))
+  }
 }

@@ -515,4 +515,36 @@ object Similarity {
       TextFunctions.portableRound(dotSG / (nS * nG), roundTo)
         .as("cos_to_global"))
   }
+
+  /** Hard-negative mining for contrastive training: per query, the k
+    * nearest corpus vectors carrying a DIFFERENT label — the "looks
+    * similar, means different" rows a retriever/embedding trainer wants
+    * as negatives (same-label neighbors are positives, not negatives,
+    * so they're excluded at the join, not post-filtered from the
+    * top-k — otherwise a query inside a dense same-label cluster gets
+    * fewer than k negatives).
+    *
+    * Same execution shape as [[bruteForceTopK]]: queries broadcast, the
+    * corpus never shuffles, dot products codegen'd, the label predicate
+    * evaluated as the BNL join residual. At 100 TB swap the corpus scan
+    * for the IVF/PQ path ([[ivfTopK]]) with label as a probe-time
+    * filter — the semantics here are the oracle for that index. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    roundTo: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(labelCol).as("qlabel"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm")))
+    val c = corpus.select(col(idCol).as("eid"),
+      col(labelCol).as("elabel"), col(vecCol).as("ev"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("enorm"))
+    val sims = c.join(q, col("qlabel") =!= col("elabel"))
+      .select(col("qid"), col("eid"), col("elabel"),
+        round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")),
+          roundTo).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
 }

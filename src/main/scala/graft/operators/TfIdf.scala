@@ -109,4 +109,69 @@ object TfIdf {
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rn", row_number().over(w).cast("int"))
   }
+
+  /** Ranked retrieval by plain tf·idf over a fixed query — the second
+    * scorer of the hybrid-retrieval pair (BM25 saturates tf and
+    * length-normalizes; raw tf·idf rewards repetition). score =
+    * Σ_t tf(t,d) · (N / df_t) with the log-free idf of [[topTerms]]:
+    * exact integers until one division per term, so ranks can never
+    * flip on libm rounding. Docs matching no term are absent (score 0).
+    * Same plan shape as [[bm25TopK]] minus the length table. */
+  def queryScoreTopK(df: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int = 20,
+                     roundTo: Int = 4): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val nDocs = df.count()
+    require(nDocs > 0, "tfidf: empty corpus")
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val tf = toks.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val dfRow = tf.select(queryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*).head()
+    val score = queryTerms.indices.map { i =>
+      val dfT = if (dfRow.isNullAt(i)) 0L else dfRow.getLong(i)
+      if (dfT == 0L) lit(0.0)
+      else col(s"tf$i").cast("double") * lit(nDocs.toDouble / dfT)
+    }.reduce(_ + _)
+    val scored = tf
+      .withColumn("score", TextFunctions.portableRound(score, roundTo))
+      .select(col("doc_id"), col("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists:
+    * fused(d) = Σ_r 1/(c + rank_r(d)), summing over the lists that
+    * rank d (absent ⇒ contributes 0). The standard way RAG stacks
+    * combine a lexical ranker with a second signal without score
+    * calibration — only RANKS enter, so the two scorers' scales never
+    * meet.
+    *
+    * Both inputs are top-k tables ((id, rn)), i.e. k-row frames by
+    * construction — the fusion join, sort, and re-rank all run on
+    * O(k) rows regardless of corpus size; the heavy lifting happened
+    * inside the rankers. The fused sum is a fixed-order two-term fold
+    * of exact-integer reciprocals — deterministic on any engine. */
+  def rrfFusion(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+                c: Int = 60, roundTo: Int = 6): DataFrame = {
+    val fa = a.select(col(idCol).as("doc_id"), col("rn").as("rn_a"))
+    val fb = b.select(col(idCol).as("doc_id"), col("rn").as("rn_b"))
+    val fused = fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rn_a").cast("int"),
+        col("rn_b").cast("int"),
+        TextFunctions.portableRound(
+          coalesce(lit(1.0) / (lit(c) + col("rn_a")).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rn_b")).cast("double"),
+            lit(0.0)),
+          roundTo).as("rrf"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+  }
 }

@@ -118,6 +118,27 @@ object ExtensionCatalog {
   /** x94's curriculum band count. */
   private val CurriculumPhases = 10
 
+  /** x98's priority-sample size. */
+  private val PrioK = 100
+
+  /** x99's synthetic shared lines (keep-first needs multi-line docs and
+    * corpus-wide repeats; the natural texts are single-line). Shared by
+    * the Spark closure and the oracle SQL — one edit point. */
+  private val KeepFirstHeader = "begin log excerpt"
+  private val KeepFirstFooterEven = "all rights reserved"
+  private val KeepFirstFooterOdd = "privacy policy"
+
+  /** x101's hard-negative depth (queries = vec_id < 5, as x08). */
+  private val HardNegK = 10
+
+  /** x102's distinct-n diversity order. */
+  private val DistinctN = 3
+
+  /** x103's reciprocal-rank-fusion constant and result size (ranker
+    * depth is x63's 20). */
+  private val RrfC = 60
+  private val RrfK = 10
+
   /** x29's deterministic window derivation: every `RangeEvery`-th event
     * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
     * by the SQL string and the Spark closure (one edit point — the
@@ -142,6 +163,65 @@ object ExtensionCatalog {
   private val Bm25Terms = Seq("merge", "vector", "spark")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** x63's BM25 scored CTE chain (`dl` … `scored(doc_id, score)`) —
+    * shared by the x63 oracle and the x103 fusion oracle so the scorer
+    * cannot drift between them. */
+  private def bm25ScoredSql: String = {
+    val ts = Bm25Terms
+    val tfCols = ts.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
+    val dfCols = ts.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val idfCols = ts.indices.map(i =>
+      s"floor(ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf$i")
+      .mkString(",\n    ")
+    val parts = ts.indices.map(i =>
+      s"idf$i * (tf$i * ${Bm25K1 + 1.0}) / (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))")
+      .mkString("\n      + ")
+    s"""dl AS (
+       |  SELECT doc_id, CAST(len(${tokSql("lower(text)")}) AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+       |tk AS (SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, $tfCols
+       |  FROM tk WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id),
+       |dfs AS (SELECT $dfCols FROM tf),
+       |idf AS (
+       |  SELECT $idfCols
+       |  FROM dfs, st),
+       |scored AS (
+       |  SELECT doc_id,
+       |    floor(($parts) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM tf JOIN dl USING (doc_id), idf, st)""".stripMargin
+  }
+
+  /** The x103 second ranker's scored CTE chain (log-free tf·idf,
+    * mirroring [[TfIdf.queryScoreTopK]]): CTE names suffixed `x` so the
+    * chain composes with [[bm25ScoredSql]] in one WITH. */
+  private def tfidfScoredSql: String = {
+    val ts = Bm25Terms
+    val tfCols = ts.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
+    val dfCols = ts.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val parts = ts.indices.map(i =>
+      s"CASE WHEN df$i = 0 THEN 0.0 ELSE tf$i * (n * 1.0 / df$i) END")
+      .mkString("\n      + ")
+    s"""nx AS (SELECT count(*) AS n FROM documents),
+       |tkx AS (SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term FROM documents),
+       |tfx AS (
+       |  SELECT doc_id, $tfCols
+       |  FROM tkx WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id),
+       |dfx AS (SELECT $dfCols FROM tfx),
+       |scoredx AS (
+       |  SELECT doc_id,
+       |    floor(($parts) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM tfx, dfx, nx)""".stripMargin
+  }
 
   /** x64's DSIR hashed-feature space (buckets of the unigram hash). */
   private val DsirBuckets = 1024
@@ -2135,42 +2215,13 @@ object ExtensionCatalog {
     //      score sum — no aggregation-order float sums), driver-side
     //      round-6 idf, round-4 score before ranking. The oracle
     //      recomputes N/avgdl/df/idf from the same integers. ----
-    Q("x63_bm25_topk", {
-      val ts = Bm25Terms
-      val tfCols = ts.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i" }.mkString(", ")
-      val dfCols = ts.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
-      val idfCols = ts.indices.map(i =>
-        s"floor(ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf$i")
-        .mkString(",\n    ")
-      val parts = ts.indices.map(i =>
-        s"idf$i * (tf$i * ${Bm25K1 + 1.0}) / (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))")
-        .mkString("\n      + ")
-      Some(
-        s"""WITH dl AS (
-           |  SELECT doc_id, CAST(len(${tokSql("lower(text)")}) AS BIGINT) AS dl
-           |  FROM documents),
-           |st AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
-           |tk AS (SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term FROM documents),
-           |tf AS (
-           |  SELECT doc_id, $tfCols
-           |  FROM tk WHERE term IN (${ts.map(t => s"'$t'").mkString(", ")})
-           |  GROUP BY doc_id),
-           |dfs AS (SELECT $dfCols FROM tf),
-           |idf AS (
-           |  SELECT $idfCols
-           |  FROM dfs, st),
-           |scored AS (
-           |  SELECT doc_id,
-           |    floor(($parts) * 10000.0 + 0.5) / 10000.0 AS score
-           |  FROM tf JOIN dl USING (doc_id), idf, st)
-           |SELECT doc_id, score, rn FROM (
-           |  SELECT doc_id, score,
-           |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
-           |  FROM scored)
-           |WHERE rn <= 20 ORDER BY rn""".stripMargin)
-    },
+    Q("x63_bm25_topk", Some(
+      s"""WITH $bm25ScoredSql
+         |SELECT doc_id, score, rn FROM (
+         |  SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin),
       (s, dir) => TfIdf.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B)),
 
@@ -3267,5 +3318,248 @@ object ExtensionCatalog {
         |FROM ar ORDER BY label""".stripMargin),
       (s, dir) => Similarity.centroidDrift(t(s, dir, "embeddings"),
         "embedding", "label").orderBy("label"))
+  ,
+
+    // ---- within-document token entropy: the repetition-collapse
+    //      detector (loops/templates → near-zero bits however long the
+    //      doc); counts stay integer, the one float fold runs over the
+    //      hash-sorted list on both engines ----
+    Q("x97_token_entropy", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${h60Sql("t", 1152921504606846976L)} AS h FROM (
+         |    SELECT doc_id, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)),
+         |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |    list_sort(list(struct_pack(h := h, c := c))) AS arr
+         |  FROM dc GROUP BY doc_id),
+         |w AS (
+         |  SELECT doc_id, n_tok,
+         |    floor((log2(n_tok) -
+         |        list_reduce(list_prepend(0.0, list_transform(arr,
+         |          s -> s.c * log2(s.c))), (a, x) -> a + x) / n_tok)
+         |      * 10000.0 + 0.5) / 10000.0 AS entropy
+         |  FROM per)
+         |SELECT d.doc_id,
+         |       coalesce(w.n_tok, 0) AS n_tok,
+         |       coalesce(w.entropy, 0.0) AS entropy
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.tokenEntropy(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- Efraimidis–Spirakis weighted priority sample: one scan +
+    //      TakeOrderedAndProject, replayable (u is a pure function of
+    //      the id), weight-proportional without replacement ----
+    Q("x98_priority_sample", Some(
+      s"""WITH k AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |    floor((0.0 - ln(
+         |        (('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)),
+         |          1, 15))::BIGINT + 1.0) / 1152921504606846976.0))
+         |      / greatest(CAST(n_chars AS DOUBLE), 1.0)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS prio_key
+         |  FROM documents),
+         |top AS (SELECT * FROM k ORDER BY prio_key, doc_id LIMIT $PrioK)
+         |SELECT doc_id, weight, prio_key,
+         |  CAST(row_number() OVER (ORDER BY prio_key, doc_id) AS INT) AS rn
+         |FROM top ORDER BY rn""".stripMargin),
+      (s, dir) => Sampling.prioritySample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = PrioK)
+        .orderBy("rn")),
+
+    // ---- corpus-wide keep-FIRST line dedup (Lee et al. keep-one
+    //      policy; complements x65's strip-ALL doc-frequency rule);
+    //      survivor chosen by one hash-partitioned window ----
+    Q("x99_keepfirst_lines", Some(
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    '$KeepFirstHeader' || chr(10) || text || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0 THEN '$KeepFirstFooterEven'
+         |         ELSE '$KeepFirstFooterOdd' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+         |e AS (
+         |  SELECT doc_id, i - 1 AS pos, ls[i] AS line
+         |  FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+         |hx AS (
+         |  SELECT doc_id, pos, line,
+         |    CASE WHEN length(trim(line)) > 0
+         |         THEN ${h60Sql("'line:' || line", 1152921504606846976L)}
+         |         ELSE ${h60Sql(
+                    "'blank:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                      "CAST(pos AS VARCHAR)", 1152921504606846976L)}
+         |    END AS h
+         |  FROM e),
+         |k AS (
+         |  SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+         |      AS keep
+         |  FROM hx)
+         |SELECT doc_id,
+         |  count(*) AS n_lines,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+         |    ORDER BY pos), '') AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.keepFirstLines(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(lit(KeepFirstHeader), lit("\n"), col("text"), lit("\n"),
+              when(col("doc_id") % 2 === 0, lit(KeepFirstFooterEven))
+                .otherwise(lit(KeepFirstFooterOdd))).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- bytes-per-BPE-piece fertility under the trained merges: the
+    //      tokenizer-efficiency column a mix dashboard sorts by ----
+    Q("x100_token_fertility", Some(
+      s"""WITH $bpeTrainSql,
+         |enc AS (
+         |  SELECT w, CAST(len(syms) AS BIGINT) AS n_pieces FROM s$BpeMerges),
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS w
+         |  FROM documents),
+         |per AS (
+         |  SELECT tk.doc_id,
+         |         CAST(sum(coalesce(e.n_pieces, 1)) AS BIGINT) AS n_pieces
+         |  FROM tk LEFT JOIN enc e USING (w) GROUP BY tk.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+         |       coalesce(per.n_pieces, 0) AS n_pieces,
+         |       CASE WHEN coalesce(per.n_pieces, 0) = 0 THEN 0.0
+         |            ELSE floor(CAST(strlen(d.text) AS DOUBLE) / per.n_pieces
+         |                   * 10000.0 + 0.5) / 10000.0 END AS fertility
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val (_, vocab) = bpeTrained(s, dir)
+        val enc = graft.operators.Bpe.encodeStats(t(s, dir, "documents"),
+          "doc_id", "text", vocab).select("doc_id", "n_pieces")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_bytes"))
+          .join(enc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bytes"),
+            coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+            when(coalesce(col("n_pieces"), lit(0L)) === 0, lit(0.0))
+              .otherwise(TextFunctions.portableRound(
+                col("n_bytes").cast("double") /
+                  col("n_pieces").cast("double"), 4)).as("fertility"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- hard-negative mining: nearest DIFFERENT-label neighbors per
+    //      query (exclusion at the join, not post-filtered — dense
+    //      same-label clusters must not starve the negative set) ----
+    Q("x101_hard_negatives", Some(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT qid, e.vec_id AS eid, e.label AS elabel,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, len(qv)),
+        |        i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        |      4) AS sim
+        |  FROM q, embeddings e WHERE e.label <> q.qlabel)
+        |SELECT qid, eid, elabel, sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, eid) AS INT) AS rn
+        |  FROM sims)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", "label", k = HardNegK)
+      }),
+
+    // ---- distinct-n diversity per source (mode-collapse watch for
+    //      synthetic data): n-grams enumerated inside the row, 8-byte
+    //      hash keys, exact distinct via (grp, h) pre-aggregation ----
+    Q("x102_distinct_ngrams", Some(
+      s"""WITH tk AS (
+         |  SELECT source, ${tokSql("lower(text)")} AS t FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    ${h60Sql(s"array_to_string(t[i:i+${DistinctN - 1}], ' ')",
+                1152921504606846976L)} AS h
+         |  FROM tk, unnest(generate_series(1, len(t) - ${DistinctN - 1}))
+         |    AS u(i)),
+         |dg AS (SELECT source, h, count(*) AS c FROM g GROUP BY source, h)
+         |SELECT source,
+         |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+         |  count(*) AS n_distinct,
+         |  floor(count(*) / greatest(CAST(sum(c) AS DOUBLE), 1.0)
+         |    * 10000.0 + 0.5) / 10000.0 AS distinct_ratio
+         |FROM dg GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => CorpusStats.distinctNgrams(t(s, dir, "documents"),
+          "source", "text", n = DistinctN)
+        .orderBy("source")),
+
+    // ---- reciprocal-rank fusion of the BM25 and tf·idf rankers over
+    //      the same query: rank-only hybrid retrieval; the fusion runs
+    //      on two k-row tables, the scale cost lives in the rankers ----
+    Q("x103_rrf_fusion", Some(
+      s"""WITH $bm25ScoredSql,
+         |ra AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |        AS rn
+         |    FROM scored)
+         |  WHERE rn <= 20),
+         |$tfidfScoredSql,
+         |rb AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |        AS rn
+         |    FROM scoredx)
+         |  WHERE rn <= 20),
+         |fused AS (
+         |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |    ra.rn AS rn_a, rb.rn AS rn_b,
+         |    floor((coalesce(1.0 / ($RrfC + ra.rn), 0.0) +
+         |           coalesce(1.0 / ($RrfC + rb.rn), 0.0))
+         |      * 1000000.0 + 0.5) / 1000000.0 AS rrf
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, rn_a, rn_b, rrf, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+         |    AS INT) AS rn
+         |  FROM fused)
+         |WHERE rn <= $RrfK ORDER BY rn""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TfIdf.rrfFusion(
+          TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Terms, k = 20,
+            k1 = Bm25K1, b = Bm25B),
+          TfIdf.queryScoreTopK(docs, "doc_id", "text", Bm25Terms, k = 20),
+          "doc_id", k = RrfK, c = RrfC)
+          .orderBy("rn")
+      }),
+
+    // ---- Gini concentration of token mass across sources: exact
+    //      integers until the final division; the rank window runs on
+    //      one row per source ----
+    Q("x104_source_gini", Some(
+      s"""WITH c AS (
+         |  SELECT source AS grp,
+         |    CAST(coalesce(sum(len(${tokSql("text")})), 0) AS BIGINT) AS tok
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT grp, tok,
+         |    CAST(row_number() OVER (ORDER BY tok, grp) AS BIGINT) AS i
+         |  FROM c)
+         |SELECT count(*) AS n_groups,
+         |  CAST(sum(tok) AS BIGINT) AS total_tok,
+         |  floor(CAST(sum((2 * i - 1) * tok) - count(*) * sum(tok) AS DOUBLE)
+         |    / (count(*) * sum(tok)) * 1000000.0 + 0.5) / 1000000.0 AS gini
+         |FROM r""".stripMargin),
+      (s, dir) => CorpusStats.tokenGini(t(s, dir, "documents"),
+        "source", "text"))
   )
 }

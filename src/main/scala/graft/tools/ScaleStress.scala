@@ -304,6 +304,53 @@ object ScaleStress {
         Dedup.nearDupPipeline(docs, "doc_id", "text")), 0.3).count())
     time("normalize text")(docs.select(
       graft.functions.TextFunctions.normalizeText(col("text"))).count())
+    time("token entropy")(CorpusStats.tokenEntropy(
+      docs, "doc_id", "text").count())
+    time("pmi topk")(CorpusStats.pmiTopK(docs, "text").count())
+    time("distinct ngrams")(CorpusStats.distinctNgrams(
+      docs, "lang", "text").count())
+    time("token gini")(CorpusStats.tokenGini(docs, "lang", "text").count())
+    time("keepfirst lines")({
+      // 3-line docs with corpus-wide repeated header/footer: the repeat
+      // windows hold factor*5k rows each — the hot-key bound in action
+      val multi = docs.select(col("doc_id"),
+        concat(lit("shared header line\n"), col("text"),
+          when(col("doc_id") % 2 === 0, lit("\nall rights reserved"))
+            .otherwise(lit("\nprivacy policy"))).as("text"))
+      Dedup.keepFirstLines(multi, "doc_id", "text").count()
+    })
+    time("priority sample")(graft.operators.Sampling.prioritySample(
+      docs.withColumn("w", length(col("text"))), "doc_id", "w",
+      k = 100).count())
+    time("curriculum 10 bands")(CorpusStats.curriculum(
+      docs.select(col("doc_id"),
+        length(col("text")).cast("double").as("score")),
+      "doc_id", "score").count())
+    time("rrf fusion")({
+      val a = TfIdf.bm25TopK(docs, "doc_id", "text",
+        Seq("merge", "vector", "spark"), k = 20)
+      val b = TfIdf.queryScoreTopK(docs, "doc_id", "text",
+        Seq("merge", "vector", "spark"), k = 20)
+      TfIdf.rrfFusion(a, b, "doc_id", k = 10).count()
+    })
+    time("hard negatives")(Similarity.hardNegatives(
+      emb.filter(col("vec_id") < 5)
+        .withColumn("label", (col("vec_id") % 7).cast("int")),
+      emb.withColumn("label", (col("vec_id") % 7).cast("int")),
+      "vec_id", "embedding", "label", k = 10).count())
+    time("asof join events")({
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val evf = (0 until factor).map { k =>
+        ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("value"))
+      }.reduce(_ unionByName _)
+      val right = evf.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("rid"), col("value").as("rvalue"))
+      graft.operators.AsOfJoin.asOf(
+        evf.select("event_id", "user_id", "ts"), right,
+        Seq("user_id"), "ts", "rts", "rid", Seq("rvalue")).count()
+    })
     time("incremental scd2 3 applies")({
       val p = java.nio.file.Files
         .createTempDirectory("graft-scd2s").toString + "/h"

@@ -267,4 +267,47 @@ class CorpusStatsSpec extends SparkSpec {
       assert(ps.toSeq == (1 to rs.length).toSeq)
     }
   }
+
+  test("tokenEntropy: zero for repetition, log2(n) for all-distinct") {
+    val docs = Seq(
+      (1L, "a a a a"),      // one symbol → 0 bits
+      (2L, "a b c d"),      // 4 distinct of 4 → 2 bits
+      (3L, "a a b b"),      // 2×2 → 1 bit
+      (4L, ""),             // tokenless → 0, n_tok 0
+      (5L, "x")).toDF("doc_id", "text")
+    val got = CorpusStats.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 2.0)))
+    assert(got(3L) == ((4L, 1.0)))
+    assert(got(4L) == ((0L, 0.0)))
+    assert(got(5L) == ((1L, 0.0)))
+  }
+
+  test("distinctNgrams: repeated trigrams lower the ratio; short docs emit none") {
+    val docs = Seq(
+      ("a", "p q r p q r"), // trigrams: pqr qrp rpq pqr → 4 total 3 distinct
+      ("b", "s t u v"),     // stu tuv → 2 total 2 distinct
+      ("c", "w x")          // shorter than n → no ngrams
+    ).toDF("source", "text")
+    val got = CorpusStats.distinctNgrams(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("a") == ((4L, 3L, 0.75)))
+    assert(got("b") == ((2L, 2L, 1.0)))
+    assert(!got.contains("c"))
+  }
+
+  test("tokenGini: 0 for an even mix, 0.5 for one-of-two-holds-all") {
+    val even = Seq(("a", "t1 t2 t3"), ("b", "u1 u2 u3"))
+      .toDF("source", "text")
+    val g1 = CorpusStats.tokenGini(even, "source", "text").head()
+    assert(g1.getLong(0) == 2L && g1.getLong(1) == 6L &&
+      g1.getDouble(2) == 0.0)
+    val skew = Seq(("a", "t1 t2 t3 t4"), ("b", "")).toDF("source", "text")
+    val g2 = CorpusStats.tokenGini(skew, "source", "text").head()
+    assert(g2.getDouble(2) == 0.5)
+  }
 }

@@ -213,4 +213,27 @@ class DedupSpec extends SparkSpec {
       (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") -
         r.getAs[Long]("n_inter")) < 0.35)
   }
+
+  test("keepFirstLines: exactly one copy survives, corpus order wins") {
+    val docs = Seq(
+      (1L, "x\ny"),
+      (2L, "y\nz"),
+      (3L, "x\nz"),
+      (4L, "q\nq"),     // intra-doc repeat: first pos survives
+      (5L, "a\n\nb"),   // blank lines always kept
+      (6L, "a\n\nb"))
+      .toDF("doc_id", "text")
+    val got = Dedup.keepFirstLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "x\ny")))     // first sees both
+    assert(got(2L) == ((2L, 1L, "z")))        // y already taken by doc 1
+    assert(got(3L) == ((2L, 0L, "")))         // both lines taken
+    assert(got(4L) == ((2L, 1L, "q")))        // second q dropped
+    assert(got(5L) == ((3L, 3L, "a\n\nb")))
+    assert(got(6L) == ((3L, 1L, "")))         // only its blank survives
+    // global invariant: every distinct non-blank line survives exactly once
+    val totalKept = got.values.map(_._2).sum
+    assert(totalKept == 2 + 1 + 0 + 1 + 3 + 1)
+  }
 }

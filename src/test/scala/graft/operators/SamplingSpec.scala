@@ -29,6 +29,26 @@ class SamplingSpec extends SparkSpec {
     assert(s4 != s1)
   }
 
+  test("prioritySample: weight-biased, deterministic, layout-independent") {
+    // ids 0..49 carry weight 10000, the rest weight 1 — the heavy rows
+    // must dominate a k=50 sample drawn weight-proportionally
+    val rows = (0L until 1000L).map(i =>
+      (i, if (i < 50) 10000L else 1L)).toDF("id", "w")
+    val got = Sampling.prioritySample(rows, "id", "w", k = 50)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 50)
+    assert(ids.count(_ < 50L) >= 40, s"heavy=${ids.count(_ < 50L)}")
+    // replayable: identical set under a different partition layout
+    val again = Sampling.prioritySample(rows.repartition(7), "id", "w",
+      k = 50).select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // ranks are 1..k ascending by key
+    val ks = got.orderBy("rn").select("prio_key").as[Double].collect()
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+    assert(got.select("rn").as[Int].collect().sorted.toSeq ==
+      (1 to 50).toSeq)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
       rates = Map("en" -> 0.8), defaultRate = 0.1)

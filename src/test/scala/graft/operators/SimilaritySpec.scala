@@ -217,4 +217,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(a == b, "fixed-point sums must kill float-order dependence")
   }
+
+  test("hardNegatives: same-label neighbors excluded at the join, k kept") {
+    // label 0: tight cluster around e1; label 1: around e2; query is in
+    // the label-0 cluster, so its nearest SAME-label vectors must not
+    // crowd out the k different-label rows
+    def v(x: Float, y: Float) = Array(x, y, 0.0f, 0.0f)
+    val df = Seq(
+      (0L, 0, v(1.0f, 0.00f)),  // query
+      (1L, 0, v(1.0f, 0.01f)),  // near-identical, same label
+      (2L, 0, v(1.0f, 0.02f)),
+      (3L, 1, v(1.0f, 0.10f)),  // closest different-label
+      (4L, 1, v(0.9f, 0.50f)),
+      (5L, 2, v(0.0f, 1.00f)))  // orthogonal, different label
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(df.filter($"vec_id" === 0L), df,
+      "vec_id", "embedding", "label", k = 3).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getInt(2) != 0), "no same-label rows")
+    // ranked by similarity: 3 (closest different-label) first, 5 last
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L))
+    assert(got.map(r => r.getInt(4)).toSeq == Seq(1, 2, 3))
+  }
 }

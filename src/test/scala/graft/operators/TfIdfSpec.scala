@@ -62,4 +62,36 @@ class TfIdfSpec extends SparkSpec {
       TfIdf.bm25TopK(docs, "doc_id", "text", Seq("a", "a"))
     }
   }
+
+  test("queryScoreTopK: score is tf * N/df exactly, absent term scores 0") {
+    val docs = Seq(
+      (1L, "spark spark merge"),  // tf(spark)=2, tf(merge)=1
+      (2L, "spark other words"),  // tf(spark)=1
+      (3L, "nothing relevant"),
+      (4L, "merge merge merge")). // tf(merge)=3
+      toDF("doc_id", "text")
+    // N=4, df(spark)=2, df(merge)=2, df(absent)=0
+    val got = TfIdf.queryScoreTopK(docs, "doc_id", "text",
+      Seq("spark", "merge", "absent"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 2 * 2.0 + 1 * 2.0) // 6.0
+    assert(got(2L) == 2.0)
+    assert(got(4L) == 6.0)
+    assert(!got.contains(3L), "doc matching no term is absent")
+  }
+
+  test("rrfFusion: reciprocal-rank sum, one-sided rows count once") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rn")
+    val got = TfIdf.rrfFusion(a, b, "doc_id", k = 4, c = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getInt(4)))
+    def rr(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = Map(
+      10L -> r6(rr(1) + rr(2)), 20L -> r6(rr(2) + rr(1)),
+      30L -> r6(rr(3)), 40L -> r6(rr(3)))
+    got.foreach { case (id, rrf, _) => assert(rrf == expect(id), s"id=$id") }
+    // 10 and 20 tie on the fused score → id breaks the tie
+    assert(got.sortBy(_._3).map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+  }
 }
