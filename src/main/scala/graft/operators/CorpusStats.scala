@@ -543,6 +543,40 @@ object CorpusStats {
     * aggregation — group cardinality (sources, languages, shards) is
     * small by construction, so the single-partition window is O(groups),
     * never O(rows). */
+  /** Vocabulary coverage curve: cumulative share of total token mass
+    * held by the top-`topN` terms — the "how big must the vocab be"
+    * curve a tokenizer team reads off before fixing a vocab size
+    * (coverage(rank) flattens where more vocabulary stops paying).
+    *
+    * One token scan + one term aggregation (map-side combined), a
+    * distributed top-N (TakeOrderedAndProject), then the running sum —
+    * a window over the N SURVIVORS only, never the full vocabulary.
+    * Counts are exact integers; coverage is one division per output
+    * row. Rank ties break on the term itself, the [[vocabTopK]]
+    * convention. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    topN: Int = 100, roundTo: Int = 6): DataFrame = {
+    val toks = df.select(
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    val totRow = counts.agg(sum(col("freq"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    require(total > 0, "vocabCoverage: empty corpus")
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    top
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_freq",
+        sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .select(col("rank"), col("term"), col("freq").cast("long").as("freq"),
+        col("cum_freq"),
+        TextFunctions.portableRound(
+          col("cum_freq").cast("double") / lit(total.toDouble), roundTo)
+          .as("coverage"))
+  }
+
   def tokenGini(df: DataFrame, groupCol: String, textCol: String,
                 roundTo: Int = 6): DataFrame = {
     val cnt = df.groupBy(col(groupCol).as("grp"))

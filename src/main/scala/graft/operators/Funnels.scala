@@ -62,4 +62,30 @@ object Funnels {
         (col("w") - col("cohort_week")).as("weeks_since"))
       .agg(countDistinct(col("u")).as("n_users"))
   }
+
+  /** Top-k co-occurring event-type pairs: how many distinct users
+    * performed BOTH types (market-basket 2-itemset support over users).
+    * The "which behaviors travel together" dashboard row.
+    *
+    * Scale shape: the (user, type) DISTINCT projection first — so the
+    * per-user self-join pairs distinct TYPES, bounded by the type
+    * cardinality (tens), never by the user's event count (thousands);
+    * per-user work is O(T²) with tiny T, and the pair aggregation
+    * shuffles at most types² keys. Pair canonicalization (a < b) makes
+    * each pair count once. */
+  def cooccurrence(events: DataFrame, userCol: String, typeCol: String,
+                   k: Int = 20): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t"))
+      .distinct()
+    val pairs = ut.as("x").join(ut.as("y"), col("x.u") === col("y.u"))
+      .filter(col("x.t") < col("y.t"))
+      .select(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_users").desc, col("type_a"), col("type_b"))
+    pairs.orderBy(col("n_users").desc, col("type_a"), col("type_b"))
+      .limit(k)
+      .withColumn("rn", row_number().over(w).cast("int"))
+  }
 }

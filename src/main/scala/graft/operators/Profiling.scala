@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Data-profiling operators: the distribution/correlation/outlier
+  * dashboard a pipeline team reads before trusting a new drop — value
+  * histograms, a Pearson matrix over quality signals, and robust
+  * (median/MAD) outlier counts.
+  *
+  * Determinism doctrine (the house rules): counts and quantized values
+  * stay exact integers through every aggregation; floats appear only in
+  * final, fixed-order arithmetic on already-aggregated scalars, so no
+  * result ever depends on partitioning or accumulation order.
+  */
+object Profiling {
+
+  /** Equi-width histogram of a numeric column: `bins` buckets between
+    * the observed min and max, empty buckets omitted. The classic
+    * profiling pass — two scans (one tiny min/max agg, one binning
+    * scan), both embarrassingly parallel; the per-row bin is pure
+    * arithmetic on broadcast scalars, and the output is at most `bins`
+    * rows at any data size.
+    *
+    * Bin edges: width = (max−min)/bins computed ONCE on the driver from
+    * the exact aggregated doubles (both engines perform the same IEEE
+    * division); the top edge closes (v = max lands in the last bin),
+    * and a degenerate min = max column collapses to bin 0 rather than
+    * dividing by zero. NULLs are ignored. */
+  def valueHistogram(df: DataFrame, valCol: String,
+                     bins: Int = 20, roundTo: Int = 6): DataFrame = {
+    require(bins >= 1, "bins >= 1")
+    val v = col(valCol).cast("double")
+    val st = df.filter(v.isNotNull)
+      .agg(min(v).as("mn"), max(v).as("mx"), count(lit(1)).as("n")).head()
+    require(st.getLong(2) > 0, s"valueHistogram: no non-null $valCol")
+    val mn = st.getDouble(0)
+    val w = (st.getDouble(1) - mn) / bins
+    val bin = if (w == 0.0) lit(0L)
+      else least(floor((v - lit(mn)) / lit(w)), lit(bins - 1L)).cast("long")
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        TextFunctions.portableRound(lit(mn) + col("bin") * lit(w), roundTo)
+          .as("lo"),
+        TextFunctions.portableRound(lit(mn) + (col("bin") + 1) * lit(w),
+          roundTo).as("hi"),
+        col("n"))
+  }
+
+  /** Pairwise Pearson correlation over the given numeric columns, in
+    * ONE aggregation pass (n, Σx, Σx², Σxy for every pair), emitted as
+    * one row per (col_a, col_b) pair with a < b.
+    *
+    * Order-independence: every input is fixed-point quantized
+    * (×2^`qBits`, round-half-up) to a long FIRST — the
+    * [[Similarity.centroidDrift]] recipe — so all sums are exact
+    * integer arithmetic. Pearson is scale-invariant, so quantization
+    * only bounds resolution (2⁻²⁰ by default), never biases r. The
+    * final r is fixed-order double arithmetic on the aggregated
+    * scalars. Long sums bound the scale: Σx·y < 2⁶³ requires
+    * rows × Πpair(maxval·2^qBits) to fit — so quantization is PER
+    * COLUMN (`qBitsFor`, falling back to `qBits`): integer-valued
+    * columns take 0 extra bits, only genuine fractions pay for
+    * resolution. Pearson's per-column scale invariance makes the mixed
+    * scales free. At trillion-row scale lower the bits further or swap
+    * the sums to DECIMAL(38,0) — the quantization makes either a
+    * one-line change. */
+  def correlation(df: DataFrame, cols: Seq[String],
+                  qBits: Int = 20, qBitsFor: Map[String, Int] = Map.empty,
+                  roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2 && cols.distinct == cols,
+      "need >= 2 distinct columns")
+    def xq(c: String): Column = {
+      val q = (1L << qBitsFor.getOrElse(c, qBits)).toDouble
+      floor(col(c).cast("double") * lit(q) + lit(0.5)).cast("long")
+    }
+    val quant = df.select(cols.map(c => xq(c).as(s"q_$c")): _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(s"q_$c")).as(s"s_$c"),
+        sum(col(s"q_$c") * col(s"q_$c")).as(s"ss_$c"))) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum(col(s"q_$a") * col(s"q_$b")).as(s"sp_${a}_$b") }
+    val row = quant.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val n = col("n").cast("double")
+      def d(c: Column) = c.cast("double")
+      val num = n * d(col(s"sp_${a}_$b")) -
+        d(col(s"s_$a")) * d(col(s"s_$b"))
+      val va = n * d(col(s"ss_$a")) - d(col(s"s_$a")) * d(col(s"s_$a"))
+      val vb = n * d(col(s"ss_$b")) - d(col(s"s_$b")) * d(col(s"s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va * vb > 0,
+          TextFunctions.portableRound(num / sqrt(va * vb), roundTo))
+          .otherwise(lit(0.0)).as("r"))
+    }
+    row.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.r"))
+  }
+
+  /** Robust outlier counts per group: median/MAD (median absolute
+    * deviation) with a `k`·MAD fence — the outlier rule that survives
+    * the outliers themselves (3σ fences don't: one huge value inflates
+    * σ until nothing is an outlier).
+    *
+    * Values are fixed-point quantized (×2^`qBits`) to integers BEFORE
+    * the percentiles: interpolating between integers ≤ 2⁴⁰ is EXACT in
+    * doubles, so the median, the deviations (.5 steps), the MAD (.25
+    * steps) and the k·MAD fence comparison are all exact arithmetic on
+    * any engine — no ulp-boundary flips, the same reasoning as
+    * [[Similarity.centroidDrift]].
+    *
+    * Two grouped EXACT percentile aggregations (per-group state is the
+    * group's values — same trade as [[CorpusStats.lengthQuantiles]];
+    * set `approx = true` to switch both to `percentile_approx` at
+    * 100 TB, same plan shape) plus one broadcast-joined fence scan.
+    * Output per group: n, median, mad (both de-quantized), n_outliers. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  k: Double = 3.0, qBits: Int = 20,
+                  approx: Boolean = false, roundTo: Int = 6): DataFrame = {
+    val q = (1L << qBits).toDouble
+    val vq = floor(col(valCol).cast("double") * lit(q) + lit(0.5))
+      .cast("long")
+    def p50(c: Column): Column =
+      if (approx) percentile_approx(c, lit(0.5), lit(10000))
+      else percentile(c, lit(0.5))
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"), vq.as("vq"))
+    val med = base.groupBy("grp").agg(p50(col("vq")).as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .select(col("grp"), col("med"),
+        abs(col("vq").cast("double") - col("med")).as("dv"))
+    val mad = dev.groupBy("grp").agg(p50(col("dv")).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med_"),
+        max(col("mad")).as("mad_"),
+        sum(when(col("dv") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .select(col("grp").as(groupCol), col("n"),
+        TextFunctions.portableRound(col("med_") / lit(q), roundTo)
+          .as("median"),
+        TextFunctions.portableRound(col("mad_") / lit(q), roundTo)
+          .as("mad"),
+        col("n_outliers"))
+  }
+}

@@ -274,4 +274,34 @@ object Sampling {
     top.withColumn("rn", row_number().over(
       Window.orderBy(col("prio_key"), col("doc_id"))).cast("int"))
   }
+
+  /** Deterministic hash sharding + balance report: assign every row to
+    * one of `shards` shards by salted id hash and report each shard's
+    * doc/token mass and its skew vs the mean — the pre-write check
+    * before laying a corpus out as S files/partitions (hash sharding is
+    * the 100 TB default precisely because its imbalance concentrates
+    * around 1.0; this is the report that proves it on YOUR corpus).
+    *
+    * One scan + one `shards`-key aggregation; the mean joins back as a
+    * 1-row broadcast. Assignment is a pure function of the id —
+    * replayable, layout-independent, and identical to what a writer
+    * partitioning by this key would produce. */
+  def shardBalance(df: DataFrame, idCol: String, textCol: String,
+                   shards: Int, roundTo: Int = 6): DataFrame = {
+    require(shards >= 1, "shards >= 1")
+    val shard = (TextFunctions.md5Hash60(concat(lit("shard:"),
+      col(idCol).cast("string"))) % shards).cast("int")
+    val per = df.select(shard.as("shard"),
+        TextFunctions.tokenCount(col(textCol)).as("tk"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).cast("long")
+        .as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("ns"))
+    per.join(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        TextFunctions.portableRound(
+          col("n_tokens").cast("double") * col("ns").cast("double") /
+            col("tot").cast("double"), roundTo).as("skew"))
+  }
 }

@@ -139,6 +139,30 @@ object ExtensionCatalog {
   private val RrfC = 60
   private val RrfK = 10
 
+  /** x105's histogram bin count. */
+  private val HistBins = 20
+
+  /** x106's correlation column list (over documents-derived signals)
+    * with PER-COLUMN quantization bits (integer-valued signals take 0 —
+    * Pearson's per-column scale invariance makes mixed scales free and
+    * keeps the Σx² sums inside Int64); x107 shares the 2^20 scale. */
+  private val CorrCols = Seq("n_chars", "n_tok", "cls_prob")
+  private val CorrQBits = Map("n_chars" -> 0, "n_tok" -> 0,
+    "cls_prob" -> 20)
+  private val Q20 = "1048576.0" // 2^20, rendered for the SQL side
+
+  /** x107's MAD fence multiplier. */
+  private val MadK = 3.0
+
+  /** x108's co-occurrence result size. */
+  private val CoocK = 20
+
+  /** x109's coverage-curve depth. */
+  private val VocabCoverN = 100
+
+  /** x110's shard count. */
+  private val ShardCount = 16
+
   /** x29's deterministic window derivation: every `RangeEvery`-th event
     * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
     * by the SQL string and the Spark closure (one edit point — the
@@ -3560,6 +3584,187 @@ object ExtensionCatalog {
          |    / (count(*) * sum(tok)) * 1000000.0 + 0.5) / 1000000.0 AS gini
          |FROM r""".stripMargin),
       (s, dir) => CorpusStats.tokenGini(t(s, dir, "documents"),
-        "source", "text"))
+        "source", "text")),
+
+    // ---- equi-width value histogram (profiling): two scans, at most
+    //      `bins` output rows at any size; bin width fixed once from
+    //      the exact min/max so both engines bin identically ----
+    Q("x105_value_histogram", Some(
+      s"""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+         |b AS (
+         |  SELECT CASE WHEN (mx - mn) / $HistBins = 0 THEN 0
+         |    ELSE CAST(least(floor((value - mn) / ((mx - mn) / $HistBins)),
+         |           ${HistBins - 1}) AS BIGINT) END AS bin,
+         |    mn, mx
+         |  FROM v, st)
+         |SELECT bin,
+         |  floor((mn + bin * ((mx - mn) / $HistBins)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS lo,
+         |  floor((mn + (bin + 1) * ((mx - mn) / $HistBins)) * 1000000.0
+         |    + 0.5) / 1000000.0 AS hi,
+         |  count(*) AS n
+         |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin),
+      (s, dir) => graft.operators.Profiling.valueHistogram(
+          ReferenceCatalog.events(s, dir), "value", bins = HistBins)
+        .orderBy("bin")),
+
+    // ---- pairwise Pearson over quality signals in ONE pass: inputs
+    //      fixed-point quantized so every sum is exact integer
+    //      arithmetic; r is fixed-order double math on the aggregated
+    //      scalars ----
+    Q("x106_correlation", {
+      val qs = CorrCols.map { c =>
+        val scale = s"${(1L << CorrQBits(c)).toDouble}"
+        s"CAST(floor($c * $scale + 0.5) AS BIGINT) AS q_$c"
+      }.mkString(",\n    ")
+      val sums = (CorrCols.map(c =>
+        s"CAST(sum(q_$c) AS BIGINT) AS s_$c, " +
+          s"CAST(sum(q_$c * q_$c) AS BIGINT) AS ss_$c") ++
+        CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+          s"CAST(sum(q_$a * q_$b) AS BIGINT) AS sp_${a}_$b" })
+        .mkString(",\n    ")
+      val pairSelects = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+        val va = s"(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+        val vb = s"(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) - " +
+          s"CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        val num = s"(CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE) - " +
+          s"CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  CASE WHEN $va * $vb > 0
+           |    THEN floor($num / sqrt($va * $vb) * 1000000.0 + 0.5)
+           |      / 1000000.0
+           |    ELSE 0.0 END AS r
+           |FROM ag""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(
+        s"""WITH ${classifierCtes("documents")},
+           |base AS (
+           |  SELECT d.n_chars AS n_chars,
+           |    len(${tokSql("d.text")}) AS n_tok,
+           |    cp.cls_prob AS cls_prob
+           |  FROM documents d JOIN cp USING (doc_id)),
+           |qn AS (
+           |  SELECT
+           |    $qs
+           |  FROM base),
+           |ag AS (
+           |  SELECT count(*) AS n,
+           |    $sums
+           |  FROM qn)
+           |SELECT * FROM (
+           |$pairSelects
+           |) ORDER BY col_a, col_b""".stripMargin)
+    },
+      (s, dir) => {
+        val sig = t(s, dir, "documents").select(
+          col("n_chars").cast("double").as("n_chars"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("n_tok"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        graft.operators.Profiling.correlation(sig, CorrCols,
+            qBitsFor = CorrQBits)
+          .orderBy("col_a", "col_b")
+      }),
+
+    // ---- robust outliers per event type: median/MAD fence on
+    //      quantized integers — the interpolations and the k·MAD
+    //      comparison are exact arithmetic on both engines ----
+    Q("x107_mad_outliers", Some(
+      s"""WITH v AS (
+         |  SELECT event_type AS grp,
+         |    CAST(floor(value * $Q20 + 0.5) AS BIGINT) AS vq
+         |  FROM events WHERE value IS NOT NULL),
+         |med AS (SELECT grp, quantile_cont(vq, 0.5) AS med
+         |        FROM v GROUP BY grp),
+         |dev AS (
+         |  SELECT v.grp, med.med, abs(CAST(vq AS DOUBLE) - med.med) AS dv
+         |  FROM v JOIN med USING (grp)),
+         |mad AS (SELECT grp, quantile_cont(dv, 0.5) AS mad
+         |        FROM dev GROUP BY grp)
+         |SELECT dev.grp AS event_type, count(*) AS n,
+         |  floor(max(dev.med) / $Q20 * 1000000.0 + 0.5) / 1000000.0
+         |    AS median,
+         |  floor(max(mad.mad) / $Q20 * 1000000.0 + 0.5) / 1000000.0 AS mad,
+         |  CAST(sum(CASE WHEN dev.dv > $MadK * mad.mad THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_outliers
+         |FROM dev JOIN mad USING (grp)
+         |GROUP BY dev.grp ORDER BY event_type""".stripMargin),
+      (s, dir) => graft.operators.Profiling.madOutliers(
+          ReferenceCatalog.events(s, dir), "event_type", "value", k = MadK)
+        .orderBy("event_type")),
+
+    // ---- co-occurring event-type pairs by distinct-user support: the
+    //      per-user self-join runs on DISTINCT types (tens), never on
+    //      the user's event count ----
+    Q("x108_cooccurrence", Some(
+      s"""WITH ut AS (
+         |  SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+         |p AS (
+         |  SELECT x.t AS type_a, y.t AS type_b
+         |  FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t),
+         |c AS (SELECT type_a, type_b, count(*) AS n_users
+         |      FROM p GROUP BY 1, 2),
+         |top AS (
+         |  SELECT * FROM c ORDER BY n_users DESC, type_a, type_b
+         |  LIMIT $CoocK)
+         |SELECT type_a, type_b, n_users,
+         |  CAST(row_number() OVER (ORDER BY n_users DESC, type_a, type_b)
+         |    AS INT) AS rn
+         |FROM top ORDER BY rn""".stripMargin),
+      (s, dir) => graft.operators.Funnels.cooccurrence(
+          ReferenceCatalog.events(s, dir), "user_id", "event_type",
+          k = CoocK)
+        .orderBy("rn")),
+
+    // ---- vocabulary coverage curve: cumulative token mass of the
+    //      top-N terms; the running sum windows over the N survivors
+    //      only ----
+    Q("x109_vocab_coverage", Some(
+      s"""WITH tk AS (
+         |  SELECT unnest(${tokSql("lower(text)")}) AS term FROM documents),
+         |counts AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tk GROUP BY term),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts),
+         |top AS (
+         |  SELECT term, freq FROM counts ORDER BY freq DESC, term
+         |  LIMIT $VocabCoverN),
+         |r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT)
+         |      AS "rank", term, freq,
+         |    CAST(sum(freq) OVER (ORDER BY freq DESC, term
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq
+         |  FROM top)
+         |SELECT "rank", term, freq, cum_freq,
+         |  floor(cum_freq / CAST(total AS DOUBLE) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS coverage
+         |FROM r, tot ORDER BY "rank"""".stripMargin),
+      (s, dir) => CorpusStats.vocabCoverage(t(s, dir, "documents"),
+          "text", topN = VocabCoverN)
+        .orderBy("rank")),
+
+    // ---- deterministic hash sharding + balance report: the pre-write
+    //      layout check; assignment is a pure function of the id ----
+    Q("x110_shard_balance", Some(
+      s"""WITH p AS (
+         |  SELECT CAST(${h60Sql("'shard:' || CAST(doc_id AS VARCHAR)",
+                ShardCount)} AS INT) AS shard,
+         |    CAST(len(${tokSql("text")}) AS BIGINT) AS tk
+         |  FROM documents),
+         |per AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |    CAST(coalesce(sum(tk), 0) AS BIGINT) AS n_tokens
+         |  FROM p GROUP BY shard),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS ns
+         |  FROM per)
+         |SELECT shard, n_docs, n_tokens,
+         |  floor(CAST(n_tokens AS DOUBLE) * CAST(ns AS DOUBLE)
+         |      / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS skew
+         |FROM per, tot ORDER BY shard""".stripMargin),
+      (s, dir) => Sampling.shardBalance(t(s, dir, "documents"),
+          "doc_id", "text", shards = ShardCount)
+        .orderBy("shard"))
   )
 }

@@ -339,18 +339,33 @@ object ScaleStress {
       emb.withColumn("label", (col("vec_id") % 7).cast("int")),
       "vec_id", "embedding", "label", k = 10).count())
     time("asof join events")({
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val evf = (0 until factor).map { k =>
-        ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
-          col("ts"), col("user_id"), col("value"))
-      }.reduce(_ unionByName _)
-      val right = evf.filter(col("event_id") % 5 === 0)
+      // ev: the replicated ns-read events table built above
+      val right = ev.filter(col("event_id") % 5 === 0)
         .select(col("user_id"), col("ts").as("rts"),
           col("event_id").as("rid"), col("value").as("rvalue"))
       graft.operators.AsOfJoin.asOf(
-        evf.select("event_id", "user_id", "ts"), right,
+        ev.select("event_id", "user_id", "ts"), right,
         Seq("user_id"), "ts", "rts", "rid", Seq("rvalue")).count()
     })
+    time("value histogram")(graft.operators.Profiling.valueHistogram(
+      ev, "value").count())
+    time("mad outliers")(graft.operators.Profiling.madOutliers(
+      ev, "event_type", "value").count())
+    time("cooccurrence")(graft.operators.Funnels.cooccurrence(
+      ev, "user_id", "event_type").count())
+    time("pearson matrix")(graft.operators.Profiling.correlation(
+      docs.select(col("doc_id"),
+        length(col("text")).cast("double").as("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("double").as("n_tok"),
+        graft.functions.TextFunctions.classifierProb(col("text"))
+          .as("cls_prob")),
+      Seq("n_chars", "n_tok", "cls_prob"),
+      qBitsFor = Map("n_chars" -> 0, "n_tok" -> 0, "cls_prob" -> 20))
+      .count())
+    time("vocab coverage")(CorpusStats.vocabCoverage(docs, "text").count())
+    time("shard balance")(graft.operators.Sampling.shardBalance(
+      docs, "doc_id", "text", shards = 64).count())
     time("incremental scd2 3 applies")({
       val p = java.nio.file.Files
         .createTempDirectory("graft-scd2s").toString + "/h"

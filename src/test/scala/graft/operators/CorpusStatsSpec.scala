@@ -300,6 +300,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains("c"))
   }
 
+  test("vocabCoverage: monotone cumulative share, ends at top-N mass") {
+    // freqs: the=4, of=3, a=2, b=1 (total 10)
+    val docs = Seq((1L, "the the of a"), (2L, "the of a b"),
+      (3L, "the of")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(docs, "text", topN = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("the", "of", "a"))
+    assert(got.map(_.getLong(3)).toSeq == Seq(4L, 7L, 9L))
+    assert(got.map(_.getDouble(4)).toSeq == Seq(0.4, 0.7, 0.9))
+  }
+
   test("tokenGini: 0 for an even mix, 0.5 for one-of-two-holds-all") {
     val even = Seq(("a", "t1 t2 t3"), ("b", "u1 u2 u3"))
       .toDF("source", "text")

@@ -64,4 +64,24 @@ class FunnelsSpec extends SparkSpec {
     assert(got(2L) == got(3L) && got(2L) == 1.0 / 3)
     assert(got(5L) == 0.0, "single-row group normalizes to 0")
   }
+
+  test("cooccurrence: distinct-user support, repeats don't inflate") {
+    val events = Seq(
+      (1L, "view"), (1L, "view"), (1L, "cart"),   // repeat view: 1 user
+      (2L, "view"), (2L, "cart"), (2L, "buy"),
+      (3L, "view"), (3L, "buy"),
+      (4L, "view")                                 // single type: no pair
+    ).toDF("user_id", "event_type")
+    val got = Funnels.cooccurrence(events, "user_id", "event_type", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // (cart,view): users 1,2; (buy,view): users 2,3; (buy,cart): user 2
+    assert(got(("cart", "view"))._1 == 2L)
+    assert(got(("buy", "view"))._1 == 2L)
+    assert(got(("buy", "cart"))._1 == 1L)
+    assert(got.size == 3)
+    // ranks: support ties broken by (type_a, type_b)
+    assert(got(("buy", "view"))._2 == 1 && got(("cart", "view"))._2 == 2 &&
+      got(("buy", "cart"))._2 == 3)
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("valueHistogram: bins cover [min,max], top edge closes, counts sum") {
+    val vals = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 5.0, 10.0).map(Tuple1(_))
+      .toDF("v")
+    val got = Profiling.valueHistogram(vals, "v", bins = 4)
+      .orderBy("bin").collect()
+    // width 2.5: [0,2.5) -> {0,1}, [2.5,5) -> {2.5,4.9}, [5,7.5) -> {5,5},
+    // [7.5,10] -> {10} (max lands in the LAST bin, not a phantom 5th)
+    assert(got.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 1L)))
+    assert(got.map(_.getLong(3)).sum == 7L)
+    assert(got.head.getDouble(1) == 0.0 && got.last.getDouble(2) == 10.0)
+  }
+
+  test("valueHistogram: degenerate min==max collapses to bin 0") {
+    val got = Profiling.valueHistogram(
+      Seq(3.0, 3.0, 3.0).map(Tuple1(_)).toDF("v"), "v", bins = 10)
+      .collect()
+    assert(got.length == 1 &&
+      got.head.getLong(0) == 0L && got.head.getLong(3) == 3L)
+  }
+
+  test("correlation: exact +1/-1 on linear columns, ~0 on designed-orthogonal") {
+    // y = 2x (r=1), z = -x (r=-1), w alternates independent of x's
+    // mean-crossing pattern
+    val rows = (1 to 64).map { i =>
+      (i.toDouble, 2.0 * i, -i.toDouble) }
+    val df = rows.toDF("x", "y", "z")
+    val got = Profiling.correlation(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("x", "y")) == 1.0)
+    assert(got(("x", "z")) == -1.0)
+    assert(got(("y", "z")) == -1.0)
+  }
+
+  test("correlation: constant column yields r=0, not NaN") {
+    val df = (1 to 10).map(i => (i.toDouble, 5.0)).toDF("x", "c")
+    val got = Profiling.correlation(df, Seq("x", "c")).head()
+    assert(got.getDouble(2) == 0.0)
+  }
+
+  test("correlation is invariant to partition layout") {
+    val df = (1 to 100).map(i =>
+      (i.toDouble, (i * 7 % 13).toDouble)).toDF("a", "b")
+    val r1 = Profiling.correlation(df, Seq("a", "b")).head().getDouble(2)
+    val r2 = Profiling.correlation(df.repartition(11), Seq("a", "b"))
+      .head().getDouble(2)
+    assert(r1 == r2)
+  }
+
+  test("madOutliers: fence flags the planted spike, median/MAD exact") {
+    // group g: values 1..9 plus one huge spike; 10 values -> median
+    // 5.5, devs {0.5..4.5, ~1e6} -> MAD 2.5; fence k=3 -> |v-5.5| > 7.5
+    // flags only the spike
+    val vals = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1e6))
+      .toDF("grp", "v")
+    val got = Profiling.madOutliers(vals, "grp", "v", k = 3.0).head()
+    assert(got.getLong(1) == 10L)
+    assert(got.getDouble(2) == 5.5, s"median=${got.getDouble(2)}")
+    assert(got.getDouble(3) == 2.5, s"mad=${got.getDouble(3)}")
+    assert(got.getLong(4) == 1L, "exactly the spike is outside 3*MAD")
+    // a 3-sigma rule would have been destroyed by the spike: sigma
+    // ~3e5, fence ~1e6 — nothing flagged. MAD flags it.
+  }
+
+  test("madOutliers: approx path stays close to exact on a smooth column") {
+    val vals = (1 to 2000).map(i => ("g", (i % 97).toDouble)).toDF("grp", "v")
+    val exact = Profiling.madOutliers(vals, "grp", "v").head()
+    val approx = Profiling.madOutliers(vals, "grp", "v", approx = true)
+      .head()
+    assert(math.abs(exact.getDouble(2) - approx.getDouble(2)) <= 2.0)
+    assert(math.abs(exact.getDouble(3) - approx.getDouble(3)) <= 2.0)
+  }
+}

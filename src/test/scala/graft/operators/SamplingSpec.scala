@@ -49,6 +49,24 @@ class SamplingSpec extends SparkSpec {
       (1 to 50).toSeq)
   }
 
+  test("shardBalance: partition of the corpus, token-mass accounting, skew ~1") {
+    val rows = (0L until 4000L).map(i => (i, "tok " * (1 + (i % 5).toInt)))
+      .toDF("id", "text")
+    val got = Sampling.shardBalance(rows, "id", "text", shards = 8)
+      .collect()
+    assert(got.length == 8)
+    assert(got.map(_.getLong(1)).sum == 4000L, "every doc lands in a shard")
+    val totTok = got.map(_.getLong(2)).sum
+    assert(totTok == (0L until 4000L).map(i => 1 + (i % 5)).sum)
+    // hash sharding concentrates near 1.0 at a few hundred docs/shard
+    assert(got.map(_.getDouble(3)).forall(s => s > 0.8 && s < 1.2),
+      got.map(_.getDouble(3)).mkString(","))
+    // replayable under a different layout
+    val again = Sampling.shardBalance(rows.repartition(13), "id", "text",
+      shards = 8).collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(again == got.map(r => r.getInt(0) -> r.getLong(2)).toMap)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
       rates = Map("en" -> 0.8), defaultRate = 0.1)
