@@ -163,6 +163,13 @@ object ExtensionCatalog {
   /** x110's shard count. */
   private val ShardCount = 16
 
+  /** x112's stream-stream join time bound. */
+  private val StreamJoinBoundMs = 1800000L
+
+  /** x113's TWAP value quantization (2^10 — exact integer weighted
+    * sums at event-stream value ranges). */
+  private val TwapQBits = 10
+
   /** x29's deterministic window derivation: every `RangeEvery`-th event
     * opens a `RangeWinMs` window, bucketized at `RangeBucketMs`. Shared
     * by the SQL string and the Spark closure (one edit point — the
@@ -3766,5 +3773,121 @@ object ExtensionCatalog {
       (s, dir) => Sampling.shardBalance(t(s, dir, "documents"),
           "doc_id", "text", shards = ShardCount)
         .orderBy("shard"))
+  ,
+
+    // ---- duplicate-cluster size histogram: the one-page "how
+    //      duplicated is this corpus" profile; rides the memoized
+    //      cluster table, adds two tiny aggregations ----
+    Q("x111_cluster_sizes", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |cl AS (SELECT node, min(label) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM cl GROUP BY cluster_id)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+      (s, dir) => docClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")),
+
+    // ---- stream-stream interval join (click-attribution shape):
+    //      state is O(rate × bound) by watermark eviction; event time
+    //      truncated to ms so the µs join compare equals the oracle's
+    //      ms arithmetic ----
+    Q("x112_stream_join", Some(
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ms
+         |  FROM events),
+         |a AS (SELECT user_id, event_id AS a_id, ms AS a_ms
+         |      FROM e WHERE event_id % 2 = 0),
+         |b AS (SELECT user_id, event_id AS b_id, ms AS b_ms
+         |      FROM e WHERE event_id % 2 = 1)
+         |SELECT user_id, a_id, b_id, a_ms, b_ms
+         |FROM a JOIN b USING (user_id)
+         |WHERE b_ms >= a_ms - $StreamJoinBoundMs
+         |  AND b_ms <= a_ms + $StreamJoinBoundMs
+         |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-sjoin").toString
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val raw = s.read.schema(schema).parquet(s"$dir/events.parquet")
+        raw.filter(col("event_id") % 2 === 0).write.parquet(s"$work/a")
+        raw.filter(col("event_id") % 2 === 1).write.parquet(s"$work/b")
+        graft.streaming.StreamJoin.intervalJoinAvailableNow(s,
+          s"$work/a", s"$work/b", schema, "user_id", "event_id", "ts",
+          StreamJoinBoundMs, s"$work/out", s"$work/cp")
+        graft.streaming.StreamJoin.readJoined(s, s"$work/out")
+          .select("user_id", "a_id", "b_id", "a_ms", "b_ms")
+          .orderBy("a_id", "b_id")
+      }),
+
+    // ---- time-weighted average per user (TWAP): value × hold-duration
+    //      on exact integers; the metric that makes irregular streams
+    //      comparable ----
+    Q("x113_twap", {
+      val q = s"${(1L << TwapQBits).toDouble}"
+      Some(
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms,
+           |    CAST(floor(value * $q + 0.5) AS BIGINT) AS vq
+           |  FROM events),
+           |d AS (
+           |  SELECT user_id, vq,
+           |    lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+           |      - ms AS dur
+           |  FROM e)
+           |SELECT user_id, count(*) AS n_intervals,
+           |  CAST(sum(dur) AS BIGINT) AS span_ms,
+           |  floor(CAST(sum(vq * dur) AS DOUBLE)
+           |      / (CAST(sum(dur) AS DOUBLE) * $q) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS twap
+           |FROM d WHERE dur IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    },
+      (s, dir) => graft.streaming.WindowedAgg.timeWeightedAvg(
+          ReferenceCatalog.events(s, dir), "ts", "user_id", "value",
+          qBits = TwapQBits)
+        .orderBy("user_id")),
+
+    // ---- streaming dedup with BOUNDED state
+    //      (dropDuplicatesWithinWatermark): redelivered file arrives as
+    //      its own micro-batch and dies against cross-batch state ----
+    Q("x114_stream_dedupe", Some(
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-sdedup").toString
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(s"$work/arrivals"))
+        // the same file delivered twice — the redelivery case
+        Seq("events_1.parquet", "events_2.parquet").foreach { f =>
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            java.nio.file.Paths.get(s"$work/arrivals/$f"))
+        }
+        graft.streaming.StreamDedupe.dedupeAvailableNow(s,
+          s"$work/arrivals", schema, "event_id", "ts",
+          s"$work/out", s"$work/cp")
+        graft.streaming.StreamDedupe.readDeduped(s, s"$work/out")
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      })
   )
 }

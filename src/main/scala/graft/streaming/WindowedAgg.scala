@@ -63,4 +63,46 @@ object WindowedAgg {
           graft.plans.SortedSumD(col("_v")).over(w) /
             count(lit(1)).over(w).cast("double"), roundTo).as("avg_win"))
   }
+
+  /** Time-weighted average per key (TWAP): each value weighted by how
+    * long it was "current" — the duration until the key's next event.
+    * The metric that makes irregular event streams comparable (a plain
+    * mean over-weights chatty periods); the last observation per key
+    * has no duration and contributes nothing.
+    *
+    * Determinism: values are fixed-point quantized (×2^`qBits`) to
+    * longs and durations are exact millisecond integers, so both the
+    * weighted sum and the duration sum are exact integer arithmetic —
+    * one final division. The lead window orders by (ms, id), so
+    * same-timestamp peers get deterministic durations on any engine.
+    *
+    * Scale shape: one shuffle on the key, one in-partition sort, one
+    * lead — the same bound as any keyed window. Long-sum bound:
+    * Σ per key of (maxval·2^qBits)·span_ms must fit 2⁶³ — at default
+    * qBits=10 that allows maxval·span ≈ 9×10¹⁵, i.e. decades of ms
+    * span at 10⁵-scale values; lower qBits for wilder ranges. */
+  def timeWeightedAvg(events: DataFrame, tsCol: String, keyCol: String,
+                      valueCol: String, idCol: String = "event_id",
+                      qBits: Int = 10, roundTo: Int = 6): DataFrame = {
+    val q = (1L << qBits).toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("ms"), col(idCol))
+    val vq = floor(col(valueCol).cast("double") * lit(q) + lit(0.5))
+      .cast("long")
+    events
+      .select(col(idCol), col(keyCol),
+        unix_millis(col(tsCol)).as("ms"), vq.as("vq"))
+      .select(col(keyCol), col("vq"),
+        (lead(col("ms"), 1).over(w) - col("ms")).as("dur"))
+      .filter(col("dur").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).cast("long").as("n_intervals"),
+        sum(col("dur")).cast("long").as("span_ms"),
+        sum(col("vq") * col("dur")).cast("long").as("wsum"))
+      .select(col(keyCol), col("n_intervals"), col("span_ms"),
+        graft.functions.TextFunctions.portableRound(
+          col("wsum").cast("double") /
+            (col("span_ms").cast("double") * lit(q)), roundTo)
+          .as("twap"))
+  }
 }
