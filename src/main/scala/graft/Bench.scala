@@ -101,7 +101,18 @@ object Bench {
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2 KB of sbt output and parses a
+    // JSON line out of it. A 137-query map is ~10 KB, so the line head
+    // (and the seconds map) fell outside the tail window in r4/r5 and the
+    // driver recorded parsed:null. Contract now: the full per-query
+    // seconds/shuffle/peak/error maps go to BENCH_FULL.json on disk, and
+    // stdout ends with ONE compact line that always fits the tail window.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    java.nio.file.Files.write(fullPath,
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
     if (failed.nonEmpty) {
       Console.err.println(s"BENCH FAILED: ${failed.map(_._1).mkString(", ")}")

@@ -34,6 +34,18 @@ import org.apache.spark.sql.functions._
   * semantics). Skew: a single hot key serializes into one task, the
   * same bound as any keyed window — pre-split hot keys upstream with
   * [[Salting]] if one key exceeds a task's memory.
+  *
+  * NULL handling (the part a naive union-then-window gets wrong):
+  *   - A right row with NULL `rightTs` has no as-of position — the
+  *     documented predicate `r.ts <= l.ts` is never true for it — so
+  *     it is EXCLUDED up front. (Unfiltered, it would sort nulls-first
+  *     in the window and leak into every left row.)
+  *   - The payload travels as ONE struct column, so
+  *     `last(_, ignoreNulls = true)` picks the nearest right ROW
+  *     atomically: all payload fields come from that same row, and a
+  *     field that is genuinely NULL on it stays NULL — per-column
+  *     carry-forward would instead splice values from different
+  *     (staler) right rows.
   */
 object AsOfJoin {
 
@@ -53,38 +65,47 @@ object AsOfJoin {
     val outCols = payload.map(p => s"asof_$p")
     val collide = outCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"asOf output collides with left: $collide")
-    require(!left.columns.contains("_ao_side") &&
-      !right.columns.contains("_ao_side"), "_ao_side is reserved")
+    val reserved = Seq("_ao_side", "_ao_ts", "_ao_tie", "_ao_pay")
+    val taken = reserved.filter(n =>
+      left.columns.contains(n) || right.columns.contains(n))
+    require(taken.isEmpty, s"reserved column names in input: $taken")
 
-    // left rows carry null payloads; right rows carry null left columns.
-    // Side tag orders right before left at equal ts for inclusive
-    // semantics; strict mode instead orders right AFTER left so an
-    // equal-ts right row is not yet visible to the left row.
+    // left rows carry a null payload struct; right rows carry null left
+    // columns. Side tag orders right before left at equal ts for
+    // inclusive semantics; strict mode instead orders right AFTER left
+    // so an equal-ts right row is not yet visible to the left row.
     val rightSide = if (strict) 1 else -1
-    val r = right.select(
-      keys.map(col) ++
-        Seq(col(rightTs).as("_ao_ts"), lit(rightSide).as("_ao_side"),
-          col(tieCol).as("_ao_tie")) ++
-        payload.zip(outCols).map { case (p, o) => col(p).as(o) }: _*)
+    val r = right
+      // NULL as-of time = no position on the timeline (see scaladoc)
+      .filter(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++
+          Seq(col(rightTs).as("_ao_ts"), lit(rightSide).as("_ao_side"),
+            col(tieCol).as("_ao_tie"),
+            struct(payload.zip(outCols)
+              .map { case (p, o) => col(p).as(o) }: _*).as("_ao_pay")): _*)
     val leftCols =
       left.columns.filterNot(c => keys.contains(c) || c == leftTs)
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("_ao_ts"), lit(0).as("_ao_side"),
-          lit(null).cast(right.schema(tieCol).dataType).as("_ao_tie")) ++
-        leftCols.map(col) ++
-        outCols.map(o => lit(null).cast(r.schema(o).dataType).as(o)): _*)
+          lit(null).cast(right.schema(tieCol).dataType).as("_ao_tie"),
+          lit(null).cast(r.schema("_ao_pay").dataType).as("_ao_pay")) ++
+        leftCols.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ao_ts").asc, col("_ao_side").asc, col("_ao_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val u = l.unionByName(r, allowMissingColumns = true)
-    u.select(
-        u.columns.filterNot(outCols.contains).map(col) ++
-          outCols.map(o =>
-            last(col(o), ignoreNulls = true).over(w).as(o)): _*)
+    // the struct is non-null on every (ts-valid) right row, so
+    // ignoreNulls skips only the left rows' placeholder — the carried
+    // value is the whole nearest right row, fields atomically together
+    val filled = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_ao_pay", last(col("_ao_pay"), ignoreNulls = true).over(w))
       .filter(col("_ao_side") === 0)
-      .drop("_ao_side", "_ao_tie")
+    val dropped = Set("_ao_side", "_ao_tie", "_ao_pay")
+    filled.select(
+        filled.columns.filterNot(dropped).map(col) ++
+          outCols.map(o => col(s"_ao_pay.$o").as(o)): _*)
       .withColumnRenamed("_ao_ts", leftTs)
   }
 }

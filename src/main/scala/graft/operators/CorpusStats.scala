@@ -437,8 +437,15 @@ object CorpusStats {
     * parallel comparison scan (swap in `approx = true` percentiles at
     * scale, same plan shape as [[lengthQuantiles]]). A row whose score
     * equals a cutpoint lands in the LOWER band (strict `>` arithmetic
-    * on both engines). In-band positions order by a salted md5 of the
-    * id — partition-independent, so the "shuffle" is replayable. */
+    * on both engines). The in-band position `pos` IS the salted 60-bit
+    * md5 of the id — a partition-independent, replayable shuffle key;
+    * consumers order by (phase, pos, id). Deliberately NOT a dense
+    * per-band `row_number`: a window partitioned by `phase` has only
+    * `phases` partitions, so each band's rows would sort in a single
+    * task — the same one-reducer bottleneck the cutpoint design
+    * removes from banding. Dense 1..n positions, if a consumer truly
+    * needs them, are a per-band zipWithIndex AFTER the write, at
+    * whatever partition granularity that consumer shards by. */
   def curriculum(df: DataFrame, idCol: String, scoreCol: String,
                  phases: Int = 10): DataFrame = {
     require(phases >= 2, "need at least 2 phases")
@@ -450,11 +457,8 @@ object CorpusStats {
         .otherwise(0))
     df.crossJoin(broadcast(cuts))
       .withColumn("phase", (lit(phases) + lit(1) - phase).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("phase")).orderBy(
-          TextFunctions.md5Hash60(concat(lit("curriculum:"),
-            col(idCol).cast("string"))),
-          col(idCol))))
+      .withColumn("pos", TextFunctions.md5Hash60(concat(lit("curriculum:"),
+        col(idCol).cast("string"))))
       .drop("cuts")
   }
 
@@ -531,18 +535,6 @@ object CorpusStats {
           roundTo).as("distinct_ratio"))
   }
 
-  /** Gini coefficient of token mass across groups — the one-number
-    * "how concentrated is my training mix" report (0 = perfectly even
-    * sources, →1 = one source holds everything). Governance dashboards
-    * pair this with [[jsDivergence]]'s pairwise drift matrix.
-    *
-    * gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over groups ranked ascending by
-    * token count (ties broken by group name). Everything stays exact
-    * integer arithmetic until the single final division. The global
-    * rank window runs over ONE ROW PER GROUP after a map-side-combined
-    * aggregation — group cardinality (sources, languages, shards) is
-    * small by construction, so the single-partition window is O(groups),
-    * never O(rows). */
   /** Vocabulary coverage curve: cumulative share of total token mass
     * held by the top-`topN` terms — the "how big must the vocab be"
     * curve a tokenizer team reads off before fixing a vocab size
@@ -577,6 +569,18 @@ object CorpusStats {
           .as("coverage"))
   }
 
+  /** Gini coefficient of token mass across groups — the one-number
+    * "how concentrated is my training mix" report (0 = perfectly even
+    * sources, →1 = one source holds everything). Governance dashboards
+    * pair this with [[jsDivergence]]'s pairwise drift matrix.
+    *
+    * gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over groups ranked ascending by
+    * token count (ties broken by group name). Everything stays exact
+    * integer arithmetic until the single final division. The global
+    * rank window runs over ONE ROW PER GROUP after a map-side-combined
+    * aggregation — group cardinality (sources, languages, shards) is
+    * small by construction, so the single-partition window is O(groups),
+    * never O(rows). */
   def tokenGini(df: DataFrame, groupCol: String, textCol: String,
                 roundTo: Int = 6): DataFrame = {
     val cnt = df.groupBy(col(groupCol).as("grp"))

@@ -528,7 +528,15 @@ object Similarity {
     * corpus never shuffles, dot products codegen'd, the label predicate
     * evaluated as the BNL join residual. At 100 TB swap the corpus scan
     * for the IVF/PQ path ([[ivfTopK]]) with label as a probe-time
-    * filter — the semantics here are the oracle for that index. */
+    * filter — the semantics here are the oracle for that index.
+    *
+    * Edge cases, pinned deliberately: a NULL label on either side makes
+    * `qlabel =!= elabel` NULL, so the pair is dropped — an unlabeled
+    * row can't be certified a negative, and SQL's null-rejecting join
+    * predicate (the x101 oracle) agrees. A zero-norm vector's cosine is
+    * NaN, which Spark sorts FIRST under desc; `nanvl(sim, -1)` demotes
+    * such pairs below every real similarity instead of letting a
+    * degenerate vector displace genuine hard negatives from the top-k. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
                     roundTo: Int = 4): DataFrame = {
@@ -540,8 +548,9 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("enorm"))
     val sims = c.join(q, col("qlabel") =!= col("elabel"))
       .select(col("qid"), col("eid"), col("elabel"),
-        round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")),
-          roundTo).as("sim"))
+        nanvl(round(dot(col("qv"), col("ev")) /
+            (col("qnorm") * col("enorm")), roundTo),
+          lit(-1.0)).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
     sims.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -3250,9 +3250,8 @@ object ExtensionCatalog {
          |      len(list_filter(c.cs, x -> p.cls_prob > x)) AS INT) AS phase
          |  FROM cp p, cuts c)
          |SELECT doc_id, phase,
-         |  CAST(row_number() OVER (PARTITION BY phase ORDER BY
-         |    ('0x' || substr(md5('curriculum:' || CAST(doc_id AS VARCHAR)),
-         |      1, 15))::BIGINT, doc_id) AS INT) AS pos
+         |  ('0x' || substr(md5('curriculum:' || CAST(doc_id AS VARCHAR)),
+         |    1, 15))::BIGINT AS pos
          |FROM ph ORDER BY doc_id""".stripMargin
     }),
       (s, dir) => {
@@ -3882,10 +3881,10 @@ object ExtensionCatalog {
             java.nio.file.Paths.get(s"$dir/events.parquet"),
             java.nio.file.Paths.get(s"$work/arrivals/$f"))
         }
-        graft.streaming.StreamDedupe.dedupeAvailableNow(s,
+        graft.streaming.StreamDedup.dedupeAvailableNow(s,
           s"$work/arrivals", schema, "event_id", "ts",
           s"$work/out", s"$work/cp")
-        graft.streaming.StreamDedupe.readDeduped(s, s"$work/out")
+        graft.streaming.StreamDedup.readDeduped(s, s"$work/out")
           .select("event_id", "user_id", "event_type", "value")
           .orderBy("event_id")
       })

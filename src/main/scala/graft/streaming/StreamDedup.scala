@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** In-flight exactly-once event dedup for streams — the front door of
   * a streaming training-data pipeline (at-least-once sources redeliver;
@@ -40,4 +42,46 @@ object StreamDedup {
         .withWatermark(tsCol, allowedLateness)
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
+
+  /** Drain an arrival directory once (AvailableNow) through the same
+    * bounded-state dedup, with `maxFilesPerTrigger = 1` — each file is
+    * its own micro-batch, so cross-FILE duplicates genuinely cross
+    * micro-batch state, not just one batch-local distinct. Keys on
+    * `idCol`; event time from `tsNsCol` (ns longs). Blocking.
+    *
+    * State-size contract: `dropDuplicatesWithinWatermark` keeps each
+    * key only until the watermark passes it, so the store is O(events
+    * inside the watermark window). The flip side is explicit: a
+    * duplicate arriving MORE than `watermarkDelay` after the original
+    * MAY pass (its key already evicted) — size the delay to the
+    * source's real redelivery horizon. Exactly-once: append-only, so
+    * the parquet sink's commit log + the source offset log suffice
+    * (the [[StreamEnrich]] argument); dedup state checkpoints with
+    * the query, so a restart mid-drain resumes without re-emitting. */
+  def dedupeAvailableNow(spark: SparkSession, srcGlob: String,
+                         schema: StructType, idCol: String,
+                         tsNsCol: String, targetPath: String,
+                         checkpoint: String,
+                         watermarkDelay: String = "1 hour"): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcGlob)
+      // DIV, not /: true division goes through double and loses
+      // sub-ms precision at epoch-ns magnitudes
+      .withColumn("_ets", timestamp_micros(expr(s"$tsNsCol DIV 1000")))
+      .withWatermark("_ets", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+      .drop("_ets")
+      .writeStream
+      .format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the deduplicated table back through the sink's commit log. */
+  def readDeduped(spark: SparkSession, targetPath: String): DataFrame =
+    spark.read.parquet(targetPath)
 }

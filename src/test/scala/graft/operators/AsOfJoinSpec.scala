@@ -55,4 +55,47 @@ class AsOfJoinSpec extends SparkSpec {
         rightTs = "ts", tieCol = "r_id", payload = Seq("v"))
     }
   }
+
+  test("any reserved internal name on either input is rejected") {
+    for (bad <- Seq("_ao_side", "_ao_ts", "_ao_tie", "_ao_pay")) {
+      intercept[IllegalArgumentException] {
+        AsOfJoin.asOf(left.withColumn(bad, lit(1)), right, keys = Seq("k"),
+          leftTs = "ts", rightTs = "ts", tieCol = "r_id", payload = Seq("v"))
+      }
+      intercept[IllegalArgumentException] {
+        AsOfJoin.asOf(left, right.withColumn(bad, lit(1)), keys = Seq("k"),
+          leftTs = "ts", rightTs = "ts", tieCol = "r_id", payload = Seq("v"))
+      }
+    }
+  }
+
+  test("NULL payload field comes through as NULL, not a stale carry-forward") {
+    // nearest right row r@200 has v = NULL; per-column carry-forward
+    // would smuggle v=1.0 from the OLDER r@100 — row-atomic semantics
+    // must keep (r_id=102, v=NULL) together
+    val r = Seq(
+      (101L, 10L, 100L, Option(1.0)),
+      (102L, 10L, 200L, Option.empty[Double])
+    ).toDF("r_id", "k", "ts", "v")
+    val l = Seq((1L, 10L, 250L)).toDF("l_id", "k", "ts")
+    val out = AsOfJoin.asOf(l, r, keys = Seq("k"), leftTs = "ts",
+        rightTs = "ts", tieCol = "r_id", payload = Seq("r_id", "v"))
+      .select("asof_r_id", "asof_v").head()
+    assert(out.getLong(0) == 102L && out.isNullAt(1))
+  }
+
+  test("right rows with NULL timestamp have no as-of position") {
+    // un-filtered, a NULL-ts right row sorts nulls-first and would leak
+    // into every left row on its key
+    val r = Seq(
+      (101L, 10L, Option(200L), 1.0),
+      (102L, 10L, Option.empty[Long], 9.0)
+    ).toDF("r_id", "k", "ts", "v")
+    val l = Seq((1L, 10L, 150L), (2L, 10L, 250L)).toDF("l_id", "k", "ts")
+    val out = AsOfJoin.asOf(l, r, keys = Seq("k"), leftTs = "ts",
+        rightTs = "ts", tieCol = "r_id", payload = Seq("r_id", "v"))
+      .orderBy("l_id").select("asof_r_id", "asof_v").collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // l@150: nothing ≤ 150
+    assert(out(1).getLong(0) == 101L && out(1).getDouble(1) == 1.0)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -249,7 +250,7 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!pmi.contains(("san", "jose")))
   }
 
-  test("curriculum: bands by score cutpoints, positions dense per band") {
+  test("curriculum: bands by score cutpoints, hash sort key per band") {
     val rows = (1 to 100).map(i => (i.toLong, i.toDouble / 100))
     val out = CorpusStats.curriculum(rows.toDF("id", "score"),
       "id", "score", phases = 4).collect()
@@ -261,11 +262,16 @@ class CorpusStatsSpec extends SparkSpec {
     // monotone: higher score never lands in a later band
     val sorted = out.sortBy(r => -r.getDouble(1)).map(_.getInt(2))
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
-    // positions are a 1..n permutation within each band
-    out.groupBy(_.getInt(2)).foreach { case (_, rs) =>
-      val ps = rs.map(_.getInt(3)).sorted
-      assert(ps.toSeq == (1 to rs.length).toSeq)
-    }
+    // pos is the salted 60-bit hash of the id — a pure function of the
+    // row, so re-running on a reshuffled input yields the same keys
+    val expected = spark.range(1, 101).select(col("id"),
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit("curriculum:"), col("id").cast("string"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(3) == expected(r.getLong(0))))
+    // and collision-free on this input: ordering by (phase, pos) is a
+    // total in-band order without needing the id tiebreak
+    assert(out.map(_.getLong(3)).distinct.length == out.length)
   }
 
   test("tokenEntropy: zero for repetition, log2(n) for all-distinct") {
