@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** In-flight exactly-once event dedup for streams — the front door of
@@ -57,12 +57,14 @@ object StreamDedup {
     * source's real redelivery horizon. Exactly-once: append-only, so
     * the parquet sink's commit log + the source offset log suffice
     * (the [[StreamEnrich]] argument); dedup state checkpoints with
-    * the query, so a restart mid-drain resumes without re-emitting. */
+    * the query, so a restart mid-drain resumes without re-emitting.
+    * Returns the terminated query so callers can read
+    * `lastProgress.stateOperators` and assert the state bound holds. */
   def dedupeAvailableNow(spark: SparkSession, srcGlob: String,
                          schema: StructType, idCol: String,
                          tsNsCol: String, targetPath: String,
                          checkpoint: String,
-                         watermarkDelay: String = "1 hour"): Unit = {
+                         watermarkDelay: String = "1 hour"): StreamingQuery = {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcGlob)
@@ -79,6 +81,7 @@ object StreamDedup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Read the deduplicated table back through the sink's commit log. */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Stream–stream interval join: match two arriving event streams on a
@@ -27,16 +27,25 @@ object StreamJoin {
   /** Drain both arrival directories once (AvailableNow), inner-joining
     * a.`key` = b.`key` with |a.ts − b.ts| ≤ `boundMs` (event time from
     * `tsNsCol`, nanosecond longs). Output columns: key, a_id, b_id,
-    * a_ms, b_ms. Blocking. */
+    * a_ms, b_ms. Blocking; returns the terminated query so callers
+    * (specs, ops dashboards) can read `lastProgress.stateOperators`
+    * and assert the buffered-state bound actually holds.
+    * `maxFilesPerTrigger` > 0 splits the drain into one-file
+    * micro-batches — the watermark then advances BETWEEN files, which
+    * is what exercises (and lets a test observe) state eviction. */
   def intervalJoinAvailableNow(spark: SparkSession,
                                aGlob: String, bGlob: String,
                                schema: StructType, key: String,
                                idCol: String, tsNsCol: String,
                                boundMs: Long, targetPath: String,
                                checkpoint: String,
-                               watermarkDelay: String = "1 hour"): Unit = {
-    def side(glob: String, tag: String): DataFrame =
-      spark.readStream.schema(schema).parquet(glob)
+                               watermarkDelay: String = "1 hour",
+                               maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    def side(glob: String, tag: String): DataFrame = {
+      val rd = spark.readStream.schema(schema)
+      if (maxFilesPerTrigger > 0)
+        rd.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      rd.parquet(glob)
         .select(col(key).as(s"${tag}_key"),
           col(idCol).as(s"${tag}_id"),
           // DIV, not /: true division goes through double and loses
@@ -47,6 +56,7 @@ object StreamJoin {
           timestamp_millis(expr(s"$tsNsCol DIV 1000000"))
             .as(s"${tag}_ts"))
         .withWatermark(s"${tag}_ts", watermarkDelay)
+    }
     val a = side(aGlob, "a")
     val b = side(bGlob, "b")
     val joined = a.join(b,
@@ -63,6 +73,7 @@ object StreamJoin {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Read the joined table back through the sink's commit log. */

@@ -67,4 +67,49 @@ class WindowedAggSpec extends SparkSpec {
     assert(got(3L) == ((2L, 40.0)) && got(4L) == ((2L, 40.0)))
     assert(got(5L) == ((1L, 99.0)), "keys are independent")
   }
+
+  test("TWAP: basic weighting, last observation contributes nothing") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // v=10 held 1 s, v=30 held 3 s, v=99 open-ended (no weight)
+    val events = Seq(
+      (1L, 10L, 0L, 10.0), (2L, 10L, 1000L, 30.0), (3L, 10L, 4000L, 99.0)
+    ).toDF("event_id", "user_id", "ms0", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ms0")).as("ts"), col("value"))
+    val r = WindowedAgg.timeWeightedAvg(events, "ts", "user_id", "value")
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4000L)
+    assert(r.getDouble(3) == 25.0, s"(10*1+30*3)/4 = 25, got ${r.getDouble(3)}")
+  }
+
+  test("TWAP same-timestamp tiebreak: lead orders by (ms, id), zero-duration first") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    def twap(rows: Seq[(Long, Long, Long, Double)]): Double = {
+      val df = rows.toDF("event_id", "user_id", "ms0", "value")
+        .select(col("event_id"), col("user_id"),
+          timestamp_millis(col("ms0")).as("ts"), col("value"))
+      WindowedAgg.timeWeightedAvg(df, "ts", "user_id", "value")
+        .head().getDouble(3)
+    }
+    // ids 1,2 share t=1000: the LOWER id holds for 0 ms (lead goes to
+    // its same-ms peer), the higher id holds until t=2000 — so only
+    // id 2's value carries weight
+    val a = twap(Seq(
+      (1L, 10L, 1000L, 10.0), (2L, 10L, 1000L, 20.0), (3L, 10L, 2000L, 30.0)))
+    assert(a == 20.0, s"same-ms tie: higher id's value holds, got $a")
+    // swap which id carries which value → the OTHER value wins,
+    // proving the tiebreak is the id order, not arrival/row order
+    val b = twap(Seq(
+      (2L, 10L, 1000L, 10.0), (1L, 10L, 1000L, 20.0), (3L, 10L, 2000L, 30.0)))
+    assert(b == 10.0, s"tiebreak must follow id, got $b")
+    // and the zero-duration interval still counts as an interval
+    // (n_intervals = 2) with span unchanged — exact integer arithmetic
+    val df = Seq(
+      (1L, 10L, 1000L, 10.0), (2L, 10L, 1000L, 20.0), (3L, 10L, 2000L, 30.0)
+    ).toDF("event_id", "user_id", "ms0", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ms0")).as("ts"), col("value"))
+    val r = WindowedAgg.timeWeightedAvg(df, "ts", "user_id", "value").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1000L)
+  }
 }
