@@ -82,16 +82,35 @@ object BloomFilter {
     * filter; only the (rare) hits shuffle for the per-doc count. */
   def flagBloom(corpus: DataFrame, idCol: String, textCol: String,
                 bench: DataFrame, benchTextCol: String,
-                shingleN: Int = 5, m: Int = 1 << 16, k: Int = 3): DataFrame = {
-    val benchHashes = bench
-      .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
-      .select(TextFunctions.md5Hash60(col("s")).as("h"))
-    val bloom = build(benchHashes, "h", m, k)
+                shingleN: Int = 5, m: Int = 1 << 16, k: Int = 3): DataFrame =
+    flagBloomWith(corpus, idCol, textCol,
+      trainBloom(bench, benchTextCol, shingleN, m, k), shingleN, m, k)
+
+  /** The benchmark-side bitmap as a persistable artifact: one
+    * (bitmap array<long>) row over the benchmark's distinct shingles —
+    * built once at write time ([[ArtifactStore.publish]]), probed by
+    * every contamination scan ([[flagBloomWith]]). The benchmark
+    * corpus changes rarely; the scanned corpus changes constantly —
+    * exactly the asymmetry a stored artifact exploits. */
+  def trainBloom(bench: DataFrame, benchTextCol: String,
+                 shingleN: Int = 5, m: Int = 1 << 16,
+                 k: Int = 3): DataFrame =
+    build(bench
+        .select(explode(Dedup.shingles(col(benchTextCol), shingleN)).as("s"))
+        .select(TextFunctions.md5Hash60(col("s")).as("h")),
+      "h", m, k)
+
+  /** [[flagBloom]]'s probe half against a PRE-BUILT [[trainBloom]]
+    * bitmap (`shingleN`/`m`/`k` must match the build; x118
+    * oracle-proves the equivalence). */
+  def flagBloomWith(corpus: DataFrame, idCol: String, textCol: String,
+                    bloom: DataFrame, shingleN: Int = 5,
+                    m: Int = 1 << 16, k: Int = 3): DataFrame = {
     corpus.select(col(idCol).as("doc_id"),
         explode(Dedup.shingles(col(textCol), shingleN)).as("s"))
       .select(col("doc_id"), TextFunctions.md5Hash60(col("s")).as("h"))
       // 1-row build side: the broadcast nested loop IS the plan here
-      .crossJoin(broadcast(bloom))
+      .crossJoin(broadcast(bloom.select(col("bitmap"))))
       .filter(mightContain(col("bitmap"), col("h"), m, k))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bloom_hits"))

@@ -80,7 +80,10 @@ object Dedup {
                  bands: Int = 8, rowsPerBand: Int = 4,
                  minEstJaccard: Double = 0.0,
                  maxBucket: Int = 10000,
-                 sigs: Option[DataFrame] = None): DataFrame = {
+                 sigs: Option[DataFrame] = None,
+                 edges: String = "all"): DataFrame = {
+    require(edges == "all" || edges == "spanning",
+      s"edges must be 'all' or 'spanning', got '$edges'")
     val numHashes = bands * rowsPerBand
     // `sigs` lets pipelines that run several dedup stages over one corpus
     // (candidates → verify → clusters → curated corpus) compute or cache
@@ -92,23 +95,50 @@ object Dedup {
     val withSig = sigs.getOrElse(minhashSignatures(df, idCol, textCol, numHashes))
     val banded = capBuckets(bandKeys(withSig, bands, rowsPerBand),
       "band_key", maxBucket)
-    val a = banded.as("a")
-    val b = banded.as("b")
     // Match-count is computed BEFORE the pair dedup, so the
     // dropDuplicates shuffle carries (id_a, id_b, n_match) — 24 bytes —
     // instead of two full 32-long signature arrays per candidate
     // occurrence (the arrays made the dedup exchange the dominant cost).
     // n_match is deterministic per pair, so the deduped result is
     // identical. Codegen'd positional merge, not aggregate(zip_with(…)).
-    val eqCount = org.apache.spark.sql.graft.bridge.column(
-      graft.plans.ArrayEqCount(
-        org.apache.spark.sql.graft.bridge.expression(col("a.sig")),
-        org.apache.spark.sql.graft.bridge.expression(col("b.sig"))))
-    a.join(b,
-        col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id_") < col("b.doc_id_"))
-      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
-        eqCount.as("n_match"))
+    def eqCount(aSig: Column, bSig: Column): Column =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.ArrayEqCount(
+          org.apache.spark.sql.graft.bridge.expression(aSig),
+          org.apache.spark.sql.graft.bridge.expression(bSig)))
+    val raw = edges match {
+      case "all" =>
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b,
+            col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id_") < col("b.doc_id_"))
+          .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+            eqCount(col("a.sig"), col("b.sig")).as("n_match"))
+      case "spanning" =>
+        // Star edges to the bucket representative (min doc id): a
+        // bucket of n near-identical docs emits n−1 edges instead of
+        // C(n,2) — replica cliques (the pathological dedup input) go
+        // from quadratic to linear pair counts, and the downstream
+        // verify stage's cost drops with them. Connectivity is
+        // preserved (every member reaches the rep, so min-label
+        // clusters are identical when verification passes star edges —
+        // the replica case by construction); what's lost is the
+        // NON-representative pair list, so use "all" when the pairs
+        // themselves are the product (similarity reports), "spanning"
+        // when clusters/keepers are (dedup). One extra min_by agg on
+        // the same band_key shuffle key — no new shuffle dimension.
+        val reps = banded.groupBy("band_key")
+          .agg(min_by(struct(col("doc_id_"), col("sig")), col("doc_id_"))
+            .as("rep"))
+          .select(col("band_key"), col("rep.doc_id_").as("rep_id"),
+            col("rep.sig").as("rep_sig"))
+        banded.join(reps, "band_key")
+          .filter(col("doc_id_") > col("rep_id"))
+          .select(col("rep_id").as("id_a"), col("doc_id_").as("id_b"),
+            eqCount(col("rep_sig"), col("sig")).as("n_match"))
+    }
+    raw
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (col("n_match").cast("double") / lit(numHashes.toDouble))
@@ -177,10 +207,11 @@ object Dedup {
                       bands: Int = 8, rowsPerBand: Int = 4,
                       minEstJaccard: Double = 0.25,
                       minJaccard: Double = 0.4, ngramN: Int = 3,
-                      sigs: Option[DataFrame] = None): DataFrame =
+                      sigs: Option[DataFrame] = None,
+                      edges: String = "all"): DataFrame =
     verifyCandidates(df, idCol, textCol,
       minhashLsh(df, idCol, textCol, bands, rowsPerBand, minEstJaccard,
-        sigs = sigs),
+        sigs = sigs, edges = edges),
       minJaccard, ngramN)
 
   /** Stage 2 of [[nearDupPipeline]] alone: exact n-gram-Jaccard

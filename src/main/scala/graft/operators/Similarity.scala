@@ -193,9 +193,20 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 2,
-              roundTo: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    val centroids = broadcast(
-      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters))
+              roundTo: Int = 4, kmeansIters: Int = 2): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      kmeansCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters),
+      nProbe, roundTo)
+
+  /** [[ivfTopK]]'s probe half against PRE-TRAINED centroids
+    * ((cid, cvec), e.g. [[ArtifactStore.load]]) — the read path once
+    * training has moved to write time. Same rounding and tiebreaks as
+    * the train-in-query form; x115 oracle-proves the equivalence. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  centroidTable: DataFrame, nProbe: Int = 2,
+                  roundTo: Int = 4): DataFrame = {
+    val centroids = broadcast(centroidTable.select(col("cid"), col("cvec")))
     def nearest(side: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       // rank on ROUNDED sim with cid tiebreak — deterministic across
       // engines (unrounded FP ordering could disagree at ~1e-15)
@@ -321,6 +332,19 @@ object Similarity {
   private def pqParts(queries: DataFrame, corpus: DataFrame,
                       idCol: String, vecCol: String,
                       m: Int, kCent: Int, iters: Int)
+      : Seq[(DataFrame, DataFrame)] =
+    pqPartsWith(queries, corpus, idCol, vecCol, m,
+      (_, sv) => kmeansCentroids(sv, "eid", "sv", kCent, iters))
+
+  /** [[pqParts]] with the codebook SOURCE abstracted: `centsFor(s, sv)`
+    * returns subspace `s`'s (cid, cvec) codebook given that subspace's
+    * sliced corpus — trained in-query by [[pqParts]], looked up from a
+    * stored [[pqCodebooks]] artifact by [[pqTopKWith]]. One body, so
+    * the load-bearing rounding/tiebreaks can never diverge between the
+    * train-time and probe-time paths. */
+  private def pqPartsWith(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, m: Int,
+                          centsFor: (Int, DataFrame) => DataFrame)
       : Seq[(DataFrame, DataFrame)] = {
     val dims = vecDims(corpus, vecCol, "corpus")
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
@@ -332,7 +356,7 @@ object Similarity {
     (0 until m).map { s =>
       val sv = corpus.select(col(idCol).cast("long").as("eid"),
         slice(col(vecCol), s * sub + 1, sub).as("sv"))
-      val cents = broadcast(kmeansCentroids(sv, "eid", "sv", kCent, iters))
+      val cents = broadcast(centsFor(s, sv).select(col("cid"), col("cvec")))
       val codes = subspaceCodes(sv, cents, s"k$s")
       val lut = queries
         .select(col(idCol).cast("long").as("qid"),
@@ -369,6 +393,39 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              m: Int = 4, kCent: Int = 8, iters: Int = 1): DataFrame = {
     val parts = pqParts(queries, corpus, idCol, vecCol, m, kCent, iters)
+    val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
+    adcRank(coded, parts, k)
+  }
+
+  /** The PQ codebooks as a persistable artifact: (subspace, cid, cvec),
+    * one [[kmeansCentroids]] codebook per contiguous subspace — what
+    * [[ArtifactStore.publish]] stores at write time and [[pqTopKWith]]
+    * probes at read time. Same training as [[pqTopK]]'s in-query path
+    * (same seeds, rounding, tiebreaks). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, k: Int = 8, iters: Int = 1): DataFrame = {
+    val dims = vecDims(corpus, vecCol, "corpus")
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol).cast("long").as("eid"),
+          slice(col(vecCol), s * sub + 1, sub).as("sv")),
+        "eid", "sv", k, iters)
+        .select(lit(s).as("subspace"), col("cid"), col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[pqTopK]]'s probe half against a PRE-TRAINED [[pqCodebooks]]
+    * artifact — code assignment and the per-query LUT still run (they
+    * are per-row probe work), but the k-means training cost is gone.
+    * `m` must match the artifact's subspace count; x116 oracle-proves
+    * equivalence with the train-in-query form. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 codebooks: DataFrame, m: Int = 4): DataFrame = {
+    val parts = pqPartsWith(queries, corpus, idCol, vecCol, m,
+      (s, _) => codebooks.filter(col("subspace") === s))
     val coded = parts.map(_._1).reduce((a, b) => a.join(b, "eid"))
     adcRank(coded, parts, k)
   }

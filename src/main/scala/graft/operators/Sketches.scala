@@ -93,7 +93,13 @@ object Sketches {
             .otherwise(kmvMerge(col("o.sketch"), col("b.sketch"), k))
             .as("sketch"))
     }
-    MergeUpsert.publishPlain(spark, storePath, merged, retainVersions)
+    // one file per version: the store is O(groups·k) by construction,
+    // and the full-outer join above would otherwise publish its 32
+    // near-empty shuffle partitions as 32 files — pure listing/launch
+    // churn for every subsequent read of a 5-row table (part of the
+    // x59 run-to-run cost spread)
+    MergeUpsert.publishPlain(spark, storePath, merged.coalesce(1),
+      retainVersions)
   }
 
   /** Count–min sketch of token frequencies: `depth` rows × `width`

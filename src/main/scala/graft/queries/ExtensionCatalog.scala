@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{AsOfJoin, BloomFilter, Chunking, Contamination,
-  CorpusStats, Dedup, GraphRank, IncrementalDedup, MergeUpsert, Multimodal,
-  RangeJoin, RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches,
-  TfIdf, ZOrder}
+import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
+  Contamination, CorpusStats, Dedup, GraphRank, IncrementalDedup,
+  MergeUpsert, Multimodal, RangeJoin, RepeatedSpans, Salting, Sampling,
+  Scd2, Similarity, Sketches, TfIdf, ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -621,7 +621,7 @@ object ExtensionCatalog {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(
+  private val base: Seq[Q] = Seq(
 
     // ---- exact dedup: one hash-shuffle groupBy ----
     Q("x01_dedup_exact", Some(
@@ -3820,12 +3820,24 @@ object ExtensionCatalog {
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
-        val raw = s.read.schema(schema).parquet(s"$dir/events.parquet")
-        raw.filter(col("event_id") % 2 === 0).write.parquet(s"$work/a")
-        raw.filter(col("event_id") % 2 === 1).write.parquet(s"$work/b")
+        // both arrival dirs in ONE scan+write (partitionBy splits the
+        // sides into side=a/ and side=b/; the partition column is not
+        // in the data files, so the streaming reads see `schema`
+        // exactly) — the two-full-scans version cost 2× the events
+        // read for what is one pass of work
+        s.read.schema(schema).parquet(s"$dir/events.parquet")
+          .withColumn("side",
+            when(col("event_id") % 2 === 0, "a").otherwise("b"))
+          .write.partitionBy("side").parquet(s"$work/arr")
+        // 4 shuffle partitions for the drain: 100k events/side fits
+        // comfortably, and the stream-stream join's per-batch floor is
+        // 4 state stores × partitions of checkpoint file I/O — at the
+        // session's 32 it was the dominant cost of this query
         graft.streaming.StreamJoin.intervalJoinAvailableNow(s,
-          s"$work/a", s"$work/b", schema, "user_id", "event_id", "ts",
-          StreamJoinBoundMs, s"$work/out", s"$work/cp")
+          s"$work/arr/side=a", s"$work/arr/side=b", schema,
+          "user_id", "event_id", "ts",
+          StreamJoinBoundMs, s"$work/out", s"$work/cp",
+          shufflePartitions = 4)
         graft.streaming.StreamJoin.readJoined(s, s"$work/out")
           .select("user_id", "a_id", "b_id", "a_ms", "b_ms")
           .orderBy("a_id", "b_id")
@@ -3889,4 +3901,77 @@ object ExtensionCatalog {
           .orderBy("event_id")
       })
   )
+
+  /** The SQL of a base query, for a store-probe twin that must match
+    * it byte-for-byte (a lookup, not a copy: the twin cannot drift). */
+  private def sqlOf(name: String): Option[String] = {
+    val q = base.find(_.name == name)
+      .getOrElse(sys.error(s"store-probe twin references unknown $name"))
+    Some(q.sql.getOrElse(sys.error(s"$name has no oracle SQL to share")))
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Persisted-index-artifact queries (x115–x118): each trains the
+    * artifact its base query trains IN-QUERY, publishes it through
+    * [[ArtifactStore]]'s atomic versioned store, reads it back, and
+    * probes with the STORED copy — under the base query's EXACT oracle
+    * SQL ([[sqlOf]]), so "probe-from-store ≡ train-in-query" is a
+    * hash-checked result, not a claim. Publishing twice (v1 then v2,
+    * identical contents) also exercises the pointer flip + retention
+    * on every verification run, not just in the spec. At 100 TB the
+    * training halves of these queries move to write time and the probe
+    * halves are the whole read cost — ScaleStress's artifact-probe row
+    * measures that split. */
+  private val storeProbes: Seq[Q] = Seq(
+    Q("x115_ivf_store_probe", sqlOf("x17_ivf_topk"),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val store = tmp("graft-ivf-store")
+        val cents = Similarity.kmeansCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        ArtifactStore.publish(s, store, cents)
+        ArtifactStore.publish(s, store, cents) // supersede: flip to v2
+        Similarity.ivfTopKWith(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10,
+          ArtifactStore.load(s, store), nProbe = 2)
+      }),
+
+    Q("x116_pq_store_probe", sqlOf("x58_pq_adc_topk"),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val store = tmp("graft-pq-store")
+        ArtifactStore.publish(s, store, Similarity.pqCodebooks(
+          emb, "vec_id", "embedding", m = 4, k = 8, iters = 1))
+        Similarity.pqTopKWith(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10,
+          ArtifactStore.load(s, store), m = 4)
+      }),
+
+    Q("x117_bpe_store_probe", sqlOf("x75_bpe_encode"),
+      (s, dir) => {
+        val store = tmp("graft-bpe-store")
+        ArtifactStore.publish(s, store, bpeTrained(s, dir)._2)
+        graft.operators.Bpe.encodeStats(t(s, dir, "documents"),
+            "doc_id", "text", ArtifactStore.load(s, store))
+          .orderBy("doc_id")
+      }),
+
+    Q("x118_bloom_store_probe", sqlOf("x51_bloom_contamination"),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = tmp("graft-bloom-store")
+        ArtifactStore.publish(s, store, BloomFilter.trainBloom(
+          docs.filter(col("doc_id") % 29 === 0), "text",
+          shingleN = 5, m = BloomM, k = BloomK))
+        BloomFilter.flagBloomWith(
+          docs.filter(col("doc_id") % 29 =!= 0), "doc_id", "text",
+          ArtifactStore.load(s, store),
+          shingleN = 5, m = BloomM, k = BloomK)
+          .orderBy("doc_id")
+      })
+  )
+
+  val all: Seq[Q] = base ++ storeProbes
 }

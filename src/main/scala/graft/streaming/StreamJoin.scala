@@ -32,7 +32,17 @@ object StreamJoin {
     * and assert the buffered-state bound actually holds.
     * `maxFilesPerTrigger` > 0 splits the drain into one-file
     * micro-batches — the watermark then advances BETWEEN files, which
-    * is what exercises (and lets a test observe) state eviction. */
+    * is what exercises (and lets a test observe) state eviction.
+    *
+    * `shufflePartitions` > 0 scopes `spark.sql.shuffle.partitions` for
+    * the drain (restored after): a stream-stream join materializes
+    * FOUR state stores (left/right × keyToNumValues/keyWithIndex) per
+    * shuffle partition, each snapshot/delta-committed per micro-batch,
+    * so the per-batch floor is O(shufflePartitions) FILE I/O however
+    * small the data. Size it to the drain's actual rate — a stateful
+    * query pins its partition count in the checkpoint at first start,
+    * which is also why this must be chosen deliberately, not inherited
+    * from whatever batch default the session carries. */
   def intervalJoinAvailableNow(spark: SparkSession,
                                aGlob: String, bGlob: String,
                                schema: StructType, key: String,
@@ -40,7 +50,10 @@ object StreamJoin {
                                boundMs: Long, targetPath: String,
                                checkpoint: String,
                                watermarkDelay: String = "1 hour",
-                               maxFilesPerTrigger: Int = 0): StreamingQuery = {
+                               maxFilesPerTrigger: Int = 0,
+                               shufflePartitions: Int = 0): StreamingQuery = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
     def side(glob: String, tag: String): DataFrame = {
       val rd = spark.readStream.schema(schema)
       if (maxFilesPerTrigger > 0)
@@ -66,14 +79,17 @@ object StreamJoin {
       .select(col("a_key").as(key), col("a_id"), col("b_id"),
         unix_millis(col("a_ts")).as("a_ms"),
         unix_millis(col("b_ts")).as("b_ms"))
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", targetPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+    if (shufflePartitions > 0) spark.conf.set(spKey, shufflePartitions)
+    try {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", targetPath)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally if (shufflePartitions > 0) spark.conf.set(spKey, prevSp)
   }
 
   /** Read the joined table back through the sink's commit log. */

@@ -72,8 +72,35 @@ object ScaleStress {
     })
     time("dedup clusters")(Dedup.resolveClusters(docs, "doc_id",
       Dedup.nearDupPipeline(docs, "doc_id", "text")).count())
+    // replica cliques are THE adversarial dedup input at scale: each
+    // base doc's `factor` perturbed copies form a clique, so all-pairs
+    // verify emits ~C(factor,2) pairs per clique (quadratic in the
+    // replication) while spanning emits factor−1 star edges (linear).
+    // Same clusters either way (DedupSpec pins it); compare the counts.
+    time("neardup pairs (all)")(Dedup.nearDupPipeline(
+      docs, "doc_id", "text").count())
+    time("neardup pairs (spanning)")(Dedup.nearDupPipeline(
+      docs, "doc_id", "text", edges = "spanning").count())
+    time("clusters via spanning")(Dedup.resolveClusters(docs, "doc_id",
+      Dedup.nearDupPipeline(docs, "doc_id", "text",
+        edges = "spanning")).count())
     time("ivf topk (kmeans)")(Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
       "vec_id", "embedding", 10).count())
+    // write-time vs read-time split for the persisted-artifact path:
+    // train+publish once (the write-time cost), then probe from the
+    // stored artifact — the per-query cost once training is amortized.
+    // Compare "ivf probe (stored)" to "ivf topk (kmeans)" above: the
+    // delta is the k-means training the store moved out of the query.
+    val ivfStore = java.nio.file.Files
+      .createTempDirectory("graft-stress-ivfstore").toString + "/cents"
+    time("ivf artifact train+pub")({
+      graft.operators.ArtifactStore.publish(spark, ivfStore,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2))
+      16L
+    })
+    time("ivf probe (stored)")(Similarity.ivfTopKWith(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10,
+      graft.operators.ArtifactStore.load(spark, ivfStore)).count())
     time("int8 quantize")(Similarity.quantizeInt8(emb, "vec_id", "embedding").count())
     time("stratified sample")(graft.operators.Sampling.stratifiedSample(
       docs, "doc_id", "lang", Map("en" -> 0.4), 0.1).count())

@@ -236,4 +236,38 @@ class DedupSpec extends SparkSpec {
     val totalKept = got.values.map(_._2).sum
     assert(totalKept == 2 + 1 + 0 + 1 + 3 + 1)
   }
+
+  test("spanning edges: linear pair count per replica clique, identical clusters") {
+    // two replica cliques (the pathological dedup input: N copies of one
+    // doc) + one unrelated singleton. all-pairs emits C(n,2) per clique;
+    // spanning must emit n-1 star edges and resolve the SAME clusters.
+    val n = 12
+    val clique1 = (0 until n).map(i => (100L + i,
+      "replicated boilerplate about subscribing to our newsletter " +
+        "for daily updates and following us on social media", "en"))
+    val clique2 = (0 until n).map(i => (200L + i,
+      "another heavily duplicated passage regarding terms of service " +
+        "privacy policy and cookie settings on this website", "en"))
+    val corpus = (clique1 ++ clique2 :+
+      ((300L, "completely unrelated text about distributed query " +
+        "engines and columnar storage formats", "en")))
+      .toDF("doc_id", "text", "lang")
+
+    val allPairs = Dedup.nearDupPipeline(corpus, "doc_id", "text")
+    val starPairs = Dedup.nearDupPipeline(corpus, "doc_id", "text",
+      edges = "spanning")
+    // pair-count shape: C(n,2) per clique vs n-1 per clique
+    assert(allPairs.count() == 2L * n * (n - 1) / 2, "all-pairs quadratic")
+    assert(starPairs.count() == 2L * (n - 1), "spanning linear")
+    // every spanning edge is a star from the clique minimum
+    assert(starPairs.select("id_a").distinct().as[Long].collect().toSet
+      == Set(100L, 200L))
+    // the clusters (and therefore keepers) are identical
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveClusters(corpus, "doc_id", pairs)
+        .select("doc_id", "cluster_id", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    assert(clusters(allPairs) == clusters(starPairs))
+  }
 }
