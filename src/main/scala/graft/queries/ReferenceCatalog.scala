@@ -33,10 +33,15 @@ object ReferenceCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses to read as a timestamp. Read nanos as long and truncate to
-    * microseconds (integer DIV — ns epoch values overflow double
-    * precision). DuckDB's ns→µs cast truncates identically.
+  /** The events table's on-disk `ts` layout is the DRIVER'S choice and
+    * has changed across rounds — TIMESTAMP(NANOS) (which Spark 4
+    * refuses to read as a timestamp; read nanos as long, truncate to
+    * microseconds with integer DIV — ns epoch values overflow double
+    * precision), then TIMESTAMP(MICROS)/NTZ. This helper adapts to
+    * whichever layout the file carries and always returns `ts` as
+    * TimestampType (sessions run in UTC, so the NTZ→TZ cast is
+    * value-preserving); DuckDB's ns→µs cast truncates identically, so
+    * oracle SQL over `ts` is layout-independent too.
     *
     * No session-level side effect: `nanosAsLong` is needed only for
     * eager, driver-side SCHEMA INFERENCE (the footer's ns type maps to
