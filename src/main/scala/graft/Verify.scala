@@ -22,11 +22,13 @@ object Verify {
       .getOrElse(Seq.empty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.isEmpty || only.exists(name.contains) }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +47,21 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failures must be durable, not stderr-only: a query whose plan fails
+    // to build would otherwise vanish from the round's correctness report
+    // (reduced coverage masking a regression). Two records: failures.json
+    // (name -> exception), and a one-row stub parquet whose schema can
+    // never match the oracle, so the driver compare shows a hard FAIL.
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failures.json"), fj)
+      import spark.implicits._
+      failures.foreach { case (name, msg) =>
+        Seq(msg).toDF("graft_verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    }
     spark.stop()
   }
 }

@@ -24,6 +24,46 @@ object ExtensionCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The streaming sources' documented event layout: `ts` as
+    * ns-since-epoch longs. The on-disk testdata layout is the driver's
+    * choice and has changed across rounds (NANOS longs, then
+    * MICROS/NTZ); [[ReferenceCatalog.events]] absorbs that, and this
+    * converts back to the ns-long producer contract — so
+    * layout-independence lives HERE, at simulated-producer time, not
+    * inside every streaming drain. */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame =
+    ReferenceCatalog.events(s, dir)
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+
+  /** Schema of the arrival files [[writeEventArrivalsNs]] produces —
+    * what the catalog's streaming queries hand their file sources. */
+  private val eventArrivalSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Build a simulated S3 arrival directory: ONE parquet file of the
+    * whole events table in [[eventArrivalSchema]] layout, copied
+    * `copies` times under distinct names (copies > 1 is the
+    * byte-identical redelivery case). */
+  private def writeEventArrivalsNs(s: SparkSession, dir: String,
+                                   arrivals: String,
+                                   copies: Int = 1): Unit = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-arrv").toString + "/stage"
+    eventsNs(s, dir).coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $staging"))
+      .toPath
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(arrivals))
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$arrivals/events_$i.parquet"))
+    }
+  }
+
   // ---------- shared intermediates of the minhash dedup family ----------
   // x06 (candidates), x16 (verified pairs), x18 (clusters), x27 (curated
   // corpus) and x31 (funnel) are successive stages of ONE pipeline over
@@ -853,19 +893,11 @@ object ExtensionCatalog {
         |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        // no conf needed: the streaming source gets an explicit long
-        // schema below, which reads ns parquet without nanosAsLong
         val work = java.nio.file.Files.createTempDirectory("graft-stream").toString
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         // simulate the S3 arrival directory (the file source needs a dir)
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/arrivals"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$work/arrivals/events.parquet"))
-        StreamIngest.ingestAvailableNow(s, s"$work/arrivals", schema,
+        writeEventArrivalsNs(s, dir, s"$work/arrivals")
+        StreamIngest.ingestAvailableNow(s, s"$work/arrivals",
+          eventArrivalSchema,
           s"$work/target", keys = Seq("event_id"), checkpoint = s"$work/cp")
         graft.operators.MergeUpsert.readPlain(s, s"$work/target")
           .groupBy("event_type")
@@ -2714,20 +2746,12 @@ object ExtensionCatalog {
       (s, dir) => {
         val work = java.nio.file.Files
           .createTempDirectory("graft-enrich").toString
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        java.nio.file.Files.createDirectory(
-          java.nio.file.Paths.get(s"$work/arrivals"))
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(s"$work/arrivals/events.parquet"))
+        writeEventArrivalsNs(s, dir, s"$work/arrivals")
         val dim = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment").as("segment"))
         graft.streaming.StreamEnrich.enrichAvailableNow(s,
-          s"$work/arrivals", schema, dim, "user_id", "c_custkey",
+          s"$work/arrivals", eventArrivalSchema, dim,
+          "user_id", "c_custkey",
           s"$work/out", s"$work/cp")
         graft.streaming.StreamEnrich.readEnriched(s, s"$work/out")
           .select("event_id", "event_type", "segment")
@@ -3815,17 +3839,12 @@ object ExtensionCatalog {
       (s, dir) => {
         val work = java.nio.file.Files
           .createTempDirectory("graft-sjoin").toString
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
         // both arrival dirs in ONE scan+write (partitionBy splits the
         // sides into side=a/ and side=b/; the partition column is not
-        // in the data files, so the streaming reads see `schema`
-        // exactly) — the two-full-scans version cost 2× the events
-        // read for what is one pass of work
-        s.read.schema(schema).parquet(s"$dir/events.parquet")
+        // in the data files, so the streaming reads see the arrival
+        // schema exactly) — the two-full-scans version cost 2× the
+        // events read for what is one pass of work
+        eventsNs(s, dir)
           .withColumn("side",
             when(col("event_id") % 2 === 0, "a").otherwise("b"))
           .write.partitionBy("side").parquet(s"$work/arr")
@@ -3834,7 +3853,7 @@ object ExtensionCatalog {
         // 4 state stores × partitions of checkpoint file I/O — at the
         // session's 32 it was the dominant cost of this query
         graft.streaming.StreamJoin.intervalJoinAvailableNow(s,
-          s"$work/arr/side=a", s"$work/arr/side=b", schema,
+          s"$work/arr/side=a", s"$work/arr/side=b", eventArrivalSchema,
           "user_id", "event_id", "ts",
           StreamJoinBoundMs, s"$work/out", s"$work/cp",
           shufflePartitions = 4)
@@ -3880,21 +3899,10 @@ object ExtensionCatalog {
       (s, dir) => {
         val work = java.nio.file.Files
           .createTempDirectory("graft-sdedup").toString
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        java.nio.file.Files.createDirectory(
-          java.nio.file.Paths.get(s"$work/arrivals"))
         // the same file delivered twice — the redelivery case
-        Seq("events_1.parquet", "events_2.parquet").foreach { f =>
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$dir/events.parquet"),
-            java.nio.file.Paths.get(s"$work/arrivals/$f"))
-        }
+        writeEventArrivalsNs(s, dir, s"$work/arrivals", copies = 2)
         graft.streaming.StreamDedup.dedupeAvailableNow(s,
-          s"$work/arrivals", schema, "event_id", "ts",
+          s"$work/arrivals", eventArrivalSchema, "event_id", "ts",
           s"$work/out", s"$work/cp")
         graft.streaming.StreamDedup.readDeduped(s, s"$work/out")
           .select("event_id", "user_id", "event_type", "value")

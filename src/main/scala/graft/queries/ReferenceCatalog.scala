@@ -62,17 +62,33 @@ object ReferenceCatalog {
   def events(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val schema = nanosInferLock.synchronized {
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
+    // Plain inference succeeds for MICROS/MILLIS layouts (with or
+    // without tz annotation); only a TIMESTAMP(NANOS) footer makes
+    // Spark 4 throw, and only then do we need the nanosAsLong window.
+    val schema =
       try s.read.parquet(path).schema
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
+      catch {
+        case _: Exception => nanosInferLock.synchronized {
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          try s.read.parquet(path).schema
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
       }
+    val raw = s.read.schema(schema).parquet(path)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // NANOS footer read as ns-since-epoch longs; integer DIV keeps
+        // full precision (ns values overflow double), then µs→timestamp.
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Sessions run in UTC, so the NTZ→TZ cast is value-preserving.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
     }
-    s.read.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   // ---- shared synthetic semantics over lineitem ----
