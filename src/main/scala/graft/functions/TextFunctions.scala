@@ -56,6 +56,39 @@ object TextFunctions {
   def upperCount(text: Column): Column =
     regexCount(text, "[A-Z]")
 
+  // ---- encoding-quality signals (x120) ----
+  // Shared regex constants feed BOTH the Spark expressions and the
+  // generated DuckDB oracle SQL; the escape syntax used (\xHH ranges,
+  // literal chars) parses identically under java.util.regex and RE2.
+  /** U+FFFD — what a decoder emits for undecodable bytes. */
+  val ReplacementCharPattern = "�"
+  /** C0 control chars except \t\n\r, plus DEL: never legitimate in
+    * text-modality training data. */
+  val CtrlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  /** Classic UTF-8-bytes-read-as-cp1252 digraphs: `â€` prefixes every
+    * mangled smart quote/dash/ellipsis, and `Ã`/`Â` + Latin-1 accent
+    * covers the mangled accented letters. Fixed literal alternation —
+    * no overlap between alternatives, so counts are engine-portable by
+    * construction. */
+  val MojibakePattern =
+    "(â€|Ã©|Ã¨|Ã¢|Ã¤|Ã¶|Ã¼|Ã±|Ã§|Â°|Â£)"
+  /** Printable-ASCII char class (space..tilde). */
+  val AsciiPrintablePattern = "[ -~]"
+
+  def replacementCount(text: Column): Column =
+    regexCount(text, ReplacementCharPattern).cast("long")
+  def ctrlCount(text: Column): Column =
+    regexCount(text, CtrlCharPattern).cast("long")
+  def mojibakeCount(text: Column): Column =
+    regexCount(text, MojibakePattern).cast("long")
+  /** Printable-ASCII fraction of characters, portable-rounded to 4 dp;
+    * NULL for an empty document. */
+  def asciiPrintableRatio(text: Column): Column =
+    when(length(text) === 0, lit(null).cast("double"))
+      .otherwise(portableRound(
+        regexCount(text, AsciiPrintablePattern).cast("double") /
+          length(text).cast("double"), 4))
+
   /** Stopword lists per language — compact, fixed, ASCII. The zh list is
     * romanized particles (the synthetic corpus is ASCII; real CJK would
     * use codepoint-range features instead). */

@@ -601,6 +601,27 @@ object ExtensionCatalog {
       |  SELECT node AS doc_id FROM reach GROUP BY node
       |  HAVING min(label) = node)""".stripMargin
 
+  /** mirrors Dedup.ngramJaccard: blocked (lang × 25-char length
+    * bucket) exact character-trigram Jaccard pairs at `minJaccard`,
+    * emitted as CTE fragment `jp(id_a, id_b, jaccard)`. Shared by x05
+    * (the pair report) and x121 (the LSH recall harness's ground
+    * truth) so the two sides cannot drift. */
+  private def ngramPairsSql(src: String, minJaccard: Double): String =
+    s"""p AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
+       |    list_distinct(list_transform(
+       |      generate_series(1, greatest(length(text) - 2, 1)),
+       |      i -> text[i : i + 2])) AS grams
+       |  FROM $src),
+       |jp AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
+       |    FROM p a JOIN p b ON a.lang = b.lang AND a.lbucket = b.lbucket
+       |      AND a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $minJaccard)""".stripMargin
+
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
     * (shared by x06/x16/x18/x31). Emits the CTE chain WITHOUT the
     * leading WITH keyword (callers own WITH vs WITH RECURSIVE), and the
@@ -732,19 +753,8 @@ object ExtensionCatalog {
 
     // ---- n-gram Jaccard near-dup within (lang, length-bucket) blocks ----
     Q("x05_ngram_jaccard", Some(
-      """WITH p AS (
-        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
-        |    list_distinct(list_transform(
-        |      generate_series(1, greatest(length(text) - 2, 1)),
-        |      i -> text[i : i + 2])) AS grams
-        |  FROM documents)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |          CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
-        |  FROM p a JOIN p b ON a.lang = b.lang AND a.lbucket = b.lbucket
-        |    AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin),
+      s"""WITH ${ngramPairsSql("documents", 0.2)}
+         |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
         "doc_id", "text", blockCol = "lang", n = 3, bucketChars = 25,
         minJaccard = 0.2)
@@ -3926,6 +3936,129 @@ object ExtensionCatalog {
         graft.streaming.StreamDedup.readDeduped(s, s"$work/out")
           .select("event_id", "user_id", "event_type", "value")
           .orderBy("event_id")
+      }),
+
+    // ---- schema-on-read JSON extraction: the props column stays an
+    //      opaque string until a query pulls a typed field out of it
+    //      (from_json → codegen'd Jackson parse, no UDF); malformed or
+    //      missing keys surface as NULLs, counted explicitly ----
+    Q("x119_props_extract", Some(
+      """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  floor(avg(k) * 10000.0 + 0.5) / 10000.0 AS avg_k
+        |FROM (
+        |  SELECT event_type,
+        |    TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => ReferenceCatalog.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), new StructType().add("k", LongType))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          TextFunctions.portableRound(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
+    // ---- encoding-quality scan (ftfy-style triage, detection only):
+    //      U+FFFD replacement chars, C0 controls + DEL, cp1252-mojibake
+    //      digraphs, printable-ASCII ratio — the "was this corpus
+    //      decoded correctly" gate that runs before any text op is
+    //      trustworthy; all patterns shared with the oracle ----
+    Q("x120_encoding_scan", Some(
+      s"""SELECT doc_id, n_repl, n_ctrl, n_moji,
+         |  CASE WHEN n_chars = 0 THEN NULL
+         |       ELSE floor(n_ascii / CAST(n_chars AS DOUBLE) * 10000.0 + 0.5)
+         |            / 10000.0 END AS ascii_ratio,
+         |  (n_repl = 0 AND n_ctrl = 0 AND n_moji = 0) AS enc_ok
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '${TextFunctions.ReplacementCharPattern}')) AS BIGINT) AS n_repl,
+         |    CAST(len(regexp_extract_all(text, '${TextFunctions.CtrlCharPattern}')) AS BIGINT) AS n_ctrl,
+         |    CAST(len(regexp_extract_all(text, '${TextFunctions.MojibakePattern}')) AS BIGINT) AS n_moji,
+         |    CAST(len(regexp_extract_all(text, '${TextFunctions.AsciiPrintablePattern}')) AS DOUBLE) AS n_ascii,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.replacementCount(col("text")).as("n_repl"),
+        TextFunctions.ctrlCount(col("text")).as("n_ctrl"),
+        TextFunctions.mojibakeCount(col("text")).as("n_moji"),
+        TextFunctions.asciiPrintableRatio(col("text")).as("ascii_ratio"),
+        (TextFunctions.replacementCount(col("text")) === 0 &&
+          TextFunctions.ctrlCount(col("text")) === 0 &&
+          TextFunctions.mojibakeCount(col("text")) === 0).as("enc_ok"))
+        .orderBy("doc_id")),
+
+    // ---- LSH candidate-recall harness (the x95 shape, text side):
+    //      truth = blocked EXACT Jaccard over the same word-3-shingle
+    //      sets the MinHash signatures estimate (char-trigram Jaccard
+    //      would be the wrong yardstick — on a shared-vocabulary
+    //      corpus it marks pairs similar that share no phrasing);
+    //      recall = fraction of truth pairs the banded index surfaces
+    //      as candidates. The number that justifies the band/row
+    //      layout before trusting it at 100 TB ----
+    Q("x121_lsh_recall", Some(
+      s"""WITH ${minhashPairsSql()},
+         |wt AS (
+         |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
+         |         ${tokSql("text")} AS tk
+         |  FROM documents),
+         |wsh AS (
+         |  SELECT doc_id, lang, lbucket, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(tk) - 2, 1)),
+         |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
+         |  FROM wt WHERE len(tk) > 0),
+         |jp AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4)
+         |        AS wjaccard
+         |    FROM wsh a JOIN wsh b
+         |      ON a.lang = b.lang AND a.lbucket = b.lbucket
+         |        AND a.doc_id < b.doc_id)
+         |  WHERE wjaccard >= 0.4),
+         |hit AS (
+         |  SELECT t.id_a FROM jp t JOIN cand c
+         |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         |SELECT (SELECT count(*) FROM jp) AS n_truth,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM jp) = 0 THEN NULL
+         |       ELSE floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |            / CAST((SELECT count(*) FROM jp) AS DOUBLE)
+         |            * 10000.0 + 0.5) / 10000.0 END AS recall""".stripMargin),
+      (s, dir) => {
+        val sh = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            (length(col("text")).cast("long") / lit(25)).cast("long")
+              .as("lbucket"),
+            Dedup.shingles(col("text"), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0)
+        val truth = sh.as("a").join(sh.as("b"),
+            col("a.lang") === col("b.lang") &&
+              col("a.lbucket") === col("b.lbucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            TextFunctions.portableRound(
+              size(array_intersect(col("a.shingles"), col("b.shingles")))
+                .cast("double") /
+                size(array_union(col("a.shingles"), col("b.shingles")))
+                  .cast("double"), 4).as("wjaccard"))
+          .filter(col("wjaccard") >= 0.4)
+          .select("id_a", "id_b")
+        val cand = lshCands(s, dir).select("id_a", "id_b")
+        val hit = truth.join(cand, Seq("id_a", "id_b"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") === 0, lit(null).cast("double"))
+              .otherwise(TextFunctions.portableRound(
+                col("n_hit").cast("double") / col("n_truth").cast("double"),
+                4)).as("recall"))
       })
   )
 
