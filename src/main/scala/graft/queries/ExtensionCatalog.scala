@@ -4008,14 +4008,16 @@ object ExtensionCatalog {
          |  FROM documents),
          |wsh AS (
          |  SELECT doc_id, lang, lbucket, list_distinct(list_transform(
-         |    generate_series(1, greatest(len(tk) - 2, 1)),
-         |    i -> array_to_string(tk[i : i + 2], ' '))) AS shingles
+         |    list_transform(
+         |      generate_series(1, greatest(len(tk) - 2, 1)),
+         |      i -> array_to_string(tk[i : i + 2], ' ')),
+         |    s -> ${h60Sql("s", Dedup.MinhashP)})) AS hs
          |  FROM wt WHERE len(tk) > 0),
          |jp AS (
          |  SELECT id_a, id_b FROM (
          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-         |            CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 4)
+         |      round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |            CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 4)
          |        AS wjaccard
          |    FROM wsh a JOIN wsh b
          |      ON a.lang = b.lang AND a.lbucket = b.lbucket
@@ -4032,21 +4034,28 @@ object ExtensionCatalog {
          |            / CAST((SELECT count(*) FROM jp) AS DOUBLE)
          |            * 10000.0 + 0.5) / 10000.0 END AS recall""".stripMargin),
       (s, dir) => {
+        // hashed-long shingle sets (md5-60 mod p, mirrored in the
+        // oracle) so the pair stage runs SortedJaccard's primitive
+        // merge instead of string-set intersection; identical sets on
+        // both sides by construction
         val sh = t(s, dir, "documents").select(col("doc_id"), col("lang"),
             (length(col("text")).cast("long") / lit(25)).cast("long")
               .as("lbucket"),
-            Dedup.shingles(col("text"), 3).as("shingles"))
-          .filter(size(col("shingles")) > 0)
+            array_sort(array_distinct(transform(
+              Dedup.shingles(col("text"), 3),
+              sgl => TextFunctions.md5Hash60(sgl) % lit(Dedup.MinhashP))))
+              .as("hs"))
+          .filter(size(col("hs")) > 0)
+        val wjac = org.apache.spark.sql.graft.bridge.column(
+          graft.plans.SortedJaccard(
+            org.apache.spark.sql.graft.bridge.expression(col("a.hs")),
+            org.apache.spark.sql.graft.bridge.expression(col("b.hs"))))
         val truth = sh.as("a").join(sh.as("b"),
             col("a.lang") === col("b.lang") &&
               col("a.lbucket") === col("b.lbucket") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            TextFunctions.portableRound(
-              size(array_intersect(col("a.shingles"), col("b.shingles")))
-                .cast("double") /
-                size(array_union(col("a.shingles"), col("b.shingles")))
-                  .cast("double"), 4).as("wjaccard"))
+            wjac.as("wjaccard"))
           .filter(col("wjaccard") >= 0.4)
           .select("id_a", "id_b")
         val cand = lshCands(s, dir).select("id_a", "id_b")
