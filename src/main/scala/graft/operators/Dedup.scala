@@ -480,6 +480,73 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** LSH candidate-recall harness: of the pairs blocked EXACT
+    * word-3-shingle Jaccard finds at `minJaccard`, what fraction does
+    * the banded MinHash index surface as candidates? One row:
+    * (n_truth, n_cand, n_hit, recall) — recall NULL when no truth
+    * pairs exist. Truth runs on hashed-long shingle sets (md5-60
+    * mod p) so the pair stage is [[graft.plans.SortedJaccard]]'s
+    * primitive merge.
+    *
+    * The truth join is quadratic in block occupancy — affordable at
+    * verification scale, not at 100 TB. `sampleMod` > 1 restricts the
+    * TRUTH side (both pair endpoints) to the deterministic doc sample
+    * h60("recall:" + id) % sampleMod == 0: recall is a per-pair
+    * property, so an unbiased doc sample is an unbiased sample of the
+    * pair population, and the truth-join cost drops ~sampleMod².
+    * The candidate INDEX always stays full-corpus — the harness
+    * measures the index as deployed, on a sample of questions
+    * (n_cand is restricted to in-sample pairs so the three counts
+    * share one scope). */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+                blockCol: String, bands: Int = 8, rowsPerBand: Int = 4,
+                minJaccard: Double = 0.4, bucketChars: Int = 25,
+                sampleMod: Int = 1,
+                cands: Option[DataFrame] = None): DataFrame = {
+    val sampled = if (sampleMod > 1)
+      df.filter(TextFunctions.md5Hash60(
+        concat(lit("recall:"), col(idCol).cast("string")))
+        % lit(sampleMod.toLong) === 0)
+    else df
+    val sh = sampled.select(col(idCol).as("doc_id_"),
+        col(blockCol).as("block_"),
+        (length(col(textCol)).cast("long") / lit(bucketChars)).cast("long")
+          .as("lbucket_"),
+        array_sort(array_distinct(transform(shingles(col(textCol), 3),
+          sgl => TextFunctions.md5Hash60(sgl) % lit(MinhashP)))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val wjac = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SortedJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("a.hs")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.hs"))))
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.block_") === col("b.block_") &&
+          col("a.lbucket_") === col("b.lbucket_") &&
+          col("a.doc_id_") < col("b.doc_id_"))
+      .select(col("a.doc_id_").as("id_a"), col("b.doc_id_").as("id_b"),
+        wjac.as("wjaccard"))
+      .filter(col("wjaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    val candAll = cands.getOrElse(
+      minhashLsh(df, idCol, textCol, bands, rowsPerBand))
+      .select("id_a", "id_b")
+    val candScoped = if (sampleMod > 1) {
+      val ids = sampled.select(col(idCol).as("sid"))
+      candAll.join(ids, candAll("id_a") === col("sid"), "left_semi")
+        .join(sampled.select(col(idCol).as("sid")),
+          candAll("id_b") === col("sid"), "left_semi")
+    } else candAll
+    val hit = truth.join(candScoped, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(candScoped.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(null).cast("double"))
+          .otherwise(TextFunctions.portableRound(
+            col("n_hit").cast("double") / col("n_truth").cast("double"), 4))
+          .as("recall"))
+  }
+
   /** Winnowing fingerprints (rolling k-gram hashes → per-window minima;
     * see [[graft.plans.WinnowFingerprint]]): (doc_id_, fp array<long>).
     * Docs shorter than k characters have an empty fingerprint. */

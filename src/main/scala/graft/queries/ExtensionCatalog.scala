@@ -4033,42 +4033,13 @@ object ExtensionCatalog {
          |       ELSE floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |            / CAST((SELECT count(*) FROM jp) AS DOUBLE)
          |            * 10000.0 + 0.5) / 10000.0 END AS recall""".stripMargin),
-      (s, dir) => {
-        // hashed-long shingle sets (md5-60 mod p, mirrored in the
-        // oracle) so the pair stage runs SortedJaccard's primitive
-        // merge instead of string-set intersection; identical sets on
-        // both sides by construction
-        val sh = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-            (length(col("text")).cast("long") / lit(25)).cast("long")
-              .as("lbucket"),
-            array_sort(array_distinct(transform(
-              Dedup.shingles(col("text"), 3),
-              sgl => TextFunctions.md5Hash60(sgl) % lit(Dedup.MinhashP))))
-              .as("hs"))
-          .filter(size(col("hs")) > 0)
-        val wjac = org.apache.spark.sql.graft.bridge.column(
-          graft.plans.SortedJaccard(
-            org.apache.spark.sql.graft.bridge.expression(col("a.hs")),
-            org.apache.spark.sql.graft.bridge.expression(col("b.hs"))))
-        val truth = sh.as("a").join(sh.as("b"),
-            col("a.lang") === col("b.lang") &&
-              col("a.lbucket") === col("b.lbucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            wjac.as("wjaccard"))
-          .filter(col("wjaccard") >= 0.4)
-          .select("id_a", "id_b")
-        val cand = lshCands(s, dir).select("id_a", "id_b")
-        val hit = truth.join(cand, Seq("id_a", "id_b"))
-        truth.agg(count(lit(1)).as("n_truth"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(col("n_truth"), col("n_cand"), col("n_hit"),
-            when(col("n_truth") === 0, lit(null).cast("double"))
-              .otherwise(TextFunctions.portableRound(
-                col("n_hit").cast("double") / col("n_truth").cast("double"),
-                4)).as("recall"))
-      })
+      (s, dir) =>
+        // full-corpus truth (sampleMod = 1) at verification scale; the
+        // 100 TB path is Dedup.lshRecall's sampleMod — measured in
+        // ScaleStress ("lsh recall" rows)
+        Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "lang",
+          cands = Some(lshCands(s, dir).select("id_a", "id_b"))))
   )
 
   /** The SQL of a base query, for a store-probe twin that must match

@@ -72,6 +72,17 @@ object ScaleStress {
     })
     time("dedup clusters")(Dedup.resolveClusters(docs, "doc_id",
       Dedup.nearDupPipeline(docs, "doc_id", "text")).count())
+    // recall harness at scale: the full-truth join is quadratic in
+    // block occupancy (replica cliques), the sampled-truth variant is
+    // the deployed shape — same index, 1/mod² of the truth pairs
+    time("lsh recall (sampled m=4)")({
+      val r = Dedup.lshRecall(docs, "doc_id", "text", "lang",
+        sampleMod = 4).head
+      println(s"[stress]   recall report: truth=${r.getLong(0)} " +
+        s"cand=${r.getLong(1)} hit=${r.getLong(2)} " +
+        s"recall=${if (r.isNullAt(3)) "NULL" else r.getDouble(3)}")
+      r.getLong(0)
+    })
     // replica cliques are THE adversarial dedup input at scale: each
     // base doc's `factor` perturbed copies form a clique, so all-pairs
     // verify emits ~C(factor,2) pairs per clique (quadratic in the
