@@ -3930,9 +3930,11 @@ object ExtensionCatalog {
           .createTempDirectory("graft-sdedup").toString
         // the same file delivered twice — the redelivery case
         writeEventArrivalsNs(s, dir, s"$work/arrivals", copies = 2)
+        // 4 shuffle partitions: the x112 lesson — per-file micro-batches
+        // pay one state-store commit per partition per file
         graft.streaming.StreamDedup.dedupeAvailableNow(s,
           s"$work/arrivals", eventArrivalSchema, "event_id", "ts",
-          s"$work/out", s"$work/cp")
+          s"$work/out", s"$work/cp", shufflePartitions = 4)
         graft.streaming.StreamDedup.readDeduped(s, s"$work/out")
           .select("event_id", "user_id", "event_type", "value")
           .orderBy("event_id")

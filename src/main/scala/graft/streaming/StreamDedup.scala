@@ -59,29 +59,44 @@ object StreamDedup {
     * (the [[StreamEnrich]] argument); dedup state checkpoints with
     * the query, so a restart mid-drain resumes without re-emitting.
     * Returns the terminated query so callers can read
-    * `lastProgress.stateOperators` and assert the state bound holds. */
+    * `lastProgress.stateOperators` and assert the state bound holds.
+    *
+    * `shufflePartitions` > 0 scopes `spark.sql.shuffle.partitions` for
+    * the drain (restored after) — the [[StreamJoin]] lesson: the dedup
+    * materializes ONE state store per shuffle partition, each
+    * snapshot/delta-committed per micro-batch, so with per-file
+    * micro-batches the floor is O(files × partitions) state-store
+    * FILE I/O however small the data. A stateful query pins its
+    * partition count in the checkpoint at first start; size it to the
+    * drain's rate deliberately, don't inherit the batch default. */
   def dedupeAvailableNow(spark: SparkSession, srcGlob: String,
                          schema: StructType, idCol: String,
                          tsNsCol: String, targetPath: String,
                          checkpoint: String,
-                         watermarkDelay: String = "1 hour"): StreamingQuery = {
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(srcGlob)
-      // DIV, not /: true division goes through double and loses
-      // sub-ms precision at epoch-ns magnitudes
-      .withColumn("_ets", timestamp_micros(expr(s"$tsNsCol DIV 1000")))
-      .withWatermark("_ets", watermarkDelay)
-      .dropDuplicatesWithinWatermark(idCol)
-      .drop("_ets")
-      .writeStream
-      .format("parquet")
-      .option("path", targetPath)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+                         watermarkDelay: String = "1 hour",
+                         shufflePartitions: Int = 0): StreamingQuery = {
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    if (shufflePartitions > 0) spark.conf.set(spKey, shufflePartitions)
+    try {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcGlob)
+        // DIV, not /: true division goes through double and loses
+        // sub-ms precision at epoch-ns magnitudes
+        .withColumn("_ets", timestamp_micros(expr(s"$tsNsCol DIV 1000")))
+        .withWatermark("_ets", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCol)
+        .drop("_ets")
+        .writeStream
+        .format("parquet")
+        .option("path", targetPath)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally if (shufflePartitions > 0) spark.conf.set(spKey, prevSp)
   }
 
   /** Read the deduplicated table back through the sink's commit log. */
