@@ -156,7 +156,28 @@ object StreamCuration {
     * publish is a deterministic function of the accumulated state. */
   def curateBatch(spark: SparkSession, batch: DataFrame, workDir: String,
                   minQuality: Double, rates: Map[String, Double],
-                  defaultRate: Double, publish: Boolean = true): Unit = {
+                  defaultRate: Double, publish: Boolean = true,
+                  shufflePartitions: Int = 8): Unit = {
+    // Scoped shuffle sizing (the StreamJoin/StreamDedup lesson, batch
+    // face): a micro-batch is SMALL by construction, but its ~10
+    // shuffles (store merges, candidate join, verify, publish) would
+    // otherwise run at the session's batch-sized partition count —
+    // measured 26% of the 3-batch drain at 32 partitions. foreachBatch
+    // serializes batches, so a set/restore window per batch is safe.
+    // 0 = inherit the session conf.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = spark.conf.get(spKey)
+    if (shufflePartitions > 0) spark.conf.set(spKey, shufflePartitions)
+    try curateBatchInner(spark, batch, workDir, minQuality, rates,
+      defaultRate, publish)
+    finally if (shufflePartitions > 0) spark.conf.set(spKey, prevSp)
+  }
+
+  private def curateBatchInner(spark: SparkSession, batch: DataFrame,
+                               workDir: String, minQuality: Double,
+                               rates: Map[String, Double],
+                               defaultRate: Double,
+                               publish: Boolean): Unit = {
     // localCheckpoint (eager): scored feeds the docs-store merge AND
     // the signature append — without it each action re-reads and
     // re-scores the batch text
