@@ -24,6 +24,20 @@ object ExtensionCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scoped micro-batch shuffle sizing for incremental-store replays
+    * (the StreamCuration lesson): each appended batch is small by
+    * construction, so its store merges and candidate joins should not
+    * run at the session's batch-sized partition count. Lives at the
+    * CALL site, not inside appendBatch/appendExact — those return lazy
+    * frames, so the scope must cover the loop that materializes them
+    * (localCheckpoint/count). */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** The streaming sources' documented event layout: `ts` as
     * ns-since-epoch longs. The on-disk testdata layout is the driver's
     * choice and has changed across rounds (NANOS longs, then
@@ -1569,14 +1583,16 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val store = java.nio.file.Files
           .createTempDirectory("graft-incdedup").toString + "/sigs"
-        (0 until 3).map { k =>
-          // localCheckpoint: each emission is materialized before the
-          // next append supersedes the store version it reads
-          IncrementalDedup.appendBatch(s, store,
-            docs.filter(col("doc_id") % 3 === k), "doc_id", "text")
-            .localCheckpoint()
-        }.reduce(_ unionByName _)
-          .orderBy("id_a", "id_b")
+        withShufflePartitions(s, 8) {
+          (0 until 3).map { k =>
+            // localCheckpoint: each emission is materialized before the
+            // next append supersedes the store version it reads — and
+            // inside the partition scope, which a lazy return would miss
+            IncrementalDedup.appendBatch(s, store,
+              docs.filter(col("doc_id") % 3 === k), "doc_id", "text")
+              .localCheckpoint()
+          }.reduce(_ unionByName _)
+        }.orderBy("id_a", "id_b")
       }),
 
     // ---- incremental STREAMING curation: the corpus arrives in three
@@ -1654,9 +1670,11 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val store = java.nio.file.Files
           .createTempDirectory("graft-incexact").toString + "/hashes"
-        (0 until 3).foreach { k =>
-          IncrementalDedup.appendExact(s, store,
-            docs.filter(col("doc_id") % 3 === k), "doc_id", "text").count()
+        withShufflePartitions(s, 8) {
+          (0 until 3).foreach { k =>
+            IncrementalDedup.appendExact(s, store,
+              docs.filter(col("doc_id") % 3 === k), "doc_id", "text").count()
+          }
         }
         IncrementalDedup.exactReport(s, store).orderBy("text_hash")
       }),
