@@ -91,4 +91,59 @@ object RepeatedSpans {
           .as("dup_frac"))
       .withColumn("keep", col("dup_frac") <= maxDupFrac)
   }
+
+  /** The REMOVAL face of [[spanStats]] — Lee et al.'s keep-one
+    * exact-substring dedup as a corpus rewrite: every k-token span
+    * occurring ≥ 2 times corpus-wide keeps its globally FIRST
+    * occurrence (ordered by doc_id, pos — deterministic) and every
+    * other occurrence's token range is removed; a document's
+    * clean_text is its surviving tokens re-joined (single-space
+    * normalized, the same both engines). Documents shorter than k
+    * tokens pass through whole.
+    *
+    * Returns (doc_id, n_tok, n_removed, clean_text), one row per doc.
+    *
+    * Scale shape: the duplicated-gram window and the removed-position
+    * explode touch only the DUPLICATED subset (k rows per removable
+    * span); the full-token explode + anti-join + re-agg is one
+    * O(corpus tokens) shuffle keyed by doc — the same class as the
+    * gram fan-out itself, and the price of producing rewritten text
+    * at all. */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        col("tk"))
+    val grams = base.filter(col("n_tok") >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val removable = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("c") >= 2 && col("rn") > 1)
+    val removed = removable
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val kept = toks.join(removed, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          st => st.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -4059,7 +4059,51 @@ object ExtensionCatalog {
         // ScaleStress ("lsh recall" rows)
         Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
           blockCol = "lang",
-          cands = Some(lshCands(s, dir).select("id_a", "id_b"))))
+          cands = Some(lshCands(s, dir).select("id_a", "id_b")))),
+
+    // ---- keep-one exact-substring dedup (the REMOVAL face of x43's
+    //      coverage statistic — Lee et al.'s actual corpus rewrite):
+    //      every duplicated 8-token span keeps its globally first
+    //      occurrence, every other occurrence's token range is
+    //      stripped, text rebuilt from survivors. 47 natural docs
+    //      carry duplicated spans at sf0.01, so the removal path is
+    //      exercised without planting. ----
+    Q("x122_strip_spans", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - 8)) AS u(i)),
+         |r AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY h) AS c,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM g),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, p
+         |  FROM r, unnest(generate_series(pos, pos + 7)) AS v(p)
+         |  WHERE c >= 2 AND rn > 1),
+         |e AS (
+         |  SELECT doc_id, i - 1 AS p, t[i] AS tok
+         |  FROM base, unnest(generate_series(1, CAST(n_tok AS INTEGER))) AS u(i)),
+         |kept AS (
+         |  SELECT e.doc_id, e.p, e.tok
+         |  FROM e ANTI JOIN rem ON e.doc_id = rem.doc_id AND e.p = rem.p),
+         |kc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tok,
+         |  b.n_tok - coalesce(kc.n_kept, 0) AS n_removed,
+         |  coalesce(kc.clean_text, '') AS clean_text
+         |FROM base b LEFT JOIN kc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => RepeatedSpans.stripSpans(t(s, dir, "documents"),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id"))
   )
 
   /** The SQL of a base query, for a store-probe twin that must match
