@@ -30,6 +30,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Noise control: single-query swings of up to 6.5x with byte-identical
+    // shuffle/peak telemetry were observed across rounds (host state: page
+    // cache, JIT, GC phase). min-of-REPS absorbs the one-off stalls; the
+    // canary (below) exposes whatever host drift remains. REPS=1 restores
+    // the old single-shot behavior for quick dev loops.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     // dev aid: bench a comma-separated subset (same contract as Verify)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -60,23 +66,50 @@ object Bench {
     // NonFatal only: an OOM or other VM error leaves the JVM unreliable,
     // so timings recorded after it would be meaningless — let it kill
     // the run instead of benchmarking through it.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Option[String]) = {
+      org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+      telemetry.reset()
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case scala.util.control.NonFatal(e) =>
+          Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+      val shufMb =
+        (telemetry.shuffleWrite.get + telemetry.shuffleRead.get) / 1e6
+      val peakMb = telemetry.peakTaskMem.get / 1e6
+      (sec, shufMb, peakMb, err)
+    }
+    // Canary: one fixed scan+agg whose cost depends only on host state,
+    // timed single-shot before and after the suite. A hot host benches it
+    // ~uniformly; a drifting host shows pre/post divergence — so a round-
+    // over-round total swing with a matching canary swing is host noise,
+    // and one without is a real regression.
+    val canaryFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.avg("l_extendedprice"),
+          org.apache.spark.sql.functions.count("*"))
+    val canaryPre = timeOnce(canaryFn)._1
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
-        telemetry.reset()
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case scala.util.control.NonFatal(e) =>
-            Some(Option(e.toString).getOrElse(e.getClass.getName).take(300)) }
-        val sec = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
-        val shufMb =
-          (telemetry.shuffleWrite.get + telemetry.shuffleRead.get) / 1e6
-        val peakMb = telemetry.peakTaskMem.get / 1e6
-        (name, sec, shufMb, peakMb, err)
+        // min-of-reps: stop early on error (an already-failed query is not
+        // worth re-timing); keep the telemetry of the fastest rep — the
+        // shuffle/peak numbers are plan properties and rep-invariant.
+        val runs = scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Double, Double, Option[String])]
+        while (runs.size < reps && runs.forall(_._4.isEmpty))
+          runs += timeOnce(fn)
+        val best = runs.find(_._4.isDefined).getOrElse(runs.minBy(_._1))
+        if (reps > 1) Console.err.println(
+          f"[bench] $name reps=[${runs.map(r => f"${r._1}%.2f").mkString(",")}]")
+        (name, best._1, best._2, best._3, best._4)
       }.toSeq
+    val canaryPost = timeOnce(canaryFn)._1
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -107,12 +140,22 @@ object Bench {
     // driver recorded parsed:null. Contract now: the full per-query
     // seconds/shuffle/peak/error maps go to BENCH_FULL.json on disk, and
     // stdout ends with ONE compact line that always fits the tail window.
+    val canaries =
+      s""""canary_pre_sec":${f"$canaryPre%.3f"},"canary_post_sec":${f"$canaryPost%.3f"},"reps":$reps"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
+    // The driver's parse slot has recorded null for four rounds because it
+    // tail-scrapes sbt stdout and sbt appends its own closing banner after
+    // our last println. The hard totals therefore ALSO go to a tiny file —
+    // BENCH_SUMMARY.json — that needs no tail-window luck to recover.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},$canaries,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) {
       Console.err.println(s"BENCH FAILED: ${failed.map(_._1).mkString(", ")}")
