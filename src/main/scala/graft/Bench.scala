@@ -66,10 +66,27 @@ object Bench {
     // NonFatal only: an OOM or other VM error leaves the JVM unreliable,
     // so timings recorded after it would be meaningless — let it kill
     // the run instead of benchmarking through it.
+    // Attribution metrics for the wall-time component that shuffle/peak
+    // telemetry can't see: JVM-wide GC time and whole-stage-codegen
+    // (janino) compile count. A slow rep with +gc_ms ≈ the wall delta is
+    // a collector stall; one with +compiles is a codegen-cache miss
+    // (fresh generated source → ~10-100 ms compile each); neither means
+    // the query's plan got worse.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def codegenCompiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    final case class Timing(sec: Double, shufMb: Double, peakMb: Double,
+      gcDeltaMs: Long, compiles: Long, err: Option[String])
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Double, Option[String]) = {
+        : Timing = {
       org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
       telemetry.reset()
+      val (gc0, cg0) = (gcMs(), codegenCompiles())
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -80,7 +97,7 @@ object Bench {
       val shufMb =
         (telemetry.shuffleWrite.get + telemetry.shuffleRead.get) / 1e6
       val peakMb = telemetry.peakTaskMem.get / 1e6
-      (sec, shufMb, peakMb, err)
+      Timing(sec, shufMb, peakMb, gcMs() - gc0, codegenCompiles() - cg0, err)
     }
     // Canary: one fixed scan+agg whose cost depends only on host state,
     // timed single-shot before and after the suite. A hot host benches it
@@ -93,23 +110,24 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"),
           org.apache.spark.sql.functions.avg("l_extendedprice"),
           org.apache.spark.sql.functions.count("*"))
-    val canaryPre = timeOnce(canaryFn)._1
+    val canaryPre = timeOnce(canaryFn).sec
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // min-of-reps: stop early on error (an already-failed query is not
         // worth re-timing); keep the telemetry of the fastest rep — the
         // shuffle/peak numbers are plan properties and rep-invariant.
-        val runs = scala.collection.mutable.ArrayBuffer
-          .empty[(Double, Double, Double, Option[String])]
-        while (runs.size < reps && runs.forall(_._4.isEmpty))
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Timing]
+        while (runs.size < reps && runs.forall(_.err.isEmpty))
           runs += timeOnce(fn)
-        val best = runs.find(_._4.isDefined).getOrElse(runs.minBy(_._1))
+        val best = runs.find(_.err.isDefined).getOrElse(runs.minBy(_.sec))
         if (reps > 1) Console.err.println(
-          f"[bench] $name reps=[${runs.map(r => f"${r._1}%.2f").mkString(",")}]")
-        (name, best._1, best._2, best._3, best._4)
+          f"[bench] $name reps=[${runs.map(r => f"${r.sec}%.2f").mkString(",")}]"
+            + s" gc=[${runs.map(_.gcDeltaMs).mkString(",")}]ms"
+            + s" compiles=[${runs.map(_.compiles).mkString(",")}]")
+        (name, best)
       }.toSeq
-    val canaryPost = timeOnce(canaryFn)._1
+    val canaryPost = timeOnce(canaryFn).sec
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -120,20 +138,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    def numMap(f: ((String, Double, Double, Double, Option[String])) => Double)
-        : String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = numMap(_._2)
+    def numMap(f: Timing => Double): String =
+      results.map { case (n, t) => s"\"" + n + "\":" + f(t) }
+        .mkString("{", ",", "}")
+    val qs = numMap(_.sec)
     // telemetry maps parallel to "queries" (additive: the driver's
     // seconds-map contract is untouched). shuffle_mb counts write+read
     // (a shuffle that runs shows up even if its read side is pruned);
-    // peak_mem_mb is the max single-task peak execution memory.
-    val shuf = numMap(r => math.round(r._3 * 100.0) / 100.0)
-    val peak = numMap(r => math.round(r._4 * 100.0) / 100.0)
-    val failed = results.collect { case (k, _, _, _, Some(e)) => k -> e }
+    // peak_mem_mb is the max single-task peak execution memory; gc_ms /
+    // codegen_compiles attribute wall time the first two can't explain.
+    val shuf = numMap(t => math.round(t.shufMb * 100.0) / 100.0)
+    val peak = numMap(t => math.round(t.peakMb * 100.0) / 100.0)
+    val gc = numMap(_.gcDeltaMs.toDouble)
+    val compiles = numMap(_.compiles.toDouble)
+    val failed = results.collect { case (k, t) if t.err.isDefined =>
+      k -> t.err.get }
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     // The driver captures only the last ~2 KB of sbt output and parses a
     // JSON line out of it. A 137-query map is ~10 KB, so the line head
     // (and the seconds map) fell outside the tail window in r4/r5 and the
@@ -143,7 +165,7 @@ object Bench {
     val canaries =
       s""""canary_pre_sec":${f"$canaryPre%.3f"},"canary_post_sec":${f"$canaryPost%.3f"},"reps":$reps"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
