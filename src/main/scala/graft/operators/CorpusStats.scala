@@ -27,9 +27,8 @@ object CorpusStats {
     val counts = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
-    counts.orderBy(col("freq").desc, col("term").asc).limit(k)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("freq").desc, col("term").asc)))
+    Ranked.rankBounded(counts, k,
+        Seq(col("freq").desc, col("term").asc), rankCol = "rank")
       .select(col("rank"), col("term"), col("freq"))
   }
 
@@ -555,7 +554,8 @@ object CorpusStats {
     val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     require(total > 0, "vocabCoverage: empty corpus")
     val top = counts.orderBy(col("freq").desc, col("term")).limit(topN)
-    val w = Window.orderBy(col("freq").desc, col("term"))
+    // ≤ topN rows from here on: the bounded single-group window is the plan
+    val w = Ranked.bounded(col("freq").desc, col("term"))
     top
       .withColumn("rank", row_number().over(w).cast("int"))
       .withColumn("cum_freq",
@@ -587,7 +587,7 @@ object CorpusStats {
       .agg(sum(TextFunctions.tokenCount(col(textCol))).cast("long")
         .as("tok"))
     val ranked = cnt.withColumn("i",
-      row_number().over(Window.orderBy(col("tok"), col("grp"))))
+      row_number().over(Ranked.bounded(col("tok"), col("grp"))))
     ranked.agg(count(lit(1)).as("n_groups"),
         sum(col("tok")).cast("long").as("total_tok"),
         sum((lit(2) * col("i").cast("long") - lit(1)) * col("tok"))

@@ -82,10 +82,7 @@ object Funnels {
       .select(col("x.t").as("type_a"), col("y.t").as("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_users"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_users").desc, col("type_a"), col("type_b"))
-    pairs.orderBy(col("n_users").desc, col("type_a"), col("type_b"))
-      .limit(k)
-      .withColumn("rn", row_number().over(w).cast("int"))
+    Ranked.rankBounded(pairs, k,
+      Seq(col("n_users").desc, col("type_a"), col("type_b")))
   }
 }

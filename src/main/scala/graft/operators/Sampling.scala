@@ -272,7 +272,7 @@ object Sampling {
       .limit(k)
     // rank window runs over the k survivors only
     top.withColumn("rn", row_number().over(
-      Window.orderBy(col("prio_key"), col("doc_id"))).cast("int"))
+      Ranked.bounded(col("prio_key"), col("doc_id"))).cast("int"))
   }
 
   /** Deterministic hash sharding + balance report: assign every row to

@@ -105,9 +105,8 @@ object TfIdf {
     val scored = tf
       .withColumn("score", TextFunctions.portableRound(score, roundTo))
       .select(col("doc_id"), col("score"))
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-      .withColumn("rn", row_number().over(w).cast("int"))
+    Ranked.rankBounded(scored, k,
+      Seq(col("score").desc, col("doc_id").asc))
   }
 
   /** Ranked retrieval by plain tf·idf over a fixed query — the second
@@ -140,9 +139,8 @@ object TfIdf {
     val scored = tf
       .withColumn("score", TextFunctions.portableRound(score, roundTo))
       .select(col("doc_id"), col("score"))
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
-      .withColumn("rn", row_number().over(w).cast("int"))
+    Ranked.rankBounded(scored, k,
+      Seq(col("score").desc, col("doc_id").asc))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists:
@@ -170,8 +168,7 @@ object TfIdf {
           coalesce(lit(1.0) / (lit(c) + col("rn_b")).cast("double"),
             lit(0.0)),
           roundTo).as("rrf"))
-    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
-      .withColumn("rn", row_number().over(w).cast("int"))
+    Ranked.rankBounded(fused, k,
+      Seq(col("rrf").desc, col("doc_id").asc))
   }
 }
