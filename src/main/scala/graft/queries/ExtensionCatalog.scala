@@ -31,12 +31,8 @@ object ExtensionCatalog {
     * CALL site, not inside appendBatch/appendExact — those return lazy
     * frames, so the scope must cover the loop that materializes them
     * (localCheckpoint/count). */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
-  }
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    graft.ScopedSessionConf.withShufflePartitions(s, n)(f)
 
   /** The streaming sources' documented event layout: `ts` as
     * ns-since-epoch longs. The on-disk testdata layout is the driver's
@@ -72,14 +68,24 @@ object ExtensionCatalog {
                                    arrivals: String,
                                    copies: Int = 1): Unit = {
     val part = arrivalStage.synchronized {
-      arrivalStage.filterInPlace {
-        case (_, (sess, _)) => !sess.sparkContext.isStopped }
+      // sweep stopped sessions AND their staged table copies — the
+      // stage dir holds a full normalized events table, so a long-lived
+      // JVM would otherwise leak one copy per dead session×dir (the
+      // exit-time scratchDirs sweep only covers JVM shutdown)
+      arrivalStage.filterInPlace { case (_, (sess, p)) =>
+        val live = !sess.sparkContext.isStopped
+        if (!live) {
+          val root = p.getParent.getParent // …/graft-arrv*/stage/part-*
+          deleteTree(root)
+          scratchDirs.remove(root)
+        }
+        live
+      }
       val k = s"${System.identityHashCode(s)}|$dir"
       arrivalStage.get(k) match {
         case Some((sess, p)) if sess eq s => p
         case _ =>
-          val staging = java.nio.file.Files
-            .createTempDirectory("graft-arrv").toString + "/stage"
+          val staging = tmp("graft-arrv") + "/stage"
           eventsNs(s, dir).coalesce(1).write.parquet(staging)
           val p = new java.io.File(staging).listFiles()
             .find(_.getName.endsWith(".parquet"))
@@ -936,7 +942,7 @@ object ExtensionCatalog {
         |       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        val work = tmp("graft-stream")
         // simulate the S3 arrival directory (the file source needs a dir)
         writeEventArrivalsNs(s, dir, s"$work/arrivals")
         StreamIngest.ingestAvailableNow(s, s"$work/arrivals",
@@ -1581,8 +1587,7 @@ object ExtensionCatalog {
          |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-incdedup").toString + "/sigs"
+        val store = tmp("graft-incdedup") + "/sigs"
         withShufflePartitions(s, 8) {
           (0 until 3).map { k =>
             // localCheckpoint: each emission is materialized before the
@@ -1605,8 +1610,7 @@ object ExtensionCatalog {
     Q("x39_stream_curation", Some(curationFunnelSql),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val work = java.nio.file.Files
-          .createTempDirectory("graft-scur").toString + "/cur"
+        val work = tmp("graft-scur") + "/cur"
         // the same one-time embedding quantization the stream's start()
         // performs (shared helper — same layout by construction)
         StreamCuration.publishQuantizedEmbeddings(s, work,
@@ -1668,8 +1672,7 @@ object ExtensionCatalog {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-incexact").toString + "/hashes"
+        val store = tmp("graft-incexact") + "/hashes"
         withShufflePartitions(s, 8) {
           (0 until 3).foreach { k =>
             IncrementalDedup.appendExact(s, store,
@@ -1847,8 +1850,7 @@ object ExtensionCatalog {
         |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-compact48").toString + "/docs"
+        val store = tmp("graft-compact48") + "/docs"
         (0 until 3).foreach { k =>
           MergeUpsert.mergeWritePlain(s, store,
             docs.filter(col("doc_id") % 3 === k), Seq("doc_id"))
@@ -2040,8 +2042,7 @@ object ExtensionCatalog {
          |GROUP BY term ORDER BY term""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-incvocab").toString + "/vocab"
+        val store = tmp("graft-incvocab") + "/vocab"
         (0 until 3).foreach { k =>
           val batch = docs.filter(col("doc_id") % 3 === k)
             .select(explode(TextFunctions.tokens(lower(col("text"))))
@@ -2062,8 +2063,7 @@ object ExtensionCatalog {
         |FROM documents WHERE lang <> 'de' ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-del55").toString + "/docs"
+        val store = tmp("graft-del55") + "/docs"
         MergeUpsert.mergeWritePlain(s, store, docs, Seq("doc_id"))
         val removed = MergeUpsert.deleteWhere(s, store, col("lang") === "de")
         require(removed > 0, "delete should have removed the de partition")
@@ -2084,8 +2084,7 @@ object ExtensionCatalog {
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-diff56").toString + "/d"
+        val store = tmp("graft-diff56") + "/d"
         MergeUpsert.mergeWritePlain(s, store,
           docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"))
         val v1 = MergeUpsert.currentPlainVersion(s, store).get
@@ -2213,8 +2212,7 @@ object ExtensionCatalog {
          |FROM sk ORDER BY lang""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-inckmv").toString + "/kmv"
+        val store = tmp("graft-inckmv") + "/kmv"
         (0 until 3).foreach { kk =>
           Sketches.appendSketch(s, store,
             docs.filter(col("doc_id") % 3 === kk)
@@ -2242,8 +2240,7 @@ object ExtensionCatalog {
          |GROUP BY term ORDER BY term""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-svocab60").toString + "/v"
+        val store = tmp("graft-svocab60") + "/v"
         Seq(0L, 1L, 1L, 2L).foreach { bid => // batch 1 redelivered
           graft.streaming.StreamStats.applyBatch(s, store,
             docs.filter(col("doc_id") % 3 === bid % 3), "text", bid)
@@ -2569,8 +2566,7 @@ object ExtensionCatalog {
         |WINDOW w2 AS (PARTITION BY key ORDER BY valid_from)
         |ORDER BY key, valid_from""".stripMargin),
       (s, dir) => {
-        val store = java.nio.file.Files
-          .createTempDirectory("graft-scd70").toString + "/hist"
+        val store = tmp("graft-scd70") + "/hist"
         val orders = t(s, dir, "orders")
         def snap(df: DataFrame): DataFrame = df
           .groupBy(col("o_custkey").as("key"),
@@ -2791,8 +2787,7 @@ object ExtensionCatalog {
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val work = java.nio.file.Files
-          .createTempDirectory("graft-enrich").toString
+        val work = tmp("graft-enrich")
         writeEventArrivalsNs(s, dir, s"$work/arrivals")
         val dim = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment").as("segment"))
@@ -3884,8 +3879,7 @@ object ExtensionCatalog {
          |  AND b_ms <= a_ms + $StreamJoinBoundMs
          |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val work = java.nio.file.Files
-          .createTempDirectory("graft-sjoin").toString
+        val work = tmp("graft-sjoin")
         // both arrival dirs in ONE scan+write (partitionBy splits the
         // sides into side=a/ and side=b/; the partition column is not
         // in the data files, so the streaming reads see the arrival
@@ -3944,8 +3938,7 @@ object ExtensionCatalog {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val work = java.nio.file.Files
-          .createTempDirectory("graft-sdedup").toString
+        val work = tmp("graft-sdedup")
         // the same file delivered twice — the redelivery case
         writeEventArrivalsNs(s, dir, s"$work/arrivals", copies = 2)
         // 4 shuffle partitions: the x112 lesson — per-file micro-batches
@@ -3963,12 +3956,22 @@ object ExtensionCatalog {
     //      (from_json → codegen'd Jackson parse, no UDF); malformed or
     //      missing keys surface as NULLs, counted explicitly ----
     Q("x119_props_extract", Some(
+      // Real JSON parsing on BOTH sides (not a regex sketch of it): the
+      // nested CASE guards keep json_type off malformed rows, and the
+      // integer-type gate mirrors from_json's LongType semantics — a
+      // top-level integer-valued "k" extracts, while nested objects,
+      // floats, quoted numbers, and malformed props are NULL on both
+      // engines (pinned by PropsJsonParitySpec).
       """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
         |  min(k) AS min_k, max(k) AS max_k,
         |  floor(avg(k) * 10000.0 + 0.5) / 10000.0 AS avg_k
         |FROM (
         |  SELECT event_type,
-        |    TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |    CASE WHEN json_valid(props) THEN
+        |      CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      END
+        |    END AS k
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => ReferenceCatalog.events(s, dir)
@@ -4114,8 +4117,34 @@ object ExtensionCatalog {
     Some(q.sql.getOrElse(sys.error(s"$name has no oracle SQL to share")))
   }
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Every scratch dir a catalog query creates, deleted on JVM exit: a
+    * long-lived JVM running many verification passes must not
+    * accumulate one table copy per query invocation. Exit-time (not
+    * per-query) deletion because stores are re-read within an
+    * invocation, by store-probe twins, and by repeated catalog runs in
+    * one session. */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach(p => deleteTree(p)); scratchDirs.clear()
+    }, "graft-scratch-sweep"))
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+
+  private def tmp(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
 
   /** Persisted-index-artifact queries (x115–x118): each trains the
     * artifact its base query trains IN-QUERY, publishes it through

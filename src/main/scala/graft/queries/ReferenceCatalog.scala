@@ -68,15 +68,26 @@ object ReferenceCatalog {
     val schema =
       try s.read.parquet(path).schema
       catch {
-        case _: Exception => nanosInferLock.synchronized {
-          val prev = s.conf.getOption(key)
-          s.conf.set(key, "true")
-          try s.read.parquet(path).schema
-          finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
+        // Only the NANOS-footer failure is a layout problem the legacy
+        // flag can fix (Spark rejects TIMESTAMP(NANOS) as an illegal
+        // parquet type at inference). Anything else — missing file,
+        // corrupt footer, permissions — is rethrown untouched, not
+        // silently retried and masked behind the retry's own error.
+        case first: org.apache.spark.sql.AnalysisException
+            if Option(first.getMessage)
+              .exists(m => m.contains("Illegal Parquet type") &&
+                m.contains("NANOS")) =>
+          nanosInferLock.synchronized {
+            val prev = s.conf.getOption(key)
+            s.conf.set(key, "true")
+            try s.read.parquet(path).schema
+            catch { case scala.util.control.NonFatal(retry) =>
+              retry.addSuppressed(first); throw retry }
+            finally prev match {
+              case Some(v) => s.conf.set(key, v)
+              case None => s.conf.unset(key)
+            }
           }
-        }
       }
     val raw = s.read.schema(schema).parquet(path)
     schema("ts").dataType match {

@@ -162,15 +162,13 @@ object StreamCuration {
     // face): a micro-batch is SMALL by construction, but its ~10
     // shuffles (store merges, candidate join, verify, publish) would
     // otherwise run at the session's batch-sized partition count —
-    // measured 26% of the 3-batch drain at 32 partitions. foreachBatch
-    // serializes batches, so a set/restore window per batch is safe.
-    // 0 = inherit the session conf.
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = spark.conf.get(spKey)
-    if (shufflePartitions > 0) spark.conf.set(spKey, shufflePartitions)
-    try curateBatchInner(spark, batch, workDir, minQuality, rates,
-      defaultRate, publish)
-    finally if (shufflePartitions > 0) spark.conf.set(spKey, prevSp)
+    // measured 26% of the 3-batch drain at 32 partitions. The shared
+    // ScopedSessionConf lock makes the set/restore window sound even if
+    // batches ever stop being serial. 0 = inherit the session conf.
+    graft.ScopedSessionConf.withShufflePartitions(spark, shufflePartitions) {
+      curateBatchInner(spark, batch, workDir, minQuality, rates,
+        defaultRate, publish)
+    }
   }
 
   private def curateBatchInner(spark: SparkSession, batch: DataFrame,

@@ -75,10 +75,7 @@ object StreamDedup {
                          checkpoint: String,
                          watermarkDelay: String = "1 hour",
                          shufflePartitions: Int = 0): StreamingQuery = {
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevSp = spark.conf.get(spKey)
-    if (shufflePartitions > 0) spark.conf.set(spKey, shufflePartitions)
-    try {
+    graft.ScopedSessionConf.withShufflePartitions(spark, shufflePartitions) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcGlob)
@@ -96,7 +93,7 @@ object StreamDedup {
         .start()
       q.awaitTermination()
       q
-    } finally if (shufflePartitions > 0) spark.conf.set(spKey, prevSp)
+    }
   }
 
   /** Read the deduplicated table back through the sink's commit log. */
