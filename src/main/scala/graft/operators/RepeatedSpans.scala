@@ -103,12 +103,26 @@ object RepeatedSpans {
     *
     * Returns (doc_id, n_tok, n_removed, clean_text), one row per doc.
     *
+    * Because this DELETES text, span identity is decided on a
+    * TWO-LANE 120-bit gram hash (two disjoint 60-bit slices of one
+    * md5), not the single 60-bit lane the estimate-only operators use:
+    * at the 100 TB target (~10^12 grams) a 60-bit space expects
+    * tens of thousands of birthday collisions — each a silent 8-token
+    * deletion of innocent text — while 120 bits put the chance of even
+    * ONE collision corpus-wide at ~n²/2^121 ≈ 4·10⁻¹³. Both lanes
+    * come from the md5 the scan already computes (no second digest),
+    * and the oracle mirrors both lanes, so hash identity stays a
+    * shared-algorithm property rather than a Spark implementation
+    * detail.
+    *
     * Scale shape: the duplicated-gram window and the removed-position
     * explode touch only the DUPLICATED subset (k rows per removable
     * span); the full-token explode + anti-join + re-agg is one
     * O(corpus tokens) shuffle keyed by doc — the same class as the
     * gram fan-out itself, and the price of producing rewritten text
-    * at all. */
+    * at all. The gram fan-out itself is k-independent in row count
+    * (one row per position regardless of span width); only the
+    * constant per-row hash cost grows with k. */
   def stripSpans(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 8): DataFrame = {
     require(k >= 1, s"span width must be >= 1, got $k")
@@ -119,13 +133,14 @@ object RepeatedSpans {
     val grams = base.filter(col("n_tok") >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), size(col("tk")) - k),
-          i => TextFunctions.md5Hash60(
-            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(col("col"), 1, 15), 16, 10).cast("long").as("h"),
+        conv(substring(col("col"), 16, 15), 16, 10).cast("long").as("h2"))
     val removable = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h", "h2")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("h").orderBy("doc_id", "pos")))
+        Window.partitionBy("h", "h2").orderBy("doc_id", "pos")))
       .filter(col("c") >= 2 && col("rn") > 1)
     val removed = removable
       .select(col("doc_id"),

@@ -4071,43 +4071,61 @@ object ExtensionCatalog {
     //      stripped, text rebuilt from survivors. 47 natural docs
     //      carry duplicated spans at sf0.01, so the removal path is
     //      exercised without planting. ----
-    Q("x122_strip_spans", Some(
-      s"""WITH tk AS (
-         |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
-         |base AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
-         |g AS (
-         |  SELECT doc_id, i AS pos,
-         |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
-         |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - 8)) AS u(i)),
-         |r AS (
-         |  SELECT doc_id, pos,
-         |    count(*) OVER (PARTITION BY h) AS c,
-         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-         |  FROM g),
-         |rem AS (
-         |  SELECT DISTINCT doc_id, p
-         |  FROM r, unnest(generate_series(pos, pos + 7)) AS v(p)
-         |  WHERE c >= 2 AND rn > 1),
-         |e AS (
-         |  SELECT doc_id, i - 1 AS p, t[i] AS tok
-         |  FROM base, unnest(generate_series(1, CAST(n_tok AS INTEGER))) AS u(i)),
-         |kept AS (
-         |  SELECT e.doc_id, e.p, e.tok
-         |  FROM e ANTI JOIN rem ON e.doc_id = rem.doc_id AND e.p = rem.p),
-         |kc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |    string_agg(tok, ' ' ORDER BY p) AS clean_text
-         |  FROM kept GROUP BY doc_id)
-         |SELECT b.doc_id, b.n_tok,
-         |  b.n_tok - coalesce(kc.n_kept, 0) AS n_removed,
-         |  coalesce(kc.clean_text, '') AS clean_text
-         |FROM base b LEFT JOIN kc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin),
+    Q("x122_strip_spans", Some(stripSpansSql(8)),
       (s, dir) => RepeatedSpans.stripSpans(t(s, dir, "documents"),
           "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // ---- the same rewrite at Lee et al.'s production span width
+    //      (~50 tokens): 280 duplicated 50-gram spans over 21 natural
+    //      docs at sf0.01 exercise the removal path; the gram fan-out
+    //      is k-independent in rows (one per position), so the k=50
+    //      cost differs from k=8 only in per-row hash constants ----
+    Q("x123_strip_spans_k50", Some(stripSpansSql(50)),
+      (s, dir) => RepeatedSpans.stripSpans(t(s, dir, "documents"),
+          "doc_id", "text", k = 50)
         .orderBy("doc_id"))
   )
+
+  /** The x122/x123 oracle, parameterized by span width — mirrors
+    * [[RepeatedSpans.stripSpans]] including BOTH 60-bit md5 lanes of
+    * the 120-bit span-identity hash (removal must not act on a
+    * single-lane collision; see the operator's scaladoc for the
+    * birthday math). */
+  private def stripSpansSql(k: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(array_to_string(t[i+1:i+$k], ' ')), 1, 15))::BIGINT AS h,
+       |    ('0x' || substr(md5(array_to_string(t[i+1:i+$k], ' ')), 16, 15))::BIGINT AS h2
+       |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - $k)) AS u(i)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h, h2) AS c,
+       |    row_number() OVER (PARTITION BY h, h2 ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM r, unnest(generate_series(pos, pos + ${k - 1})) AS v(p)
+       |  WHERE c >= 2 AND rn > 1),
+       |e AS (
+       |  SELECT doc_id, i - 1 AS p, t[i] AS tok
+       |  FROM base, unnest(generate_series(1, CAST(n_tok AS INTEGER))) AS u(i)),
+       |kept AS (
+       |  SELECT e.doc_id, e.p, e.tok
+       |  FROM e ANTI JOIN rem ON e.doc_id = rem.doc_id AND e.p = rem.p),
+       |kc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tok,
+       |  b.n_tok - coalesce(kc.n_kept, 0) AS n_removed,
+       |  coalesce(kc.clean_text, '') AS clean_text
+       |FROM base b LEFT JOIN kc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** The SQL of a base query, for a store-probe twin that must match
     * it byte-for-byte (a lookup, not a copy: the twin cannot drift). */

@@ -48,6 +48,23 @@ class StripSpansSpec extends SparkSpec {
       "head0 head1 head2 head3 head4 head5 head6")
   }
 
+  test("k=50 (x123): only runs of >= 50 shared tokens are stripped") {
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
+    val fortyNine = (1 to 49).map(i => s"v$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$fifty a1 a2 $fortyNine"),
+      // a full copy of the 50-run (stripped) AND of the 49-run (kept:
+      // below the k=50 visibility threshold, exactly Lee et al.'s
+      // length cutoff semantics)
+      (2L, s"b1 $fifty b2 $fortyNine")
+    ).toDF("doc_id", "text")
+    val out = RepeatedSpans.stripSpans(df, "doc_id", "text", k = 50)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 0L)
+    assert(out(1).getLong(2) == 50L)
+    assert(out(1).getString(3) == s"b1 b2 $fortyNine")
+  }
+
   test("docs shorter than k pass through whole; empty doc -> empty") {
     val df = Seq((1L, "too short to span"), (2L, "")).toDF("doc_id", "text")
     val out = RepeatedSpans.stripSpans(df, "doc_id", "text", k = 8)
