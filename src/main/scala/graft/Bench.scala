@@ -125,7 +125,7 @@ object Bench {
           f"[bench] $name reps=[${runs.map(r => f"${r.sec}%.2f").mkString(",")}]"
             + s" gc=[${runs.map(_.gcDeltaMs).mkString(",")}]ms"
             + s" compiles=[${runs.map(_.compiles).mkString(",")}]")
-        (name, best)
+        (name, best, runs.map(_.sec).toSeq)
       }.toSeq
     val canaryPost = timeOnce(canaryFn).sec
     def jstr(s: String): String =
@@ -139,8 +139,15 @@ object Bench {
         case c => c.toString
       } + "\""
     def numMap(f: Timing => Double): String =
-      results.map { case (n, t) => s"\"" + n + "\":" + f(t) }
+      results.map { case (n, t, _) => s"\"" + n + "\":" + f(t) }
         .mkString("{", ",", "}")
+    // every rep's wall time, first to last: the reported min is the
+    // noise-robust headline, but for queries whose first rep trains a
+    // memoized artifact (bpe/unigram/dedup-family stages) rep 1 IS the
+    // cold training cost — keep it recoverable from the artifact
+    val repsMap = results.map { case (n, _, rs) =>
+      s"\"" + n + "\":[" + rs.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val qs = numMap(_.sec)
     // telemetry maps parallel to "queries" (additive: the driver's
     // seconds-map contract is untouched). shuffle_mb counts write+read
@@ -151,7 +158,7 @@ object Bench {
     val peak = numMap(t => math.round(t.peakMb * 100.0) / 100.0)
     val gc = numMap(_.gcDeltaMs.toDouble)
     val compiles = numMap(_.compiles.toDouble)
-    val failed = results.collect { case (k, t) if t.err.isDefined =>
+    val failed = results.collect { case (k, t, _) if t.err.isDefined =>
       k -> t.err.get }
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
@@ -165,7 +172,7 @@ object Bench {
     val canaries =
       s""""canary_pre_sec":${f"$canaryPre%.3f"},"canary_post_sec":${f"$canaryPost%.3f"},"reps":$reps"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"reps_sec":$repsMap,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -371,6 +371,135 @@ object ExtensionCatalog {
     }
   }
 
+  /** x124/x125's unigram-LM shape: pieces up to 6 chars, 48 seed /
+    * 24 target multi-char pieces, 3 hard-EM iterations. */
+  private val UniMaxPiece = 6
+  private val UniSeed = 48
+  private val UniTarget = 24
+  private val UniIters = 3
+
+  /** Unigram-LM training is eager (one total-count collect per EM
+    * round), so x124 and x125 share one training per (session, dir) —
+    * the bpeMemo discipline. */
+  private val uniMemo = scala.collection.mutable
+    .HashMap[String, (SparkSession, DataFrame, DataFrame)]()
+  private def uniTrained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = uniMemo.synchronized {
+    uniMemo.filterInPlace { case (_, (sess, _, _)) =>
+      !sess.sparkContext.isStopped }
+    val k = s"${System.identityHashCode(s)}|$dir"
+    uniMemo.get(k) match {
+      case Some((sess, v, wp)) if sess eq s => (v, wp)
+      case _ =>
+        val vwp = graft.operators.UnigramLm.train(
+          t(s, dir, "documents"), "text", UniMaxPiece, UniSeed,
+          UniTarget, UniIters)
+        uniMemo(k) = (s, vwp._1, vwp._2)
+        vwp
+    }
+  }
+
+  /** The unrolled unigram-LM hard-EM chain (mirrors
+    * [[graft.operators.UnigramLm]]): w0u (distinct non-fallback
+    * words), charsu (coverage floor), seed counts → scored vocab
+    * usc0, then per EM round r: vu_r enumerates EVERY cut mask of
+    * every word (the verification-scale spec of the engine's Viterbi
+    * DP — provably the same choice under the shared
+    * (−score, n_pieces, path) key; see the operator scaladoc),
+    * bu_r picks each word's best segmentation, ucu_r re-counts piece
+    * usage, usc_r prunes (full char set floored at 1 + top
+    * [[UniTarget]] multis) and re-scores. Ends at usc$UniIters /
+    * bu$UniIters. */
+  private def unigramTrainSql: String = {
+    val head =
+      s"""w0u AS MATERIALIZED (
+         |  SELECT w, count(*) AS cnt, length(w) AS len FROM (
+         |    SELECT unnest(${tokSql("lower(text)")}) AS w FROM documents)
+         |  WHERE length(w) >= 1
+         |    AND NOT contains(w, chr(31))
+         |    AND NOT regexp_matches(w, '[\\x{10000}-\\x{10FFFF}]')
+         |    AND length(w) <= ${graft.operators.UnigramLm.MaxTrainWordLen}
+         |  GROUP BY w),
+         |charsu AS MATERIALIZED (
+         |  SELECT DISTINCT substr(w, i, 1) AS piece
+         |  FROM w0u, unnest(generate_series(1, len)) AS u(i)),
+         |seedu AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT w.cnt, substr(w.w, j + 1, l) AS piece
+         |    FROM w0u w,
+         |         unnest(generate_series(0, w.len - 1)) AS a(j),
+         |         unnest(generate_series(1, $UniMaxPiece)) AS b(l)
+         |    WHERE j + l <= w.len)
+         |  GROUP BY piece),
+         |${keptScoredSql("usc0", "seedu", UniSeed)}""".stripMargin
+    val steps = (1 to UniIters).map { r =>
+      s"""vu$r AS MATERIALIZED (
+         |  SELECT e.w AS w, e.cnt AS cnt, e.mask AS mask,
+         |    count(*) AS np,
+         |    count(sc.score) AS n_scored,
+         |    list_reduce(list_prepend(0.0,
+         |        list_transform(list(sc.score ORDER BY e.ord),
+         |          x -> -x)), (a, b) -> a + b) AS ns,
+         |    string_agg(e.piece, chr(31) ORDER BY e.ord) AS joined
+         |  FROM (
+         |    SELECT w, cnt, mask,
+         |      unnest(pieces) AS piece,
+         |      unnest(generate_series(1, len(pieces))) AS ord
+         |    FROM (
+         |      SELECT w, cnt, mask,
+         |        list_transform(generate_series(1, len(bounds) - 1),
+         |          i -> substr(w, bounds[i] + 1, bounds[i + 1] - bounds[i]))
+         |          AS pieces
+         |      FROM (
+         |        SELECT w, cnt, len, m.mask,
+         |          list_concat(list_concat([0],
+         |            list_filter(generate_series(1, len - 1),
+         |              b -> ((mask >> (b - 1)) & 1) = 1)), [len]) AS bounds
+         |        FROM w0u,
+         |          unnest(generate_series(0, (1 << (len - 1)) - 1)) AS m(mask))))
+         |    e LEFT JOIN usc${r - 1} sc ON e.piece = sc.piece
+         |  GROUP BY e.w, e.cnt, e.mask),
+         |bu$r AS MATERIALIZED (
+         |  SELECT w, cnt, np, joined FROM (
+         |    SELECT w, cnt, np, joined,
+         |      row_number() OVER (PARTITION BY w
+         |        ORDER BY ns ASC, np ASC, joined ASC) AS rn
+         |    FROM vu$r WHERE np = n_scored)
+         |  WHERE rn = 1),
+         |ucu$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT cnt, unnest(string_split(joined, chr(31))) AS piece
+         |    FROM bu$r)
+         |  GROUP BY piece),
+         |${keptScoredSql(s"usc$r", s"ucu$r", UniTarget)}""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** One M-step CTE pair: `out` = the kept + re-scored vocabulary from
+    * count table `src` (full char set floored at 1, top `multiK`
+    * multis by (cnt desc, piece asc), score = round6(ln(cnt/total))
+    * over the kept set). */
+  private def keptScoredSql(out: String, src: String, multiK: Int): String =
+    s"""${out}k AS MATERIALIZED (
+       |  SELECT c.piece,
+       |    greatest(coalesce(s.cnt, 0), 1) AS cnt
+       |  FROM charsu c LEFT JOIN
+       |    (SELECT piece, cnt FROM $src WHERE length(piece) = 1) s
+       |    ON c.piece = s.piece
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+       |    FROM $src WHERE length(piece) > 1 AND cnt > 0)
+       |  WHERE rn <= $multiK),
+       |$out AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    floor(ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS score
+       |  FROM ${out}k,
+       |    (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ${out}k) t)""".stripMargin
+
   /** The unrolled BPE training CTE chain: w0 (filtered distinct words)
     * → s0 (char symbols) → per merge r: p_r (pair counts), b_r (argmax
     * or NULL sentinel once exhausted), s_r (greedy fold applied via the
@@ -4084,6 +4213,43 @@ object ExtensionCatalog {
     Q("x123_strip_spans_k50", Some(stripSpansSql(50)),
       (s, dir) => RepeatedSpans.stripSpans(t(s, dir, "documents"),
           "doc_id", "text", k = 50)
+        .orderBy("doc_id")),
+
+    // ---- unigram-LM (SentencePiece-family) tokenizer training: the
+    //      trained vocabulary itself is the oracle target — the DuckDB
+    //      side replays the seed and all three hard-EM rounds CTE by
+    //      CTE, enumerating every cut mask where the engine runs its
+    //      Viterbi DP (provably the same pick under the shared
+    //      (−score, n_pieces, path) key), so seeding, segmentation,
+    //      tie-breaking AND the prune/re-score step are cross-engine
+    //      verified ----
+    Q("x124_unigram_lm", Some(
+      s"""WITH $unigramTrainSql
+         |SELECT piece, cnt, score FROM usc$UniIters
+         |ORDER BY piece""".stripMargin),
+      (s, dir) => uniTrained(s, dir)._1.orderBy("piece")),
+
+    // ---- unigram-LM encoding statistics: pieces per document under
+    //      the trained vocabulary's final Viterbi segmentation (the
+    //      x75 contract: fallback/OOV words = 1 piece) ----
+    Q("x125_unigram_encode", Some(
+      s"""WITH $unigramTrainSql,
+         |encu AS (
+         |  SELECT w, CAST(np AS BIGINT) AS n_pieces FROM bu$UniIters),
+         |tku AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS w
+         |  FROM documents),
+         |peru AS (
+         |  SELECT tku.doc_id, count(*) AS n_tok,
+         |         CAST(sum(coalesce(e.n_pieces, 1)) AS BIGINT) AS n_pieces
+         |  FROM tku LEFT JOIN encu e USING (w) GROUP BY tku.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(peru.n_tok, 0) AS n_tok,
+         |       coalesce(peru.n_pieces, 0) AS n_pieces
+         |FROM documents d LEFT JOIN peru USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.operators.UnigramLm.encodeStats(
+          t(s, dir, "documents"), "doc_id", "text", uniTrained(s, dir)._2)
         .orderBy("doc_id"))
   )
 
