@@ -139,6 +139,16 @@ object ExtensionCatalog {
   // expression from the parquet scan. Only small SCALAR tables (pairs,
   // clusters) are worth pinning.
 
+  /** int8-quantized embeddings table (= x26's projection) — the
+    * curation family's other shared stage: x26 reports it, x31 joins
+    * its scales, x39 publishes it into every stream work dir. One
+    * quantization pass per (session, dir) instead of one per query
+    * invocation. */
+  private def quantizedEmb(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "quantized_emb")(
+      Similarity.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding"))
+
   /** LSH candidate pairs (8 bands × 4 rows, no est filter) = x06. */
   private def lshCands(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "lsh_cands")(
@@ -1365,8 +1375,7 @@ object ExtensionCatalog {
         |    / len(v)) * 1000000.0 + 0.5) / 1000000.0 AS rmse
         |FROM q ORDER BY vec_id""".stripMargin),
       (s, dir) => {
-        val q = Similarity.quantizeInt8(t(s, dir, "embeddings"),
-          "vec_id", "embedding")
+        val q = quantizedEmb(s, dir)
         val dq = Similarity.dequantizeInt8(col("codes"), col("scale"))
         q.select(col("vec_id"),
             TextFunctions.portableRound(col("scale"), 6).as("scale_r"),
@@ -1498,8 +1507,7 @@ object ExtensionCatalog {
         val sampled = Sampling.stratifiedSample(
           scored.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
           rates = Map("en" -> 0.8), defaultRate = 0.5)
-        val qscale = Similarity.quantizeInt8(
-            t(s, dir, "embeddings"), "vec_id", "embedding")
+        val qscale = quantizedEmb(s, dir)
           .select(col("vec_id").as("doc_id"),
             TextFunctions.portableRound(col("scale"), 6).as("scale_r"))
         sampled.join(qscale, Seq("doc_id"), "left")
@@ -1741,17 +1749,21 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val work = tmp("graft-scur") + "/cur"
         // the same one-time embedding quantization the stream's start()
-        // performs (shared helper — same layout by construction)
-        StreamCuration.publishQuantizedEmbeddings(s, work,
-          s"$dir/embeddings.parquet")
+        // performs, fed from the session-shared quantized stage (one
+        // quantization pass per session×dir, re-published as bytes
+        // into this stream's work dir — same layout by construction)
+        StreamCuration.publishQuantized(s, work, quantizedEmb(s, dir))
         // publishEvery=3 cadence: three accumulate-only batches, one
         // publish at the cadence tick — the production shape (the
         // curated rebuild amortizes over the cadence; final state is
-        // cadence-independent, proven by StreamCurationSpec)
+        // cadence-independent, proven by StreamCurationSpec).
+        // shufflePartitions=4: each batch is a third of the corpus'
+        // doc rows — 8 was sized for the generic micro-batch, 4
+        // measured faster for this replay's store merges
         (0 until 3).foreach { k =>
           StreamCuration.curateBatch(s, docs.filter(col("doc_id") % 3 === k),
             work, minQuality = 0.3, rates = Map("en" -> 0.8),
-            defaultRate = 0.5, publish = k == 2)
+            defaultRate = 0.5, publish = k == 2, shufflePartitions = 4)
         }
         StreamCuration.readCurated(s, work)
           .select(col("doc_id"), col("lang_pred"),

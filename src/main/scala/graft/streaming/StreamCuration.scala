@@ -143,9 +143,18 @@ object StreamCuration {
     * share the exact layout instead of duplicating it. */
   def publishQuantizedEmbeddings(spark: SparkSession, workDir: String,
                                  embeddingsPath: String): Unit =
-    MergeUpsert.publishPlain(spark, embPath(workDir),
+    publishQuantized(spark, workDir,
       Similarity.quantizeInt8(
-          spark.read.parquet(embeddingsPath), "vec_id", "embedding")
+        spark.read.parquet(embeddingsPath), "vec_id", "embedding"))
+
+  /** Same publish from an already-quantized (vec_id, scale, codes)
+    * frame — callers that share one quantization across several work
+    * dirs (a session running many streams over the same embeddings
+    * table) pay the quantization pass once and re-publish bytes. */
+  def publishQuantized(spark: SparkSession, workDir: String,
+                       quantized: DataFrame): Unit =
+    MergeUpsert.publishPlain(spark, embPath(workDir),
+      quantized
         .select(col("vec_id").as("doc_id"), col("scale"), col("codes")))
 
   /** One incremental curation step — also the backfill entry point
