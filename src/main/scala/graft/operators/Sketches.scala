@@ -5,15 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
-/** KMV (k-minimum-values) distinct-count sketch.
+/** KMV (k-minimum-values) distinct-count sketch, plus a portable
+  * HyperLogLog (bottom of file).
   *
-  * Why KMV and not HyperLogLog: Spark's `approx_count_distinct` and
-  * DuckDB's are different HLL implementations with engine-private
-  * register layouts — their estimates can never hash-match. KMV built
-  * on the deterministic md5 hash is exactly reproducible on any
-  * engine (the oracle recomputes it bit-for-bit), mergeable
-  * (union of sketches = k smallest of the union), and still O(k)
-  * space with ~1/√k relative error.
+  * Why KMV and not the engines' built-in HyperLogLog: Spark's
+  * `approx_count_distinct` and DuckDB's are different HLL
+  * implementations with engine-private register layouts — their
+  * estimates can never hash-match. KMV built on the deterministic md5
+  * hash is exactly reproducible on any engine (the oracle recomputes
+  * it bit-for-bit), mergeable (union of sketches = k smallest of the
+  * union), and still O(k) space with ~1/√k relative error. When HLL's
+  * fixed-size register state is wanted anyway, [[hllSketch]] below is
+  * an md5-based HLL that is equally engine-portable.
   *
   * Estimator: with h_k the k-th smallest of the distinct hash values
   * mapped into [0, m), the distinct count ≈ (k−1)·m / h_k. A group
@@ -157,4 +160,101 @@ object Sketches {
         (col("est") - col("cnt")).cast("long").as("overcount"))
       .orderBy(desc("est_cnt"), col("term")).limit(k)
   }
+
+  // ---------------- portable HyperLogLog ----------------
+  //
+  // The scaladoc at the top of this object explains why the ENGINES'
+  // built-in HLLs (approx_count_distinct) can never oracle-match:
+  // engine-private register layouts. This section is the fix for teams
+  // that want HLL's fixed-size register state anyway (m longs per
+  // group, vs KMV's k hash values): an HLL built entirely from the
+  // shared md5 hash, so any engine replays the registers bit-for-bit.
+  // Register semantics follow Flajolet et al. 2007: p low hash bits
+  // pick one of m = 2^p buckets; the register keeps the max over
+  // values of rho(w) = leading-zero count of the remaining W = 60−p
+  // bits plus one. Merge = element-wise max (associative, idempotent,
+  // commutative — any batch/shard order converges), which is what
+  // makes per-shard sketches combinable without re-scanning: the
+  // 100 TB cardinality dashboard keeps m longs per (source, day) and
+  // unions them at read time.
+
+  /** Sparse HLL registers: one row per OCCUPIED bucket.
+    * Output: (groupCol, bucket, reg) with reg ≥ 1; absent bucket = 0.
+    * One shuffle on (group, bucket) — map-side combined max. */
+  def hllRegisters(df: DataFrame, groupCol: String, value: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4,16]")
+    val maxRho = 60 - p + 1
+    // bit-length via bin(): rho = (W+1) − len(bin(w)); w = 0 → W+1.
+    // Exact integer/string ops only — no log2 ulp hazards at powers
+    // of two (the one place floor(log2) could disagree across libms).
+    val w = shiftright(col("h"), p)
+    val rho = when(w === 0, lit(maxRho))
+      .otherwise(lit(maxRho) - length(bin(w)))
+    df.select(col(groupCol), TextFunctions.md5Hash60(value).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col(groupCol),
+        pmod(col("h"), lit((1 << p).toLong)).as("bucket"),
+        rho.cast("long").as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Dense HLL sketch: (groupCol, registers array<long> of length m,
+    * bucket order) — the fixed-size mergeable state to store/ship. */
+  def hllSketch(df: DataFrame, groupCol: String, value: Column,
+                p: Int = 8): DataFrame = {
+    val m = 1 << p
+    hllRegisters(df, groupCol, value, p)
+      .groupBy(groupCol)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+        .as("mp"))
+      .select(col(groupCol),
+        transform(sequence(lit(0L), lit((m - 1).toLong)),
+          b => coalesce(element_at(col("mp"), b), lit(0L))).as("registers"))
+  }
+
+  /** Merge two dense sketches: element-wise max. */
+  def hllMerge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Cardinality estimate from SPARSE registers (as produced by
+    * [[hllRegisters]], or any per-bucket max of them — merging happens
+    * upstream for free because max is associative).
+    * Output: (groupCol, zeros, est).
+    *
+    * Estimator: raw = α_m·m²/Σ 2^(−reg), with linear counting
+    * m·ln(m/zeros) when raw ≤ 2.5m and zeros > 0 (the small-range
+    * correction of Flajolet et al.). The harmonic sum is EXACT: each
+    * 2^(−reg) is accumulated as the integer 2^(maxRho−reg) (≤ 2^53 at
+    * p = 8; m·2^53 < 2^63), with ONE float division at the end — so
+    * the only cross-engine float ops are that division, the α
+    * formula, and ln, all computed from identical IEEE inputs. */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int = 8,
+                  roundTo: Int = 4): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
+    val e = regs.groupBy(groupCol).agg(
+      (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - reg)")).cast("long") +
+        (lit(m.toLong) - count(lit(1))) * lit(1L << maxRho)).as("s"),
+      (lit(m.toLong) - count(lit(1))).as("zeros"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (col("s").cast("double") / lit((1L << maxRho).toDouble))
+    val est = when(raw <= lit(2.5) * lit(m.toDouble) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+      .otherwise(raw)
+    e.select(col(groupCol), col("zeros"),
+      TextFunctions.portableRound(est, roundTo).as("est"))
+  }
+
+  /** Estimate from a DENSE sketch column: re-sparsify and reuse
+    * [[hllEstimate]] — merged sketches land here. */
+  def hllSketchEstimate(sk: DataFrame, groupCol: String,
+                        registersCol: String, p: Int = 8): DataFrame =
+    hllEstimate(
+      sk.select(col(groupCol),
+          posexplode(col(registersCol)).as(Seq("bucket", "reg")))
+        .filter(col("reg") > 0),
+      groupCol, p)
 }

@@ -243,6 +243,11 @@ object ExtensionCatalog {
   /** x107's MAD fence multiplier. */
   private val MadK = 3.0
 
+  /** x126's portable-HLL precision: p = 8 → 256 registers, ~6.5 %
+    * standard error — and the register sum stays exact-integer
+    * (m·2^(61−p) < 2^63, see [[Sketches.hllEstimate]]). */
+  private val HllP = 8
+
   /** x108's co-occurrence result size. */
   private val CoocK = 20
 
@@ -4262,8 +4267,78 @@ object ExtensionCatalog {
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => graft.operators.UnigramLm.encodeStats(
           t(s, dir, "documents"), "doc_id", "text", uniTrained(s, dir)._2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- portable HyperLogLog: per-source distinct-token estimates,
+    //      plus a '__ALL__' row computed by MERGING the per-source
+    //      registers (element-wise max — never a rescan). n_distinct is
+    //      the exact hashed-distinct audit column; at 100 TB only the
+    //      m-long register state survives per (source, shard) ----
+    Q("x126_hll_distinct", Some(hllDistinctSql),
+      (s, dir) => {
+        val tok = t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tk"))
+        val hh = tok.select(col("source"),
+          TextFunctions.md5Hash60(col("tk")).as("h")).distinct()
+        val regs = Sketches.hllRegisters(tok, "source", col("tk"), HllP)
+        val allRegs = regs.groupBy("bucket").agg(max(col("reg")).as("reg"))
+          .withColumn("source", lit("__ALL__"))
+        val nd = hh.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+          .unionByName(hh.select(col("h")).distinct()
+            .agg(count(lit(1)).as("n_distinct"))
+            .withColumn("source", lit("__ALL__")))
+        Sketches.hllEstimate(regs, "source", HllP)
+          .unionByName(Sketches.hllEstimate(allRegs, "source", HllP))
+          .join(nd, Seq("source"))
+          .select(col("source"), col("n_distinct"), col("zeros"), col("est"))
+          .orderBy("source")
+      })
   )
+
+  /** x126's oracle — replays [[Sketches.hllRegisters]]/[[Sketches.hllEstimate]]
+    * from the shared md5 hash: p low bits pick the register, the
+    * remaining-bit bit-LENGTH (string `bin()`, no float log2) gives rho,
+    * the harmonic sum is the exact integer Σ 2^(maxRho−reg), and the
+    * only float ops (one division, the α formula, ln) are written as
+    * the same IEEE expression tree the Spark side builds. */
+  private def hllDistinctSql: String = {
+    val m = 1 << HllP
+    val maxRho = 60 - HllP + 1
+    val pow = 1L << maxRho
+    s"""WITH tok AS (
+       |  SELECT source, unnest(${tokSql("text")}) AS tk FROM documents),
+       |hh AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       |rg AS (
+       |  SELECT source, h % $m AS bucket,
+       |    max(CASE WHEN (h >> $HllP) = 0 THEN $maxRho
+       |        ELSE $maxRho - length(bin(h >> $HllP)) END) AS reg
+       |  FROM hh GROUP BY source, bucket),
+       |r2 AS (
+       |  SELECT source, reg FROM rg
+       |  UNION ALL
+       |  SELECT '__ALL__' AS source, max(reg) AS reg FROM rg GROUP BY bucket),
+       |es AS (
+       |  SELECT source,
+       |    CAST(sum(1::BIGINT << ($maxRho - reg)) AS BIGINT)
+       |      + ($m - count(*)) * (1::BIGINT << $maxRho) AS s,
+       |    CAST($m - count(*) AS BIGINT) AS zeros
+       |  FROM r2 GROUP BY source),
+       |nd AS (
+       |  SELECT source, count(*) AS n_distinct FROM hh GROUP BY source
+       |  UNION ALL
+       |  SELECT '__ALL__', count(DISTINCT h) FROM hh)
+       |SELECT es.source, nd.n_distinct, es.zeros,
+       |  floor((CASE WHEN raw <= 2.5 * $m.0 AND zeros > 0
+       |         THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+       |         ELSE raw END) * 10000.0 + 0.5) / 10000.0 AS est
+       |FROM (SELECT source, s, zeros,
+       |        0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 /
+       |          (CAST(s AS DOUBLE) / $pow.0) AS raw
+       |      FROM es) es JOIN nd USING (source)
+       |ORDER BY source""".stripMargin
+  }
 
   /** The x122/x123 oracle, parameterized by span width — mirrors
     * [[RepeatedSpans.stripSpans]] including BOTH 60-bit md5 lanes of

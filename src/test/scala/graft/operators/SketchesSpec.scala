@@ -130,4 +130,60 @@ class SketchesSpec extends SparkSpec {
     assert(top.head.getAs[String]("term") == "jackpot")
     assert(top.head.getAs[Long]("true_cnt") == 600L)
   }
+
+  private val HllP = 8
+
+  test("HLL estimate tracks exact distinct within ~3σ at p=8") {
+    val df = (0 until 5000).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, "g", col("v"), HllP), "g", HllP)
+      .select("est").as[Double].head()
+    val m = 1 << HllP
+    // standard error 1.04/sqrt(m) ≈ 6.5%; allow 3σ
+    assert(math.abs(est - 5000.0) / 5000.0 < 3 * 1.04 / math.sqrt(m.toDouble),
+      s"est=$est exact=5000")
+  }
+
+  test("HLL small range takes linear counting and is near-exact") {
+    val df = (0 until 30).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val r = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, "g", col("v"), HllP), "g", HllP)
+      .select("zeros", "est").as[(Long, Double)].head()
+    assert(r._1 > 200, "30 values leave most of 256 registers empty")
+    // linear counting m·ln(m/zeros) is near-exact at this occupancy
+    assert(math.abs(r._2 - 30.0) < 5.0, s"est=${r._2}")
+  }
+
+  test("HLL registers are bounded rho values on occupied buckets only") {
+    val df = (0 until 1000).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, "g", col("v"), HllP).collect()
+    val maxRho = 60 - HllP + 1
+    assert(regs.nonEmpty && regs.length <= (1 << HllP))
+    assert(regs.forall { r =>
+      val b = r.getAs[Long]("bucket"); val g = r.getAs[Long]("reg")
+      b >= 0 && b < (1 << HllP) && g >= 1 && g <= maxRho
+    })
+  }
+
+  test("HLL merge of disjoint halves equals the sketch of the union") {
+    val all = (0 until 2000).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val sketchOf = (d: org.apache.spark.sql.DataFrame) =>
+      Sketches.hllSketch(d, "g", col("v"), HllP)
+        .select("registers").as[Seq[Long]].head()
+    val whole = sketchOf(all)
+    val a = sketchOf(all.filter(substring(col("v"), 4, 10).cast("int") % 2 === 0))
+    val b = sketchOf(all.filter(substring(col("v"), 4, 10).cast("int") % 2 === 1))
+    val merged = Seq((a, b)).toDF("a", "b")
+      .select(Sketches.hllMerge(col("a"), col("b")).as("m"))
+      .as[Seq[Long]].head()
+    assert(merged == whole, "element-wise max of halves = registers of union")
+    // and the dense-sketch estimator agrees with the sparse-path one
+    val estDense = Sketches.hllSketchEstimate(
+      Seq(("g", merged)).toDF("g", "registers"), "g", "registers", HllP)
+      .select("est").as[Double].head()
+    val estSparse = Sketches.hllEstimate(
+      Sketches.hllRegisters(all, "g", col("v"), HllP), "g", HllP)
+      .select("est").as[Double].head()
+    assert(estDense == estSparse)
+  }
 }
