@@ -387,6 +387,85 @@ object CorpusStats {
         coalesce(col("bpt2"), lit(0.0)).as("bpt2"))
   }
 
+  /** Interpolated trigram language-model score: bits per trigram under
+    * a Jelinek–Mercer mixture of the corpus's own trigram, bigram and
+    * add-1 unigram models — the CCNet-shaped perplexity filter (a small
+    * LM scores every document; high bits-per-token = noise, very low =
+    * boilerplate). p(t₃|t₁t₂) = λ₃·c₃(t₁t₂t₃)/c₃(t₁t₂·)
+    * + λ₂·c₂(t₂t₃)/c₂(t₂·) + λ₁·(c₁(t₃)+1)/(N+V). The λ₃ and λ₂ terms
+    * are never 0/0 — any trigram/bigram a document contains is in the
+    * global tables with its context, so interpolation (not backoff
+    * branching) keeps the expression one arithmetic tree.
+    *
+    * Scale shape: same as [[bigramBits]] — per-doc hashed n-gram arrays
+    * from `zip_with` (no self-join), three map-side-combined global
+    * count tables, and the per-doc score joins model rows for the doc's
+    * DISTINCT trigrams only. Determinism: exact-integer counts, fold
+    * over the hash-sorted struct list, portable-round last; the scalar
+    * N+V is collected once (two longs) and enters as one double. */
+  def trigramBits(df: DataFrame, idCol: String, textCol: String,
+                  l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
+                  roundTo: Int = 4): DataFrame = {
+    val hs = df.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.tokens(lower(col(textCol))),
+        t => TextFunctions.md5Hash60(t)).as("hs"))
+    val nb = greatest(size(col("hs")) - 1, lit(0))
+    val nt = greatest(size(col("hs")) - 2, lit(0))
+    val bg = hs.select(col("doc_id"),
+        explode(zip_with(slice(col("hs"), lit(1), nb),
+          slice(col("hs"), lit(2), nb),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
+      .select(col("b.h1"), col("b.h2"))
+    val tg = hs.select(col("doc_id"),
+        explode(zip_with(
+          zip_with(slice(col("hs"), lit(1), nt), slice(col("hs"), lit(2), nt),
+            (a, b) => struct(a.as("h1"), b.as("h2"))),
+          slice(col("hs"), lit(3), nt),
+          (ab, c) => struct(ab.getField("h1").as("h1"),
+            ab.getField("h2").as("h2"), c.as("h3")))).as("b"))
+      .select(col("doc_id"), col("b.h1"), col("b.h2"), col("b.h3"))
+    val c3t = tg.groupBy("h1", "h2", "h3").agg(count(lit(1)).as("c3"))
+    val cx2t = tg.groupBy("h1", "h2").agg(count(lit(1)).as("cx2"))
+    val bc = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+      .select(col("h1").as("bh1"), col("h2").as("bh2"), col("c2"))
+    val cx1t = bg.select(col("h1").as("ch1"))
+      .groupBy("ch1").agg(count(lit(1)).as("cx1"))
+    val c1t = hs.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c1"))
+    val totRow = hs.select(explode(col("hs")).as("h"))
+      .agg(count(lit(1)), count_distinct(col("h"))).head()
+    val nv = totRow.getLong(0) + totRow.getLong(1)
+    val dc = tg.groupBy("doc_id", "h1", "h2", "h3").agg(count(lit(1)).as("c"))
+    val p = (s: Column) =>
+      lit(l3) * (s.getField("c3").cast("double") /
+        s.getField("cx2").cast("double")) +
+      lit(l2) * (s.getField("c2").cast("double") /
+        s.getField("cx1").cast("double")) +
+      lit(l1) * ((s.getField("c1").cast("double") + lit(1.0)) /
+        lit(nv.toDouble))
+    val per = dc.join(c3t, Seq("h1", "h2", "h3"))
+      .join(cx2t, Seq("h1", "h2"))
+      .join(bc, col("h2") === col("bh1") && col("h3") === col("bh2"))
+      .join(cx1t, col("h2") === col("ch1"))
+      .join(c1t, col("h3") === col("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tri"),
+        array_sort(collect_list(struct(col("h1"), col("h2"), col("h3"),
+          col("c"), col("c3"), col("cx2"), col("c2"), col("cx1"),
+          col("c1")))).as("arr"))
+      .select(col("doc_id"), col("n_tri"),
+        TextFunctions.portableRound(
+          (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) =>
+            acc + s.getField("c").cast("double") * log2(p(s)))) /
+            col("n_tri").cast("double"),
+          roundTo).as("bpt3"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("bpt3"), lit(0.0)).as("bpt3"))
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent
     * lowercased token bigrams:
     * pmi = log2(c₂·N / (c₁ˡ(t1)·c₁ʳ(t2))), with the marginals taken

@@ -234,6 +234,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r(1L) < r(2L), s"fluent=${r(1L)} soup=${r(2L)}")
   }
 
+  test("trigram bits: hand-computed interpolated scores") {
+    val docs = Seq((1L, "a b a b a"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = CorpusStats.trigramBits(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    // corpus: trigrams aba×2 bab×1; contexts cx2(a,b)=2 cx2(b,a)=1;
+    // bigrams c2(a,b)=2 c2(b,a)=2; cx1(a)=2 cx1(b)=2;
+    // unigrams a=3 b=2 x=1 → N=6 V=3 N+V=9
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    val pAba = 0.7 * (2.0 / 2.0) + 0.2 * (2.0 / 2.0) + 0.1 * ((3.0 + 1.0) / 9.0)
+    val pBab = 0.7 * (1.0 / 1.0) + 0.2 * (2.0 / 2.0) + 0.1 * ((2.0 + 1.0) / 9.0)
+    val d1 = -(2 * lg2(pAba) + lg2(pBab)) / 3
+    assert(r(1L) == ((3L, math.floor(d1 * 1e4 + 0.5) / 1e4)))
+    assert(r(2L) == ((0L, 0.0)), "one-token doc has no trigrams")
+    assert(r(3L) == ((0L, 0.0)), "empty doc has no trigrams")
+  }
+
+  test("trigram bits: fluent text scores fewer bits than word soup") {
+    val fluent = (1 to 30).map(_ => "the cat sat here").mkString(" ")
+    val soup = "the the cat here sat cat the here sat sat here cat " * 10
+    val docs = Seq((1L, fluent), (2L, soup)).toDF("doc_id", "text")
+    val r = CorpusStats.trigramBits(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) < r(2L), s"fluent=${r(1L)} soup=${r(2L)}")
+  }
+
   test("pmi: collocation outranks independent pair; support floor holds") {
     // "san francisco" always adjacent; "the" pairs with everything
     val docs = (1 to 10).map(i =>
