@@ -613,4 +613,73 @@ object Similarity {
       .filter(col("rn") <= k)
       .orderBy("qid", "rn")
   }
+
+  /** Maximal-marginal-relevance top-k: greedily re-rank each query's
+    * `poolK` most-relevant candidates so the k kept are RELEVANT but
+    * not redundant — mmr(e) = λ·rel(e) − μ·max_{s∈selected} sim(e, s).
+    * The diversity-aware selection RAG retrievers and diverse-sampling
+    * curation both use (Carbonell & Goldstein 1998). λ and μ are
+    * SEPARATE parameters, not λ and 1−λ: 1.0−0.7 is not the IEEE
+    * double 0.3, and the oracle writes the literal.
+    *
+    * Scale shape: relevance pool via [[bruteForceTopK]] (broadcast
+    * BNL, no corpus shuffle), then the poolK² per-query candidate sim
+    * matrix — the greedy's entire working set, ≤ queries·poolK² rounded
+    * doubles — is collected and walked on the driver: MMR's selection
+    * step is inherently sequential in k, and k tiny Spark jobs over a
+    * 2 000-row frame would pay k job latencies for no parallelism (the
+    * x39 lesson). All floats are rounded at the matrix edge, so the
+    * driver greedy is engine-replayable: an oracle unrolls the same k
+    * steps CTE by CTE.
+    *
+    * Output: (qid, eid, rank 1..k, mmr) — rank 1's mmr IS its
+    * relevance (nothing selected yet to diversify against). */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, poolK: Int = 20,
+              lambda: Double = 0.7, mu: Double = 0.3,
+              roundTo: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolK, roundTo)
+      .select(col("qid").cast("long").as("qid"),
+        col("eid").cast("long").as("eid"), col("sim").as("rel"))
+    val pv = pool.join(
+      corpus.select(col(idCol).cast("long").as("eid"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm")), Seq("eid"))
+    val a = pv.select(col("qid"), col("eid").as("ea"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = pv.select(col("qid"), col("eid").as("eb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val ps = a.join(broadcast(b), Seq("qid"))
+      .select(col("qid"), col("ea"), col("eb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), roundTo)
+          .as("s"))
+    val rel = pool.select("qid", "eid", "rel").as[(Long, Long, Double)]
+      .collect()
+    val sim = ps.select("qid", "ea", "eb", "s").as[(Long, Long, Long, Double)]
+      .collect().map { case (q, x, y, v) => (q, x, y) -> v }.toMap
+    val out = rel.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val relOf = rows.map(r => r._2 -> r._3).toMap
+      var remaining = rows.map(_._2).toSet
+      val first = rows.minBy(r => (-r._3, r._2))
+      var selected = Vector(first._2)
+      remaining -= first._2
+      val picks = Vector.newBuilder[(Long, Long, Int, Double)]
+      picks += ((qid, first._2, 1, TextFunctions.portableRoundJvm(first._3, roundTo)))
+      var rank = 2
+      while (rank <= k && remaining.nonEmpty) {
+        val scored = remaining.toSeq.map { e =>
+          val maxS = selected.map(sv => sim((qid, e, sv))).max
+          (e, lambda * relOf(e) - mu * maxS)
+        }
+        val (eid, mmr) = scored.minBy { case (e, v) => (-v, e) }
+        picks += ((qid, eid, rank, TextFunctions.portableRoundJvm(mmr, roundTo)))
+        selected :+= eid
+        remaining -= eid
+        rank += 1
+      }
+      picks.result()
+    }
+    out.sortBy(r => (r._1, r._3)).toDF("qid", "eid", "rank", "mmr")
+  }
 }

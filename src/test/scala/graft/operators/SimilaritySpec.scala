@@ -239,4 +239,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L))
     assert(got.map(r => r.getInt(4)).toSeq == Seq(1, 2, 3))
   }
+
+  test("mmrTopK prefers a diverse pick over a redundant higher-rel one") {
+    // query along e1; X = tight high-rel cluster, Y = slightly less
+    // relevant but diverse. Pure relevance ranks X,X,Y; MMR must rank
+    // X,Y,X (the second X pays sim≈1 to the first).
+    def v(a: Float, b: Float, c: Float) = Array(a, b, c, 0.0f)
+    val corpus = Seq(
+      (1L, v(0.95f, 0.3122f, 0f)),   // x1: rel ≈ .95
+      (2L, v(0.95f, 0.3123f, 0f)),   // x2: rel ≈ .95, sim(x1,x2) ≈ 1
+      (3L, v(0.90f, 0f, 0.4359f)),   // y:  rel .90, sim to X ≈ .855
+      (4L, v(0.10f, 0.99f, 0f)))     // filler, low rel
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, v(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(q, corpus, "vec_id", "embedding",
+      k = 3, poolK = 4).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L),
+      got.mkString(";"))
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    // rank 1's mmr is its relevance; later scores carry the penalty
+    assert(got.head.getDouble(3) > got(1).getDouble(3))
+  }
+
+  test("mmrTopK with mu=0 degenerates to relevance order") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.4359f, 0f, 0f)),
+      (3L, Array(0.8f, 0.6f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(q, corpus, "vec_id", "embedding",
+      k = 4, poolK = 4, mu = 0.0).collect().map(_.getLong(1)).toSeq
+    val rel = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+      k = 4).collect().map(_.getLong(1)).toSeq
+    assert(mmr == rel, s"mmr=$mmr rel=$rel")
+  }
 }
