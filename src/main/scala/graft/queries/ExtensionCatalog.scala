@@ -248,6 +248,20 @@ object ExtensionCatalog {
     * (m·2^(61−p) < 2^63, see [[Sketches.hllEstimate]]). */
   private val HllP = 8
 
+  /** x127's Jelinek–Mercer interpolation weights (trigram, bigram,
+    * add-1 unigram). */
+  private val TriL3 = 0.7
+  private val TriL2 = 0.2
+  private val TriL1 = 0.1
+
+  /** x128's MMR shape: relevance pool 20 per query, keep 10, with
+    * EXPLICIT relevance/diversity weights (μ is not 1−λ: the IEEE
+    * double 1.0−0.7 is not 0.3, and both engines write the literal). */
+  private val MmrK = 10
+  private val MmrPool = 20
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3
+
   /** x108's co-occurrence result size. */
   private val CoocK = 20
 
@@ -4292,8 +4306,193 @@ object ExtensionCatalog {
           .join(nd, Seq("source"))
           .select(col("source"), col("n_distinct"), col("zeros"), col("est"))
           .orderBy("source")
+      }),
+
+    // ---- interpolated trigram LM (CCNet-shaped perplexity filter):
+    //      bits/trigram under λ₃·p₃ + λ₂·p₂ + λ₁·p₁, the context-aware
+    //      step past x67 (unigram) and x88 (bigram). Same determinism
+    //      recipe: exact-integer counts, hash-sorted fold, round last ----
+    Q("x127_trigram_bits", Some(
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(${tokSql("lower(text)")},
+         |      t -> ${h60Sql("t", 1152921504606846976L)}) AS hs
+         |  FROM documents),
+         |tgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 2, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1],
+         |                     h3 := hs[i + 2]))) AS b
+         |  FROM hs),
+         |tg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2, b.h3 AS h3 FROM tgl),
+         |bgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 1, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1]))) AS b
+         |  FROM hs),
+         |bg AS (SELECT b.h1 AS h1, b.h2 AS h2 FROM bgl),
+         |c3 AS (SELECT h1, h2, h3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+         |cx2 AS (SELECT h1, h2, count(*) AS cx2 FROM tg GROUP BY 1, 2),
+         |bc AS (SELECT h1 AS bh1, h2 AS bh2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |cx1 AS (SELECT h1 AS ch1, count(*) AS cx1 FROM bg GROUP BY 1),
+         |c1 AS (SELECT h, count(*) AS c1 FROM (
+         |  SELECT unnest(hs) AS h FROM hs) GROUP BY 1),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) + count(DISTINCT h) AS nv
+         |  FROM (SELECT unnest(hs) AS h FROM hs)),
+         |dc AS (
+         |  SELECT doc_id, h1, h2, h3, count(*) AS c FROM tg GROUP BY 1, 2, 3, 4),
+         |per AS (
+         |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_tri,
+         |    list_sort(list(struct_pack(h1 := dc.h1, h2 := dc.h2,
+         |      h3 := dc.h3, c := dc.c, c3 := c3.c3, cx2 := cx2.cx2,
+         |      c2 := bc.c2, cx1 := cx1.cx1, c1 := c1.c1))) AS arr
+         |  FROM dc JOIN c3 USING (h1, h2, h3) JOIN cx2 USING (h1, h2)
+         |       JOIN bc ON dc.h2 = bc.bh1 AND dc.h3 = bc.bh2
+         |       JOIN cx1 ON dc.h2 = cx1.ch1
+         |       JOIN c1 ON dc.h3 = c1.h
+         |  GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_tri,
+         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+         |        t -> t.c * log2(
+         |          $TriL3 * (CAST(t.c3 AS DOUBLE) / CAST(t.cx2 AS DOUBLE)) +
+         |          $TriL2 * (CAST(t.c2 AS DOUBLE) / CAST(t.cx1 AS DOUBLE)) +
+         |          $TriL1 * ((CAST(t.c1 AS DOUBLE) + 1.0) / CAST(nv AS DOUBLE))))),
+         |        (a, x) -> a + x)) / n_tri * 10000.0 + 0.5) / 10000.0 AS bpt3
+         |  FROM per, nv)
+         |SELECT d.doc_id,
+         |  coalesce(w.n_tri, 0) AS n_tri,
+         |  coalesce(w.bpt3, 0.0) AS bpt3
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.trigramBits(t(s, dir, "documents"),
+        "doc_id", "text", TriL3, TriL2, TriL1).orderBy("doc_id")),
+
+    // ---- maximal-marginal-relevance top-k (diversity-aware re-rank):
+    //      the oracle unrolls the same greedy the driver walks, CTE by
+    //      CTE — every float it compares is either rounded at the
+    //      matrix edge or the identical IEEE λ·rel − μ·maxsim tree ----
+    Q("x128_mmr_topk", Some(mmrTopKSql),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = MmrK, poolK = MmrPool,
+          lambda = MmrLambda, mu = MmrMu)
+      }),
+
+    // ---- keyword-taxonomy topic tagging (domain routing before mix
+    //      sampling): broadcast dictionary, exact-integer argmax ----
+    Q("x129_topic_tag", Some({
+      val values = graft.operators.TopicTag.DefaultTaxonomy
+        .flatMap { case (t, ws) => ws.map(w => s"('$t', '$w')") }
+        .mkString(", ")
+      s"""WITH kw(topic, kw) AS (VALUES $values),
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS tk FROM documents),
+         |hits AS (
+         |  SELECT t.doc_id, k.topic, count(*) AS hits
+         |  FROM tk t JOIN kw k ON t.tk = k.kw GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, topic, hits FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn
+         |    FROM hits) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(top.topic, 'other') AS topic,
+         |  coalesce(top.hits, CAST(0 AS BIGINT)) AS hits
+         |FROM documents d LEFT JOIN top USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }),
+      (s, dir) => graft.operators.TopicTag.tag(
+        t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // ---- cross-source duplication matrix: which sources copy which —
+    //      the report that decides per-source dedup priorities and
+    //      licensing/provenance audits. Rides the memoized verified
+    //      pairs (x16's stage); cost beyond it is two dim joins on the
+    //      SPARSE pair list ----
+    Q("x130_source_dup_matrix", Some(
+      s"""WITH ${minhashPairsSql()},
+         |${verifiedPairsSql("documents")},
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM vp JOIN ds sa ON vp.id_a = sa.doc_id
+         |        JOIN ds sb ON vp.id_b = sb.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin),
+      (s, dir) => {
+        val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        verifiedPairs(s, dir)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+            Seq("id_b"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
       })
   )
+
+  /** x128's oracle: x08's pool (same cosine text), the pool×pool sim
+    * matrix, then [[Similarity.mmrTopK]]'s greedy unrolled — selu_i is
+    * the selected set after i picks, m_{i+1} scores the remainder
+    * against it, rank ties break on eid exactly as the driver does. */
+  private def mmrTopKSql: String = {
+    val cos = (av: String, bv: String) =>
+      s"""round(
+         |      list_sum(list_transform(generate_series(1, len($av)),
+         |        i -> CAST($av[i] AS DOUBLE) * CAST($bv[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform($av, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform($bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      4)""".stripMargin
+    val steps = (2 to MmrK).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT p.qid, p.eid, $MmrLambda * p.rel - $MmrMu * max(s.s) AS mmr
+         |  FROM pool p
+         |  JOIN ps s ON s.qid = p.qid AND s.ea = p.eid
+         |  JOIN selu${i - 1} t ON t.qid = s.qid AND t.eid = s.eb
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} x
+         |                    WHERE x.qid = p.qid AND x.eid = p.eid)
+         |  GROUP BY p.qid, p.eid, p.rel),
+         |sel$i AS MATERIALIZED (
+         |  SELECT qid, eid, $i AS rank, mmr FROM (
+         |    SELECT qid, eid, mmr,
+         |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, eid) AS rn
+         |    FROM m$i) WHERE rn = 1),
+         |selu$i AS MATERIALIZED (SELECT qid, eid FROM selu${i - 1}
+         |  UNION ALL SELECT qid, eid FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |sims AS MATERIALIZED (
+       |  SELECT qid, e.vec_id AS eid,
+       |    ${cos("qv", "e.embedding")} AS rel
+       |  FROM q, embeddings e),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, eid, rel, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, eid) AS rn
+       |    FROM sims)
+       |  WHERE rn <= $MmrPool),
+       |pv AS MATERIALIZED (
+       |  SELECT p.qid, p.eid, e.embedding AS v
+       |  FROM pool p JOIN embeddings e ON p.eid = e.vec_id),
+       |ps AS MATERIALIZED (
+       |  SELECT a.qid, a.eid AS ea, b.eid AS eb,
+       |    ${cos("a.v", "b.v")} AS s
+       |  FROM pv a JOIN pv b ON a.qid = b.qid),
+       |selu1 AS MATERIALIZED (SELECT qid, eid FROM pool WHERE rn = 1),
+       |$steps
+       |SELECT qid, eid, CAST(rank AS INT) AS rank,
+       |  floor(mmr * 10000.0 + 0.5) / 10000.0 AS mmr
+       |FROM (
+       |  SELECT qid, eid, 1 AS rank, CAST(rel AS DOUBLE) AS mmr
+       |  FROM pool WHERE rn = 1
+       |  ${(2 to MmrK).map(i => s"UNION ALL SELECT qid, eid, $i, mmr FROM sel$i").mkString("\n  ")})
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** x126's oracle — replays [[Sketches.hllRegisters]]/[[Sketches.hllEstimate]]
     * from the shared md5 hash: p low bits pick the register, the
