@@ -257,4 +257,28 @@ object Sketches {
           posexplode(col(registersCol)).as(Seq("bucket", "reg")))
         .filter(col("reg") > 0),
       groupCol, p)
+
+  /** Incrementally maintained HLL store — [[appendSketch]]'s shape for
+    * the register sketch. Element-wise max is exact on registers (not
+    * approximate-on-approximate): any append order converges to the
+    * from-scratch sketch, so per-batch text work is O(batch) and the
+    * store is O(groups·m) forever. */
+  def appendHll(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                batch: DataFrame, groupCol: String, value: Column,
+                p: Int = 8, retainVersions: Int = 2): Unit = {
+    val batchSk = hllSketch(batch, groupCol, value, p)
+    val merged = MergeUpsert.existingPlain(spark, storePath) match {
+      case None => batchSk
+      case Some(existing) => existing.as("o")
+        .join(batchSk.as("b"), Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          when(col("o.registers").isNull, col("b.registers"))
+            .when(col("b.registers").isNull, col("o.registers"))
+            .otherwise(hllMerge(col("o.registers"), col("b.registers")))
+            .as("registers"))
+    }
+    // one file per version, as appendSketch: the store is O(groups·m)
+    MergeUpsert.publishPlain(spark, storePath, merged.coalesce(1),
+      retainVersions)
+  }
 }

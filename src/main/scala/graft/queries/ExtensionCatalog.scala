@@ -254,6 +254,12 @@ object ExtensionCatalog {
   private val TriL2 = 0.2
   private val TriL1 = 0.1
 
+  /** x133's RBO shape: compare rankings to depth 20, persistence
+    * p = 0.9, weight (1−p) written as its own literal 0.1. */
+  private val RboDepth = 20
+  private val RboP = 0.9
+  private val RboW = 0.1
+
   /** x128's MMR shape: relevance pool 20 per query, keep 10, with
     * EXPLICIT relevance/diversity weights (μ is not 1−λ: the IEEE
     * double 1.0−0.7 is not 0.3, and both engines write the literal). */
@@ -4380,6 +4386,56 @@ object ExtensionCatalog {
           lambda = MmrLambda, mu = MmrMu)
       }),
 
+    // ---- incrementally maintained HLL store: three appends of
+    //      register sketches (element-wise max through the versioned
+    //      store) must equal the from-scratch sketch EXACTLY — HLL's
+    //      analogue of x59's KMV union property ----
+    Q("x131_incremental_hll", Some({
+      val m = 1 << HllP
+      val maxRho = 60 - HllP + 1
+      val pow = 1L << maxRho
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${tokSql("text")}) AS tk FROM documents),
+         |hh AS (
+         |  SELECT DISTINCT lang,
+         |    ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+         |rg AS (
+         |  SELECT lang, h % $m AS bucket,
+         |    max(CASE WHEN (h >> $HllP) = 0 THEN $maxRho
+         |        ELSE $maxRho - length(bin(h >> $HllP)) END) AS reg
+         |  FROM hh GROUP BY 1, 2),
+         |es AS (
+         |  SELECT lang,
+         |    CAST(sum(1::BIGINT << ($maxRho - reg)) AS BIGINT)
+         |      + ($m - count(*)) * (1::BIGINT << $maxRho) AS s,
+         |    CAST($m - count(*) AS BIGINT) AS zeros
+         |  FROM rg GROUP BY 1)
+         |SELECT lang,
+         |  floor((CASE WHEN raw <= 2.5 * $m.0 AND zeros > 0
+         |         THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE))
+         |         ELSE raw END) * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+         |FROM (SELECT lang, zeros,
+         |        0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0 /
+         |          (CAST(s AS DOUBLE) / $pow.0) AS raw
+         |      FROM es)
+         |ORDER BY lang""".stripMargin
+    }),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = tmp("graft-inchll") + "/hll"
+        (0 until 3).foreach { kk =>
+          Sketches.appendHll(s, store,
+            docs.filter(col("doc_id") % 3 === kk)
+              .select(col("lang"),
+                explode(TextFunctions.tokens(col("text"))).as("tk")),
+            "lang", col("tk"), HllP)
+        }
+        Sketches.hllSketchEstimate(MergeUpsert.readPlain(s, store),
+            "lang", "registers", HllP)
+          .select(col("lang"), col("est").as("hll_estimate"))
+          .orderBy("lang")
+      }),
+
     // ---- keyword-taxonomy topic tagging (domain routing before mix
     //      sampling): broadcast dictionary, exact-integer argmax ----
     Q("x129_topic_tag", Some({
@@ -4433,6 +4489,130 @@ object ExtensionCatalog {
             greatest(col("sa"), col("sb")).as("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("source_a", "source_b")
+      }),
+
+    // ---- ANN ranking quality beyond recall (x95): reciprocal rank of
+    //      the true best hit + binary nDCG@10 of the sign-LSH ranking
+    //      vs the exact one — same index, same truth, position-aware ----
+    Q("x132_retrieval_metrics", Some(
+      s"""WITH c AS (
+         |  SELECT vec_id AS eid, embedding AS ev,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings),
+         |q0 AS (
+         |  SELECT vec_id AS qid, embedding AS qv,
+         |         ${bucketSql("embedding", 8)} AS bucket
+         |  FROM embeddings WHERE vec_id < 5),
+         |qp AS (
+         |  SELECT qid, qv, unnest(list_concat([bucket],
+         |    list_transform(generate_series(0, 7),
+         |      p -> xor(bucket, 1::BIGINT << p)))) AS bucket
+         |  FROM q0),
+         |acand AS (
+         |  SELECT DISTINCT qid, eid, ${cosineSql("qv", "ev")} AS sim
+         |  FROM qp JOIN c USING (bucket)),
+         |approx AS (
+         |  SELECT qid, eid, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn FROM acand)
+         |  WHERE rn <= 10),
+         |esims AS (
+         |  SELECT q0.qid, c.eid, ${cosineSql("q0.qv", "c.ev")} AS sim
+         |  FROM q0, c),
+         |ex AS (
+         |  SELECT qid, eid, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn FROM esims)
+         |  WHERE rn <= 10),
+         |rr AS (
+         |  SELECT e.qid, coalesce(1.0 / CAST(a.rn AS DOUBLE), 0.0) AS rr
+         |  FROM ex e LEFT JOIN approx a USING (qid, eid)
+         |  WHERE e.rn = 1),
+         |dcg AS (
+         |  SELECT qid, list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(rn)),
+         |      r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))),
+         |    (acc, x) -> acc + x) AS dcg
+         |  FROM (SELECT a.qid, a.rn FROM approx a JOIN ex e USING (qid, eid))
+         |  GROUP BY qid),
+         |idcg AS (
+         |  SELECT qid, list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(rn)),
+         |      r -> 1.0 / log2(CAST(r AS DOUBLE) + 1.0))),
+         |    (acc, x) -> acc + x) AS idcg
+         |  FROM ex GROUP BY qid)
+         |SELECT rr.qid,
+         |  floor(rr.rr * 10000.0 + 0.5) / 10000.0 AS rr,
+         |  floor((coalesce(dcg.dcg, 0.0) / idcg.idcg) * 10000.0 + 0.5) / 10000.0 AS ndcg
+         |FROM rr LEFT JOIN dcg USING (qid) JOIN idcg USING (qid)
+         |ORDER BY qid""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        Similarity.retrievalMetrics(
+          Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 10,
+            planes = 8),
+          Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10),
+          k = 10)
+          .orderBy("qid")
+      }),
+
+    // ---- rank-biased overlap between the BM25 and tf·idf rankers
+    //      (x103's inputs, compared instead of fused): top-weighted
+    //      agreement curve + truncated RBO. Geometric weights are
+    //      JVM-computed literals shipped to BOTH engines — library pow
+    //      is the one op we refuse to trust cross-engine ----
+    Q("x133_rbo_overlap", Some({
+      val pwVals = TfIdf.rboWeights(RboP, RboDepth).zipWithIndex
+        .map { case (pv, i) => s"(${i + 1}, CAST('$pv' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH $bm25ScoredSql,
+         |ra AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |        AS rn
+         |    FROM scored)
+         |  WHERE rn <= $RboDepth),
+         |$tfidfScoredSql,
+         |rb AS (
+         |  SELECT doc_id, rn FROM (
+         |    SELECT doc_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |        AS rn
+         |    FROM scoredx)
+         |  WHERE rn <= $RboDepth),
+         |com AS (
+         |  SELECT greatest(ra.rn, rb.rn) AS mx FROM ra JOIN rb USING (doc_id)),
+         |depths AS (
+         |  SELECT CAST(unnest(generate_series(1, $RboDepth)) AS INT) AS d),
+         |ov AS (
+         |  SELECT d, count(mx) AS n_overlap
+         |  FROM depths LEFT JOIN com ON com.mx <= depths.d GROUP BY d),
+         |pwt(d, pw) AS (VALUES $pwVals),
+         |wc AS (
+         |  SELECT ov.d, n_overlap,
+         |    floor(CAST(n_overlap AS DOUBLE) / CAST(ov.d AS DOUBLE)
+         |      * 10000.0 + 0.5) / 10000.0 AS agreement,
+         |    pw * (CAST(n_overlap AS DOUBLE) / CAST(ov.d AS DOUBLE)) AS term
+         |  FROM ov JOIN pwt ON ov.d = pwt.d),
+         |rbo AS (
+         |  SELECT floor($RboW * list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(d := d, term := term))),
+         |      s -> s.term)), (acc, x) -> acc + x) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS rbo
+         |  FROM wc)
+         |SELECT wc.d, wc.n_overlap, wc.agreement, rbo.rbo
+         |FROM wc, rbo ORDER BY d""".stripMargin
+    }),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TfIdf.rboCurve(
+          TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Terms, k = RboDepth,
+            k1 = Bm25K1, b = Bm25B),
+          TfIdf.queryScoreTopK(docs, "doc_id", "text", Bm25Terms,
+            k = RboDepth),
+          "doc_id", depth = RboDepth, p = RboP, w = RboW)
       })
   )
 

@@ -165,6 +165,26 @@ class SketchesSpec extends SparkSpec {
     })
   }
 
+  test("incremental HLL store equals from-scratch in any append order") {
+    val rows = (1 to 900).map(i => (s"g${i % 3}", s"tok$i")).toDF("g", "v")
+    val scratch = Sketches.hllSketch(rows, "g", col("v"), HllP)
+      .select("g", "registers").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    Seq(Seq(0, 1, 2), Seq(2, 0, 1)).foreach { order =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-hllstore").toString + "/s"
+      order.foreach { p =>
+        Sketches.appendHll(spark, store,
+          rows.filter(hash(col("v")) % 3 === p || hash(col("v")) % 3 === p - 3),
+          "g", col("v"), HllP)
+      }
+      val inc = MergeUpsert.readPlain(spark, store)
+        .select("g", "registers").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(inc == scratch, s"order $order diverged")
+    }
+  }
+
   test("HLL merge of disjoint halves equals the sketch of the union") {
     val all = (0 until 2000).map(i => ("g", s"tok$i")).toDF("g", "v")
     val sketchOf = (d: org.apache.spark.sql.DataFrame) =>
