@@ -614,6 +614,47 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Retrieval-quality metrics beyond recall: reciprocal rank of the
+    * true best hit and binary-relevance nDCG@k of an approximate
+    * ranking against exact truth — the eval rows that justify an ANN
+    * index's plane/probe budget (recall says how MANY truth items
+    * survive; nDCG says WHERE they land; RR says how far the single
+    * best item fell).
+    *
+    * Inputs are two (qid, eid, rn) rankings (e.g. [[lshTopK]] vs
+    * [[bruteForceTopK]]). rr = 1/rank-in-`ann` of truth's rn=1 item
+    * (0 when absent); dcg = Σ 1/log2(i+1) over `ann` positions whose
+    * eid is in truth, idcg the same over truth's own positions.
+    * Determinism: the float sums fold over rank-sorted lists (ranks
+    * are exact integers), divisions and log2 are identical IEEE trees
+    * on any engine, rounded at the edge.
+    *
+    * Scale shape: joins and group-bys over two ≤ queries·k row tables
+    * — the rankings themselves are the expensive part, not the eval. */
+  def retrievalMetrics(ann: DataFrame, truth: DataFrame, k: Int,
+                       roundTo: Int = 4): DataFrame = {
+    val a = ann.select(col("qid"), col("eid"), col("rn").cast("long").as("arn"))
+      .filter(col("arn") <= k)
+    val e = truth.select(col("qid"), col("eid"), col("rn").cast("long").as("trn"))
+      .filter(col("trn") <= k)
+    def foldDcg(rs: Column) = aggregate(rs, lit(0.0),
+      (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
+    val rr = e.filter(col("trn") === 1)
+      .join(a, Seq("qid", "eid"), "left")
+      .select(col("qid"),
+        coalesce(lit(1.0) / col("arn").cast("double"), lit(0.0)).as("rr"))
+    val dcg = a.join(e.select("qid", "eid"), Seq("qid", "eid"), "left_semi")
+      .groupBy("qid").agg(array_sort(collect_list(col("arn"))).as("rs"))
+      .select(col("qid"), foldDcg(col("rs")).as("dcg"))
+    val idcg = e.groupBy("qid").agg(array_sort(collect_list(col("trn"))).as("rs"))
+      .select(col("qid"), foldDcg(col("rs")).as("idcg"))
+    rr.join(dcg, Seq("qid"), "left").join(idcg, Seq("qid"))
+      .select(col("qid"),
+        TextFunctions.portableRound(col("rr"), roundTo).as("rr"),
+        TextFunctions.portableRound(
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"), roundTo).as("ndcg"))
+  }
+
   /** Maximal-marginal-relevance top-k: greedily re-rank each query's
     * `poolK` most-relevant candidates so the k kept are RELEVANT but
     * not redundant — mmr(e) = λ·rel(e) − μ·max_{s∈selected} sim(e, s).

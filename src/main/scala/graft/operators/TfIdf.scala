@@ -171,4 +171,57 @@ object TfIdf {
     Ranked.rankBounded(fused, k,
       Seq(col("rrf").desc, col("doc_id").asc))
   }
+
+  /** Geometric rank weights p^(d−1) for [[rboCurve]], computed ONCE on
+    * the JVM and shared with any oracle as literals — iterated or
+    * library pow can disagree by an ulp across engines, so neither side
+    * recomputes them. */
+  def rboWeights(p: Double, depth: Int): Seq[Double] =
+    (1 to depth).map(d => math.pow(p, d - 1))
+
+  /** Rank-biased overlap (Webber et al. 2010), truncated at `depth`:
+    * how much two rankings of the same query agree, weighted toward the
+    * top — the ranker-comparison row a retrieval team reads before
+    * deciding whether fusing (x103's RRF) is even worth it (RBO ≈ 1:
+    * the rankers are redundant; low RBO: they see different things).
+    *
+    * Output: one row per depth d — (d, n_overlap, agreement = |A∩B|/d,
+    * rbo), with `rbo` the truncated RBO (1−p)·Σ p^(d−1)·agreement(d)
+    * repeated on every row (curve + scalar in one shape). Overlap at
+    * depth d counts ids ranked ≤ d in BOTH lists, so the whole curve
+    * comes from one join of two ≤ depth-row tables. Float terms fold
+    * in d order; the geometric weights are [[rboWeights]] literals. */
+  def rboCurve(a: DataFrame, b: DataFrame, idCol: String,
+               depth: Int = 20, p: Double = 0.9, w: Double = 0.1,
+               roundTo: Int = 4): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ra = a.select(col(idCol).as("id"), col("rn").cast("long").as("ra"))
+      .filter(col("ra") <= depth)
+    val rb = b.select(col(idCol).as("id"), col("rn").cast("long").as("rb"))
+      .filter(col("rb") <= depth)
+    val com = ra.join(rb, Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("mx"))
+    val depths = spark.range(1, depth + 1)
+      .select(col("id").cast("int").as("d"))
+    val ov = depths.join(com, col("mx") <= col("d"), "left")
+      .groupBy("d").agg(count(col("mx")).as("n_overlap"))
+    val pwDf = rboWeights(p, depth).zipWithIndex
+      .map { case (pv, i) => (i + 1, pv) }.toDF("d", "pw")
+    val wc = ov.join(broadcast(pwDf), Seq("d"))
+      .select(col("d"), col("n_overlap"),
+        TextFunctions.portableRound(
+          col("n_overlap").cast("double") / col("d").cast("double"),
+          roundTo).as("agreement"),
+        (col("pw") * (col("n_overlap").cast("double") /
+          col("d").cast("double"))).as("term"))
+    val rbo = wc
+      .agg(array_sort(collect_list(struct(col("d"), col("term")))).as("arr"))
+      .select(TextFunctions.portableRound(
+        lit(w) * aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("term")), 6).as("rbo"))
+    wc.select(col("d"), col("n_overlap"), col("agreement"))
+      .crossJoin(broadcast(rbo))
+      .orderBy("d")
+  }
 }

@@ -240,6 +240,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => r.getInt(4)).toSeq == Seq(1, 2, 3))
   }
 
+  test("retrievalMetrics: perfect, shifted, and missing-top1 rankings") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "eid", "rn")
+    val truth = rk((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+    // perfect: identical ranking
+    val perfect = Similarity.retrievalMetrics(truth, truth, k = 3).head()
+    assert(perfect.getDouble(1) == 1.0 && perfect.getDouble(2) == 1.0)
+    // truth's best at ann rank 2, one truth item missing entirely
+    val shifted = rk((0L, 99L, 1), (0L, 10L, 2), (0L, 11L, 3))
+    val s = Similarity.retrievalMetrics(shifted, truth, k = 3).head()
+    assert(s.getDouble(1) == 0.5, "rr = 1/rank-in-ann of truth top1")
+    // dcg = 1/log2(3) + 1/log2(4); idcg = 1 + 1/log2(3) + 1/log2(4)
+    val dcg = 1 / (math.log(3) / math.log(2)) + 1 / (math.log(4) / math.log(2))
+    val ndcg = dcg / (1.0 + dcg)
+    assert(math.abs(s.getDouble(2) - ndcg) < 1e-4)
+    // ann shares nothing with truth
+    val disjoint = rk((0L, 97L, 1), (0L, 98L, 2), (0L, 99L, 3))
+    val d = Similarity.retrievalMetrics(disjoint, truth, k = 3).head()
+    assert(d.getDouble(1) == 0.0 && d.getDouble(2) == 0.0)
+  }
+
   test("mmrTopK prefers a diverse pick over a redundant higher-rel one") {
     // query along e1; X = tight high-rel cluster, Y = slightly less
     // relevant but diverse. Pure relevance ranks X,X,Y; MMR must rank

@@ -94,4 +94,29 @@ class TfIdfSpec extends SparkSpec {
     // 10 and 20 tie on the fused score → id breaks the tie
     assert(got.sortBy(_._3).map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
   }
+
+  test("rboCurve: identical rankings score the full truncated mass") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val got = TfIdf.rboCurve(a, a, "doc_id", depth = 3).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1, 1L, 1.0), (2, 2L, 1.0), (3, 3L, 1.0)))
+    // rbo = 0.1·(1 + 0.9 + 0.81), rounded at 6 dp
+    val expect = math.floor(0.1 * (1.0 + 0.9 + 0.9 * 0.9) * 1e6 + 0.5) / 1e6
+    assert(got.forall(_.getDouble(3) == expect))
+  }
+
+  test("rboCurve: disjoint rankings score zero; top-heavy beats tail") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rn")
+    val b = Seq((7L, 1), (8L, 2), (9L, 3)).toDF("doc_id", "rn")
+    val dis = TfIdf.rboCurve(a, b, "doc_id", depth = 3).collect()
+    assert(dis.forall(r => r.getLong(1) == 0L && r.getDouble(3) == 0.0))
+    // sharing the TOP item outweighs sharing the BOTTOM one
+    val topShare = TfIdf.rboCurve(a,
+      Seq((1L, 1), (8L, 2), (9L, 3)).toDF("doc_id", "rn"), "doc_id", 3)
+      .head().getDouble(3)
+    val tailShare = TfIdf.rboCurve(a,
+      Seq((7L, 1), (8L, 2), (3L, 3)).toDF("doc_id", "rn"), "doc_id", 3)
+      .head().getDouble(3)
+    assert(topShare > tailShare, s"top=$topShare tail=$tailShare")
+  }
 }
