@@ -205,26 +205,73 @@ object Similarity {
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   centroidTable: DataFrame, nProbe: Int = 2,
-                  roundTo: Int = 4): DataFrame = {
+                  roundTo: Int = 4): DataFrame =
+    ivfProbePostings(queries, idCol, vecCol,
+      ivfAssign(corpus, idCol, vecCol, centroidTable), k,
+      centroidTable, nProbe, roundTo)
+
+  /** Nearest-centroid rank against a broadcast centroid table — rank on
+    * ROUNDED sim with cid tiebreak, deterministic across engines
+    * (unrounded FP ordering could disagree at ~1e-15). */
+  private def nearestCentroids(side: DataFrame, id: String, vec: String,
+                               n: Int, centroidTable: DataFrame): DataFrame = {
     val centroids = broadcast(centroidTable.select(col("cid"), col("cvec")))
-    def nearest(side: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      // rank on ROUNDED sim with cid tiebreak — deterministic across
-      // engines (unrounded FP ordering could disagree at ~1e-15)
-      val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
-      side.join(centroids)
-        .select(col(id), col(vec),
-          col("cid"), round(cosine(col(vec), col("cvec")), 6).as("csim"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-        .drop("csim", "crn")
-    }
-    val index = nearest(
-      corpus.select(col(idCol).as("eid"), col(vecCol).as("ev")), "eid", "ev", 1)
+    val w = Window.partitionBy(id).orderBy(desc("csim"), col("cid"))
+    side.join(centroids)
+      .select(col(id), col(vec),
+        col("cid"), round(cosine(col(vec), col("cvec")), 6).as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= n)
+      .drop("csim", "crn")
+  }
+
+  /** IVF postings of a batch: each vector assigned to its nearest
+    * centroid, with its norm precomputed — the rows an incrementally
+    * maintained IVF index stores. Assignment is a pure function of
+    * (vector, centroids), so postings built batch-by-batch against the
+    * SAME stored centroids equal the from-scratch assignment (x134
+    * oracle-proves this against x17's exact SQL).
+    * Output: (eid, ev, cid, enorm). */
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                centroidTable: DataFrame): DataFrame =
+    nearestCentroids(
+      batch.select(col(idCol).as("eid"), col(vecCol).as("ev")),
+      "eid", "ev", 1, centroidTable)
       .withColumn("enorm", sqrt(dot(col("ev"), col("ev"))))
-    val probes = nearest(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), "qid", "qv", nProbe)
+
+  /** Append a batch's postings to a versioned postings store.
+    * Redelivered ids are dropped (their rows are identical by
+    * assignment determinism, so any-survivor dedup is safe). The store
+    * keeps the batch's partition layout — postings are corpus-sized,
+    * never a single-file table. */
+  def appendIvfPostings(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, batch: DataFrame,
+                        idCol: String, vecCol: String,
+                        centroidTable: DataFrame,
+                        retainVersions: Int = 2): Unit = {
+    val part = ivfAssign(batch, idCol, vecCol, centroidTable)
+    val merged = MergeUpsert.existingPlain(spark, storePath) match {
+      case None => part
+      case Some(existing) => existing.unionByName(part)
+        .dropDuplicates("eid")
+    }
+    MergeUpsert.publishPlain(spark, storePath, merged, retainVersions)
+  }
+
+  /** [[ivfTopKWith]]'s probe half against a PRE-BUILT postings table
+    * ((eid, ev, cid, enorm) — e.g. [[appendIvfPostings]]'s store): the
+    * read path once BOTH training and assignment have moved to write
+    * time. The query-side centroid probe is the only per-query work
+    * beyond the candidate scan. */
+  def ivfProbePostings(queries: DataFrame, idCol: String, vecCol: String,
+                       postings: DataFrame, k: Int,
+                       centroidTable: DataFrame, nProbe: Int = 2,
+                       roundTo: Int = 4): DataFrame = {
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", nProbe, centroidTable)
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
-    val cands = probes.join(index, "cid")
+    val cands = probes.join(postings, "cid")
       .select(col("qid"), col("eid"),
         round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
           .as("sim"))

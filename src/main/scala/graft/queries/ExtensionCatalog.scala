@@ -4821,6 +4821,30 @@ object ExtensionCatalog {
           ArtifactStore.load(s, store), nProbe = 2)
       }),
 
+    // the next maintenance step past x115: not just the CENTROIDS but
+    // the ASSIGNMENT moves to write time — postings appended batch by
+    // batch against the stored centroids, probed with zero in-query
+    // assignment. Same oracle as x17/x115: batchwise assignment against
+    // fixed centroids is a pure per-row function, so the union of three
+    // disjoint batches' postings IS the from-scratch index.
+    Q("x134_ivf_incremental", sqlOf("x17_ivf_topk"),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centStore = tmp("graft-ivf-cent")
+        ArtifactStore.publish(s, centStore, Similarity.kmeansCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 2))
+        val cents = ArtifactStore.load(s, centStore)
+        val postStore = tmp("graft-ivf-post") + "/postings"
+        (0 until 3).foreach { kk =>
+          Similarity.appendIvfPostings(s, postStore,
+            emb.filter(col("vec_id") % 3 === kk),
+            "vec_id", "embedding", cents)
+        }
+        Similarity.ivfProbePostings(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", MergeUpsert.readPlain(s, postStore),
+          k = 10, cents, nProbe = 2)
+      }),
+
     Q("x116_pq_store_probe", sqlOf("x58_pq_adc_topk"),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -240,6 +240,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => r.getInt(4)).toSeq == Seq(1, 2, 3))
   }
 
+  test("incremental IVF postings probe equals the from-scratch index") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 3)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val fromScratch = Similarity.ivfTopKWith(q, corpus, "vec_id",
+      "embedding", k = 5, cents, nProbe = 2).collect().toSeq
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ivfpost").toString + "/p"
+    // uneven batches, one redelivered — dedup by assignment determinism
+    Seq(0L, 1L, 1L, 2L).foreach { b =>
+      Similarity.appendIvfPostings(spark, store,
+        corpus.filter($"vec_id" % 3 === b), "vec_id", "embedding", cents)
+    }
+    val incremental = Similarity.ivfProbePostings(q, "vec_id", "embedding",
+      MergeUpsert.readPlain(spark, store), k = 5, cents, nProbe = 2)
+      .collect().toSeq
+    assert(incremental == fromScratch)
+  }
+
   test("retrievalMetrics: perfect, shifted, and missing-top1 rankings") {
     def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "eid", "rn")
     val truth = rk((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))

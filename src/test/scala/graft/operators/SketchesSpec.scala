@@ -185,6 +185,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL store append is idempotent under redelivery") {
+    // max-merge needs no batch-id bookkeeping: re-appending the same
+    // batch cannot change any register
+    val rows = (1 to 300).map(i => (s"g${i % 2}", s"tok$i")).toDF("g", "v")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hllredeliver").toString + "/s"
+    Sketches.appendHll(spark, store, rows, "g", col("v"), HllP)
+    val once = MergeUpsert.readPlain(spark, store)
+      .select("g", "registers").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    Sketches.appendHll(spark, store, rows, "g", col("v"), HllP)
+    val twice = MergeUpsert.readPlain(spark, store)
+      .select("g", "registers").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(once == twice)
+  }
+
   test("HLL merge of disjoint halves equals the sketch of the union") {
     val all = (0 until 2000).map(i => ("g", s"tok$i")).toDF("g", "v")
     val sketchOf = (d: org.apache.spark.sql.DataFrame) =>
