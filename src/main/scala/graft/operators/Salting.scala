@@ -55,4 +55,40 @@ object Salting {
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, keys :+ "_salt").drop("_salt")
   }
+
+  /** The diagnostic that DECIDES whether to salt: per-key frequency
+    * profile of a prospective shuffle/join key. Reports the k heaviest
+    * keys with their share of all rows, the skew factor (heaviest key
+    * vs mean key), and the salt count that would level the heaviest
+    * key to the mean — `salt = ceil(max/mean)` is exactly the `salts`
+    * argument [[saltedAgg]]/[[saltedJoin]] then take. skew ≈ 1 means
+    * salting buys nothing; a 1000× key at 100 TB means one straggler
+    * task owns 1000 partitions' worth of rows until this says split.
+    *
+    * One count shuffle on the key; the top-k rank runs over
+    * `orderBy().limit(k)` survivors (bounded window). All ratios are
+    * exact-integer counts until one rounded division.
+    * Output: k rows of (key, cnt, share, skew, salt) — skew/salt
+    * constant across rows (curve + scalar in one shape). */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 5,
+                 roundTo: Int = 4): DataFrame = {
+    val c = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val s = c.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum(col("cnt")).cast("long").as("total"),
+      max(col("cnt")).cast("long").as("max_cnt"))
+    val mean = col("total").cast("double") / col("n_keys").cast("double")
+    val scalars = broadcast(s.select(col("total"),
+      graft.functions.TextFunctions.portableRound(
+        col("max_cnt").cast("double") / mean, roundTo).as("skew"),
+      ceil(col("max_cnt").cast("double") / mean).cast("long").as("salt")))
+    Ranked.rankBounded(c, k, Seq(col("cnt").desc, col("key").asc))
+      .crossJoin(scalars)
+      .select(col("key"), col("cnt"),
+        graft.functions.TextFunctions.portableRound(
+          col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        col("skew"), col("salt"))
+      .orderBy("key")
+  }
 }

@@ -4557,6 +4557,34 @@ object ExtensionCatalog {
           .orderBy("qid")
       }),
 
+    // ---- join-key skew diagnostics: the report that DECIDES whether
+    //      x24/x25's salting is worth it — heaviest keys, skew factor,
+    //      and the exact `salts` argument that levels the worst key ----
+    Q("x135_skew_report", Some(
+      s"""WITH c AS (
+         |  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |         CAST(sum(cnt) AS BIGINT) AS total,
+         |         CAST(max(cnt) AS BIGINT) AS max_cnt
+         |  FROM c),
+         |tk AS (
+         |  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+         |  FROM c)
+         |SELECT t.key, t.cnt,
+         |  floor(CAST(t.cnt AS DOUBLE) / CAST(s.total AS DOUBLE)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS share,
+         |  floor(CAST(s.max_cnt AS DOUBLE) /
+         |    (CAST(s.total AS DOUBLE) / CAST(s.n_keys AS DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS skew,
+         |  CAST(ceil(CAST(s.max_cnt AS DOUBLE) /
+         |    (CAST(s.total AS DOUBLE) / CAST(s.n_keys AS DOUBLE)))
+         |    AS BIGINT) AS salt
+         |FROM tk t, s WHERE t.rn <= 5 ORDER BY t.key""".stripMargin),
+      (s, dir) => Salting.skewReport(
+        ReferenceCatalog.events(s, dir).select(col("user_id")),
+        "user_id", k = 5)),
+
     // ---- rank-biased overlap between the BM25 and tf·idf rankers
     //      (x103's inputs, compared instead of fused): top-weighted
     //      agreement curve + truncated RBO. Geometric weights are

@@ -37,4 +37,28 @@ class SaltingSpec extends SparkSpec {
     // spot-check a row keeps its label
     assert(salted.filter($"k" === "a").select("label").as[String].head() == "A")
   }
+
+  test("skewReport: planted heavy key drives skew, salt, and share") {
+    // keys: "hot" ×90, ten cold keys ×1 → 11 keys, 100 rows,
+    // mean 100/11, skew = 90/(100/11) = 9.9, salt = ceil(9.9) = 10
+    val rows = (Seq.fill(90)("hot") ++ (0 until 10).map(i => s"c$i"))
+      .toDF("k")
+    val got = Salting.skewReport(rows, "k", k = 3).collect()
+    assert(got.length == 3)
+    val hot = got.find(_.getString(0) == "hot").get
+    assert(hot.getLong(1) == 90L)
+    assert(hot.getDouble(2) == 0.9, "share of all rows")
+    assert(got.forall(_.getDouble(3) == 9.9), "skew = max/mean")
+    assert(got.forall(_.getLong(4) == 10L), "salt levels the hot key")
+    // the two cold survivors are the alphabetically-first tie-break picks
+    assert(got.map(_.getString(0)).sorted.toSeq == Seq("c0", "c1", "hot"))
+  }
+
+  test("skewReport: uniform keys report skew 1, salt 1") {
+    val rows = (0 until 40).map(i => s"k${i % 8}").toDF("k")
+    val got = Salting.skewReport(rows, "k", k = 8).collect()
+    assert(got.forall(_.getDouble(3) == 1.0))
+    assert(got.forall(_.getLong(4) == 1L))
+    assert(got.forall(_.getLong(1) == 5L))
+  }
 }
