@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
-  Contamination, CorpusStats, Dedup, GraphRank, IncrementalDedup,
-  MergeUpsert, Multimodal, RangeJoin, RepeatedSpans, Salting, Sampling,
-  Scd2, Similarity, Sketches, TfIdf, ZOrder}
+  Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
+  IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
+  Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -259,6 +259,11 @@ object ExtensionCatalog {
   private val RboDepth = 20
   private val RboP = 0.9
   private val RboW = 0.1
+
+  /** x137's search needles (all ≥ 3 chars — the documented floor of a
+    * trigram index; the last is a planted miss). */
+  private val GramQueries = Seq(
+    ("q1", "merge batch"), ("q2", "vector table"), ("q3", "zqx never"))
 
   /** x128's MMR shape: relevance pool 20 per query, keep 10, with
     * EXPLICIT relevance/diversity weights (μ is not 1−λ: the IEEE
@@ -4555,6 +4560,86 @@ object ExtensionCatalog {
           Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10),
           k = 10)
           .orderBy("qid")
+      }),
+
+    // ---- JSONL round trip: the interchange format every public LLM
+    //      dataset ships as — write documents as one-object-per-line
+    //      text, read back under the explicit schema, and the oracle is
+    //      the table itself (identity = fidelity, including the edge
+    //      corpus's tabs/newlines/unicode through JSON escaping) ----
+    Q("x136_jsonl_roundtrip", Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = tmp("graft-jsonl") + "/docs"
+        graft.sources.JsonLines.write(docs, out)
+        val split = graft.sources.JsonLines.read(s, out, docs.schema)
+        split.good.orderBy("doc_id")
+      }),
+
+    // ---- inverted char-trigram index search (pg_trgm / Code Search
+    //      shape): grams intersect to candidates, exact contains
+    //      verifies candidates only; oracle = the naive scan ----
+    Q("x137_gram_index_search", Some({
+      val values = GramQueries
+        .map { case (qid, q) => s"('$qid', '$q')" }.mkString(", ")
+      s"""WITH qs(qid, q) AS (VALUES $values)
+         |SELECT qs.qid, d.doc_id
+         |FROM qs, documents d
+         |WHERE contains(d.text, qs.q)
+         |ORDER BY qid, doc_id""".stripMargin
+    }),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val session = s
+        import session.implicits._
+        GramIndex.search(GramQueries.toDF("qid", "q"), "qid", "q",
+          GramIndex.build(docs, "doc_id", "text"),
+          docs, "doc_id", "text")
+          .orderBy("qid", "doc_id")
+      }),
+
+    // ---- LSH estimator calibration: banded-minhash est_jaccard
+    //      bucketed against the exact verify — the curve that says
+    //      whether the est-threshold prefilter (x16's 0.25) is honest ----
+    Q("x138_lsh_calibration", Some(
+      s"""WITH ${minhashPairsSql()},
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents),
+         |vj AS (
+         |  SELECT c.est_jaccard,
+         |    round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |          CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN g ga ON c.id_a = ga.doc_id
+         |  JOIN g gb ON c.id_b = gb.doc_id),
+         |b AS (
+         |  SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS bucket,
+         |         CAST(floor(jaccard * 10000.0 + 0.5) AS BIGINT) AS qj
+         |  FROM vj)
+         |SELECT bucket, count(*) AS n_pairs,
+         |  floor((CAST(sum(qj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    / 10000.0) * 10000.0 + 0.5) / 10000.0 AS mean_jaccard
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.verifyCandidates(docs, "doc_id", "text", lshCands(s, dir),
+            minJaccard = 0.0)
+          .select(floor(col("est_jaccard") * 10).cast("long").as("bucket"),
+            floor(col("jaccard") * lit(10000.0) + lit(0.5)).cast("long")
+              .as("qj"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("qj")).as("sq"))
+          .select(col("bucket"), col("n_pairs"),
+            TextFunctions.portableRound(
+              col("sq").cast("double") / col("n_pairs").cast("double") /
+                lit(10000.0), 4).as("mean_jaccard"))
+          .orderBy("bucket")
       }),
 
     // ---- join-key skew diagnostics: the report that DECIDES whether
