@@ -214,6 +214,16 @@ object TextFunctions {
     math.floor(x * p + 0.5) / p
   }
 
+  /** Unicode normalization (TR#15) via the codegen'd
+    * [[graft.plans.UnicodeNormalize]] — canonical-equivalence
+    * canonicalization BEFORE any hash/dedup key over multilingual
+    * text (composed vs decomposed accents are distinct bytes,
+    * identical glyphs). `form` ∈ NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.UnicodeNormalize(
+        org.apache.spark.sql.graft.bridge.expression(text), form))
+
   /** Document fingerprint: md5 of the sorted distinct lowercased word
     * set (the key-collision/OpenRefine fingerprint — word order and
     * duplication invariant). */

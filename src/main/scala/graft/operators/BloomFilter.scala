@@ -100,6 +100,30 @@ object BloomFilter {
         .select(TextFunctions.md5Hash60(col("s")).as("h")),
       "h", m, k)
 
+  /** Runtime Bloom join pruning (the "runtime filter" every warehouse
+    * engine grew): bitmap over the SMALL (filtered) side's join keys,
+    * probed at the BIG side's scan — rows that cannot join die before
+    * the shuffle, so shuffle bytes track join selectivity instead of
+    * table size. False positives only let extra rows through to the
+    * exact join that follows; the RESULT is exact regardless of m/k,
+    * which is why the oracle for a bloom-pruned join is the plain
+    * join's SQL. */
+  def keyBloom(small: DataFrame, keyCol: String,
+               m: Int = 1 << 16, k: Int = 3): DataFrame =
+    build(small.select(
+        TextFunctions.md5Hash60(col(keyCol).cast("string")).as("h")),
+      "h", m, k)
+
+  /** The probe half of [[keyBloom]]: filter `big` to rows whose key
+    * might be in the bloom — a codegen'd scan-time gate, no shuffle.
+    * `m`/`k` must match the build. */
+  def pruneKeys(big: DataFrame, keyCol: String, bloom: DataFrame,
+                m: Int = 1 << 16, k: Int = 3): DataFrame =
+    big.crossJoin(broadcast(bloom.select(col("bitmap"))))
+      .filter(mightContain(col("bitmap"),
+        TextFunctions.md5Hash60(col(keyCol).cast("string")), m, k))
+      .drop("bitmap")
+
   /** [[flagBloom]]'s probe half against a PRE-BUILT [[trainBloom]]
     * bitmap (`shingleN`/`m`/`k` must match the build; x118
     * oracle-proves the equivalence). */

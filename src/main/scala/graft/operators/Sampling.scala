@@ -304,4 +304,35 @@ object Sampling {
           col("n_tokens").cast("double") * col("ns").cast("double") /
             col("tot").cast("double"), roundTo).as("skew"))
   }
+
+  /** Leakage-safe train/val/test assignment: the split is a pure
+    * hash function of the document's NEAR-DUP CLUSTER id, not of the
+    * document — so a near-duplicate of a training page can never land
+    * in the eval split (the train/test contamination channel that
+    * per-doc random splits leave wide open; the reason public corpora
+    * dedup BEFORE splitting). `clusters` is [[Dedup.resolveClusters]]'
+    * (doc_id, cluster_id) output; singleton docs are their own cluster
+    * and split independently.
+    *
+    * trainBuckets + valBuckets must be < 10; the remainder is test.
+    * Determinism: the bucket is md5(salt|cluster_id) mod 10 — stable
+    * under any layout, replayable, oracle-reproducible. Scale shape:
+    * one broadcast-or-shuffle join docs⋈clusters plus a codegen'd
+    * CASE — no window, no global state. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+                       clusters: DataFrame,
+                       trainBuckets: Int = 8, valBuckets: Int = 1,
+                       salt: String = "split"): DataFrame = {
+    require(trainBuckets >= 1 && valBuckets >= 1 &&
+      trainBuckets + valBuckets < 10,
+      "need trainBuckets >= 1, valBuckets >= 1, train+val < 10")
+    val bucket = TextFunctions.md5Hash60(
+      concat(lit(s"$salt|"), col("cluster_id").cast("string"))) % lit(10L)
+    docs.join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol))
+      .withColumn("split",
+        when(bucket < trainBuckets, "train")
+          .when(bucket < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+  }
 }

@@ -172,6 +172,92 @@ object TfIdf {
       Seq(col("rrf").desc, col("doc_id").asc))
   }
 
+  /** Sparse all-pairs document cosine similarity over tf·idf weights —
+    * the LEXICAL near-dup/similarity join (MinHash answers "how much
+    * text overlaps"; this answers "how similar are the term
+    * distributions", the signal behind tf-idf-based clustering and
+    * template detection).
+    *
+    * Candidate generation is PREFIX-FILTERED the way similarity-join
+    * engines do it (cf. prefix filtering, Chaudhuri et al. 2006;
+    * DIMSUM's "never all-pairs" discipline): two documents become a
+    * candidate pair only if they share at least one DISCRIMINATIVE
+    * term (df ≤ `maxDf`). High-df terms (stopwords) are exactly the
+    * posting lists whose self-join is O(df²) — the df cap excludes
+    * them from candidate generation BY CONTRACT (documented recall
+    * bound, the LSH-family ⊘ pattern: a pair sharing only stopwords is
+    * not similar in any useful sense). The full dot product — ALL
+    * shared terms, stopwords included — is then gathered for candidate
+    * pairs only (the LSH-verify shape).
+    *
+    * Determinism across engines, term by term:
+    *   - weights are the log-free tf·idf of [[topTerms]] quantized to
+    *     integers: wq = floor(tf·(N/df)·q + 0.5) — one IEEE multiply
+    *     chain from exact integers, then integer forever after;
+    *   - norms and dots are DECIMAL(38,0) sums of wq products — exact
+    *     at any corpus size (no silent Int64 wrap on either engine);
+    *   - the threshold test is pure 128-bit integer arithmetic:
+    *     keep iff dot²·10⁴ ≥ bp²·‖a‖²·‖b‖² (bp = cosine·100), so no
+    *     pair can flip on float rounding at the boundary;
+    *   - the reported cosine is one IEEE divide/sqrt over exact
+    *     integers, portable-rounded.
+    *
+    * Scale shape: two map-side-combined hash aggs (tf, df), one
+    * term-keyed join, candidate pairs bounded by Σ_{df≤maxDf} df² ≤
+    * maxDf · corpus-tokens (linear with the cap), and a candidate-
+    * restricted gather join. No window, no driver state, no all-pairs
+    * anywhere. */
+  def cosinePairs(df: DataFrame, idCol: String, textCol: String,
+                  minCosineBp: Int = 50, maxDf: Long = 50,
+                  q: Int = 100, roundTo: Int = 4): DataFrame = {
+    require(minCosineBp >= 0 && minCosineBp <= 100,
+      "minCosineBp is cosine·100 in [0,100]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size as ONE scalar job parameterizing the plan (the
+    // k-means-centroid pattern, as topTerms)
+    val nDocs = df.count().toDouble
+    val w = tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("df"),
+        floor(col("tf").cast("double") *
+            (lit(nDocs) / col("df").cast("double")) * lit(q.toDouble) +
+            lit(0.5))
+          .cast(dec).as("wq"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum(col("wq") * col("wq")).as("norm2"))
+    val rare = w.filter(col("df") <= maxDf).select("doc_id", "term")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val wa = w.select(col("doc_id").as("id_a"), col("term"),
+      col("wq").as("wqa"))
+    val wb = w.select(col("doc_id").as("_idb"), col("term").as("term_b"),
+      col("wq").as("wqb"))
+    val dot = cand.join(wa, Seq("id_a"))
+      .join(wb, col("id_b") === col("_idb") && col("term") === col("term_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("wqa") * col("wqb")).as("dot"))
+    val bp2 = minCosineBp.toLong * minCosineBp
+    dot
+      .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("na")),
+        Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("nb")),
+        Seq("id_b"))
+      .filter(col("dot") * col("dot") * lit(10000L) >=
+        lit(bp2) * col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        TextFunctions.portableRound(
+          col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")),
+          roundTo).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Geometric rank weights p^(d−1) for [[rboCurve]], computed ONCE on
     * the JVM and shared with any oracle as literals — iterated or
     * library pow can disagree by an ulp across engines, so neither side

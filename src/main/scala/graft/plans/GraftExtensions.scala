@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Registers graft's custom codegen expressions as SQL functions via the
   * standard `SparkSessionExtensions` hook, so `spark.sql(...)` users get
@@ -54,7 +55,12 @@ object GraftExtensions {
     ("graft_token_stats",
       "graft_token_stats(text) - one-pass (n_tok, mean_tok_len, " +
         "max_freq_ratio, alpha_ratio) struct for quality-rule gates",
-      exprs => TokenStatsExpr(exprs(0)))
+      exprs => TokenStatsExpr(exprs(0))),
+    ("graft_unicode_normalize",
+      "graft_unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - " +
+        "Unicode normalization (TR#15); no-alloc fast path when already normalized",
+      exprs => UnicodeNormalize(exprs(0),
+        exprs(1).eval().asInstanceOf[UTF8String].toString))
   )
 
   /** Register into an ALREADY-BUILT session (extensions only apply at

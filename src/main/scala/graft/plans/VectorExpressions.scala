@@ -943,3 +943,57 @@ object BpeMergePasses {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) as a codegen'd
+  * scalar — Spark has no builtin for it, yet canonical equivalence is
+  * the FIRST text-canonicalization step a multilingual corpus needs:
+  * "café" composed (U+00E9) and decomposed (e + U+0301) are distinct
+  * byte strings that render identically, so exact-dedup keys, sort
+  * keys, and tokenizers all split on them unless the corpus is
+  * normalized up front (Unicode TR#15; every public CJK/European web
+  * corpus pipeline normalizes before hashing).
+  *
+  * The form is a CONSTRUCTION-TIME constant (baked into the generated
+  * code as an enum constant), so the hot loop is one
+  * `Normalizer.isNormalized` scan — true for virtually all real text,
+  * in which case the input UTF8String is returned as-is with zero
+  * allocation beyond the decode. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  require(UnicodeNormalize.Forms.contains(form),
+    s"form must be one of ${UnicodeNormalize.Forms.mkString("/")}, got $form")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "unicode_normalize needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.compute(input.asInstanceOf[UTF8String],
+      java.text.Normalizer.Form.valueOf(form))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.UnicodeNormalize.compute($c, java.text.Normalizer.Form.$form)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}

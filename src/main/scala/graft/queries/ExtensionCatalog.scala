@@ -8,7 +8,7 @@ import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
   Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
   IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
-  Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder}
+  Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -264,6 +264,26 @@ object ExtensionCatalog {
     * trigram index; the last is a planted miss). */
   private val GramQueries = Seq(
     ("q1", "merge batch"), ("q2", "vector table"), ("q3", "zqx never"))
+
+  /** x139's sparse-cosine shape: candidate pairs need one shared term
+    * with df ≤ CosMaxDf (the prefix-filter valve — stopword posting
+    * lists never self-join), weights quantized ×CosQ, keep pairs with
+    * cosine ≥ CosMinBp/100 via exact 128-bit integer compare. */
+  private val CosMaxDf = 50L
+  private val CosMinBp = 50
+  private val CosQ = 100
+
+  /** x140's zone-map shape: events range-clustered by user_id into
+    * ZmFiles files; the probe band [ZmLo, ZmHi] covers ~20 % of the
+    * sf0.01 user range, so a clustered layout must skip files. */
+  private val ZmFiles = 8
+  private val ZmLo = 30L
+  private val ZmHi = 59L
+
+  /** x141's runtime-filter window: ~1.2 % of orders at any sf (one
+    * month of a ~80-month order range). */
+  private val BloomJoinLo = "1997-03-01"
+  private val BloomJoinHi = "1997-04-01"
 
   /** x128's MMR shape: relevance pool 20 per query, keep 10, with
     * EXPLICIT relevance/diversity weights (μ is not 1−λ: the IEEE
@@ -4726,7 +4746,180 @@ object ExtensionCatalog {
           TfIdf.queryScoreTopK(docs, "doc_id", "text", Bm25Terms,
             k = RboDepth),
           "doc_id", depth = RboDepth, p = RboP, w = RboW)
-      })
+      }),
+
+    // ---- sparse all-pairs tf·idf cosine (similarity join): candidate
+    //      pairs from DISCRIMINATIVE (df ≤ cap) posting lists only —
+    //      the prefix-filter valve that keeps stopword lists from
+    //      self-joining O(df²) — then the FULL dot gathered for
+    //      candidates (LSH-verify shape). Weights quantized to
+    //      integers, norms/dots as 128-bit exact sums, threshold as a
+    //      pure integer compare: no pair flips on float rounding ----
+    Q("x139_sparse_cosine", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY doc_id, term),
+         |dfq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |w AS (
+         |  SELECT doc_id, term, df,
+         |    CAST(floor(CAST(tf AS DOUBLE) * (n.n / CAST(df AS DOUBLE))
+         |      * $CosQ.0 + 0.5) AS HUGEINT) AS wq
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |nr AS (SELECT doc_id, sum(wq * wq) AS norm2 FROM w GROUP BY doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.df <= $CosMaxDf AND b.df <= $CosMaxDf),
+         |d AS (
+         |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_shared,
+         |         sum(wa.wq * wb.wq) AS dot
+         |  FROM cand c
+         |  JOIN w wa ON wa.doc_id = c.id_a
+         |  JOIN w wb ON wb.doc_id = c.id_b AND wb.term = wa.term
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT d.id_a, d.id_b, d.n_shared,
+         |  floor(CAST(d.dot AS DOUBLE) /
+         |    sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS cosine
+         |FROM d
+         |JOIN nr na ON na.doc_id = d.id_a
+         |JOIN nr nb ON nb.doc_id = d.id_b
+         |WHERE d.dot * d.dot * 10000 >= ${CosMinBp.toLong * CosMinBp}
+         |  * na.norm2 * nb.norm2
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => TfIdf.cosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", minCosineBp = CosMinBp, maxDf = CosMaxDf,
+        q = CosQ)),
+
+    // ---- zone-map data skipping: cluster-write events by user_id,
+    //      build the per-file min/max map, and answer a narrow range
+    //      predicate reading ONLY intersecting files. The oracle is
+    //      the PLAIN filter — pruning + re-applied predicate is exact
+    //      by construction, whatever the layout; the spec asserts the
+    //      files actually skipped ----
+    Q("x140_zonemap_prune", Some(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(floor(value * 1024.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS sum_vq
+         |FROM events WHERE user_id BETWEEN $ZmLo AND $ZmHi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"))
+        val path = tmp("graft-zonemap") + "/events_clustered"
+        ZoneMap.clusterWrite(ev, "user_id", ZmFiles, path)
+        val written = s.read.parquet(path)
+        val (pruned, report) = ZoneMap.prunedRead(s,
+          ZoneMap.stats(written, "user_id"), "user_id", ZmLo, ZmHi)
+        // the skipping must have happened, or this query is measuring
+        // nothing: a narrow band over a range-clustered layout keeps a
+        // strict subset of files
+        require(report.filesKept < report.filesTotal,
+          s"zone map pruned nothing: $report")
+        pruned.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(floor(col("value") * lit(1024.0) + lit(0.5))).as("sum_vq"))
+          .orderBy("event_type")
+      }),
+
+    // ---- runtime Bloom join pruning (the engine-grown "runtime
+    //      filter"): a 1.2%-selective order window builds an 8 KB key
+    //      bitmap; lineitem rows that cannot join die at scan time,
+    //      BEFORE the shuffle. False positives flow into the exact
+    //      join and vanish — the oracle is the PLAIN join's SQL ----
+    Q("x141_bloom_join_prune", Some(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+         |    * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '$BloomJoinLo'
+         |  AND o_orderdate < TIMESTAMP '$BloomJoinHi'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit(BloomJoinLo)) &&
+            col("o_orderdate") < to_timestamp(lit(BloomJoinHi)))
+        val bloom = BloomFilter.keyBloom(
+          ord.select(col("o_orderkey")), "o_orderkey")
+        BloomFilter.pruneKeys(t(s, dir, "lineitem"), "l_orderkey", bloom)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(floor(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5)))
+              .as("rev_cents"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // ---- Unicode NFC normalization (codegen'd UnicodeNormalize
+    //      expression vs DuckDB's nfc_normalize): canonical
+    //      equivalence BEFORE hash keys — composed vs decomposed
+    //      accents are distinct bytes, identical glyphs. Two planted
+    //      decomposed rows keep the check non-vacuous on the
+    //      ASCII-dominated natural corpus ----
+    Q("x142_nfc_normalize", Some(
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), 'cafe' || chr(769)),
+        |    (CAST(-2 AS BIGINT), 'A' || chr(778) || ' ok')))
+        |SELECT doc_id, (nfc_normalize(text) <> text) AS changed,
+        |  md5(nfc_normalize(text)) AS norm_md5
+        |FROM u ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        // DECOMPOSED forms (base + combining mark, \\u0301 / \\u030A),
+        // mirroring the oracle's 'cafe' || chr(769) / 'A' || chr(778)
+        val planted = Seq((-1L, "cafe\u0301"), (-2L, "A\u030A ok"))
+          .toDF("doc_id", "text")
+        val normed = TextFunctions.unicodeNormalize(col("text"))
+        t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(planted)
+          .select(col("doc_id"), (normed =!= col("text")).as("changed"),
+            md5(normed).as("norm_md5"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- leakage-safe train/val/test split: the split is a hash of
+    //      the NEAR-DUP CLUSTER id (x18's clusters), so a near-copy of
+    //      a training page can never land in eval — the contamination
+    //      channel per-doc random splits leave open. Rides the
+    //      memoized dedup family ----
+    Q("x143_leakage_safe_split", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |cl AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |cb AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${h60Sql("('split|' || CAST(cluster_id AS VARCHAR))", 10L)} AS b
+         |  FROM cl)
+         |SELECT d.source,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(sum(len(${tokSql("d.text")})) AS BIGINT) AS n_tokens
+         |FROM documents d JOIN cb USING (doc_id)
+         |GROUP BY d.source, split ORDER BY d.source, split""".stripMargin),
+      (s, dir) => Sampling.leakageSafeSplit(t(s, dir, "documents"),
+          "doc_id", docClusters(s, dir).select("doc_id", "cluster_id"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source", "split"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

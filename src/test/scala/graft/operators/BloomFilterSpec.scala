@@ -51,4 +51,25 @@ class BloomFilterSpec extends SparkSpec {
         s"doc $id exact=$n bloom=${bloomed.get(id)}")
     }
   }
+
+  test("keyBloom/pruneKeys: no false negatives, real reduction, and " +
+    "the pruned join equals the plain join") {
+    import spark.implicits._
+    val small = Seq(3L, 700L, 999L).toDF("key")
+    val big = (0L until 1000L).map(i => (i, s"p$i")).toDF("key", "payload")
+    val bloom = BloomFilter.keyBloom(small, "key")
+    val pruned = BloomFilter.pruneKeys(big, "key", bloom)
+    val kept = pruned.select("key").collect().map(_.getLong(0)).toSet
+    // every true key survives (no false negatives)...
+    assert(Set(3L, 700L, 999L).subsetOf(kept))
+    // ...and the gate actually reduced the big side (FPs allowed, but
+    // at m=2^16/k=3 over 3 keys they are vanishingly rare)
+    assert(kept.size < 100, s"pruned to ${kept.size} rows")
+    // the join after pruning is byte-equal to the plain join
+    val got = pruned.join(small, Seq("key")).select("key", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = big.join(small, Seq("key")).select("key", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect && got.size == 3)
+  }
 }

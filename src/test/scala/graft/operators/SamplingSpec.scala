@@ -202,4 +202,41 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(a == b)
   }
+
+  test("leakageSafeSplit: clustered docs share a split, proportions " +
+    "track the buckets, and assignment is layout-independent") {
+    import spark.implicits._
+    // 600 docs: 0..99 pair up into 50 two-doc clusters, rest singleton
+    val docs = (0L until 600L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val clusters = (0L until 600L)
+      .map(i => (i, if (i < 100) i / 2 * 2 else i)).toDF("doc_id", "cluster_id")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters)
+    val byDoc = split.select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(byDoc.length == 600)
+    // no cluster straddles splits — the leakage guarantee
+    byDoc.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles")
+    }
+    // proportions near 8/1/1 (hash noise allowed)
+    val counts = byDoc.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts("train") > 420 && counts("train") < 540, s"$counts")
+    assert(counts.getOrElse("val", 0) > 20 && counts.getOrElse("test", 0) > 20)
+    // layout independence
+    val again = Sampling.leakageSafeSplit(docs.repartition(7), "doc_id",
+        clusters.repartition(5))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(byDoc.forall { case (d, _, s) => again(d) == s })
+  }
+
+  test("leakageSafeSplit rejects bucket misconfiguration") {
+    import spark.implicits._
+    val d = Seq((1L, "t")).toDF("doc_id", "text")
+    val c = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(d, "doc_id", c, trainBuckets = 9,
+        valBuckets = 1)
+    }
+  }
 }

@@ -119,4 +119,49 @@ class TfIdfSpec extends SparkSpec {
       .head().getDouble(3)
     assert(topShare > tailShare, s"top=$topShare tail=$tailShare")
   }
+
+  test("cosinePairs: near-identical docs pair at ~1; threshold filters; " +
+    "stopword-only overlap is never a candidate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta the the"),
+      (2L, "alpha beta gamma delta the the"), // exact copy of 1
+      (3L, "alpha beta gamma epsilon the the"), // near 1/2
+      (4L, "zeta eta theta iota the the"), // shares only 'the' with 1-3
+      (5L, "kappa lambda mu nu xi omicron")
+    ).toDF("doc_id", "text")
+    // df('the') = 4 > maxDf=3 → 'the' generates no candidates
+    val got = TfIdf.cosinePairs(docs, "doc_id", "text",
+        minCosineBp = 50, maxDf = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // the exact copy pair scores 1.0
+    assert(got((1L, 2L)) == 1.0, s"got $got")
+    // near pair present and high but below the copy
+    assert(got.contains(1L -> 3L) && got((1L, 3L)) < 1.0)
+    // doc 4 shares ONLY the stopword with 1-3: never a candidate even
+    // though the dot product over 'the' is positive
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // doc 5 shares nothing
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("cosinePairs: full dot includes high-df terms once a rare term " +
+    "makes the pair a candidate") {
+    // docs 1,2 share rare 'needle' (candidate) AND common 'filler'
+    // (df=3 > maxDf=2, excluded from candidates but NOT from the dot)
+    val docs = Seq(
+      (1L, "needle filler filler filler"),
+      (2L, "needle filler filler filler"),
+      (3L, "filler other words")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.cosinePairs(docs, "doc_id", "text",
+      minCosineBp = 50, maxDf = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // identical weight vectors → cosine exactly 1.0; n_shared counts
+    // BOTH terms (the gather is over all shared terms, not just rare)
+    assert(r.getLong(2) == 2L, s"n_shared=${r.getLong(2)}")
+    assert(r.getDouble(3) == 1.0)
+  }
 }
