@@ -214,6 +214,40 @@ object TextFunctions {
     math.floor(x * p + 0.5) / p
   }
 
+  /** HTML strip patterns, applied in order (script/style payloads die
+    * whole, then comments, then every remaining tag → one space).
+    * Shared with oracles — RE2 and java.util.regex agree on these
+    * constructs ((?si) inline flags, non-greedy, char classes), which
+    * is exactly why the patterns stay this simple. */
+  val htmlStripPatterns: Seq[String] = Seq(
+    "(?si)<script[^>]*>.*?</script>",
+    "(?si)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "(?s)<[^>]*>")
+
+  /** The entity subset worth decoding without an HTML parser; `&amp;`
+    * is deliberately LAST so `&amp;lt;` decodes to the literal text
+    * `&lt;` (one pass, no re-scan), the way C4's extractor behaves. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text: the extraction step between "crawled page" and every
+    * text operator in this engine (quality rules, dedup keys,
+    * tokenizers all assume markup-free text). Regex-pipeline shape, not
+    * a DOM parse — the deterministic, codegen-friendly 80 % that both
+    * engines can replay byte-for-byte; a production pipeline puts a
+    * real extractor (trafilatura-class) at ingest and THIS as the
+    * cheap re-derivable fallback. */
+  def htmlToText(html: Column): Column = {
+    val stripped = htmlStripPatterns.foldLeft(html)((c, p) =>
+      regexp_replace(c, p, " "))
+    val decoded = htmlEntities.foldLeft(stripped) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    normalizeText(decoded)
+  }
+
   /** Unicode normalization (TR#15) via the codegen'd
     * [[graft.plans.UnicodeNormalize]] — canonical-equivalence
     * canonicalization BEFORE any hash/dedup key over multilingual

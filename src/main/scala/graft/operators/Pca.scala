@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions
+
+/** PCA (top principal component) with the distributed-Gramian +
+  * driver-eigensolve split Spark MLlib's own PCA uses: the ONLY
+  * data-scale pass builds the d×d scatter matrix (one map-side-combined
+  * aggregation over n·d² products — n is the corpus, d² is 4096 at
+  * d=64), and the eigen-iteration runs on those d² driver-resident
+  * values (the bounded-collect pattern: FIXED size regardless of
+  * corpus, same class as k-means centroids / MMR's pool matrix).
+  *
+  * Cross-engine determinism, the whole design:
+  *   - vectors quantize to ×2^qBits integers, so the scatter matrix
+  *     M = n·Σxxᵀ − (Σx)(Σxᵀ) is EXACT integer arithmetic (DECIMAL
+  *     sums — no Int64 wrap at any corpus size) before one final cast
+  *     to double;
+  *   - every power-iteration fold (matrix·vector terms, the norm) runs
+  *     in EXPLICIT ascending-index order — never aggregation order —
+  *     and the vector is re-rounded to 1e-6 after each normalization
+  *     (the x69 PageRank discipline), so an oracle replaying the same
+  *     folds gets bit-identical doubles;
+  *   - the iteration count is a parameter, not a convergence test:
+  *     fixed work, fixed answer.
+  *
+  * What the top component buys a training-data pipeline: the dominant
+  * variance axis of an embedding corpus — mean-centered projection for
+  * whitening, drift dashboards (compare components across snapshots),
+  * and the all-ones-direction check that catches un-normalized
+  * embedding batches. */
+object Pca {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Exact integer scatter matrix over quantized vectors:
+    * (i, j, m) with m = n·Σ xq_i·xq_j − (Σxq_i)·(Σxq_j) as
+    * DECIMAL(38,0) — n²·cov, which shares eigenvectors with cov. */
+  def scatterMatrix(corpus: DataFrame, vecCol: String,
+                    qBits: Int = 10): DataFrame = {
+    val scale = (1L << qBits).toDouble
+    val xq = corpus.select(
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+        .as("xq"))
+    val n = xq.count()
+    val expl = xq.select(col("xq"),
+      posexplode(col("xq")).as(Seq("i", "xi")))
+    val expl2 = expl.select(col("i"), col("xi"),
+      posexplode(col("xq")).as(Seq("j", "xj")))
+    // one hash agg over n·d² products — map-side combined, the shuffle
+    // carries only d² rows per partition
+    val sums = expl2.groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).cast(dec).as("s"))
+    val tots = expl.groupBy("i").agg(sum(col("xi")).cast(dec).as("t"))
+    sums
+      .join(tots.select(col("i").as("_ti"), col("t").as("ti")),
+        col("i") === col("_ti"))
+      .join(tots.select(col("i").as("_tj"), col("t").as("tj")),
+        col("j") === col("_tj"))
+      .select(col("i"), col("j"),
+        (lit(n).cast(dec) * col("s") - col("ti") * col("tj")).as("m"))
+  }
+
+  /** Top principal component by `iters` power-iteration rounds on the
+    * collected scatter matrix. Returns (pos, loading) with loadings
+    * rounded to 1e-6 — the exact values an oracle replaying the same
+    * ordered folds produces. */
+  def topComponent(corpus: DataFrame, vecCol: String, qBits: Int = 10,
+                   iters: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // d² values — bounded driver data (4096 doubles at d=64)
+    val m = scatterMatrix(corpus, vecCol, qBits).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.getDecimal(2).doubleValue()))
+      .toMap
+    require(m.nonEmpty, "pca: empty corpus")
+    val d = m.keys.map(_._1).max + 1
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      // matrix·vector with the fold in ascending-j order per row
+      val w = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + m((i, j)) * v(j))
+      }
+      // norm folded in ascending-i order
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(x => TextFunctions.portableRoundJvm(x / norm, 6))
+    }
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("pos", "loading")
+  }
+}

@@ -770,4 +770,57 @@ object Similarity {
     }
     out.sortBy(r => (r._1, r._3)).toDF("qid", "eid", "rank", "mmr")
   }
+
+  /** Farthest-point traversal (Gonzalez' 2-approximation to k-center):
+    * pick the min-id seed, then k−1 times pick the point FARTHEST from
+    * everything picked so far — the classic coreset/diverse-subset
+    * selector (prototype picking, eval-set seeding, k-means++-style
+    * init) with a worst-case coverage guarantee no random sample has.
+    *
+    * Determinism: vectors are quantized to ×2^qBits integers, so every
+    * distance is an exact integer and the argmax can't flip on float
+    * summation; ties break on min vec_id. Each of the k−1 rounds is
+    * one broadcast join of the corpus against the ≤k selected vectors
+    * + a TakeOrderedAndProject(1) — O(k·n·d) total, no all-pairs, and
+    * the only driver state is the k selected rows (the k-means-centroid
+    * pattern). Returns (rank, vec_id, min_dist_q); the seed's distance
+    * is 0 by convention. */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, qBits: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scale = (1L << qBits).toDouble
+    val proj = corpus.select(col(idCol).cast("long").as("eid"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
+          .as("vq"))
+      .cache()
+    try {
+      val seedRow = proj.orderBy("eid").limit(1).head()
+      var selected: Seq[(Int, Long, Long, Seq[Long])] =
+        Seq((1, seedRow.getLong(0), 0L, seedRow.getSeq[Long](1)))
+      val sqDist = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      for (r <- 2 to k) {
+        val selDf = broadcast(selected.map(s => (s._2, s._4))
+          .toDF("sid", "sv"))
+        val selIds = selected.map(_._2)
+        val next = proj.filter(!col("eid").isin(selIds: _*))
+          .join(selDf)
+          .select(col("eid"), col("vq"),
+            sqDist(col("vq"), col("sv")).as("d2"))
+          .groupBy("eid").agg(min(col("d2")).as("mind"),
+            first(col("vq")).as("vq"))
+          .orderBy(desc("mind"), col("eid")).limit(1)
+          .collect()
+        // corpus exhausted before k picks: return what exists
+        next.foreach(row => selected :+= ((r, row.getLong(0),
+          row.getLong(1), row.getSeq[Long](2))))
+      }
+      selected.map(s => (s._1, s._2, s._3))
+        .toDF("rank", "vec_id", "min_dist_q")
+    } finally proj.unpersist()
+  }
 }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
-  Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
+import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Bucketing,
+  Chunking, Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
   IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
   Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
 import graft.streaming.{StreamCuration, StreamIngest}
@@ -284,6 +284,129 @@ object ExtensionCatalog {
     * month of a ~80-month order range). */
   private val BloomJoinLo = "1997-03-01"
   private val BloomJoinHi = "1997-04-01"
+
+  /** x144's bucket count (both sides MUST match for the SMB path). */
+  private val SmbBuckets = 8
+
+  /** x146's coreset size and quantization (2^10 keeps every squared
+    * distance an exact integer at embedding magnitudes). */
+  private val KCenterK = 8
+  private val KCenterQBits = 10
+
+  /** x147's power-iteration rounds (fixed work, not a convergence
+    * test) and quantization. */
+  private val PcaIters = 6
+  private val PcaQBits = 10
+
+  /** x147's oracle: the exact-integer scatter matrix, then PcaIters
+    * power-iteration rounds unrolled CTE by CTE with every float fold
+    * in EXPLICIT ascending-index order and the vector re-rounded to
+    * 1e-6 per round — the same ordered arithmetic
+    * [[graft.operators.Pca.topComponent]] runs on the driver. */
+  private def pcaSql: String = {
+    val q = s"${1L << PcaQBits}.0"
+    val steps = (1 to PcaIters).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT mm.i, list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(j := mm.j, t := mm.m * vv.v))),
+         |      s -> s.t)), (a, x) -> a + x) AS w
+         |  FROM mm JOIN v${r - 1} vv ON vv.j = mm.j GROUP BY mm.i),
+         |n$r AS MATERIALIZED (
+         |  SELECT sqrt(list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(i := i, t := w * w))),
+         |      s -> s.t)), (a, x) -> a + x)) AS nrm FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS j, floor(w / nrm * 1000000.0 + 0.5) / 1000000.0 AS v
+         |  FROM w$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xq AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xq),
+       |e1 AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM xq),
+       |e2 AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j
+       |  FROM e1),
+       |sums AS (SELECT i, j, sum(v[i] * v[j]) AS s FROM e2 GROUP BY i, j),
+       |tots AS (SELECT i, sum(v[i]) AS t FROM e1 GROUP BY i),
+       |mm AS (
+       |  SELECT CAST(su.i - 1 AS INT) AS i, CAST(su.j - 1 AS INT) AS j,
+       |    CAST(nn.n * su.s - ta.t * tb.t AS DOUBLE) AS m
+       |  FROM sums su JOIN tots ta ON ta.i = su.i
+       |  JOIN tots tb ON tb.i = su.j CROSS JOIN nn),
+       |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM mm),
+       |$steps
+       |SELECT CAST(j AS INT) AS pos, v AS loading FROM v$PcaIters
+       |ORDER BY pos""".stripMargin
+  }
+
+  /** x146's oracle: the k−1 farthest-point rounds unrolled CTE by CTE
+    * (the x128/x69 iterative-replay pattern) — each round computes
+    * min-distance-to-selected over exact quantized integers and picks
+    * the max (min vec_id tiebreak), exactly as
+    * [[Similarity.kCenterSelect]] does. */
+  private def kCenterSql: String = {
+    val q = s"${1L << KCenterQBits}.0"
+    def d2(qv: String, sv: String) =
+      s"list_sum(list_transform(generate_series(1, len($qv)), " +
+        s"i -> ($qv[i] - $sv[i]) * ($qv[i] - $sv[i])))"
+    val steps = (2 to KCenterK).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT q.vec_id, min(${d2("q.v", "s.v")}) AS mind
+         |  FROM xq q, xq s
+         |  JOIN selu${r - 1} u ON s.vec_id = u.vec_id
+         |  WHERE q.vec_id NOT IN (SELECT vec_id FROM selu${r - 1})
+         |  GROUP BY q.vec_id),
+         |sel$r AS MATERIALIZED (
+         |  SELECT CAST($r AS INT) AS rank, vec_id,
+         |    CAST(mind AS BIGINT) AS min_dist_q
+         |  FROM (
+         |    SELECT vec_id, mind,
+         |      row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+         |    FROM m$r) WHERE rn = 1),
+         |selu$r AS MATERIALIZED (
+         |  SELECT rank, vec_id, min_dist_q FROM selu${r - 1}
+         |  UNION ALL SELECT rank, vec_id, min_dist_q FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH xq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |sel1 AS (SELECT CAST(1 AS INT) AS rank, min(vec_id) AS vec_id,
+       |  CAST(0 AS BIGINT) AS min_dist_q FROM xq),
+       |selu1 AS (SELECT rank, vec_id, min_dist_q FROM sel1),
+       |$steps
+       |SELECT rank, vec_id, min_dist_q FROM selu$KCenterK
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** x145's planted HTML rows (the natural corpus is markup-free);
+    * ids below the natural range, exercised rules: script/style
+    * payload removal, comments, nested tags, the entity table. Shared
+    * verbatim by the Spark closure and the oracle VALUES. */
+  private val HtmlDocs: Seq[(Long, String)] = Seq(
+    -1L -> ("<html><head><title>T</title><style>p{color:red}</style>" +
+      "</head><body><p>Hello &amp; welcome</p><script>var x=1;</script>" +
+      "<!-- note --><p>Second &lt;b&gt;para&#39;s &quot;text&quot;" +
+      "&nbsp;here</p></body></html>"),
+    -2L -> "No markup, just text",
+    -3L -> "<div class=\"a\"><span>nested <b>bold</b> words</span></div>")
+
+  /** [[TextFunctions.htmlToText]] mirrored into DuckDB SQL from the
+    * SAME pattern/entity constants (the shared-fragment no-drift
+    * rule). */
+  private def htmlToTextSql(c: String): String = {
+    val stripped = TextFunctions.htmlStripPatterns.foldLeft(c)((acc, p) =>
+      "regexp_replace(" + acc + ", '" + p + "', ' ', 'g')")
+    val decoded = TextFunctions.htmlEntities.foldLeft(stripped) {
+      case (acc, (e, r)) =>
+        "replace(" + acc + ", '" + e + "', '" + r.replace("'", "''") + "')"
+    }
+    "trim(regexp_replace(regexp_replace(" + decoded +
+      ", '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), " +
+      "'\\s+', ' ', 'g'))"
+  }
 
   /** x128's MMR shape: relevance pool 20 per query, keep 10, with
     * EXPLICIT relevance/diversity weights (μ is not 1−λ: the IEEE
@@ -4919,7 +5042,86 @@ object ExtensionCatalog {
           countDistinct(col("cluster_id")).as("n_clusters"),
           sum(size(TextFunctions.tokens(col("text"))).cast("long"))
             .as("n_tokens"))
-        .orderBy("source", "split"))
+        .orderBy("source", "split")),
+
+    // ---- bucketed (pre-shuffled) sort-merge join: pay the fact-fact
+    //      key shuffle ONCE at write time (bucketBy+sortBy), then join
+    //      with NO Exchange and NO Sort — the layout decision that
+    //      converts a recurring 100 TB shuffle into a one-time cost.
+    //      Oracle = the plain join; BucketingSpec asserts the
+    //      exchange-free plan ----
+    Q("x144_bucketed_join", Some(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS qty_q
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val base = tmp("graft-bucket")
+        val sfx = base.replaceAll("[^A-Za-z0-9]", "_")
+        val (ordT, liT) = (s"g_ord$sfx", s"g_li$sfx")
+        Bucketing.writeBucketed(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderkey", SmbBuckets, ordT, s"$base/ord")
+        Bucketing.writeBucketed(
+          t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          "l_orderkey", SmbBuckets, liT, s"$base/li")
+        Bucketing.bucketedJoin(s, liT, ordT, "l_orderkey", "o_orderkey") {
+          j => j.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_items"),
+              sum(floor(col("l_quantity") * lit(100.0) + lit(0.5)))
+                .as("qty_q"))
+            .orderBy("o_orderpriority")
+        }
+      }),
+
+    // ---- HTML → text extraction (the step between "crawled page" and
+    //      every text operator downstream): script/style/comment
+    //      payloads die whole, remaining tags become spaces, the C4
+    //      entity subset decodes (&amp; LAST, one pass), whitespace
+    //      canonicalizes. Planted markup rows keep it non-vacuous ----
+    Q("x145_html_to_text", Some({
+      val vals = HtmlDocs.map { case (id, h) =>
+        s"(CAST($id AS BIGINT), '${h.replace("'", "''")}')"
+      }.mkString(",\n    ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $vals))
+         |SELECT doc_id, ${htmlToTextSql("text")} AS clean_text,
+         |  (${htmlToTextSql("text")} <> text) AS changed
+         |FROM u ORDER BY doc_id""".stripMargin
+    }),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        val clean = TextFunctions.htmlToText(col("text"))
+        t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(HtmlDocs.toDF("doc_id", "text"))
+          .select(col("doc_id"), clean.as("clean_text"),
+            (clean =!= col("text")).as("changed"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- farthest-point (Gonzalez k-center) coreset selection:
+    //      k−1 rounds of "pick the point farthest from everything
+    //      picked", each one broadcast join + TakeOrdered(1) over
+    //      exact quantized-integer distances. The diverse-subset
+    //      selector with a coverage guarantee random sampling lacks ----
+    Q("x146_kcenter_select", Some(kCenterSql),
+      (s, dir) => Similarity.kCenterSelect(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = KCenterK, qBits = KCenterQBits)
+        .orderBy("rank")),
+
+    // ---- PCA top principal component (MLlib's own split: distributed
+    //      exact-integer scatter matrix, driver power iteration on d²
+    //      bounded values, every float fold in ascending-index order,
+    //      re-rounded per round). The variance axis for whitening and
+    //      embedding-drift dashboards ----
+    Q("x147_pca_top_component", Some(pcaSql),
+      (s, dir) => graft.operators.Pca.topComponent(
+        t(s, dir, "embeddings"), "embedding", qBits = PcaQBits,
+        iters = PcaIters).orderBy("pos"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

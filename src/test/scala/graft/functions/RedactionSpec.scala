@@ -39,4 +39,29 @@ class RedactionSpec extends SparkSpec {
       .collect().toSet
     assert(canon == Set("a b c"))
   }
+
+  test("htmlToText: script/style payloads die whole, tags become " +
+    "separators, entities decode, whitespace canonicalizes") {
+    val html =
+      "<html><style>p{x}</style><body><p>Hello &amp; bye</p>" +
+        "<script>evil()</script><!-- c --><b>bold</b>text</body></html>"
+    val got = Seq(html).toDF("text")
+      .select(TextFunctions.htmlToText($"text")).as[String].head()
+    // script/style/comment CONTENT is gone; tag boundaries keep words
+    // apart; entities decoded
+    assert(got == "Hello & bye bold text", s"got [$got]")
+  }
+
+  test("htmlToText: &amp; decodes LAST — '&amp;lt;' yields literal " +
+    "'&lt;', never '<'") {
+    val got = Seq("a &amp;lt; b").toDF("text")
+      .select(TextFunctions.htmlToText($"text")).as[String].head()
+    assert(got == "a &lt; b", s"got [$got]")
+  }
+
+  test("htmlToText: markup-free text only canonicalizes whitespace") {
+    val got = Seq("  plain   text ").toDF("text")
+      .select(TextFunctions.htmlToText($"text")).as[String].head()
+    assert(got == "plain text")
+  }
 }

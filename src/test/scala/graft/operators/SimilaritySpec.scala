@@ -318,4 +318,38 @@ class SimilaritySpec extends SparkSpec {
       k = 4).collect().map(_.getLong(1)).toSeq
     assert(mmr == rel, s"mmr=$mmr rel=$rel")
   }
+
+  test("kCenterSelect: outliers picked before cluster-interior points; " +
+    "seed is min id at distance 0; layout-independent") {
+    import spark.implicits._
+    // 10 near-identical points at the origin, two far outliers
+    val corpus = ((0L until 10L).map(i =>
+        (i, Seq(0.001f * i, 0.0f))) ++
+      Seq((100L, Seq(10.0f, 0.0f)), (101L, Seq(0.0f, -10.0f))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(corpus, "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == ((1, 0L, 0L))) // min-id seed, dist 0
+    // both outliers are taken before any interior point
+    assert(got.slice(1, 3).map(_._2).toSet == Set(100L, 101L), s"$got")
+    assert(got(3)._2 != 100L && got(3)._2 != 101L)
+    // distances are non-increasing after the seed (farthest-first)
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, s"$got")
+    val again = Similarity.kCenterSelect(corpus.repartition(7),
+      "vec_id", "embedding", k = 4).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("kCenterSelect: k beyond corpus size returns the whole corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0f)), (2L, Seq(2.0f)), (3L, Seq(5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(corpus, "vec_id", "embedding", k = 9)
+    assert(got.count() == 3)
+    assert(got.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+  }
 }
