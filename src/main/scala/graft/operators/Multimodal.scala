@@ -108,6 +108,76 @@ object Multimodal {
             org.apache.spark.sql.graft.bridge.expression(col("payload")), outLen))
           .as("pooled"))
 
+  /** Perceptual average-hash (aHash) over payload bytes — the
+    * image-near-dup primitive: average-pool the byte stream into
+    * `pools` buckets, set bit p iff pool p's mean exceeds the global
+    * mean, and the resulting `pools`-bit integer survives small
+    * payload perturbations (re-encode, minor edits) that break exact
+    * byte hashes. On real images the pooling runs over decoded
+    * luminance ([[ImageCodec]]); on opaque payloads the byte stream is
+    * the 1-channel fallback, same as [[decodeFeatures]].
+    *
+    * Every comparison is EXACT integer math: bit p is
+    * s_p·N > S·c_p (pool sum × total count vs total sum × pool count)
+    * — no float mean ever exists, so any engine computes the same
+    * hash. Scale shape: bytes explode per row (no shuffle), one
+    * (doc, pool) hash agg, one per-doc agg. Zero-byte payloads are
+    * absent (no pixels → no hash), the [[resizePooled]] contract. */
+  def aHash(withPayloads: DataFrame, pools: Int = 32): DataFrame = {
+    require(pools >= 1 && pools <= 63, "pools must fit a signed long")
+    val h = hex(col("payload"))
+    val bytes = transform(
+      sequence(lit(1), col("meta.n_bytes").cast("int")),
+      i => conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("long"))
+    val pooled = withPayloads.filter(col("meta.n_bytes") > 0)
+      .select(col("doc_id"), col("meta.n_bytes").as("n"),
+        posexplode(bytes).as(Seq("pos", "b")))
+      .groupBy(col("doc_id"), col("n"),
+        expr(s"(pos * $pools) div n").as("pool"))
+      .agg(sum(col("b")).as("s"), count(lit(1)).as("c"))
+    pooled.groupBy("doc_id")
+      .agg(sum(col("s")).as("st"), sum(col("c")).as("nt"),
+        // the per-pool bits can't be decided until the totals exist,
+        // so carry (pool, s, c) through and fold after
+        array_sort(collect_list(struct(col("pool"), col("s"), col("c"))))
+          .as("ps"))
+      .select(col("doc_id"),
+        aggregate(col("ps"), lit(0L), (acc, p) =>
+          acc + when(
+            p.getField("s") * col("nt") > col("st") * p.getField("c"),
+            call_function("shiftleft", lit(1L),
+              p.getField("pool").cast("int"))).otherwise(lit(0L)))
+          .as("phash"))
+  }
+
+  /** Banded near-dup join over [[aHash]] values: candidates share one
+    * of four 8-bit bands (the SimHash trick — hamming ≤ maxHamming
+    * with bits spread over 4 bands guarantees one band is clean when
+    * maxHamming < 4... and near-misses still collide with high
+    * probability), verified by exact popcount(xor). Returns
+    * (id_a, id_b, hamming). */
+  def pHashPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val bandK = broadcast((0 until 4).toDF("k"))
+    val bands = hashes.crossJoin(bandK)
+      .select(col("doc_id"), col("phash"), col("k"),
+        call_function("shiftright", col("phash"), (col("k") * 8).cast("int"))
+          .bitwiseAND(lit(255L)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.phash").as("ha"),
+        col("b.doc_id").as("id_b"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count",
+          col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sampling shape for video-like payloads: every `stride`-th
     * byte-block becomes a "frame" row (explode with ordinal). Shows the
     * fan-out plumbing (one row → many frames) without a codec. */

@@ -298,6 +298,11 @@ object ExtensionCatalog {
   private val PcaIters = 6
   private val PcaQBits = 10
 
+  /** x148's perceptual-hash shape: 32 pooled "pixels" → 32-bit aHash,
+    * 4 × 8-bit candidate bands, hamming verify cap. */
+  private val PhashPools = 32
+  private val PhashMaxHamming = 6
+
   /** x147's oracle: the exact-integer scatter matrix, then PcaIters
     * power-iteration rounds unrolled CTE by CTE with every float fold
     * in EXPLICIT ascending-index order and the vector re-rounded to
@@ -5122,6 +5127,54 @@ object ExtensionCatalog {
       (s, dir) => graft.operators.Pca.topComponent(
         t(s, dir, "embeddings"), "embedding", qBits = PcaQBits,
         iters = PcaIters).orderBy("pos"))
+,
+    // ---- perceptual average-hash near-dup (the IMAGE dedup
+    //      primitive, run over the multimodal byte payloads): 32-pool
+    //      aHash from exact integer compares, 4×8-bit candidate
+    //      bands, exact popcount(xor) verify. Survives the small
+    //      payload edits that break exact byte hashes ----
+    Q("x148_phash_neardup", Some(
+      s"""WITH bl AS (
+         |  SELECT doc_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |ex AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ('0x' || substr(h, 2 * i - 1, 2))::BIGINT AS b, n
+         |  FROM bl, unnest(generate_series(1, n)) AS u(i)),
+         |pools AS (
+         |  SELECT doc_id, (pos * $PhashPools) // n AS pool,
+         |    CAST(sum(b) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM ex GROUP BY doc_id, (pos * $PhashPools) // n),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS st,
+         |    CAST(sum(c) AS BIGINT) AS nt
+         |  FROM pools GROUP BY doc_id),
+         |hs AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(CASE WHEN p.s * t.nt > t.st * p.c
+         |      THEN (CAST(1 AS BIGINT) << CAST(p.pool AS INT))
+         |      ELSE 0 END) AS BIGINT) AS phash
+         |  FROM pools p JOIN tot t ON t.doc_id = p.doc_id
+         |  GROUP BY p.doc_id),
+         |bands AS (
+         |  SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS band
+         |  FROM hs, unnest([0, 1, 2, 3]) AS u(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, a.phash AS ha,
+         |    b.doc_id AS id_b, b.phash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashMaxHamming
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Multimodal.pHashPairs(
+        Multimodal.aHash(
+          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+          pools = PhashPools),
+        maxHamming = PhashMaxHamming)
+        .orderBy("id_a", "id_b"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

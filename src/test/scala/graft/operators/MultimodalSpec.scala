@@ -100,4 +100,43 @@ class MultimodalSpec extends SparkSpec {
     assert(n == 4) // 42 bytes / 10 → 4 full frames
     assert(frames.agg(max("frame_no")).head().getInt(0) == 3)
   }
+
+  test("aHash: identical payloads share a hash; a small edit stays " +
+    "within hamming reach; unrelated payloads do not pair") {
+    import spark.implicits._
+    val loud = "A".repeat(40) + "z".repeat(40)
+    val docs = Seq(
+      (1L, loud),
+      (2L, loud), // exact copy
+      (3L, "A".repeat(40) + "z".repeat(38) + "zy"), // 1-char swap
+      (4L, "qW3$ 9pL x" + "m".repeat(10) + "QQQQ" + "  tail here 123")
+    ).toDF("doc_id", "text")
+    val hashes = Multimodal.aHash(
+      Multimodal.withPayload(docs, "doc_id", "text"))
+    val h = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    val pairs = Multimodal.pHashPairs(hashes, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.contains((1L, 3L)), s"near edit must pair: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated payload paired: $pairs")
+  }
+
+  test("aHash: empty payloads are absent; multi-byte UTF-8 hashes over " +
+    "BYTES (layout-independent)") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "héllo wörld é" * 3), (3L, "plain"))
+      .toDF("doc_id", "text")
+    val hashes = Multimodal.aHash(
+      Multimodal.withPayload(docs, "doc_id", "text"))
+    val ids = hashes.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L)) // empty payload yields no hash
+    val again = Multimodal.aHash(
+      Multimodal.withPayload(docs.repartition(5), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again)
+  }
 }
