@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
-import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Bucketing,
-  Chunking, Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
+import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
+  Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
   IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
   Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
+import graft.sources.Bucketing
 import graft.streaming.{StreamCuration, StreamIngest}
 
 /** North-star extension operators (training-data-pipeline surface) as
@@ -5067,10 +5068,12 @@ object ExtensionCatalog {
         val (ordT, liT) = (s"g_ord$sfx", s"g_li$sfx")
         Bucketing.writeBucketed(
           t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-          "o_orderkey", SmbBuckets, ordT, s"$base/ord")
+          ordT, Seq("o_orderkey"), SmbBuckets, Seq("o_orderkey"),
+          path = Some(s"$base/ord"))
         Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-          "l_orderkey", SmbBuckets, liT, s"$base/li")
+          liT, Seq("l_orderkey"), SmbBuckets, Seq("l_orderkey"),
+          path = Some(s"$base/li"))
         Bucketing.bucketedJoin(s, liT, ordT, "l_orderkey", "o_orderkey") {
           j => j.groupBy("o_orderpriority")
             .agg(count(lit(1)).as("n_items"),
@@ -5174,7 +5177,58 @@ object ExtensionCatalog {
           Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
           pools = PhashPools),
         maxHamming = PhashMaxHamming)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- ORC round trip: the other columnar table format (same scan
+    //      machinery as Parquet — stats skipping, pushdown, pruning).
+    //      Oracle = the table itself: identity is fidelity, including
+    //      the edge corpus's control chars and unicode ----
+    Q("x149_orc_roundtrip", Some(
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val out = tmp("graft-orc") + "/docs"
+        graft.sources.OrcTable.write(docs, out)
+        graft.sources.OrcTable.read(s, out, docs.schema).orderBy("doc_id")
+      }),
+
+    // ---- MERGE with schema evolution: a re-scoring batch arrives
+    //      with a NEW column; evolveSchema widens the survivors with
+    //      NULL (the Delta/Iceberg mergeSchema contract) instead of
+    //      dropping the column or failing the job ----
+    Q("x150_merge_evolution", Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    floor(value * 10000.0 + 0.5) / 10000.0 AS value
+        |  FROM events WHERE event_id % 3 <> 0),
+        |batch AS (
+        |  SELECT event_id, event_type,
+        |    floor(value * 2 * 10000.0 + 0.5) / 10000.0 AS value,
+        |    'rescored' AS quality
+        |  FROM events WHERE event_id % 2 = 0),
+        |merged AS (
+        |  SELECT event_id, event_type, value, quality FROM batch
+        |  UNION ALL
+        |  SELECT e.event_id, e.event_type, e.value, NULL FROM base e
+        |  WHERE e.event_id NOT IN (SELECT event_id FROM batch))
+        |SELECT event_id, event_type, value, quality FROM merged
+        |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val base = ev.filter(col("event_id") % 3 =!= 0)
+          .withColumn("value",
+            TextFunctions.portableRound(col("value"), 4))
+        val batch = ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"),
+            TextFunctions.portableRound(col("value") * 2, 4).as("value"),
+            lit("rescored").as("quality"))
+        MergeUpsert.merge(base, batch, Seq("event_id"),
+            evolveSchema = true)
+          .select("event_id", "event_type", "value", "quality")
+          .orderBy("event_id")
+      })
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim
