@@ -108,11 +108,18 @@ object BloomFilter {
     * exact join that follows; the RESULT is exact regardless of m/k,
     * which is why the oracle for a bloom-pruned join is the plain
     * join's SQL. */
+  /** Key hash for the join-pruning bloom: xxhash64 masked non-negative
+    * (the position math needs h ≥ 0). NOT the oracle-portable
+    * md5Hash60 — a pruned join's oracle is the PLAIN join (the bloom
+    * only removes provably-joinless rows), so the hash can be the
+    * fastest codegen'd one Spark has instead of an md5 per probed
+    * row. */
+  private def keyHash(keyCol: Column): Column =
+    xxhash64(keyCol).bitwiseAND(lit(Long.MaxValue))
+
   def keyBloom(small: DataFrame, keyCol: String,
                m: Int = 1 << 16, k: Int = 3): DataFrame =
-    build(small.select(
-        TextFunctions.md5Hash60(col(keyCol).cast("string")).as("h")),
-      "h", m, k)
+    build(small.select(keyHash(col(keyCol)).as("h")), "h", m, k)
 
   /** The probe half of [[keyBloom]]: filter `big` to rows whose key
     * might be in the bloom — a codegen'd scan-time gate, no shuffle.
@@ -120,8 +127,7 @@ object BloomFilter {
   def pruneKeys(big: DataFrame, keyCol: String, bloom: DataFrame,
                 m: Int = 1 << 16, k: Int = 3): DataFrame =
     big.crossJoin(broadcast(bloom.select(col("bitmap"))))
-      .filter(mightContain(col("bitmap"),
-        TextFunctions.md5Hash60(col(keyCol).cast("string")), m, k))
+      .filter(mightContain(col("bitmap"), keyHash(col(keyCol)), m, k))
       .drop("bitmap")
 
   /** [[flagBloom]]'s probe half against a PRE-BUILT [[trainBloom]]

@@ -997,3 +997,69 @@ object UnicodeNormalize {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 }
+
+/** Perceptual average-hash of a binary payload in ONE pass — the
+  * codegen'd engine side of [[graft.operators.Multimodal.aHash]]
+  * (whose semantics the hex-arithmetic DuckDB oracle replays): pool
+  * the unsigned byte stream into `pools` buckets, set bit p iff
+  * s_p·N > S·c_p (exact integer compare — no float mean exists).
+  * Replaces a per-byte explode + two aggregations (2.5M rows at
+  * sf0.1) with one O(n_bytes) scan per row. Empty payloads return
+  * the −1 sentinel (callers filter, matching the no-pixels
+  * contract). */
+case class AHashExpr(child: Expression, pools: Int)
+    extends UnaryExpression {
+
+  require(pools >= 1 && pools <= 63, "pools must fit a signed long")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "ahash needs a binary input")
+
+  override def nullSafeEval(input: Any): Any =
+    AHashExpr.compute(input.asInstanceOf[Array[Byte]], pools)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.AHashExpr.compute($c, $pools)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AHashExpr {
+  val Empty: Long = -1L
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(b: Array[Byte], pools: Int): Long = {
+    val n = b.length
+    if (n == 0) return Empty
+    val s = new Array[Long](pools)
+    val c = new Array[Long](pools)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      // (i * pools) / n mirrors the oracle's (pos * pools) // n pooling
+      val p = ((i.toLong * pools) / n).toInt
+      val v = (b(i) & 0xff).toLong
+      s(p) += v
+      c(p) += 1
+      total += v
+      i += 1
+    }
+    var hash = 0L
+    var p = 0
+    while (p < pools) {
+      // bit p iff pool mean > global mean, decided in exact integers
+      if (c(p) > 0 && s(p) * n > total * c(p)) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+}

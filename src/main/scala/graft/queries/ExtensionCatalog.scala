@@ -309,7 +309,7 @@ object ExtensionCatalog {
     * in EXPLICIT ascending-index order and the vector re-rounded to
     * 1e-6 per round — the same ordered arithmetic
     * [[graft.operators.Pca.topComponent]] runs on the driver. */
-  private def pcaSql: String = {
+  private def pcaCtes: String = {
     val q = s"${1L << PcaQBits}.0"
     val steps = (1 to PcaIters).map { r =>
       s"""w$r AS MATERIALIZED (
@@ -341,10 +341,29 @@ object ExtensionCatalog {
        |  FROM sums su JOIN tots ta ON ta.i = su.i
        |  JOIN tots tb ON tb.i = su.j CROSS JOIN nn),
        |v0 AS (SELECT DISTINCT i AS j, 1.0 AS v FROM mm),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pcaSql: String =
+    s"""$pcaCtes
        |SELECT CAST(j AS INT) AS pos, v AS loading FROM v$PcaIters
        |ORDER BY pos""".stripMargin
-  }
+
+  /** x151: project every embedding onto the trained component — the
+    * whitening read path. Same ordered-fold float discipline as the
+    * training CTEs. */
+  private def pcaProjectSql: String =
+    s"""$pcaCtes,
+       |comp AS (SELECT CAST(j AS INT) AS pos, v AS loading
+       |  FROM v$PcaIters)
+       |SELECT e.vec_id,
+       |  floor(list_reduce(list_prepend(0.0, list_transform(
+       |    list_sort(list(struct_pack(p := c.pos,
+       |      t := c.loading * CAST(e.embedding[c.pos + 1] AS DOUBLE)))),
+       |    s -> s.t)), (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0
+       |    AS proj
+       |FROM embeddings e CROSS JOIN comp c
+       |GROUP BY e.vec_id ORDER BY vec_id""".stripMargin
 
   /** x146's oracle: the k−1 farthest-point rounds unrolled CTE by CTE
     * (the x128/x69 iterative-replay pattern) — each round computes
@@ -5228,6 +5247,60 @@ object ExtensionCatalog {
             evolveSchema = true)
           .select("event_id", "event_type", "value", "quality")
           .orderBy("event_id")
+      }),
+
+    // ---- PCA projection from the STORED component (the x115-family
+    //      pattern: train at write time, probe at read time): publish
+    //      x147's component through the versioned store, read it back,
+    //      project every embedding with the same ordered float fold
+    //      the oracle replays. The whitening/drift read path ----
+    Q("x151_pca_store_project", Some(pcaProjectSql),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val store = tmp("graft-pca-store")
+        val comp = graft.operators.Pca.topComponent(emb, "embedding",
+          qBits = PcaQBits, iters = PcaIters)
+        ArtifactStore.publish(s, store, comp)
+        ArtifactStore.publish(s, store, comp) // supersede: flip to v2
+        val v = ArtifactStore.load(s, store)
+        emb.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .join(broadcast(v), Seq("pos"))
+          .groupBy("vec_id")
+          .agg(array_sort(collect_list(struct(col("pos"),
+            (col("loading") * col("x").cast("double")).as("t"))))
+            .as("arr"))
+          .select(col("vec_id"),
+            TextFunctions.portableRound(
+              aggregate(col("arr"), lit(0.0),
+                (a, x) => a + x.getField("t")), 4).as("proj"))
+          .orderBy("vec_id")
+      }),
+
+    // ---- the spark.sql surface: the engine's custom codegen
+    //      expressions registered as SQL functions and driven from a
+    //      PURE SQL string over a temp view — what a SQL-first user of
+    //      this library writes. Oracle = the same stats in DuckDB ----
+    Q("x152_sql_surface", Some(
+      s"""SELECT doc_id,
+         |  CAST(len(${tokSql("text")}) AS BIGINT) AS n_tok,
+         |  CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         |    CASE WHEN list_sum(list_transform(hashes,
+         |      h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, text,
+         |  list_transform(${tokSql("text")},
+         |    t -> ${h60Sql("t", 4294967296L)}) AS hashes
+         |FROM documents) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.plans.GraftExtensions.registerAll(s)
+        t(s, dir, "documents").createOrReplaceTempView("g_documents")
+        s.sql(
+          """SELECT doc_id,
+            |  graft_token_stats(text).n_tok AS n_tok,
+            |  CASE WHEN graft_simhash_sig(text) = -1 THEN CAST(0 AS BIGINT)
+            |       ELSE graft_simhash_sig(text) END AS simhash
+            |FROM g_documents ORDER BY doc_id""".stripMargin)
       })
   )
 
