@@ -214,6 +214,36 @@ object TextFunctions {
     math.floor(x * p + 0.5) / p
   }
 
+  /** Unicode script ranges for [[scriptCounts]], as EXPLICIT
+    * `\x{...}` codepoint ranges — `\p{Latin}`-style script classes
+    * spell differently in java.util.regex (`\p{IsLatin}`) and RE2
+    * (`\p{Latin}`), and RE2 rejects `￿` escapes, so `\x{...}`
+    * range classes are the one form both engines read identically.
+    * Shared with oracles. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{C0}-\\x{24F}]",
+    "cyrillic" -> "[\\x{400}-\\x{4FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]",
+    "digit" -> "[0-9]")
+
+  /** Script-mix ratios per document — the langid complement that
+    * catches what stopword hit-counts can't: mixed-script spam,
+    * transliteration artifacts, mislabeled CJK in a "latin" corpus.
+    * Returns one count column per [[scriptRanges]] entry plus the
+    * non-space total; callers derive ratios (exact integers until one
+    * rounded division, the x04 discipline). */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (name, cls) =>
+      name -> regexCountPublic(text, cls)
+    } :+ ("nonspace" -> regexCountPublic(text, "[^\\s]"))
+
+  /** [[regexCount]] for library callers that need to share the exact
+    * pattern with an oracle (the private one keeps its narrow use). */
+  def regexCountPublic(text: Column, pattern: String): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.RegexCount(
+        org.apache.spark.sql.graft.bridge.expression(text), pattern))
+
   /** HTML strip patterns, applied in order (script/style payloads die
     * whole, then comments, then every remaining tag → one space).
     * Shared with oracles — RE2 and java.util.regex agree on these

@@ -304,6 +304,18 @@ object ExtensionCatalog {
   private val PhashPools = 32
   private val PhashMaxHamming = 6
 
+  /** x153's planted non-Latin rows (the natural corpus is
+    * Latin-dominated). The SQL VALUES interpolate these SAME Scala
+    * strings, so both engines see identical bytes. */
+  private val ScriptDocs: Seq[(Long, String)] = Seq(
+    -1L -> "Привет мир 2024",
+    -2L -> "你好世界 テスト",
+    -3L -> "mixed Привет hello 123")
+
+  private def ScriptDocsSqlValues: String = ScriptDocs.map {
+    case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+  }.mkString(", ")
+
   /** x147's oracle: the exact-integer scatter matrix, then PcaIters
     * power-iteration rounds unrolled CTE by CTE with every float fold
     * in EXPLICIT ascending-index order and the vector re-rounded to
@@ -5301,6 +5313,58 @@ object ExtensionCatalog {
             |  CASE WHEN graft_simhash_sig(text) = -1 THEN CAST(0 AS BIGINT)
             |       ELSE graft_simhash_sig(text) END AS simhash
             |FROM g_documents ORDER BY doc_id""".stripMargin)
+      }),
+
+    // ---- Unicode script-mix profile: per-script character counts
+    //      from shared \x{...} range classes (the one spelling both
+    //      regex engines read identically) + first-match-wins dominant
+    //      script. The langid complement that catches mixed-script
+    //      spam and mislabeled CJK; planted non-Latin rows keep the
+    //      Latin-dominated natural corpus non-vacuous ----
+    Q("x153_script_mix", Some({
+      val counts = TextFunctions.scriptRanges.map { case (name, cls) =>
+        s"CAST(len(regexp_extract_all(text, '$cls')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      val names = TextFunctions.scriptRanges.map(_._1)
+      val dom = names.zipWithIndex.map { case (n, i) =>
+        val geq = names.drop(i + 1).map(o => s"n_$n >= n_$o")
+        ((s"n_$n > 0" +: geq).mkString(" AND "), n)
+      }.map { case (cond, n) => s"WHEN $cond THEN '$n'" }.mkString(" ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $ScriptDocsSqlValues)),
+         |c AS (
+         |  SELECT doc_id,
+         |  $counts,
+         |  CAST(len(regexp_extract_all(text, '[^\\s]')) AS BIGINT)
+         |    AS n_nonspace
+         |  FROM u)
+         |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_nonspace,
+         |  CASE $dom ELSE 'other' END AS dominant
+         |FROM c ORDER BY doc_id""".stripMargin
+    }),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        val cs = TextFunctions.scriptCounts(col("text"))
+        val names = TextFunctions.scriptRanges.map(_._1)
+        // first-match-wins CASE in scriptRanges order, mirroring the
+        // oracle's WHEN chain exactly
+        val dom = names.zipWithIndex.foldRight(lit("other")) {
+          case ((n, i), alt) =>
+            val cond = names.drop(i + 1).foldLeft(col(s"n_$n") > 0)(
+              (acc, o) => acc && col(s"n_$n") >= col(s"n_$o"))
+            when(cond, lit(n)).otherwise(alt)
+        }
+        t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(ScriptDocs.toDF("doc_id", "text"))
+          .select(col("doc_id") +:
+            cs.map { case (n, c) => c.cast("long").as(s"n_$n") }: _*)
+          .withColumn("dominant", dom)
+          .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+            col("n_cjk"), col("n_digit"), col("n_nonspace"),
+            col("dominant"))
+          .orderBy("doc_id")
       })
   )
 

@@ -64,4 +64,17 @@ class RedactionSpec extends SparkSpec {
       .select(TextFunctions.htmlToText($"text")).as[String].head()
     assert(got == "plain text")
   }
+
+  test("scriptCounts: per-script character counts over mixed text") {
+    val cs = TextFunctions.scriptCounts($"text")
+    val row = Seq("ab Привет 你好 12!").toDF("text")
+      .select(cs.map { case (n, c) => c.as(n) }: _*).head()
+    val got = cs.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> row.getLong(i) }.toMap
+    assert(got("latin") == 2L, s"$got")
+    assert(got("cyrillic") == 6L)
+    assert(got("cjk") == 2L)
+    assert(got("digit") == 2L)
+    assert(got("nonspace") == 13L) // includes the '!'
+  }
 }
