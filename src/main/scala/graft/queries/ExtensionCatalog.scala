@@ -5365,7 +5365,88 @@ object ExtensionCatalog {
             col("n_cjk"), col("n_digit"), col("n_nonspace"),
             col("dominant"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ---- embedding health audit: the vector-side data-quality gate
+    //      (NaN/Inf components, zero vectors, dimension drift, norm
+    //      distribution) a pipeline runs BEFORE building any index —
+    //      an index over broken vectors fails silently, this fails
+    //      loudly. Exact integer counts + quantized norm stats ----
+    Q("x154_embedding_health", Some(
+      """WITH st AS (
+        |  SELECT vec_id, len(embedding) AS dim,
+        |    len(list_filter(embedding,
+        |      x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))))
+        |      AS n_bad,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5)
+        |        AS BIGINT)
+        |      * CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)))
+        |      AS norm2q
+        |  FROM embeddings)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+        |  CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_nan_inf,
+        |  CAST(sum(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(min(norm2q) AS BIGINT) AS min_norm2q,
+        |  CAST(max(norm2q) AS BIGINT) AS max_norm2q
+        |FROM st""".stripMargin),
+      (s, dir) => {
+        val q = lit((1L << KCenterQBits).toDouble)
+        val xd = col("x").cast("double")
+        val qq = floor(xd * q + lit(0.5)).cast("long")
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), size(col("embedding")).as("dim"),
+            size(filter(col("embedding"),
+              x => isnan(x.cast("double")) ||
+                abs(x.cast("double")) === lit(Double.PositiveInfinity)))
+              .as("n_bad"),
+            aggregate(
+              transform(col("embedding"),
+                x => {
+                  val v = floor(x.cast("double") * q + lit(0.5)).cast("long")
+                  v * v
+                }),
+              lit(0L), (acc, v) => acc + v).as("norm2q"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("dim")).as("n_dims_seen"),
+            sum(when(col("n_bad") > 0, 1L).otherwise(0L))
+              .as("n_with_nan_inf"),
+            sum(when(col("norm2q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+            min(col("norm2q")).as("min_norm2q"),
+            max(col("norm2q")).as("max_norm2q"))
+      }),
+
+    // ---- the flagship star join as an oracle-checked catalog row:
+    //      lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    //      broadcast dims and partial-agg-friendly grouping (what
+    //      SparkEntry.entry smoke-runs, now hash-verified) ----
+    Q("x155_star_join", Some(
+      """SELECT r.r_name AS region,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |    * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY region""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(sum(floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5)))
+          .as("rev_cents"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("region"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim
