@@ -422,6 +422,44 @@ object ScaleStress {
       graft.streaming.StreamScd2.readHistory(spark, p).count()
     })
 
+    // round-8 families. Sparse cosine: the df≤cap prefix filter keeps
+    // stopword lists out of candidate generation; replica cliques still
+    // pair quadratically in `factor` because the copies genuinely ARE
+    // similar — the output is the quadratic part, as in neardup (all).
+    time("sparse cosine pairs")(graft.operators.TfIdf.cosinePairs(
+      docs, "doc_id", "text", minCosineBp = 50, maxDf = 50).count())
+    // phash: one codegen pass per doc, then 4-band buckets of the
+    // replica cliques — pairs ≈ C(factor,2)·base docs, linear corpus scan
+    time("phash neardup")(graft.operators.Multimodal.pHashPairs(
+      graft.operators.Multimodal.aHash(
+        graft.operators.Multimodal.withPayload(docs, "doc_id", "text")),
+      maxHamming = 6).count())
+    // k-center: k−1 rounds of one broadcast join + TakeOrdered(1) —
+    // cost is k scans of the corpus, flat per-scan at any factor
+    time("kcenter select k=8")(Similarity.kCenterSelect(
+      emb, "vec_id", "embedding", k = 8).count())
+    // pca: the one data-scale pass is the n·d² scatter products with
+    // map-side combine (shuffle stays d² rows/partition at any n)
+    time("pca top component")(graft.operators.Pca.topComponent(
+      emb, "embedding").count())
+    // zone map: stats build is one agg over the written table; the
+    // pruned read's cost tracks the band width, not the table
+    time("zonemap build+prune")({
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-stress-zm").toString + "/t"
+      graft.operators.ZoneMap.clusterWrite(
+        docs.select(col("doc_id"), col("text")), "doc_id", 64, p)
+      val zm = graft.operators.ZoneMap.stats(
+        spark.read.parquet(p), "doc_id")
+      val (pruned, rep) = graft.operators.ZoneMap.prunedRead(
+        spark, zm, "doc_id", 0, 499)
+      println(s"[stress]   zonemap report: kept ${rep.filesKept} of " +
+        s"${rep.filesTotal} files")
+      assert(rep.filesKept < rep.filesTotal,
+        "narrow band over clustered layout must skip files")
+      pruned.count()
+    })
+
     if (only.isEmpty) MergeStress.run(spark, factor, work)
     spark.stop()
   }
