@@ -108,6 +108,41 @@ object BloomFilter {
     * exact join that follows; the RESULT is exact regardless of m/k,
     * which is why the oracle for a bloom-pruned join is the plain
     * join's SQL. */
+  /** Bitmap union — Bloom filters are mergeable by bitwise OR, which
+    * is what makes an 8 KB bitmap a LEDGER: batches insert
+    * independently (any order, any partitioning) and the merged state
+    * equals the from-scratch build over the union. Combined with the
+    * versioned store this is the fixed-size "have we ingested this
+    * key" state for streams whose exact key set is unbounded. */
+  def mergeBitmaps(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.bitwiseOR(y))
+
+  /** The all-zeros m-bit bitmap (ledger bootstrap). */
+  def emptyBitmap(spark: org.apache.spark.sql.SparkSession,
+                  m: Int): DataFrame = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    spark.range(1)
+      .select(array_repeat(lit(0L), m / 64).as("bitmap"))
+  }
+
+  /** Oracle-portable key bloom (md5-based — FPs must replay in any
+    * engine, unlike [[keyBloom]]'s xxhash64 whose oracle is the plain
+    * join). */
+  def keyBloomPortable(df: DataFrame, keyCol: String,
+                       m: Int = 1 << 16, k: Int = 3): DataFrame =
+    build(df.select(
+        TextFunctions.md5Hash60(col(keyCol).cast("string")).as("h")),
+      "h", m, k)
+
+  /** Probe a [[keyBloomPortable]] bitmap: input rows + a `seen`
+    * column. */
+  def probeKeysPortable(df: DataFrame, keyCol: String, bloom: DataFrame,
+                        m: Int = 1 << 16, k: Int = 3): DataFrame =
+    df.crossJoin(broadcast(bloom.select(col("bitmap"))))
+      .withColumn("seen", mightContain(col("bitmap"),
+        TextFunctions.md5Hash60(col(keyCol).cast("string")), m, k))
+      .drop("bitmap")
+
   /** Key hash for the join-pruning bloom: xxhash64 masked non-negative
     * (the position math needs h ≥ 0). NOT the oracle-portable
     * md5Hash60 — a pruned join's oracle is the PLAIN join (the bloom

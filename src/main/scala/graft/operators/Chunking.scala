@@ -38,6 +38,37 @@ object Chunking {
           slice(col("tk"), col("start_tok") + 1, lit(window)))).as("chunk_hash"))
   }
 
+  /** Sentence-aware chunk packing — the RAG / pre-training splitter
+    * that respects sentence boundaries instead of cutting mid-sentence
+    * ([[tokenWindows]] is the fixed-stride variant): segment with the
+    * portable `[^.!?]+[.!?]*` pattern (no lookbehind — RE2 lacks it,
+    * so oracles can replay the split), run a per-doc running token
+    * sum, and assign each sentence to chunk (start-offset div budget)
+    * — the [[packSequences]] model at sentence grain. A sentence
+    * longer than `budget` gets its own chunk(s) by construction.
+    *
+    * Scale shape: explode + ONE window partitioned by doc (per-doc
+    * state, parallel across docs) + one hash agg. Returns
+    * (doc_id, chunk_id, n_sentences, n_tokens). */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sidx")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sidx", "sent")))
+      .withColumn("n_tok",
+        size(TextFunctions.tokens(col("sent"))).cast("long"))
+      // whitespace-only fragments carry no tokens and pack nothing
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Deterministic SEQUENCE PACKING: assign documents to fixed-length
     * training sequences by contiguous fill — doc d starts at the
     * running token offset of its shard, and its sequence id is that

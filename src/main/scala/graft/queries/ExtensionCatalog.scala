@@ -304,6 +304,63 @@ object ExtensionCatalog {
   private val PhashPools = 32
   private val PhashMaxHamming = 6
 
+  /** x156's ledger shape: three arrival batches over events, residues
+    * {k, 3} of event_id % 4 — so batch 0 seeds, and batches 1..2 each
+    * REDELIVER the %4==3 rows (the real dups the ledger must flag,
+    * beyond its deterministic FPs). */
+  private val LedgerBatches = 3
+
+  /** x156's oracle: replay the ledger as position SETS (x51's
+    * bitmap-free mirror) — ledger_b = distinct positions of batches
+    * ≤ b; a batch-b row is flagged iff ALL BloomK of its positions are
+    * already in ledger_{b−1}. FPs fall out identically because the
+    * position math is [[BloomFilter.positionSql]] on both engines. */
+  private def bloomLedgerSql: String = {
+    val h = h60Sql("CAST(event_id AS VARCHAR)", 1152921504606846976L)
+    def batchCond(b: Int) = s"(event_id % 4 = $b OR event_id % 4 = 3)"
+    val ctes = (0 until LedgerBatches).map { b =>
+      val probe =
+        if (b == 0)
+          // empty ledger: nothing can be flagged
+          s"f$b AS (SELECT CAST(0 AS BIGINT) AS n_dup)"
+        else {
+          val prior = (0 until b).map(p => s"SELECT pos FROM p$p")
+            .mkString(" UNION ")
+          s"""led$b AS (SELECT DISTINCT pos FROM ($prior)),
+             |pr$b AS (
+             |  SELECT event_id, h,
+             |    ${BloomFilter.positionSql("h", "j", BloomM)} AS pos
+             |  FROM b$b, unnest(generate_series(0, ${BloomK - 1})) AS u(j)),
+             |f$b AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_dup FROM (
+             |    SELECT event_id FROM pr$b JOIN led$b USING (pos)
+             |    GROUP BY event_id, h HAVING count(*) = $BloomK))"""
+            .stripMargin
+        }
+      s"""b$b AS (
+         |  SELECT event_id, $h AS h FROM events WHERE ${batchCond(b)}),
+         |p$b AS (
+         |  SELECT DISTINCT ${BloomFilter.positionSql("h", "j", BloomM)}
+         |    AS pos
+         |  FROM (SELECT DISTINCT h FROM b$b),
+         |       unnest(generate_series(0, ${BloomK - 1})) AS u(j)),
+         |$probe,
+         |r$b AS (
+         |  SELECT CAST($b AS INT) AS batch_id,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM b$b) AS n_rows,
+         |    n_dup AS n_dup_flagged
+         |  FROM f$b)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until LedgerBatches)
+      .map(b => s"SELECT * FROM r$b").mkString(" UNION ALL ")
+    s"""WITH $ctes
+       |SELECT batch_id, n_rows, n_dup_flagged FROM ($union)
+       |ORDER BY batch_id""".stripMargin
+  }
+
+  /** x157's packing budget (tokens per training chunk). */
+  private val SentChunkBudget = 40L
+
   /** x153's planted non-Latin rows (the natural corpus is
     * Latin-dominated). The SQL VALUES interpolate these SAME Scala
     * strings, so both engines see identical bytes. */
@@ -5446,7 +5503,73 @@ object ExtensionCatalog {
             (lit(1.0) - col("l_discount")) * lit(100.0) + lit(0.5)))
           .as("rev_cents"),
           countDistinct(col("o_orderkey")).as("n_orders"))
-        .orderBy("region"))
+        .orderBy("region")),
+
+    // ---- incremental Bloom dedup ledger: FIXED-SIZE (8 KB) mergeable
+    //      "have we ingested this key" state through the versioned
+    //      store — batches OR-merge in (any order = from-scratch
+    //      union), each batch probes the ledger BEFORE merging.
+    //      Redelivered rows are flagged; deterministic FPs replay in
+    //      the oracle because the position math is shared ----
+    Q("x156_bloom_ledger", Some(bloomLedgerSql),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        val ev = ReferenceCatalog.events(s, dir).select(col("event_id"))
+        val store = tmp("graft-bloom-ledger")
+        var ledger = BloomFilter.emptyBitmap(s, BloomM)
+        val rows = (0 until LedgerBatches).map { b =>
+          val batch = ev.filter(col("event_id") % 4 === b ||
+            col("event_id") % 4 === 3)
+          val probed = BloomFilter.probeKeysPortable(batch, "event_id",
+            ledger, BloomM, BloomK)
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("seen"), 1L).otherwise(0L)).as("d")).head()
+          // merge the batch in and publish the new ledger version —
+          // the read-back keeps the loop honest about the store
+          val merged = ledger.crossJoin(
+              BloomFilter.keyBloomPortable(batch, "event_id",
+                BloomM, BloomK).select(col("bitmap").as("b2")))
+            .select(BloomFilter.mergeBitmaps(col("bitmap"), col("b2"))
+              .as("bitmap"))
+          ArtifactStore.publish(s, store, merged)
+          ledger = ArtifactStore.load(s, store)
+          (b, probed.getLong(0), probed.getLong(1))
+        }
+        rows.toDF("batch_id", "n_rows", "n_dup_flagged")
+          .orderBy("batch_id")
+      }),
+
+    // ---- sentence-aware chunk packing (the RAG/pre-training splitter
+    //      that respects sentence boundaries): portable sentence
+    //      segmentation, per-doc running token sums, chunk = start
+    //      offset div budget (the packSequences model at sentence
+    //      grain) ----
+    Q("x157_sentence_chunks", Some(
+      s"""WITH ss AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS l
+         |  FROM documents),
+         |se AS (
+         |  SELECT doc_id, i AS sidx, l[i] AS sent
+         |  FROM ss, unnest(generate_series(1, len(l))) AS u(i)),
+         |tk AS (
+         |  SELECT doc_id, sidx,
+         |    CAST(len(${tokSql("sent")}) AS BIGINT) AS n_tok
+         |  FROM se),
+         |nz AS (SELECT * FROM tk WHERE n_tok > 0),
+         |cm AS (
+         |  SELECT doc_id, sidx, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY doc_id ORDER BY sidx) AS cum
+         |  FROM nz)
+         |SELECT doc_id,
+         |  CAST((cum - n_tok) // $SentChunkBudget AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM cm GROUP BY doc_id, (cum - n_tok) // $SentChunkBudget
+         |ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, dir) => Chunking.sentenceChunks(t(s, dir, "documents"),
+        "doc_id", "text", SentChunkBudget)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

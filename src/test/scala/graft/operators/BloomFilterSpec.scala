@@ -72,4 +72,29 @@ class BloomFilterSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == expect && got.size == 3)
   }
+
+  test("ledger: OR-merge of batch bitmaps equals the from-scratch " +
+    "union; every previously-inserted key probes seen") {
+    import spark.implicits._
+    val b1 = (0L until 500L).toDF("key")
+    val b2 = (400L until 900L).toDF("key")
+    val m1 = BloomFilter.keyBloomPortable(b1, "key")
+    val m2 = BloomFilter.keyBloomPortable(b2, "key")
+    val merged = m1.crossJoin(m2.select(col("bitmap").as("b2")))
+      .select(BloomFilter.mergeBitmaps(col("bitmap"), col("b2"))
+        .as("bitmap"))
+    val scratch = BloomFilter.keyBloomPortable(
+      b1.unionByName(b2).distinct(), "key")
+    assert(merged.head().getSeq[Long](0) == scratch.head().getSeq[Long](0))
+    // no false negatives across the merged ledger
+    val seen = BloomFilter.probeKeysPortable(
+      (0L until 900L).toDF("key"), "key", merged)
+      .filter(!col("seen")).count()
+    assert(seen == 0L)
+    // empty ledger flags nothing
+    val none = BloomFilter.probeKeysPortable(b1, "key",
+      BloomFilter.emptyBitmap(spark, 1 << 16))
+      .filter(col("seen")).count()
+    assert(none == 0L)
+  }
 }

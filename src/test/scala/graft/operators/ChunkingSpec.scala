@@ -59,4 +59,37 @@ class ChunkingSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate doc_id") ||
       Option(e2.getCause).exists(_.getMessage.contains("duplicate doc_id")))
   }
+
+  test("sentenceChunks: whole sentences only — chunk ids follow start " +
+    "offsets, never mid-sentence cuts") {
+    import spark.implicits._
+    // sentences of 3, 3, 3, 10 tokens; budget 6
+    val docs = Seq((1L,
+      "one two three. four five six! seven eight nine? " +
+        "a b c d e f g h i j.")).toDF("doc_id", "text")
+    val got = Chunking.sentenceChunks(docs, "doc_id", "text", budget = 6)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // offsets: 0,3,6,9 → chunks 0,0,1,1 under the start-div model
+    assert(got.toSeq == Seq((0L, 2L, 6L), (1L, 2L, 13L)), s"${got.toSeq}")
+  }
+
+  test("sentenceChunks: no terminal punctuation = one sentence; " +
+    "empty docs emit nothing; layout independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "no punctuation at all here"),
+      (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val got = Chunking.sentenceChunks(docs, "doc_id", "text", budget = 3)
+    // one unterminated sentence = ONE chunk holding all 5 tokens —
+    // sentences never split, so a chunk may exceed the budget
+    assert(got.count() == 1)
+    val r = got.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(3) == 5L)
+    val a = Chunking.sentenceChunks(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val b = Chunking.sentenceChunks(docs.repartition(5), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(a == b)
+  }
 }
