@@ -85,4 +85,54 @@ object Funnels {
     Ranked.rankBounded(pairs, k,
       Seq(col("n_users").desc, col("type_a"), col("type_b")))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a), the product-analytics view
+    * behind "what do users do after X" and the behavioral-cloning
+    * prior a recommender bootstrap uses. One window per user (ordered
+    * by time, event-id tiebreak — deterministic under timestamp
+    * collisions), exact integer counts, one rounded division.
+    * Returns (from_type, to_type, n, p). */
+  def transitionMatrix(events: DataFrame, userCol: String,
+                       tsCol: String, idCol: String, typeCol: String,
+                       roundTo: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"),
+        col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type")
+      .agg(sum(col("n")).as("_tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.functions.TextFunctions.portableRound(
+          col("n").cast("double") / col("_tot").cast("double"), roundTo)
+          .as("p"))
+  }
+
+  /** Exponentially time-decayed engagement per event type — recency
+    * weighting as EXACT integer arithmetic: weight = 2^20 >> (age
+    * weeks), i.e. a halving per `halflifeDays`, summed as plain longs.
+    * No `pow`, no float accumulation, no cross-engine drift — and the
+    * decayed mass is mergeable (sums of longs), so incremental
+    * maintenance through the store is free. `refUs` anchors age;
+    * pass the corpus max timestamp for "as of latest data". */
+  def decayedCounts(events: DataFrame, typeCol: String, tsCol: String,
+                    refUs: Long, halflifeDays: Int = 7): DataFrame = {
+    require(halflifeDays >= 1, "halflifeDays must be >= 1")
+    // integer `div` end to end (a `/` on longs would detour through
+    // doubles); cap the shift at 40: 2^20 >> 40 = 0, and capping keeps
+    // both engines away from Java's mod-64 shift semantics
+    val shift = least(
+      expr(s"((${refUs}L - unix_micros($tsCol)) div 86400000000L) " +
+        s"div ${halflifeDays}L"),
+      lit(40L)).cast("int")
+    events.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(call_function("shiftright", lit(1048576L), shift))
+          .as("decayed_q"))
+  }
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 
 /** Skew mitigation for hot keys (the classic heavy-hitter problem at
   * 100 TB — one region/date pair with 100× the rows of the rest stalls
@@ -90,5 +92,33 @@ object Salting {
           .as("share"),
         col("skew"), col("salt"))
       .orderBy("key")
+  }
+
+  /** Skew-proof per-group top-k: two-phase ranking. Phase 1 ranks
+    * within (group, salt) and keeps k per salt-shard — the hot group's
+    * rows spread over `salts` tasks instead of one; phase 2 ranks the
+    * ≤ salts·k survivors per group. EXACT: a group's true top-k is a
+    * subset of the union of its per-shard top-k (every true top-k row
+    * is top-k within its own shard). The plain one-window version
+    * dies on the group that holds half the corpus; this caps any
+    * task's window at group_size/salts.
+    *
+    * `orderCol` descends, ties break on ascending `idCol` (which also
+    * salts — a pure function of the row, replayable anywhere). */
+  def saltedTopK(df: DataFrame, groupCol: String, idCol: String,
+                 orderCol: String, k: Int, salts: Int = 8): DataFrame = {
+    require(k >= 1 && salts >= 1, "k and salts must be >= 1")
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("_salt",
+        TextFunctions.md5Hash60(concat_ws(":", lit("tk"),
+          col(idCol).cast("string"))) % lit(salts.toLong))
+      .withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .drop("_salt", "_rn1")
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
-  Contamination, CorpusStats, Dedup, GramIndex, GraphRank,
+  Contamination, CorpusStats, Dedup, Funnels, GramIndex, GraphRank,
   IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
   Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
 import graft.sources.Bucketing
@@ -5569,7 +5569,80 @@ object ExtensionCatalog {
          |ORDER BY doc_id, chunk_id""".stripMargin),
       (s, dir) => Chunking.sentenceChunks(t(s, dir, "documents"),
         "doc_id", "text", SentChunkBudget)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- skew-proof per-group top-k (two-phase salted ranking):
+    //      phase 1 ranks within (group, salt) so a corpus-dominating
+    //      group spreads over `salts` tasks; phase 2 ranks the
+    //      ≤ salts·k survivors. EXACT — the true top-k is a subset of
+    //      the per-shard top-k union. Oracle = the plain one-window
+    //      ranking ----
+    Q("x158_salted_topk", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |j AS (
+         |  SELECT d.source, d.doc_id, cp.cls_prob AS prob
+         |  FROM documents d JOIN cp USING (doc_id)),
+         |r AS (
+         |  SELECT source, doc_id, prob,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY prob DESC, doc_id) AS INT) AS rn
+         |  FROM j)
+         |SELECT source, rn, doc_id, prob FROM r WHERE rn <= 3
+         |ORDER BY source, rn""".stripMargin),
+      (s, dir) => Salting.saltedTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextFunctions.classifierProb(col("text")).as("prob")),
+        "source", "doc_id", "prob", k = 3)
+        .select("source", "rn", "doc_id", "prob")
+        .orderBy("source", "rn")),
+
+    // ---- time-decayed engagement: recency weighting as EXACT integer
+    //      arithmetic (weight = 2^20 >> age-halflives — no pow, no
+    //      float sums, mergeable longs; the feature-engineering shape
+    //      incremental stores can maintain) ----
+    Q("x159_decayed_engagement", Some(
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |a AS (
+        |  SELECT event_type,
+        |    least(((epoch_us(mx.m) - epoch_us(ts)) // 86400000000) // 7,
+        |      40) AS sh
+        |  FROM events CROSS JOIN mx)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(1048576 >> sh) AS BIGINT) AS decayed_q
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+        // one scalar job parameterizing the plan (the k-means pattern)
+        val refUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        Funnels.decayedCounts(ev, "event_type", "ts", refUs,
+          halflifeDays = 7).orderBy("event_type")
+      }),
+
+    // ---- first-order Markov transitions over per-user event
+    //      sequences: P(next | current) from one window per user,
+    //      exact integer counts, one rounded division — the "what do
+    //      users do after X" behavioral matrix ----
+    Q("x160_markov_transitions", Some(
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f,
+        |    event_type AS t
+        |  FROM events),
+        |c AS (
+        |  SELECT f AS from_type, t AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE f IS NOT NULL GROUP BY f, t),
+        |tt AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS p
+        |FROM c JOIN tt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin),
+      (s, dir) => Funnels.transitionMatrix(ReferenceCatalog.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

@@ -84,4 +84,45 @@ class FunnelsSpec extends SparkSpec {
     assert(got(("buy", "view"))._2 == 1 && got(("cart", "view"))._2 == 2 &&
       got(("buy", "cart"))._2 == 3)
   }
+
+  test("transitionMatrix: per-user sequences, probabilities sum to 1 " +
+    "per from-state, cross-user transitions never counted") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // user 1: a→b→a; user 2: a→b. NO transition between users.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "a"),
+      (2L, ts("2024-01-01 00:00:30"), 4L, "a"),
+      (2L, ts("2024-01-01 00:01:30"), 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnels.transitionMatrix(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 1.0))) // both users a→b
+    assert(got(("b", "a")) == ((1L, 1.0))) // only user 1
+    assert(got.size == 2) // no b-at-end → anything, no cross-user edge
+  }
+
+  test("decayedCounts: fresh events weigh 2^20, each halflife halves, " +
+    "ancient events weigh zero") {
+    import spark.implicits._
+    val ref = 1700000000000000L // µs
+    def at(daysAgo: Long) = new java.sql.Timestamp(
+      (ref - daysAgo * 86400000000L) / 1000L)
+    val ev = Seq(
+      ("fresh", at(0)), ("fresh", at(6)), // both in halflife 0
+      ("old", at(7)), ("old", at(14)), // 1 and 2 halflives
+      ("ancient", at(7 * 60)) // shift capped → 0
+    ).toDF("event_type", "ts")
+    val got = Funnels.decayedCounts(ev, "event_type", "ts", ref)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("fresh") == ((2L, 2L * 1048576L)))
+    assert(got("old") == ((2L, 1048576L / 2 + 1048576L / 4)))
+    assert(got("ancient") == ((1L, 0L)))
+  }
 }

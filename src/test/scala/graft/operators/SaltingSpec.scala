@@ -61,4 +61,25 @@ class SaltingSpec extends SparkSpec {
     assert(got.forall(_.getLong(4) == 1L))
     assert(got.forall(_.getLong(1) == 5L))
   }
+
+  test("saltedTopK equals the plain one-window top-k under planted " +
+    "skew, with dense ranks and tie determinism") {
+    import spark.implicits._
+    // hot group: 10k rows in 'big', 20 in 'small'; scores collide a lot
+    val rows = (0L until 10000L).map(i => ("big", i, (i % 97).toDouble)) ++
+      (0L until 20L).map(i => ("small", 100000L + i, (i % 7).toDouble))
+    val df = rows.toDF("grp", "id", "score")
+    val got = Salting.saltedTopK(df, "grp", "id", "score", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("id").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.count(_._1 == "big") == 5 && got.count(_._1 == "small") == 5)
+  }
 }
