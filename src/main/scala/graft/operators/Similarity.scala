@@ -771,6 +771,49 @@ object Similarity {
     out.sortBy(r => (r._1, r._3)).toDF("qid", "eid", "rank", "mmr")
   }
 
+  /** Nearest-class-centroid confusion matrix — the "are my labels
+    * separable in embedding space" eval (domain confusion, label-noise
+    * triage, embedding-quality regression tests): assign every vector
+    * to the nearest per-label MEAN centroid and cross-tabulate against
+    * its true label. A diagonal-heavy matrix = separable classes; a
+    * smeared row = that label's region overlaps others.
+    *
+    * Exactness without ever materializing a float mean: the distance
+    * to centroid L compares as Σ(x_i·n_L − s_Li)² — quantized-integer
+    * sums in DECIMAL (no Int64 wrap) — normalized by n_L² only at the
+    * final comparison, as one deterministic IEEE division (identical
+    * inputs ⇒ identical doubles on any engine; ties break on label).
+    *
+    * Scale shape: one explode + per-(label, dim) agg (the centroid
+    * table is labels·d rows — broadcast), one gather join, one
+    * per-vector window over `labels` rows. */
+  def centroidConfusion(corpus: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, qBits: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = lit((1L << qBits).toDouble)
+    val ex = corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("x").cast("double") * q + lit(0.5)).cast("long").as("x"))
+    val cen = ex.groupBy(col("label").as("clabel"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val d = ex.join(broadcast(cen), Seq("i"))
+      .select(col("vec_id"), col("label"), col("clabel"), col("n"),
+        ((col("x") * col("n") - col("s")).cast(dec) *
+          (col("x") * col("n") - col("s")).cast(dec)).as("d2"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(col("d2")).as("dist"), max(col("n")).as("n"))
+    val w = Window.partitionBy("vec_id").orderBy(
+      (col("dist").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))).asc,
+      col("clabel").asc)
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label").as("true_label"),
+        col("clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Farthest-point traversal (Gonzalez' 2-approximation to k-center):
     * pick the min-id seed, then k−1 times pick the point FARTHEST from
     * everything picked so far — the classic coreset/diverse-subset

@@ -5642,7 +5642,88 @@ object ExtensionCatalog {
         |ORDER BY from_type, to_type""".stripMargin),
       (s, dir) => Funnels.transitionMatrix(ReferenceCatalog.events(s, dir),
         "user_id", "ts", "event_id", "event_type")
-        .orderBy("from_type", "to_type"))
+        .orderBy("from_type", "to_type")),
+
+    // ---- nearest-class-centroid confusion matrix: "are my labels
+    //      separable in embedding space" — every vector assigned to
+    //      the nearest per-label mean centroid (no float mean ever
+    //      exists: compare Σ(x·n_L − s_L)² normalized by n_L² in ONE
+    //      deterministic division), cross-tabbed vs the true label ----
+    Q("x161_centroid_confusion", Some(
+      """WITH xq AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+        |      AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, label, i, v[i] AS x
+        |  FROM xq, unnest(generate_series(1, len(v))) AS u(i)),
+        |cen AS (
+        |  SELECT label AS clabel, i, CAST(sum(x) AS HUGEINT) AS s,
+        |    CAST(count(*) AS HUGEINT) AS n
+        |  FROM ex GROUP BY label, i),
+        |d AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    sum((CAST(e.x AS HUGEINT) * c.n - c.s)
+        |      * (CAST(e.x AS HUGEINT) * c.n - c.s)) AS dist,
+        |    max(c.n) AS n
+        |  FROM ex e JOIN cen c ON c.i = e.i
+        |  GROUP BY e.vec_id, e.label, c.clabel),
+        |a AS (
+        |  SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY CAST(dist AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), clabel)
+        |      AS rn
+        |  FROM d)
+        |SELECT label AS true_label, clabel AS assigned_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a WHERE rn = 1
+        |GROUP BY label, clabel ORDER BY true_label, assigned_label"""
+        .stripMargin),
+      (s, dir) => Similarity.centroidConfusion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+        .orderBy("true_label", "assigned_label")),
+
+    // ---- incremental zone-map maintenance: each appended GENERATION
+    //      cluster-writes its own files and contributes its own
+    //      per-file stats rows — the merged map is a UNION (per-file
+    //      stats are immutable), so appends never rebuild the index.
+    //      Pruning spans generations; oracle = the plain filter ----
+    Q("x162_zonemap_incremental", Some(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(CAST(floor(value * 1024.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS min_vq,
+         |  CAST(max(CAST(floor(value * 1024.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS max_vq
+         |FROM events WHERE user_id BETWEEN $ZmLo AND $ZmHi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val base = tmp("graft-zonemap-inc")
+        // two arrival generations, each clustered and stat'd on write
+        val gens = Seq(
+          ev.filter(col("event_id") % 2 === 0) -> s"$base/gen0",
+          ev.filter(col("event_id") % 2 === 1) -> s"$base/gen1")
+        val zm = gens.map { case (batch, path) =>
+          ZoneMap.clusterWrite(batch.drop("event_id"), "user_id",
+            ZmFiles / 2, path)
+          ZoneMap.stats(s.read.parquet(path), "user_id")
+        }.reduce(_ unionByName _)
+        val (pruned, report) = ZoneMap.prunedRead(s, zm, "user_id",
+          ZmLo, ZmHi)
+        require(report.filesKept < report.filesTotal,
+          s"incremental zone map pruned nothing: $report")
+        pruned.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            min(floor(col("value") * lit(1024.0) + lit(0.5)))
+              .as("min_vq"),
+            max(floor(col("value") * lit(1024.0) + lit(0.5)))
+              .as("max_vq"))
+          .orderBy("event_type")
+      })
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

@@ -343,6 +343,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("centroidConfusion: separable labels land on the diagonal, a " +
+    "mislabeled point lands in its true region's row") {
+    import spark.implicits._
+    // label 0 clusters near (0,0); label 1 near (10,10); vec 99 is
+    // LABELED 0 but sits in label-1 territory
+    val emb = ((0L until 5L).map(i => (i, Seq(0.1f * i, 0.0f), 0)) ++
+      (10L until 15L).map(i => (i, Seq(10.0f, 0.1f * i), 1)) ++
+      Seq((99L, Seq(10.0f, 1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidConfusion(emb, "vec_id", "embedding",
+        "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) == 5L) // the true label-0 cluster
+    assert(got((1, 1)) == 5L) // the label-1 cluster
+    assert(got((0, 1)) == 1L, s"mislabeled point must confuse: $got")
+    // layout independence
+    val again = Similarity.centroidConfusion(emb.repartition(7),
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == again)
+  }
+
   test("kCenterSelect: k beyond corpus size returns the whole corpus") {
     import spark.implicits._
     val corpus = Seq((1L, Seq(1.0f)), (2L, Seq(2.0f)), (3L, Seq(5.0f)))

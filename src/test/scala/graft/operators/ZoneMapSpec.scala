@@ -47,6 +47,24 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.columns.toSeq == Seq("k", "v"))
   }
 
+  test("incremental maintenance: merged per-generation stats prune " +
+    "across generations and equal the plain filter") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zm-inc")
+      .toString
+    val gen0 = (0L until 500L).map(i => (i, i % 7)).toDF("k", "v")
+    val gen1 = (500L until 1000L).map(i => (i, i % 7)).toDF("k", "v")
+    ZoneMap.clusterWrite(gen0, "k", 2, s"$base/g0")
+    ZoneMap.clusterWrite(gen1, "k", 2, s"$base/g1")
+    // union of immutable per-file stats — the append story
+    val zm = ZoneMap.stats(spark.read.parquet(s"$base/g0"), "k")
+      .unionByName(ZoneMap.stats(spark.read.parquet(s"$base/g1"), "k"))
+    assert(zm.count() == 4)
+    // band straddling the generation boundary keeps one file per gen
+    val (pruned, rep) = ZoneMap.prunedRead(spark, zm, "k", 400, 599)
+    assert(rep.filesTotal == 4 && rep.filesKept == 2, s"got $rep")
+    assert(pruned.count() == 200)
+  }
+
   test("pruning boundary is inclusive on both zone edges") {
     val dir = writeClustered(100, 2) // files cover [0,49] and [50,99]
     val zm = ZoneMap.stats(spark.read.parquet(dir), "k")
