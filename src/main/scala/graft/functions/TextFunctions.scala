@@ -237,6 +237,20 @@ object TextFunctions {
       name -> regexCountPublic(text, cls)
     } :+ ("nonspace" -> regexCountPublic(text, "[^\\s]"))
 
+  /** Compression-ratio quality signal ([[graft.plans.DeflateLen]] /
+    * raw byte length, rounded): repetitive or templated text
+    * compresses far below natural prose — the CCNet/Gopher-class
+    * filter that catches boilerplate token-level rules miss. Empty
+    * text → NULL (no bytes to compress). */
+  def compressRatio(text: Column, roundTo: Int = 4): Column = {
+    val dl = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.DeflateLen(
+        org.apache.spark.sql.graft.bridge.expression(text)))
+    when(octet_length(text) > 0,
+      portableRound(dl.cast("double") /
+        octet_length(text).cast("double"), roundTo))
+  }
+
   /** [[regexCount]] for library callers that need to share the exact
     * pattern with an oracle (the private one keeps its narrow use). */
   def regexCountPublic(text: Column, pattern: String): Column =

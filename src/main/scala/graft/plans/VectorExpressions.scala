@@ -1063,3 +1063,52 @@ object AHashExpr {
     hash
   }
 }
+
+/** Deflate-compressed length of a string's UTF-8 bytes — the
+  * compression-ratio quality signal (CCNet/Gopher class): highly
+  * repetitive or templated text compresses far below natural prose,
+  * and ratio thresholds catch boilerplate that token-level rules
+  * miss. One codegen'd pass per row; level and the raw Deflater
+  * (nowrap) format are fixed so the length is deterministic for a
+  * given JVM zlib. No SQL oracle exists for zlib — the catalog row
+  * carries a rows-only check and the ScalaTest pins semantics. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "deflate_len needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateLen.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.DeflateLen.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateLen {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String): Long = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 0L
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

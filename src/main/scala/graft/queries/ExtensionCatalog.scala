@@ -373,6 +373,15 @@ object ExtensionCatalog {
     case (id, t) => s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
   }.mkString(", ")
 
+  /** x164's planted link rows (the natural corpus carries no URLs);
+    * hosts exercise subdomain folding (docs/www/cdn → example.com),
+    * a second registered domain, ports/paths/query noise. */
+  private val UrlDocs: Seq[(Long, String)] = Seq(
+    -1L -> ("see https://docs.example.com/guide and " +
+      "https://www.example.com/page?a=1 plus http://blog.other.org/post"),
+    -2L -> "mirror at https://cdn.example.com:8443/file.bin text",
+    -3L -> "no links here")
+
   /** x147's oracle: the exact-integer scatter matrix, then PcaIters
     * power-iteration rounds unrolled CTE by CTE with every float fold
     * in EXPLICIT ascending-index order and the vector re-rounded to
@@ -5684,6 +5693,71 @@ object ExtensionCatalog {
       (s, dir) => Similarity.centroidConfusion(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label")
         .orderBy("true_label", "assigned_label")),
+
+    // ---- compression-ratio quality signal (CCNet/Gopher class):
+    //      deflate length / raw bytes per doc — boilerplate compresses
+    //      far below prose. zlib has no SQL mirror, so this row
+    //      carries the driver's rows-only check (the S10 precedent);
+    //      RedactionSpec pins the semantics ----
+    Q("x163_compress_ratio", None,
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("raw_bytes"),
+          TextFunctions.compressRatio(col("text")).as("ratio"))
+        .orderBy("doc_id")),
+
+    // ---- URL → registered-domain extraction (web-corpus provenance:
+    //      per-domain url/doc counts drive domain caps, blocklists,
+    //      and the C4-style per-domain curation levers). Patterns
+    //      shared with the PII rules; planted link rows keep the
+    //      URL-free natural corpus non-vacuous ----
+    Q("x164_url_domains", Some({
+      val vals = UrlDocs.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n    ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $vals)),
+         |uu AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text,
+         |    '${TextFunctions.redactionRules.head._1}')) AS url
+         |  FROM u),
+         |h AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, 'https?://([^/\\s:?#]+)', 1))
+         |      AS host
+         |  FROM uu),
+         |d AS (
+         |  SELECT doc_id,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM h)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM d WHERE domain <> ''
+         |GROUP BY domain ORDER BY domain""".stripMargin
+    }),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(UrlDocs.toDF("doc_id", "text"))
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"),
+              lit(TextFunctions.redactionRules.head._1), lit(0)))
+              .as("url"))
+          .select(col("doc_id"),
+            lower(regexp_extract(col("url"),
+              "https?://([^/\\s:?#]+)", 1)).as("host"))
+          .select(col("doc_id"),
+            regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1)
+              .as("domain"))
+          .filter(col("domain") =!= "")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      }),
 
     // ---- incremental zone-map maintenance: each appended GENERATION
     //      cluster-writes its own files and contributes its own

@@ -65,6 +65,28 @@ class RedactionSpec extends SparkSpec {
     assert(got == "plain text")
   }
 
+  test("compressRatio: repetitive text compresses far below prose; " +
+    "empty text is NULL; deterministic across layouts") {
+    val docs = Seq(
+      (1L, "the same line repeats " * 50),
+      (2L, "Quite varied prose with many distinct words, numbers 12938 " +
+        "and punctuation; entropy stays comparatively high here."),
+      (3L, "")
+    ).toDF("id", "s")
+    val got = docs.select($"id",
+        TextFunctions.compressRatio($"s").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).exists(_ < 0.1), s"boilerplate must compress: $got")
+    assert(got(2L).exists(_ > 0.5), s"prose must not: $got")
+    assert(got(3L).isEmpty)
+    val again = docs.repartition(5).select($"id",
+        TextFunctions.compressRatio($"s").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == again)
+  }
+
   test("scriptCounts: per-script character counts over mixed text") {
     val cs = TextFunctions.scriptCounts($"text")
     val row = Seq("ab Привет 你好 12!").toDF("text")
