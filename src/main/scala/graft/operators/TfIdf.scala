@@ -188,7 +188,10 @@ object TfIdf {
     * bound, the LSH-family ⊘ pattern: a pair sharing only stopwords is
     * not similar in any useful sense). The full dot product — ALL
     * shared terms, stopwords included — is then gathered for candidate
-    * pairs only (the LSH-verify shape).
+    * pairs only (the LSH-verify shape). Size `maxDf` RELATIVE to the
+    * corpus (e.g. 1–10 % of N): "discriminative" is a share, not a
+    * count — a fixed small cap on a 10× corpus leaves no candidate
+    * terms at all (ScaleStress measures exactly that).
     *
     * Determinism across engines, term by term:
     *   - weights are the log-free tf·idf of [[topTerms]] quantized to
@@ -209,7 +212,8 @@ object TfIdf {
     * anywhere. */
   def cosinePairs(df: DataFrame, idCol: String, textCol: String,
                   minCosineBp: Int = 50, maxDf: Long = 50,
-                  q: Int = 100, roundTo: Int = 4): DataFrame = {
+                  q: Int = 1, idfCap: Double = 10000.0,
+                  roundTo: Int = 4): DataFrame = {
     require(minCosineBp >= 0 && minCosineBp <= 100,
       "minCosineBp is cosine·100 in [0,100]")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -220,11 +224,20 @@ object TfIdf {
     // corpus size as ONE scalar job parameterizing the plan (the
     // k-means-centroid pattern, as topTerms)
     val nDocs = df.count().toDouble
+    // idf is CAPPED (the log-free analogue of log-idf's damping):
+    // cosine is weight-scale-invariant, and the cap is what keeps the
+    // 128-bit threshold compare in range at ANY corpus size — with
+    // uncapped N/df a single ultra-rare term at web scale pushes
+    // dot²·10⁴ past DECIMAL(38) (found by ScaleStress at factor 10:
+    // every pair silently nulled). Bound: wq ≤ tf·idfCap·q, so docs up
+    // to ~30k tokens stay exact at the defaults; the cap engages only
+    // when df < N/idfCap (never at verification scale — sf0.01/0.1
+    // results are cap-free).
     val w = tf.join(dfreq, Seq("term"))
       .select(col("doc_id"), col("term"), col("df"),
         floor(col("tf").cast("double") *
-            (lit(nDocs) / col("df").cast("double")) * lit(q.toDouble) +
-            lit(0.5))
+            least(lit(nDocs) / col("df").cast("double"), lit(idfCap)) *
+            lit(q.toDouble) + lit(0.5))
           .cast(dec).as("wq"))
     val norms = w.groupBy("doc_id")
       .agg(sum(col("wq") * col("wq")).as("norm2"))

@@ -272,7 +272,8 @@ object ExtensionCatalog {
     * cosine ≥ CosMinBp/100 via exact 128-bit integer compare. */
   private val CosMaxDf = 50L
   private val CosMinBp = 50
-  private val CosQ = 100
+  private val CosQ = 1
+  private val CosIdfCap = 10000.0
 
   /** x140's zone-map shape: events range-clustered by user_id into
     * ZmFiles files; the probe band [ZmLo, ZmHi] covers ~20 % of the
@@ -4993,7 +4994,8 @@ object ExtensionCatalog {
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          |w AS (
          |  SELECT doc_id, term, df,
-         |    CAST(floor(CAST(tf AS DOUBLE) * (n.n / CAST(df AS DOUBLE))
+         |    CAST(floor(CAST(tf AS DOUBLE)
+         |      * least(n.n / CAST(df AS DOUBLE), $CosIdfCap)
          |      * $CosQ.0 + 0.5) AS HUGEINT) AS wq
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
          |nr AS (SELECT doc_id, sum(wq * wq) AS norm2 FROM w GROUP BY doc_id),
@@ -5020,7 +5022,7 @@ object ExtensionCatalog {
          |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => TfIdf.cosinePairs(t(s, dir, "documents"),
         "doc_id", "text", minCosineBp = CosMinBp, maxDf = CosMaxDf,
-        q = CosQ)),
+        q = CosQ, idfCap = CosIdfCap)),
 
     // ---- zone-map data skipping: cluster-write events by user_id,
     //      build the per-file min/max map, and answer a narrow range

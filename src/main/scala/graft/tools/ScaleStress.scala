@@ -423,11 +423,30 @@ object ScaleStress {
     })
 
     // round-8 families. Sparse cosine: the df≤cap prefix filter keeps
-    // stopword lists out of candidate generation; replica cliques still
-    // pair quadratically in `factor` because the copies genuinely ARE
-    // similar — the output is the quadratic part, as in neardup (all).
-    time("sparse cosine pairs")(graft.operators.TfIdf.cosinePairs(
-      docs, "doc_id", "text", minCosineBp = 50, maxDf = 50).count())
+    // stopword lists out of candidate generation, sized as a CORPUS
+    // SHARE (1% of N). On THIS corpus the measured df floor is ~5% of
+    // N — the synthetic vocabulary is tiny and uniform, so NO term is
+    // discriminative and zero candidates is the valve doing its job:
+    // raising the cap past the floor would degenerate into the
+    // all-pairs join the filter exists to prevent. Report the floor so
+    // the 0 reads as a measured corpus property, not a silent miss.
+    time("sparse cosine pairs")({
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .as("term"))
+      val dfreq = toks.groupBy("doc_id", "term").agg(count(lit(1)))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val cap = docs.count() / 100
+      val eligible = dfreq.filter(col("df") <= cap).count()
+      val minDf = dfreq.agg(min("df")).head().getLong(0)
+      val pairs = graft.operators.TfIdf.cosinePairs(
+        docs, "doc_id", "text", minCosineBp = 50, maxDf = cap).count()
+      println(s"[stress]   cosine report: cap=$cap minDf=$minDf " +
+        s"eligibleTerms=$eligible pairs=$pairs")
+      assert(eligible > 0 || pairs == 0,
+        "no eligible terms must mean no candidate pairs")
+      pairs
+    })
     // phash: one codegen pass per doc, then 4-band buckets of the
     // replica cliques — pairs ≈ C(factor,2)·base docs, linear corpus scan
     time("phash neardup")(graft.operators.Multimodal.pHashPairs(
