@@ -362,6 +362,9 @@ object ExtensionCatalog {
   /** x157's packing budget (tokens per training chunk). */
   private val SentChunkBudget = 40L
 
+  /** x166's training-sequence length. */
+  private val TrainSeqLen = 256L
+
   /** x153's planted non-Latin rows (the natural corpus is
     * Latin-dominated). The SQL VALUES interpolate these SAME Scala
     * strings, so both engines see identical bytes. */
@@ -5707,6 +5710,131 @@ object ExtensionCatalog {
           octet_length(col("text")).cast("long").as("raw_bytes"),
           TextFunctions.compressRatio(col("text")).as("ratio"))
         .orderBy("doc_id")),
+
+    // ---- the TRAINING MANIFEST capstone: dedup keepers (x18) →
+    //      leakage-safe train split (x143) → sequence packing (x42),
+    //      reported per source with padding waste — the "end product"
+    //      row a pre-training run reads before launching. Rides the
+    //      memoized dedup family; the oracle replays all three stages ----
+    Q("x166_training_manifest", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |cl AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |cb AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${h60Sql("('split|' || CAST(cluster_id AS VARCHAR))", 10L)} AS b
+         |  FROM cl),
+         |tr AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(${tokSql("d.text")}) AS BIGINT) AS n_tok
+         |  FROM documents d JOIN cb USING (doc_id)
+         |  WHERE cb.b < 8 AND cb.doc_id = cb.cluster_id),
+         |cm AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS end_tok
+         |  FROM tr),
+         |sq AS (
+         |  SELECT source, doc_id, n_tok,
+         |    (end_tok - n_tok) // $TrainSeqLen AS seq_id
+         |  FROM cm)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_start_seqs,
+         |  CAST((sum(n_tok) + ${TrainSeqLen - 1}) // $TrainSeqLen
+         |    AS BIGINT) AS n_seqs,
+         |  CAST(((sum(n_tok) + ${TrainSeqLen - 1}) // $TrainSeqLen)
+         |    * $TrainSeqLen - sum(n_tok) AS BIGINT) AS pad_waste
+         |FROM sq GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cl = docClusters(s, dir)
+        val train = Sampling.leakageSafeSplit(docs, "doc_id",
+            cl.select("doc_id", "cluster_id"))
+          .join(cl.select(col("doc_id"), col("keep")), Seq("doc_id"))
+          .filter(col("split") === "train" && col("keep"))
+          .select(col("doc_id"), col("source"),
+            size(TextFunctions.tokens(col("text"))).cast("long")
+              .as("n_tok"))
+        Chunking.packSequences(train, "doc_id", "n_tok", "source",
+            TrainSeqLen.toInt)
+          .groupBy(col("shard").as("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("seq_id")).as("n_start_seqs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_start_seqs"),
+            expr(s"(n_tokens + ${TrainSeqLen - 1}) div $TrainSeqLen")
+              .as("n_seqs"),
+            (expr(s"(n_tokens + ${TrainSeqLen - 1}) div $TrainSeqLen") *
+              lit(TrainSeqLen) - col("n_tokens")).as("pad_waste"))
+          .orderBy("source")
+      }),
+
+    // ---- weak-supervision label vote (Snorkel-lite): three noisy
+    //      labelers the engine already ships — the heuristic quality
+    //      score, the frozen logistic classifier, the Gopher rule
+    //      gate — vote per document; majority + unanimity are the
+    //      label-model outputs a curation run thresholds on. All
+    //      three oracle fragments are the SAME ones x03/x86/x32 use,
+    //      so the voters cannot drift from their originals ----
+    Q("x165_rule_vote", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, $qualityStatsSql FROM documents)),
+         |${classifierCtes("documents")},
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("text")}) AS t FROM documents),
+         |per AS (
+         |  SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, sum(c) AS n_tok,
+         |    floor(sum(length(t) * c) * 1.0 / sum(c) * 10000.0 + 0.5)
+         |      / 10000.0 AS mean_tok_len,
+         |    floor(max(c) * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0
+         |      AS max_freq_ratio,
+         |    floor(sum(CASE WHEN regexp_matches(t, '[A-Za-z]')
+         |        THEN c ELSE 0 END) * 1.0 / sum(c) * 10000.0 + 0.5)
+         |      / 10000.0 AS alpha_ratio
+         |  FROM per GROUP BY doc_id),
+         |g AS (
+         |  SELECT d.doc_id,
+         |    (coalesce(n_tok, 0) BETWEEN 50 AND 100000
+         |     AND coalesce(mean_tok_len, 0.0) BETWEEN 3.0 AND 10.0
+         |     AND coalesce(max_freq_ratio, 0.0) <= 0.2
+         |     AND coalesce(alpha_ratio, 0.0) >= 0.8) AS keep
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |v AS (
+         |  SELECT q.doc_id,
+         |    (q.quality >= 0.5) AS v_quality,
+         |    (cp.cls_prob >= 0.5) AS v_classifier,
+         |    g.keep AS v_gopher
+         |  FROM q JOIN cp USING (doc_id) JOIN g USING (doc_id))
+         |SELECT doc_id, v_quality, v_classifier, v_gopher,
+         |  CAST((CASE WHEN v_quality THEN 1 ELSE 0 END
+         |    + CASE WHEN v_classifier THEN 1 ELSE 0 END
+         |    + CASE WHEN v_gopher THEN 1 ELSE 0 END) AS INT) AS n_yes,
+         |  ((CASE WHEN v_quality THEN 1 ELSE 0 END
+         |    + CASE WHEN v_classifier THEN 1 ELSE 0 END
+         |    + CASE WHEN v_gopher THEN 1 ELSE 0 END) >= 2) AS majority
+         |FROM v ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            (TextFunctions.qualityScore(col("text")) >= 0.5)
+              .as("v_quality"),
+            (TextFunctions.classifierProb(col("text")) >= 0.5)
+              .as("v_classifier"),
+            QualityRules.gopherKeep(
+              QualityRules.tokenStats(col("text"))).as("v_gopher"))
+          .withColumn("n_yes",
+            (col("v_quality").cast("int") + col("v_classifier").cast("int")
+              + col("v_gopher").cast("int")).cast("int"))
+          .withColumn("majority", col("n_yes") >= 2)
+          .orderBy("doc_id")
+      }),
 
     // ---- URL → registered-domain extraction (web-corpus provenance:
     //      per-domain url/doc counts drive domain caps, blocklists,
