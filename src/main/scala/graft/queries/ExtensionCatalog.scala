@@ -5711,6 +5711,69 @@ object ExtensionCatalog {
           TextFunctions.compressRatio(col("text")).as("ratio"))
         .orderBy("doc_id")),
 
+    // ---- pseudo-relevance-feedback query expansion (Rocchio-class
+    //      PRF): take the BM25 top-5 docs for the fixed query, score
+    //      their vocabulary by feedback-tf · corpus-idf (exact
+    //      integers, one division), drop the original query terms,
+    //      keep the top-8 expansion candidates — the classic
+    //      recall-widening step between first retrieval and re-query ----
+    Q("x167_prf_expansion", Some({
+      val exclude = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $bm25ScoredSql,
+         |top5 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS trn
+         |    FROM scored) WHERE trn <= 5),
+         |ftk AS (
+         |  SELECT unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents JOIN top5 USING (doc_id)),
+         |fb AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS fb_tf
+         |  FROM ftk GROUP BY term),
+         |atk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents),
+         |dfq AS (
+         |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM atk GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |sc AS (
+         |  SELECT fb.term, fb.fb_tf, dfq.df,
+         |    floor(CAST(fb.fb_tf AS DOUBLE) * (nn.n / CAST(dfq.df AS DOUBLE))
+         |      * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM fb JOIN dfq USING (term) CROSS JOIN nn
+         |  WHERE fb.term NOT IN ($exclude))
+         |SELECT term, fb_tf, df, score, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, term)
+         |    AS INT) AS rn
+         |  FROM sc)
+         |WHERE rn <= 8 ORDER BY rn""".stripMargin
+    }),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val top5 = TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Terms,
+          k = 5, k1 = Bm25K1, b = Bm25B).select("doc_id")
+        val fb = docs.join(top5, Seq("doc_id"))
+          .select(explode(TextFunctions.tokens(lower(col("text"))))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("fb_tf"))
+        val dfq = docs.select(col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+          .distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.count().toDouble
+        val sc = fb.join(dfq, Seq("term"))
+          .filter(!col("term").isin(Bm25Terms: _*))
+          .select(col("term"), col("fb_tf"), col("df"),
+            TextFunctions.portableRound(
+              col("fb_tf").cast("double") *
+                (lit(n) / col("df").cast("double")), 4).as("score"))
+        graft.operators.Ranked.rankBounded(sc, 8,
+          Seq(col("score").desc, col("term").asc))
+          .orderBy("rn")
+      }),
+
     // ---- the TRAINING MANIFEST capstone: dedup keepers (x18) →
     //      leakage-safe train split (x143) → sequence packing (x42),
     //      reported per source with padding waste — the "end product"
@@ -5770,6 +5833,55 @@ object ExtensionCatalog {
             (expr(s"(n_tokens + ${TrainSeqLen - 1}) div $TrainSeqLen") *
               lit(TrainSeqLen) - col("n_tokens")).as("pad_waste"))
           .orderBy("source")
+      }),
+
+    // ---- contrastive triplet mining: anchors/positives from the
+    //      VERIFIED near-dup pairs (textual "same meaning" evidence,
+    //      x16), negatives from the embedding space (nearest
+    //      DIFFERENT-label vector, x101's shape) — the
+    //      (anchor, positive, hard-negative) rows a contrastive
+    //      embedding trainer consumes. Rides the memoized dedup
+    //      family + the doc_id ≡ vec_id alignment the curation
+    //      family already uses ----
+    Q("x168_triplet_mining", Some(
+      s"""WITH ${minhashPairsSql()},
+         |${verifiedPairsSql("documents")},
+         |anch AS (SELECT DISTINCT id_a AS anchor FROM vp),
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.label AS qlabel, e.embedding AS qv
+         |  FROM embeddings e JOIN anch ON anch.anchor = e.vec_id),
+         |sims AS (
+         |  SELECT qid, e.vec_id AS eid,
+         |    round(
+         |      list_sum(list_transform(generate_series(1, len(qv)),
+         |        i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(qv,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(e.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         |      4) AS sim
+         |  FROM q, embeddings e WHERE e.label <> q.qlabel),
+         |neg AS (
+         |  SELECT qid, eid AS negative, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn
+         |    FROM sims) WHERE rn = 1)
+         |SELECT vp.id_a AS anchor, vp.id_b AS positive,
+         |  n.negative, n.sim AS neg_sim
+         |FROM vp JOIN neg n ON n.qid = vp.id_a
+         |ORDER BY anchor, positive""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val vp = verifiedPairs(s, dir).select("id_a", "id_b")
+        val anchors = vp.select(col("id_a").as("vec_id")).distinct()
+        val neg = Similarity.hardNegatives(emb.join(anchors, Seq("vec_id")),
+            emb, "vec_id", "embedding", "label", k = 1)
+          .select(col("qid").as("id_a"), col("eid").as("negative"),
+            col("sim").as("neg_sim"))
+        vp.join(neg, Seq("id_a"))
+          .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+            col("negative"), col("neg_sim"))
+          .orderBy("anchor", "positive")
       }),
 
     // ---- weak-supervision label vote (Snorkel-lite): three noisy
