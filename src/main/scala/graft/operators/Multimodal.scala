@@ -164,6 +164,125 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Decoded audio row produced by [[decodeAudio]]. */
+  final case class AudioFeatures(doc_id: Long, media_type: String,
+                                 sample_rate: Int, n_samples: Long,
+                                 duration_ms: Double, rms: Double)
+
+  /** Attach a REAL WAV payload (RIFF header + 16-bit PCM mono) derived
+    * deterministically from the document: sample count
+    * `len(text) % 192 + 64`, 8 kHz, sample i =
+    * `(doc_id·2654435761 + i·40503) mod 65536 − 32768`. Hermetic like
+    * [[withPayload]], but the bytes are a VALID audio container, so the
+    * decode side exercises a true chunk walk, not a fallback. The
+    * sample recurrence is integer-exact in any engine (values < 2^48),
+    * which is what lets a SQL oracle recompute the PCM without parsing
+    * bytes — decode parity then proves encode∘decode = identity. */
+  def withWavPayload(docs: DataFrame, idCol: String, textCol: String,
+                     silencePrefixMod: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        (length(col(textCol)) % 192 + 64).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (docId, n) =>
+          // optional planted leading silence (doc_id mod
+          // silencePrefixMod zero samples) so trim operators have
+          // something real to find; 0 = no silence (x169's layout)
+          val pre =
+            if (silencePrefixMod > 0) (docId % silencePrefixMod).toInt else 0
+          val samples = Array.tabulate(n) { i =>
+            if (i < pre) 0.toShort
+            else ((docId * 2654435761L + i * 40503L) % 65536L - 32768L)
+              .toShort
+          }
+          (docId, AudioCodec.encodeWav(samples, sampleRate = 8000))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Trimmed-audio row produced by [[trimSilence]]. */
+  final case class TrimmedAudio(doc_id: Long, n_samples: Long,
+                                lead_trimmed: Long, trail_trimmed: Long,
+                                kept_samples: Long, kept_ms: Double,
+                                rms_kept: Double)
+
+  /** Leading/trailing silence trim over decoded PCM — the standard
+    * speech-corpus preprocessing step (silence carries no training
+    * signal but pays full storage/compute). A sample is "silence" when
+    * |s| ≤ threshold; the kept region spans the first to the last
+    * loud sample. All-silent payloads (and non-WAV payloads) report
+    * kept 0 with the whole length as lead trim — total function, no
+    * dropped rows. Per-partition batch decode like [[decodeAudio]];
+    * integer comparisons pick the cut points, so the trim is
+    * engine-exact, and only the kept-region RMS is float (portable-
+    * rounded). */
+  def trimSilence(withPayloads: DataFrame,
+                  threshold: Int = 8192): Dataset[TrimmedAudio] = {
+    implicit val enc = Encoders.product[TrimmedAudio]
+    withPayloads.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getAs[Long]("doc_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          AudioCodec.decode(payload) match {
+            case Some(d) if d.channels == 1 && d.nFrames > 0 =>
+              val n = d.nFrames.toInt
+              // data chunk starts right after the 44-byte canonical
+              // header ONLY for our own encoder's layout; re-walk the
+              // chunks instead of assuming it
+              val samples = AudioCodec.pcmSamples(payload)
+              val first = samples.indexWhere(s => math.abs(s) > threshold)
+              if (first < 0)
+                TrimmedAudio(docId, n.toLong, n.toLong, 0L, 0L, 0.0, 0.0)
+              else {
+                val last =
+                  samples.lastIndexWhere(s => math.abs(s) > threshold)
+                val kept = last - first + 1
+                var i = first
+                var sumSq = 0.0
+                while (i <= last) {
+                  val s = samples(i).toDouble; sumSq += s * s; i += 1
+                }
+                TrimmedAudio(docId, n.toLong, first.toLong,
+                  (n - 1 - last).toLong, kept.toLong,
+                  graft.functions.TextFunctions
+                    .portableRoundJvm(kept * 1000.0 / d.sampleRate, 4),
+                  graft.functions.TextFunctions
+                    .portableRoundJvm(math.sqrt(sumSq / kept), 4))
+              }
+            case _ =>
+              TrimmedAudio(docId, 0L, 0L, 0L, 0L, 0.0, 0.0)
+          }
+        }
+      }
+  }
+
+  /** Batch audio feature extraction: real RIFF/PCM decode
+    * ([[AudioCodec]]) per payload, per-partition like
+    * [[decodeFeatures]]. Payloads that don't decode as PCM-16 WAV get
+    * the documented total-function fallback row (media_type "unknown",
+    * zeros) rather than being dropped — at corpus scale a silently
+    * vanishing row is a correctness bug, not a convenience. */
+  def decodeAudio(withPayloads: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    withPayloads.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getAs[Long]("doc_id")
+          AudioCodec.decode(r.getAs[Array[Byte]]("payload")) match {
+            case Some(d) =>
+              AudioFeatures(docId, "audio/wav", d.sampleRate,
+                d.nFrames * d.channels, d.durationMs, d.rms)
+            case None =>
+              AudioFeatures(docId, "unknown", 0, 0L, 0.0, 0.0)
+          }
+        }
+      }
+  }
+
   /** Frame-sampling shape for video-like payloads: every `stride`-th
     * byte-block becomes a "frame" row (explode with ordinal). Shows the
     * fan-out plumbing (one row → many frames) without a codec. */

@@ -237,6 +237,53 @@ object Sampling {
         coalesce(col("logw"), lit(0.0)).as("logw"))
   }
 
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    * "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"), reference-free variant: domains whose text is
+    * harder under the corpus unigram model get upweighted relative to
+    * their token share by the multiplicative-weights rule
+    * w_s ∝ share_s · exp(η · excess_s), where excess_s is the domain's
+    * token-weighted bits-per-token above the easiest domain's. The
+    * per-doc proxy loss arrives as an input (— [[CorpusStats
+    * .unigramBits]] output — ) so the caller can swap in any scorer
+    * (trigram LM, classifier NLL) without touching the update rule.
+    *
+    * Scale shape: one (doc → source) join + a per-source aggregation;
+    * everything after that is per-SOURCE rows (a handful), including
+    * the normalizer, which folds over a source-sorted list so the sum
+    * order is never engine-chosen ([[dsirWeights]]' recipe). Driver
+    * state: two scalar aggregates + one ≤|sources| fold. */
+  def doremiWeights(docs: DataFrame, perDocBits: DataFrame, idCol: String,
+                    sourceCol: String, eta: Double = 1.0,
+                    roundTo: Int = 4): DataFrame = {
+    val sl = perDocBits.filter(col("n_tok") > 0)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).cast("long").as("n_tokens"),
+        TextFunctions.portableRound(
+          sum(col("bpt") * col("n_tok").cast("double")) /
+            sum(col("n_tok")).cast("double"), roundTo)
+          .as("bits_per_token"))
+    val mnRow = sl.agg(min(col("bits_per_token")),
+      sum(col("n_tokens")).cast("long")).head()
+    val minLoss = mnRow.getDouble(0)
+    val total = mnRow.getLong(1)
+    val u = sl.select(col("source"), col("n_tokens"), col("bits_per_token"),
+        (col("bits_per_token") - lit(minLoss)).as("excess"),
+        (col("n_tokens").cast("double") / lit(total.toDouble)).as("share"))
+      .withColumn("unnorm", col("share") * exp(lit(eta) * col("excess")))
+    val z = u.agg(aggregate(
+      array_sort(collect_list(struct(col("source").as("s"),
+        col("unnorm").as("u")))),
+      lit(0.0), (a, x) => a + x.getField("u"))).head().getDouble(0)
+    u.select(col("source"), col("n_tokens"), col("bits_per_token"),
+      TextFunctions.portableRound(col("excess"), roundTo).as("excess_bits"),
+      TextFunctions.portableRound(col("share"), roundTo).as("base_share"),
+      TextFunctions.portableRound(col("unnorm") / lit(z), roundTo)
+        .as("weight"))
+  }
+
   /** Weighted sampling WITHOUT replacement, one pass, no replay:
     * Efraimidis–Spirakis priority sampling (A-ES, 2006). Each row gets
     * key = −ln(u)/w with u ~ U(0,1] derived from the salted md5 of its

@@ -6039,7 +6039,143 @@ object ExtensionCatalog {
             max(floor(col("value") * lit(1024.0) + lit(0.5)))
               .as("max_vq"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ---- multimodal audio: REAL WAV container round-trip. The payload
+    //      builder emits a valid RIFF header + 16-bit PCM derived from
+    //      (doc_id, len(text)) by an integer-exact recurrence; the
+    //      decoder walks the chunk list and computes duration/RMS from
+    //      the BYTES. The oracle recomputes the PCM from the same
+    //      recurrence without touching bytes — parity therefore proves
+    //      the encode∘decode identity, i.e. the header math and sample
+    //      extraction are right, not just self-consistent ----
+    Q("x169_audio_features", Some(
+      """WITH p AS (
+        |  SELECT doc_id, length(text) % 192 + 64 AS n FROM documents)
+        |SELECT doc_id, 'audio/wav' AS media_type,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  floor(n * 1000.0 / 8000 * 10000.0 + 0.5) / 10000.0
+        |    AS duration_ms,
+        |  floor(sqrt(list_avg(list_transform(
+        |      list_transform(generate_series(0, n - 1),
+        |        i -> CAST((doc_id * 2654435761 + i * 40503) % 65536
+        |               - 32768 AS DOUBLE)),
+        |      x -> x * x))) * 10000.0 + 0.5) / 10000.0 AS rms
+        |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.decodeAudio(
+        Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("doc_id")),
+
+    // ---- DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    //      reference-free variant): per-source proxy loss = token-
+    //      weighted unigram bits-per-token (x67's EXACT tk/g/tot CTEs —
+    //      the proxy cannot drift from the original), excess over the
+    //      easiest domain, multiplicative-weights update
+    //      w_s ∝ share_s · exp(η·excess_s) with η = 1. The final
+    //      normalizer folds over a source-SORTED list (the dsirWeights
+    //      determinism recipe) — per-source rows are few, but the fold
+    //      order must not be engine-chosen ----
+    Q("x170_doremi_weights", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${h60Sql("t", 1152921504606846976L)} AS h FROM (
+         |    SELECT doc_id, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)),
+         |g AS (SELECT h, count(*) AS cnt FROM tk GROUP BY h),
+         |tot AS (
+         |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) + count(*) AS tv
+         |  FROM g),
+         |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
+         |per AS (
+         |  SELECT dc.doc_id,
+         |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
+         |    list_sort(list(struct_pack(h := dc.h, c := dc.c, cnt := g.cnt)))
+         |      AS arr
+         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_tok,
+         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+         |        s -> s.c * log2((s.cnt + 1.0) / tv))), (a, x) -> a + x))
+         |      / n_tok * 10000.0 + 0.5) / 10000.0 AS bpt
+         |  FROM per, tot),
+         |sl AS (
+         |  SELECT d.source, CAST(sum(w.n_tok) AS BIGINT) AS n_tokens,
+         |    floor(sum(w.bpt * w.n_tok) / sum(w.n_tok) * 10000.0 + 0.5)
+         |      / 10000.0 AS bits_per_token
+         |  FROM w JOIN documents d USING (doc_id)
+         |  GROUP BY d.source),
+         |mn AS (
+         |  SELECT min(bits_per_token) AS minloss,
+         |         CAST(sum(n_tokens) AS BIGINT) AS total
+         |  FROM sl),
+         |u AS (
+         |  SELECT source, n_tokens, bits_per_token,
+         |    bits_per_token - minloss AS excess,
+         |    n_tokens * 1.0 / total AS share,
+         |    (n_tokens * 1.0 / total) * exp(bits_per_token - minloss)
+         |      AS unnorm
+         |  FROM sl, mn),
+         |z AS (
+         |  SELECT list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(s := source, u := unnorm))),
+         |      x -> x.u)), (a, b) -> a + b) AS zz
+         |  FROM u)
+         |SELECT source, n_tokens, bits_per_token,
+         |  floor(excess * 10000.0 + 0.5) / 10000.0 AS excess_bits,
+         |  floor(share * 10000.0 + 0.5) / 10000.0 AS base_share,
+         |  floor(unnorm / zz * 10000.0 + 0.5) / 10000.0 AS weight
+         |FROM u, z ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Sampling.doremiWeights(docs,
+          CorpusStats.unigramBits(docs, "doc_id", "text"),
+          "doc_id", "source").orderBy("source")
+      }),
+
+    // ---- audio silence trim (speech-corpus preprocessing): payloads
+    //      carry PLANTED leading silence (doc_id mod 32 zero samples);
+    //      the trimmer re-walks the RIFF chunks, finds the first/last
+    //      |sample| > 8192 by integer compares, and reports the kept
+    //      region + its RMS. The oracle recomputes the PCM from the
+    //      generator recurrence (x169's contract) — trim indices are
+    //      integer-exact, only the kept-region RMS is float ----
+    Q("x171_audio_trim", Some(
+      """WITH p AS (
+        |  SELECT doc_id, length(text) % 192 + 64 AS n, doc_id % 32 AS pre
+        |  FROM documents),
+        |sl AS (
+        |  SELECT doc_id, n,
+        |    list_transform(generate_series(0, n - 1),
+        |      i -> CASE WHEN i < pre THEN 0
+        |           ELSE (doc_id * 2654435761 + i * 40503) % 65536 - 32768
+        |           END) AS s
+        |  FROM p),
+        |ix AS (
+        |  SELECT doc_id, n, s,
+        |    list_min(list_transform(generate_series(0, n - 1),
+        |      i -> CASE WHEN abs(s[i + 1]) > 8192 THEN i END)) AS fi,
+        |    list_max(list_transform(generate_series(0, n - 1),
+        |      i -> CASE WHEN abs(s[i + 1]) > 8192 THEN i END)) AS la
+        |  FROM sl)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(coalesce(fi, n) AS BIGINT) AS lead_trimmed,
+        |  CAST(CASE WHEN fi IS NULL THEN 0 ELSE n - 1 - la END AS BIGINT)
+        |    AS trail_trimmed,
+        |  CAST(CASE WHEN fi IS NULL THEN 0 ELSE la - fi + 1 END AS BIGINT)
+        |    AS kept_samples,
+        |  CASE WHEN fi IS NULL THEN 0.0 ELSE
+        |    floor((la - fi + 1) * 1000.0 / 8000 * 10000.0 + 0.5)
+        |      / 10000.0 END AS kept_ms,
+        |  CASE WHEN fi IS NULL THEN 0.0 ELSE
+        |    floor(sqrt(list_avg(list_transform(
+        |        list_transform(generate_series(fi, la),
+        |          i -> CAST(s[i + 1] AS DOUBLE)), x -> x * x)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS rms_kept
+        |FROM ix ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.trimSilence(
+        Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text",
+          silencePrefixMod = 32), threshold = 8192)
+        .toDF().orderBy("doc_id"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

@@ -239,4 +239,40 @@ class SamplingSpec extends SparkSpec {
         valBuckets = 1)
     }
   }
+
+  test("doremi weights: closed-form two-domain case") {
+    val d = Seq((1L, "A"), (2L, "B")).toDF("doc_id", "source")
+    val bits = Seq((1L, 100L, 2.0), (2L, 100L, 3.0))
+      .toDF("doc_id", "n_tok", "bpt")
+    val w = Sampling.doremiWeights(d, bits, "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // equal shares, excess(B) = 1 bit → w_B/w_A = e
+    assert(w("A").getAs[Double]("excess_bits") == 0.0)
+    assert(w("B").getAs[Double]("excess_bits") == 1.0)
+    assert(w("A").getAs[Double]("base_share") == 0.5)
+    // closed form: w_A = 1/(1+e), w_B = e/(1+e), portable-rounded
+    assert(w("A").getAs[Double]("weight") == 0.2689)
+    assert(w("B").getAs[Double]("weight") == 0.7311)
+  }
+
+  test("doremi weights: token-weighted loss, zero-token docs ignored") {
+    val d = Seq((1L, "A"), (3L, "A"), (2L, "B"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val bits = Seq((1L, 50L, 2.0), (3L, 150L, 4.0), (2L, 100L, 3.0),
+      (4L, 0L, 0.0)).toDF("doc_id", "n_tok", "bpt")
+    val w = Sampling.doremiWeights(d, bits, "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A: (50·2 + 150·4)/200 = 3.5 bits; B unaffected by the empty doc
+    assert(w("A").getAs[Double]("bits_per_token") == 3.5)
+    assert(w("B").getAs[Double]("bits_per_token") == 3.0)
+    assert(w("A").getAs[Long]("n_tokens") == 200L)
+    assert(w("B").getAs[Long]("n_tokens") == 100L)
+    // B is the easiest domain → excess 0; weights sum to 1 post-round
+    assert(w("B").getAs[Double]("excess_bits") == 0.0)
+    val sum = w.values.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(sum - 1.0) < 2e-4)
+    // harder domain ends above its base share
+    assert(w("A").getAs[Double]("weight") >
+      w("A").getAs[Double]("base_share"))
+  }
 }
