@@ -252,6 +252,40 @@ object CorpusStats {
     df.withColumn("pctl", percent_rank().over(
       Window.partitionBy(groupCol).orderBy(valueCol)))
 
+  /** EXACT per-group quartiles with neither per-group buffering nor a
+    * sketch — the third point in the quantile design space next to
+    * [[lengthQuantiles]]' two: build the (group, value) count
+    * histogram, running-sum it in value order, and read q_p as the
+    * smallest value whose cumulative count reaches ⌈p·n⌉ (pure
+    * integer compares — `cum·4 ≥ n`, `cum·2 ≥ n`, `cum·4 ≥ 3n` — so
+    * the result is engine-exact with zero rounding discipline).
+    *
+    * Why this is the 100 TB shape for DISCRETE values (token counts,
+    * lengths, scores quantized at the edge): state per group is one
+    * row per DISTINCT value — bounded by value cardinality, not row
+    * count — and every step is a hash aggregate or a group-partitioned
+    * window; nothing buffers a group's rows and nothing approximates.
+    * For continuous unbounded values, quantize first or fall back to
+    * the sketch path. Output: (group, n, q25, q50, q75) with discrete
+    * lower-quantile semantics (no interpolation). */
+  def histQuantiles(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val h = t.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val n = t.groupBy("g").agg(count(lit(1)).as("n"))
+    val cum = h.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(n, Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q25"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("q50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q75"))
+      .select(col("g").as(groupCol), col("n"), col("q25"), col("q50"),
+        col("q75"))
+  }
+
   /** Per-group length quantiles (p25/p50/p75) plus min/max/count.
     *
     * `approx = false` (default): exact `percentile` with linear

@@ -283,6 +283,49 @@ object Multimodal {
       }
   }
 
+  /** Decimated-audio row produced by [[decimateAudio]]. */
+  final case class DecimatedAudio(doc_id: Long, n_in: Long, n_out: Long,
+                                  rate_out: Int, rms_out: Double)
+
+  /** 2:1 audio decimation with a [1 2 1]/4 smoothing kernel — the
+    * resample step a speech pipeline runs before a lower-rate model.
+    * Output sample j is `(s[2j−1] + 2·s[2j] + s[2j+1]) / 4` with
+    * edge clamping and TRUNCATING integer division, so the entire
+    * kernel is integer-exact in any engine (both the JVM's `/` and
+    * SQL integer division truncate toward zero); only the final RMS
+    * is float, portable-rounded. Per-partition batch decode, total
+    * over junk payloads, like every decoder here. */
+  def decimateAudio(withPayloads: DataFrame): Dataset[DecimatedAudio] = {
+    implicit val enc = Encoders.product[DecimatedAudio]
+    withPayloads.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getAs[Long]("doc_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          AudioCodec.decode(payload) match {
+            case Some(d) if d.channels == 1 && d.nFrames > 0 =>
+              val s = AudioCodec.pcmSamples(payload)
+              val n = s.length
+              val m = (n + 1) / 2
+              var j = 0
+              var sumSq = 0.0
+              while (j < m) {
+                val a = s(math.max(2 * j - 1, 0))
+                val b = s(2 * j)
+                val c = s(math.min(2 * j + 1, n - 1))
+                val y = (a + 2 * b + c) / 4
+                sumSq += y.toDouble * y
+                j += 1
+              }
+              DecimatedAudio(docId, n.toLong, m.toLong, d.sampleRate / 2,
+                graft.functions.TextFunctions
+                  .portableRoundJvm(math.sqrt(sumSq / m), 4))
+            case _ => DecimatedAudio(docId, 0L, 0L, 0, 0.0)
+          }
+        }
+      }
+  }
+
   /** Frame-sampling shape for video-like payloads: every `stride`-th
     * byte-block becomes a "frame" row (explode with ordinal). Shows the
     * fan-out plumbing (one row → many frames) without a codec. */

@@ -6175,6 +6175,67 @@ object ExtensionCatalog {
       (s, dir) => Multimodal.trimSilence(
         Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text",
           silencePrefixMod = 32), threshold = 8192)
+        .toDF().orderBy("doc_id")),
+
+    // ---- exact distributed quartiles by value histogram: the third
+    //      quantile design point next to x47's two (exact-but-buffering
+    //      percentile, approx GK sketch) — state per group is one row
+    //      per DISTINCT value, the selection rule is pure integer
+    //      compares (cum·4 ≥ n etc.), and every stage is a hash agg or
+    //      group-partitioned window. The right exact-quantile shape at
+    //      100 TB for discrete values like token counts ----
+    Q("x172_hist_quantiles", Some(
+      s"""WITH t AS (
+         |  SELECT source, len(${tokSql("text")}) AS v FROM documents),
+         |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |      FROM t GROUP BY source),
+         |h AS (SELECT source, v, count(*) AS c FROM t GROUP BY source, v),
+         |cum AS (
+         |  SELECT source, v,
+         |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+         |  FROM h)
+         |SELECT source, n,
+         |  CAST(min(CASE WHEN cum * 4 >= n THEN v END) AS BIGINT) AS q25,
+         |  CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT) AS q50,
+         |  CAST(min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS BIGINT)
+         |    AS q75
+         |FROM cum JOIN n USING (source) GROUP BY source, n
+         |ORDER BY source""".stripMargin),
+      (s, dir) => CorpusStats.histQuantiles(
+        t(s, dir, "documents").select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok")),
+        "source", "n_tok").orderBy("source")),
+
+    // ---- 2:1 audio decimation ([1 2 1]/4 smoothing kernel): the
+    //      resample step before a lower-rate speech model. The kernel
+    //      is INTEGER-exact end to end — edge-clamped taps, truncating
+    //      division (JVM `/` and SQL integer division agree toward
+    //      zero) — so the oracle replays it tap by tap from the x169
+    //      recurrence; only the final RMS is float ----
+    Q("x173_audio_decimate", Some(
+      """WITH p AS (
+        |  SELECT doc_id, length(text) % 192 + 64 AS n FROM documents),
+        |sl AS (
+        |  SELECT doc_id, n,
+        |    list_transform(generate_series(0, n - 1),
+        |      i -> (doc_id * 2654435761 + i * 40503) % 65536 - 32768)
+        |      AS s
+        |  FROM p),
+        |y AS (
+        |  SELECT doc_id, n, (n + 1) // 2 AS m,
+        |    list_transform(generate_series(0, (n + 1) // 2 - 1),
+        |      j -> (s[greatest(2 * j, 1)] + 2 * s[2 * j + 1] +
+        |            s[least(2 * j + 2, n)]) // 4) AS ys
+        |  FROM sl)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+        |  CAST(m AS BIGINT) AS n_out,
+        |  CAST(4000 AS INT) AS rate_out,
+        |  floor(sqrt(list_avg(list_transform(
+        |      list_transform(ys, v -> CAST(v AS DOUBLE)), x -> x * x)))
+        |    * 10000.0 + 0.5) / 10000.0 AS rms_out
+        |FROM y ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.decimateAudio(
+        Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id"))
   )
 

@@ -83,6 +83,20 @@ class AudioCodecSpec extends SparkSpec {
     assert(Multimodal.trimSilence(junk).head().n_samples == 0L)
   }
 
+  test("decimateAudio: [1 2 1]/4 taps, edge clamps, truncating division") {
+    val wav = AudioCodec.encodeWav(Array[Short](5, -100, 300), 8000)
+    val df = Seq((1L, wav)).toDF("doc_id", "payload")
+    val d = Multimodal.decimateAudio(df).head()
+    // j=0: (5 + 2·5 + (−100))/4 = −85/4 → −21 (toward zero)
+    // j=1: ((−100) + 2·300 + 300)/4 = 800/4 = 200
+    assert(d.n_in == 3 && d.n_out == 2 && d.rate_out == 4000)
+    assert(d.rms_out == graft.functions.TextFunctions.portableRoundJvm(
+      math.sqrt((21.0 * 21 + 200.0 * 200) / 2), 4))
+    // junk payload → zero row, not a crash
+    val junk = Seq((2L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.decimateAudio(junk).head().n_out == 0L)
+  }
+
   test("withWavPayload emits valid WAV; decodeAudio is total over junk") {
     val docs = Seq((7L, "hello world"), (8L, "")).toDF("doc_id", "text")
     val wp = Multimodal.withWavPayload(docs, "doc_id", "text")

@@ -354,4 +354,23 @@ class CorpusStatsSpec extends SparkSpec {
     val g2 = CorpusStats.tokenGini(skew, "source", "text").head()
     assert(g2.getDouble(2) == 0.5)
   }
+
+  test("histQuantiles: exact discrete quartiles, tie mass, layout-independent") {
+    // group a: values 1,2,3,4 → n=4: q25 = first v with cum ≥ 1 = 1,
+    // q50 = cum ≥ 2 = 2, q75 = cum ≥ 3 = 3
+    // group b: 5,5,5,9 → heavy tie mass: the 5s carry cum=3 ≥ every
+    // quartile rank (1, 2, 3), so all three quartiles land on 5
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    val q = CorpusStats.histQuantiles(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(q("a").getLong(2) == 1L && q("a").getLong(3) == 2L &&
+      q("a").getLong(4) == 3L)
+    assert(q("b").getLong(2) == 5L && q("b").getLong(3) == 5L &&
+      q("b").getLong(4) == 5L)
+    // layout independence: same result from a different partitioning
+    val q2 = CorpusStats.histQuantiles(df.repartition(7), "g", "v")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(q2 == q.map { case (k, r) => k -> r.toSeq })
+  }
 }
