@@ -640,7 +640,17 @@ object Similarity {
     * predicate (the x101 oracle) agrees. A zero-norm vector's cosine is
     * NaN, which Spark sorts FIRST under desc; `nanvl(sim, -1)` demotes
     * such pairs below every real similarity instead of letting a
-    * degenerate vector displace genuine hard negatives from the top-k. */
+    * degenerate vector displace genuine hard negatives from the top-k.
+    *
+    * Scale shape of the reduction: at k=1 the winner per query is a
+    * commutative max over a (sim, -eid)-ordered struct, which
+    * partial-aggregates map-side — each corpus partition emits at most
+    * |queries| candidate rows into the shuffle instead of the full
+    * |queries|×|corpus| similarity stream a global row_number window
+    * would sort (at pair-mined anchor counts that stream is billions of
+    * rows; the partial path shuffles |queries|×numPartitions). The -eid
+    * tie-break lane assumes non-negative ids (true for every vec_id
+    * source here); k>1 keeps the window, its callers bound |queries|. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int,
                     roundTo: Int = 4): DataFrame = {
@@ -655,10 +665,19 @@ object Similarity {
         nanvl(round(dot(col("qv"), col("ev")) /
             (col("qnorm") * col("enorm")), roundTo),
           lit(-1.0)).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+    val topk = if (k == 1) {
+      sims.groupBy("qid")
+        .agg(max(struct(col("sim"), (-col("eid")).as("inv_eid"),
+          col("eid"), col("elabel"))).as("m"))
+        .select(col("qid"), col("m.eid").as("eid"),
+          col("m.elabel").as("elabel"), col("m.sim").as("sim"),
+          lit(1).as("rn"))
+    } else {
+      val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+    }
+    topk.orderBy("qid", "rn")
   }
 
   /** Retrieval-quality metrics beyond recall: reciprocal rank of the

@@ -240,6 +240,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => r.getInt(4)).toSeq == Seq(1, 2, 3))
   }
 
+  test("hardNegatives k=1: partial-agg path equals the window path, ties to low eid") {
+    def v(x: Float, y: Float) = Array(x, y, 0.0f, 0.0f)
+    // vec 7 and vec 3 are the SAME vector (exact sim tie vs any query):
+    // the k=1 max-struct path must pick the lower eid, like the window's
+    // (sim desc, eid asc) ordering does
+    val df = Seq(
+      (0L, 0, v(1.0f, 0.00f)),
+      (1L, 0, v(0.8f, 0.30f)),
+      (3L, 1, v(1.0f, 0.10f)),
+      (7L, 1, v(1.0f, 0.10f)),
+      (5L, 2, v(0.0f, 1.00f)))
+      .toDF("vec_id", "label", "embedding")
+    val qs = df.filter($"vec_id" <= 1L)
+    val fast = Similarity.hardNegatives(qs, df,
+      "vec_id", "embedding", "label", k = 1).collect()
+    assert(fast.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 3L), (1L, 3L)), "tie must break to the lower eid")
+    assert(fast.forall(_.getInt(4) == 1))
+    // schema + values identical to what the window path would produce
+    val slow = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val q = broadcast(qs.select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"embedding".as("qv")))
+      df.select($"vec_id".as("eid"), $"label".as("elabel"),
+          $"embedding".as("ev"))
+        .join(q, $"qlabel" =!= $"elabel")
+        .select($"qid", $"eid", $"elabel",
+          nanvl(round(Similarity.dot($"qv", $"ev") /
+            (sqrt(Similarity.dot($"qv", $"qv")) *
+              sqrt(Similarity.dot($"ev", $"ev"))), 4), lit(-1.0)).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("sim"), $"eid")))
+        .filter($"rn" === 1).orderBy("qid").collect()
+    }
+    assert(fast.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq ==
+      slow.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq)
+  }
+
   test("incremental IVF postings probe equals the from-scratch index") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 60L)
