@@ -376,6 +376,15 @@ object ScaleStress {
         .withColumn("label", (col("vec_id") % 7).cast("int")),
       emb.withColumn("label", (col("vec_id") % 7).cast("int")),
       "vec_id", "embedding", "label", k = 10).count())
+    // the x168 shape: anchors in the thousands, k=1 — exercises the
+    // partial-aggregating max-struct reduction (the window path here
+    // would sort |anchors|×|corpus| rows through one shuffle; at sf1
+    // that was 1030 s pre-fix)
+    time("hard negatives k=1 bulk")(Similarity.hardNegatives(
+      emb.filter(col("vec_id") % 41 === 0)
+        .withColumn("label", (col("vec_id") % 7).cast("int")),
+      emb.withColumn("label", (col("vec_id") % 7).cast("int")),
+      "vec_id", "embedding", "label", k = 1).count())
     time("asof join events")({
       // ev: the replicated ns-read events table built above
       val right = ev.filter(col("event_id") % 5 === 0)
