@@ -382,4 +382,60 @@ object Sampling {
           .when(bucket < trainBuckets + valBuckets, "val")
           .otherwise("test"))
   }
+
+  /** Quality-greedy selection under a token budget — the
+    * data-constrained-curation step: admit documents from the best
+    * quality score downward until `num/den` of the corpus's tokens are
+    * spent, then report the per-source composition of what was kept.
+    *
+    * Granularity is the quality CLASS (the distinct rounded score),
+    * not the document: classes are admitted whole, in quality-descending
+    * order, and the first class that would overflow the budget is
+    * dropped entirely. Class-granular cutoffs keep the whole reduction
+    * free of any per-document global ordering — no ranking of the
+    * corpus, no running sum over unbounded rows — and make the
+    * selection independent of doc_id enumeration order by construction.
+    *
+    * Scale shape: the only per-document passes are two hash aggregates
+    * (class histogram, final per-source rollup) and one broadcast semi
+    * join against the kept-class list. The prefix sum over classes runs
+    * two-level — a cumsum windowed WITHIN each first-decimal bucket of
+    * the score plus a bucket-totals self-join for the cross-bucket
+    * prefix — so no single-partition window exists anywhere even though
+    * the reduction is a global running total. State is bounded by score
+    * cardinality (4-dp scores: ≤ 10⁴ classes, ≤ 11 buckets), the x172
+    * histogram-method invariant.
+    *
+    * NULL scores are never admitted (a doc the scorer could not rate
+    * cannot be certified high-quality): the equality semi join is
+    * null-rejecting on both engines, which the oracle's `USING (q)`
+    * mirrors. Budget arithmetic is integer (`sum·num div den`), so the
+    * threshold is the same exact value at any corpus size. */
+  def tokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                  qualityCol: String, tokCol: String,
+                  num: Int = 2, den: Int = 5): DataFrame = {
+    require(num >= 0 && den >= 1, "need num >= 0, den >= 1")
+    val d = df.select(col(idCol).as("id"), col(sourceCol).as("src"),
+      col(qualityCol).as("q"), col(tokCol).cast("long").as("nt"))
+    val cls = d.groupBy("q").agg(sum("nt").as("ct"))
+      .withColumn("b", floor(col("q") * 10).cast("int"))
+    val inBucket = cls.withColumn("cum_in", sum(col("ct")).over(
+      Window.partitionBy("b").orderBy(desc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bucketTotals = cls.groupBy("b").agg(sum("ct").as("bt"))
+    val above = bucketTotals.as("lo")
+      .join(bucketTotals.as("hi"), col("hi.b") > col("lo.b"), "left")
+      .groupBy(col("lo.b").as("b"))
+      .agg(coalesce(sum(col("hi.bt")), lit(0L)).as("above"))
+    val budget = d.agg(
+      expr(s"(sum(nt) * $num) div $den").as("budget"))
+    val kept = inBucket.join(above, Seq("b"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_in") + col("above") <= col("budget"))
+      .select("q")
+    d.join(broadcast(kept), Seq("q"), "left_semi")
+      .groupBy(col("src").as(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .orderBy(sourceCol)
+  }
 }

@@ -6236,7 +6236,49 @@ object ExtensionCatalog {
         |FROM y ORDER BY doc_id""".stripMargin),
       (s, dir) => Multimodal.decimateAudio(
         Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // ---- quality-greedy token-budget curation (the data-constrained-
+    //      scaling step: spend 2/5 of the corpus's tokens on the
+    //      best-scored docs, report what the mix became). Granularity
+    //      is the quality CLASS — distinct 4-dp scores admitted whole,
+    //      best first, the overflowing class dropped entirely — so no
+    //      per-document global ordering exists. The class prefix sum is
+    //      two-level (within-first-decimal-bucket window + bucket-totals
+    //      self-join): state bounded by score cardinality, no
+    //      single-partition window. NULL scores are never admitted
+    //      (null-rejecting equality join, mirrored by USING (q)) ----
+    Q("x174_token_budget", Some(
+      s"""WITH sc AS (
+         |  SELECT doc_id, source, $qualityFormulaSql AS q,
+         |    CAST(n_tok AS BIGINT) AS nt
+         |  FROM (SELECT doc_id, source, $qualityStatsSql FROM documents)),
+         |bud AS (SELECT (sum(nt) * 2) // 5 AS budget FROM sc),
+         |cls AS (SELECT q, sum(nt) AS ct FROM sc GROUP BY q),
+         |bkt AS (SELECT q, ct, CAST(floor(q * 10) AS INT) AS b FROM cls),
+         |inb AS (
+         |  SELECT q, b, sum(ct) OVER (PARTITION BY b ORDER BY q DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+         |  FROM bkt),
+         |btot AS (SELECT b, sum(ct) AS bt FROM bkt GROUP BY b),
+         |abv AS (
+         |  SELECT lo.b AS b, coalesce(sum(hi.bt), 0) AS above
+         |  FROM btot lo LEFT JOIN btot hi ON hi.b > lo.b GROUP BY lo.b),
+         |keepq AS (
+         |  SELECT q FROM inb JOIN abv USING (b), bud
+         |  WHERE cum_in + above <= bud.budget)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM sc JOIN keepq USING (q)
+         |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        Sampling.tokenBudget(scored, "doc_id", "source", "quality",
+          "n_tok")
+      })
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

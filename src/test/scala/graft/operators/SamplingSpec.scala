@@ -275,4 +275,37 @@ class SamplingSpec extends SparkSpec {
     assert(w("A").getAs[Double]("weight") >
       w("A").getAs[Double]("base_share"))
   }
+
+  test("tokenBudget: class-granular greedy cut, cross-bucket prefix, " +
+    "NULL quality never admitted") {
+    // buckets: 0.9 → 9; 0.85 and 0.8 → 8 (0.8*10 floats just ABOVE 8);
+    // 0.3 → 2 (0.3*10 floats just BELOW 3) — the floor-of-float cases
+    // the oracle must agree on
+    val d = Seq(
+      (1L, "a", Some(0.9), 40L), (2L, "a", Some(0.9), 10L),
+      (3L, "b", Some(0.85), 30L), (4L, "a", Some(0.8), 25L),
+      (5L, "b", Some(0.3), 100L), (6L, "c", None: Option[Double], 100L))
+      .toDF("doc_id", "source", "quality", "n_tok")
+    // total 305 tokens (NULL-quality doc counts toward the corpus),
+    // budget 305*2 div 5 = 122: classes desc 0.9(50) 0.85(cum 80)
+    // 0.8(cum 105) all fit; 0.3 (cum 205) overflows and is dropped
+    // whole; the NULL class is never admitted
+    val got = Sampling.tokenBudget(d, "doc_id", "source", "quality",
+        "n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 3L, 75L), ("b", 1L, 30L)))
+    // tighter budget (1/5 = 61 tokens): only the 0.9 class fits whole
+    // (0.85 would reach 80) — the boundary class drops entirely even
+    // though 11 of its tokens would still fit
+    val tight = Sampling.tokenBudget(d, "doc_id", "source", "quality",
+        "n_tok", num = 1, den = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tight == Seq(("a", 2L, 50L)))
+    // layout independence: the two-level prefix must not depend on
+    // partitioning
+    val got12 = Sampling.tokenBudget(d.repartition(12), "doc_id",
+        "source", "quality", "n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got12 == got)
+  }
 }
