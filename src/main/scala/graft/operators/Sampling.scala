@@ -248,15 +248,18 @@ object Sampling {
     * .unigramBits]] output — ) so the caller can swap in any scorer
     * (trigram LM, classifier NLL) without touching the update rule.
     *
-    * Scale shape: one (doc → source) join + a per-source aggregation;
-    * everything after that is per-SOURCE rows (a handful), including
-    * the normalizer, which folds over a source-sorted list so the sum
-    * order is never engine-chosen ([[dsirWeights]]' recipe). Driver
-    * state: two scalar aggregates + one ≤|sources| fold. */
+    * Scale shape: one (doc → source) join + a per-source aggregation,
+    * executed exactly once — the ≤|sources|-row result is localized so
+    * the three downstream consumers (min/total scalars, normalizer
+    * fold, final projection) never replay the corpus-wide proxy-loss
+    * lineage. Everything after the localization is per-SOURCE rows (a
+    * handful), including the normalizer, which folds over a
+    * source-sorted list so the sum order is never engine-chosen
+    * ([[dsirWeights]]' recipe). Driver state: ≤|sources| rows. */
   def doremiWeights(docs: DataFrame, perDocBits: DataFrame, idCol: String,
                     sourceCol: String, eta: Double = 1.0,
                     roundTo: Int = 4): DataFrame = {
-    val sl = perDocBits.filter(col("n_tok") > 0)
+    val slPlan = perDocBits.filter(col("n_tok") > 0)
       .join(docs.select(col(idCol).as("doc_id"),
         col(sourceCol).as("source")), Seq("doc_id"))
       .groupBy("source")
@@ -265,6 +268,14 @@ object Sampling {
           sum(col("bpt") * col("n_tok").cast("double")) /
             sum(col("n_tok")).cast("double"), roundTo)
           .as("bits_per_token"))
+    // Run the corpus-wide proxy-loss lineage exactly ONCE: the
+    // per-source table is ≤|sources| rows, but three separate actions
+    // consume it (the min/total scalars, the sorted normalizer fold,
+    // the final projection) — left as lazy lineage each would replay
+    // the full unigram-LM scan, tripling the corpus cost. Localizing
+    // ≤|sources| rows is bounded driver state, the file's invariant.
+    val sl = perDocBits.sparkSession.createDataFrame(
+      java.util.Arrays.asList(slPlan.collect(): _*), slPlan.schema)
     val mnRow = sl.agg(min(col("bits_per_token")),
       sum(col("n_tokens")).cast("long")).head()
     val minLoss = mnRow.getDouble(0)
