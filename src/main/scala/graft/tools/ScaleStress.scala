@@ -360,6 +360,15 @@ object ScaleStress {
     time("priority sample")(graft.operators.Sampling.prioritySample(
       docs.withColumn("w", length(col("text"))), "doc_id", "w",
       k = 100).count())
+    // x174's shape: two hash aggregates over the corpus + the bounded
+    // two-level class prefix sum — must stay linear in docs
+    time("token budget")(graft.operators.Sampling.tokenBudget(
+      docs.select(col("doc_id"), col("lang").as("source"),
+        graft.functions.TextFunctions.qualityScore(col("text"))
+          .as("quality"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok")),
+      "doc_id", "source", "quality", "n_tok").count())
     time("curriculum 10 bands")(CorpusStats.curriculum(
       docs.select(col("doc_id"),
         length(col("text")).cast("double").as("score")),
