@@ -124,11 +124,15 @@ object Funnels {
                     refUs: Long, halflifeDays: Int = 7): DataFrame = {
     require(halflifeDays >= 1, "halflifeDays must be >= 1")
     // integer `div` end to end (a `/` on longs would detour through
-    // doubles); cap the shift at 40: 2^20 >> 40 = 0, and capping keeps
-    // both engines away from Java's mod-64 shift semantics
+    // doubles); clamp the shift to [0, 40] — 2^20 >> 40 = 0 above, and
+    // events AFTER refUs (clock skew, refUs = "now" instead of
+    // max(ts)) must weigh at least the full 2^20, not fall into
+    // Java's mod-64 shift (1 >> -1 = >> 63 = 0) below
     val shift = least(
-      expr(s"((${refUs}L - unix_micros($tsCol)) div 86400000000L) " +
-        s"div ${halflifeDays}L"),
+      greatest(
+        expr(s"((${refUs}L - unix_micros($tsCol)) div 86400000000L) " +
+          s"div ${halflifeDays}L"),
+        lit(0L)),
       lit(40L)).cast("int")
     events.groupBy(col(typeCol).as("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -45,6 +45,9 @@ object Pca {
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(scale) + lit(0.5)).cast("long"))
         .as("xq"))
+      // null/empty vectors posexplode to nothing — keep n consistent
+      // with the rows that actually contribute products
+      .filter(col("xq").isNotNull && size(col("xq")) > 0)
     val n = xq.count()
     val expl = xq.select(col("xq"),
       posexplode(col("xq")).as(Seq("i", "xi")))
@@ -52,9 +55,15 @@ object Pca {
       posexplode(col("xq")).as(Seq("j", "xj")))
     // one hash agg over n·d² products — map-side combined, the shuffle
     // carries only d² rows per partition
+    // cast OPERANDS to decimal so the accumulation itself runs in
+    // DECIMAL(38,0), not Int64 — at |x|~32, qBits=10 the products are
+    // ~2^30 and an Int64 running sum wraps (ANSI: aborts) near ~8e9
+    // rows; the DuckDB oracle sums in HUGEINT, so the sum must be
+    // exact on this side too (the centroidConfusion/cosinePairs
+    // pattern)
     val sums = expl2.groupBy("i", "j")
-      .agg(sum(col("xi") * col("xj")).cast(dec).as("s"))
-    val tots = expl.groupBy("i").agg(sum(col("xi")).cast(dec).as("t"))
+      .agg(sum((col("xi") * col("xj")).cast(dec)).as("s"))
+    val tots = expl.groupBy("i").agg(sum(col("xi").cast(dec)).as("t"))
     sums
       .join(tots.select(col("i").as("_ti"), col("t").as("ti")),
         col("i") === col("_ti"))
@@ -81,13 +90,19 @@ object Pca {
     val d = m.keys.map(_._1).max + 1
     var v = Array.fill(d)(1.0)
     for (_ <- 1 to iters) {
-      // matrix·vector with the fold in ascending-j order per row
+      // matrix·vector with the fold in ascending-j order per row;
+      // ragged corpora can leave (i, j) holes — a missing cell is a
+      // zero scatter entry, not a crash
       val w = Array.tabulate(d) { i =>
-        (0 until d).foldLeft(0.0)((acc, j) => acc + m((i, j)) * v(j))
+        (0 until d).foldLeft(0.0)((acc, j) =>
+          acc + m.getOrElse((i, j), 0.0) * v(j))
       }
-      // norm folded in ascending-i order
+      // norm folded in ascending-i order; a zero matrix (constant
+      // corpus) has no preferred direction — keep v rather than
+      // dividing by zero into NaN loadings
       val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
-      v = w.map(x => TextFunctions.portableRoundJvm(x / norm, 6))
+      if (norm > 0.0)
+        v = w.map(x => TextFunctions.portableRoundJvm(x / norm, 6))
     }
     v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
       .toDF("pos", "loading")

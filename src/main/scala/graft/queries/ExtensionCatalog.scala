@@ -410,7 +410,8 @@ object ExtensionCatalog {
     s"""WITH xq AS MATERIALIZED (
        |  SELECT list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xq),
        |e1 AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM xq),
        |e2 AS (SELECT v, i, unnest(generate_series(1, len(v))) AS j
@@ -5618,8 +5619,9 @@ object ExtensionCatalog {
       """WITH mx AS (SELECT max(ts) AS m FROM events),
         |a AS (
         |  SELECT event_type,
-        |    least(((epoch_us(mx.m) - epoch_us(ts)) // 86400000000) // 7,
-        |      40) AS sh
+        |    least(greatest(
+        |      ((epoch_us(mx.m) - epoch_us(ts)) // 86400000000) // 7,
+        |      0), 40) AS sh
         |  FROM events CROSS JOIN mx)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(1048576 >> sh) AS BIGINT) AS decayed_q

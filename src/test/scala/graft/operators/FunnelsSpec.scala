@@ -125,4 +125,22 @@ class FunnelsSpec extends SparkSpec {
     assert(got("old") == ((2L, 1048576L / 2 + 1048576L / 4)))
     assert(got("ancient") == ((1L, 0L)))
   }
+
+  test("decayedCounts: events AFTER refUs weigh the full 2^20, " +
+    "never mod-64 shift to zero") {
+    import spark.implicits._
+    val ref = 1700000000000000L // µs
+    def at(daysAgo: Long) = new java.sql.Timestamp(
+      (ref - daysAgo * 86400000000L) / 1000L)
+    val ev = Seq(
+      ("skewed", at(-30)), // 30 days IN THE FUTURE of refUs
+      ("skewed", at(0))
+    ).toDF("event_type", "ts")
+    val got = Funnels.decayedCounts(ev, "event_type", "ts", ref)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // without the lower clamp the -4 halflife shift hits Java's
+    // mod-64 semantics (>> 60 = 0); clamped, both rows weigh 2^20
+    assert(got("skewed") == ((2L, 2L * 1048576L)))
+  }
 }

@@ -55,4 +55,47 @@ class PcaSpec extends SparkSpec {
       Pca.topComponent(df, "v")
     }
   }
+
+  test("scatter accumulation is DECIMAL end to end (operands cast " +
+    "BEFORE the sum, no Int64 partials)") {
+    // the sum aggregate's child must already be DecimalType — an
+    // Int64 running sum wraps (or ANSI-aborts) near ~8e9 rows of
+    // 2^30-scale products even though each product fits a long
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val agg = Pca.scatterMatrix(df, "v").queryExecution.analyzed
+    val sumChildren = agg.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+            s.child.dataType
+        })
+    }.flatten
+    assert(sumChildren.nonEmpty)
+    sumChildren.foreach { dt =>
+      assert(dt.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"sum accumulates in $dt, not DECIMAL")
+    }
+  }
+
+  test("null and empty vectors neither crash nor dilute n") {
+    // 3 real points on a line + a null row + an empty row: the
+    // component must be what the 3 real points alone produce
+    val real = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 4.0f)), (3L, Seq(3.0f, 6.0f)))
+    val a = Pca.topComponent(real.toDF("id", "v"), "v")
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    val dirty = real.map { case (i, v) => (i, Some(v)) } ++
+      Seq((4L, None), (5L, Some(Seq.empty[Float])))
+    val b = Pca.topComponent(dirty.toDF("id", "v"), "v")
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    assert(a == b, s"$a vs $b")
+  }
+
+  test("zero scatter (constant corpus) yields finite loadings, not NaN") {
+    val df = Seq((1L, Seq(2.0f, 2.0f)), (2L, Seq(2.0f, 2.0f)))
+      .toDF("id", "v")
+    val got = Pca.topComponent(df, "v").orderBy("pos").collect()
+      .map(_.getDouble(1))
+    assert(got.forall(x => !x.isNaN && !x.isInfinite), got.toSeq.toString)
+  }
 }
