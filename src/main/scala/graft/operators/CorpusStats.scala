@@ -373,6 +373,98 @@ object CorpusStats {
           .otherwise(cov * cov / (varx * vary)), roundTo).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(T) ≈ K·T^β measured at
+    * `checkpoints` doc-id prefixes of the corpus (ids are the
+    * ingestion order key), with β/ln K from an exact OLS over the
+    * ln-ln checkpoint curve — the capacity-planning dual of
+    * [[zipfFit]] (how fast does the vocab table grow as the corpus
+    * grows; β drifting toward 1 flags an id-like token leak).
+    *
+    * Scale shape: thresholds are two collected scalars (min/max id —
+    * the k-means pattern); per-term first-sight is ONE hash
+    * aggregation (min doc_id per term); every checkpoint statistic is
+    * a conditional sum inside a single-row aggregate — no global
+    * windows, no per-checkpoint rescans. Determinism: all checkpoint
+    * counts are exact longs; the only floats are the ln-ln OLS folds,
+    * run in checkpoint order over a ≤`checkpoints`-element array.
+    * Output: one row per checkpoint (chk, max_doc_id, n_docs,
+    * n_tokens, vocab) with beta / ln_k / r2 replicated per row;
+    * checkpoints with zero tokens or vocab are excluded from the fit
+    * (ln undefined) but still reported. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               checkpoints: Int = 10, roundTo: Int = 4): DataFrame = {
+    require(checkpoints >= 2, "heaps fit needs at least 2 checkpoints")
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    require(!bounds.isNullAt(0), "heaps fit: empty corpus")
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val span = hi - lo + 1
+    val chks: Seq[(Int, Long)] = (1 to checkpoints)
+      .map(i => i -> (lo - 1 + i * span / checkpoints))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val first = toks.select(col("id"), explode(col("tk")).as("t"))
+      .groupBy("t").agg(min(col("id")).as("f"))
+    def sums(src: DataFrame, mk: (Int, Long) => Seq[Column]) = {
+      val cols = chks.flatMap { case (i, c) => mk(i, c) }
+      src.agg(cols.head, cols.tail: _*)
+    }
+    val docAgg = sums(
+      toks.select(col("id"), size(col("tk")).cast("long").as("nt")),
+      (i, c) => Seq(
+        sum(when(col("id") <= c, lit(1L)).otherwise(lit(0L))).as(s"d$i"),
+        sum(when(col("id") <= c, col("nt")).otherwise(lit(0L))).as(s"t$i")))
+    val vocAgg = sums(first,
+      (i, c) => Seq(
+        sum(when(col("f") <= c, lit(1L)).otherwise(lit(0L))).as(s"v$i")))
+    val rows = docAgg.crossJoin(vocAgg)
+      .select(explode(array(chks.map { case (i, c) =>
+        struct(lit(i).as("chk"), lit(c).as("max_doc_id"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"),
+          col(s"v$i").as("vocab"))
+      }: _*)).as("r"))
+      .select(col("r.chk"), col("r.max_doc_id"), col("r.n_docs"),
+        col("r.n_tokens"), col("r.vocab"))
+    // ln-ln OLS over the checkpoint curve, folded in chk order
+    val fitArr = rows
+      .agg(array_sort(collect_list(struct(col("chk"),
+        col("n_tokens").as("t"), col("vocab").as("v")))).as("arr0"))
+      .select(filter(col("arr0"), s =>
+        s.getField("t") > 0L && s.getField("v") > 0L).as("arr"))
+    def fold(xs: Column): Column =
+      aggregate(xs, lit(0.0), (acc, x) => acc + x)
+    def lnT(s: Column): Column = log(s.getField("t").cast("double"))
+    def lnV(s: Column): Column = log(s.getField("v").cast("double"))
+    val withSums = fitArr.select(size(col("arr")).as("n"),
+      fold(transform(col("arr"), s => lnT(s))).as("sx"),
+      fold(transform(col("arr"), s => lnV(s))).as("sy"),
+      fold(transform(col("arr"), s => lnT(s) * lnV(s))).as("sxy"),
+      fold(transform(col("arr"), s => lnT(s) * lnT(s))).as("sxx"),
+      fold(transform(col("arr"), s => lnV(s) * lnV(s))).as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    val slope = when(col("varx") === 0.0, lit(0.0))
+      .otherwise(col("cov") / col("varx"))
+    val fit = withSums
+      .select(col("n"), cov.as("cov"), varx.as("varx"), vary.as("vary"),
+        col("sx"), col("sy"))
+      .select(
+        TextFunctions.portableRound(slope + lit(1000.0), roundTo)
+          .minus(lit(1000.0)).as("beta"),
+        TextFunctions.portableRound(
+          when(col("n") === 0, lit(0.0))
+            .otherwise((col("sy") - slope * col("sx")) / col("n").cast("double"))
+            + lit(1000.0), roundTo).minus(lit(1000.0)).as("ln_k"),
+        TextFunctions.portableRound(
+          when(col("varx") * col("vary") === 0.0, lit(0.0))
+            .otherwise(col("cov") * col("cov") / (col("varx") * col("vary"))),
+          roundTo).as("r2"))
+    rows.crossJoin(broadcast(fit)).orderBy("chk")
+  }
+
   /** Bigram language-model score: bits per bigram under the corpus's
     * own add-1-smoothed bigram model — the KenLM-style perplexity
     * filter one step up from [[unigramBits]] (context-aware: catches
@@ -386,22 +478,46 @@ object CorpusStats {
     * only. Determinism: the x67 recipe — exact-integer counts, fold
     * over the (h1,h2)-sorted list, portable-round last. */
   def bigramBits(df: DataFrame, idCol: String, textCol: String,
-                 roundTo: Int = 4): DataFrame = {
-    val hs = df.select(col(idCol).as("doc_id"),
+                 roundTo: Int = 4): DataFrame =
+    bigramBitsAgainst(df, df, idCol, textCol, roundTo)
+
+  /** [[bigramBits]] with the MODEL corpus decoupled from the SCORED
+    * corpus — the CCNet shape: train the small LM on a clean reference
+    * subset, score EVERY document against it. Add-1 smoothing makes
+    * out-of-model bigrams well-defined: a bigram the model never saw
+    * scores (0+1)/(c₁+V), and an unseen context scores 1/V — so the
+    * left joins below coalesce missing counts to 0 and the arithmetic
+    * tree is unchanged. With model == score the joins are effectively
+    * inner and this IS [[bigramBits]] (every scored bigram exists in
+    * the model tables), value-identical. */
+  def bigramBitsAgainst(model: DataFrame, scoreDf: DataFrame,
+                        idCol: String, textCol: String,
+                        roundTo: Int = 4): DataFrame = {
+    def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
       transform(TextFunctions.tokens(lower(col(textCol))),
         t => TextFunctions.md5Hash60(t)).as("hs"))
-    val nb = greatest(size(col("hs")) - 1, lit(0))
-    val bg = hs.select(col("doc_id"),
-        explode(zip_with(slice(col("hs"), lit(1), nb),
-          slice(col("hs"), lit(2), nb),
-          (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
-      .select(col("doc_id"), col("b.h1"), col("b.h2"))
-    val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val v = hs.select(explode(col("hs")).as("h"))
+    def bigrams(src: DataFrame) = {
+      val nb = greatest(size(col("hs")) - 1, lit(0))
+      src.select(col("doc_id"),
+          explode(zip_with(slice(col("hs"), lit(1), nb),
+            slice(col("hs"), lit(2), nb),
+            (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
+        .select(col("doc_id"), col("b.h1"), col("b.h2"))
+    }
+    val mh = hashed(model)
+    val mg = bigrams(mh)
+    val c2 = mg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val c1 = mg.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val v = mh.select(explode(col("hs")).as("h"))
       .agg(count_distinct(col("h"))).head().getLong(0)
-    val dc = bg.groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
-    val per = dc.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+    val hs = hashed(scoreDf)
+    val df = scoreDf
+    val dc = bigrams(hs).groupBy("doc_id", "h1", "h2")
+      .agg(count(lit(1)).as("c"))
+    val per = dc.join(c2, Seq("h1", "h2"), "left").join(c1, Seq("h1"), "left")
+      .select(col("doc_id"), col("h1"), col("h2"), col("c"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_big"),
         array_sort(collect_list(struct(col("h1"), col("h2"), col("c"),

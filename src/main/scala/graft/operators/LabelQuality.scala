@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Label-quality analytics for training-data curation: agreement
+  * between noisy labelers (Cohen's κ), calibration of the quality
+  * classifier against a rule-based truth (reliability bins + ECE), and
+  * drift between corpus snapshots (PSI). These are the QC dashboards a
+  * labeling/filtering pipeline runs BEFORE trusting its labels — the
+  * reference's dashboard-analytics surface generalized to label ops
+  * (frontend/public/dashboard.html:328-602 is the same shape: grouped
+  * counts + one derived scalar).
+  *
+  * Determinism discipline (the x67/x106 recipe): every aggregate sums
+  * EXACT integers (labels are 0/1; probabilities are pre-quantized
+  * 1e-4 multiples, so ×10⁴ is an exact long); floats appear only in
+  * final single-expression divisions, and any cross-row float fold
+  * runs over a key-sorted bounded list. All three ops are one or two
+  * map-side-combined aggregations — no windows over unbounded
+  * partitions, no driver loops.
+  */
+object LabelQuality {
+
+  /** Cohen's κ between two boolean annotator columns: one exact-integer
+    * aggregation to the 2×2 confusion table, then κ from the table.
+    * Output (single row): n, n11, n00, n10, n01, po, pe, kappa.
+    *
+    * Scale shape: a full-corpus map-side-combined count — the cheapest
+    * query class in the engine. κ is the standard "are my two noisy
+    * labelers actually measuring the same thing" gate before
+    * Snorkel-style vote aggregation (x165) is trusted. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 roundTo: Int = 4): DataFrame = {
+    val a = col(aCol).cast("int").cast("long")
+    val b = col(bCol).cast("int").cast("long")
+    val tab = df.select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / n
+    // chance agreement from the marginals — each product is exact in
+    // Int64 (n ≤ 2^31 rows keeps n_x·n_y < 2^62), one final division
+    val pe = (((col("n11") + col("n10")) * (col("n11") + col("n01")))
+      .cast("double") +
+      ((col("n00") + col("n01")) * (col("n00") + col("n10")))
+        .cast("double")) / (n * n)
+    tab.select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+      TextFunctions.portableRound(po, roundTo).as("po"),
+      TextFunctions.portableRound(pe, roundTo).as("pe"),
+      // κ ∈ [−1, 1]: the +1000 shift keeps portableRound in its
+      // positive domain (the zipfFit slope discipline)
+      TextFunctions.portableRound(
+        when(pe === lit(1.0), lit(0.0))
+          .otherwise((po - pe) / (lit(1.0) - pe)) + lit(1000.0), roundTo)
+        .minus(lit(1000.0)).as("kappa"))
+  }
+
+  /** Reliability diagram + expected calibration error for a
+    * probability column against a boolean truth column. Probabilities
+    * MUST already be 1e-4 multiples (everything
+    * [[TextFunctions.classifierProb]]-shaped is) — the per-bin mean
+    * then sums exact longs, so aggregation order cannot move it.
+    * Output: one row per non-empty bin (bin, n, n_pos, mean_prob,
+    * frac_pos, gap) with the corpus ECE replicated on each row (the
+    * x170 per-row-plus-scalar shape).
+    *
+    * Scale shape: one hash aggregation to ≤ `bins` rows, then a
+    * bounded fold over the bin-sorted list for ECE. */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+                        bins: Int = 10, roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, "calibration needs at least 2 bins")
+    val pq = floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long")
+    val bin = least(floor(col(probCol) * lit(bins)).cast("int"),
+      lit(bins - 1))
+    val per = df.select(bin.as("bin"), pq.as("pq"),
+        col(labelCol).cast("int").cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pq")).as("spq"),
+        sum(col("y")).as("n_pos"))
+    val rows = per.select(col("bin"), col("n"), col("n_pos"),
+        TextFunctions.portableRound(
+          col("spq").cast("double") / (col("n").cast("double") * lit(10000.0)),
+          roundTo).as("mean_prob"),
+        TextFunctions.portableRound(
+          col("n_pos").cast("double") / col("n").cast("double"), roundTo)
+          .as("frac_pos"))
+      .withColumn("gap",
+        TextFunctions.portableRound(abs(col("mean_prob") - col("frac_pos")),
+          roundTo))
+    // ECE = Σ (n_b/N)·gap_b — folded in bin order over ≤ bins elements
+    val ece = rows
+      .agg(sum(col("n")).as("nn"),
+        array_sort(collect_list(struct(col("bin"),
+          (col("n").cast("double") * col("gap")).as("w")))).as("arr"))
+      .select(TextFunctions.portableRound(
+        aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("w"))
+          / col("nn").cast("double"), roundTo).as("ece"))
+    rows.crossJoin(broadcast(ece)).orderBy("bin")
+  }
+
+  /** Population stability index between two corpus snapshots over a
+    * binned score column — THE standing drift monitor for a filter
+    * model's input distribution (JSD's industry sibling; x82 covers
+    * token-distribution JSD, this covers score-bin PSI between
+    * snapshots). Laplace-smoothed shares `(c+1)/(n+bins)` keep empty
+    * bins finite, and ALL `bins` bins participate (an empty bin still
+    * contributes its smoothed mass — dropping it would understate
+    * drift). Output: one row per bin (bin, n_a, n_b, p_a, p_b,
+    * psi_bin) with psi_total replicated per row.
+    *
+    * `sideCol` must be a 0/1 integer column (0 = snapshot A). */
+  def psiDrift(df: DataFrame, sideCol: String, probCol: String,
+               bins: Int = 10, roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, "psi needs at least 2 bins")
+    val spark = df.sparkSession
+    val bin = least(floor(col(probCol) * lit(bins)).cast("int"),
+      lit(bins - 1))
+    val counts = df.select(bin.as("bin"), col(sideCol).cast("long").as("s"))
+      .groupBy("bin")
+      .agg(sum(lit(1L) - col("s")).as("c_a"), sum(col("s")).as("c_b"))
+    // every bin participates — smoothing gives empty bins mass too
+    import spark.implicits._
+    val allBins = broadcast((0 until bins).toDF("bin"))
+    val full = allBins.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_a"), lit(0L)).as("n_a"),
+        coalesce(col("c_b"), lit(0L)).as("n_b"))
+    val tots = full.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (col("t_a") + lit(bins.toLong)).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (col("t_b") + lit(bins.toLong)).cast("double")
+    val perBin = full.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        pa.as("pa_raw"), pb.as("pb_raw"))
+      .withColumn("psi_raw", (col("pa_raw") - col("pb_raw")) *
+        log(col("pa_raw") / col("pb_raw")))
+    val total = perBin
+      .agg(array_sort(collect_list(struct(col("bin"),
+        col("psi_raw").as("w")))).as("arr"))
+      .select(TextFunctions.portableRound(
+        aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("w")),
+        roundTo).as("psi_total"))
+    perBin.select(col("bin"), col("n_a"), col("n_b"),
+        TextFunctions.portableRound(col("pa_raw"), roundTo).as("p_a"),
+        TextFunctions.portableRound(col("pb_raw"), roundTo).as("p_b"),
+        TextFunctions.portableRound(col("psi_raw") + lit(1000.0), roundTo)
+          .minus(lit(1000.0)).as("psi_bin"))
+      .crossJoin(broadcast(total))
+      .orderBy("bin")
+  }
+}

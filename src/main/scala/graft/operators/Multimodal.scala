@@ -326,6 +326,101 @@ object Multimodal {
       }
   }
 
+  /** Decoded PCM as an int array column — the bridge from the byte
+    * world (RIFF payloads, JVM chunk walk) to the Column world: every
+    * downstream DSP step over `samples` can then be a declarative
+    * array expression that a SQL oracle mirrors 1:1 on the recurrence-
+    * reconstructed PCM. Non-WAV payloads yield an empty array (total
+    * function, like every decoder here). */
+  def pcmArray(withPayloads: DataFrame): DataFrame = {
+    val spark = withPayloads.sparkSession
+    import spark.implicits._
+    withPayloads.select("doc_id", "payload")
+      .map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val samples = AudioCodec.decode(payload) match {
+          case Some(d) if d.channels == 1 && d.nFrames > 0 =>
+            AudioCodec.pcmSamples(payload)
+          case _ => Array.empty[Int]
+        }
+        (docId, samples)
+      }
+      .toDF("doc_id", "samples")
+  }
+
+  /** Shazam-style audio landmark fingerprints over decoded PCM: frame
+    * the samples into `frame`-sample windows, sum-of-squares energy
+    * per frame (exact longs), keep STRICT local-maximum frames as
+    * peaks, and hash every in-window peak pair
+    * (band₁ | band₂ | Δframe | anchor-frame) where band = energy >> 8
+    * (dropping low-order bits is the quantization; the remaining ~25
+    * bits keep chance cross-track collisions negligible — a coarse
+    * log-bucket band was measured at sf0.01 to produce ~160× more
+    * chance pairs than true re-upload pairs). Including the anchor
+    * position targets exact-copy detection (re-uploaded audio), the
+    * dedup case; the shift-tolerant variant drops it and votes on
+    * offsets downstream. Output: (doc_id, fh), 60-bit hash per
+    * landmark.
+    *
+    * Everything after the byte decode is array Column algebra — one
+    * scan, no shuffle; payload sizes bound the per-row work (n/frame
+    * frames, ≤ that many peaks, ≤ fanout pairs per peak). */
+  def audioLandmarks(pcm: DataFrame, frame: Int = 4,
+                     fanout: Int = 8): DataFrame = {
+    require(frame >= 1 && fanout >= 1, "frame and fanout must be >= 1")
+    val nf = (size(col("samples")) / frame).cast("int")
+    // energies per full frame (tail partial frame dropped); an
+    // unguarded sequence(0, -1) DESCENDS, hence the nf >= 1 gate
+    val energies = when(nf >= 1,
+      transform(sequence(lit(0), nf - 1),
+        f => aggregate(slice(col("samples"), f * frame + 1, lit(frame)),
+          lit(0L), (acc, x) =>
+            acc + x.cast("long") * x.cast("long"))))
+      .otherwise(array().cast("array<bigint>"))
+    val withE = pcm.select(col("doc_id"), energies.as("es"))
+    // strict local maxima over interior frames
+    val peaks = when(size(col("es")) >= 3,
+      filter(sequence(lit(1), size(col("es")) - 2),
+        p => element_at(col("es"), p + 1) > element_at(col("es"), p) &&
+          element_at(col("es"), p + 1) > element_at(col("es"), p + 2)))
+      .otherwise(array().cast("array<int>"))
+    val withP = withE.select(col("doc_id"), col("es"), peaks.as("pk"))
+    def band(p: org.apache.spark.sql.Column) =
+      shiftright(element_at(col("es"), p + 1), 8).cast("long")
+    val pairs = flatten(transform(col("pk"), p1 =>
+      transform(filter(col("pk"), p2 => p2 > p1 && p2 - p1 <= fanout),
+        p2 => graft.functions.TextFunctions.md5Hash60(
+          concat_ws("|", band(p1).cast("string"), band(p2).cast("string"),
+            (p2 - p1).cast("long").cast("string"),
+            p1.cast("long").cast("string"))))))
+    withP.select(col("doc_id"), explode(pairs).as("fh"))
+  }
+
+  /** Cross-track fingerprint matching: hash-bucket join (the Shazam
+    * lookup), count shared landmarks per track pair, keep pairs with
+    * ≥ `minMatches`. `maxBucket` is the LSH valve (x06's lesson): a
+    * degenerate hash shared by too many tracks would quadratically
+    * blow the bucket self-join, so oversized buckets are DROPPED —
+    * deterministically, both engines — and the cap is part of the
+    * operator's contract, not a silent truncation (callers see the
+    * cap; the default is far above anything non-degenerate). */
+  def fingerprintMatches(landmarks: DataFrame, minMatches: Int = 8,
+                         maxBucket: Int = 64): DataFrame = {
+    val perBucket = landmarks.groupBy("fh")
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    perBucket
+      .select(col("fh"), explode(col("ids")).as("id_a"))
+      .join(perBucket.select(col("fh"), explode(col("ids")).as("id_b")),
+        Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_hashes"))
+      .filter(col("n_hashes") >= minMatches)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Frame-sampling shape for video-like payloads: every `stride`-th
     * byte-block becomes a "frame" row (explode with ordinal). Shows the
     * fan-out plumbing (one row → many frames) without a codec. */

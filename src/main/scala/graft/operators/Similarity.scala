@@ -680,6 +680,71 @@ object Similarity {
     topk.orderBy("qid", "rn")
   }
 
+  /** Margin-based cross-corpus pair mining (the Artetxe & Schwenk
+    * bitext-mining criterion LASER/CCMatrix pipelines use): a raw
+    * cosine is a biased pairing signal in hubby embedding spaces, so
+    * each candidate (a, b) is scored by its cosine RELATIVE to the two
+    * sides' local similarity level — margin = sim / ((knnAvg_a +
+    * knnAvg_b) / 2), where knnAvg_x averages x's top-`k` cosines into
+    * the OTHER side. Emits the argmax-margin partner per left-side row
+    * (the forward mining direction), with the margin attached so the
+    * caller picks its own acceptance threshold.
+    *
+    * Determinism: cosines are rounded to 1e-4 first (the x08
+    * discipline); each knn average sums the ROUNDED sims as exact
+    * ×10⁴ longs (aggregation order cannot move it) with one final
+    * division; the winner per aid is a commutative max over a
+    * (margin, -bid)-ordered struct — the x168 map-side-combining
+    * reduction, not a global window.
+    *
+    * Scale shape: this is the EXACT all-pairs baseline (|A|×|B|
+    * broadcast nested loop, b-side broadcast) — at corpus scale run
+    * it over an ANN candidate set instead: feed `a`/`b` restricted to
+    * [[ivfProbePostings]] / [[lshTopK]] survivors, the margin math is
+    * the same. The top-k windows partition per-row (never global). */
+  def marginPairs(a: DataFrame, b: DataFrame, idCol: String,
+                  vecCol: String, k: Int = 4,
+                  roundTo: Int = 4): DataFrame = {
+    val av = a.select(col(idCol).as("aid"), col(vecCol).as("avv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("an"))
+    val bv = broadcast(b.select(col(idCol).as("bid"), col(vecCol).as("bvv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("bn")))
+    // zero-norm vectors have no direction: sim 0 by definition (ANSI
+    // throws on the double division a NaN-tolerant engine would allow)
+    val sims = av.join(bv)
+      .select(col("aid"), col("bid"),
+        when(col("an") * col("bn") === lit(0.0), lit(0.0))
+          .otherwise(round(
+            dot(col("avv"), col("bvv")) / (col("an") * col("bn")),
+            roundTo)).as("sim"))
+    // top-k average per side, over exact ×10⁴ integers
+    def knnAvg(src: DataFrame, key: String, other: String): DataFrame = {
+      val w = Window.partitionBy(key).orderBy(desc("sim"), col(other))
+      src.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(key)
+        .agg((sum(floor(col("sim") * lit(10000.0) + lit(0.5)).cast("long"))
+          .cast("double") /
+          (count(lit(1)).cast("double") * lit(10000.0))).as(s"avg_$key"))
+    }
+    val ka = knnAvg(sims, "aid", "bid")
+    val kb = knnAvg(sims, "bid", "aid")
+    // a zero local level (all-zero neighborhoods) has no defined
+    // margin — report 0 rather than divide into ±inf
+    val denom = (col("avg_aid") + col("avg_bid")) / lit(2.0)
+    val scored = sims.join(ka, Seq("aid")).join(kb, Seq("bid"))
+      .select(col("aid"), col("bid"), col("sim"),
+        TextFunctions.portableRound(
+          when(denom === lit(0.0), lit(0.0))
+            .otherwise(col("sim") / denom)
+            + lit(1000.0), roundTo).minus(lit(1000.0)).as("margin"))
+    scored.groupBy("aid")
+      .agg(max(struct(col("margin"), (-col("bid")).as("inv_bid"),
+        col("bid"), col("sim"))).as("m"))
+      .select(col("aid"), col("m.bid").as("bid"), col("m.sim").as("sim"),
+        col("m.margin").as("margin"))
+      .orderBy("aid")
+  }
+
   /** Retrieval-quality metrics beyond recall: reciprocal rank of the
     * true best hit and binary-relevance nDCG@k of an approximate
     * ranking against exact truth — the eval rows that justify an ANN

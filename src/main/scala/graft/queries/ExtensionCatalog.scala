@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
-  Contamination, CorpusStats, Dedup, Funnels, GramIndex, GraphRank,
-  IncrementalDedup, MergeUpsert, Multimodal, RangeJoin, RepeatedSpans,
-  Salting, Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
+  Contamination, CorpusStats, Dedup, EntityResolution, Funnels, GramIndex,
+  GraphRank, IncrementalDedup, LabelQuality, MergeUpsert, Multimodal,
+  RangeJoin, RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches,
+  TfIdf, ZOrder, ZoneMap}
 import graft.sources.Bucketing
 import graft.streaming.{StreamCuration, StreamIngest}
 
@@ -364,6 +365,60 @@ object ExtensionCatalog {
 
   /** x166's training-sequence length. */
   private val TrainSeqLen = 256L
+
+  /** x175's sorted-neighborhood shape: block = nation, window rows,
+    * and which custkeys get a planted dirty twin (last name char →
+    * 'x', balance +1.5 — a typo plus drift, the linkage case). */
+  private val SnmWindow = 3
+  private val SnmDirtyMod = 250
+
+  /** x176/x181's reliability/PSI bin count. */
+  private val CalBins = 10
+
+  /** x178's local-neighborhood depth for the margin denominator. */
+  private val MarginK = 4
+
+  /** x179's fingerprint shape: energy frame width, peak-pair fan-out
+    * window, match threshold, bucket valve, and which doc_ids get a
+    * byte-identical re-upload twin (negative id, same PCM). */
+  private val FpFrame = 4
+  private val FpFanout = 8
+  private val FpMinMatches = 4
+  private val FpMaxBucket = 64
+  private val FpDupMod = 83
+
+  /** x180's vocabulary-growth checkpoint count. */
+  private val HeapsChk = 10
+
+  /** x182's tercile edges (pctl < 1/3 → head, < 2/3 → middle). */
+  private val CcnetLo = 1.0 / 3.0
+  private val CcnetHi = 2.0 / 3.0
+
+  /** Gopher rule-gate CTEs ending in `g(doc_id, keep)` over `src` —
+    * the x32/x165 fragment, shared so the label-QC queries (x176,
+    * x182) judge against the SAME gate the rule ops implement. */
+  private def gopherKeepCtes(src: String): String =
+    s"""gtk AS (
+       |  SELECT doc_id, unnest(${tokSql("text")}) AS t FROM $src),
+       |gper AS (
+       |  SELECT doc_id, t, count(*) AS c FROM gtk GROUP BY 1, 2),
+       |gagg AS (
+       |  SELECT doc_id, sum(c) AS n_tok,
+       |    floor(sum(length(t) * c) * 1.0 / sum(c) * 10000.0 + 0.5)
+       |      / 10000.0 AS mean_tok_len,
+       |    floor(max(c) * 1.0 / sum(c) * 10000.0 + 0.5) / 10000.0
+       |      AS max_freq_ratio,
+       |    floor(sum(CASE WHEN regexp_matches(t, '[A-Za-z]')
+       |        THEN c ELSE 0 END) * 1.0 / sum(c) * 10000.0 + 0.5)
+       |      / 10000.0 AS alpha_ratio
+       |  FROM gper GROUP BY doc_id),
+       |g AS (
+       |  SELECT d.doc_id,
+       |    (coalesce(n_tok, 0) BETWEEN 50 AND 100000
+       |     AND coalesce(mean_tok_len, 0.0) BETWEEN 3.0 AND 10.0
+       |     AND coalesce(max_freq_ratio, 0.0) <= 0.2
+       |     AND coalesce(alpha_ratio, 0.0) >= 0.8) AS keep
+       |  FROM $src d LEFT JOIN gagg USING (doc_id))""".stripMargin
 
   /** x153's planted non-Latin rows (the natural corpus is
     * Latin-dominated). The SQL VALUES interpolate these SAME Scala
@@ -6280,6 +6335,505 @@ object ExtensionCatalog {
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
         Sampling.tokenBudget(scored, "doc_id", "source", "quality",
           "n_tok")
+      }),
+
+    // ---- entity resolution via sorted-neighborhood blocking (SNM,
+    //      Hernández & Stolfo): the dedup family's structured-records
+    //      sibling — candidates are O(n·window) inside nation blocks,
+    //      never all-pairs; a Fellegi–Sunter-style additive score over
+    //      (name edit distance, balance delta, segment equality)
+    //      decides matches. Planted dirty twins (last name char →
+    //      'x', balance +1.5) keep the clean synthetic table
+    //      non-vacuous ----
+    Q("x175_entity_resolution", Some(
+      s"""WITH cust AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT -c_custkey, substr(c_name, 1, length(c_name) - 1) || 'x',
+         |    c_nationkey, c_acctbal + 1.5, c_mktsegment
+         |  FROM customer WHERE c_custkey % $SnmDirtyMod = 0),
+         |b AS (
+         |  SELECT c_custkey AS id, c_nationkey AS blk,
+         |    lower(trim(c_name)) AS nm, c_acctbal AS bal,
+         |    c_mktsegment AS seg,
+         |    row_number() OVER (PARTITION BY c_nationkey
+         |      ORDER BY lower(trim(c_name)), c_custkey) AS rk
+         |  FROM cust),
+         |cand AS (
+         |  SELECT l.id AS id_l, r.id AS id_r, l.nm AS nm_l, r.nm AS nm_r,
+         |    l.bal AS bal_l, r.bal AS bal_r, l.seg AS seg_l, r.seg AS seg_r
+         |  FROM b l JOIN b r
+         |    ON l.blk = r.blk AND r.rk - l.rk BETWEEN 1 AND $SnmWindow),
+         |sc AS (
+         |  SELECT least(id_l, id_r) AS id_a, greatest(id_l, id_r) AS id_b,
+         |    CAST(levenshtein(nm_l, nm_r) AS INT) AS name_dist,
+         |    floor(abs(bal_l - bal_r) * 100.0 + 0.5) / 100.0 AS bal_diff,
+         |    (seg_l = seg_r) AS same_seg,
+         |    (CASE WHEN levenshtein(nm_l, nm_r) <= 2 THEN 2.0 ELSE 0.0 END
+         |     + CASE WHEN abs(bal_l - bal_r) <= 5.0 THEN 1.5 ELSE 0.0 END
+         |     + CASE WHEN seg_l = seg_r THEN 0.5 ELSE 0.0 END) AS score
+         |  FROM cand)
+         |SELECT id_a, id_b, name_dist, bal_diff, same_seg,
+         |  CAST(score AS DOUBLE) AS score
+         |FROM sc WHERE score >= 3.0 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val dirty = c.filter(col("c_custkey") % SnmDirtyMod === 0)
+          .select((-col("c_custkey")).as("c_custkey"),
+            concat(expr("substr(c_name, 1, length(c_name) - 1)"),
+              lit("x")).as("c_name"),
+            col("c_nationkey"),
+            (col("c_acctbal") + lit(1.5)).as("c_acctbal"),
+            col("c_mktsegment"))
+        EntityResolution.sortedNeighborhood(
+          c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment").unionByName(dirty),
+          "c_custkey", "c_nationkey", "c_name", "c_acctbal",
+          "c_mktsegment", window = SnmWindow)
+      }),
+
+    // ---- classifier calibration: reliability bins + expected
+    //      calibration error of the frozen quality classifier against
+    //      the Gopher rule gate as truth — the "can I trust 0.8 to
+    //      mean 80%" dashboard a threshold-based curation run needs
+    //      before picking its cut. Voters are the x86/x32 fragments ----
+    Q("x176_calibration_report", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |j AS (
+         |  SELECT cp.doc_id, cp.cls_prob,
+         |    CASE WHEN g.keep THEN 1 ELSE 0 END AS y
+         |  FROM cp JOIN g USING (doc_id)),
+         |pb AS (
+         |  SELECT least(CAST(floor(cls_prob * $CalBins) AS INT),
+         |      ${CalBins - 1}) AS bin,
+         |    CAST(floor(cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq, y
+         |  FROM j),
+         |per AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(pq) AS spq,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM pb GROUP BY bin),
+         |br AS (
+         |  SELECT bin, n, n_pos,
+         |    floor(CAST(spq AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+         |      * 10000.0 + 0.5) / 10000.0 AS mean_prob,
+         |    floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * 10000.0 + 0.5) / 10000.0 AS frac_pos
+         |  FROM per),
+         |bg AS (
+         |  SELECT bin, n, n_pos, mean_prob, frac_pos,
+         |    floor(abs(mean_prob - frac_pos) * 10000.0 + 0.5) / 10000.0
+         |      AS gap
+         |  FROM br),
+         |e AS (
+         |  SELECT floor(list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(bin := bin,
+         |        w := CAST(n AS DOUBLE) * gap))),
+         |      s -> s.w)), (a, x) -> a + x)
+         |    / CAST(sum(n) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ece
+         |  FROM bg)
+         |SELECT CAST(bin AS INT) AS bin, n, n_pos, mean_prob, frac_pos,
+         |  gap, ece
+         |FROM bg, e ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"),
+          QualityRules.gopherKeep(
+            QualityRules.tokenStats(col("text"))).as("keep"))
+        LabelQuality.calibrationReport(scored, "cls_prob", "keep",
+          bins = CalBins)
+      }),
+
+    // ---- Cohen's κ between the two noisy labelers x165 votes with
+    //      (heuristic quality vs frozen classifier): chance-corrected
+    //      agreement, the gate on whether a label-model vote means
+    //      anything. One exact-integer pass to the 2×2 table ----
+    Q("x177_kappa_agreement", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, $qualityStatsSql FROM documents)),
+         |${classifierCtes("documents")},
+         |ab AS (
+         |  SELECT CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN cp.cls_prob >= 0.5 THEN 1 ELSE 0 END AS b
+         |  FROM q JOIN cp USING (doc_id)),
+         |tb AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01
+         |  FROM ab),
+         |raw AS (
+         |  SELECT n, n11, n00, n10, n01,
+         |    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po_raw,
+         |    (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+         |     + CAST((n00 + n01) * (n00 + n10) AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe_raw
+         |  FROM tb)
+         |SELECT n, n11, n00, n10, n01,
+         |  floor(po_raw * 10000.0 + 0.5) / 10000.0 AS po,
+         |  floor(pe_raw * 10000.0 + 0.5) / 10000.0 AS pe,
+         |  floor((CASE WHEN pe_raw = 1.0 THEN 0.0
+         |      ELSE (po_raw - pe_raw) / (1.0 - pe_raw) END + 1000.0)
+         |    * 10000.0 + 0.5) / 10000.0 - 1000.0 AS kappa
+         |FROM raw""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+          (TextFunctions.qualityScore(col("text")) >= 0.5).as("va"),
+          (TextFunctions.classifierProb(col("text")) >= 0.5).as("vb"))
+        LabelQuality.cohenKappa(scored, "va", "vb")
+      }),
+
+    // ---- margin-based pair mining (Artetxe & Schwenk, the
+    //      LASER/CCMatrix bitext criterion): label parity splits the
+    //      embedding corpus into two "sides"; each left row's best
+    //      partner is scored by cosine RELATIVE to both rows' local
+    //      top-k level, killing hub matches a raw cosine would accept.
+    //      Exact all-pairs baseline — at scale the same margin math
+    //      runs over ANN candidates (x17/x12) ----
+    Q("x178_margin_pair_mining", Some({
+      val cos = (av: String, bv: String) =>
+        s"""CASE WHEN sqrt(list_sum(list_transform($av, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform($bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0.0
+           |      THEN 0.0 ELSE round(
+           |      list_sum(list_transform(generate_series(1, len($av)),
+           |        i -> CAST($av[i] AS DOUBLE) * CAST($bv[i] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform($av, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform($bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           |      4) END""".stripMargin
+      s"""WITH aa AS (
+         |  SELECT vec_id AS aid, embedding AS av FROM embeddings
+         |  WHERE label % 2 = 0),
+         |bb AS (
+         |  SELECT vec_id AS bid, embedding AS bv FROM embeddings
+         |  WHERE label % 2 = 1),
+         |sims AS (
+         |  SELECT aid, bid, ${cos("av", "bv")} AS sim
+         |  FROM aa, bb),
+         |ka AS (
+         |  SELECT aid,
+         |    CAST(sum(CAST(floor(sim * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_a
+         |  FROM (SELECT aid, sim, row_number() OVER (PARTITION BY aid
+         |      ORDER BY sim DESC, bid) AS rn FROM sims)
+         |  WHERE rn <= $MarginK GROUP BY aid),
+         |kb AS (
+         |  SELECT bid,
+         |    CAST(sum(CAST(floor(sim * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_b
+         |  FROM (SELECT bid, sim, row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, aid) AS rn FROM sims)
+         |  WHERE rn <= $MarginK GROUP BY bid),
+         |scq AS (
+         |  SELECT s.aid, s.bid, s.sim,
+         |    floor((CASE WHEN (ka.avg_a + kb.avg_b) / 2.0 = 0.0 THEN 0.0
+         |        ELSE s.sim / ((ka.avg_a + kb.avg_b) / 2.0) END + 1000.0)
+         |      * 10000.0 + 0.5) / 10000.0 - 1000.0 AS margin
+         |  FROM sims s JOIN ka USING (aid) JOIN kb USING (bid))
+         |SELECT aid, bid, sim, margin FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY aid
+         |    ORDER BY margin DESC, bid) AS rn FROM scq)
+         |WHERE rn = 1 ORDER BY aid""".stripMargin
+    }),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.marginPairs(
+          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", k = MarginK)
+      }),
+
+    // ---- Shazam-style audio fingerprint dedup: landmark hashes
+    //      (peak-pair constellation over exact frame energies) from
+    //      the REAL decoded PCM, hash-bucket join, shared-landmark
+    //      count per track pair. Planted byte-identical re-uploads
+    //      (negative ids, abs-seed PCM) are the dup class; the oracle
+    //      recomputes everything from the x169 sample recurrence, so
+    //      parity again proves decode∘fingerprint end to end ----
+    Q("x179_audio_fingerprint", Some(
+      s"""WITH d0 AS (
+         |  SELECT doc_id, length(text) % 192 + 64 AS n FROM documents),
+         |dd AS (
+         |  SELECT doc_id, n FROM d0
+         |  UNION ALL
+         |  SELECT -doc_id, n FROM d0 WHERE doc_id % $FpDupMod = 0),
+         |pcm AS (
+         |  SELECT doc_id, list_transform(generate_series(0, n - 1),
+         |    i -> CAST((abs(doc_id) * 2654435761 + i * 40503) % 65536
+         |           - 32768 AS BIGINT)) AS s
+         |  FROM dd),
+         |es AS (
+         |  SELECT doc_id, list_transform(
+         |    generate_series(0, (len(s) // $FpFrame) - 1),
+         |    f -> CAST(list_sum(list_transform(
+         |      s[f * $FpFrame + 1 : f * $FpFrame + $FpFrame],
+         |      x -> x * x)) AS BIGINT)) AS e
+         |  FROM pcm WHERE len(s) // $FpFrame >= 1),
+         |pk AS (
+         |  SELECT doc_id, e,
+         |    list_filter(generate_series(1, len(e) - 2),
+         |      p -> e[p + 1] > e[p] AND e[p + 1] > e[p + 2]) AS pk
+         |  FROM es WHERE len(e) >= 3),
+         |lm AS (
+         |  SELECT doc_id, unnest(flatten(list_transform(pk, p1 ->
+         |    list_transform(
+         |      list_filter(pk, p2 -> p2 > p1 AND p2 - p1 <= $FpFanout),
+         |      p2 -> ('0x' || substr(md5(
+         |        CAST(e[p1 + 1] >> 8 AS BIGINT) || '|' ||
+         |        CAST(e[p2 + 1] >> 8 AS BIGINT) || '|' ||
+         |        CAST(p2 - p1 AS BIGINT) || '|' ||
+         |        CAST(p1 AS BIGINT)), 1, 15))::BIGINT)))) AS fh
+         |  FROM pk),
+         |bkt AS (
+         |  SELECT fh, list(DISTINCT doc_id) AS ids
+         |  FROM lm GROUP BY fh
+         |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $FpMaxBucket),
+         |pe AS (SELECT fh, unnest(ids) AS id FROM bkt),
+         |pr AS (
+         |  SELECT l.id AS id_a, r.id AS id_b
+         |  FROM pe l JOIN pe r ON l.fh = r.fh AND l.id < r.id)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_hashes
+         |FROM pr GROUP BY id_a, id_b HAVING count(*) >= $FpMinMatches
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val pcm = Multimodal.pcmArray(
+          Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id",
+            "text"))
+        val withDups = pcm.unionByName(
+          pcm.filter(col("doc_id") % FpDupMod === 0)
+            .select((-col("doc_id")).as("doc_id"), col("samples")))
+        Multimodal.fingerprintMatches(
+          Multimodal.audioLandmarks(withDups, FpFrame, FpFanout),
+          FpMinMatches, FpMaxBucket)
+      }),
+
+    // ---- Heaps'-law vocabulary growth: vocab size at 10 doc-id
+    //      prefixes + the ln-ln OLS fit V ≈ K·T^β — the capacity dual
+    //      of x87's Zipf fit (how fast the vocab table grows with the
+    //      corpus; β drifting toward 1 flags an id-token leak) ----
+    Q("x180_heaps_fit", Some(
+      s"""WITH bounds AS (
+         |  SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+         |    max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+         |chk AS (
+         |  SELECT CAST(i AS INT) AS chk,
+         |    lo - 1 + (i * span) // $HeapsChk AS mid
+         |  FROM bounds, unnest(generate_series(1, $HeapsChk)) AS u(i)),
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS t
+         |  FROM documents),
+         |fs AS (SELECT t, min(doc_id) AS f FROM tk GROUP BY t),
+         |ntt AS (
+         |  SELECT doc_id, CAST(len(${tokSql("lower(text)")}) AS BIGINT)
+         |    AS nt
+         |  FROM documents),
+         |rws AS (
+         |  SELECT c.chk, c.mid AS max_doc_id,
+         |    CAST((SELECT count(*) FROM documents d
+         |      WHERE d.doc_id <= c.mid) AS BIGINT) AS n_docs,
+         |    CAST((SELECT coalesce(sum(nt), 0) FROM ntt
+         |      WHERE ntt.doc_id <= c.mid) AS BIGINT) AS n_tokens,
+         |    CAST((SELECT count(*) FROM fs WHERE fs.f <= c.mid)
+         |      AS BIGINT) AS vocab
+         |  FROM chk c),
+         |one AS (
+         |  SELECT list_filter(list_sort(list(struct_pack(chk := chk,
+         |      t := n_tokens, v := vocab))),
+         |    s -> s.t > 0 AND s.v > 0) AS arr
+         |  FROM rws),
+         |sm AS (
+         |  SELECT len(arr) AS n,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      s -> ln(CAST(s.t AS DOUBLE)))), (a, x) -> a + x) AS sx,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      s -> ln(CAST(s.v AS DOUBLE)))), (a, x) -> a + x) AS sy,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      s -> ln(CAST(s.t AS DOUBLE)) * ln(CAST(s.v AS DOUBLE)))),
+         |      (a, x) -> a + x) AS sxy,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      s -> ln(CAST(s.t AS DOUBLE)) * ln(CAST(s.t AS DOUBLE)))),
+         |      (a, x) -> a + x) AS sxx,
+         |    list_reduce(list_prepend(0.0, list_transform(arr,
+         |      s -> ln(CAST(s.v AS DOUBLE)) * ln(CAST(s.v AS DOUBLE)))),
+         |      (a, x) -> a + x) AS syy
+         |  FROM one),
+         |ft AS (
+         |  SELECT
+         |    floor((CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+         |        ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+         |      + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0 AS beta,
+         |    floor((CASE WHEN n = 0 THEN 0.0
+         |        ELSE (sy - (CASE WHEN (n * sxx - sx * sx) = 0.0 THEN 0.0
+         |          ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+         |          * sx) / n END
+         |      + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0 AS ln_k,
+         |    floor((CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy)
+         |          = 0.0 THEN 0.0
+         |        ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END)
+         |      * 10000.0 + 0.5) / 10000.0 AS r2
+         |  FROM sm)
+         |SELECT r.chk, r.max_doc_id, r.n_docs, r.n_tokens, r.vocab,
+         |  f.beta, f.ln_k, f.r2
+         |FROM rws r, ft f ORDER BY chk""".stripMargin),
+      (s, dir) => CorpusStats.heapsFit(t(s, dir, "documents"), "doc_id",
+        "text", checkpoints = HeapsChk)),
+
+    // ---- population stability index between corpus snapshots
+    //      (doc_id parity as yesterday/today) over classifier-score
+    //      bins — THE standing drift monitor for a filter model's
+    //      input distribution; Laplace smoothing keeps empty bins
+    //      finite and contributing ----
+    Q("x181_psi_drift", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |sb AS (
+         |  SELECT least(CAST(floor(cls_prob * $CalBins) AS INT),
+         |      ${CalBins - 1}) AS bin,
+         |    CAST(doc_id % 2 AS BIGINT) AS s
+         |  FROM cp),
+         |cnt AS (
+         |  SELECT bin, CAST(sum(1 - s) AS BIGINT) AS c_a,
+         |    CAST(sum(s) AS BIGINT) AS c_b
+         |  FROM sb GROUP BY bin),
+         |fullb AS (
+         |  SELECT CAST(i AS INT) AS bin,
+         |    coalesce(c_a, CAST(0 AS BIGINT)) AS n_a,
+         |    coalesce(c_b, CAST(0 AS BIGINT)) AS n_b
+         |  FROM unnest(generate_series(0, ${CalBins - 1})) AS u(i)
+         |  LEFT JOIN cnt ON cnt.bin = i),
+         |tt AS (
+         |  SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+         |    CAST(sum(n_b) AS BIGINT) AS t_b
+         |  FROM fullb),
+         |pr AS (
+         |  SELECT bin, n_a, n_b,
+         |    CAST(n_a + 1 AS DOUBLE) / CAST(t_a + $CalBins AS DOUBLE)
+         |      AS pa,
+         |    CAST(n_b + 1 AS DOUBLE) / CAST(t_b + $CalBins AS DOUBLE)
+         |      AS pb
+         |  FROM fullb, tt),
+         |pw AS (
+         |  SELECT bin, n_a, n_b, pa, pb,
+         |    (pa - pb) * ln(pa / pb) AS psi_raw
+         |  FROM pr),
+         |tot AS (
+         |  SELECT floor(list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(bin := bin, w := psi_raw))),
+         |      s -> s.w)), (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0
+         |    AS psi_total
+         |  FROM pw)
+         |SELECT bin, n_a, n_b,
+         |  floor(pa * 10000.0 + 0.5) / 10000.0 AS p_a,
+         |  floor(pb * 10000.0 + 0.5) / 10000.0 AS p_b,
+         |  floor((psi_raw + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0
+         |    AS psi_bin,
+         |  psi_total
+         |FROM pw, tot ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+          (col("doc_id") % 2).as("side"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        LabelQuality.psiDrift(scored, "side", "cls_prob", bins = CalBins)
+      }),
+
+    // ---- CCNet perplexity bucketing: train the add-1 bigram LM on
+    //      the Gopher-clean reference subset only, score EVERY doc
+    //      against it, split each source into head/middle/tail by
+    //      per-source score terciles — the Wenzek et al. curation
+    //      step between "filter" and "sample". x88's LM fragments,
+    //      reference-trained ----
+    Q("x182_ccnet_buckets", Some(
+      s"""WITH ${gopherKeepCtes("documents")},
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(${tokSql("lower(text)")},
+         |      t -> ${h60Sql("t", 1152921504606846976L)}) AS hs
+         |  FROM documents),
+         |mhs AS (
+         |  SELECT hs.doc_id, hs.hs FROM hs JOIN g USING (doc_id)
+         |  WHERE g.keep),
+         |mbgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 1, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1]))) AS b
+         |  FROM mhs),
+         |mbg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM mbgl),
+         |c2 AS (SELECT h1, h2, count(*) AS c2 FROM mbg GROUP BY 1, 2),
+         |c1 AS (SELECT h1, count(*) AS c1 FROM mbg GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT h) AS v FROM (
+         |  SELECT unnest(hs) AS h FROM mhs)),
+         |bgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 1, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1]))) AS b
+         |  FROM hs),
+         |bg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM bgl),
+         |dc AS (
+         |  SELECT doc_id, h1, h2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_big,
+         |    list_sort(list(struct_pack(h1 := dc.h1, h2 := dc.h2,
+         |      c := dc.c, c2 := coalesce(c2.c2, 0),
+         |      c1 := coalesce(c1.c1, 0)))) AS arr
+         |  FROM dc LEFT JOIN c2 USING (h1, h2) LEFT JOIN c1 USING (h1)
+         |  GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_big,
+         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+         |        t -> t.c * log2((t.c2 + 1.0) / CAST(t.c1 + v AS DOUBLE)))),
+         |        (a, x) -> a + x)) / n_big * 10000.0 + 0.5) / 10000.0
+         |      AS bpt2
+         |  FROM per, vv),
+         |scr AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(w.n_big, 0) AS n_big,
+         |    coalesce(w.bpt2, 0.0) AS bpt2
+         |  FROM documents d LEFT JOIN w USING (doc_id)),
+         |pctl AS (
+         |  SELECT *, percent_rank() OVER (PARTITION BY source
+         |    ORDER BY bpt2) AS pr
+         |  FROM scr),
+         |bkd AS (
+         |  SELECT source,
+         |    CASE WHEN pr < $CcnetLo THEN 'head'
+         |         WHEN pr < $CcnetHi THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    n_big, bpt2
+         |  FROM pctl)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_big) AS BIGINT) AS n_bigrams,
+         |  floor(CAST(sum(CAST(floor(bpt2 * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)
+         |    * 10000.0 + 0.5) / 10000.0 AS mean_bits
+         |FROM bkd GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val docs = t(s, dir, "documents")
+        val model = docs.filter(QualityRules.gopherKeep(
+          QualityRules.tokenStats(col("text"))))
+        val bits = CorpusStats.bigramBitsAgainst(model, docs, "doc_id",
+          "text")
+        val withSrc = bits.join(docs.select("doc_id", "source"),
+          Seq("doc_id"))
+        val banded = CorpusStats.percentileNormalize(withSrc, "source",
+            "bpt2")
+          .withColumn("bucket",
+            when(col("pctl") < lit(CcnetLo), lit("head"))
+              .when(col("pctl") < lit(CcnetHi), lit("middle"))
+              .otherwise(lit("tail")))
+        banded.groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_big")).as("n_bigrams"),
+            TextFunctions.portableRound(
+              sum(floor(col("bpt2") * lit(10000.0) + lit(0.5))
+                .cast("long")).cast("double") /
+                (count(lit(1)).cast("double") * lit(10000.0)),
+              4).as("mean_bits"))
+          .orderBy("source", "bucket")
       })
   )
 

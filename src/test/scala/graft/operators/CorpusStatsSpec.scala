@@ -373,4 +373,64 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(q2 == q.map { case (k, r) => k -> r.toSeq })
   }
+
+  test("heapsFit: checkpoint counts are exact and beta is sublinear " +
+    "for a vocabulary that saturates") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 docs; vocabulary saturates: doc i has tokens from a fixed
+    // small pool plus one new token every other doc
+    val docs = (1 to 10).map { i =>
+      val novel = if (i % 2 == 0) s" new$i" else ""
+      (i.toLong, "the quick fox" + novel)
+    }
+    val got = CorpusStats.heapsFit(docs.toDF("doc_id", "text"), "doc_id",
+        "text", checkpoints = 5)
+      .collect().map(r => r.getAs[Int]("chk") -> r).toMap
+    // chk 1 covers ids 1..2: 7 tokens (3 + 4), vocab 4
+    assert(got(1).getAs[Long]("max_doc_id") == 2L)
+    assert(got(1).getAs[Long]("n_docs") == 2L)
+    assert(got(1).getAs[Long]("n_tokens") == 7L)
+    assert(got(1).getAs[Long]("vocab") == 4L)
+    // chk 5 covers everything: 35 tokens, vocab 3 + 5 novel
+    assert(got(5).getAs[Long]("n_tokens") == 35L)
+    assert(got(5).getAs[Long]("vocab") == 8L)
+    val beta = got(1).getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0, s"beta=$beta")
+  }
+
+  test("heapsFit is layout-independent and total on empty docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, s"tok${i % 6} filler"))
+      ++ Seq((21L, ""), (22L, "   "))).toDF("doc_id", "text")
+    val a = CorpusStats.heapsFit(docs, "doc_id", "text").collect()
+      .map(_.toSeq).toSeq
+    val b = CorpusStats.heapsFit(docs.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("bigramBitsAgainst with model == score IS bigramBits, and " +
+    "out-of-model docs still score (add-1 floor)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"alpha beta gamma tok${i % 3} beta alpha"))
+      .toDF("doc_id", "text")
+    val self = CorpusStats.bigramBits(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    val split = CorpusStats.bigramBitsAgainst(docs, docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(self == split)
+    // a scoring doc with bigrams the tiny model never saw: finite,
+    // HIGH bits (every bigram at the smoothing floor)
+    val model = docs.filter(col("doc_id") === 1L)
+    val alien = Seq((99L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val row = CorpusStats.bigramBitsAgainst(model, alien, "doc_id", "text")
+      .collect().head
+    assert(row.getAs[Long]("n_big") == 3L)
+    val bits = row.getAs[Double]("bpt2")
+    assert(!bits.isNaN && !bits.isInfinite && bits > 1.0, s"bits=$bits")
+  }
 }

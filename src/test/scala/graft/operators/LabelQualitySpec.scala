@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LabelQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohenKappa: perfect agreement is 1, hand-computed table matches") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val k1 = LabelQuality.cohenKappa(perfect, "a", "b").head()
+    assert(k1.getAs[Double]("kappa") == 1.0)
+    // 10 rows: n11=3, n00=3, n10=2, n01=2 → po=0.6, pe=0.5, κ=0.2
+    val mixed = (Seq.fill(3)((true, true)) ++ Seq.fill(3)((false, false))
+      ++ Seq.fill(2)((true, false)) ++ Seq.fill(2)((false, true)))
+      .toDF("a", "b")
+    val k2 = LabelQuality.cohenKappa(mixed, "a", "b").head()
+    assert(k2.getAs[Long]("n") == 10L)
+    assert(k2.getAs[Double]("po") == 0.6)
+    assert(k2.getAs[Double]("pe") == 0.5)
+    // the +1000 negative-domain rounding shift leaves ~1e-13 of float
+    // residue (same residue in any engine — the oracle replays it)
+    assert(math.abs(k2.getAs[Double]("kappa") - 0.2) < 1e-9)
+  }
+
+  test("cohenKappa: degenerate all-same-label annotators (pe = 1) " +
+    "report 0, not a division by zero") {
+    val allPos = Seq((true, true), (true, true)).toDF("a", "b")
+    // po = 1, pe = 1 → guard path
+    assert(LabelQuality.cohenKappa(allPos, "a", "b")
+      .head().getAs[Double]("kappa") == 0.0)
+  }
+
+  test("calibrationReport: hand-computed bins and ECE") {
+    // bin 1 (0.1..0.2): two rows p=0.1 y=1, p=0.1 y=0 → mean 0.1,
+    // frac 0.5, gap 0.4; bin 9 (0.9+): p=0.9 y=1 → gap 0.1
+    // ECE = (2*0.4 + 1*0.1) / 3 = 0.3
+    val df = Seq((0.1, true), (0.1, false), (0.9, true))
+      .toDF("p", "y")
+    val got = LabelQuality.calibrationReport(df, "p", "y")
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_prob"),
+          r.getAs[Double]("frac_pos"), r.getAs[Double]("gap"),
+          r.getAs[Double]("ece"))).toMap
+    assert(got(1) == ((2L, 0.1, 0.5, 0.4, 0.3)))
+    assert(got(9) == ((1L, 0.9, 1.0, 0.1, 0.3)))
+  }
+
+  test("calibrationReport: prob 1.0 lands in the top bin, not bin 10") {
+    val df = Seq((1.0, true)).toDF("p", "y")
+    val bins = LabelQuality.calibrationReport(df, "p", "y")
+      .collect().map(_.getAs[Int]("bin")).toSeq
+    assert(bins == Seq(9))
+  }
+
+  test("psiDrift: identical snapshots have zero PSI in every bin") {
+    val rows = (0 until 40).map(i => (i % 2, ((i / 2) % 10) / 10.0 + 0.05))
+    val got = LabelQuality.psiDrift(rows.toDF("side", "p"), "side", "p")
+      .collect()
+    assert(got.length == 10) // every bin reported, even with smoothing
+    got.foreach { r =>
+      assert(r.getAs[Double]("psi_bin") == 0.0)
+      assert(r.getAs[Double]("psi_total") == 0.0)
+    }
+  }
+
+  test("psiDrift: a shifted distribution yields positive total and " +
+    "empty bins still contribute") {
+    // side 0 all in bin 0; side 1 all in bin 9
+    val rows = Seq.fill(5)((0, 0.05)) ++ Seq.fill(5)((1, 0.95))
+    val got = LabelQuality.psiDrift(rows.toDF("side", "p"), "side", "p")
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("psi_bin"), r.getAs[Double]("psi_total")))
+      .toMap
+    assert(got(0)._1 == 5L && got(0)._2 == 0L)
+    assert(got(9)._1 == 0L && got(9)._2 == 5L)
+    assert(got(0)._4 > 1.0) // strong drift
+    // per-bin PSI terms are non-negative and the drifted bins dominate
+    assert(got.values.forall(_._3 >= 0.0))
+    assert(got(0)._3 > 0.0 && got(9)._3 > 0.0)
+    // bins empty on BOTH sides get equal smoothed mass → psi 0
+    assert(got(4)._3 == 0.0)
+  }
+
+  test("psiDrift and calibrationReport are layout-independent") {
+    val rows = (0 until 97).map(i =>
+      (i % 2, ((i * 37) % 100) / 100.0, i % 3 == 0))
+    val df = rows.toDF("side", "p", "y")
+    def run[T](f: org.apache.spark.sql.DataFrame => Seq[T]) =
+      assert(f(df) == f(df.repartition(7)))
+    run(d => LabelQuality.psiDrift(d, "side", "p").collect()
+      .map(_.toSeq).toSeq)
+    run(d => LabelQuality.calibrationReport(d, "p", "y").collect()
+      .map(_.toSeq).toSeq)
+  }
+}

@@ -139,4 +139,44 @@ class MultimodalSpec extends SparkSpec {
     val first = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first == again)
   }
+
+  test("audio fingerprints: a byte-identical copy matches on EVERY " +
+    "landmark; unrelated tracks share none at fine bands") {
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 137), (3L, "z" * 60))
+      .toDF("doc_id", "text")
+    val pcm = Multimodal.pcmArray(
+      Multimodal.withWavPayload(docs, "doc_id", "text"))
+    val withCopy = pcm.unionByName(pcm.filter(col("doc_id") === 1L)
+      .select((-col("doc_id")).as("doc_id"), col("samples")))
+    val lm = Multimodal.audioLandmarks(withCopy)
+    val perDoc = lm.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc(1L) == perDoc(-1L)) // identical constellation
+    val matches = Multimodal.fingerprintMatches(lm, minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(matches.keySet == Set((-1L, 1L)))
+    assert(matches((-1L, 1L)) == perDoc(1L))
+  }
+
+  test("audio fingerprints: the bucket valve drops oversized buckets " +
+    "instead of self-joining them") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 tracks all emitting the SAME single hash: bucket size 10
+    val lm = (1 to 10).map(i => (i.toLong, 42L)).toDF("doc_id", "fh")
+    val capped = Multimodal.fingerprintMatches(lm, minMatches = 1,
+      maxBucket = 5)
+    assert(capped.count() == 0) // valve dropped the degenerate bucket
+    val open = Multimodal.fingerprintMatches(lm, minMatches = 1,
+      maxBucket = 64)
+    assert(open.count() == 45) // C(10,2) when the cap allows it
+  }
+
+  test("audio fingerprints: non-WAV payloads produce no landmarks, " +
+    "not a crash") {
+    val junk = Seq((7L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.audioLandmarks(Multimodal.pcmArray(junk))
+      .count() == 0)
+  }
 }

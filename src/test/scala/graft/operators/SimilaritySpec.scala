@@ -415,4 +415,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got.select("vec_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L))
   }
+
+  test("marginPairs: the margin criterion rejects the hub a raw " +
+    "cosine would pick") {
+    // b=10 is a hub: moderately close to EVERYTHING on side A, so its
+    // knn level is high; b=11 is a's genuinely exclusive partner.
+    val a = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f)))
+    val b = Seq(
+      (10L, Seq(0.6f, 0.6f, 0.6f)),  // hub: cos ~0.577 with every a
+      (11L, Seq(0.9f, 0.3f, 0.0f)))  // partner of a=1: cos ~0.949
+    val got = Similarity.marginPairs(
+        a.toDF("vec_id", "embedding"), b.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getAs[Double]("margin"))).toMap
+    // a=1 pairs with its exclusive partner, margin > 1 (above local level)
+    assert(got(1L)._1 == 11L)
+    assert(got(1L)._2 > 1.0)
+    // a=3/a=5 have no exclusive partner: the hub wins but with a
+    // margin close to 1 (no signal above the local level)
+    assert(got(3L)._1 == 10L && got(3L)._2 <= got(1L)._2)
+  }
+
+  test("marginPairs: zero-vector neighborhoods report margin 0, not inf") {
+    val a = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(a, b, "vec_id", "embedding")
+      .collect()
+    got.foreach { r =>
+      val m = r.getAs[Double]("margin")
+      assert(!m.isNaN && !m.isInfinite)
+    }
+  }
+
+  test("marginPairs is layout-independent") {
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Seq((i % 5).toFloat, (i % 7).toFloat, (i % 3).toFloat)))
+    val a = vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val b = vecs.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    val x = Similarity.marginPairs(a, b, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSeq
+    val y = Similarity.marginPairs(a.repartition(7), b.repartition(5),
+      "vec_id", "embedding").collect().map(_.toSeq).toSeq
+    assert(x == y)
+  }
 }
