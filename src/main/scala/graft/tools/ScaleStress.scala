@@ -497,6 +497,58 @@ object ScaleStress {
       pruned.count()
     })
 
+    // round-9 families.
+    // margin mining: the exact baseline is |A|×|B| — THE documented
+    // quadratic; at corpus scale the same margin math runs over ANN
+    // candidates. Measured here so the curve (≈factor²) is on record
+    // next to the linear candidates-based families.
+    time("margin pairs (exact)")({
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.marginPairs(a, b, "vec_id", "embedding").count()
+    })
+    // audio fingerprint: one linear decode+landmark scan, then a
+    // hash-bucket join — replica PCM copies land in shared buckets
+    // (the clique class phash also pays), everything else stays apart
+    // at fine bands
+    time("audio fingerprint")({
+      val pcm = graft.operators.Multimodal.pcmArray(
+        graft.operators.Multimodal.withWavPayload(docs, "doc_id", "text"))
+      graft.operators.Multimodal.fingerprintMatches(
+        graft.operators.Multimodal.audioLandmarks(pcm),
+        minMatches = 4).count()
+    })
+    // heaps fit: one token explode + per-term min + ONE conditional
+    // aggregate — corpus-linear with a vocab-sized shuffle
+    time("heaps fit")(graft.operators.CorpusStats.heapsFit(
+      docs, "doc_id", "text").count())
+    // ccnet buckets: two bigram model passes (model subset + scored
+    // corpus) + per-source percentile window — the x88 cost class ×2
+    time("ccnet bigram scoring")({
+      val model = docs.filter(graft.functions.QualityRules.gopherKeep(
+        graft.functions.QualityRules.tokenStats(col("text"))))
+      graft.operators.CorpusStats.bigramBitsAgainst(
+        model, docs, "doc_id", "text").count()
+    })
+    // entity resolution: replicated customers with per-copy perturbed
+    // names; candidates stay O(n·window) by construction (asserted)
+    time("entity resolution snm")({
+      val c0 = spark.read.parquet(s"$dir/customer.parquet")
+      val cust = (0 until factor).map { k =>
+        c0.select((col("c_custkey") + lit(k * 10000000L)).as("id"),
+          concat(col("c_name"), lit(s" v$k")).as("nm"),
+          col("c_nationkey").as("blk"), col("c_acctbal").as("bal"),
+          col("c_mktsegment").as("seg"))
+      }.reduce(_ unionByName _)
+      val n = cust.count()
+      val cand = graft.operators.EntityResolution.sortedNeighborhood(
+        cust, "id", "blk", "nm", "bal", "seg", minScore = 0.0).count()
+      println(s"[stress]   snm report: rows=$n candidates=$cand " +
+        s"bound=${n * 3}")
+      assert(cand <= n * 3, "SNM candidates must stay O(n·window)")
+      cand
+    })
+
     if (only.isEmpty) MergeStress.run(spark, factor, work)
     spark.stop()
   }
