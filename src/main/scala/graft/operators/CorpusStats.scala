@@ -373,6 +373,41 @@ object CorpusStats {
           .otherwise(cov * cov / (varx * vary)), roundTo).as("r2"))
   }
 
+  /** Good–Turing unseen-mass estimate per group: frequency-of-
+    * frequencies over the group's vocabulary — N₁ (hapaxes), N₂
+    * (doubletons), p₀ = N₁/T as the classic estimate of how much
+    * probability mass belongs to words the corpus has NOT seen yet,
+    * and r₁* = 2·N₂/N₁ as the GT-discounted count for singletons.
+    * The per-source "how much more vocabulary is out there" gauge
+    * that pairs with [[heapsFit]]'s growth curve (Heaps says how fast
+    * vocab grows; Good–Turing says how much of today's token stream
+    * is first-sightings).
+    *
+    * Scale shape: one (group, term) count aggregation, then a
+    * per-group rollup — both map-side combined. Exact integers until
+    * the two final divisions. */
+  def goodTuring(df: DataFrame, groupCol: String, textCol: String,
+                 roundTo: Int = 4): DataFrame = {
+    val tc = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .groupBy("grp", "t").agg(count(lit(1)).as("c"))
+    tc.groupBy("grp")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(col("c") === 2L, lit(1L)).otherwise(lit(0L))).as("n2"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+        col("n1"), col("n2"),
+        TextFunctions.portableRound(
+          when(col("n_tokens") === 0L, lit(0.0))
+            .otherwise(col("n1").cast("double") /
+              col("n_tokens").cast("double")), roundTo).as("p0_unseen"),
+        TextFunctions.portableRound(
+          when(col("n1") === 0L, lit(0.0))
+            .otherwise(lit(2.0) * col("n2").cast("double") /
+              col("n1").cast("double")), roundTo).as("r1_star"))
+  }
+
   /** Heaps'-law vocabulary-growth fit: V(T) ≈ K·T^β measured at
     * `checkpoints` doc-id prefixes of the corpus (ids are the
     * ingestion order key), with β/ln K from an exact OLS over the

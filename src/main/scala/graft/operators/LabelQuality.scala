@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 
 /** Label-quality analytics for training-data curation: agreement
@@ -101,6 +103,81 @@ object LabelQuality {
         aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("w"))
           / col("nn").cast("double"), roundTo).as("ece"))
     rows.crossJoin(broadcast(ece)).orderBy("bin")
+  }
+
+  /** Exact ROC-AUC (Mann–Whitney with average-rank ties) + the best-F1
+    * operating point for a score column against a boolean truth — the
+    * ranking-quality eval that complements [[calibrationReport]]
+    * (calibration says whether 0.8 MEANS 80%; AUC says whether the
+    * ORDERING separates classes; best-F1 picks the curation cut).
+    * Output (single row): n, n_pos, auc, best_threshold, best_f1,
+    * best_precision, best_recall.
+    *
+    * Determinism + scale, the x174 recipe: scores quantize to ×10⁴
+    * longs, so distinct values are ≤ 10⁴ + 1 and the prefix sums are
+    * TWO-LEVEL bounded (a window inside each 0.1-wide bucket + a
+    * bucket-totals join — no single-partition window over the value
+    * table); rank sums accumulate exact integers into DECIMAL(38,0)
+    * (U₂ ~ n², which outgrows Int64 near 3e9 rows — the Pca lesson),
+    * and the only floats are the final divisions. The best-F1 winner
+    * is a commutative max over an (f1, −pq)-ordered struct. */
+  def rocAuc(df: DataFrame, probCol: String, labelCol: String,
+             roundTo: Int = 4): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sc = df.select(
+      floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"),
+      col(labelCol).cast("int").cast("long").as("y"))
+    val per = sc.groupBy("pq")
+      .agg(count(lit(1)).as("ns"), sum(col("y")).as("ps"))
+      .withColumn("b", (col("pq") / lit(1000L)).cast("int"))
+    val wExcl = Window.partitionBy("b").orderBy("pq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = per
+      .withColumn("cin_n", coalesce(sum("ns").over(wExcl), lit(0L)))
+      .withColumn("cin_p", coalesce(sum("ps").over(wExcl), lit(0L)))
+    val btot = per.groupBy("b").agg(sum("ns").as("bn"), sum("ps").as("bp"))
+    val below = btot.select(col("b").as("_lb"))
+      .join(btot.select(col("b").as("_hb"), col("bn"), col("bp")),
+        col("_hb") < col("_lb"), "left")
+      .groupBy(col("_lb").as("b"))
+      .agg(coalesce(sum("bn"), lit(0L)).as("nb_below"),
+        coalesce(sum("bp"), lit(0L)).as("pb_below"))
+    val rows = inb.join(below, Seq("b"))
+      .select(col("pq"), col("ns"), col("ps"),
+        (col("nb_below") + col("cin_n")).as("cb"),
+        (col("pb_below") + col("cin_p")).as("cpb"))
+    val tot = per.agg(sum("ns").as("t"), sum("ps").as("p"))
+    val u2 = rows.agg(
+      sum((col("ps") * (lit(2L) * col("cb") + col("ns") + lit(1L)))
+        .cast(dec)).as("u2"))
+    val fRows = rows.crossJoin(broadcast(tot))
+      .select(col("pq"),
+        (col("p") - col("cpb")).as("tp"),
+        (col("t") - col("cb")).as("n_ge"), col("t"), col("p"))
+      .select(col("pq"), col("tp"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (col("n_ge") + col("p")).cast("double")).as("f1"),
+        (col("tp").cast("double") / col("n_ge").cast("double"))
+          .as("prec"),
+        when(col("p") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") / col("p").cast("double"))
+          .as("rec"))
+    val best = fRows.agg(max(struct(col("f1"), (-col("pq")).as("ipq"),
+      col("pq"), col("prec"), col("rec"))).as("m"))
+    val pd = col("p").cast("double")
+    val nd = (col("t") - col("p")).cast("double")
+    tot.crossJoin(broadcast(u2)).crossJoin(broadcast(best))
+      .select(col("t").as("n"), col("p").as("n_pos"),
+        TextFunctions.portableRound(
+          when(col("p") === 0L || col("p") === col("t"), lit(0.0))
+            .otherwise((col("u2").cast("double") - pd * (pd + lit(1.0)))
+              / (lit(2.0) * pd * nd)), roundTo).as("auc"),
+        (col("m.pq").cast("double") / lit(10000.0)).as("best_threshold"),
+        TextFunctions.portableRound(col("m.f1"), roundTo).as("best_f1"),
+        TextFunctions.portableRound(col("m.prec"), roundTo)
+          .as("best_precision"),
+        TextFunctions.portableRound(col("m.rec"), roundTo)
+          .as("best_recall"))
   }
 
   /** Population stability index between two corpus snapshots over a

@@ -422,6 +422,45 @@ object Sampling {
     * null-rejecting on both engines, which the oracle's `USING (q)`
     * mirrors. Budget arithmetic is integer (`sum·num div den`), so the
     * threshold is the same exact value at any corpus size. */
+  /** Effective sample size of per-document importance weights, per
+    * group — the standing diagnostic for every weighted-sampling lever
+    * this engine ships ([[dsirWeights]], [[doremiWeights]], dup
+    * weighting): ESS = (Σw)²/Σw² collapses toward 1 when a few huge
+    * weights dominate (the resample would effectively train on a
+    * handful of documents), stays near n when weights are even. Input
+    * is LOG weights (what dsirWeights emits).
+    *
+    * Determinism: per-group max-shift (exact on the 1e-4-rounded
+    * logw), then w' = exp(logw − max) ∈ (0, 1] quantized to ×10⁸
+    * longs so both sums are EXACT integer accumulations (DECIMAL — a
+    * ×10⁸ square is ~10¹⁶ per row, the Pca lesson applies to the
+    * sum); ESS is scale-invariant so the shift cancels. Two divisions
+    * at the end. One groupBy + one join + one groupBy — map-side
+    * combined, no windows. */
+  def essReport(df: DataFrame, groupCol: String, logwCol: String,
+                roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mx = df.groupBy(col(groupCol).as("grp"))
+      .agg(max(col(logwCol)).as("_m"))
+    val vq = df.select(col(groupCol).as("grp"), col(logwCol).as("_lw"))
+      .join(broadcast(mx), Seq("grp"))
+      .select(col("grp"),
+        floor(exp(col("_lw") - col("_m")) * lit(100000000.0) + lit(0.5))
+          .cast("long").as("v"))
+    val agg = vq.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v").cast(dec)).as("s1"),
+        sum((col("v") * col("v")).cast(dec)).as("s2"))
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val ess = when(s2d === lit(0.0), lit(0.0))
+      .otherwise(s1d * s1d / s2d)
+    agg.select(col("grp").as(groupCol), col("n_docs"),
+      TextFunctions.portableRound(ess, roundTo).as("ess"),
+      TextFunctions.portableRound(
+        ess / col("n_docs").cast("double"), roundTo).as("ess_ratio"))
+  }
+
   def tokenBudget(df: DataFrame, idCol: String, sourceCol: String,
                   qualityCol: String, tokCol: String,
                   num: Int = 2, den: Int = 5): DataFrame = {

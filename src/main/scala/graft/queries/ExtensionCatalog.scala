@@ -394,6 +394,44 @@ object ExtensionCatalog {
   private val CcnetLo = 1.0 / 3.0
   private val CcnetHi = 2.0 / 3.0
 
+  /** x64's DSIR importance-weight CTEs ending in
+    * `dw(doc_id, n_tok, logw)` — shared by x64 and the ESS diagnostic
+    * (x185) so the weights the diagnostic audits are EXACTLY the
+    * weights the sampler emits. */
+  private def dsirCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, tgt, ${h60Sql("t", DsirBuckets)} AS h FROM (
+       |    SELECT doc_id, lang = 'en' AS tgt,
+       |           unnest(${tokSql("lower(text)")}) AS t
+       |    FROM documents)),
+       |tot AS (
+       |  SELECT count(*) AS ts,
+       |         coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS tt
+       |  FROM tk),
+       |g AS (
+       |  SELECT h, count(*) AS cs,
+       |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tk GROUP BY h),
+       |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
+       |per AS (
+       |  SELECT dc.doc_id,
+       |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
+       |    list_sort(list(struct_pack(h := dc.h, c := dc.c,
+       |                               ct := g.ct, cs := g.cs))) AS arr
+       |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+       |w AS (
+       |  SELECT doc_id, n_tok,
+       |    floor(list_reduce(list_prepend(0.0, list_transform(arr, s ->
+       |        s.c * (ln((s.ct + 1.0) / (tt + $DsirBuckets))
+       |             - ln((s.cs + 1.0) / (ts + $DsirBuckets))))),
+       |      (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS logw
+       |  FROM per, tot),
+       |dw AS (
+       |  SELECT d.doc_id,
+       |         coalesce(w.n_tok, 0) AS n_tok,
+       |         coalesce(w.logw, 0.0) AS logw
+       |  FROM documents d LEFT JOIN w USING (doc_id))""".stripMargin
+
   /** Gopher rule-gate CTEs ending in `g(doc_id, keep)` over `src` —
     * the x32/x165 fragment, shared so the label-QC queries (x176,
     * x182) judge against the SAME gate the rule ops implement. */
@@ -2815,37 +2853,8 @@ object ExtensionCatalog {
     //      engines (aggregate vs list_reduce — sequential left folds),
     //      so addition order can never differ. ----
     Q("x64_dsir_weights", Some(
-      s"""WITH tk AS (
-         |  SELECT doc_id, tgt, ${h60Sql("t", DsirBuckets)} AS h FROM (
-         |    SELECT doc_id, lang = 'en' AS tgt,
-         |           unnest(${tokSql("lower(text)")}) AS t
-         |    FROM documents)),
-         |tot AS (
-         |  SELECT count(*) AS ts,
-         |         coalesce(sum(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS tt
-         |  FROM tk),
-         |g AS (
-         |  SELECT h, count(*) AS cs,
-         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
-         |  FROM tk GROUP BY h),
-         |dc AS (SELECT doc_id, h, count(*) AS c FROM tk GROUP BY doc_id, h),
-         |per AS (
-         |  SELECT dc.doc_id,
-         |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
-         |    list_sort(list(struct_pack(h := dc.h, c := dc.c,
-         |                               ct := g.ct, cs := g.cs))) AS arr
-         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
-         |w AS (
-         |  SELECT doc_id, n_tok,
-         |    floor(list_reduce(list_prepend(0.0, list_transform(arr, s ->
-         |        s.c * (ln((s.ct + 1.0) / (tt + $DsirBuckets))
-         |             - ln((s.cs + 1.0) / (ts + $DsirBuckets))))),
-         |      (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0 AS logw
-         |  FROM per, tot)
-         |SELECT d.doc_id,
-         |       coalesce(w.n_tok, 0) AS n_tok,
-         |       coalesce(w.logw, 0.0) AS logw
-         |FROM documents d LEFT JOIN w USING (doc_id)
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tok, logw FROM dw
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => Sampling.dsirWeights(t(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en", buckets = DsirBuckets)
@@ -6834,6 +6843,175 @@ object ExtensionCatalog {
                 (count(lit(1)).cast("double") * lit(10000.0)),
               4).as("mean_bits"))
           .orderBy("source", "bucket")
+      }),
+
+    // ---- exact ROC-AUC (Mann–Whitney with average-rank ties) + the
+    //      best-F1 operating point for the frozen classifier vs the
+    //      Gopher gate — x176 says whether 0.8 MEANS 80%; this says
+    //      whether the ORDERING separates classes and where to cut.
+    //      Rank sums stay exact integers (DECIMAL) over the ≤10⁴+1
+    //      distinct quantized scores ----
+    Q("x183_roc_auc", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |j AS (
+         |  SELECT CAST(floor(cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq,
+         |    CASE WHEN g.keep THEN 1 ELSE 0 END AS y
+         |  FROM cp JOIN g USING (doc_id)),
+         |per AS (
+         |  SELECT pq, CAST(count(*) AS BIGINT) AS ns,
+         |    CAST(sum(y) AS BIGINT) AS ps
+         |  FROM j GROUP BY pq),
+         |cum AS (
+         |  SELECT pq, ns, ps,
+         |    CAST(coalesce(sum(ns) OVER (ORDER BY pq ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+         |    CAST(coalesce(sum(ps) OVER (ORDER BY pq ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cpb
+         |  FROM per),
+         |tt AS (
+         |  SELECT CAST(sum(ns) AS BIGINT) AS t,
+         |    CAST(sum(ps) AS BIGINT) AS p
+         |  FROM per),
+         |uu AS (
+         |  SELECT sum(CAST(ps * (2 * cb + ns + 1) AS HUGEINT)) AS u2
+         |  FROM cum),
+         |fs AS (
+         |  SELECT pq,
+         |    CAST(2 * (p - cpb) AS DOUBLE)
+         |      / CAST((t - cb) + p AS DOUBLE) AS f1,
+         |    CAST(p - cpb AS DOUBLE) / CAST(t - cb AS DOUBLE) AS prec,
+         |    CASE WHEN p = 0 THEN 0.0
+         |      ELSE CAST(p - cpb AS DOUBLE) / CAST(p AS DOUBLE) END AS rec
+         |  FROM cum, tt),
+         |best AS (
+         |  SELECT pq, f1, prec, rec FROM (
+         |    SELECT *, row_number() OVER (ORDER BY f1 DESC, pq) AS rn
+         |    FROM fs) WHERE rn = 1)
+         |SELECT t AS n, p AS n_pos,
+         |  floor((CASE WHEN p = 0 OR p = t THEN 0.0
+         |      ELSE (CAST(u2 AS DOUBLE)
+         |        - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))
+         |        / (2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE)) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS auc,
+         |  CAST(best.pq AS DOUBLE) / 10000.0 AS best_threshold,
+         |  floor(best.f1 * 10000.0 + 0.5) / 10000.0 AS best_f1,
+         |  floor(best.prec * 10000.0 + 0.5) / 10000.0 AS best_precision,
+         |  floor(best.rec * 10000.0 + 0.5) / 10000.0 AS best_recall
+         |FROM tt, uu, best""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val scored = t(s, dir, "documents").select(
+          TextFunctions.classifierProb(col("text")).as("cls_prob"),
+          QualityRules.gopherKeep(
+            QualityRules.tokenStats(col("text"))).as("keep"))
+        LabelQuality.rocAuc(scored, "cls_prob", "keep")
+      }),
+
+    // ---- Good–Turing unseen-mass estimate per source: N₁/N₂
+    //      frequency-of-frequencies, p₀ = N₁/T — "how much of the
+    //      token stream is first-sightings", the companion gauge to
+    //      x180's growth curve and the smoothing diagnostic for the
+    //      x88/x127 LM family ----
+    Q("x184_good_turing", Some(
+      s"""WITH tc AS (
+         |  SELECT source, t, count(*) AS c FROM (
+         |    SELECT source, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)
+         |  GROUP BY source, t),
+         |ss AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM tc GROUP BY source)
+         |SELECT source, n_tokens, vocab, n1, n2,
+         |  floor((CASE WHEN n_tokens = 0 THEN 0.0
+         |      ELSE CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS p0_unseen,
+         |  floor((CASE WHEN n1 = 0 THEN 0.0
+         |      ELSE 2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS r1_star
+         |FROM ss ORDER BY source""".stripMargin),
+      (s, dir) => CorpusStats.goodTuring(t(s, dir, "documents"),
+        "source", "text").orderBy("source")),
+
+    // ---- effective sample size of the DSIR importance weights, per
+    //      source: ESS = (Σw)²/Σw² over exp(logw − max) quantized to
+    //      exact integers — the "is this weighted resample secretly
+    //      five documents" audit every weighted-sampling lever needs.
+    //      The weight CTEs are x64's, shared verbatim ----
+    Q("x185_ess_report", Some(
+      s"""WITH $dsirCtes,
+         |jj AS (
+         |  SELECT d.source, dw.logw FROM documents d
+         |  JOIN dw USING (doc_id)),
+         |mx AS (SELECT source, max(logw) AS m FROM jj GROUP BY source),
+         |vq AS (
+         |  SELECT jj.source,
+         |    CAST(floor(exp(jj.logw - mx.m) * 100000000.0 + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM jj JOIN mx USING (source)),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    sum(CAST(v AS HUGEINT)) AS s1,
+         |    sum(CAST(v AS HUGEINT) * v) AS s2
+         |  FROM vq GROUP BY source)
+         |SELECT source, n_docs,
+         |  floor((CASE WHEN CAST(s2 AS DOUBLE) = 0.0 THEN 0.0
+         |      ELSE CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |        / CAST(s2 AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0
+         |    AS ess,
+         |  floor((CASE WHEN CAST(s2 AS DOUBLE) = 0.0 THEN 0.0
+         |      ELSE CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |        / CAST(s2 AS DOUBLE) END) / CAST(n_docs AS DOUBLE)
+         |    * 10000.0 + 0.5) / 10000.0 AS ess_ratio
+         |FROM agg ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val w = Sampling.dsirWeights(docs, "doc_id", "text",
+          col("lang") === "en", buckets = DsirBuckets)
+        Sampling.essReport(
+          w.join(docs.select("doc_id", "source"), Seq("doc_id")),
+          "source", "logw").orderBy("source")
+      }),
+
+    // ---- declared-vs-detected language confusion matrix + overall
+    //      agreement: the metadata-trust audit (a `lang` column from a
+    //      crawler is a CLAIM; the n-gram detector is the check).
+    //      Detector fragments are x04's, shared verbatim ----
+    Q("x186_langid_confusion", Some({
+      val (hitCols, best, cases) = langIdSqlPieces
+      s"""WITH pred AS (
+         |  SELECT doc_id, lang AS declared,
+         |    CASE $cases ELSE 'und' END AS predicted
+         |  FROM (SELECT *, $best AS best FROM
+         |    (SELECT doc_id, lang, $hitCols FROM documents))),
+         |cm AS (
+         |  SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY declared, predicted),
+         |acc AS (
+         |  SELECT floor(CAST(coalesce(sum(CASE WHEN declared = predicted
+         |        THEN n ELSE 0 END), 0) AS DOUBLE)
+         |      / CAST(sum(n) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS accuracy
+         |  FROM cm)
+         |SELECT declared, predicted, n, accuracy
+         |FROM cm, acc ORDER BY declared, predicted""".stripMargin
+    }),
+      (s, dir) => {
+        val cm = t(s, dir, "documents")
+          .select(col("lang").as("declared"),
+            TextFunctions.langId(col("text")).as("predicted"))
+          .groupBy("declared", "predicted")
+          .agg(count(lit(1)).as("n"))
+        val acc = cm.agg(
+          TextFunctions.portableRound(
+            coalesce(sum(when(col("declared") === col("predicted"),
+              col("n")).otherwise(lit(0L))), lit(0L)).cast("double") /
+              sum(col("n")).cast("double"), 4).as("accuracy"))
+        cm.crossJoin(broadcast(acc))
+          .orderBy("declared", "predicted")
       })
   )
 

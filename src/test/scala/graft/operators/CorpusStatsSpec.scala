@@ -433,4 +433,24 @@ class CorpusStatsSpec extends SparkSpec {
     val bits = row.getAs[Double]("bpt2")
     assert(!bits.isNaN && !bits.isInfinite && bits > 1.0, s"bits=$bits")
   }
+
+  test("goodTuring: hand-computed hapax mass") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "a a b c": T=4, vocab 3, N1=2, N2=1 -> p0=0.5, r1*=1.0
+    val df = Seq((1L, "s1", "a a b"), (2L, "s1", "c"),
+      (3L, "s2", "x x")).toDF("doc_id", "source", "text")
+    val got = CorpusStats.goodTuring(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getAs[Long]("n_tokens") == 4L)
+    assert(got("s1").getAs[Long]("vocab") == 3L)
+    assert(got("s1").getAs[Long]("n1") == 2L)
+    assert(got("s1").getAs[Long]("n2") == 1L)
+    assert(got("s1").getAs[Double]("p0_unseen") == 0.5)
+    assert(got("s1").getAs[Double]("r1_star") == 1.0)
+    // s2: one doubleton, no hapaxes -> zero unseen mass, guard path
+    assert(got("s2").getAs[Long]("n1") == 0L)
+    assert(got("s2").getAs[Double]("p0_unseen") == 0.0)
+    assert(got("s2").getAs[Double]("r1_star") == 0.0)
+  }
 }

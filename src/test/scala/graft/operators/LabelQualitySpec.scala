@@ -94,4 +94,41 @@ class LabelQualitySpec extends SparkSpec {
     run(d => LabelQuality.calibrationReport(d, "p", "y").collect()
       .map(_.toSeq).toSeq)
   }
+
+  test("rocAuc: hand-computed AUC 0.75 and best-F1 operating point") {
+    // ascending: 0.1(neg) 0.35(pos) 0.4(neg) 0.8(pos) -> R+ = 2+4,
+    // AUC = (6 - 3)/4 = 0.75; best cut at 0.35: P=2/3, R=1, F1=0.8
+    val df = Seq((0.1, false), (0.35, true), (0.4, false), (0.8, true))
+      .toDF("p", "y")
+    val r = LabelQuality.rocAuc(df, "p", "y").head()
+    assert(r.getAs[Double]("auc") == 0.75)
+    assert(r.getAs[Double]("best_threshold") == 0.35)
+    assert(r.getAs[Double]("best_f1") == 0.8)
+    assert(r.getAs[Double]("best_recall") == 1.0)
+  }
+
+  test("rocAuc: perfect separation is 1.0; a constant score ties to 0.5") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false))
+      .toDF("p", "y")
+    assert(LabelQuality.rocAuc(perfect, "p", "y").head()
+      .getAs[Double]("auc") == 1.0)
+    val const = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("p", "y")
+    assert(LabelQuality.rocAuc(const, "p", "y").head()
+      .getAs[Double]("auc") == 0.5)
+  }
+
+  test("rocAuc: degenerate single-class inputs report 0, not a crash") {
+    val allPos = Seq((0.9, true), (0.1, true)).toDF("p", "y")
+    assert(LabelQuality.rocAuc(allPos, "p", "y").head()
+      .getAs[Double]("auc") == 0.0)
+  }
+
+  test("rocAuc is layout-independent") {
+    val rows = (0 until 211).map(i => (((i * 53) % 100) / 100.0, i % 3 == 0))
+    val df = rows.toDF("p", "y")
+    val a = LabelQuality.rocAuc(df, "p", "y").head().toSeq
+    val b = LabelQuality.rocAuc(df.repartition(9), "p", "y").head().toSeq
+    assert(a == b)
+  }
 }

@@ -308,4 +308,37 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got12 == got)
   }
+
+  test("essReport: even weights give ESS = n; one dominant weight " +
+    "collapses ESS toward 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val even = Seq(("s", 0.0), ("s", 0.0), ("s", 0.0), ("s", 0.0))
+      .toDF("source", "logw")
+    val e = Sampling.essReport(even, "source", "logw").head()
+    assert(e.getAs[Long]("n_docs") == 4L)
+    assert(e.getAs[Double]("ess") == 4.0)
+    assert(e.getAs[Double]("ess_ratio") == 1.0)
+    val skewed = Seq(("s", 0.0), ("s", -20.0), ("s", -20.0))
+      .toDF("source", "logw")
+    val k = Sampling.essReport(skewed, "source", "logw").head()
+    assert(math.abs(k.getAs[Double]("ess") - 1.0) < 1e-3,
+      k.getAs[Double]("ess").toString)
+  }
+
+  test("essReport is shift-invariant (only relative weights matter) " +
+    "and layout-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 50).map(i => ("s", (i % 7) * 0.1))
+    val a = Sampling.essReport(base.toDF("source", "logw"),
+      "source", "logw").head().toSeq
+    val shifted = base.map { case (s, w) => (s, w + 123.0) }
+    val b = Sampling.essReport(shifted.toDF("source", "logw"),
+      "source", "logw").head().toSeq
+    assert(a == b)
+    val c = Sampling.essReport(base.toDF("source", "logw").repartition(7),
+      "source", "logw").head().toSeq
+    assert(a == c)
+  }
 }
