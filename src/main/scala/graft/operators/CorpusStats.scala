@@ -373,6 +373,82 @@ object CorpusStats {
           .otherwise(cov * cov / (varx * vary)), roundTo).as("r2"))
   }
 
+  /** Pairwise source similarity over term-frequency profiles: each
+    * group's count vector over the GLOBAL top-`topK` terms, cosine
+    * between every group pair — the corpus-composition fingerprint
+    * ("which sources are the same crawl wearing different names") that
+    * drives mixture decisions before [[Sampling.doremiWeights]]-class
+    * reweighting. Exact integer dot products and norms (DECIMAL — a
+    * count² sum outgrows Int64 on billion-token sources), one rounded
+    * division per pair.
+    *
+    * Scale shape: the global top-K is an orderBy().limit(K) (bounded
+    * rank — K rows cross the driver barrier, nothing else); profiles
+    * are |groups|·K rows; the pair join is |groups|²·K on a
+    * BOUNDED-cardinality key (sources, not documents). */
+  def sourceSimilarity(df: DataFrame, groupCol: String, textCol: String,
+                       topK: Int = 50, roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("t")).limit(topK).select("t")
+    val prof = tok.join(broadcast(top), Seq("t"))
+      .groupBy("grp", "t").agg(count(lit(1)).as("c"))
+    val norms = prof.groupBy("grp")
+      .agg(sum((col("c") * col("c")).cast(dec)).as("n2"))
+    val dots = prof.select(col("grp").as("ga"), col("t"), col("c").as("cva"))
+      .join(prof.select(col("grp").as("gb"), col("t"), col("c").as("cvb")),
+        Seq("t"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum((col("cva") * col("cvb")).cast(dec)).as("dot"))
+    dots
+      .join(norms.select(col("grp").as("ga"), col("n2").as("na2")), Seq("ga"))
+      .join(norms.select(col("grp").as("gb"), col("n2").as("nb2")), Seq("gb"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        TextFunctions.portableRound(
+          col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double"))), roundTo).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Term burstiness: variance-to-mean ratio of per-DOCUMENT counts
+    * (zeros included) for the top-`topK` corpus terms — a term whose
+    * occurrences clump into few documents (VMR ≫ 1) is navigation
+    * boilerplate, spam bursts, or a template artifact; true content
+    * words sit near Poisson (VMR ≈ 1). The dispersion lens the
+    * frequency-only vocab reports (x44/x87) cannot see.
+    *
+    * Exact: VMR = (N·Σc² − (Σc)²) / (N·Σc) from three integer sums
+    * per term (zeros enter only through N — no zero rows are ever
+    * materialized); DECIMAL products (the Pca lesson), one division.
+    * One (doc, term) count pass + one per-term rollup, map-side
+    * combined. */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 100, roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nDocs = df.count()
+    val dc = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val per = dc.groupBy("t")
+      .agg(sum(col("c")).as("cnt"),
+        sum((col("c") * col("c")).cast(dec)).as("c2"),
+        count(lit(1)).as("n_docs_with"))
+      .orderBy(desc("cnt"), col("t")).limit(topK)
+    per.select(col("t").as("term"), col("cnt"), col("n_docs_with"),
+      TextFunctions.portableRound(
+        when(col("cnt") === 0L, lit(0.0))
+          .otherwise(
+            (lit(nDocs).cast(dec) * col("c2") -
+              col("cnt").cast(dec) * col("cnt").cast(dec)).cast("double") /
+              (lit(nDocs).cast(dec) * col("cnt").cast(dec)).cast("double")),
+        roundTo).as("vmr"))
+      .orderBy(desc("cnt"), col("term"))
+  }
+
   /** Good–Turing unseen-mass estimate per group: frequency-of-
     * frequencies over the group's vocabulary — N₁ (hapaxes), N₂
     * (doubletons), p₀ = N₁/T as the classic estimate of how much

@@ -39,6 +39,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Template/bot detection by skeleton fingerprint: a doc's SKELETON
+    * is its distinct lines that recur across the corpus (line
+    * df ≥ `minLineDf` — boilerplate by definition), and docs sharing
+    * the exact same skeleton set are instances of one template
+    * (mass-produced pages, bot posts, mirrored boilerplate with a
+    * variable field). The structural sibling of [[exact]]: exact
+    * dedup needs byte equality; this clusters docs whose FRAME is
+    * identical while the variable lines differ.
+    *
+    * Scale shape: one line explode + line-df count (hash shuffle),
+    * one per-doc sorted-hash fold into a 60-bit fingerprint, one
+    * fingerprint groupBy — all map-side combined; no pairwise
+    * anything. Docs with an empty skeleton (no recurring lines) are
+    * excluded — they have no template identity, and a shared "empty"
+    * fingerprint would be one giant false cluster.
+    * Output: (fingerprint, n_docs, keep_id) for clusters of ≥ 2. */
+  def templateClusters(df: DataFrame, idCol: String, textCol: String,
+                       minLineDf: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("line"))
+      .filter(length(col("line")) > 0)
+      .distinct()
+    val freq = lines.groupBy("line")
+      .agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minLineDf)
+    val skel = lines.join(freq.select("line"), Seq("line"))
+      .select(col("doc_id"), TextFunctions.md5Hash60(col("line")).as("h"))
+    val fp = skel.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"),
+        TextFunctions.md5Hash60(
+          array_join(transform(col("hs"), _.cast("string")), ","))
+          .as("fingerprint"))
+    fp.groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("keep_id")
+  }
+
   /** Word n-shingles (distinct) of a text column — codegen'd one-pass
     * expression (set-identical to the tokens→transform→slice lambda
     * form, ~10× faster; see graft.plans.WordShingles). */

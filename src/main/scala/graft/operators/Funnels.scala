@@ -113,6 +113,56 @@ object Funnels {
           .as("p"))
   }
 
+  /** Entropy summary of the [[transitionMatrix]] chain: per current
+    * state H(next | cur = a) = −Σ_b p(b|a)·log2 p(b|a) plus the
+    * chain's conditional entropy H(next | cur) = Σ_a p(a)·H_a — the
+    * one-scalar "how predictable is the behavioral stream" gauge
+    * (0 bits = deterministic funnels; log2(types) = uniform noise).
+    *
+    * Determinism: probabilities come from exact integer transition
+    * counts; each per-state entropy folds over a to_type-sorted
+    * bounded list (≤ |event types| elements), the total over a
+    * from_type-sorted one. Output: one row per from_type (p_state,
+    * h_bits) with h_conditional replicated. */
+  def transitionEntropy(events: DataFrame, userCol: String,
+                        tsCol: String, idCol: String, typeCol: String,
+                        roundTo: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perState = pairs.groupBy("from_type")
+      .agg(sum(col("n")).as("tot"),
+        array_sort(collect_list(struct(col("to_type"), col("n"))))
+          .as("arr"))
+      .select(col("from_type"), col("tot"),
+        (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) => {
+          val p = s.getField("n").cast("double") / col("tot").cast("double")
+          acc + p * log2(p)
+        })).as("h_raw"))
+    val grand = perState.agg(sum(col("tot")).as("gt"),
+      array_sort(collect_list(struct(col("from_type"), col("tot"),
+        col("h_raw")))).as("arr"))
+      .select(col("gt"),
+        aggregate(col("arr"), lit(0.0), (acc, s) =>
+          acc + s.getField("tot").cast("double") /
+            col("gt").cast("double") * s.getField("h_raw"))
+          .as("h_cond_raw"))
+    perState.crossJoin(broadcast(grand))
+      .select(col("from_type"), col("tot").as("n_transitions"),
+        graft.functions.TextFunctions.portableRound(
+          col("tot").cast("double") / col("gt").cast("double"), roundTo)
+          .as("p_state"),
+        graft.functions.TextFunctions.portableRound(col("h_raw"), roundTo)
+          .as("h_bits"),
+        graft.functions.TextFunctions.portableRound(col("h_cond_raw"),
+          roundTo).as("h_conditional"))
+      .orderBy("from_type")
+  }
+
   /** Exponentially time-decayed engagement per event type — recency
     * weighting as EXACT integer arithmetic: weight = 2^20 >> (age
     * weeks), i.e. a halving per `halflifeDays`, summed as plain longs.

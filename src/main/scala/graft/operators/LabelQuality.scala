@@ -105,6 +105,103 @@ object LabelQuality {
     rows.crossJoin(broadcast(ece)).orderBy("bin")
   }
 
+  /** Fleiss' κ for `raters` binary annotators: chance-corrected
+    * agreement when MORE than two labelers vote ([[cohenKappa]]'s
+    * n-rater generalization — the gate on whether x165-style vote
+    * ensembles agree beyond chance). Input: a column with the
+    * number of YES votes per item (0..raters).
+    *
+    * One exact-integer aggregation: per-item agreement numerator
+    * k(k−1) + (r−k)(r−1−k) summed as longs, vote mass summed as
+    * longs; P̄, P̄e and κ are three final float expressions. Output
+    * (single row): n_items, n0..nR vote-distribution counts, p_yes,
+    * p_bar, p_e, kappa. */
+  def fleissKappa(df: DataFrame, yesCol: String,
+                  raters: Int = 3, roundTo: Int = 4): DataFrame = {
+    require(raters >= 2, "fleiss needs >= 2 raters")
+    val r = raters.toLong
+    val k = col(yesCol).cast("long")
+    val aggCols: Seq[Column] =
+      Seq(count(lit(1)).as("n"),
+        sum(col("k") * (col("k") - lit(1L)) +
+          (lit(r) - col("k")) * (lit(r) - lit(1L) - col("k")))
+          .as("agree_num"),
+        sum(col("k")).as("yes_sum")) ++
+        (0 to raters).map(i =>
+          sum(when(col("k") === i.toLong, lit(1L)).otherwise(lit(0L)))
+            .as(s"n$i"))
+    val agg = df.select(k.as("k")).agg(aggCols.head, aggCols.tail: _*)
+    val n = col("n").cast("double")
+    val pBar = col("agree_num").cast("double") /
+      (n * lit((r * (r - 1)).toDouble))
+    val pYes = col("yes_sum").cast("double") / (n * lit(r.toDouble))
+    val pE = pYes * pYes + (lit(1.0) - pYes) * (lit(1.0) - pYes)
+    agg.select((Seq(col("n").as("n_items")) ++
+      (0 to raters).map(i => col(s"n$i")) ++
+      Seq(
+        TextFunctions.portableRound(pYes, roundTo).as("p_yes"),
+        TextFunctions.portableRound(pBar, roundTo).as("p_bar"),
+        TextFunctions.portableRound(pE, roundTo).as("p_e"),
+        TextFunctions.portableRound(
+          when(pE === lit(1.0), lit(0.0))
+            .otherwise((pBar - pE) / (lit(1.0) - pE)) + lit(1000.0),
+          roundTo).minus(lit(1000.0)).as("kappa"))): _*)
+  }
+
+  /** Kolmogorov–Smirnov statistic between two snapshots over a score
+    * column — the nonparametric sibling of [[psiDrift]] (PSI needs
+    * bins and a smoothing choice; KS is binless: the max ECDF gap).
+    * EXACT: the maximized quantity is the integer
+    * |cum_a·n_b − cum_b·n_a| over the ≤10⁴+1 distinct quantized
+    * scores, so the argmax (smallest score on ties) is decided by
+    * integer compares and the single division happens once, after.
+    * Output (single row): n_a, n_b, ks, at_value.
+    *
+    * Scale: the x174 two-level prefix discipline — per-bucket windows
+    * + bucket-totals join, never a single-partition window. The
+    * cross products cum·n stay in Int64 for n ≤ 3e9 per side; cast
+    * to DECIMAL here anyway (the Pca lesson, corpus sizes lie). */
+  def ksDrift(df: DataFrame, sideCol: String, probCol: String,
+              roundTo: Int = 4): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sc = df.select(
+      floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"),
+      col(sideCol).cast("long").as("s"))
+    val per = sc.groupBy("pq")
+      .agg(sum(lit(1L) - col("s")).as("ca"), sum(col("s")).as("cb"))
+      .withColumn("b", (col("pq") / lit(1000L)).cast("int"))
+    val wIncl = Window.partitionBy("b").orderBy("pq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inb = per
+      .withColumn("cin_a", sum("ca").over(wIncl))
+      .withColumn("cin_b", sum("cb").over(wIncl))
+    val btot = per.groupBy("b").agg(sum("ca").as("ba"), sum("cb").as("bb"))
+    val below = btot.select(col("b").as("_lb"))
+      .join(btot.select(col("b").as("_hb"), col("ba"), col("bb")),
+        col("_hb") < col("_lb"), "left")
+      .groupBy(col("_lb").as("b"))
+      .agg(coalesce(sum("ba"), lit(0L)).as("a_below"),
+        coalesce(sum("bb"), lit(0L)).as("b_below"))
+    val rows = inb.join(below, Seq("b"))
+      .select(col("pq"),
+        (col("a_below") + col("cin_a")).as("cum_a"),
+        (col("b_below") + col("cin_b")).as("cum_b"))
+    val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val gap = rows.crossJoin(broadcast(tot))
+      .select(col("pq"), col("na"), col("nb"),
+        abs((col("cum_a").cast(dec) * col("nb").cast(dec)) -
+          (col("cum_b").cast(dec) * col("na").cast(dec))).as("num"))
+    gap.agg(max(struct(col("num"), (-col("pq")).as("ipq"), col("pq"),
+        col("na"), col("nb"))).as("m"))
+      .select(col("m.na").as("n_a"), col("m.nb").as("n_b"),
+        TextFunctions.portableRound(
+          when(col("m.na") === 0L || col("m.nb") === 0L, lit(0.0))
+            .otherwise(col("m.num").cast("double") /
+              (col("m.na").cast("double") * col("m.nb").cast("double"))),
+          roundTo).as("ks"),
+        (col("m.pq").cast("double") / lit(10000.0)).as("at_value"))
+  }
+
   /** Exact ROC-AUC (Mann–Whitney with average-rank ties) + the best-F1
     * operating point for a score column against a boolean truth — the
     * ranking-quality eval that complements [[calibrationReport]]

@@ -394,6 +394,24 @@ object ExtensionCatalog {
   private val CcnetLo = 1.0 / 3.0
   private val CcnetHi = 2.0 / 3.0
 
+  /** x189's profile width / x190's term budget. */
+  private val SrcSimTopK = 50
+  private val BurstTopK = 100
+
+  /** x188's planted template families (the natural corpus is
+    * single-line, so cross-doc line recurrence needs planting — the
+    * x99 precedent): two templates with shared skeleton lines and
+    * per-instance variable lines, plus one skeleton-free doc that
+    * must NOT cluster. Same Scala strings interpolate into the SQL
+    * VALUES (real newlines are legal inside SQL string literals). */
+  private val TemplateDocs: Seq[(Long, String)] = Seq(
+    -11L -> "header alpha\nnav home about\nuser page one\nfooter copyright",
+    -12L -> "header alpha\nnav home about\nuser page two extra\nfooter copyright",
+    -13L -> "header alpha\nnav home about\nanother variable body\nfooter copyright",
+    -21L -> "log start\nsession data 111\nlog end",
+    -22L -> "log start\nsession data 222\nlog end",
+    -31L -> "unique doc\nno shared lines at all")
+
   /** x64's DSIR importance-weight CTEs ending in
     * `dw(doc_id, n_tok, logw)` — shared by x64 and the ESS diagnostic
     * (x185) so the weights the diagnostic audits are EXACTLY the
@@ -7012,6 +7030,264 @@ object ExtensionCatalog {
               sum(col("n")).cast("double"), 4).as("accuracy"))
         cm.crossJoin(broadcast(acc))
           .orderBy("declared", "predicted")
+      }),
+
+    // ---- Fleiss' κ across x165's THREE noisy labelers (quality
+    //      heuristic, frozen classifier, Gopher gate): Cohen's
+    //      two-rater κ (x177) generalized — the gate on whether the
+    //      vote ensemble agrees beyond chance at all ----
+    Q("x187_fleiss_kappa", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, $qualityStatsSql FROM documents)),
+         |${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |v AS (
+         |  SELECT q.doc_id,
+         |    (CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN cp.cls_prob >= 0.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN g.keep THEN 1 ELSE 0 END) AS k
+         |  FROM q JOIN cp USING (doc_id) JOIN g USING (doc_id)),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT)
+         |      AS agree_num,
+         |    CAST(sum(k) AS BIGINT) AS yes_sum,
+         |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |  FROM v),
+         |raw AS (
+         |  SELECT n, n0, n1, n2, n3,
+         |    CAST(agree_num AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0)
+         |      AS pbar_raw,
+         |    CAST(yes_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)
+         |      AS pyes_raw
+         |  FROM agg)
+         |SELECT n AS n_items, n0, n1, n2, n3,
+         |  floor(pyes_raw * 10000.0 + 0.5) / 10000.0 AS p_yes,
+         |  floor(pbar_raw * 10000.0 + 0.5) / 10000.0 AS p_bar,
+         |  floor((pyes_raw * pyes_raw
+         |    + (1.0 - pyes_raw) * (1.0 - pyes_raw)) * 10000.0 + 0.5)
+         |    / 10000.0 AS p_e,
+         |  floor((CASE WHEN pyes_raw * pyes_raw
+         |        + (1.0 - pyes_raw) * (1.0 - pyes_raw) = 1.0 THEN 0.0
+         |      ELSE (pbar_raw - (pyes_raw * pyes_raw
+         |          + (1.0 - pyes_raw) * (1.0 - pyes_raw)))
+         |        / (1.0 - (pyes_raw * pyes_raw
+         |          + (1.0 - pyes_raw) * (1.0 - pyes_raw))) END + 1000.0)
+         |    * 10000.0 + 0.5) / 10000.0 - 1000.0 AS kappa
+         |FROM raw""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val votes = t(s, dir, "documents").select(
+          ((TextFunctions.qualityScore(col("text")) >= 0.5).cast("int")
+            + (TextFunctions.classifierProb(col("text")) >= 0.5).cast("int")
+            + QualityRules.gopherKeep(
+              QualityRules.tokenStats(col("text"))).cast("int"))
+            .as("n_yes"))
+        LabelQuality.fleissKappa(votes, "n_yes", raters = 3)
+      }),
+
+    // ---- template/bot skeleton clustering: docs sharing the exact
+    //      set of corpus-recurring lines are instances of one
+    //      template — the structural dedup that catches mass-produced
+    //      pages exact dedup (x01) misses because the variable field
+    //      differs. Planted template families; natural exact-dup
+    //      texts cluster too (single recurring line = the skeleton) ----
+    Q("x188_template_clusters", Some({
+      val vals = TemplateDocs.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n    ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $vals)),
+         |ln0 AS (
+         |  SELECT doc_id, trim(l) AS line FROM (
+         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+         |    FROM u)),
+         |ln AS (
+         |  SELECT DISTINCT doc_id, line FROM ln0 WHERE length(line) > 0),
+         |fq AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(*) AS c FROM ln GROUP BY line)
+         |  WHERE c >= 2),
+         |sk AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+         |  FROM ln JOIN fq USING (line)),
+         |fp AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(array_to_string(
+         |      list_sort(list(DISTINCT h)), ',')), 1, 15))::BIGINT
+         |      AS fingerprint
+         |  FROM sk GROUP BY doc_id)
+         |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keep_id
+         |FROM fp GROUP BY fingerprint HAVING count(*) >= 2
+         |ORDER BY keep_id""".stripMargin
+    }),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        Dedup.templateClusters(
+          t(s, dir, "documents").select("doc_id", "text")
+            .unionByName(TemplateDocs.toDF("doc_id", "text")),
+          "doc_id", "text")
+      }),
+
+    // ---- pairwise source-profile similarity: cosine between
+    //      per-source count vectors over the global top-50 terms —
+    //      "which sources are the same crawl wearing different
+    //      names", the composition fingerprint read before mixture
+    //      reweighting (x36/x49/x170) ----
+    Q("x189_source_similarity", Some(
+      s"""WITH tok AS (
+         |  SELECT source AS grp, unnest(${tokSql("lower(text)")}) AS t
+         |  FROM documents),
+         |top AS (
+         |  SELECT t FROM (
+         |    SELECT t, count(*) AS cnt FROM tok GROUP BY t
+         |    ORDER BY cnt DESC, t LIMIT $SrcSimTopK)),
+         |prof AS (
+         |  SELECT grp, t, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok JOIN top USING (t) GROUP BY grp, t),
+         |norms AS (
+         |  SELECT grp, sum(CAST(c AS HUGEINT) * c) AS n2
+         |  FROM prof GROUP BY grp),
+         |dots AS (
+         |  SELECT a.grp AS ga, b.grp AS gb,
+         |    sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+         |  FROM prof a JOIN prof b ON a.t = b.t AND a.grp < b.grp
+         |  GROUP BY ga, gb)
+         |SELECT ga AS source_a, gb AS source_b,
+         |  floor(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |    * 10000.0 + 0.5) / 10000.0 AS cosine
+         |FROM dots JOIN norms na ON na.grp = ga
+         |JOIN norms nb ON nb.grp = gb
+         |ORDER BY source_a, source_b""".stripMargin),
+      (s, dir) => CorpusStats.sourceSimilarity(t(s, dir, "documents"),
+        "source", "text", topK = SrcSimTopK)),
+
+    // ---- term burstiness (variance-to-mean over per-doc counts,
+    //      zeros included): VMR ≫ 1 flags template artifacts and spam
+    //      bursts that frequency-only vocab reports can't see; exact
+    //      integers to the last division ----
+    Q("x190_burstiness", Some(
+      s"""WITH nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |dc AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT doc_id, unnest(${tokSql("lower(text)")}) AS t
+         |    FROM documents)
+         |  GROUP BY doc_id, t),
+         |per AS (
+         |  SELECT t, CAST(sum(c) AS BIGINT) AS cnt,
+         |    sum(CAST(c AS HUGEINT) * c) AS c2,
+         |    CAST(count(*) AS BIGINT) AS n_docs_with
+         |  FROM dc GROUP BY t),
+         |top AS (SELECT * FROM per ORDER BY cnt DESC, t LIMIT $BurstTopK)
+         |SELECT t AS term, cnt, n_docs_with,
+         |  floor((CASE WHEN cnt = 0 THEN 0.0
+         |      ELSE CAST(nd * c2 - CAST(cnt AS HUGEINT) * cnt AS DOUBLE)
+         |        / CAST(nd * CAST(cnt AS HUGEINT) AS DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS vmr
+         |FROM top, nn ORDER BY cnt DESC, term""".stripMargin),
+      (s, dir) => CorpusStats.burstiness(t(s, dir, "documents"),
+        "doc_id", "text", topK = BurstTopK)),
+
+    // ---- conditional entropy of the x160 Markov chain: per-state
+    //      H(next|cur) and the chain scalar Σ p(a)·H_a — "how
+    //      predictable is the behavioral stream" in one number ----
+    Q("x191_markov_entropy", Some(
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f,
+        |    event_type AS tt
+        |  FROM events),
+        |c AS (
+        |  SELECT f AS from_type, tt AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE f IS NOT NULL GROUP BY f, tt),
+        |st0 AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot,
+        |    list_sort(list(struct_pack(to_type := to_type, n := n)))
+        |      AS arr
+        |  FROM c GROUP BY from_type),
+        |st AS (
+        |  SELECT from_type, tot,
+        |    0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
+        |      s -> (CAST(s.n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |        * log2(CAST(s.n AS DOUBLE) / CAST(tot AS DOUBLE)))),
+        |      (a, x) -> a + x) AS h_raw
+        |  FROM st0),
+        |g0 AS (
+        |  SELECT CAST(sum(tot) AS BIGINT) AS gt,
+        |    list_sort(list(struct_pack(from_type := from_type,
+        |      tot := tot, h := h_raw))) AS arr
+        |  FROM st),
+        |g1 AS (
+        |  SELECT gt,
+        |    list_reduce(list_prepend(0.0, list_transform(arr,
+        |      s -> CAST(s.tot AS DOUBLE) / CAST(gt AS DOUBLE) * s.h)),
+        |      (a, x) -> a + x) AS hc
+        |  FROM g0)
+        |SELECT st.from_type, st.tot AS n_transitions,
+        |  floor(CAST(st.tot AS DOUBLE) / CAST(g1.gt AS DOUBLE)
+        |    * 10000.0 + 0.5) / 10000.0 AS p_state,
+        |  floor(st.h_raw * 10000.0 + 0.5) / 10000.0 AS h_bits,
+        |  floor(g1.hc * 10000.0 + 0.5) / 10000.0 AS h_conditional
+        |FROM st, g1 ORDER BY from_type""".stripMargin),
+      (s, dir) => Funnels.transitionEntropy(ReferenceCatalog.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // ---- Kolmogorov–Smirnov drift between snapshots: x181's binless
+    //      sibling — the maximized ECDF gap is an exact integer
+    //      (|cum_a·n_b − cum_b·n_a|), so the statistic and its argmax
+    //      are decided by integer compares, one division at the end ----
+    Q("x192_ks_drift", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |sc AS (
+         |  SELECT CAST(floor(cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq,
+         |    CAST(doc_id % 2 AS BIGINT) AS s
+         |  FROM cp),
+         |per AS (
+         |  SELECT pq, CAST(sum(1 - s) AS BIGINT) AS ca,
+         |    CAST(sum(s) AS BIGINT) AS cb
+         |  FROM sc GROUP BY pq),
+         |cum AS (
+         |  SELECT pq,
+         |    CAST(sum(ca) OVER (ORDER BY pq) AS BIGINT) AS cum_a,
+         |    CAST(sum(cb) OVER (ORDER BY pq) AS BIGINT) AS cum_b
+         |  FROM per),
+         |tt AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM per),
+         |gap AS (
+         |  SELECT pq,
+         |    abs(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+         |      AS num
+         |  FROM cum, tt),
+         |best AS (
+         |  SELECT pq, num FROM (
+         |    SELECT *, row_number() OVER (ORDER BY num DESC, pq) AS rn
+         |    FROM gap) WHERE rn = 1)
+         |SELECT na AS n_a, nb AS n_b,
+         |  floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |      ELSE CAST(num AS DOUBLE)
+         |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS ks,
+         |  CAST(best.pq AS DOUBLE) / 10000.0 AS at_value
+         |FROM tt, best""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(
+          (col("doc_id") % 2).as("side"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        LabelQuality.ksDrift(scored, "side", "cls_prob")
       })
   )
 

@@ -453,4 +453,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("s2").getAs[Double]("p0_unseen") == 0.0)
     assert(got("s2").getAs[Double]("r1_star") == 0.0)
   }
+
+  test("sourceSimilarity: identical profiles cosine 1, orthogonal " +
+    "profiles have no shared-term pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("a", "alpha beta alpha"), ("b", "alpha beta alpha"),
+      ("c", "gamma delta gamma delta")).toDF("source", "text")
+    val got = CorpusStats.sourceSimilarity(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(!got.contains(("a", "c"))) // zero overlap -> no dot row
+  }
+
+  test("burstiness: a clumped term scores a higher VMR than an " +
+    "evenly spread one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "even" once per doc (VMR = (4*4-16)/(4*4) = 0);
+    // "burst" 4 times in one doc (VMR = (4*16-16)/(4*4) = 3)
+    val df = Seq((1L, "even burst burst burst burst"),
+      (2L, "even"), (3L, "even"), (4L, "even"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.burstiness(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("vmr")).toMap
+    assert(got("even") == 0.0)
+    assert(got("burst") == 3.0)
+  }
 }

@@ -270,4 +270,38 @@ class DedupSpec extends SparkSpec {
         .toSet
     assert(clusters(allPairs) == clusters(starPairs))
   }
+
+  test("templateClusters: instances sharing a skeleton cluster " +
+    "despite different variable lines; skeleton-free docs never do") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "head\nnav\nbody one\nfoot"),
+      (2L, "head\nnav\nbody two\nfoot"),
+      (3L, "head\nnav\nsomething else\nfoot"),
+      (4L, "totally\nunrelated\nlines"),
+      (5L, "also\nnothing shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.templateClusters(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_docs") == 3L)
+    assert(got.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("templateClusters: a doc missing ONE skeleton line is a " +
+    "different template; layout-independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "head\nfoot\nx"), (2L, "head\nfoot\ny"),
+      (3L, "head\nz\nw"), (4L, "head\nq")
+    ).toDF("doc_id", "text")
+    // skeleton lines: head (df 4), foot (df 2). Docs 1,2 -> {head,foot};
+    // docs 3,4 -> {head}: two clusters
+    val a = Dedup.templateClusters(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"))).toSet
+    assert(a == Set((2L, 1L), (2L, 3L)))
+    val b = Dedup.templateClusters(docs.repartition(7), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"))).toSet
+    assert(a == b)
+  }
 }

@@ -143,4 +143,29 @@ class FunnelsSpec extends SparkSpec {
     // mod-64 semantics (>> 60 = 0); clamped, both rows weigh 2^20
     assert(got("skewed") == ((2L, 2L * 1048576L)))
   }
+
+  test("transitionEntropy: deterministic chains carry 0 bits; a " +
+    "uniform 2-way split carries 1") {
+    import spark.implicits._
+    def at(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: a->b->a->b (a always goes to b, b always to a: 0 bits);
+    // user 2/3: c->a and c->b once each (c: 1 bit)
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (2L, 1L, 2L, "b"), (3L, 1L, 3L, "a"),
+      (4L, 1L, 4L, "b"),
+      (5L, 2L, 1L, "c"), (6L, 2L, 2L, "a"),
+      (7L, 3L, 1L, "c"), (8L, 3L, 2L, "b")
+    ).map { case (id, u, ms, t) => (id, u, at(ms), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnels.transitionEntropy(ev, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("h_bits"), r.getAs[Double]("h_conditional")))
+      .toMap
+    assert(got("a")._1 == 0.0)
+    assert(got("b")._1 == 0.0)
+    assert(got("c")._1 == 1.0)
+    // H_cond = p(c)*1 = (2/5)*1 = 0.4
+    assert(got("c")._2 == 0.4)
+  }
 }

@@ -131,4 +131,45 @@ class LabelQualitySpec extends SparkSpec {
     val b = LabelQuality.rocAuc(df.repartition(9), "p", "y").head().toSeq
     assert(a == b)
   }
+
+  test("fleissKappa: unanimous votes give 1; hand-computed mixed case") {
+    val unanimous = Seq(3, 0, 3, 0).toDF("k")
+    val u = LabelQuality.fleissKappa(unanimous, "k").head()
+    assert(u.getAs[Double]("p_bar") == 1.0)
+    assert(u.getAs[Double]("kappa") == 1.0)
+    // 2 items, k=1 and k=2: agree_num = (0+2)+(2+0) = 4 ->
+    // p_bar = 4/12 = 1/3; p_yes = 3/6 = 0.5 -> p_e = 0.5 ->
+    // kappa = (1/3 - 1/2)/(1/2) = -1/3
+    val mixed = Seq(1, 2).toDF("k")
+    val m = LabelQuality.fleissKappa(mixed, "k").head()
+    assert(m.getAs[Double]("p_bar") == 0.3333)
+    assert(m.getAs[Double]("p_e") == 0.5)
+    assert(math.abs(m.getAs[Double]("kappa") - (-0.3333)) < 1e-9)
+  }
+
+  test("ksDrift: identical snapshots give 0; disjoint supports give 1 " +
+    "at the crossover value") {
+    val same = (0 until 40).map(i => (i % 2, ((i / 2) % 10) / 10.0))
+    assert(LabelQuality.ksDrift(same.toDF("side", "p"), "side", "p")
+      .head().getAs[Double]("ks") == 0.0)
+    val disjoint = Seq.fill(5)((0, 0.2)) ++ Seq.fill(7)((1, 0.8))
+    val d = LabelQuality.ksDrift(disjoint.toDF("side", "p"), "side", "p")
+      .head()
+    assert(d.getAs[Long]("n_a") == 5L && d.getAs[Long]("n_b") == 7L)
+    assert(d.getAs[Double]("ks") == 1.0)
+    assert(d.getAs[Double]("at_value") == 0.2)
+  }
+
+  test("ksDrift: hand-computed partial shift, layout-independent") {
+    // a: 0.1 0.1 0.5  b: 0.1 0.5 0.5 -> ECDFs at 0.1: 2/3 vs 1/3
+    // (gap 1/3); at 0.5: 1 vs 1 (0) -> ks = 1/3 at 0.1
+    val rows = Seq((0, 0.1), (0, 0.1), (0, 0.5),
+      (1, 0.1), (1, 0.5), (1, 0.5))
+    val df = rows.toDF("side", "p")
+    val r = LabelQuality.ksDrift(df, "side", "p").head()
+    assert(r.getAs[Double]("ks") == 0.3333)
+    assert(r.getAs[Double]("at_value") == 0.1)
+    assert(r.toSeq == LabelQuality.ksDrift(df.repartition(5),
+      "side", "p").head().toSeq)
+  }
 }
