@@ -198,6 +198,31 @@ object TextFunctions {
       regexp_replace(c, pattern, token)
     }
 
+  /** URL canonicalization rules, applied IN ORDER after lowercasing:
+    * fragment, tracking parameters (mid-query then trailing, so the
+    * separators stay well-formed), dangling separators, default
+    * ports, trailing slash. No capture-group references — Java regex
+    * spells them `$1`, RE2 `\1`, so portable rules avoid them
+    * entirely; alternation uses non-capturing groups both engines
+    * accept. Shared with the oracle SQL (one edit point). */
+  val urlCanonRules: Seq[(String, String)] = Seq(
+    "#.*$" -> "",
+    "(?:utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&" -> "",
+    "[?&](?:utm_[a-z0-9]+|fbclid|gclid)=[^&#]*$" -> "",
+    "[?&]$" -> "",
+    ":80/" -> "/", ":443/" -> "/", ":80$" -> "", ":443$" -> "",
+    "/$" -> "")
+
+  /** Canonicalize a URL for crawl-frontier dedup: lowercase, then the
+    * [[urlCanonRules]] pipeline. Lowercasing the WHOLE url (not just
+    * scheme+host) is a deliberate canonical choice — group-reference
+    * replacements are not engine-portable, and for dedup purposes a
+    * case-folded path collides strictly more, never less. */
+  def canonicalizeUrl(url: Column): Column =
+    urlCanonRules.foldLeft(lower(url)) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** Engine-portable positive-value rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
     * Spark's `round` (exact-BigDecimal HALF_UP) and DuckDB's `round`
     * (scale-then-std::round) disagree when the scaled double lands

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Privacy / data-governance analytics — the release-gate side of the
+  * PII family (TextFunctions.redactPii scrubs content; these audit
+  * STRUCTURE): k-anonymity over quasi-identifier combinations, the
+  * standard "can a row be re-identified by joining public attributes"
+  * check a dataset must pass before leaving the curation pipeline.
+  *
+  * Scale shape: one hash aggregation on the quasi-identifier tuple
+  * (combination cardinality bounds the result, not the corpus) plus a
+  * one-row summary — map-side combined, no windows, no joins beyond a
+  * scalar cross join. Exact integer counts throughout.
+  */
+object Privacy {
+
+  /** k-anonymity report: one row per quasi-identifier combination with
+    * its group size and risk flag (size < k ⇒ the combination pins an
+    * individual to fewer than k candidates), plus the dataset's
+    * anonymity level (min group size) and risky-row totals replicated
+    * per row — the x170 per-row-plus-scalar shape.
+    *
+    * `quasi` are the published columns an attacker can join on;
+    * pre-generalize continuous ones (bucket a balance, truncate a
+    * date) BEFORE calling — generalization is the mitigation lever,
+    * and this report measures whether it generalized enough. */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], names: Seq[String],
+                 k: Int): DataFrame = {
+    require(quasi.nonEmpty && quasi.length == names.length,
+      "one name per quasi column")
+    require(k >= 2, "k-anonymity needs k >= 2")
+    val keyed = df.select(quasi.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val groups = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("risky", col("n") < k)
+    val summary = groups.agg(
+      min(col("n")).as("k_anonymity"),
+      sum(when(col("risky"), lit(1L)).otherwise(lit(0L))).as("n_risky_groups"),
+      sum(when(col("risky"), col("n")).otherwise(lit(0L))).as("n_risky_rows"))
+    groups.crossJoin(broadcast(summary))
+      .orderBy(names.map(col): _*)
+  }
+}

@@ -68,6 +68,70 @@ object Profiling {
     * scales free. At trillion-row scale lower the bits further or swap
     * the sums to DECIMAL(38,0) — the quantization makes either a
     * one-line change. */
+  /** Benford first-digit audit of a numeric column: observed leading-
+    * significant-digit distribution vs Benford's log₁₀(1 + 1/d), with
+    * the χ² distance replicated per row — the classic "does this
+    * metric column look organically generated or fabricated/bugged"
+    * data-quality screen (synthetic defaults, unit mix-ups and
+    * truncation bugs all bend the first-digit curve).
+    *
+    * Engine-exact digit extraction: |v| quantizes to ×10⁴ longs
+    * (zeros carry no leading digit and are excluded, reported via
+    * n_total vs Σn), and the first digit is pure INTEGER arithmetic —
+    * q div 10^(digits(q)−1) with digits(q) = string length of a
+    * BIGINT, identical in any engine (no float log10 at power-of-ten
+    * boundaries). The nine expected shares are Scala-computed
+    * literals interpolated into both sides. All nine digits are
+    * reported (empty ones with n = 0 — they still contribute to χ²). */
+  def benford(df: DataFrame, valCol: String,
+              roundTo: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = floor(abs(col(valCol)) * lit(10000.0) + lit(0.5)).cast("long")
+    val firstDigit = expr(
+      "CAST(q DIV CAST(pow(10, length(CAST(q AS STRING)) - 1) AS BIGINT)" +
+        " AS INT)")
+    val counts = df.select(q.as("q")).filter(col("q") > 0L)
+      .select(firstDigit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordExpected.zipWithIndex
+      .map { case (e, i) => (i + 1, e) }.toDF("digit", "expected_raw")
+    val full = broadcast(expected).join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_raw"))
+    val tot = full.agg(sum(col("n")).as("nn"))
+    // nn = 0 (no nonzero values at all) has no defined distance —
+    // 0 per digit rather than an ANSI double-division abort
+    val withChi = full.crossJoin(broadcast(tot))
+      .withColumn("chi_raw",
+        when(col("nn") === 0L, lit(0.0)).otherwise(
+          (col("n").cast("double") - col("expected_raw") * col("nn").cast("double")) *
+            (col("n").cast("double") - col("expected_raw") * col("nn").cast("double")) /
+            (col("expected_raw") * col("nn").cast("double"))))
+    val chi2 = withChi
+      .agg(array_sort(collect_list(struct(col("digit"),
+        col("chi_raw").as("w")))).as("arr"))
+      .select(TextFunctions.portableRound(
+        aggregate(col("arr"), lit(0.0), (acc, s) => acc + s.getField("w")),
+        roundTo).as("chi2"))
+    withChi.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"), col("nn").as("n_nonzero"),
+        TextFunctions.portableRound(
+          when(col("nn") === 0L, lit(0.0))
+            .otherwise(col("n").cast("double") / col("nn").cast("double")),
+          roundTo).as("share"),
+        TextFunctions.portableRound(col("expected_raw"), roundTo)
+          .as("expected"),
+        col("chi2"))
+      .orderBy("digit")
+  }
+
+  /** Benford expected shares log₁₀(1 + 1/d), d = 1..9 — Scala-computed
+    * once, interpolated as literals into BOTH engines' expressions so
+    * no library log₁₀ ULP difference can ever split them. */
+  val BenfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   def correlation(df: DataFrame, cols: Seq[String],
                   qBits: Int = 20, qBitsFor: Map[String, Int] = Map.empty,
                   roundTo: Int = 6): DataFrame = {

@@ -422,6 +422,40 @@ object Sampling {
     * null-rejecting on both engines, which the oracle's `USING (q)`
     * mirrors. Budget arithmetic is integer (`sum·num div den`), so the
     * threshold is the same exact value at any corpus size. */
+  /** Largest-remainder quota allocation: split an EXACT `total` (an
+    * eval-set budget, an annotation batch) across groups proportional
+    * to their sizes — floor quotas first, then the leftover seats go
+    * to the largest fractional remainders (group-name tiebreak). The
+    * deterministic integer answer to "give me exactly 10,000 docs,
+    * source-proportional" that a per-group rate sample can only hit
+    * in expectation.
+    *
+    * ZERO floats: base = total·n div N, remainder = total·n mod N,
+    * ranks over the bounded group table ([[Ranked.bounded]] — groups
+    * are sources/languages, not documents). Σquota = total exactly,
+    * by construction. */
+  def quotaAllocate(df: DataFrame, groupCol: String,
+                    total: Long): DataFrame = {
+    require(total >= 0, "total must be >= 0")
+    val counts = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("nn"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"),
+        expr(s"(${total}L * n_docs) DIV nn").as("base"),
+        expr(s"(${total}L * n_docs) % nn").as("rem"))
+    val leftover = based
+      .agg((lit(total) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Ranked.bounded(col("rem").desc, col("grp"))))
+      .select(col("grp").as(groupCol), col("n_docs"), col("base"),
+        when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L))
+          .as("extra"))
+      .withColumn("quota", col("base") + col("extra"))
+      .orderBy(groupCol)
+  }
+
   /** Effective sample size of per-document importance weights, per
     * group — the standing diagnostic for every weighted-sampling lever
     * this engine ships ([[dsirWeights]], [[doremiWeights]], dup

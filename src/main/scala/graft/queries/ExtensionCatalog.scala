@@ -8,8 +8,8 @@ import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
   Contamination, CorpusStats, Dedup, EntityResolution, Funnels, GramIndex,
   GraphRank, IncrementalDedup, LabelQuality, MergeUpsert, Multimodal,
-  RangeJoin, RepeatedSpans, Salting, Sampling, Scd2, Similarity, Sketches,
-  TfIdf, ZOrder, ZoneMap}
+  Privacy, Profiling, RangeJoin, RepeatedSpans, Salting, Sampling, Scd2,
+  Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
 import graft.sources.Bucketing
 import graft.streaming.{StreamCuration, StreamIngest}
 
@@ -397,6 +397,31 @@ object ExtensionCatalog {
   /** x189's profile width / x190's term budget. */
   private val SrcSimTopK = 50
   private val BurstTopK = 100
+
+  /** x193's k and generalization bucket; x196's seat budget. */
+  private val KAnonK = 5
+  private val QuotaTotal = 100L
+
+  /** x195's planted link rows: four spellings of ONE canonical
+    * article URL (tracking params, fragment, default port, trailing
+    * slash) plus two spellings of a non-default-port API URL. */
+  private val CanonUrlDocs: Seq[(Long, String)] = Seq(
+    -41L -> ("read https://Example.com/Article?utm_source=feed" +
+      "&utm_campaign=x now"),
+    -42L -> "see https://example.com/Article#section2 too",
+    -43L -> "and https://example.com:443/article?fbclid=abc123",
+    -44L -> "plus https://example.com/article/",
+    -45L -> "api at http://svc.example.com:8080/v1?q=1&utm_ref=z",
+    -46L -> "other http://svc.example.com:8080/v1?q=1")
+
+  /** [[graft.functions.TextFunctions.urlCanonRules]] rendered as the
+    * DuckDB regexp_replace fold (the 'g' flag — DuckDB replaces first
+    * match by default, Spark replaces all). */
+  private def urlCanonSql(c: String): String =
+    graft.functions.TextFunctions.urlCanonRules.foldLeft(s"lower($c)") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, '${p.replace("'", "''")}', '$r', 'g')"
+    }
 
   /** x188's planted template families (the natural corpus is
     * single-line, so cross-doc line recurrence needs planting — the
@@ -7288,7 +7313,162 @@ object ExtensionCatalog {
           (col("doc_id") % 2).as("side"),
           TextFunctions.classifierProb(col("text")).as("cls_prob"))
         LabelQuality.ksDrift(scored, "side", "cls_prob")
-      })
+      }),
+
+    // ---- k-anonymity release gate over customer quasi-identifiers
+    //      (nation × segment × generalized balance bucket): group
+    //      sizes < k pin an individual to fewer than k candidates —
+    //      the structural privacy audit next to x19's content
+    //      redaction ----
+    Q("x193_k_anonymity", Some(
+      s"""WITH keyed AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket
+         |  FROM customer),
+         |grp AS (
+         |  SELECT nation, segment, bal_bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM keyed GROUP BY 1, 2, 3),
+         |g2 AS (SELECT *, n < $KAnonK AS risky FROM grp),
+         |summ AS (
+         |  SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+         |    CAST(sum(CASE WHEN risky THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_risky_groups,
+         |    CAST(sum(CASE WHEN risky THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_risky_rows
+         |  FROM g2)
+         |SELECT nation, segment, bal_bucket, n, risky,
+         |  k_anonymity, n_risky_groups, n_risky_rows
+         |FROM g2, summ
+         |ORDER BY nation, segment, bal_bucket""".stripMargin),
+      (s, dir) => Privacy.kAnonymity(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("int")),
+        Seq("nation", "segment", "bal_bucket"), k = KAnonK)),
+
+    // ---- Benford first-digit audit of the event value column:
+    //      fabricated/bugged metric streams bend the log₁₀(1+1/d)
+    //      curve; digit extraction is pure integer arithmetic and the
+    //      nine expected shares are ONE set of Scala literals on both
+    //      sides ----
+    Q("x194_benford_audit", Some({
+      val vals = Profiling.BenfordExpected.zipWithIndex
+        .map { case (e, i) => s"(${i + 1}, ${e})" }.mkString(", ")
+      s"""WITH qv AS (
+         |  SELECT CAST(floor(abs(value) * 10000.0 + 0.5) AS BIGINT) AS q
+         |  FROM events),
+         |dg AS (
+         |  SELECT q // CAST(power(10,
+         |    length(CAST(q AS VARCHAR)) - 1) AS BIGINT) AS digit
+         |  FROM qv WHERE q > 0),
+         |cnt AS (
+         |  SELECT CAST(digit AS INT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM dg GROUP BY 1),
+         |ex AS (SELECT * FROM (VALUES $vals) AS e(digit, expected_raw)),
+         |fl AS (
+         |  SELECT e.digit, coalesce(cnt.n, CAST(0 AS BIGINT)) AS n,
+         |    e.expected_raw
+         |  FROM ex e LEFT JOIN cnt USING (digit)),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM fl),
+         |wc AS (
+         |  SELECT digit, n, nn, expected_raw,
+         |    CASE WHEN nn = 0 THEN 0.0 ELSE
+         |      (CAST(n AS DOUBLE) - expected_raw * CAST(nn AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) - expected_raw * CAST(nn AS DOUBLE))
+         |      / (expected_raw * CAST(nn AS DOUBLE)) END AS chi_raw
+         |  FROM fl, tt),
+         |c2 AS (
+         |  SELECT floor(list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(digit := digit, w := chi_raw))),
+         |      s -> s.w)), (a, x) -> a + x) * 10000.0 + 0.5) / 10000.0
+         |    AS chi2
+         |  FROM wc)
+         |SELECT digit, n, nn AS n_nonzero,
+         |  floor((CASE WHEN nn = 0 THEN 0.0
+         |      ELSE CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS share,
+         |  floor(expected_raw * 10000.0 + 0.5) / 10000.0 AS expected,
+         |  chi2
+         |FROM wc, c2 ORDER BY digit""".stripMargin
+    }),
+      (s, dir) => Profiling.benford(ReferenceCatalog.events(s, dir),
+        "value")),
+
+    // ---- crawl-frontier URL canonicalization dedup: tracking
+    //      params, fragments, default ports and trailing slashes fold
+    //      into ONE canonical URL per resource — x164's domain view
+    //      refined to the per-URL dedup a fetch scheduler runs on.
+    //      Planted spelling variants; rules shared with the engine ----
+    Q("x195_url_canonical", Some({
+      val vals = CanonUrlDocs.map { case (id, t) =>
+        s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n    ")
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    $vals)),
+         |uu AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text,
+         |    '${TextFunctions.redactionRules.head._1}')) AS url
+         |  FROM u),
+         |canon AS (
+         |  SELECT doc_id, url, ${urlCanonSql("url")} AS curl
+         |  FROM uu)
+         |SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         |FROM canon GROUP BY curl ORDER BY canonical_url""".stripMargin
+    }),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        t(s, dir, "documents").select("doc_id", "text")
+          .unionByName(CanonUrlDocs.toDF("doc_id", "text"))
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"),
+              lit(TextFunctions.redactionRules.head._1), lit(0)))
+              .as("url"))
+          .select(col("doc_id"), col("url"),
+            TextFunctions.canonicalizeUrl(col("url")).as("curl"))
+          .groupBy("curl")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("url")).as("n_variants"))
+          .select(col("curl").as("canonical_url"), col("n_urls"),
+            col("n_docs"), col("n_variants"))
+          .orderBy("canonical_url")
+      }),
+
+    // ---- largest-remainder quota allocation: an EXACT seat budget
+    //      split source-proportionally — floor quotas + leftover
+    //      seats to the largest remainders, zero floats anywhere.
+    //      The deterministic sizing step before an eval-set draw
+    //      (a rate sample only hits the budget in expectation) ----
+    Q("x196_quota_allocate", Some(
+      s"""WITH counts AS (
+         |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM counts),
+         |based AS (
+         |  SELECT grp, n_docs,
+         |    ($QuotaTotal * n_docs) // nn AS base,
+         |    ($QuotaTotal * n_docs) % nn AS rem
+         |  FROM counts, tt),
+         |lo AS (
+         |  SELECT $QuotaTotal - CAST(sum(base) AS BIGINT) AS leftover
+         |  FROM based),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rk
+         |  FROM based)
+         |SELECT grp AS source, n_docs, CAST(base AS BIGINT) AS base,
+         |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS extra,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |    AS BIGINT) AS quota
+         |FROM rk, lo ORDER BY source""".stripMargin),
+      (s, dir) => Sampling.quotaAllocate(t(s, dir, "documents"),
+        "source", total = QuotaTotal))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

@@ -99,4 +99,24 @@ class RedactionSpec extends SparkSpec {
     assert(got("digit") == 2L)
     assert(got("nonspace") == 13L) // includes the '!'
   }
+
+  test("canonicalizeUrl: tracking params, fragments, default ports " +
+    "and trailing slashes all fold to one canonical URL") {
+    import spark.implicits._
+    val variants = Seq(
+      "https://Example.com/Article?utm_source=feed&utm_campaign=x",
+      "https://example.com/Article#section2",
+      "https://example.com:443/article?fbclid=abc123",
+      "https://example.com/article/")
+    val got = variants.toDF("u")
+      .select(TextFunctions.canonicalizeUrl(org.apache.spark.sql.functions.col("u")))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("https://example.com/article"), got.toString)
+    // non-default port and real params survive
+    val keep = Seq("http://svc.example.com:8080/v1?q=1&utm_ref=z")
+      .toDF("u")
+      .select(TextFunctions.canonicalizeUrl(org.apache.spark.sql.functions.col("u")))
+      .head().getString(0)
+    assert(keep == "http://svc.example.com:8080/v1?q=1")
+  }
 }

@@ -341,4 +341,37 @@ class SamplingSpec extends SparkSpec {
       "source", "logw").head().toSeq
     assert(a == c)
   }
+
+  test("quotaAllocate: quotas sum EXACTLY to the budget and largest " +
+    "remainders win the leftover seats") {
+    val spark2 = spark
+    import spark2.implicits._
+    // sizes 5, 3, 2 over total 7: exact shares 3.5, 2.1, 1.4 ->
+    // bases 3, 2, 1 (sum 6), one seat left -> largest remainder .5 = a
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("source")
+    val got = Sampling.quotaAllocate(df, "source", total = 7L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("base"), r.getAs[Long]("extra"),
+          r.getAs[Long]("quota"))).toMap
+    assert(got("a") == ((3L, 1L, 4L)))
+    assert(got("b") == ((2L, 0L, 2L)))
+    assert(got("c") == ((1L, 0L, 1L)))
+    assert(got.values.map(_._3).sum == 7L)
+  }
+
+  test("quotaAllocate: remainder ties break on group name; " +
+    "layout-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // equal groups, odd budget: one seat to the lexicographically
+    // first group
+    val df = (Seq.fill(4)("x") ++ Seq.fill(4)("y")).toDF("source")
+    val got = Sampling.quotaAllocate(df, "source", total = 5L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got("x") == 3L && got("y") == 2L)
+    val again = Sampling.quotaAllocate(df.repartition(7), "source", 5L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got == again)
+  }
 }
