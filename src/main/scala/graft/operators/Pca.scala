@@ -37,9 +37,22 @@ object Pca {
 
   /** Exact integer scatter matrix over quantized vectors:
     * (i, j, m) with m = n·Σ xq_i·xq_j − (Σxq_i)·(Σxq_j) as
-    * DECIMAL(38,0) — n²·cov, which shares eigenvectors with cov. */
+    * DECIMAL(38,0) — n²·cov, which shares eigenvectors with cov.
+    *
+    * Exactness vs throughput: the product sums must NEVER wrap, but a
+    * DECIMAL(38) accumulator over the n·d² products costs ~8× a long
+    * sum (measured at sf1: 2.3 s → 19 s). The accumulator width is
+    * therefore DECIDED from a measured bound — n and max|xq| come
+    * from one scalar pass, and the long path runs only when
+    * n·max² ≤ 2⁶² provably holds (≈8e9 rows at qBits=10 embedding
+    * magnitudes); past that, per-element decimal casts engage. Both
+    * paths are exact, so the values are identical to each other and
+    * to the oracle's HUGEINT sums on either side of the cutover.
+    * `forceDecimalAt` lets the spec pin the wide path's parity
+    * without materializing 8e9 rows (n ≥ forceDecimalAt ⇒ decimal). */
   def scatterMatrix(corpus: DataFrame, vecCol: String,
-                    qBits: Int = 10): DataFrame = {
+                    qBits: Int = 10,
+                    forceDecimalAt: Long = Long.MaxValue): DataFrame = {
     val scale = (1L << qBits).toDouble
     val xq = corpus.select(
       transform(col(vecCol),
@@ -48,22 +61,28 @@ object Pca {
       // null/empty vectors posexplode to nothing — keep n consistent
       // with the rows that actually contribute products
       .filter(col("xq").isNotNull && size(col("xq")) > 0)
-    val n = xq.count()
-    val expl = xq.select(col("xq"),
-      posexplode(col("xq")).as(Seq("i", "xi")))
-    val expl2 = expl.select(col("i"), col("xi"),
-      posexplode(col("xq")).as(Seq("j", "xj")))
+    val head = xq.agg(count(lit(1)),
+      max(aggregate(col("xq"), lit(0L),
+        (acc, x) => greatest(acc, abs(x))))).head()
+    val n = head.getLong(0)
+    val maxq = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val longSafe = n < forceDecimalAt &&
+      maxq < 3037000499L && // maxq² itself must fit Int64
+      (maxq == 0L || n <= (Long.MaxValue / 2) / (maxq * maxq))
     // one hash agg over n·d² products — map-side combined, the shuffle
     // carries only d² rows per partition
-    // cast OPERANDS to decimal so the accumulation itself runs in
-    // DECIMAL(38,0), not Int64 — at |x|~32, qBits=10 the products are
-    // ~2^30 and an Int64 running sum wraps (ANSI: aborts) near ~8e9
-    // rows; the DuckDB oracle sums in HUGEINT, so the sum must be
-    // exact on this side too (the centroidConfusion/cosinePairs
-    // pattern)
-    val sums = expl2.groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast(dec)).as("s"))
-    val tots = expl.groupBy("i").agg(sum(col("xi").cast(dec)).as("t"))
+    val sums =
+      if (longSafe)
+        expl2(xq).groupBy("i", "j")
+          .agg(sum(col("xi") * col("xj")).cast(dec).as("s"))
+      else
+        expl2(xq).groupBy("i", "j")
+          .agg(sum((col("xi") * col("xj")).cast(dec)).as("s"))
+    val tots =
+      if (longSafe)
+        expl1(xq).groupBy("i").agg(sum(col("xi")).cast(dec).as("t"))
+      else
+        expl1(xq).groupBy("i").agg(sum(col("xi").cast(dec)).as("t"))
     sums
       .join(tots.select(col("i").as("_ti"), col("t").as("ti")),
         col("i") === col("_ti"))
@@ -72,6 +91,13 @@ object Pca {
       .select(col("i"), col("j"),
         (lit(n).cast(dec) * col("s") - col("ti") * col("tj")).as("m"))
   }
+
+  private def expl1(xq: DataFrame): DataFrame =
+    xq.select(col("xq"), posexplode(col("xq")).as(Seq("i", "xi")))
+
+  private def expl2(xq: DataFrame): DataFrame =
+    expl1(xq).select(col("i"), col("xi"),
+      posexplode(col("xq")).as(Seq("j", "xj")))
 
   /** Top principal component by `iters` power-iteration rounds on the
     * collected scatter matrix. Returns (pos, loading) with loadings

@@ -7468,7 +7468,59 @@ object ExtensionCatalog {
          |    AS BIGINT) AS quota
          |FROM rk, lo ORDER BY source""".stripMargin),
       (s, dir) => Sampling.quotaAllocate(t(s, dir, "documents"),
-        "source", total = QuotaTotal))
+        "source", total = QuotaTotal)),
+
+    // ---- NATIVE session windows (session_window, Spark's built-in
+    //      merging-window state operator) — the engine-surface twin
+    //      of x20's custom flatMapGroupsWithState sessionizer. Same
+    //      break rule as the custom fold (merge at diff ≤ gap, break
+    //      at > gap — pinned by a SessionizeSpec equivalence test);
+    //      the one semantic difference is session end = last + gap.
+    //      The break compares MICROSECONDS (the ts resolution) — an
+    //      ms-floored compare would merge/break differently when a
+    //      gap straddles an ms boundary. Values quantize to exact
+    //      longs before the hash-agg sum (session_window's partial
+    //      aggregation is order-free only over integers) ----
+    Q("x197_session_window", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, us, value,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+         |          ORDER BY us) > ${SessionGapMs}000
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, us, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |                   ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id, min(us) // 1000 AS start_ms,
+         |  (max(us) + ${SessionGapMs}000) // 1000 AS end_ms,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  floor(CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0
+         |    AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, start_ms""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+              .as("vq"))
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "12 hours").as("sw"))
+          .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("sq"))
+          .select(col("user_id"),
+            unix_millis(col("sw.start")).as("start_ms"),
+            unix_millis(col("sw.end")).as("end_ms"),
+            col("n_events"),
+            TextFunctions.portableRound(
+              col("sq").cast("double") / lit(10000.0), 4)
+              .as("total_value"))
+          .orderBy("user_id", "start_ms")
+      })
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim

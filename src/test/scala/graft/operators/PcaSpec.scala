@@ -56,25 +56,37 @@ class PcaSpec extends SparkSpec {
     }
   }
 
-  test("scatter accumulation is DECIMAL end to end (operands cast " +
-    "BEFORE the sum, no Int64 partials)") {
-    // the sum aggregate's child must already be DecimalType — an
-    // Int64 running sum wraps (or ANSI-aborts) near ~8e9 rows of
+  test("scatter accumulator width: past the measured cutover the sum " +
+    "children are DECIMAL (no Int64 partials), and both exact paths " +
+    "agree bit for bit") {
+    def sumChildTypes(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.flatMap(_.collect {
+            case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
+              s.child.dataType
+          })
+      }.flatten
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -1.0f)))
+      .toDF("id", "v")
+    // wide path (forced): every Sum child is already DecimalType —
+    // an Int64 running sum wraps (or ANSI-aborts) near ~8e9 rows of
     // 2^30-scale products even though each product fits a long
-    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
-    val agg = Pca.scatterMatrix(df, "v").queryExecution.analyzed
-    val sumChildren = agg.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        a.aggregateExpressions.flatMap(_.collect {
-          case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum =>
-            s.child.dataType
-        })
-    }.flatten
-    assert(sumChildren.nonEmpty)
-    sumChildren.foreach { dt =>
+    val wide = Pca.scatterMatrix(df, "v", forceDecimalAt = 0L)
+    val wideTypes = sumChildTypes(wide)
+    assert(wideTypes.nonEmpty)
+    wideTypes.foreach { dt =>
       assert(dt.isInstanceOf[org.apache.spark.sql.types.DecimalType],
-        s"sum accumulates in $dt, not DECIMAL")
+        s"wide path accumulates in $dt, not DECIMAL")
     }
+    // fast path (small corpus, provably safe): long accumulation
+    val fast = Pca.scatterMatrix(df, "v")
+    assert(sumChildTypes(fast).exists(
+      _ == org.apache.spark.sql.types.LongType))
+    // both exact — identical values
+    def vals(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDecimal(2))).toMap
+    assert(vals(fast) == vals(wide))
   }
 
   test("null and empty vectors neither crash nor dilute n") {
