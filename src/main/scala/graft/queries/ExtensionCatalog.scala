@@ -375,8 +375,13 @@ object ExtensionCatalog {
   /** x176/x181's reliability/PSI bin count. */
   private val CalBins = 10
 
-  /** x178's local-neighborhood depth for the margin denominator. */
+  /** x178's local-neighborhood depth for the margin denominator, and
+    * the mined-batch bound (the x08 convention: the LEFT side of the
+    * exact pairing is a fixed batch, not the corpus — full-corpus
+    * mining goes through ANN candidates; the unbounded exact form is
+    * ScaleStress's measured-quadratic row, 198 s at sf1). */
   private val MarginK = 4
+  private val MarginBatch = 200L
 
   /** x179's fingerprint shape: energy frame width, peak-pair fan-out
     * window, match threshold, bucket valve, and which doc_ids get a
@@ -6558,7 +6563,7 @@ object ExtensionCatalog {
            |      4) END""".stripMargin
       s"""WITH aa AS (
          |  SELECT vec_id AS aid, embedding AS av FROM embeddings
-         |  WHERE label % 2 = 0),
+         |  WHERE label % 2 = 0 AND vec_id < $MarginBatch),
          |bb AS (
          |  SELECT vec_id AS bid, embedding AS bv FROM embeddings
          |  WHERE label % 2 = 1),
@@ -6593,7 +6598,8 @@ object ExtensionCatalog {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         Similarity.marginPairs(
-          emb.filter(col("label") % 2 === 0),
+          emb.filter(col("label") % 2 === 0 &&
+            col("vec_id") < MarginBatch),
           emb.filter(col("label") % 2 === 1),
           "vec_id", "embedding", k = MarginK)
       }),
