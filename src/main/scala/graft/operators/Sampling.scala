@@ -422,6 +422,48 @@ object Sampling {
     * null-rejecting on both engines, which the oracle's `USING (q)`
     * mirrors. Budget arithmetic is integer (`sum·num div den`), so the
     * threshold is the same exact value at any corpus size. */
+  /** Data-constrained-scaling dashboard (the Muennighoff et al.
+    * question): under a √-temperature mixture (weight_s ∝ √tokens_s —
+    * the α = 0.5 point every mixture family here uses), how many
+    * compute-epochs of drawing `budget ≈ total corpus tokens` pass
+    * before each source's data is exhausted and starts repeating?
+    * epochs_s = tokens_s / (w_s · budget); sources under 1.0 repeat
+    * WITHIN one epoch — the rows that tell a data team which sources
+    * need more collection before upsampling.
+    *
+    * √ specifically (not pow(·, α)): sqrt is IEEE-correctly-rounded
+    * in both engines, library pow is not — a general α needs an
+    * engine-identical pow, so the contract fixes the exponent. The
+    * normalizer folds in source-sorted order. One token-count scan +
+    * one bounded per-source pass. */
+  def exhaustionReport(df: DataFrame, sourceCol: String, textCol: String,
+                       roundTo: Int = 4): DataFrame = {
+    val per = df.select(col(sourceCol).as("source"),
+        size(TextFunctions.tokens(lower(col(textCol)))).cast("long")
+          .as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).as("n_tokens"))
+    val z = per
+      .agg(sum(col("n_tokens")).as("budget"),
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("n_tokens").cast("double")).as("w")))).as("arr"))
+      .select(col("budget"),
+        aggregate(col("arr"), lit(0.0), (acc, s) =>
+          acc + s.getField("w")).as("zz"))
+    val w = sqrt(col("n_tokens").cast("double")) / col("zz")
+    val drawn = w * col("budget").cast("double")
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        TextFunctions.portableRound(w, roundTo).as("weight"),
+        TextFunctions.portableRound(drawn, roundTo).as("tokens_per_epoch"),
+        TextFunctions.portableRound(
+          when(drawn === lit(0.0), lit(0.0))
+            .otherwise(col("n_tokens").cast("double") / drawn), roundTo)
+          .as("epochs_to_exhaustion"))
+      .orderBy("source")
+  }
+
   /** Largest-remainder quota allocation: split an EXACT `total` (an
     * eval-set budget, an annotation batch) across groups proportional
     * to their sizes — floor quotas first, then the leftover seats go

@@ -8,8 +8,8 @@ import graft.functions.{QualityRules, TextFunctions}
 import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
   Contamination, CorpusStats, Dedup, EntityResolution, Funnels, GramIndex,
   GraphRank, IncrementalDedup, LabelQuality, MergeUpsert, Multimodal,
-  Privacy, Profiling, RangeJoin, RepeatedSpans, Salting, Sampling, Scd2,
-  Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
+  Preference, Privacy, Profiling, RangeJoin, RepeatedSpans, Salting,
+  Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
 import graft.sources.Bucketing
 import graft.streaming.{StreamCuration, StreamIngest}
 
@@ -406,6 +406,82 @@ object ExtensionCatalog {
   /** x193's k and generalization bucket; x196's seat budget. */
   private val KAnonK = 5
   private val QuotaTotal = 100L
+
+  /** x198's MM iteration count (fixed work, not a convergence test —
+    * the x69/x147 discipline). */
+  private val BtIters = 8
+
+  /** x198's oracle: consecutive-doc preference pairs judged by the
+    * frozen classifier (ties → the lower doc id's source wins), win
+    * matrix, then [[Preference.bradleyTerry]]'s MM iterations
+    * unrolled CTE by CTE with every float fold in item-sorted order
+    * and the vector re-rounded to 1e-6 per round. */
+  private def btSql: String = {
+    val steps = (1 to BtIters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT nb.a AS item,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(b := nb.b,
+         |        t := CASE WHEN nb.n = 0 THEN 0.0
+         |          ELSE nb.n / (pa.p + pb.p) END))),
+         |      s -> s.t)), (x, y) -> x + y) AS denom
+         |  FROM nb JOIN p${k - 1} pa ON pa.item = nb.a
+         |  JOIN p${k - 1} pb ON pb.item = nb.b
+         |  GROUP BY nb.a),
+         |u$k AS MATERIALIZED (
+         |  SELECT w0.item,
+         |    CASE WHEN d.denom = 0.0 THEN pp.p
+         |      ELSE w0.wa / d.denom END AS pu
+         |  FROM w0 JOIN d$k d USING (item)
+         |  JOIN p${k - 1} pp USING (item)),
+         |z$k AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend(0.0, list_transform(
+         |    list_sort(list(struct_pack(item := item, t := pu))),
+         |    s -> s.t)), (x, y) -> x + y) AS z FROM u$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT item, floor(pu / z * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM u$k, z$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${classifierCtes("documents")},
+       |ds AS (
+       |  SELECT d.doc_id, d.source, cp.cls_prob
+       |  FROM documents d JOIN cp USING (doc_id)),
+       |comp AS (
+       |  SELECT CASE WHEN a.cls_prob >= b.cls_prob THEN a.source
+       |              ELSE b.source END AS winner,
+       |         CASE WHEN a.cls_prob >= b.cls_prob THEN b.source
+       |              ELSE a.source END AS loser
+       |  FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.source <> b.source),
+       |wm AS (
+       |  SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+       |  FROM comp GROUP BY winner, loser),
+       |items AS (SELECT DISTINCT item FROM (
+       |  SELECT winner AS item FROM wm UNION SELECT loser FROM wm)),
+       |nb AS (
+       |  SELECT a.item AS a, b.item AS b,
+       |    CAST(coalesce(w1.w, 0) + coalesce(w2.w, 0) AS BIGINT) AS n
+       |  FROM items a JOIN items b ON a.item <> b.item
+       |  LEFT JOIN wm w1 ON w1.winner = a.item AND w1.loser = b.item
+       |  LEFT JOIN wm w2 ON w2.winner = b.item AND w2.loser = a.item),
+       |w0 AS (
+       |  SELECT i.item, CAST(coalesce(s.wa, 0) AS BIGINT) AS wa
+       |  FROM items i LEFT JOIN (
+       |    SELECT winner AS item, sum(w) AS wa FROM wm GROUP BY winner) s
+       |  USING (item)),
+       |ni AS (SELECT count(*) AS n FROM items),
+       |p0 AS (
+       |  SELECT item, floor(1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM items, ni),
+       |$steps,
+       |ncmp AS (
+       |  SELECT a AS item, CAST(sum(n) AS BIGINT) AS nc
+       |  FROM nb GROUP BY a)
+       |SELECT w0.item, w0.wa AS n_wins, ncmp.nc AS n_comparisons,
+       |  p$BtIters.p AS bt_strength
+       |FROM w0 JOIN ncmp USING (item) JOIN p$BtIters USING (item)
+       |ORDER BY item""".stripMargin
+  }
 
   /** x195's planted link rows: four spellings of ONE canonical
     * article URL (tracking params, fragment, default port, trailing
@@ -7526,7 +7602,66 @@ object ExtensionCatalog {
               col("sq").cast("double") / lit(10000.0), 4)
               .as("total_value"))
           .orderBy("user_id", "start_ms")
-      })
+      }),
+
+    // ---- Bradley–Terry preference fit (the RLHF-data shape):
+    //      consecutive-doc pairs judged by the frozen classifier →
+    //      per-source strength via Hunter's MM, fixed iterations
+    //      replayed CTE-by-CTE (the x69/x147 pattern). The win matrix
+    //      is bounded by the SOURCE vocabulary, never the comparison
+    //      count — the k-means bounded-collect path ----
+    Q("x198_bradley_terry", Some(btSql),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextFunctions.classifierProb(col("text")).as("cp"))
+        val a = scored.select(col("doc_id").as("ida"),
+          col("source").as("sa"), col("cp").as("pa"))
+        val b = scored.select(col("doc_id").as("idb"),
+          col("source").as("sb"), col("cp").as("pb"))
+        val comp = a.join(b, col("idb") === col("ida") + 1)
+          .filter(col("sa") =!= col("sb"))
+          .select(
+            when(col("pa") >= col("pb"), col("sa")).otherwise(col("sb"))
+              .as("winner"),
+            when(col("pa") >= col("pb"), col("sb")).otherwise(col("sa"))
+              .as("loser"))
+        Preference.bradleyTerry(comp, "winner", "loser", iters = BtIters)
+          .orderBy("item")
+      }),
+
+    // ---- epochs-to-exhaustion under the √-temperature mixture (the
+    //      data-constrained-scaling dashboard): which sources repeat
+    //      within one compute-epoch of proportional drawing — the
+    //      collect-more-before-upsampling signal ----
+    Q("x199_exhaustion_report", Some(
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(len(${tokSql("lower(text)")})), 0)
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |z AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS budget,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list_sort(list(struct_pack(source := source,
+         |        w := sqrt(CAST(n_tokens AS DOUBLE))))),
+         |      s -> s.w)), (a, x) -> a + x) AS zz
+         |  FROM per)
+         |SELECT per.source, per.n_docs, per.n_tokens,
+         |  floor(sqrt(CAST(n_tokens AS DOUBLE)) / zz * 10000.0 + 0.5)
+         |    / 10000.0 AS weight,
+         |  floor(sqrt(CAST(n_tokens AS DOUBLE)) / zz
+         |    * CAST(budget AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS tokens_per_epoch,
+         |  floor((CASE WHEN sqrt(CAST(n_tokens AS DOUBLE)) / zz
+         |        * CAST(budget AS DOUBLE) = 0.0 THEN 0.0
+         |      ELSE CAST(n_tokens AS DOUBLE)
+         |        / (sqrt(CAST(n_tokens AS DOUBLE)) / zz
+         |          * CAST(budget AS DOUBLE)) END) * 10000.0 + 0.5)
+         |    / 10000.0 AS epochs_to_exhaustion
+         |FROM per, z ORDER BY source""".stripMargin),
+      (s, dir) => Sampling.exhaustionReport(t(s, dir, "documents"),
+        "source", "text"))
   )
 
   /** x128's oracle: x08's pool (same cosine text), the pool×pool sim
