@@ -268,13 +268,22 @@ object TextFunctions {
     * filter that catches boilerplate token-level rules miss. Empty
     * text → NULL (no bytes to compress). */
   def compressRatio(text: Column, roundTo: Int = 4): Column = {
-    val dl = org.apache.spark.sql.graft.bridge.column(
-      graft.plans.DeflateLen(
-        org.apache.spark.sql.graft.bridge.expression(text)))
+    val dl = deflateLen(text)
     when(octet_length(text) > 0,
       portableRound(dl.cast("double") /
         octet_length(text).cast("double"), roundTo))
   }
+
+  /** Raw deflate byte length of the UTF-8 text ([[graft.plans.DeflateLen]]
+    * — BEST_COMPRESSION, nowrap). Exposed for callers that need the
+    * length itself rather than [[compressRatio]]'s quotient: bound
+    * checks (deflate's stored-block format caps the output at
+    * raw + 5·⌈raw/65535⌉ bytes, the x163 oracle's cross-check) and
+    * storage budgeting. */
+  def deflateLen(text: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.DeflateLen(
+        org.apache.spark.sql.graft.bridge.expression(text)))
 
   /** [[regexCount]] for library callers that need to share the exact
     * pattern with an oracle (the private one keeps its narrow use). */

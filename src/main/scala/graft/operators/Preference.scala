@@ -26,17 +26,32 @@ object Preference {
     * normalize to Σp = 1 and re-round to 1e-6 (folds in item-sorted
     * order — the cross-engine float discipline). Items that never win
     * converge to 0; an item with no opponents keeps its prior.
+    *
+    * The win matrix is collected to the driver, so its cardinality —
+    * directed item pairs that actually occur, ≤ items² — is gated by
+    * `maxPairs` (the Dedup.driverMaxEdges discipline: a hard reported
+    * failure, never a silent OOM). The gate costs nothing extra: the
+    * collect takes `maxPairs + 1` rows at most via limit, so a
+    * document-grain caller fails fast on a bounded result set instead
+    * of materializing the full matrix first.
     * Output: (item, n_wins, n_comparisons, bt_strength). */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
                    loserCol: String, iters: Int = 8,
-                   roundTo: Int = 6): DataFrame = {
+                   roundTo: Int = 6, maxPairs: Int = 100000): DataFrame = {
     val spark = comparisons.sparkSession
     import spark.implicits._
-    val wm = comparisons
+    val collected = comparisons
       .groupBy(col(winnerCol).cast("string").as("wa"),
         col(loserCol).cast("string").as("lb"))
       .agg(count(lit(1)).as("w"))
+      .limit(maxPairs + 1)
       .collect()
+    require(collected.length <= maxPairs,
+      s"bradleyTerry: win matrix exceeds maxPairs=$maxPairs directed " +
+        "pairs — items must be a bounded vocabulary (sources, models, " +
+        "annotators), not document-grain ids; aggregate items first or " +
+        "raise maxPairs deliberately")
+    val wm = collected
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     require(wm.nonEmpty, "bradleyTerry: no comparisons")
     val items = wm.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted

@@ -717,6 +717,21 @@ object Similarity {
           .otherwise(round(
             dot(col("avv"), col("bvv")) / (col("an") * col("bn")),
             roundTo)).as("sim"))
+    marginOverCandidates(sims, k, roundTo)
+  }
+
+  /** [[marginPairs]]' margin math over a PRE-BUILT candidate edge set
+    * (aid, bid, sim — sims already rounded, e.g. [[ivfProbePostings]]'
+    * output) — the production composition at corpus scale: an ANN pass
+    * generates O(|A|·k) candidate edges, and both local-level averages
+    * are computed over the candidate GRAPH (each side's top-`k` among
+    * its incident candidate edges), exactly the CCMatrix recipe where
+    * the kNN graph comes from FAISS rather than an exact all-pairs
+    * scan. Shared verbatim with the exact baseline — [[marginPairs]]
+    * delegates here — so x178 (exact) and x200 (over stored-IVF
+    * candidates) cannot drift in their margin arithmetic. */
+  def marginOverCandidates(sims: DataFrame, k: Int = 4,
+                           roundTo: Int = 4): DataFrame = {
     // top-k average per side, over exact ×10⁴ integers
     def knnAvg(src: DataFrame, key: String, other: String): DataFrame = {
       val w = Window.partitionBy(key).orderBy(desc("sim"), col(other))

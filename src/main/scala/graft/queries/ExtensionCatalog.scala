@@ -383,6 +383,11 @@ object ExtensionCatalog {
   private val MarginK = 4
   private val MarginBatch = 200L
 
+  /** x200's candidate depth: ANN (stored-IVF) candidates per left row
+    * that the margin math scores — the production composition's O(|A|·k)
+    * edge budget (vs x178's |A|·|B| exact baseline). */
+  private val MarginCandK = 8
+
   /** x179's fingerprint shape: energy frame width, peak-pair fan-out
     * window, match threshold, bucket valve, and which doc_ids get a
     * byte-identical re-upload twin (negative id, same PCM). */
@@ -5891,15 +5896,67 @@ object ExtensionCatalog {
 
     // ---- compression-ratio quality signal (CCNet/Gopher class):
     //      deflate length / raw bytes per doc — boilerplate compresses
-    //      far below prose. zlib has no SQL mirror, so this row
-    //      carries the driver's rows-only check (the S10 precedent);
-    //      RedactionSpec pins the semantics ----
-    Q("x163_compress_ratio", None,
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          octet_length(col("text")).cast("long").as("raw_bytes"),
-          TextFunctions.compressRatio(col("text")).as("ratio"))
-        .orderBy("doc_id")),
+    //      far below prose. zlib has no SQL mirror, so the HASH-CHECKED
+    //      columns are (a) the distinct-trigram dictionary bound — the
+    //      portable compressibility proxy, exact on both engines — and
+    //      (b) a per-doc assertion that the REAL in-query deflate
+    //      length sits inside deflate's stored-block format bound
+    //      (len ≤ raw + 5·⌈raw/65535⌉ + 11, len ≥ 1): the oracle emits
+    //      the literal the inequality must produce, so a broken zlib
+    //      path hash-mismatches instead of hiding behind `no_oracle`.
+    //      The raw ratio itself stays spec-pinned (RedactionSpec) ----
+    Q("x163_compress_ratio", Some(
+      """SELECT doc_id, raw_bytes, grams_total, grams_distinct,
+        |  CASE WHEN grams_total = 0 THEN NULL
+        |    ELSE floor(CAST(grams_distinct AS DOUBLE)
+        |      / CAST(grams_total AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    END AS dict_ratio,
+        |  CASE WHEN raw_bytes = 0 THEN NULL ELSE TRUE END
+        |    AS deflate_in_bound
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(strlen(text) AS BIGINT) AS raw_bytes,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |      ELSE greatest(length(text) - 2, 1) END AS BIGINT)
+        |      AS grams_total,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |      ELSE len(list_distinct(list_transform(
+        |        generate_series(1, greatest(length(text) - 2, 1)),
+        |        i -> text[i : i + 2]))) END AS BIGINT) AS grams_distinct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val raw = octet_length(col("text")).cast("long")
+        val total = when(length(col("text")) === 0, lit(0L))
+          .otherwise(greatest(length(col("text")).cast("long") - 2L,
+            lit(1L)))
+        val distinctG = when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(org.apache.spark.sql.graft.bridge.column(
+            graft.plans.NgramsLong(
+              org.apache.spark.sql.graft.bridge.expression(col("text")),
+              3))).cast("long"))
+        val dl = TextFunctions.deflateLen(col("text"))
+        // stored-block format: ≤ 5 header bytes per 65535-byte block
+        // plus a constant margin; ≥ 1 byte for non-empty input
+        val bound = col("raw_bytes") +
+          lit(5L) * ((col("raw_bytes") + lit(65534L)) / lit(65535L))
+            .cast("long") +
+          lit(11L)
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw_bytes"),
+            total.as("grams_total"), distinctG.as("grams_distinct"),
+            dl.as("dl"))
+          .select(col("doc_id"), col("raw_bytes"), col("grams_total"),
+            col("grams_distinct"),
+            when(col("grams_total") === 0L, lit(null).cast("double"))
+              .otherwise(TextFunctions.portableRound(
+                col("grams_distinct").cast("double") /
+                  col("grams_total").cast("double"), 4)).as("dict_ratio"),
+            when(col("raw_bytes") === 0L, lit(null).cast("boolean"))
+              .otherwise(col("dl") >= 1L && col("dl") <= bound)
+              .as("deflate_in_bound"))
+          .orderBy("doc_id")
+      }),
 
     // ---- pseudo-relevance-feedback query expansion (Rocchio-class
     //      PRF): take the BM25 top-5 docs for the fixed query, score
@@ -7928,5 +7985,131 @@ object ExtensionCatalog {
       })
   )
 
-  val all: Seq[Q] = base ++ storeProbes
+  /** Round-10 additions: the ANN-composed margin miner (closing the
+    * x178 scale story with a green row) and the streaming twin of the
+    * native session_window aggregation. */
+  private val roundTen: Seq[Q] = Seq(
+
+    // ---- margin mining over STORED-IVF candidates — the production
+    //      composition x178's scaladoc promises: centroids trained and
+    //      postings assigned at write time (ArtifactStore, the x115/
+    //      x134 pattern), each left row probes 2 centroid lists and
+    //      scores MarginCandK candidates, and the SAME margin math
+    //      (Similarity.marginOverCandidates — shared verbatim with the
+    //      exact baseline) runs over the candidate GRAPH. Cost is
+    //      O(|A|·k) edges, linear in the corpus — ScaleStress carries
+    //      the measured linear-vs-quadratic row. The oracle replays
+    //      k-means training, assignment, probing, candidate ranking
+    //      and the margin CTEs end to end ----
+    Q("x200_margin_over_ann", Some(
+      s"""WITH bb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+         |aa AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+         |${kmeansCentSqlFor(16, 2, identity, "", "bb")},
+         |cent AS (SELECT cid, cvec FROM cent2),
+         |eassign AS (
+         |  SELECT eid, ev, cid FROM (
+         |    SELECT e.vec_id AS eid, e.embedding AS ev, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM bb e, cent c)
+         |  WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosineSql("q.embedding", "c.cvec", 6)} DESC, c.cid) AS rn
+         |    FROM aa q, cent c)
+         |  WHERE rn <= 2),
+         |cand0 AS (
+         |  SELECT DISTINCT qid, eid, ${cosineSql("qv", "ev")} AS sim
+         |  FROM qprobe JOIN eassign USING (cid)),
+         |cand AS (
+         |  SELECT qid AS aid, eid AS bid, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, eid) AS rn FROM cand0)
+         |  WHERE rn <= $MarginCandK),
+         |ka AS (
+         |  SELECT aid,
+         |    CAST(sum(CAST(floor(sim * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_a
+         |  FROM (SELECT aid, sim, row_number() OVER (PARTITION BY aid
+         |      ORDER BY sim DESC, bid) AS rn FROM cand)
+         |  WHERE rn <= $MarginK GROUP BY aid),
+         |kb AS (
+         |  SELECT bid,
+         |    CAST(sum(CAST(floor(sim * 10000.0 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_b
+         |  FROM (SELECT bid, sim, row_number() OVER (PARTITION BY bid
+         |      ORDER BY sim DESC, aid) AS rn FROM cand)
+         |  WHERE rn <= $MarginK GROUP BY bid),
+         |scq AS (
+         |  SELECT s.aid, s.bid, s.sim,
+         |    floor((CASE WHEN (ka.avg_a + kb.avg_b) / 2.0 = 0.0 THEN 0.0
+         |        ELSE s.sim / ((ka.avg_a + kb.avg_b) / 2.0) END + 1000.0)
+         |      * 10000.0 + 0.5) / 10000.0 - 1000.0 AS margin
+         |  FROM cand s JOIN ka USING (aid) JOIN kb USING (bid))
+         |SELECT aid, bid, sim, margin FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY aid
+         |    ORDER BY margin DESC, bid) AS rn FROM scq)
+         |WHERE rn = 1 ORDER BY aid""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val aSide = emb.filter(col("label") % 2 === 0)
+        val bSide = emb.filter(col("label") % 2 === 1)
+        val centStore = tmp("graft-margin-cent")
+        ArtifactStore.publish(s, centStore, Similarity.kmeansCentroids(
+          bSide, "vec_id", "embedding", k = 16, iters = 2))
+        val cents = ArtifactStore.load(s, centStore)
+        val postStore = tmp("graft-margin-post") + "/postings"
+        Similarity.appendIvfPostings(s, postStore, bSide,
+          "vec_id", "embedding", cents)
+        val cands = Similarity.ivfProbePostings(aSide, "vec_id",
+          "embedding", MergeUpsert.readPlain(s, postStore),
+          k = MarginCandK, cents, nProbe = 2)
+        Similarity.marginOverCandidates(
+          cands.select(col("qid").as("aid"), col("eid").as("bid"),
+            col("sim")),
+          k = MarginK)
+      }),
+
+    // ---- streaming session_window: x197's native merging-window agg
+    //      run as a watermarked file-arrival stream (append mode,
+    //      foreachBatch parquet sink), drained by a far-future sentinel
+    //      heartbeat — under x197's byte-identical batch oracle, so
+    //      "streamed ≡ batch" is a hash-checked result (the x115
+    //      store-probe precedent applied to stateful streaming) ----
+    Q("x201_stream_sessions", sqlOf("x197_session_window"),
+      (s, dir) => {
+        import graft.streaming.StreamSessions
+        val work = tmp("graft-sess")
+        writeEventArrivalsNs(s, dir, s"$work/arrivals")
+        // sentinel heartbeat: one event 13h (gap + 1h) past the last
+        // real event, staged as a SECOND arrival file with a later
+        // mod time so its watermark advance lands after the data
+        val maxNs = eventsNs(s, dir).agg(max("ts")).head().getLong(0)
+        val sentinelNs = maxNs + 13L * 3600L * 1000000000L
+        import s.implicits._
+        Seq((0L, sentinelNs, StreamSessions.SentinelUser,
+            "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+          .coalesce(1).write.parquet(s"$work/sentinel-stage")
+        val sent = new java.io.File(s"$work/sentinel-stage").listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no sentinel part file"))
+        val dataFile = new java.io.File(s"$work/arrivals/events_1.parquet")
+        val t0 = System.currentTimeMillis()
+        dataFile.setLastModified(t0 - 120000L)
+        java.nio.file.Files.copy(sent.toPath, java.nio.file.Paths.get(
+          s"$work/arrivals/z_sentinel.parquet"))
+        new java.io.File(s"$work/arrivals/z_sentinel.parquet")
+          .setLastModified(t0)
+        StreamSessions.sessionsAvailableNow(s, s"$work/arrivals",
+          eventArrivalSchema, s"$work/out", s"$work/cp")
+      })
+  )
+
+  val all: Seq[Q] = base ++ storeProbes ++ roundTen
 }
