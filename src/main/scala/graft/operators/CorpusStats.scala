@@ -590,7 +590,94 @@ object CorpusStats {
     * over the (h1,h2)-sorted list, portable-round last. */
   def bigramBits(df: DataFrame, idCol: String, textCol: String,
                  roundTo: Int = 4): DataFrame =
-    bigramBitsAgainst(df, df, idCol, textCol, roundTo)
+    // self-model: the count table is corpus-sized, so recomputing its
+    // lineage where the plan needs it twice beats materializing it
+    // (measured at sf1: localCheckpoint cost ~2× the duplicated scan)
+    bigramBitsSubset(df, idCol, textCol, lit(true), roundTo,
+      materializeModel = false)
+
+  /** [[bigramBitsAgainst]] for the common case where the MODEL corpus
+    * is a SUBSET of the scored corpus selected by a per-row predicate
+    * (x182's CCNet shape: train on the Gopher-clean rows, score all;
+    * x88's self-model is `modelPred = true`, which the optimizer folds
+    * away). The model-count side pays ONE bigram explode+shuffle
+    * instead of round-9's two: the context marginal is DERIVED from
+    * the joint table — c(h₁·) = Σ_{h₂} c(h₁h₂) over the vocab-sized
+    * c2, never a second pass over corpus bigrams — exactly the direct
+    * count, so the oracle SQL is unchanged. Remaining scans: model
+    * bigrams (c2), model unigram vocab (the scalar V — token-grained,
+    * can't ride the bigram pass), scored-corpus bigrams (dc). */
+  def bigramBitsSubset(df: DataFrame, idCol: String, textCol: String,
+                       modelPred: Column, roundTo: Int = 4,
+                       materializeModel: Boolean = true): DataFrame = {
+    def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.tokens(lower(col(textCol))),
+        t => TextFunctions.md5Hash60(t)).as("hs"))
+    def bigrams(src: DataFrame) = {
+      val nb = greatest(size(col("hs")) - 1, lit(0))
+      src.select(col("doc_id"),
+          explode(zip_with(slice(col("hs"), lit(1), nb),
+            slice(col("hs"), lit(2), nb),
+            (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
+        .select(col("doc_id"), col("b.h1"), col("b.h2"))
+    }
+    val model = df.filter(modelPred)
+    // When the model is the curated SMALL subset (the CCNet contract),
+    // its hashed token table is materialized ONCE (eager
+    // localCheckpoint): the joint counts, the derived marginal and the
+    // vocabulary scalar all derive from it without re-scanning and
+    // re-gating the corpus — three full scan+tokenize passes become
+    // one. Self-model callers (model = corpus) skip it: a corpus-sized
+    // materialization costs more than the duplicated scan (measured
+    // ~2× at sf1).
+    val mhsRaw = hashed(model)
+    val mhs = if (materializeModel) mhsRaw.localCheckpoint() else mhsRaw
+    val c2 = bigrams(mhs).groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("h1").agg(sum(col("c2")).as("c1"))
+    val v = mhs.select(explode(col("hs")).as("h"))
+      .agg(count_distinct(col("h"))).head().getLong(0)
+    // per-bigram-TYPE log score quantized to an exact ×10⁸ long, then
+    // weighted by the occurrence count (the ESS/Pca discipline): the
+    // per-doc reduction is an order-free, map-side-combinable long sum
+    // — replacing round-9's sorted collect_list fold, the catalog's
+    // biggest single shuffle (163 MB of struct arrays at sf1). The
+    // log2 double is one IEEE tree both engines compute
+    // bit-identically; per-doc sums stay under 2⁶² at any corpus size
+    // (bounded by doc length, not corpus size).
+    val logQ = floor(
+      log2((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")) *
+      lit(1e8) + lit(0.5)).cast("long")
+    val per = if (materializeModel) {
+      // small-model path: the raw bigram stream joins the BROADCAST
+      // model tables and aggregates straight to doc grain — the only
+      // shuffle left is |docs| rows of (n_big, tq) partial sums
+      bigrams(hashed(df))
+        .join(broadcast(c2), Seq("h1", "h2"), "left")
+        .join(broadcast(c1), Seq("h1"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), sum(logQ).as("tq"))
+    } else {
+      // self-model path: model tables are corpus-sized, so shrink the
+      // stream to per-doc distinct counts first and shuffle-join
+      val dc = bigrams(hashed(df)).groupBy("doc_id", "h1", "h2")
+        .agg(count(lit(1)).as("c"))
+      dc.join(c2, Seq("h1", "h2"), "left").join(c1, Seq("h1"), "left")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_big"),
+          sum(col("c") * logQ).as("tq"))
+    }
+    val scored = per.select(col("doc_id"), col("n_big"),
+      TextFunctions.portableRound(
+        (lit(0.0) - col("tq").cast("double") / lit(1e8)) /
+          col("n_big").cast("double"),
+        roundTo).as("bpt2"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("bpt2"), lit(0.0)).as("bpt2"))
+  }
 
   /** [[bigramBits]] with the MODEL corpus decoupled from the SCORED
     * corpus — the CCNet shape: train the small LM on a clean reference
@@ -617,28 +704,29 @@ object CorpusStats {
     }
     val mh = hashed(model)
     val mg = bigrams(mh)
+    // the context marginal DERIVES from the joint table (c(h₁·) =
+    // Σ_{h₂} c(h₁h₂)) over the vocab-sized table, not a second
+    // corpus-bigram pass — see bigramBitsSubset for the full recipe
     val c2 = mg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
-    val c1 = mg.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy("h1").agg(sum(col("c2")).as("c1"))
     val v = mh.select(explode(col("hs")).as("h"))
       .agg(count_distinct(col("h"))).head().getLong(0)
     val hs = hashed(scoreDf)
     val df = scoreDf
     val dc = bigrams(hs).groupBy("doc_id", "h1", "h2")
       .agg(count(lit(1)).as("c"))
+    // order-free quantized-term sum — see bigramBitsSubset
+    val logQ = floor(
+      log2((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")) *
+      lit(1e8) + lit(0.5)).cast("long")
     val per = dc.join(c2, Seq("h1", "h2"), "left").join(c1, Seq("h1"), "left")
-      .select(col("doc_id"), col("h1"), col("h2"), col("c"),
-        coalesce(col("c2"), lit(0L)).as("c2"),
-        coalesce(col("c1"), lit(0L)).as("c1"))
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_big"),
-        array_sort(collect_list(struct(col("h1"), col("h2"), col("c"),
-          col("c2"), col("c1")))).as("arr"))
+        sum(col("c") * logQ).as("tq"))
       .select(col("doc_id"), col("n_big"),
         TextFunctions.portableRound(
-          (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) =>
-            acc + s.getField("c").cast("double") *
-              log2((s.getField("c2").cast("double") + lit(1.0)) /
-                (s.getField("c1") + lit(v)).cast("double")))) /
+          (lit(0.0) - col("tq").cast("double") / lit(1e8)) /
             col("n_big").cast("double"),
           roundTo).as("bpt2"))
     df.select(col(idCol).as("doc_id"))
@@ -686,15 +774,21 @@ object CorpusStats {
             ab.getField("h2").as("h2"), c.as("h3")))).as("b"))
       .select(col("doc_id"), col("b.h1"), col("b.h2"), col("b.h3"))
     val c3t = tg.groupBy("h1", "h2", "h3").agg(count(lit(1)).as("c3"))
-    val cx2t = tg.groupBy("h1", "h2").agg(count(lit(1)).as("cx2"))
+    // context marginals DERIVED from the joint tables (the x88/x182
+    // discipline): c(h₁h₂·) = Σ_{h₃} c₃ and c(h₁·) = Σ_{h₂} c₂ fold
+    // over the vocab-sized count tables, never a second pass over
+    // corpus n-grams — values identical, two explode+shuffles gone
+    val cx2t = c3t.groupBy("h1", "h2").agg(sum(col("c3")).as("cx2"))
     val bc = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
       .select(col("h1").as("bh1"), col("h2").as("bh2"), col("c2"))
-    val cx1t = bg.select(col("h1").as("ch1"))
-      .groupBy("ch1").agg(count(lit(1)).as("cx1"))
+    val cx1t = bc.groupBy(col("bh1").as("ch1"))
+      .agg(sum(col("c2")).as("cx1"))
     val c1t = hs.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c1"))
-    val totRow = hs.select(explode(col("hs")).as("h"))
-      .agg(count(lit(1)), count_distinct(col("h"))).head()
+    // N and V folded from the vocab-sized unigram table (Σc₁ and its
+    // row count) — not a second token explode over the corpus
+    val totRow = c1t.agg(coalesce(sum(col("c1")), lit(0L)),
+      count(lit(1))).head()
     val nv = totRow.getLong(0) + totRow.getLong(1)
     val dc = tg.groupBy("doc_id", "h1", "h2", "h3").agg(count(lit(1)).as("c"))
     val p = (s: Column) =>

@@ -3727,16 +3727,16 @@ object ExtensionCatalog {
          |  SELECT doc_id, h1, h2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
          |per AS (
          |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_big,
-         |    list_sort(list(struct_pack(h1 := dc.h1, h2 := dc.h2,
-         |      c := dc.c, c2 := c2.c2, c1 := c1.c1))) AS arr
-         |  FROM dc JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+         |    CAST(sum(dc.c * CAST(floor(log2((c2.c2 + 1.0)
+         |        / CAST(c1.c1 + v AS DOUBLE)) * 100000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS tq
+         |  FROM dc JOIN c2 USING (h1, h2) JOIN c1 USING (h1), vv
          |  GROUP BY dc.doc_id),
          |w AS (
          |  SELECT doc_id, n_big,
-         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
-         |        t -> t.c * log2((t.c2 + 1.0) / CAST(t.c1 + v AS DOUBLE)))),
-         |        (a, x) -> a + x)) / n_big * 10000.0 + 0.5) / 10000.0 AS bpt2
-         |  FROM per, vv)
+         |    floor((0.0 - CAST(tq AS DOUBLE) / 100000000.0) / n_big
+         |      * 10000.0 + 0.5) / 10000.0 AS bpt2
+         |  FROM per)
          |SELECT d.doc_id,
          |  coalesce(w.n_big, 0) AS n_big,
          |  coalesce(w.bpt2, 0.0) AS bpt2
@@ -6966,18 +6966,16 @@ object ExtensionCatalog {
          |  SELECT doc_id, h1, h2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
          |per AS (
          |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_big,
-         |    list_sort(list(struct_pack(h1 := dc.h1, h2 := dc.h2,
-         |      c := dc.c, c2 := coalesce(c2.c2, 0),
-         |      c1 := coalesce(c1.c1, 0)))) AS arr
-         |  FROM dc LEFT JOIN c2 USING (h1, h2) LEFT JOIN c1 USING (h1)
+         |    CAST(sum(dc.c * CAST(floor(log2((coalesce(c2.c2, 0) + 1.0)
+         |        / CAST(coalesce(c1.c1, 0) + v AS DOUBLE))
+         |        * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+         |  FROM dc LEFT JOIN c2 USING (h1, h2) LEFT JOIN c1 USING (h1), vv
          |  GROUP BY dc.doc_id),
          |w AS (
          |  SELECT doc_id, n_big,
-         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
-         |        t -> t.c * log2((t.c2 + 1.0) / CAST(t.c1 + v AS DOUBLE)))),
-         |        (a, x) -> a + x)) / n_big * 10000.0 + 0.5) / 10000.0
-         |      AS bpt2
-         |  FROM per, vv),
+         |    floor((0.0 - CAST(tq AS DOUBLE) / 100000000.0) / n_big
+         |      * 10000.0 + 0.5) / 10000.0 AS bpt2
+         |  FROM per),
          |scr AS (
          |  SELECT d.doc_id, d.source,
          |    coalesce(w.n_big, 0) AS n_big,
@@ -7004,10 +7002,11 @@ object ExtensionCatalog {
       (s, dir) => {
         import graft.functions.QualityRules
         val docs = t(s, dir, "documents")
-        val model = docs.filter(QualityRules.gopherKeep(
-          QualityRules.tokenStats(col("text"))))
-        val bits = CorpusStats.bigramBitsAgainst(model, docs, "doc_id",
-          "text")
+        // one bigram-extraction shuffle: the Gopher gate rides along as
+        // the model flag (bigramBitsSubset), instead of a second
+        // model-corpus pass
+        val bits = CorpusStats.bigramBitsSubset(docs, "doc_id", "text",
+          QualityRules.gopherKeep(QualityRules.tokenStats(col("text"))))
         val withSrc = bits.join(docs.select("doc_id", "source"),
           Seq("doc_id"))
         val banded = CorpusStats.percentileNormalize(withSrc, "source",

@@ -507,6 +507,38 @@ object ScaleStress {
       val b = emb.filter(col("vec_id") % 2 === 1)
       Similarity.marginPairs(a, b, "vec_id", "embedding").count()
     })
+    // margin over ANN candidates (x200's composition), split the way
+    // production splits it: index TRAIN+ASSIGN amortizes to write time
+    // (the x115/x134 store pattern), the PROBE+margin half is the
+    // recurring per-mining-run cost — THAT is the row to hold linear
+    // against the exact baseline above. Full left side, no batch bound.
+    locally {
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+      // index sized to the corpus (~√n lists, the FAISS rule): candidate
+      // work per query is nProbe·n/k rows — a fixed k would silently
+      // degrade the "linear" claim back toward n²/k
+      val nCents = math.max(16,
+        math.sqrt(b.count().toDouble).toInt / 2)
+      var posts: org.apache.spark.sql.DataFrame = null
+      var cents: org.apache.spark.sql.DataFrame = null
+      time("margin ANN train (write)")({
+        cents = Similarity.kmeansCentroids(b, "vec_id", "embedding",
+          k = nCents, iters = 2).cache()
+        posts = Similarity.ivfAssign(b, "vec_id", "embedding", cents)
+          .cache()
+        posts.count()
+      })
+      time("margin over ANN (linear)")({
+        val cands = Similarity.ivfProbePostings(a, "vec_id",
+          "embedding", posts, k = 8, cents, nProbe = 2)
+        Similarity.marginOverCandidates(cands.select(
+          col("qid").as("aid"), col("eid").as("bid"),
+          col("sim"))).count()
+      })
+      if (posts != null) posts.unpersist()
+      if (cents != null) cents.unpersist()
+    }
     // audio fingerprint: one linear decode+landmark scan, then a
     // hash-bucket join — replica PCM copies land in shared buckets
     // (the clique class phash also pays), everything else stays apart
@@ -522,13 +554,13 @@ object ScaleStress {
     // aggregate — corpus-linear with a vocab-sized shuffle
     time("heaps fit")(graft.operators.CorpusStats.heapsFit(
       docs, "doc_id", "text").count())
-    // ccnet buckets: two bigram model passes (model subset + scored
-    // corpus) + per-source percentile window — the x88 cost class ×2
+    // ccnet buckets: ONE bigram-extraction shuffle (bigramBitsSubset —
+    // the model gate rides along as a flag), vs round-9's two passes
     time("ccnet bigram scoring")({
-      val model = docs.filter(graft.functions.QualityRules.gopherKeep(
-        graft.functions.QualityRules.tokenStats(col("text"))))
-      graft.operators.CorpusStats.bigramBitsAgainst(
-        model, docs, "doc_id", "text").count()
+      graft.operators.CorpusStats.bigramBitsSubset(
+        docs, "doc_id", "text",
+        graft.functions.QualityRules.gopherKeep(
+          graft.functions.QualityRules.tokenStats(col("text")))).count()
     })
     // entity resolution: replicated customers with per-copy perturbed
     // names; candidates stay O(n·window) by construction (asserted)
