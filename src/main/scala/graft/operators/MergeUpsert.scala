@@ -524,7 +524,9 @@ object MergeUpsert {
     * MergeStress's `few-huge` case proves the switch). */
   def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
                  keys: Seq[String], partitionCol: String = "date",
-                 broadcastMaxKeys: Long = 500000L): MergeWriteReport = {
+                 broadcastMaxKeys: Long = 500000L,
+                 listingVia: Option[Seq[Any] => DataFrame] = None)
+      : MergeWriteReport = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
@@ -538,7 +540,6 @@ object MergeUpsert {
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       return MergeWriteReport(0, 0L, broadcastKeys = false)
     }
-    val existing = spark.read.parquet(path)
     // ONE stats pass over the batch: the touched-partition IN-list
     // (small by construction — one ingest covers few dates) and the
     // key-cardinality estimate the join decision needs.
@@ -548,7 +549,17 @@ object MergeUpsert {
       .collect().head
     val touched = statsRow.getSeq[Any](0)
     val keyEst = statsRow.getLong(1)
-    val pruned = existing.filter(col(partitionCol).isin(touched: _*))
+    // `listingVia` (e.g. TableManifest's file-zone planner) resolves
+    // the touched partitions' rows WITHOUT the O(partitions) recursive
+    // root listing — MergeStress measured that listing as the dominant
+    // cost of incremental merges at 2400 partitions. Default keeps the
+    // plain scan+filter (partition pruning still skips data, but the
+    // discovery listing is table-wide).
+    val pruned = listingVia match {
+      case Some(resolve) => resolve(touched)
+      case None => spark.read.parquet(path)
+        .filter(col(partitionCol).isin(touched: _*))
+    }
     // Incremental batches (few distinct keys) keep the broadcast
     // anti-join; a backfill-scale key set — whether spread over 600
     // dates or packed into 2 — switches to a shuffle join before the

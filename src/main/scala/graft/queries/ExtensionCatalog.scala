@@ -9,7 +9,8 @@ import graft.operators.{ArtifactStore, AsOfJoin, BloomFilter, Chunking,
   Contamination, CorpusStats, Dedup, EntityResolution, Funnels, GramIndex,
   GraphRank, IncrementalDedup, LabelQuality, MergeUpsert, Multimodal,
   Preference, Privacy, Profiling, RangeJoin, RepeatedSpans, Salting,
-  Sampling, Scd2, Similarity, Sketches, TfIdf, ZOrder, ZoneMap}
+  Sampling, Scd2, Similarity, Sketches, TableManifest, TfIdf, ZOrder,
+  ZoneMap}
 import graft.sources.Bucketing
 import graft.streaming.{StreamCuration, StreamIngest}
 
@@ -387,6 +388,11 @@ object ExtensionCatalog {
     * that the margin math scores — the production composition's O(|A|·k)
     * edge budget (vs x178's |A|·|B| exact baseline). */
   private val MarginCandK = 8
+
+  /** x202's lookup key range — narrow enough that the manifest's
+    * per-file key zones MUST prune (the in-query require). */
+  private val ManifestLookupLo = 100L
+  private val ManifestLookupHi = 300L
 
   /** x179's fingerprint shape: energy frame width, peak-pair fan-out
     * window, match threshold, bucket valve, and which doc_ids get a
@@ -8107,6 +8113,44 @@ object ExtensionCatalog {
           .setLastModified(t0)
         StreamSessions.sessionsAvailableNow(s, s"$work/arrivals",
           eventArrivalSchema, s"$work/out", s"$work/cp")
+      }),
+
+    // ---- manifest-backed point lookup (the Delta/Iceberg core,
+    //      closing MergeStress's "listing-dominated" finding): the
+    //      date-partitioned events table is created and incrementally
+    //      merged through mergeWriteManifested — every publish refreshes
+    //      a per-file (partition, rows, key lo/hi) manifest through the
+    //      atomic _CURRENT store — and the range lookup plans from the
+    //      manifest's zones, reading zero directory listings and (the
+    //      in-query require) a strict subset of files. Oracle = the
+    //      plain filter; the redelivered second batch also proves the
+    //      merge stayed idempotent under manifest maintenance ----
+    Q("x202_manifest_lookup", Some(
+      s"""SELECT event_id, user_id, event_type,
+         |  floor(value * 10000.0 + 0.5) / 10000.0 AS value
+         |FROM events WHERE event_id BETWEEN $ManifestLookupLo AND $ManifestLookupHi
+         |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-manifest")
+        val ev = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        val path = s"$work/events_table"
+        TableManifest.mergeWriteManifested(s, path, ev,
+          keys = Seq("event_id"))
+        // redeliver a slice (idempotent merge + O(touched) manifest
+        // refresh — the incremental path, not just the bootstrap)
+        TableManifest.mergeWriteManifested(s, path,
+          ev.filter(col("event_id") % 7 === 0), keys = Seq("event_id"))
+        val (hit, rep) = TableManifest.lookup(s, path, "event_id",
+          ManifestLookupLo, ManifestLookupHi)
+        require(rep.filesKept < rep.filesTotal,
+          s"manifest zones must prune files for a narrow key range, " +
+            s"got $rep")
+        hit.select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
       })
   )
 

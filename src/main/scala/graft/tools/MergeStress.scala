@@ -91,6 +91,38 @@ object MergeStress {
         .filter(col("date") === lit("2018-06-01").cast("date") &&
           col("region_id") === "r1234")
         .count())
+
+    // ---- manifest-backed rows (the round-9 "listing-dominated"
+    // finding): bootstrap once over all 2400 partitions, then measure
+    // the SAME 1-day merge and point lookup with a manifest in front —
+    // maintenance O(touched), reads planned from file zones with zero
+    // directory listing ----
+    import graft.operators.TableManifest
+    time("manifest bootstrap (2400)")({
+      TableManifest.update(spark, s"$work/bigcap", "date",
+        spark.read.parquet(s"$work/bigcap").select("date").distinct()
+          .collect().map(_.get(0)).toSeq,
+        "region_id")
+      TableManifest.load(spark, s"$work/bigcap").get.count()
+    })
+    val oneDay2 = capTable(3)
+      .filter(col("date") === lit("2018-07-01").cast("date")).cache()
+    val oneDay2Rows = oneDay2.count()
+    time("manifested 1-day batch")({
+      TableManifest.mergeWriteManifested(spark, s"$work/bigcap",
+        oneDay2, Seq("date", "region_id"), zoneKey = Some("region_id"))
+      oneDay2Rows
+    })
+    oneDay2.unpersist()
+    time("manifest point lookup")({
+      val (df, rep) = TableManifest.lookup(spark, s"$work/bigcap",
+        "region_id", "r1234", "r1234",
+        partVal = Some(java.sql.Date.valueOf("2018-06-01")))
+      println(s"[stress]   manifest lookup report: $rep")
+      assert(rep.filesKept < rep.filesTotal,
+        s"manifest must prune files: $rep")
+      df.count()
+    })
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+
+  private def rows(d: String, ids: Seq[Long], v: Double) =
+    ids.map(i => (i, d, v)).toDF("id", "date", "value")
+
+  test("manifest covers exactly the table's files; readViaManifest " +
+    "matches the plain read") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0)
+        .unionByName(rows("2024-01-02", 51L to 90L, 1.0))
+        .unionByName(rows("2024-01-03", 91L to 99L, 1.0)),
+      keys = Seq("id"))
+    val m = TableManifest.load(spark, path).get.collect()
+    assert(m.map(_.getAs[String]("part")).toSet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(m.map(_.getAs[Long]("rows")).sum == 99L)
+    val plain = spark.read.parquet(path)
+      .select("id", "value", "date").collect().toSet
+    val viaM = TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().toSet
+    assert(viaM == plain)
+  }
+
+  test("incremental merge refreshes ONLY touched partitions' rows; " +
+    "untouched file entries carry over") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0)
+        .unionByName(rows("2024-01-02", 51L to 90L, 1.0)),
+      keys = Seq("id"))
+    val before = TableManifest.load(spark, path).get.collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    // batch touches only 2024-01-02 (10 updated values + 5 new keys)
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-02", 81L to 95L, 2.0), keys = Seq("id"))
+    val after = TableManifest.load(spark, path).get.collect()
+    val afterMap = after.map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(afterMap("2024-01-01") == before("2024-01-01"),
+      "untouched partition's file entry must carry over unchanged")
+    assert(afterMap("2024-01-02") != before("2024-01-02"),
+      "touched partition must point at the rewritten file")
+    assert(after.map(_.getAs[Long]("rows")).sum == 95L)
+    // merged values visible through the manifest read
+    val got = TableManifest.readViaManifest(spark, path)
+      .filter(col("id") === 85L).select("value").head().getDouble(0)
+    assert(got == 2.0)
+  }
+
+  test("lookup prunes by partition and key zone, equals the naive " +
+    "filter, reports evidence") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0)
+        .unionByName(rows("2024-01-02", 51L to 90L, 1.0))
+        .unionByName(rows("2024-01-03", 91L to 99L, 1.0)),
+      keys = Seq("id"))
+    val (df, rep) = TableManifest.lookup(spark, path, "id", 60L, 70L)
+    assert(rep.filesTotal == 3 && rep.filesKept == 1,
+      s"zone pruning must keep 1 of 3 files, got $rep")
+    val naive = spark.read.parquet(path)
+      .filter(col("id").between(60L, 70L)).select("id").as[Long]
+      .collect().sorted
+    assert(df.select("id").as[Long].collect().sorted.sameElements(naive))
+    // partition filter composes
+    val (df2, rep2) = TableManifest.lookup(spark, path, "id", 1L, 99L,
+      partVal = Some("2024-01-03"))
+    assert(rep2.filesKept == 1 && df2.count() == 9L)
+    // disjoint range: zero files, empty result, schema intact
+    val (df3, rep3) = TableManifest.lookup(spark, path, "id", 500L, 600L)
+    assert(rep3.filesKept == 0 && df3.count() == 0L)
+    assert(df3.columns.contains("value"))
+  }
+}
