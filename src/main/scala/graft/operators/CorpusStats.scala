@@ -1032,4 +1032,81 @@ object CorpusStats {
             (col("n_groups") * col("total_tok")).cast("double"),
           roundTo).as("gini"))
   }
+
+  /** Dunning log-likelihood (G²) keyness: for each group (source) and
+    * token, how improbably OVER-represented the token is in that group
+    * vs the rest of the corpus — the corpus-linguistics signature
+    * vocabulary extractor (what makes a source sound like itself),
+    * sharper than raw frequency ratios for rare words. G² =
+    * 2·(a·ln(a/E_a) + b·ln(b/E_b)), a/b the group/rest counts, E the
+    * expectations under a shared rate. Only over-represented tokens
+    * rank (decided by the EXACT integer compare a·N > (a+b)·N_g);
+    * zero-count terms contribute 0 via the standard x·ln x → 0 limit.
+    * Top `k` per group by (G² desc, token).
+    *
+    * Determinism: a, b, N_g, N are exact longs shipped into one IEEE
+    * ln tree; a bounded rank window over per-group survivors only
+    * (the x44 discipline). Scale: one token aggregation by
+    * (group, token) + a broadcast group-totals join. */
+  def keynessG2(df: DataFrame, groupCol: String, textCol: String,
+                k: Int = 5, roundTo: Int = 4): DataFrame = {
+    val tc = df.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .groupBy("grp", "t").agg(count(lit(1)).as("a"))
+    val gTot = tc.groupBy("grp").agg(sum(col("a")).as("ng"))
+    val tTot = tc.groupBy("t").agg(sum(col("a")).as("ab"))
+    val nAll = broadcast(gTot.agg(sum(col("ng")).as("n")))
+    val j = tc.join(broadcast(gTot), Seq("grp")).join(tTot, Seq("t"))
+      .crossJoin(nAll)
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("nr", col("n") - col("ng"))
+      // over-representation gate, exact: a/N_g > (a+b)/N
+      .filter(col("a") * col("n") > col("ab") * col("ng"))
+    def xlnx(x: Column, e: Column): Column =
+      when(x === 0L, lit(0.0))
+        .otherwise(x.cast("double") * log(x.cast("double") / e))
+    val ea = col("ab").cast("double") * col("ng").cast("double") /
+      col("n").cast("double")
+    val eb = col("ab").cast("double") * col("nr").cast("double") /
+      col("n").cast("double")
+    val scored = j.select(col("grp"), col("t"), col("a"), col("b"),
+      TextFunctions.portableRound(
+        lit(2.0) * (xlnx(col("a"), ea) + xlnx(col("b"), eb)),
+        roundTo).as("g2"))
+    val w = Window.partitionBy("grp").orderBy(col("g2").desc, col("t"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Flesch–Kincaid grade level per document — the classic readability
+    * gauge quality pipelines report next to [[CorpusStats.bigramBits]]
+    * perplexity (too-low grade = fragment soup, absurdly high = legal
+    * boilerplate). Words = the shared tokenizer; sentences = x157's
+    * portable `[^.!?]+[.!?]*` segmentation; syllables ≈ vowel RUNS
+    * (`[aeiouyAEIOUY]+`) — the standard regex approximation, exact on
+    * both engines via the shared pattern constants. grade =
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59; NULL
+    * when a document has no words or no sentences (nothing to grade).
+    * All three counts are exact integers from ONE scan-time pass. */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+                  roundTo: Int = 4): DataFrame = {
+    val words = TextFunctions.tokenCount(lower(col(textCol)))
+    val sents = TextFunctions.regexCountPublic(col(textCol),
+      "[^.!?]+[.!?]*")
+    val syll = TextFunctions.regexCountPublic(col(textCol),
+      "[aeiouyAEIOUY]+")
+    df.select(col(idCol).as("doc_id"), words.as("n_words"),
+        sents.cast("long").as("n_sentences"),
+        syll.cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") === 0L || col("n_sentences") === 0L,
+          lit(null).cast("double"))
+          .otherwise(TextFunctions.portableRound(
+            lit(0.39) * col("n_words").cast("double") /
+              col("n_sentences").cast("double") +
+              lit(11.8) * col("n_syllables").cast("double") /
+                col("n_words").cast("double") - lit(15.59) + lit(1000.0),
+            roundTo).minus(lit(1000.0))).as("fk_grade"))
+  }
 }

@@ -61,4 +61,49 @@ object GraphRank {
     }
     pr
   }
+
+  /** HITS (Kleinberg) over a directed BIPARTITE edge list — hubs on
+    * the left (e.g. users), authorities on the right (e.g. event
+    * types, domains): a(t) = Σ_{u→t} h(u), h(u) = Σ_{u→t} a(t), each
+    * vector sum-normalized per half-step. PageRank's complement for
+    * curation: PageRank scores within one node set; HITS separates
+    * "prolific pointers" from "heavily pointed-at" when the relation
+    * is two-sided.
+    *
+    * Determinism: the x69 replay discipline — fixed iterations,
+    * [[graft.plans.SortedSumD]] neighbor folds, the normalizer itself
+    * a SortedSumD over the bounded side, re-round to `roundTo` every
+    * half-step so divergence cannot accumulate. The oracle unrolls
+    * the same half-steps CTE by CTE.
+    *
+    * Scale shape: per half-step one join + one keyed aggregation; the
+    * normalizer is a one-row frame crossed in (broadcast). Scores sum
+    * to 1 per side at every step — no global float reduction beyond
+    * the bounded normalizer fold. */
+  def hits(edges: DataFrame, hubCol: String, authCol: String,
+           iters: Int = 4, roundTo: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(hubCol).as("hub"), col(authCol).as("auth"))
+      .distinct()
+    val hubs = e.select("hub").distinct()
+    var h = hubs.select(col("hub"), lit(1.0).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, Seq("hub"))
+        .groupBy("auth").agg(graft.plans.SortedSumD(col("h")).as("s"))
+      val az = aRaw.agg(graft.plans.SortedSumD(col("s")).as("z"))
+      a = aRaw.crossJoin(broadcast(az))
+        .select(col("auth"),
+          TextFunctions.portableRound(col("s") / col("z"), roundTo)
+            .as("a"))
+      val hRaw = e.join(a, Seq("auth"))
+        .groupBy("hub").agg(graft.plans.SortedSumD(col("a")).as("s"))
+      val hz = hRaw.agg(graft.plans.SortedSumD(col("s")).as("z"))
+      h = hRaw.crossJoin(broadcast(hz))
+        .select(col("hub"),
+          TextFunctions.portableRound(col("s") / col("z"), roundTo)
+            .as("h"))
+    }
+    a.select(col("auth"), col("a").as("authority"))
+  }
 }

@@ -148,6 +148,50 @@ object LabelQuality {
           roundTo).minus(lit(1000.0)).as("kappa"))): _*)
   }
 
+  /** Krippendorff's α for `raters` binary annotators — the third
+    * member of the agreement family ([[cohenKappa]] two raters,
+    * [[fleissKappa]] n raters with a per-rater chance model): α uses
+    * the pooled JUDGMENT distribution as its chance model, which makes
+    * it the one that generalizes to missing data and other metrics.
+    * Input: a column with the number of YES votes per item (0..r).
+    *
+    * α = 1 − D_o/D_e with
+    *   D_o = Σᵢ 2·kᵢ(r−kᵢ) / (n·r·(r−1))   (observed pair disagreement)
+    *   D_e = 2·Y·(N−Y) / (N·(N−1))          (expected; N = n·r, Y = Σk)
+    * — both one division from exact long sums (the Fleiss pattern),
+    * so the only float work is two divisions and the final ratio.
+    * Output (single row): n_items, n_judgments, n_yes, d_o, d_e,
+    * alpha. Degenerate N ≤ 1 or D_e = 0 (all judgments identical)
+    * reports α = 1 when D_o = 0, else 0 — never a division error. */
+  def krippendorffAlpha(df: DataFrame, yesCol: String,
+                        raters: Int = 3, roundTo: Int = 4): DataFrame = {
+    require(raters >= 2, "krippendorff needs >= 2 raters")
+    val r = raters.toLong
+    val k = col(yesCol).cast("long")
+    val agg = df.select(k.as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("y"),
+        sum(col("k") * (lit(r) - col("k"))).as("dis"))
+    val n = col("n").cast("double")
+    val bigN = col("n") * lit(r)
+    val dOf = lit(2.0) * col("dis").cast("double") /
+      (n * lit((r * (r - 1)).toDouble))
+    val dEf = lit(2.0) * col("y").cast("double") *
+      (bigN - col("y")).cast("double") /
+      (bigN.cast("double") * (bigN - lit(1L)).cast("double"))
+    agg.select(
+      col("n").as("n_items"),
+      bigN.as("n_judgments"),
+      col("y").as("n_yes"),
+      TextFunctions.portableRound(dOf, roundTo).as("d_o"),
+      TextFunctions.portableRound(dEf, roundTo).as("d_e"),
+      TextFunctions.portableRound(
+        when(col("n") * lit(r) <= 1L || dEf === lit(0.0),
+          when(dOf === lit(0.0), lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(lit(1.0) - dOf / dEf) + lit(1000.0),
+        roundTo).minus(lit(1000.0)).as("alpha"))
+  }
+
   /** Kolmogorov–Smirnov statistic between two snapshots over a score
     * column — the nonparametric sibling of [[psiDrift]] (PSI needs
     * bins and a smoothing choice; KS is binless: the max ECDF gap).

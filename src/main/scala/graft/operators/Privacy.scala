@@ -43,4 +43,38 @@ object Privacy {
     groups.crossJoin(broadcast(summary))
       .orderBy(names.map(col): _*)
   }
+
+  /** l-diversity report — [[kAnonymity]]'s second gate: a group can be
+    * k-anonymous yet leak the SENSITIVE attribute outright when all k
+    * rows share it (the homogeneity attack). One row per
+    * quasi-identifier combination with its size, the number of
+    * DISTINCT sensitive values it contains, and the risk flag
+    * (distinct < l); plus the dataset's diversity level (min distinct)
+    * and risky totals replicated per row — the kAnonymity shape, so
+    * release dashboards read both gates the same way.
+    *
+    * Scale: one exact distinct-count aggregation on (quasi, sensitive)
+    * then a group rollup — two map-side-combined shuffles bounded by
+    * combination cardinality. */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], names: Seq[String],
+                 sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty && quasi.length == names.length,
+      "one name per quasi column")
+    require(l >= 2, "l-diversity needs l >= 2")
+    val keyed = df.select(
+      (quasi.zip(names).map { case (c, n) => c.as(n) } :+
+        sensitive.as("_sens")): _*)
+    val groups = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("_sens")).as("l_distinct"))
+      .withColumn("risky", col("l_distinct") < l)
+    val summary = groups.agg(
+      min(col("l_distinct")).as("l_diversity"),
+      sum(when(col("risky"), lit(1L)).otherwise(lit(0L)))
+        .as("n_risky_groups"),
+      sum(when(col("risky"), col("n")).otherwise(lit(0L)))
+        .as("n_risky_rows"))
+    groups.crossJoin(broadcast(summary))
+      .orderBy(names.map(col): _*)
+  }
 }

@@ -139,6 +139,41 @@ object Sketches {
     rowBucket(depth, width)(tc)
       .groupBy("d", "bkt").agg(sum(col("cnt")).as("s"))
 
+  /** Append a batch's count–min grid to a versioned sketch store:
+    * CMS cells are ADDITIVE (each cell is a sum of counts), so
+    * element-wise addition of per-batch grids equals the from-scratch
+    * sketch of the union — exactly, not approximately — and any
+    * append order converges. Fixed depth·width state per store at any
+    * corpus size; rides [[MergeUpsert.mergeAdditiveWritePlain]]'s
+    * atomic publish (the x54/x131 protocol; idempotence is the
+    * CALLER's file-level exactly-once, as with every additive sink). */
+  def appendCms(spark: org.apache.spark.sql.SparkSession,
+                storePath: String, batch: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 1024,
+                retainVersions: Int = 2): Unit =
+    MergeUpsert.mergeAdditiveWritePlain(spark, storePath,
+      cmsSketch(batch, textCol, depth, width).coalesce(1),
+      keys = Seq("d", "bkt"), sumCols = Seq("s"), retainVersions)
+
+  /** [[cmsTopK]]'s probe half against a PRE-BUILT sketch table
+    * ((d, bkt, s) — e.g. [[appendCms]]'s store): the read path once
+    * sketch maintenance has moved to write time. Same estimates,
+    * rounding and tiebreaks as the build-in-query form — x210
+    * oracle-proves probe-from-store ≡ build-in-query under x85's
+    * exact SQL (the x115/x134 precedent for sketch state). */
+  def cmsTopKWith(df: DataFrame, textCol: String, sketch: DataFrame,
+                  depth: Int = 4, width: Int = 1024, k: Int = 50)
+      : DataFrame = {
+    val tc = termCounts(df, textCol)
+    rowBucket(depth, width)(tc)
+      .join(sketch, Seq("d", "bkt"))
+      .groupBy("term", "cnt").agg(min(col("s")).as("est"))
+      .select(col("term"), col("cnt").cast("long").as("true_cnt"),
+        col("est").cast("long").as("est_cnt"),
+        (col("est") - col("cnt")).cast("long").as("overcount"))
+      .orderBy(desc("est_cnt"), col("term")).limit(k)
+  }
+
   /** Heavy hitters via the count–min sketch: every distinct token is
     * probed against the sketch and the top `k` by ESTIMATED count are
     * returned alongside the true count, exhibiting the one-sided error

@@ -109,6 +109,62 @@ object TfIdf {
       Seq(col("score").desc, col("doc_id").asc))
   }
 
+  /** Ranked retrieval by Dirichlet-smoothed query likelihood — the
+    * language-modeling scorer of classic IR (Zhai & Lafferty), the
+    * third member of the retrieval family next to [[bm25TopK]]
+    * (probabilistic) and [[queryScoreTopK]] (vector-space):
+    * score(q,d) = Σ_t log2((tf(t,d) + μ·cf(t)/|C|) / (|d| + μ)).
+    * Smoothing gives EVERY document a finite score (a zero-tf term
+    * backs off to the collection model), so this ranker distinguishes
+    * "missing one term" from "missing all" where BM25 just scores 0.
+    *
+    * Determinism: tf/|d| are exact longs; cf(t) and |C| are collected
+    * once (|terms|+1 integers) and shipped as exact integer literals,
+    * so each term's double is one IEEE tree identical on any engine;
+    * the fixed query-term order makes the 3-term sum order-stable.
+    * Query terms with cf = 0 (absent from the corpus) are dropped on
+    * both sides — they would send every document to −∞ equally.
+    * Negative scores round through the +1000 shift (the κ pattern).
+    *
+    * Scale shape: same as [[bm25TopK]] — a term-filtered explode, one
+    * tf aggregation, a length table, [[Ranked.rankBounded]] top-k. */
+  def queryLikelihoodTopK(df: DataFrame, idCol: String, textCol: String,
+                          queryTerms: Seq[String], k: Int = 20,
+                          mu: Double = 2000.0, roundTo: Int = 4)
+      : DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "query terms must be non-empty and distinct")
+    val dl = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(lower(col(textCol))).as("dl"))
+    val toks = df.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val cfRows = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    require(total > 0, "query likelihood: empty corpus")
+    val live = queryTerms.filter(t => cfRows.getOrElse(t, 0L) > 0L)
+    require(live.nonEmpty, "query likelihood: no query term in corpus")
+    val tfCols = live.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf$i") }
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(live: _*))
+      .groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val base = dl.join(tf, Seq("doc_id"), "left")
+    val score = live.zipWithIndex.map { case (t, i) =>
+      val tfD = coalesce(col(s"tf$i"), lit(0L)).cast("double")
+      log2((tfD + lit(mu) * lit(cfRows(t)).cast("double") /
+        lit(total).cast("double")) /
+        (col("dl").cast("double") + lit(mu)))
+    }.reduce(_ + _)
+    val scored = base.select(col("doc_id"),
+      TextFunctions.portableRound(score + lit(1000.0), roundTo)
+        .minus(lit(1000.0)).as("score"))
+    Ranked.rankBounded(scored, k,
+      Seq(col("score").desc, col("doc_id").asc))
+  }
+
   /** Ranked retrieval by plain tf·idf over a fixed query — the second
     * scorer of the hybrid-retrieval pair (BM25 saturates tf and
     * length-normalizes; raw tf·idf rewards repetition). score =

@@ -394,6 +394,18 @@ object ExtensionCatalog {
   private val ManifestLookupLo = 100L
   private val ManifestLookupHi = 300L
 
+  /** x204's Dirichlet smoothing mass (the Zhai–Lafferty default). */
+  private val QlMu = 2000.0
+
+  /** x205's HITS iteration count (fixed work, the x69 discipline). */
+  private val HitsIters = 4
+
+  /** x206's per-source keyword budget. */
+  private val KeynessK = 5
+
+  /** x208's diversity floor (distinct sensitive values per group). */
+  private val LDivL = 3
+
   /** x179's fingerprint shape: energy frame width, peak-pair fan-out
     * window, match threshold, bucket valve, and which doc_ids get a
     * byte-identical re-upload twin (negative id, same PCM). */
@@ -8151,6 +8163,329 @@ object ExtensionCatalog {
             s"got $rep")
         hit.select("event_id", "user_id", "event_type", "value")
           .orderBy("event_id")
+      }),
+
+    // ---- Krippendorff's α over the x165 voter ensemble — the third
+    //      agreement gauge (Cohen 2 raters, Fleiss n raters with a
+    //      per-rater chance model, α with the pooled-judgment chance
+    //      model): exact long sums to one final ratio, same fragments
+    //      as x187 so the voters cannot drift ----
+    Q("x203_krippendorff_alpha", Some(
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualityFormulaSql AS quality
+         |  FROM (SELECT doc_id, $qualityStatsSql FROM documents)),
+         |${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |v AS (
+         |  SELECT q.doc_id,
+         |    (CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN cp.cls_prob >= 0.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN g.keep THEN 1 ELSE 0 END) AS k
+         |  FROM q JOIN cp USING (doc_id) JOIN g USING (doc_id)),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(k) AS BIGINT) AS y,
+         |    CAST(sum(k * (3 - k)) AS BIGINT) AS dis
+         |  FROM v),
+         |raw AS (
+         |  SELECT n, n * 3 AS nn, y, dis,
+         |    2.0 * CAST(dis AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0)
+         |      AS do_raw,
+         |    2.0 * CAST(y AS DOUBLE) * CAST(n * 3 - y AS DOUBLE)
+         |      / (CAST(n * 3 AS DOUBLE) * CAST(n * 3 - 1 AS DOUBLE))
+         |      AS de_raw
+         |  FROM agg)
+         |SELECT n AS n_items, CAST(nn AS BIGINT) AS n_judgments,
+         |  y AS n_yes,
+         |  floor(do_raw * 10000.0 + 0.5) / 10000.0 AS d_o,
+         |  floor(de_raw * 10000.0 + 0.5) / 10000.0 AS d_e,
+         |  floor((CASE WHEN nn <= 1 OR de_raw = 0.0
+         |      THEN (CASE WHEN do_raw = 0.0 THEN 1.0 ELSE 0.0 END)
+         |      ELSE 1.0 - do_raw / de_raw END + 1000.0)
+         |    * 10000.0 + 0.5) / 10000.0 - 1000.0 AS alpha
+         |FROM raw""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val votes = t(s, dir, "documents").select(
+          ((TextFunctions.qualityScore(col("text")) >= 0.5).cast("int")
+            + (TextFunctions.classifierProb(col("text")) >= 0.5).cast("int")
+            + QualityRules.gopherKeep(
+              QualityRules.tokenStats(col("text"))).cast("int"))
+            .as("n_yes"))
+        LabelQuality.krippendorffAlpha(votes, "n_yes", raters = 3)
+      }),
+
+    // ---- Dirichlet-smoothed query likelihood (Zhai–Lafferty): the
+    //      language-modeling ranker next to BM25 (x63) and tf·idf
+    //      (x103's second arm) — every document scores finitely via
+    //      collection-model backoff. Collection stats ship as exact
+    //      integer literals on the Spark side; the oracle recomputes
+    //      them from the same corpus ----
+    Q("x204_query_likelihood", Some({
+      val terms = Bm25Terms.zipWithIndex
+      val tfCols = terms.map { case (t, i) =>
+        s"sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf$i" }
+        .mkString(", ")
+      val cfCols = terms.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS cf$i" }
+        .mkString(", ")
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val scoreSum = terms.map { case (_, i) =>
+        s"""log2((coalesce(tf.tf$i, 0) + $QlMu * CAST(cf.cf$i AS DOUBLE)
+           |      / CAST(tot.total AS DOUBLE))
+           |    / (CAST(dl.dl AS DOUBLE) + $QlMu))""".stripMargin }
+        .mkString(" + ")
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(len(${tokSql("lower(text)")}) AS BIGINT)
+         |    AS dl
+         |  FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM dl),
+         |tk AS (
+         |  SELECT doc_id, unnest(${tokSql("lower(text)")}) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, $tfCols FROM tk
+         |  WHERE term IN ($inList) GROUP BY doc_id),
+         |cf AS (SELECT $cfCols FROM tk),
+         |scored AS (
+         |  SELECT dl.doc_id,
+         |    floor(($scoreSum + 1000.0) * 10000.0 + 0.5) / 10000.0
+         |      - 1000.0 AS score
+         |  FROM dl LEFT JOIN tf USING (doc_id), tot, cf)
+         |SELECT doc_id, score, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }),
+      (s, dir) => TfIdf.queryLikelihoodTopK(t(s, dir, "documents"),
+        "doc_id", "text", Bm25Terms, k = 20, mu = QlMu)),
+
+    // ---- HITS hubs/authorities on the user→event-type bipartite
+    //      graph — PageRank's two-sided complement (x69 scores one
+    //      node set; HITS separates prolific pointers from heavily
+    //      pointed-at). Fixed iterations, SortedSumD folds, sum
+    //      normalization re-rounded per half-step, oracle unrolled
+    //      CTE by CTE (the x69 replay discipline) ----
+    Q("x205_hits_authority", {
+      val fold = (c: String) =>
+        s"list_reduce(list_prepend(0.0, list_sort(list($c))), (a, x) -> a + x)"
+      val iters = (1 to HitsIters).map { i =>
+        s"""ar$i AS (
+           |  SELECT e.auth, ${fold(s"h${i - 1}.h")} AS s
+           |  FROM e JOIN h${i - 1} USING (hub) GROUP BY e.auth),
+           |az$i AS (SELECT ${fold("s")} AS z FROM ar$i),
+           |a$i AS (
+           |  SELECT auth, floor(s / z * 1000000.0 + 0.5) / 1000000.0 AS a
+           |  FROM ar$i, az$i),
+           |hr$i AS (
+           |  SELECT e.hub, ${fold(s"a$i.a")} AS s
+           |  FROM e JOIN a$i USING (auth) GROUP BY e.hub),
+           |hz$i AS (SELECT ${fold("s")} AS z FROM hr$i),
+           |h$i AS (
+           |  SELECT hub, floor(s / z * 1000000.0 + 0.5) / 1000000.0 AS h
+           |  FROM hr$i, hz$i)""".stripMargin
+      }.mkString(",\n")
+      Some(
+        s"""WITH e AS (
+           |  SELECT DISTINCT user_id AS hub, event_type AS auth
+           |  FROM events),
+           |h0 AS (SELECT DISTINCT hub, CAST(1.0 AS DOUBLE) AS h FROM e),
+           |$iters
+           |SELECT a.auth AS event_type, nu.n_users, a.a AS authority
+           |FROM a$HitsIters a JOIN (
+           |  SELECT auth, CAST(count(*) AS BIGINT) AS n_users
+           |  FROM e GROUP BY auth) nu USING (auth)
+           |ORDER BY event_type""".stripMargin)
+    },
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+        val auth = GraphRank.hits(ev, "user_id", "event_type",
+          iters = HitsIters)
+        val nu = ev.select(col("user_id").as("hub"),
+            col("event_type").as("auth")).distinct()
+          .groupBy("auth").agg(count(lit(1)).as("n_users"))
+        auth.join(nu, Seq("auth"))
+          .select(col("auth").as("event_type"), col("n_users"),
+            col("authority"))
+          .orderBy("event_type")
+      }),
+
+    // ---- Dunning log-likelihood (G²) keyness: each source's
+    //      signature vocabulary vs the rest of the corpus — the
+    //      corpus-linguistics keyword extractor, sharper than
+    //      frequency ratios for rare terms. Exact counts into one
+    //      IEEE ln tree; over-representation gated by integer
+    //      compares; bounded per-source rank ----
+    Q("x206_keyness_g2", Some(
+      s"""WITH tc AS (
+         |  SELECT source AS grp, t, CAST(count(*) AS BIGINT) AS a
+         |  FROM (SELECT source, unnest(${tokSql("lower(text)")}) AS t
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |gt AS (SELECT grp, CAST(sum(a) AS BIGINT) AS ng FROM tc
+         |  GROUP BY grp),
+         |tt AS (SELECT t, CAST(sum(a) AS BIGINT) AS ab FROM tc
+         |  GROUP BY t),
+         |na AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM gt),
+         |j AS (
+         |  SELECT tc.grp, tc.t, tc.a, tt.ab - tc.a AS b, gt.ng,
+         |    na.n - gt.ng AS nr, na.n AS n, tt.ab
+         |  FROM tc JOIN gt USING (grp) JOIN tt USING (t), na
+         |  WHERE tc.a * na.n > tt.ab * gt.ng),
+         |sc AS (
+         |  SELECT grp, t, a, b,
+         |    floor(2.0 * (
+         |      (CASE WHEN a = 0 THEN 0.0
+         |        ELSE CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE)
+         |          / (CAST(ab AS DOUBLE) * CAST(ng AS DOUBLE)
+         |             / CAST(n AS DOUBLE))) END)
+         |      + (CASE WHEN b = 0 THEN 0.0
+         |        ELSE CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE)
+         |          / (CAST(ab AS DOUBLE) * CAST(nr AS DOUBLE)
+         |             / CAST(n AS DOUBLE))) END))
+         |      * 10000.0 + 0.5) / 10000.0 AS g2
+         |  FROM j)
+         |SELECT grp AS source, t AS term, a AS n_source, b AS n_rest,
+         |  g2, rn
+         |FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY grp
+         |    ORDER BY g2 DESC, t) AS INT) AS rn
+         |  FROM sc)
+         |WHERE rn <= $KeynessK ORDER BY source, rn""".stripMargin),
+      (s, dir) => CorpusStats.keynessG2(t(s, dir, "documents"),
+          "source", "text", k = KeynessK)
+        .select(col("grp").as("source"), col("t").as("term"),
+          col("a").as("n_source"), col("b").as("n_rest"), col("g2"),
+          col("rn").cast("int").as("rn"))
+        .orderBy("source", "rn")),
+
+    // ---- Flesch–Kincaid readability: words (shared tokenizer),
+    //      sentences (x157's portable segmentation regex), syllables
+    //      (vowel runs — the standard regex approximation); the grade
+    //      formula over exact integer counts, NULL when there is
+    //      nothing to grade ----
+    Q("x207_readability", Some(
+      s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words = 0 OR n_sentences = 0 THEN NULL
+         |    ELSE floor((0.39 * CAST(n_words AS DOUBLE)
+         |        / CAST(n_sentences AS DOUBLE)
+         |      + 11.8 * CAST(n_syllables AS DOUBLE)
+         |        / CAST(n_words AS DOUBLE)
+         |      - 15.59 + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0
+         |    END AS fk_grade
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(${tokSql("lower(text)")}) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '[^.!?]+[.!?]*'))
+         |      AS BIGINT) AS n_sentences,
+         |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+         |      AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.readability(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // ---- l-diversity release gate — x193's second lock: a
+    //      k-anonymous group whose k rows all share the SENSITIVE
+    //      value still leaks it (homogeneity attack). QI = nation ×
+    //      balance bucket, sensitive = market segment ----
+    Q("x208_l_diversity", Some(
+      s"""WITH keyed AS (
+         |  SELECT c_nationkey AS nation,
+         |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+         |    c_mktsegment AS sens
+         |  FROM customer),
+         |grp AS (
+         |  SELECT nation, bal_bucket, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct
+         |  FROM keyed GROUP BY 1, 2),
+         |g2 AS (SELECT *, l_distinct < $LDivL AS risky FROM grp),
+         |summ AS (
+         |  SELECT CAST(min(l_distinct) AS BIGINT) AS l_diversity,
+         |    CAST(sum(CASE WHEN risky THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_risky_groups,
+         |    CAST(sum(CASE WHEN risky THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_risky_rows
+         |  FROM g2)
+         |SELECT nation, bal_bucket, n, l_distinct, risky,
+         |  l_diversity, n_risky_groups, n_risky_rows
+         |FROM g2, summ
+         |ORDER BY nation, bal_bucket""".stripMargin),
+      (s, dir) => Privacy.lDiversity(t(s, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("int")),
+        Seq("nation", "bal_bucket"), col("c_mktsegment"), l = LDivL)),
+
+    // ---- Matryoshka truncation eval: exact top-10 under the FIRST 16
+    //      of 64 dims vs full-dim truth — the recall your index keeps
+    //      if you ship the cheap prefix embedding (MRL serving). Same
+    //      rounding/tiebreaks as x08; 16·4 bytes vs 64·8 per vector is
+    //      the 100 TB cost lever being priced ----
+    Q("x209_dim_truncation_recall", Some(
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 5),
+         |full_t AS (
+         |  SELECT qid, eid FROM (
+         |    SELECT qid, e.vec_id AS eid,
+         |      ${cosineSql("qv", "e.embedding")} AS sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        ${cosineSql("qv", "e.embedding")} DESC, e.vec_id) AS rn
+         |    FROM q, embeddings e)
+         |  WHERE rn <= 10),
+         |trunc_t AS (
+         |  SELECT qid, eid FROM (
+         |    SELECT qid, e.vec_id AS eid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY
+         |        ${cosineSql("qv[1:16]", "e.embedding[1:16]")} DESC,
+         |        e.vec_id) AS rn
+         |    FROM q, embeddings e)
+         |  WHERE rn <= 10)
+         |SELECT f.qid, CAST(count(tr.eid) AS BIGINT) AS n_hits,
+         |  floor(CAST(count(tr.eid) AS DOUBLE) / 10.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS recall
+         |FROM full_t f LEFT JOIN trunc_t tr
+         |  ON f.qid = tr.qid AND f.eid = tr.eid
+         |GROUP BY f.qid ORDER BY f.qid""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val truth = Similarity.bruteForceTopK(q, emb, "vec_id",
+          "embedding", k = 10).select("qid", "eid")
+        val qt = q.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val et = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val approx = Similarity.bruteForceTopK(qt, et, "vec_id",
+          "embedding", k = 10).select(col("qid"), col("eid").as("teid"))
+        truth.join(approx,
+            truth("qid") === approx("qid") && col("eid") === col("teid"),
+            "left")
+          .groupBy(truth("qid").as("qid"))
+          .agg(count(col("teid")).as("n_hits"),
+            TextFunctions.portableRound(
+              count(col("teid")).cast("double") / lit(10.0), 4)
+              .as("recall"))
+          .orderBy("qid")
+      }),
+
+    // ---- incrementally maintained count–min store: three disjoint
+    //      batches' grids merged ADDITIVELY through the versioned
+    //      store (cell sums are exact under any append order), probed
+    //      with the stored grid under x85's byte-identical oracle —
+    //      the x134 maintenance step for frequency state ----
+    Q("x210_incremental_cms", sqlOf("x85_cms_topk"),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val store = tmp("graft-cms-store") + "/sketch"
+        (0 until 3).foreach { kk =>
+          Sketches.appendCms(s, store, docs.filter(col("doc_id") % 3 === kk),
+            "text", depth = CmsDepth, width = CmsWidth.toInt)
+        }
+        Sketches.cmsTopKWith(docs, "text",
+          MergeUpsert.readPlain(s, store),
+          depth = CmsDepth, width = CmsWidth.toInt, k = CmsTopK)
       })
   )
 

@@ -482,4 +482,41 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("even") == 0.0)
     assert(got("burst") == 3.0)
   }
+
+  test("keynessG2: a source-exclusive repeated token tops its " +
+    "source's keywords; shared-evenly tokens never pass the gate") {
+    val docs = Seq(
+      (1L, "a", "zebra zebra zebra common common"),
+      (2L, "a", "zebra zebra common common"),
+      (3L, "b", "common common common common yak"),
+      (4L, "b", "common common common yak yak"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.keynessG2(docs, "source", "text", k = 3)
+      .collect()
+    val aTop = got.filter(_.getString(0) == "a").minBy(_.getInt(5))
+    val bTop = got.filter(_.getString(0) == "b").minBy(_.getInt(5))
+    assert(aTop.getString(1) == "zebra" && bTop.getString(1) == "yak")
+    assert(aTop.getAs[Long]("a") == 5L && aTop.getAs[Long]("b") == 0L)
+    // "common" is 4/9 vs 7/10 -> over-represented only in b, and g2
+    // must stay below the exclusive token's
+    assert(!got.exists(r => r.getString(0) == "a" &&
+      r.getString(1) == "common"))
+  }
+
+  test("readability: hand-computed FK grade; empty and wordless " +
+    "docs grade NULL") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran."),   // 6 words, 2 sents, 6 syll
+      (2L, ""), (3L, "...")).toDF("doc_id", "text")
+    val got = CorpusStats.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 6L)
+    val expect = 0.39 * 3.0 + 11.8 * 1.0 - 15.59
+    assert(math.abs(r1.getAs[Double]("fk_grade") - expect) < 1e-3)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("fk_grade")))
+    assert(got(3L).isNullAt(got(3L).fieldIndex("fk_grade")))
+  }
 }

@@ -46,4 +46,23 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.pageRank(nodes.filter($"id" < 0), "id", edges)
     }
   }
+
+  test("hits: the type every user touches dominates authority; " +
+    "layout-independent; iters guard") {
+    // 4 users all hit "popular"; only one hits "niche"
+    val ev = (Seq((1L, "popular"), (2L, "popular"), (3L, "popular"),
+      (4L, "popular"), (1L, "niche"), (1L, "popular")))
+      .toDF("user_id", "event_type")
+    val a = GraphRank.hits(ev, "user_id", "event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a("popular") > a("niche"))
+    assert(math.abs(a.values.sum - 1.0) < 1e-4,
+      "authorities sum-normalize to ~1")
+    val b = GraphRank.hits(ev.repartition(5), "user_id", "event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      GraphRank.hits(ev, "user_id", "event_type", iters = 0)
+    }
+  }
 }

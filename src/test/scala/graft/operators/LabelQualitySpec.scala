@@ -172,4 +172,24 @@ class LabelQualitySpec extends SparkSpec {
     assert(r.toSeq == LabelQuality.ksDrift(df.repartition(5),
       "side", "p").head().toSeq)
   }
+
+  test("krippendorffAlpha: unanimity gives 1; hand-computed mixed " +
+    "case matches; degenerate one-item guard") {
+    val perfect = Seq(3L, 0L, 3L, 0L).toDF("k")
+    assert(LabelQuality.krippendorffAlpha(perfect, "k")
+      .head().getAs[Double]("alpha") == 1.0)
+    // 2 items, r=3: k = (2, 1) -> dis = 2+2 = 4, Do = 8/12 = 2/3
+    // Y = 3, N = 6 -> De = 2*3*3/(6*5) = 0.6 -> alpha = 1 - (2/3)/0.6
+    val mixed = Seq(2L, 1L).toDF("k")
+    val row = LabelQuality.krippendorffAlpha(mixed, "k").head()
+    assert(row.getAs[Long]("n_items") == 2L)
+    assert(row.getAs[Long]("n_judgments") == 6L)
+    assert(row.getAs[Long]("n_yes") == 3L)
+    assert(math.abs(row.getAs[Double]("alpha") -
+      (1.0 - (2.0 / 3.0) / 0.6)) < 1e-3)
+    // all-identical judgments: De = 0, Do = 0 -> alpha 1, no div error
+    val allYes = Seq(3L, 3L).toDF("k")
+    assert(LabelQuality.krippendorffAlpha(allYes, "k")
+      .head().getAs[Double]("alpha") == 1.0)
+  }
 }

@@ -36,4 +36,25 @@ class PrivacySpec extends SparkSpec {
       .collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("lDiversity: homogeneous group flagged even when k-anonymous; " +
+    "diverse group passes; scalars aggregate") {
+    // group A: 6 rows all sharing one sensitive value (k-anonymous at
+    // k=5, yet l-risky); group B: 6 rows over 3 sensitive values
+    val df = ((1 to 6).map(_ => ("A", "s1")) ++
+      (1 to 6).map(i => ("B", s"s${i % 3}")))
+      .toDF("qi", "sens")
+    val got = Privacy.lDiversity(df, Seq(col("qi")), Seq("qi"),
+      col("sens"), l = 3).collect()
+    val byQi = got.map(r => r.getString(0) -> r).toMap
+    assert(byQi("A").getAs[Long]("l_distinct") == 1L)
+    assert(byQi("A").getAs[Boolean]("risky"))
+    assert(byQi("B").getAs[Long]("l_distinct") == 3L)
+    assert(!byQi("B").getAs[Boolean]("risky"))
+    got.foreach { r =>
+      assert(r.getAs[Long]("l_diversity") == 1L)
+      assert(r.getAs[Long]("n_risky_groups") == 1L)
+      assert(r.getAs[Long]("n_risky_rows") == 6L)
+    }
+  }
 }

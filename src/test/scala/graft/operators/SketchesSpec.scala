@@ -223,4 +223,32 @@ class SketchesSpec extends SparkSpec {
       .select("est").as[Double].head()
     assert(estDense == estSparse)
   }
+
+  test("appendCms: any batch split/order equals the from-scratch " +
+    "sketch; probe-from-store equals build-in-query") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta" else "alpha gamma delta"))
+      .toDF("doc_id", "text")
+    def store(splits: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft-cms-t")
+        .toString + "/s"
+      splits.foreach(b => Sketches.appendCms(spark, p, b, "text",
+        depth = 2, width = 64))
+      p
+    }
+    val byThree = store(Seq(
+      docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 === 1),
+      docs.filter($"doc_id" % 3 === 2)))
+    val oneShot = store(Seq(docs))
+    def grid(p: String) = MergeUpsert.readPlain(spark, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(grid(byThree) == grid(oneShot))
+    val direct = Sketches.cmsTopK(docs, "text", depth = 2, width = 64,
+      k = 10).collect().map(_.toSeq)
+    val probed = Sketches.cmsTopKWith(docs, "text",
+      MergeUpsert.readPlain(spark, byThree), depth = 2, width = 64,
+      k = 10).collect().map(_.toSeq)
+    assert(direct.toSeq == probed.toSeq)
+  }
 }

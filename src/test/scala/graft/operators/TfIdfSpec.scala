@@ -164,4 +164,22 @@ class TfIdfSpec extends SparkSpec {
     assert(r.getLong(2) == 2L, s"n_shared=${r.getLong(2)}")
     assert(r.getDouble(3) == 1.0)
   }
+
+  test("queryLikelihoodTopK: doc with the term outranks doc without; " +
+    "longer doc with same tf ranks lower; absent-everywhere term drops") {
+    val docs = Seq(
+      (1L, "spark spark engine"),
+      (2L, "spark engine engine engine engine engine engine"),
+      (3L, "pure noise tokens here")).toDF("doc_id", "text")
+    val got = TfIdf.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("spark", "unseenword"), k = 3, mu = 10.0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) == 1, "highest tf/length wins")
+    assert(got(2L) == 2, "same term diluted by length ranks second")
+    assert(got(3L) == 3, "smoothing still scores the no-match doc")
+    intercept[IllegalArgumentException] {
+      TfIdf.queryLikelihoodTopK(docs, "doc_id", "text",
+        Seq("unseenword"), k = 3)
+    }
+  }
 }
