@@ -77,4 +77,43 @@ object Privacy {
     groups.crossJoin(broadcast(summary))
       .orderBy(names.map(col): _*)
   }
+
+  /** Laplace-noised count release — the ε-differential-privacy
+    * MECHANISM (sensitivity 1 for disjoint-group counts, scale
+    * b = 1/ε), with REPLAYABLE noise: the Laplace draw derives from a
+    * salted md5 of the group key via inverse-CDF (u ∈ (0,1] from one
+    * hash lane → −b·ln(u) exponential; an independent lane picks the
+    * sign), so the release is bit-reproducible for audit and
+    * oracle-checkable cross-engine. A PRODUCTION DP release must draw
+    * the salt fresh and secret per release (fixed noise across
+    * releases composes like no noise at all) — the caller owns that
+    * entropy; this operator owns the mechanism, exactly like
+    * [[graft.functions.Keys]] owns determinism where the reference
+    * used uuid4.
+    *
+    * Output: (quasi…, n, noised_n, epsilon) — noised_n = n + the
+    * rounded draw, floored at 0 (a count release is nonnegative). */
+  def laplaceNoisedCounts(df: DataFrame, quasi: Seq[Column],
+                          names: Seq[String], epsilon: Double,
+                          salt: String = "v1"): DataFrame = {
+    require(quasi.nonEmpty && quasi.length == names.length,
+      "one name per quasi column")
+    require(epsilon > 0.0, "epsilon must be positive")
+    val keyed = df.select(quasi.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val groups = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("|", names.map(c => col(c).cast("string")): _*)
+    // u ∈ (0,1]: 60-bit hash + 1 over 2^60; sign from a second lane
+    val u = (TextFunctions.md5Hash60(concat(lit(s"lap:$salt:"), keyStr))
+      .cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    val sign = when(TextFunctions.md5Hash60(
+      concat(lit(s"lapsign:$salt:"), keyStr)) % 2L === 0L,
+      lit(1.0)).otherwise(lit(-1.0))
+    val noise = sign * (lit(0.0) - log(u)) / lit(epsilon)
+    groups.select((names.map(col) :+ col("n") :+
+      greatest(col("n") + floor(noise + lit(0.5)).cast("long"), lit(0L))
+        .as("noised_n") :+
+      lit(epsilon).as("epsilon")): _*)
+      .orderBy(names.map(col): _*)
+  }
 }

@@ -154,6 +154,58 @@ object Sampling {
       .filter(col("rk") <= cap)
   }
 
+  /** Uniform k-per-group sample, replayable: rank every row inside its
+    * group by a salted id hash and keep the first `k` — the
+    * distributed, deterministic stand-in for per-group reservoir
+    * sampling (same marginal: each group member equally likely under a
+    * random salt; fixed salt ⇒ the SAME sample on every replay, layout
+    * be damned — the property an audited pipeline needs and a true
+    * streaming reservoir can't give). Complements [[capPerGroup]]
+    * (quality-ranked cap) with the unbiased-draw variant.
+    *
+    * Scale shape: one window shuffle on the group key; skewed groups
+    * take the [[Salting.saltedTopK]] route with these same keys. */
+  def reservoirPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                        k: Int, salt: String = "v1"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = TextFunctions.md5Hash60(concat(lit(s"res:$salt:"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
+  /** word2vec-style negative-sampling table: the top `n` vocabulary
+    * terms with their unigram count and their draw share under the
+    * classic count^0.75 flattening (Mikolov et al. — raw frequency
+    * over-draws stopwords, uniform under-draws them). x^0.75 is
+    * computed as sqrt(x)·sqrt(sqrt(x)) — two IEEE-correctly-rounded
+    * sqrts and one multiply, bit-identical on any engine (the
+    * temperatureMix α=0.5 precedent, squared) — then quantized to
+    * exact ×10⁶ longs so the normalizer is an order-free integer sum
+    * over the WHOLE vocabulary, not just the reported rows.
+    * Output: (term, cnt, share) for the top n by (cnt desc, term). */
+  def negativeSamplingTable(df: DataFrame, textCol: String, n: Int = 100,
+                            roundTo: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tc = df.select(
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val wq = floor(sqrt(col("cnt").cast("double")) *
+      sqrt(sqrt(col("cnt").cast("double"))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val weighted = tc.withColumn("wq", wq)
+    val z = broadcast(weighted.agg(sum(col("wq")).as("z")))
+    Ranked.rankBounded(
+      weighted.crossJoin(z)
+        .select(col("term"), col("cnt"),
+          TextFunctions.portableRound(
+            col("wq").cast("double") / col("z").cast("double"),
+            roundTo).as("share")),
+      n, Seq(col("cnt").desc, col("term").asc))
+  }
+
   /** Duplication-weighted sampling over resolved dedup clusters: each
     * cluster's keeper survives with probability min(1, rate·size) —
     * dedup deletes the copies, but HOW OFTEN something was copied is

@@ -406,6 +406,15 @@ object ExtensionCatalog {
   /** x208's diversity floor (distinct sensitive values per group). */
   private val LDivL = 3
 
+  /** x211's per-source sample size. */
+  private val ReservoirK = 5
+
+  /** x212's reported vocabulary depth. */
+  private val NegSampleN = 100
+
+  /** x213's privacy budget (b = 1/ε). */
+  private val LapEps = 1.0
+
   /** x179's fingerprint shape: energy frame width, peak-pair fan-out
     * window, match threshold, bucket valve, and which doc_ids get a
     * byte-identical re-upload twin (negative id, same PCM). */
@@ -8486,7 +8495,78 @@ object ExtensionCatalog {
         Sketches.cmsTopKWith(docs, "text",
           MergeUpsert.readPlain(s, store),
           depth = CmsDepth, width = CmsWidth.toInt, k = CmsTopK)
-      })
+      }),
+
+    // ---- replayable per-group reservoir sample: salted-hash rank
+    //      inside each source, keep k — the unbiased-draw sibling of
+    //      x68's quality-ranked cap, with the fixed-salt replay
+    //      property a streaming reservoir cannot give ----
+    Q("x211_reservoir_sample", Some(
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+         |      ${h60Sql("'res:v1:' || CAST(doc_id AS VARCHAR)",
+                1152921504606846976L)}, doc_id) AS INT) AS rk
+         |  FROM documents)
+         |WHERE rk <= $ReservoirK ORDER BY source, doc_id""".stripMargin),
+      (s, dir) => Sampling.reservoirPerGroup(t(s, dir, "documents"),
+          "doc_id", "source", k = ReservoirK)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "doc_id")),
+
+    // ---- word2vec negative-sampling table: count^0.75 flattening
+    //      (two correctly-rounded sqrts), per-term weights quantized
+    //      to exact ×10⁶ longs so the normalizer is an integer sum
+    //      over the WHOLE vocabulary ----
+    Q("x212_negative_sampling", Some(
+      s"""WITH tc AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(${tokSql("lower(text)")}) AS term
+         |    FROM documents)
+         |  GROUP BY term),
+         |wq AS (
+         |  SELECT term, cnt,
+         |    CAST(floor(sqrt(CAST(cnt AS DOUBLE))
+         |      * sqrt(sqrt(CAST(cnt AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM tc),
+         |z AS (SELECT CAST(sum(wq) AS BIGINT) AS z FROM wq),
+         |top AS (
+         |  SELECT term, cnt,
+         |    floor(CAST(wq AS DOUBLE) / CAST(z AS DOUBLE)
+         |      * 1000000.0 + 0.5) / 1000000.0 AS share
+         |  FROM wq, z ORDER BY cnt DESC, term LIMIT $NegSampleN)
+         |SELECT term, cnt, share,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rn
+         |FROM top ORDER BY rn""".stripMargin),
+      (s, dir) => Sampling.negativeSamplingTable(t(s, dir, "documents"),
+        "text", n = NegSampleN)),
+
+    // ---- ε-DP Laplace count release with REPLAYABLE salted noise
+    //      (inverse-CDF from two md5 lanes): the mechanism is real and
+    //      cross-engine bit-reproducible; production supplies a fresh
+    //      secret salt per release (see Privacy.laplaceNoisedCounts's
+    //      contract — fixed noise across releases composes like none) ----
+    Q("x213_laplace_release", Some(
+      s"""WITH g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |x AS (
+         |  SELECT source, n,
+         |    (CAST(${h60Sql("'lap:v1:' || source", 1152921504606846976L)}
+         |      AS DOUBLE) + 1.0) / 1152921504606846976.0 AS u,
+         |    CASE WHEN ${h60Sql("'lapsign:v1:' || source",
+                1152921504606846976L)} % 2 = 0
+         |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+         |      END AS sgn
+         |  FROM g)
+         |SELECT source, n,
+         |  greatest(n + CAST(floor(sgn * (0.0 - ln(u)) / $LapEps + 0.5)
+         |    AS BIGINT), 0) AS noised_n,
+         |  CAST($LapEps AS DOUBLE) AS epsilon
+         |FROM x ORDER BY source""".stripMargin),
+      (s, dir) => Privacy.laplaceNoisedCounts(t(s, dir, "documents"),
+        Seq(col("source")), Seq("source"), epsilon = LapEps))
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen

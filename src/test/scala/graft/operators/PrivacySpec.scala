@@ -57,4 +57,24 @@ class PrivacySpec extends SparkSpec {
       assert(r.getAs[Long]("n_risky_rows") == 6L)
     }
   }
+
+  test("laplaceNoisedCounts: replayable per salt, nonnegative, a new " +
+    "salt redraws, epsilon guard") {
+    val df = ((1 to 50).map(_ => "a") ++ (1 to 3).map(_ => "b"))
+      .toDF("grp")
+    def rel(salt: String, eps: Double = 1.0) =
+      Privacy.laplaceNoisedCounts(df, Seq(col("grp")), Seq("grp"),
+        epsilon = eps, salt = salt)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("noised_n"))).toMap
+    val a = rel("s1"); val b = rel("s1"); val c = rel("s2")
+    assert(a == b, "same salt must replay bit-identically")
+    assert(a("a")._1 == 50L && a("b")._1 == 3L)
+    assert(a.values.forall(_._2 >= 0L), "count release is nonnegative")
+    assert(a != c, "a fresh salt must redraw the noise")
+    intercept[IllegalArgumentException] {
+      Privacy.laplaceNoisedCounts(df, Seq(col("grp")), Seq("grp"),
+        epsilon = 0.0)
+    }
+  }
 }

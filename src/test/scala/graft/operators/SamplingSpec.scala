@@ -374,4 +374,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
     assert(got == again)
   }
+
+  test("reservoirPerGroup: k per group, replayable, layout-independent, " +
+    "salt changes the draw") {
+    val df = (1 to 60).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Sampling.reservoirPerGroup(df, "id", "grp", k = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(s1.count(_._1 == "a") == 4 && s1.count(_._1 == "b") == 4)
+    val s2 = Sampling.reservoirPerGroup(df.repartition(7), "id", "grp",
+      k = 4).collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(s1.sameElements(s2), "fixed salt must replay identically")
+    val s3 = Sampling.reservoirPerGroup(df, "id", "grp", k = 4,
+      salt = "v2").collect()
+      .map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(!s1.sameElements(s3), "a new salt must redraw")
+  }
+
+  test("negativeSamplingTable: count^0.75 flattens shares toward the " +
+    "tail and the full-vocab shares sum to ~1") {
+    val docs = Seq((1L, Seq.fill(81)("big").mkString(" ") + " small"))
+      .toDF("id", "text")
+    val got = Sampling.negativeSamplingTable(docs, "text", n = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // raw shares would be 81/82 vs 1/82; ^0.75 gives 27/28 vs 1/28
+    assert(math.abs(got("big") / got("small") - 27.0) < 0.01)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
 }
