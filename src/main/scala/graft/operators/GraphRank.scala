@@ -83,14 +83,22 @@ object GraphRank {
   def hits(edges: DataFrame, hubCol: String, authCol: String,
            iters: Int = 4, roundTo: Int = 6): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // each half-step consumes its raw sums TWICE (the normalizer agg
+    // and the normalized select), so a lazy chain doubles the subtree
+    // per half-step — 2^(2·iters) scans by the end (measured: 383
+    // event scans at iters = 4). The Pregel superstep discipline
+    // applies: materialize each half-step's raw sums (eager
+    // localCheckpoint, |auths| / |hubs| rows) so every step executes
+    // exactly once and the final plan is one shallow join.
     val e = edges.select(col(hubCol).as("hub"), col(authCol).as("auth"))
-      .distinct()
+      .distinct().localCheckpoint()
     val hubs = e.select("hub").distinct()
     var h = hubs.select(col("hub"), lit(1.0).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e.join(h, Seq("hub"))
         .groupBy("auth").agg(graft.plans.SortedSumD(col("h")).as("s"))
+        .localCheckpoint()
       val az = aRaw.agg(graft.plans.SortedSumD(col("s")).as("z"))
       a = aRaw.crossJoin(broadcast(az))
         .select(col("auth"),
@@ -98,6 +106,7 @@ object GraphRank {
             .as("a"))
       val hRaw = e.join(a, Seq("auth"))
         .groupBy("hub").agg(graft.plans.SortedSumD(col("a")).as("s"))
+        .localCheckpoint()
       val hz = hRaw.agg(graft.plans.SortedSumD(col("s")).as("z"))
       h = hRaw.crossJoin(broadcast(hz))
         .select(col("hub"),
