@@ -8084,9 +8084,17 @@ object ExtensionCatalog {
         val emb = t(s, dir, "embeddings")
         val aSide = emb.filter(col("label") % 2 === 0)
         val bSide = emb.filter(col("label") % 2 === 1)
+        // index sized to the corpus (~√n lists, the FAISS rule — the
+        // ScaleStress lesson: a fixed list count degrades the linear
+        // path back toward n²/k). At the oracle's sf0.01 scale this
+        // resolves to exactly the oracle's 16, so parity is exact
+        // where parity is checked; larger corpora probe
+        // proportionally narrower lists.
+        val kCents = math.max(16,
+          (math.sqrt(bSide.count().toDouble) / 2).toInt)
         val centStore = tmp("graft-margin-cent")
         ArtifactStore.publish(s, centStore, Similarity.kmeansCentroids(
-          bSide, "vec_id", "embedding", k = 16, iters = 2))
+          bSide, "vec_id", "embedding", k = kCents, iters = 2))
         val cents = ArtifactStore.load(s, centStore)
         val postStore = tmp("graft-margin-post") + "/postings"
         Similarity.appendIvfPostings(s, postStore, bSide,
