@@ -8575,6 +8575,58 @@ object ExtensionCatalog {
          |FROM x ORDER BY source""".stripMargin),
       (s, dir) => Privacy.laplaceNoisedCounts(t(s, dir, "documents"),
         Seq(col("source")), Seq("source"), epsilon = LapEps))
+  ,
+
+    // ---- corpus dedup-rate dashboard: the one-row summary a curation
+    //      run reports (docs, verified pairs, non-trivial clusters,
+    //      keepers, dropped, dup rate, largest clique) — rides the
+    //      memoized x16/x18 stages, pure aggregates on top ----
+    Q("x214_dedup_report", Some(
+      s"""WITH RECURSIVE ${minhashPairsSql()},
+         |${neardupClosureSql("documents")},
+         |cl AS (
+         |  SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY cluster_id),
+         |vp2 AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM vp)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |  vp2.n_pairs,
+         |  CAST((SELECT count(*) FROM sizes WHERE sz > 1) AS BIGINT)
+         |    AS n_clusters,
+         |  CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_keepers,
+         |  CAST((SELECT coalesce(sum(sz - 1), 0) FROM sizes) AS BIGINT)
+         |    AS n_dropped,
+         |  floor(CAST((SELECT coalesce(sum(sz - 1), 0) FROM sizes)
+         |      AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+         |    * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+         |  CAST((SELECT max(sz) FROM sizes) AS BIGINT)
+         |    AS largest_cluster
+         |FROM vp2""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+        val nPairs = broadcast(verifiedPairs(s, dir)
+          .agg(count(lit(1)).as("n_pairs")))
+        val sizes = docClusters(s, dir).groupBy("cluster_id")
+          .agg(count(lit(1)).as("sz"))
+        val cs = broadcast(sizes.agg(
+          sum(when(col("sz") > 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_clusters"),
+          count(lit(1)).as("n_keepers"),
+          coalesce(sum(col("sz") - lit(1L)), lit(0L)).as("n_dropped"),
+          max(col("sz")).as("largest_cluster")))
+        nDocs.crossJoin(nPairs).crossJoin(cs)
+          .select(col("n_docs"), col("n_pairs"), col("n_clusters"),
+            col("n_keepers"), col("n_dropped"),
+            TextFunctions.portableRound(
+              col("n_dropped").cast("double") /
+                col("n_docs").cast("double"), 4).as("dup_rate"),
+            col("largest_cluster"))
+      })
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen
