@@ -56,6 +56,29 @@ class TableManifestSpec extends SparkSpec {
     assert(got == 2.0)
   }
 
+  test("merge batch landing entirely in a BRAND-NEW partition: the " +
+    "manifest resolver's no-files branch, entry added, old carried over") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0), keys = Seq("id"))
+    val before = TableManifest.load(spark, path).get.collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    // second merge touches ONLY a partition the manifest has never
+    // seen — the existing-rows resolver must plan an empty frame (not
+    // throw, not list the table root) and the refresh must add it
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-02-01", 101L to 120L, 3.0), keys = Seq("id"))
+    val after = TableManifest.load(spark, path).get.collect()
+    val afterMap = after.map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(afterMap.keySet == Set("2024-01-01", "2024-02-01"))
+    assert(afterMap("2024-01-01") == before("2024-01-01"),
+      "old partition's file entry must be untouched by a disjoint merge")
+    assert(after.map(_.getAs[Long]("rows")).sum == 70L)
+    val got = TableManifest.readViaManifest(spark, path)
+      .groupBy("date").count().as[(String, Long)].collect().toMap
+    assert(got == Map("2024-01-01" -> 50L, "2024-02-01" -> 20L))
+  }
+
   test("lookup prunes by partition and key zone, equals the naive " +
     "filter, reports evidence") {
     val path = tmpDir()
