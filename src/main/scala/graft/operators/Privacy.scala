@@ -78,6 +78,73 @@ object Privacy {
       .orderBy(names.map(col): _*)
   }
 
+  /** t-closeness report — the third release gate after [[kAnonymity]]
+    * and [[lDiversity]]: a group can be k-anonymous AND l-diverse yet
+    * still leak when its sensitive-value DISTRIBUTION differs sharply
+    * from the global one (the skewness attack — "this group is 90%
+    * segment X" is a disclosure even with l distinct values present).
+    * Per quasi-identifier group, the distance between the group's
+    * sensitive distribution and the corpus-wide distribution; for a
+    * categorical sensitive attribute the standard instantiation is
+    * total variation distance, TVD = ½ Σ_v |p_g(v) − p(v)| over the
+    * sensitive DOMAIN (values absent from the group contribute their
+    * full global share). Output mirrors the kAnonymity/lDiversity
+    * dashboard shape: one row per group with its size, t_dist and risk
+    * flag (t_dist > t), plus the dataset's t-closeness level (max
+    * distance) and risky totals replicated per row.
+    *
+    * Determinism: each |p_g(v) − p(v)| term is an IEEE tree of two
+    * exact-integer-ratio divisions (identical in any engine), quantized
+    * to a ×10⁸ long BEFORE summing so the per-group reduction is an
+    * order-free integer sum (the ESS discipline); the risk compare runs
+    * on the quantized long against ⌊t·2·10⁸⌋, never on a rounded
+    * double. Scale: two hash aggregations bounded by (group, domain)
+    * cardinality, a broadcast domain grid (the sensitive DOMAIN is
+    * small by contract — it is the attribute's value set), one scalar
+    * summary cross join. */
+  def tCloseness(df: DataFrame, quasi: Seq[Column], names: Seq[String],
+                 sensitive: Column, t: Double): DataFrame = {
+    require(quasi.nonEmpty && quasi.length == names.length,
+      "one name per quasi column")
+    require(t > 0.0 && t < 1.0, "t-closeness threshold must be in (0,1)")
+    val tQ = math.round(t * 2.0e8) // threshold on the quantized TVD sum
+    val keyed = df.select(
+      (quasi.zip(names).map { case (c, n) => c.as(n) } :+
+        sensitive.as("_sens")): _*)
+    val groups = keyed.groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val gv = keyed.groupBy((names.map(col) :+ col("_sens")): _*)
+      .agg(count(lit(1)).as("n_gv"))
+    val global = keyed.groupBy(col("_sens"))
+      .agg(count(lit(1)).as("n_v"))
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n_tot"))))
+    // group × sensitive-domain grid; cells the group never saw join
+    // null and count as |0 − p(v)|
+    val grid = groups.crossJoin(broadcast(global))
+      .join(gv, names :+ "_sens", "left")
+    val dq = floor(abs(
+      coalesce(col("n_gv"), lit(0L)).cast("double") / col("n").cast("double")
+        - col("n_v").cast("double") / col("n_tot").cast("double"))
+      * lit(1.0e8) + lit(0.5)).cast("long")
+    val per = grid.select((names.map(col) :+ col("n") :+ dq.as("dq")): _*)
+      .groupBy((names.map(col) :+ col("n")): _*)
+      .agg(sum(col("dq")).as("tvd_q"))
+      .withColumn("t_dist",
+        TextFunctions.portableRound(col("tvd_q").cast("double") / lit(2.0e8), 4))
+      .withColumn("risky", col("tvd_q") > tQ)
+    val summary = per.agg(
+      TextFunctions.portableRound(max(col("tvd_q")).cast("double") / lit(2.0e8), 4)
+        .as("t_closeness"),
+      sum(when(col("risky"), lit(1L)).otherwise(lit(0L)))
+        .as("n_risky_groups"),
+      sum(when(col("risky"), col("n")).otherwise(lit(0L)))
+        .as("n_risky_rows"))
+    per.crossJoin(broadcast(summary))
+      .select((names.map(col) :+ col("n") :+ col("t_dist") :+ col("risky") :+
+        col("t_closeness") :+ col("n_risky_groups") :+ col("n_risky_rows")): _*)
+      .orderBy(names.map(col): _*)
+  }
+
   /** Laplace-noised count release — the ε-differential-privacy
     * MECHANISM (sensitivity 1 for disjoint-group counts, scale
     * b = 1/ε), with REPLAYABLE noise: the Laplace draw derives from a

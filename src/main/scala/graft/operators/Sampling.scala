@@ -616,4 +616,68 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
       .orderBy(sourceCol)
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget across sources so that
+    * no source repeats more than `epochs` times, and whatever budget
+    * the capped (small) sources can't absorb spreads UNIFORMLY over the
+    * rest — the closed-form alternative to temperature mixing
+    * ([[temperatureMix]]) that bounds duplication instead of merely
+    * flattening shares. Budget = total_tokens · budgetNum / budgetDen
+    * (integer), derived from the corpus so the query is scale-free.
+    *
+    * The waterfill is closed-form, not iterative: with caps
+    * cᵢ = nᵢ·epochs sorted ASCENDING, source i is capped iff
+    * cᵢ·(S−i+1) ≤ B − Σ_{j<i} cⱼ (exact integer compare), and the
+    * capped set is automatically a PREFIX of that order (cⱼ ≤ cᵢ and
+    * more budget remains at j, so j capped follows from i capped).
+    * The S−K uncapped sources split the remainder evenly; the
+    * mod-(S−K) leftover goes to the smallest-capacity uncapped sources
+    * first (deterministic, the [[quotaAllocate]] remainder rule).
+    *
+    * Scale shape: one map-side-combined token-count aggregation over
+    * the corpus, then ALL allocation math on the source-cardinality
+    * frame (two scalar cross joins, one bounded window) — integers
+    * end to end, one rounded division for the reported epochs_used. */
+  def unimaxAllocate(df: DataFrame, sourceCol: String, textCol: String,
+                     epochs: Int, budgetNum: Long,
+                     budgetDen: Long): DataFrame = {
+    require(epochs >= 1, "epoch cap must be >= 1")
+    require(budgetNum >= 0 && budgetDen >= 1, "budget ratio must be >= 0")
+    val counts = df.select(col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy("source").agg(sum(col("_nt")).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("_tt"),
+      count(lit(1)).as("_s"))
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("cap_tokens", col("n_tokens") * lit(epochs.toLong))
+      .withColumn("_budget",
+        expr(s"(_tt * ${budgetNum}L) DIV ${budgetDen}L"))
+      .withColumn("_rn", row_number().over(
+        Ranked.bounded(col("cap_tokens"), col("source"))))
+      .withColumn("_cum_prev", coalesce(sum(col("cap_tokens")).over(
+        Ranked.bounded(col("cap_tokens"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_capped",
+        col("cap_tokens") * (col("_s") - col("_rn") + 1) <=
+          col("_budget") - col("_cum_prev"))
+    val cappedAgg = ranked.agg(
+      sum(when(col("_capped"), lit(1L)).otherwise(lit(0L))).as("_k"),
+      coalesce(sum(when(col("_capped"), col("cap_tokens"))), lit(0L))
+        .as("_used"))
+    val u = col("_s") - col("_k")
+    val rem = col("_budget") - col("_used")
+    val alloc = when(col("_capped") || u === 0L, col("cap_tokens"))
+      .otherwise(expr("(_budget - _used) DIV (_s - _k)") +
+        when(col("_rn") - col("_k") <= rem % u, lit(1L)).otherwise(lit(0L)))
+    ranked.crossJoin(broadcast(cappedAgg))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        alloc.as("alloc_tokens"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            alloc.cast("double") / col("n_tokens").cast("double"), 4))
+          .as("epochs_used"))
+      .orderBy("source")
+  }
 }

@@ -8629,5 +8629,137 @@ object ExtensionCatalog {
       })
   )
 
-  val all: Seq[Q] = base ++ storeProbes ++ roundTen
+  /** x215's t-closeness threshold; the risk compare runs on the
+    * quantized TVD long against ⌊t·2·10⁸⌋ (see Privacy.tCloseness). */
+  private val TClsT = 0.2
+  private val TClsTq: Long = math.round(TClsT * 2.0e8)
+
+  /** x216's UniMax parameters: epoch cap 2, budget = 1.8× corpus
+    * tokens — at the natural corpus this caps the smallest sources and
+    * leaves the rest budget-bound, exercising both waterfill branches. */
+  private val UxEpochs = 2
+  private val UxNum = 9L
+  private val UxDen = 5L
+
+  private val roundTenB: Seq[Q] = Seq(
+
+    // ---- t-closeness release gate — the third privacy lock after
+    //      x193 (k-anonymity) and x208 (l-diversity): a group that is
+    //      k-anonymous and l-diverse still leaks when its sensitive
+    //      DISTRIBUTION skews from the global one. TVD over the
+    //      sensitive domain, per-term quantized to ×10⁸ longs so the
+    //      group sum is order-free (the ESS discipline) ----
+    Q("x215_t_closeness", Some(
+      s"""WITH keyed AS (
+         |  SELECT c_nationkey AS nation,
+         |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+         |    c_mktsegment AS sens
+         |  FROM customer),
+         |grp AS (
+         |  SELECT nation, bal_bucket, CAST(count(*) AS BIGINT) AS n
+         |  FROM keyed GROUP BY 1, 2),
+         |gv AS (
+         |  SELECT nation, bal_bucket, sens,
+         |    CAST(count(*) AS BIGINT) AS n_gv
+         |  FROM keyed GROUP BY 1, 2, 3),
+         |gd AS (
+         |  SELECT sens, CAST(count(*) AS BIGINT) AS n_v
+         |  FROM keyed GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM keyed),
+         |grid AS (
+         |  SELECT g.nation, g.bal_bucket, g.n, gl.sens, gl.n_v, t.n_tot,
+         |    coalesce(v.n_gv, 0) AS n_gv
+         |  FROM grp g CROSS JOIN gd gl CROSS JOIN tot t
+         |  LEFT JOIN gv v ON v.nation = g.nation
+         |    AND v.bal_bucket = g.bal_bucket AND v.sens = gl.sens),
+         |per AS (
+         |  SELECT nation, bal_bucket, n,
+         |    CAST(sum(CAST(floor(abs(
+         |      CAST(n_gv AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(n_v AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         |      * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS tvd_q
+         |  FROM grid GROUP BY 1, 2, 3),
+         |g2 AS (
+         |  SELECT nation, bal_bucket, n,
+         |    floor(CAST(tvd_q AS DOUBLE) / 200000000.0 * 10000.0 + 0.5)
+         |      / 10000.0 AS t_dist,
+         |    tvd_q > $TClsTq AS risky, tvd_q
+         |  FROM per),
+         |summ AS (
+         |  SELECT
+         |    floor(CAST(max(tvd_q) AS DOUBLE) / 200000000.0 * 10000.0
+         |      + 0.5) / 10000.0 AS t_closeness,
+         |    CAST(sum(CASE WHEN risky THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_risky_groups,
+         |    CAST(sum(CASE WHEN risky THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_risky_rows
+         |  FROM g2)
+         |SELECT nation, bal_bucket, n, t_dist, risky,
+         |  t_closeness, n_risky_groups, n_risky_rows
+         |FROM g2, summ
+         |ORDER BY nation, bal_bucket""".stripMargin),
+      (s, dir) => Privacy.tCloseness(t(s, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("int")),
+        Seq("nation", "bal_bucket"), col("c_mktsegment"), t = TClsT)),
+
+    // ---- UniMax budget allocation (Chung et al. 2023): closed-form
+    //      waterfill with an epoch cap — integer math end to end, the
+    //      capped set is a prefix of the ascending-cap order so both
+    //      engines express it with one cumulative window, no loop ----
+    Q("x216_unimax_alloc", Some(
+      s"""WITH nt AS (
+         |  SELECT source,
+         |    CAST(len(${tokSql("text")}) AS BIGINT) AS nt
+         |  FROM documents),
+         |counts AS (
+         |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM nt GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS s
+         |  FROM counts),
+         |r AS (
+         |  SELECT source, n_tokens, n_tokens * $UxEpochs AS cap,
+         |    (tt * $UxNum) // $UxDen AS budget, s,
+         |    row_number() OVER (ORDER BY n_tokens * $UxEpochs, source)
+         |      AS rn,
+         |    CAST(coalesce(sum(n_tokens * $UxEpochs) OVER (
+         |      ORDER BY n_tokens * $UxEpochs, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_prev
+         |  FROM counts, tot),
+         |f AS (
+         |  SELECT *, cap * (s - rn + 1) <= budget - cum_prev AS capped
+         |  FROM r),
+         |kk AS (
+         |  SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k,
+         |    CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+         |      AS BIGINT) AS used
+         |  FROM f)
+         |SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap_tokens,
+         |  CAST(CASE WHEN f.capped OR f.s - kk.k = 0 THEN f.cap
+         |    ELSE (f.budget - kk.used) // (f.s - kk.k)
+         |      + (CASE WHEN f.rn - kk.k <=
+         |          (f.budget - kk.used) % (f.s - kk.k)
+         |        THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS alloc_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0.0
+         |    ELSE floor(CAST(CASE WHEN f.capped OR f.s - kk.k = 0
+         |        THEN f.cap
+         |        ELSE (f.budget - kk.used) // (f.s - kk.k)
+         |          + (CASE WHEN f.rn - kk.k <=
+         |              (f.budget - kk.used) % (f.s - kk.k)
+         |            THEN 1 ELSE 0 END)
+         |        END AS DOUBLE)
+         |      / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    END AS epochs_used
+         |FROM f, kk ORDER BY source""".stripMargin),
+      (s, dir) => Sampling.unimaxAllocate(t(s, dir, "documents"),
+        "source", "text", epochs = UxEpochs,
+        budgetNum = UxNum, budgetDen = UxDen))
+  )
+
+  val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB
 }

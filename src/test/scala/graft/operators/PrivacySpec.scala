@@ -77,4 +77,37 @@ class PrivacySpec extends SparkSpec {
         epsilon = 0.0)
     }
   }
+
+  test("tCloseness: skewed group flagged even when diverse-looking; " +
+    "matching group passes; absent domain values contribute; exact TVD") {
+    // group A: 6 rows all s1 (skew attack); group B: 24 rows at the
+    // 16/4/4 mix that dominates the global distribution
+    val df = ((1 to 6).map(_ => ("A", "s1")) ++
+      (1 to 16).map(_ => ("B", "s1")) ++
+      (1 to 4).map(_ => ("B", "s2")) ++ (1 to 4).map(_ => ("B", "s3")))
+      .toDF("qi", "sens")
+    val got = Privacy.tCloseness(df, Seq(col("qi")), Seq("qi"),
+      col("sens"), t = 0.2).collect()
+    val byQi = got.map(r => r.getString(0) -> r).toMap
+    // global: 22/30, 4/30, 4/30. A: (1,0,0) → TVD = ½(8/30+4/30+4/30)
+    // = 4/15 ≈ 0.2667 (the s2/s3 terms come from ABSENT values);
+    // B: (2/3,1/6,1/6) → TVD = ½(2/30+1/30+1/30) = 1/15 ≈ 0.0667
+    assert(byQi("A").getAs[Double]("t_dist") == 0.2667)
+    assert(byQi("A").getAs[Boolean]("risky"))
+    assert(byQi("B").getAs[Double]("t_dist") == 0.0667)
+    assert(!byQi("B").getAs[Boolean]("risky"))
+    got.foreach { r =>
+      assert(r.getAs[Double]("t_closeness") == 0.2667)
+      assert(r.getAs[Long]("n_risky_groups") == 1L)
+      assert(r.getAs[Long]("n_risky_rows") == 6L)
+    }
+    // layout independence (the quantized sum is order-free)
+    val b = Privacy.tCloseness(df.repartition(7), Seq(col("qi")),
+      Seq("qi"), col("sens"), t = 0.2).collect()
+    assert(got.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(df, Seq(col("qi")), Seq("qi"), col("sens"),
+        t = 1.5)
+    }
+  }
 }

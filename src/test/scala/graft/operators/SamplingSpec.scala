@@ -401,4 +401,44 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(got("big") / got("small") - 27.0) < 0.01)
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
+
+  test("unimaxAllocate: waterfill caps the small source, splits the " +
+    "remainder evenly with deterministic leftover, sums to budget") {
+    // tokens: a=2, b=10, c=10; caps at E=2: 4/20/20; budget = 22·9/5 = 39
+    val docs = Seq(("a", "t1 t2"), ("b", (1 to 10).map("w" + _).mkString(" ")),
+      ("c", (1 to 10).map("v" + _).mkString(" ")))
+      .toDF("source", "text")
+    val got = Sampling.unimaxAllocate(docs, "source", "text",
+      epochs = 2, budgetNum = 9L, budgetDen = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Double]("epochs_used"))).toMap
+    assert(got("a") == ((4L, 4L, 2.0)), "smallest source hits the epoch cap")
+    // remainder 35 over two uncapped sources: 18 (leftover to the
+    // first in (cap, source) order) and 17
+    assert(got("b") == ((20L, 18L, 1.8)))
+    assert(got("c") == ((20L, 17L, 1.7)))
+    assert(got.values.map(_._2).sum == 39L, "allocations exhaust the budget")
+  }
+
+  test("unimaxAllocate: all-capped when the budget exceeds every cap; " +
+    "none capped under a tight budget; layout-independent") {
+    val docs = Seq(("a", "t1 t2"), ("b", "w1 w2 w3 w4"))
+      .toDF("source", "text")
+    // budget = 6·100 = 600 ≥ Σcaps = 12: everyone runs E epochs
+    val loose = Sampling.unimaxAllocate(docs, "source", "text",
+      epochs = 2, budgetNum = 100L, budgetDen = 1L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(loose == Map("a" -> 4L, "b" -> 8L))
+    // budget = 6·1/2 = 3 < 2·min cap: nobody capped, 2/1 split
+    val tight = Sampling.unimaxAllocate(docs, "source", "text",
+      epochs = 2, budgetNum = 1L, budgetDen = 2L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(tight("a") + tight("b") == 3L)
+    assert(tight("a") == 2L, "leftover goes to the smaller-cap source")
+    val re = Sampling.unimaxAllocate(docs.repartition(5), "source",
+      "text", epochs = 2, budgetNum = 1L, budgetDen = 2L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(re == tight)
+  }
 }
