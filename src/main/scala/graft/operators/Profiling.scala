@@ -212,4 +212,131 @@ object Profiling {
           .as("mad"),
         col("n_outliers"))
   }
+
+  /** Engine-portable rounding for values that may be NEGATIVE:
+    * portableRound's floor(x·10⁴+0.5) is a round-toward-+∞ half rule,
+    * so shifting by a constant keeps the same rule on both sides of
+    * zero and both engines (the zipfFit beta recipe). */
+  private def roundSigned(c: Column, n: Int): Column =
+    TextFunctions.portableRound(c + lit(1000.0), n) - lit(1000.0)
+
+  /** Mann–Kendall trend test + Theil–Sen slope per series — the
+    * nonparametric "is this metric drifting" monitor for pipeline
+    * telemetry (daily volumes, rejection rates): S = Σ_{i<j}
+    * sign(xⱼ−xᵢ) with the tie-corrected variance, and the slope
+    * estimate the median of all pairwise slopes — both robust to
+    * outliers and any monotone transform, unlike a least-squares fit
+    * on the same series.
+    *
+    * Input: one row per (series, time, value). The pairwise stage is
+    * O(points²) PER SERIES — sound at any corpus size because a time
+    * series' length is bounded by the calendar, not the data volume;
+    * the corpus-scale work is whatever aggregation PRODUCED the series
+    * (the caller's one groupBy).
+    *
+    * Determinism: S, the tie counts and var18 = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) are exact integers; each pairwise slope is ONE
+    * IEEE division; the median is an order statistic under a total
+    * order (slope, t₁, t₂); z = (S∓1)/√(var18/18) is fixed-order
+    * scalar arithmetic, signed-rounded last. The trend label derives
+    * from the QUANTIZED z so both engines label identically.
+    *
+    * Output: (series, n_points, n_pairs, s_stat, var18, z, sen_slope,
+    * trend ∈ {increasing, decreasing, flat} at |z| > 1.96). */
+  def trendTest(df: DataFrame, seriesCol: String, timeCol: String,
+                valueCol: String, roundTo: Int = 4): DataFrame = {
+    val pts = df.select(col(seriesCol).as("series"),
+      col(timeCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val pairs = a.join(b,
+        col("a.series") === col("b.series") && col("a.t") < col("b.t"))
+      .select(col("a.series").as("series"),
+        col("a.t").as("t1"), col("b.t").as("t2"),
+        when(col("b.x") > col("a.x"), lit(1L))
+          .when(col("b.x") < col("a.x"), lit(-1L)).otherwise(lit(0L))
+          .as("sgn"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.t") - col("a.t")).cast("double")).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series")
+    val med = pairs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("slope"), col("t1"), col("t2"))))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(m + 1) DIV 2"))
+      .select(col("series"), col("slope").as("sen_raw"))
+    val sAgg = pairs.groupBy("series")
+      .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val nDays = pts.groupBy("series").agg(count(lit(1)).as("n_points"))
+    val ties = pts.groupBy("series", "x").agg(count(lit(1)).as("tc"))
+      .groupBy("series")
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+        .as("tie_corr"))
+    val joined = nDays.join(sAgg, Seq("series"))
+      .join(ties, Seq("series")).join(med, Seq("series"))
+      .withColumn("var18",
+        col("n_points") * (col("n_points") - 1) *
+          (lit(2) * col("n_points") + 5) - col("tie_corr"))
+    val z = when(col("var18") <= 0L || col("s_stat") === 0L, lit(0.0))
+      .otherwise((col("s_stat").cast("double") -
+        when(col("s_stat") > 0L, lit(1.0)).otherwise(lit(-1.0))) /
+        sqrt(col("var18").cast("double") / lit(18.0)))
+    joined
+      .withColumn("z", roundSigned(z, roundTo))
+      .select(col("series").as(seriesCol), col("n_points"),
+        col("n_pairs"), col("s_stat"), col("var18"), col("z"),
+        roundSigned(col("sen_raw"), roundTo).as("sen_slope"),
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("flat")).as("trend"))
+      .orderBy(seriesCol)
+  }
+
+  /** Sample autocorrelation of a series at lags 1..maxLag — the
+    * seasonality/burst detector next to [[trendTest]]'s monotone
+    * drift: r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² over positions t in
+    * observation order (gaps compressed, the standard sample-ACF
+    * convention for regularly aggregated series).
+    *
+    * Exactness: with integer-valued points, the mean never appears as
+    * a float — every deviation is scaled by n (yₜ = n·xₜ − Σx, exact
+    * long), so numerator and denominator are EXACT integer sums whose
+    * n² factors cancel in the ratio; one IEEE division per lag,
+    * signed-rounded last. Per-series products are bounded by series
+    * length (calendar), never corpus size.
+    *
+    * Output: (series, lag, n_points, acf), lags with no pairs omitted. */
+  def autocorrelation(df: DataFrame, seriesCol: String, timeCol: String,
+                      valueCol: String, maxLag: Int = 5,
+                      roundTo: Int = 4): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val pts = df.select(col(seriesCol).as("series"),
+      col(timeCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series")
+    val scaled = pts
+      .withColumn("rn", row_number().over(w.orderBy("t")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .select(col("series"), col("rn"), col("n"),
+        (col("n") * col("x") - col("sx")).as("y"))
+    val den = scaled.groupBy("series")
+      .agg(sum(col("y") * col("y")).as("den"),
+        max(col("n")).as("n_points"))
+    val lags = (1 to maxLag).map(lit(_))
+    val a = scaled.withColumn("lag", explode(array(lags: _*)))
+      .select(col("series"), col("rn"), col("y"), col("lag")).as("a")
+    val b = scaled.select(col("series"), col("rn"), col("y").as("yb")).as("b")
+    val num = a
+      .join(b, col("a.series") === col("b.series") &&
+        col("a.rn") + col("a.lag") === col("b.rn"))
+      .groupBy(col("a.series").as("series"), col("a.lag").as("lag"))
+      .agg(sum(col("a.y") * col("yb")).as("num"))
+    num.join(broadcast(den), Seq("series"))
+      .select(col("series").as(seriesCol), col("lag"), col("n_points"),
+        roundSigned(when(col("den") === 0L, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double")),
+          roundTo).as("acf"))
+      .orderBy(seriesCol, "lag")
+  }
 }

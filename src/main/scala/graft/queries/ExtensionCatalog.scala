@@ -8758,7 +8758,122 @@ object ExtensionCatalog {
          |FROM f, kk ORDER BY source""".stripMargin),
       (s, dir) => Sampling.unimaxAllocate(t(s, dir, "documents"),
         "source", "text", epochs = UxEpochs,
-        budgetNum = UxNum, budgetDen = UxDen))
+        budgetNum = UxNum, budgetDen = UxDen)),
+
+    // ---- Mann–Kendall trend + Theil–Sen slope per daily event series
+    //      — the nonparametric drift monitor (robust to outliers,
+    //      exact-integer S/var18, median-of-slopes). O(days²) pairs
+    //      per series is calendar-bounded, never corpus-bounded ----
+    Q("x217_trend_test", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, a.t AS t1, b.t AS t2,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END AS sgn,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+        |      AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.t < b.t),
+        |med AS (
+        |  SELECT event_type, slope AS sen_raw FROM (
+        |    SELECT event_type, slope,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY slope, t1, t2) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS m
+        |    FROM pairs)
+        |  WHERE rn = (m + 1) // 2),
+        |sagg AS (
+        |  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+        |      AS tie_corr
+        |  FROM (SELECT event_type, x, count(*) AS tc
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT nd.event_type, n_points, n_pairs, s_stat,
+        |    n_points * (n_points - 1) * (2 * n_points + 5) - tie_corr
+        |      AS var18,
+        |    sen_raw
+        |  FROM nd JOIN sagg USING (event_type)
+        |    JOIN ties USING (event_type) JOIN med USING (event_type)),
+        |zz AS (
+        |  SELECT *, floor((CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0.0
+        |      ELSE (CAST(s_stat AS DOUBLE)
+        |        - (CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END))
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0) END + 1000.0)
+        |      * 10000.0 + 0.5) / 10000.0 - 1000.0 AS z
+        |  FROM j)
+        |SELECT event_type, n_points, n_pairs, s_stat,
+        |  CAST(var18 AS BIGINT) AS var18, z,
+        |  floor((sen_raw + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0
+        |    AS sen_slope,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |    WHEN z < -1.96 THEN 'decreasing'
+        |    ELSE 'flat' END AS trend
+        |FROM zz ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val daily = ReferenceCatalog.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
+        Profiling.trendTest(daily, "event_type", "t", "x")
+      }),
+
+    // ---- sample autocorrelation at lags 1..5 per daily event series
+    //      — the seasonality gauge beside x217's drift: mean-free
+    //      via n-scaling so numerator and denominator are EXACT
+    //      integer sums (the n² factors cancel in the ratio) ----
+    Q("x218_autocorrelation", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |scaled AS (
+        |  SELECT event_type, rn, n, n * x - sx AS y FROM (
+        |    SELECT event_type, x,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY t)
+        |        AS rn,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |        AS n,
+        |      CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+        |        AS sx
+        |    FROM daily)),
+        |den AS (
+        |  SELECT event_type, CAST(sum(y * y) AS BIGINT) AS den,
+        |    CAST(max(n) AS BIGINT) AS n_points
+        |  FROM scaled GROUP BY 1),
+        |num AS (
+        |  SELECT a.event_type, l.lag, CAST(sum(a.y * b.y) AS BIGINT)
+        |      AS num
+        |  FROM scaled a
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS lag) l
+        |  JOIN scaled b
+        |    ON b.event_type = a.event_type AND b.rn = a.rn + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT n.event_type, CAST(n.lag AS INT) AS lag, d.n_points,
+        |  floor((CASE WHEN d.den = 0 THEN 0.0
+        |      ELSE CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) END
+        |      + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0 AS acf
+        |FROM num n JOIN den d USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin),
+      (s, dir) => {
+        val daily = ReferenceCatalog.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
+        Profiling.autocorrelation(daily, "event_type", "t", "x",
+          maxLag = 5)
+      })
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB

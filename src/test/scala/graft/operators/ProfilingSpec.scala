@@ -112,4 +112,54 @@ class ProfilingSpec extends SparkSpec {
       .map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("trendTest: monotone series hit ±z and the right label; ties " +
+    "zero the variance; Theil–Sen ignores the outlier a mean fit can't") {
+    val up = (1 to 5).map(i => ("up", i.toLong, i.toLong))
+    val down = (1 to 5).map(i => ("down", i.toLong, (6 - i).toLong))
+    val flat = (1 to 5).map(i => ("flat", i.toLong, 7L))
+    val spike = Seq(("spike", 1L, 1L), ("spike", 2L, 2L),
+      ("spike", 3L, 3L), ("spike", 4L, 4L), ("spike", 5L, 100L))
+    val df = (up ++ down ++ flat ++ spike).toDF("series", "t", "x")
+    val got = Profiling.trendTest(df, "series", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // n=5, no ties: var18 = 5·4·15 = 300; z = (10−1)/√(300/18) = 2.2045
+    assert(got("up").getAs[Long]("s_stat") == 10L)
+    assert(got("up").getAs[Long]("var18") == 300L)
+    assert(math.abs(got("up").getAs[Double]("z") - 2.2045) < 1e-9)
+    assert(got("up").getAs[String]("trend") == "increasing")
+    assert(got("up").getAs[Double]("sen_slope") == 1.0)
+    assert(math.abs(got("down").getAs[Double]("z") + 2.2045) < 1e-9)
+    assert(got("down").getAs[String]("trend") == "decreasing")
+    // all-equal values: S = 0, tie correction wipes var18 out
+    assert(got("flat").getAs[Long]("s_stat") == 0L)
+    assert(got("flat").getAs[Long]("var18") == 0L)
+    assert(got("flat").getAs[String]("trend") == "flat")
+    assert(got("flat").getAs[Double]("sen_slope") == 0.0)
+    // median of 10 pairwise slopes is 1.0 — the spike moves only the
+    // top 4 order statistics, not the median
+    assert(got("spike").getAs[Double]("sen_slope") == 1.0)
+  }
+
+  test("autocorrelation: alternating series is negative at lag 1, " +
+    "positive at lag 2, exact ratios; constant series reports 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val alt = (1 to 6).map(i => ("alt", i.toLong, (1 + i % 2).toLong))
+    val const = (1 to 6).map(i => ("const", i.toLong, 4L))
+    val df = (alt ++ const).toDF("series", "t", "x")
+    val got = Profiling.autocorrelation(df, "series", "t", "x",
+      maxLag = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("acf"))
+      .toMap
+    // y = 6x − 9 = ∓3 alternating: r₁ = −45/54, r₂ = 36/54
+    assert(math.abs(got(("alt", 1)) + 0.8333) < 1e-9)
+    assert(math.abs(got(("alt", 2)) - 0.6667) < 1e-9)
+    assert((1 to 5).forall(k => got(("const", k)) == 0.0))
+    val n = Profiling.autocorrelation(df.repartition(5), "series",
+      "t", "x", maxLag = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("acf"))
+      .toMap
+    assert(n == got, "layout-independent")
+  }
 }
