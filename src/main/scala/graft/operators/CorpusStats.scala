@@ -1109,4 +1109,75 @@ object CorpusStats {
                 col("n_words").cast("double") - lit(15.59) + lit(1000.0),
             roundTo).minus(lit(1000.0))).as("fk_grade"))
   }
+
+  /** Interpolated Kneser–Ney bigram bits per token — the STANDARD LM
+    * smoothing ([[bigramBits]] ships add-1, the teaching baseline; KN
+    * is what production n-gram scorers like KenLM actually run):
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + D·N₁₊(w₁•)/c(w₁·) · N₁₊(•w₂)/T
+    *
+    * with discount D, continuation counts N₁₊ (distinct followers /
+    * predecessors) and T = distinct bigram types. The continuation
+    * distribution is KN's point: a token seen often but only in ONE
+    * context ("Francisco") stops inflating every unseen context the
+    * way a raw unigram backoff would.
+    *
+    * Self-model (scored corpus = model corpus), so every scored bigram
+    * exists in the model and all joins are exact inner joins; all four
+    * model tables derive from ONE bigram-count aggregation (the joint
+    * table is vocab²-bounded; marginal, follower and predecessor
+    * counts are GROUP BYs over it, never second corpus passes — the
+    * x88 lesson). Per-bigram-type log scores quantize to ×10⁸ longs
+    * and weight by occurrence count, so the per-doc reduction is an
+    * order-free map-side-combinable integer sum.
+    *
+    * Returns (doc_id, n_big, kn_bpt): bigram count and KN bits per
+    * bigram, 0 for docs shorter than two tokens. */
+  def kneserNeyBits(df: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75,
+                    roundTo: Int = 4): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
+      transform(TextFunctions.tokens(lower(col(textCol))),
+        t => TextFunctions.md5Hash60(t)).as("hs"))
+    def bigrams(src: DataFrame) = {
+      val nb = greatest(size(col("hs")) - 1, lit(0))
+      src.select(col("doc_id"),
+          explode(zip_with(slice(col("hs"), lit(1), nb),
+            slice(col("hs"), lit(2), nb),
+            (a, b) => struct(a.as("h1"), b.as("h2")))).as("b"))
+        .select(col("doc_id"), col("b.h1"), col("b.h2"))
+    }
+    val bg = bigrams(hashed(df))
+    val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    // marginal + follower count from the joint table, one pass each
+    val c1 = c2.groupBy("h1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val rv = c2.groupBy("h2").agg(count(lit(1)).as("n1r"))
+    val tt = c2.agg(count(lit(1)).as("t"))
+    val dc = bg.groupBy("doc_id", "h1", "h2").agg(count(lit(1)).as("c"))
+    // one IEEE tree, identical shape in the oracle SQL:
+    // (max(c2−D,0) + D·n1f·(n1r/T)) / c1
+    val logQ = floor(log2(
+      (greatest(col("c2").cast("double") - lit(discount), lit(0.0)) +
+        lit(discount) * col("n1f").cast("double") *
+          (col("n1r").cast("double") / col("t").cast("double"))) /
+        col("c1").cast("double")) * lit(1e8) + lit(0.5)).cast("long")
+    val per = dc.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
+      .join(rv, Seq("h2")).crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_big"),
+        sum(col("c") * logQ).as("tq"))
+    val scored = per.select(col("doc_id"), col("n_big"),
+      TextFunctions.portableRound(
+        (lit(0.0) - col("tq").cast("double") / lit(1e8)) /
+          col("n_big").cast("double"),
+        roundTo).as("kn_bpt"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("kn_bpt"), lit(0.0)).as("kn_bpt"))
+  }
 }

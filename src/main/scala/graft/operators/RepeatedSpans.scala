@@ -161,4 +161,61 @@ object RepeatedSpans {
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** The STRUCTURE of a document's repetition, where [[spanStats]]
+    * reports only its total: the duplicated positions' interval union
+    * decomposed into maximal contiguous islands, reporting how many
+    * there are and how long the longest run is. Distinguishes the two
+    * failure modes a single coverage fraction conflates — one giant
+    * boilerplate block (1 island, long: strip it and keep the doc) vs
+    * repetition smeared through the text (many short islands: the doc
+    * itself is template soup and should go). Same dup-position stage
+    * as spanStats; the island decomposition is the standard
+    * gaps-and-islands pass (break where a span starts past the running
+    * max end, island id = running break count), integers throughout.
+    *
+    * Returns (doc_id, n_tok, n_islands, longest_island, dup_tok,
+    * dup_frac) — one row per document, zero islands for clean docs. */
+  def spanIslands(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        col("tk"))
+    val grams = base.filter(col("n_tok") >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dup = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") >= 2)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k).over(
+      wRun.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg((max(col("pos")) + k - min(col("pos"))).cast("long").as("ilen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("ilen")).as("longest_island"),
+        sum(col("ilen")).as("dup_tok"))
+    base.select(col("doc_id"), col("n_tok"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("longest_island"), lit(0L)).as("longest_island"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+        when(col("n_tok") === 0, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            coalesce(col("dup_tok"), lit(0L)).cast("double") /
+              col("n_tok"), 4))
+          .as("dup_frac"))
+  }
 }

@@ -8641,6 +8641,10 @@ object ExtensionCatalog {
   private val UxNum = 9L
   private val UxDen = 5L
 
+  /** x220's Kneser–Ney absolute discount, shared with the oracle SQL
+    * (interpolated as the literal 0.75 into both trees). */
+  private val KnD = 0.75
+
   private val roundTenB: Seq[Q] = Seq(
 
     // ---- t-closeness release gate — the third privacy lock after
@@ -8873,7 +8877,113 @@ object ExtensionCatalog {
           .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
         Profiling.autocorrelation(daily, "event_type", "t", "x",
           maxLag = 5)
-      })
+      }),
+
+    // ---- repeated-span ISLAND structure — x43 reports how much of a
+    //      doc is duplicated, this reports HOW: one long boilerplate
+    //      block (strip it) vs many short smears (drop the doc). Same
+    //      dup-position stage, gaps-and-islands decomposition on the
+    //      duplicated subset only ----
+    Q("x219_span_islands", Some(
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${tokSql("text")} AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
+         |g AS (
+         |  SELECT doc_id, i AS pos,
+         |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - 8)) AS u(i)
+         |  WHERE n_tok >= 8),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM g)
+         |  WHERE c >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN prev_end IS NULL OR pos > prev_end
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT doc_id, pos,
+         |      max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |        AS prev_end
+         |    FROM dup)),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl),
+         |ilens AS (
+         |  SELECT doc_id, island,
+         |    CAST(max(pos) + 8 - min(pos) AS BIGINT) AS ilen
+         |  FROM isl2 GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+         |    CAST(max(ilen) AS BIGINT) AS longest_island,
+         |    CAST(sum(ilen) AS BIGINT) AS dup_tok
+         |  FROM ilens GROUP BY 1)
+         |SELECT b.doc_id, b.n_tok,
+         |  coalesce(p.n_islands, 0) AS n_islands,
+         |  coalesce(p.longest_island, 0) AS longest_island,
+         |  coalesce(p.dup_tok, 0) AS dup_tok,
+         |  CASE WHEN b.n_tok = 0 THEN 0.0
+         |    ELSE floor(coalesce(p.dup_tok, 0) * 1.0 / b.n_tok
+         |      * 10000.0 + 0.5) / 10000.0 END AS dup_frac
+         |FROM base b LEFT JOIN per p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => RepeatedSpans.spanIslands(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
+    // ---- interpolated Kneser–Ney bigram bits — the PRODUCTION
+    //      smoothing next to x88's add-1 baseline: absolute discount
+    //      plus the continuation-count backoff ("Francisco" stops
+    //      inflating unseen contexts). All four model tables derive
+    //      from ONE bigram aggregation ----
+    Q("x220_kneser_ney", Some(
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    list_transform(${tokSql("lower(text)")},
+         |      t -> ${h60Sql("t", 1152921504606846976L)}) AS hs
+         |  FROM documents),
+         |bgl AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(hs) - 1, 0)),
+         |    i -> struct_pack(h1 := hs[i], h2 := hs[i + 1]))) AS b
+         |  FROM hs),
+         |bg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM bgl),
+         |c2 AS (SELECT h1, h2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT h1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1f
+         |  FROM c2 GROUP BY 1),
+         |rv AS (
+         |  SELECT h2, CAST(count(*) AS BIGINT) AS n1r
+         |  FROM c2 GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2),
+         |dc AS (
+         |  SELECT doc_id, h1, h2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_big,
+         |    CAST(sum(dc.c * CAST(floor(log2(
+         |        (greatest(CAST(c2.c2 AS DOUBLE) - $KnD, 0.0)
+         |         + $KnD * CAST(c1.n1f AS DOUBLE)
+         |           * (CAST(rv.n1r AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+         |        / CAST(c1.c1 AS DOUBLE)) * 100000000.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS tq
+         |  FROM dc JOIN c2 USING (h1, h2) JOIN c1 USING (h1)
+         |    JOIN rv ON rv.h2 = dc.h2, tt
+         |  GROUP BY dc.doc_id),
+         |w AS (
+         |  SELECT doc_id, n_big,
+         |    floor((0.0 - CAST(tq AS DOUBLE) / 100000000.0) / n_big
+         |      * 10000.0 + 0.5) / 10000.0 AS kn_bpt
+         |  FROM per)
+         |SELECT d.doc_id,
+         |  coalesce(w.n_big, 0) AS n_big,
+         |  coalesce(w.kn_bpt, 0.0) AS kn_bpt
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+      (s, dir) => CorpusStats.kneserNeyBits(t(s, dir, "documents"),
+        "doc_id", "text", discount = KnD).orderBy("doc_id"))
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB

@@ -519,4 +519,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(2L).isNullAt(got(2L).fieldIndex("fk_grade")))
     assert(got(3L).isNullAt(got(3L).fieldIndex("fk_grade")))
   }
+
+  test("kneserNeyBits: hand-computed continuation backoff; probability " +
+    "mass over seen continuations is conserved; short docs report 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bigrams: (a,b)x2, (a,c)x1 -> c1(a)=3, n1f(a)=2, n1r(b)=n1r(c)=1,
+    // T=2; p(b|a) = 1.25/3 + 0.75*2/3*(1/2) = 2/3; p(c|a) = 1/3 -- the
+    // two KN probabilities exactly exhaust the context's mass
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = CorpusStats.kneserNeyBits(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_big"), r.getAs[Double]("kn_bpt")))).toMap
+    assert(got(1L) == ((1L, 0.585)))  // -log2(2/3)
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((1L, 1.585))) // -log2(1/3)
+    assert(got(4L) == ((0L, 0.0)))
+    assert(got(5L) == ((0L, 0.0)))
+    // layout independence (quantized term sums are order-free)
+    val re = CorpusStats.kneserNeyBits(docs.repartition(4), "doc_id",
+      "text").collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_big"), r.getAs[Double]("kn_bpt")))).toMap
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      CorpusStats.kneserNeyBits(docs, "doc_id", "text", discount = 1.5)
+    }
+  }
 }

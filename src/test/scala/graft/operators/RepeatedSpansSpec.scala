@@ -49,4 +49,24 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(m(1L)._2 == 5L)
     assert(m(2L)._2 == 5L)
   }
+
+  test("spanIslands: separates one-block boilerplate from smeared " +
+    "repetition; dup_tok agrees with spanStats; clean docs report 0") {
+    val docs = Seq(
+      1L -> "a b c x1 x2 x3 a b c",   // two islands of 3 ([0,3) ∪ [6,9))
+      2L -> "m m m m m",              // one island covering the run
+      3L -> "p q r s t u v w")        // clean
+    val df = docs.toDF("doc_id", "text")
+    val got = RepeatedSpans.spanIslands(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_islands"), r.getAs[Long]("longest_island"),
+          r.getAs[Long]("dup_tok"), r.getAs[Double]("dup_frac")))).toMap
+    assert(got(1L) == ((2L, 3L, 6L, 0.6667)))
+    assert(got(2L) == ((1L, 5L, 5L, 1.0)))
+    assert(got(3L) == ((0L, 0L, 0L, 0.0)))
+    // the island decomposition must re-sum to spanStats' union coverage
+    val cov = RepeatedSpans.spanStats(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.forall { case (id, (_, _, dup, _)) => cov(id) == dup })
+  }
 }
