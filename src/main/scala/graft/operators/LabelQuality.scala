@@ -372,4 +372,72 @@ object LabelQuality {
       .crossJoin(broadcast(total))
       .orderBy("bin")
   }
+
+  /** Split-conformal calibration for a binary classifier (Vovk et al.;
+    * the Angelopoulos–Bates recipe): on a held-out calibration split,
+    * the nonconformity of a row is 1−s for true positives and s for
+    * true negatives; the threshold q̂ is the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration nonconformity, and the prediction set on a test row
+    * includes each label whose nonconformity is ≤ q̂. The marginal
+    * coverage guarantee P(y ∈ set) ≥ 1−α holds regardless of how bad
+    * the classifier is — what moves is the SET SIZE, which is the
+    * report's real product: avg_set_size near 1 means the scores are
+    * informative, near 2 means "calibrated but knows nothing".
+    *
+    * α is taken as the exact rational alphaNum/alphaDen so the rank
+    * k = ⌈(n+1)(alphaDen−alphaNum)/alphaDen⌉ is integer arithmetic.
+    * The order statistic is computed on ×10⁴-quantized nonconformities
+    * (scores are 1e-4 multiples by the classifier contract) via the
+    * x183 cumulative-histogram route — distinct-score-bounded, no
+    * global sort, no driver top-k, so k growing with n costs nothing.
+    * If k exceeds n (calibration set too small for the target
+    * coverage), q̂ is the +∞ sentinel and every set is {0,1}.
+    *
+    * Output (one row): n_cal, k, qhat, n_test, coverage, avg_set_size. */
+  def conformalThreshold(df: DataFrame, probCol: String,
+                         labelCol: String, calCol: Column,
+                         alphaNum: Int = 1, alphaDen: Int = 10,
+                         roundTo: Int = 4): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum < alphaDen,
+      "alpha must be a rational in (0,1)")
+    val sc = df.select(col(probCol).as("s"),
+        col(labelCol).cast("boolean").as("y"), calCol.as("is_cal"))
+      .withColumn("ncq",
+        when(col("y"), floor((lit(1.0) - col("s")) * lit(10000.0) + lit(0.5)))
+          .otherwise(floor(col("s") * lit(10000.0) + lit(0.5)))
+          .cast("long"))
+    val per = sc.filter(col("is_cal"))
+      .groupBy("ncq").agg(count(lit(1)).as("cn"))
+    val kNum = alphaDen - alphaNum
+    val tot = per.agg(sum(col("cn")).as("n_cal"))
+      .withColumn("k",
+        expr(s"((n_cal + 1) * $kNum + ${alphaDen - 1}) DIV $alphaDen"))
+    val cum = per
+      .withColumn("cum", sum(col("cn")).over(Ranked.bounded(col("ncq"))))
+      .crossJoin(broadcast(tot))
+    val qh = cum.filter(col("cum") >= col("k"))
+      .agg(min(col("ncq")).as("qhatq"))
+      .select(coalesce(col("qhatq"), lit(10001L)).as("qhatq"))
+    val keepIn = (floor((lit(1.0) - col("s")) * lit(10000.0) + lit(0.5))
+      .cast("long") <= col("qhatq")).cast("long")
+    val rejIn = (floor(col("s") * lit(10000.0) + lit(0.5))
+      .cast("long") <= col("qhatq")).cast("long")
+    val tst = sc.filter(!col("is_cal")).crossJoin(broadcast(qh))
+      .agg(count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("y"), keepIn).otherwise(rejIn)), lit(0L))
+          .as("n_cov"),
+        coalesce(sum(keepIn + rejIn), lit(0L)).as("set_sum"))
+    tot.crossJoin(broadcast(qh)).crossJoin(broadcast(tst))
+      .select(col("n_cal"), col("k"),
+        (col("qhatq").cast("double") / lit(10000.0)).as("qhat"),
+        col("n_test"),
+        when(col("n_test") === 0L, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            col("n_cov").cast("double") / col("n_test").cast("double"),
+            roundTo)).as("coverage"),
+        when(col("n_test") === 0L, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            col("set_sum").cast("double") / col("n_test").cast("double"),
+            roundTo)).as("avg_set_size"))
+  }
 }

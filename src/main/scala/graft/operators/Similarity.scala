@@ -965,4 +965,51 @@ object Similarity {
         .toDF("rank", "vec_id", "min_dist_q")
     } finally proj.unpersist()
   }
+
+  /** Diagonal-covariance Mahalanobis outlier scores over an embedding
+    * column — the corrupt-vector detector for embedding-table intake
+    * (truncated writes, wrong normalization, NaN-scrubbed dimensions):
+    * score(v) = Σ_d (v_d − μ_d)²/σ²_d, ≈ dim for inliers, huge when a
+    * few dimensions sit far outside the corpus distribution. Diagonal
+    * (per-dimension) covariance by design: the full matrix is the PCA
+    * family's job (x147); the intake gate needs exactly the per-dim
+    * z² sum, which stays one aggregation at any scale.
+    *
+    * Exactness: floats quantize to ×10⁶ longs at the scan, so per-dim
+    * n/Σq/Σq² are exact integer sums (Σq² in DECIMAL — the Pca
+    * lesson); the mean never appears as a float: each term is
+    * (n·q − s1)²/(n·s2 − s1²) with the n² factors cancelled, numerator
+    * squared in doubles (exact while |n·q − s1| < 2⁵³), denominator
+    * exact DECIMAL cast once to double. Terms quantize to ×10⁶ longs
+    * before the per-vector sum, so the reduction is order-free.
+    *
+    * Returns the top `k` (vec_id, score, rn) by score desc — a
+    * TakeOrdered top-k, never a global sort. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 20, roundTo: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ex = df.select(col(idCol).as("vec_id"), posexplode(col(vecCol)))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        floor(col("col").cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("long").as("q"))
+    val st = ex.groupBy("d").agg(count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum((col("q") * col("q")).cast(dec)).as("s2"))
+    val den = (col("n").cast(dec) * col("s2") -
+      col("s1").cast(dec) * col("s1").cast(dec)).cast("double")
+    val dev = (col("n") * col("q") - col("s1")).cast("double")
+    val termQ = when(den === lit(0.0), lit(0L))
+      .otherwise(floor(dev * dev / den * lit(1.0e6) + lit(0.5))
+        .cast("long"))
+    val scores = ex.join(st, Seq("d"))
+      .select(col("vec_id"), termQ.as("tq"))
+      .groupBy("vec_id").agg(sum(col("tq")).as("sq"))
+    Ranked.rankBounded(scores, k, Seq(col("sq").desc, col("vec_id")))
+      .select(col("vec_id"),
+        TextFunctions.portableRound(
+          col("sq").cast("double") / lit(1.0e6), roundTo).as("score"),
+        col("rn"))
+      .orderBy("rn")
+  }
 }

@@ -8983,7 +8983,117 @@ object ExtensionCatalog {
          |FROM documents d LEFT JOIN w USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
       (s, dir) => CorpusStats.kneserNeyBits(t(s, dir, "documents"),
-        "doc_id", "text", discount = KnD).orderBy("doc_id"))
+        "doc_id", "text", discount = KnD).orderBy("doc_id")),
+
+    // ---- split-conformal calibration of the quality classifier
+    //      against the Gopher gate (the x176/x183 pair's third leg):
+    //      q̂ = ⌈(n+1)(1−α)⌉-th smallest calibration nonconformity via
+    //      the x183 cumulative-histogram route (no global sort, no
+    //      driver top-k), coverage + set size on the held-out half.
+    //      avg_set_size is the informativeness gauge: ~1 sharp, ~2
+    //      "calibrated but knows nothing" ----
+    Q("x221_conformal", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |sc AS (
+         |  SELECT cp.doc_id, cp.cls_prob AS s, g.keep AS y,
+         |    cp.doc_id % 2 = 0 AS is_cal,
+         |    CAST(CASE WHEN g.keep
+         |      THEN floor((1.0 - cp.cls_prob) * 10000.0 + 0.5)
+         |      ELSE floor(cp.cls_prob * 10000.0 + 0.5) END AS BIGINT)
+         |      AS ncq
+         |  FROM cp JOIN g USING (doc_id)),
+         |per AS (
+         |  SELECT ncq, CAST(count(*) AS BIGINT) AS cn
+         |  FROM sc WHERE is_cal GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(cn) AS BIGINT) AS n_cal,
+         |    CAST(((sum(cn) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+         |  FROM per),
+         |cum AS (
+         |  SELECT ncq, sum(cn) OVER (ORDER BY ncq) AS cum FROM per),
+         |qh AS (
+         |  SELECT coalesce(min(ncq), 10001) AS qhatq
+         |  FROM cum, tot WHERE cum >= tot.k),
+         |tst AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(coalesce(sum(CASE WHEN y
+         |      THEN (CASE WHEN CAST(floor((1.0 - s) * 10000.0 + 0.5)
+         |        AS BIGINT) <= qhatq THEN 1 ELSE 0 END)
+         |      ELSE (CASE WHEN CAST(floor(s * 10000.0 + 0.5)
+         |        AS BIGINT) <= qhatq THEN 1 ELSE 0 END) END), 0)
+         |      AS BIGINT) AS n_cov,
+         |    CAST(coalesce(sum(
+         |      (CASE WHEN CAST(floor((1.0 - s) * 10000.0 + 0.5)
+         |        AS BIGINT) <= qhatq THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(floor(s * 10000.0 + 0.5)
+         |        AS BIGINT) <= qhatq THEN 1 ELSE 0 END)), 0)
+         |      AS BIGINT) AS set_sum
+         |  FROM sc, qh WHERE NOT is_cal)
+         |SELECT tot.n_cal, tot.k,
+         |  CAST(qh.qhatq AS DOUBLE) / 10000.0 AS qhat,
+         |  tst.n_test,
+         |  CASE WHEN tst.n_test = 0 THEN 0.0
+         |    ELSE floor(CAST(tst.n_cov AS DOUBLE)
+         |      / CAST(tst.n_test AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    END AS coverage,
+         |  CASE WHEN tst.n_test = 0 THEN 0.0
+         |    ELSE floor(CAST(tst.set_sum AS DOUBLE)
+         |      / CAST(tst.n_test AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    END AS avg_set_size
+         |FROM tot, qh, tst""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"),
+          QualityRules.gopherKeep(
+            QualityRules.tokenStats(col("text"))).as("keep"))
+        LabelQuality.conformalThreshold(scored, "cls_prob", "keep",
+          calCol = col("doc_id") % 2 === 0)
+      }),
+
+    // ---- diagonal-Mahalanobis embedding outliers — the intake gate
+    //      for corrupt vectors (x154's per-vector norms catch scale,
+    //      this catches per-DIMENSION displacement): exact integer
+    //      moment sums (the Pca DECIMAL lesson), n²-cancelled z²
+    //      terms, top-20 by TakeOrdered ----
+    Q("x222_embedding_outliers", Some(
+      s"""WITH ex AS (
+         |  SELECT vec_id, i AS d,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)),
+         |st AS (
+         |  SELECT d, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(q) AS BIGINT) AS s1,
+         |    sum(CAST(q * q AS HUGEINT)) AS s2
+         |  FROM ex GROUP BY d),
+         |term AS (
+         |  SELECT ex.vec_id,
+         |    CASE WHEN CAST(st.n AS HUGEINT) * st.s2
+         |        - CAST(st.s1 AS HUGEINT) * CAST(st.s1 AS HUGEINT) = 0
+         |      THEN 0
+         |      ELSE CAST(floor(
+         |        CAST(st.n * ex.q - st.s1 AS DOUBLE)
+         |          * CAST(st.n * ex.q - st.s1 AS DOUBLE)
+         |        / CAST(CAST(st.n AS HUGEINT) * st.s2
+         |          - CAST(st.s1 AS HUGEINT) * CAST(st.s1 AS HUGEINT)
+         |          AS DOUBLE)
+         |        * 1000000.0 + 0.5) AS BIGINT) END AS tq
+         |  FROM ex JOIN st USING (d)),
+         |sc AS (
+         |  SELECT vec_id, CAST(sum(tq) AS BIGINT) AS sq
+         |  FROM term GROUP BY 1)
+         |SELECT vec_id,
+         |  floor(CAST(sq AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS score,
+         |  CAST(row_number() OVER (ORDER BY sq DESC, vec_id) AS INT)
+         |    AS rn
+         |FROM (SELECT * FROM sc ORDER BY sq DESC, vec_id LIMIT 20)
+         |ORDER BY rn""".stripMargin),
+      (s, dir) => Similarity.embeddingOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 20))
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB

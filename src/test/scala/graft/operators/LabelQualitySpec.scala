@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class LabelQualitySpec extends SparkSpec {
   import spark.implicits._
@@ -191,5 +192,38 @@ class LabelQualitySpec extends SparkSpec {
     val allYes = Seq(3L, 3L).toDF("k")
     assert(LabelQuality.krippendorffAlpha(allYes, "k")
       .head().getAs[Double]("alpha") == 1.0)
+  }
+
+  test("conformalThreshold: q-hat is the ceil((n+1)(1-a))-th order " +
+    "statistic; coverage and set size count exactly; tiny cal set " +
+    "degenerates to the full-set sentinel") {
+    // calibration (9 rows): nonconformities sorted
+    // [.1,.1,.1,.1,.1,.2,.2,.3,.3]; k = ceil(10·0.9) = 9 -> qhat = 0.3
+    val cal = Seq((0.9, true), (0.8, true), (0.9, true), (0.9, true),
+      (0.7, true), (0.1, false), (0.2, false), (0.1, false),
+      (0.3, false)).map { case (sv, y) => (sv, y, true) }
+    // test: clear positive (covered, set {keep}), clear negative
+    // (covered, set {reject}), borderline positive s=0.3 (nc 0.7 > qhat
+    // -> NOT covered, set {reject})
+    val tst = Seq((0.75, true, false), (0.25, false, false),
+      (0.3, true, false))
+    val df = (cal ++ tst).toDF("s", "y", "is_cal")
+    val got = LabelQuality.conformalThreshold(df, "s", "y",
+      calCol = col("is_cal")).head()
+    assert(got.getAs[Long]("n_cal") == 9L)
+    assert(got.getAs[Long]("k") == 9L)
+    assert(got.getAs[Double]("qhat") == 0.3)
+    assert(got.getAs[Long]("n_test") == 3L)
+    assert(got.getAs[Double]("coverage") == 0.6667)
+    assert(got.getAs[Double]("avg_set_size") == 1.0)
+    // 3 calibration rows at alpha 0.1: k = ceil(4·0.9) = 4 > n -> the
+    // +inf sentinel, every set is {0,1}, coverage is vacuously 1
+    val tiny = (Seq((0.9, true, true), (0.8, true, true),
+      (0.1, false, true)) ++ tst).toDF("s", "y", "is_cal")
+    val deg = LabelQuality.conformalThreshold(tiny, "s", "y",
+      calCol = col("is_cal")).head()
+    assert(deg.getAs[Double]("qhat") == 1.0001)
+    assert(deg.getAs[Double]("coverage") == 1.0)
+    assert(deg.getAs[Double]("avg_set_size") == 2.0)
   }
 }

@@ -462,4 +462,23 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding").collect().map(_.toSeq).toSeq
     assert(x == y)
   }
+
+  test("embeddingOutliers: planted displaced vector tops the list with " +
+    "the exact z-square sum; constant dimension contributes zero") {
+    // dim 1 constant (den = 0 guard); dim 2: nine 2.0s and one 102.0:
+    // mean 12, outlier z^2 = 9.0 exactly, inlier z^2 = 1/9
+    val vecs = ((0 until 9).map(i => (i.toLong, Seq(1.0f, 2.0f))) :+
+      (9L, Seq(1.0f, 102.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliers(vecs, "vec_id", "embedding",
+      k = 20).collect()
+    assert(got.length == 10)
+    assert(got.head.getLong(0) == 9L && got.head.getInt(2) == 1)
+    assert(got.head.getDouble(1) == 9.0)
+    assert(got.tail.forall(_.getDouble(1) == 0.1111))
+    // ties broken by vec_id ascending
+    assert(got.tail.map(_.getLong(0)).toSeq == (0L to 8L))
+    val re = Similarity.embeddingOutliers(vecs.repartition(5),
+      "vec_id", "embedding", k = 20).collect().map(_.toSeq).toSeq
+    assert(re == got.map(_.toSeq).toSeq, "layout-independent")
+  }
 }
