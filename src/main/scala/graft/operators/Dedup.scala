@@ -762,4 +762,54 @@ object Dedup {
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), "\n").as("clean_text"))
   }
+
+  /** Weighted (multiset) Jaccard over verified candidate pairs:
+    * Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) on TOKEN
+    * COUNTS — the refinement pass after [[verifyCandidates]]'s
+    * set-Jaccard: two documents sharing the same vocabulary at very
+    * different frequencies (a page vs the page with one paragraph
+    * looped 50×) score identically under set semantics and correctly
+    * low here, and vice versa for the looped-boilerplate pair set
+    * semantics under-scores.
+    *
+    * Scale shape: tokenization runs ONLY over documents that appear in
+    * a pair (semi-join first), so cost follows the verified-pair
+    * subset, not the corpus; each side keys its per-doc token counts
+    * by the pair id and a full outer join on (pair, token-hash) makes
+    * min/max exact integer sums over the token UNION. Pairs are the
+    * bounded output of the LSH→verify pipeline by contract.
+    *
+    * Returns (id_a, id_b, sum_min, sum_max, w_jaccard). */
+  def weightedJaccard(df: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, roundTo: Int = 4): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ids = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id"))).distinct()
+    val tc = df.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(
+        transform(TextFunctions.tokens(lower(col("_t"))),
+          t => TextFunctions.md5Hash60(t))).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val ga = p.join(tc, col("id_a") === col("doc_id"))
+      .select(col("id_a"), col("id_b"), col("h"), col("c").as("ca"))
+    val gb = p.join(tc, col("id_b") === col("doc_id"))
+      .select(col("id_a").as("ba"), col("id_b").as("bb"),
+        col("h").as("bh"), col("c").as("cb"))
+    ga.join(gb, col("id_a") === col("ba") && col("id_b") === col("bb") &&
+        col("h") === col("bh"), "full")
+      .select(coalesce(col("id_a"), col("ba")).as("id_a"),
+        coalesce(col("id_b"), col("bb")).as("id_b"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("sum_min"),
+        sum(greatest(col("ca"), col("cb"))).as("sum_max"))
+      .select(col("id_a"), col("id_b"), col("sum_min"), col("sum_max"),
+        when(col("sum_max") === 0L, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            col("sum_min").cast("double") / col("sum_max").cast("double"),
+            roundTo)).as("w_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
 }

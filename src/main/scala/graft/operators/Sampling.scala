@@ -617,6 +617,60 @@ object Sampling {
       .orderBy(sourceCol)
   }
 
+  /** Purged time-ordered split with an embargo gap (the leakage-safe
+    * split for TEMPORALLY correlated data — de Prado's purged k-fold
+    * collapsed to the single train/test split a pretraining-data
+    * pipeline uses): the cut lands at the quantNum/quantDen quantile
+    * of the time column, rows inside `embargoBuckets` time buckets
+    * BEFORE the cut are purged from training (their windows overlap
+    * the test period — the near-boundary leak [[leakageSafeSplit]]'s
+    * hash split cannot see because it ignores time), and everything
+    * after the cut is test.
+    *
+    * The quantile is an order statistic over TIME BUCKETS (t DIV
+    * bucketMs), not raw timestamps: bucket cardinality is bounded by
+    * the calendar, so the cumulative-count window never grows with
+    * corpus size (the x183 histogram route; raw-timestamp order
+    * statistics would not scale). k = ⌈n·quantNum/quantDen⌉ exact
+    * integer; the cut is the first bucket whose cumulative count
+    * reaches k.
+    *
+    * Returns one row per group: (group, n_train, n_purged, n_test,
+    * cut_bucket). */
+  def purgedTimeSplit(df: DataFrame, timeCol: String, groupCol: String,
+                      bucketMs: Long, embargoBuckets: Long,
+                      quantNum: Int = 4, quantDen: Int = 5): DataFrame = {
+    require(bucketMs >= 1, "bucket width must be >= 1")
+    require(embargoBuckets >= 0, "embargo must be >= 0")
+    require(quantNum >= 1 && quantNum < quantDen,
+      "split quantile must be a rational in (0,1)")
+    val rows = df.select(col(groupCol).as("grp"),
+      expr(s"CAST($timeCol AS BIGINT) DIV ${bucketMs}L").as("b"))
+    val per = rows.groupBy("b").agg(count(lit(1)).as("cn"))
+    val tot = per.agg(sum(col("cn")).as("n"))
+      .withColumn("k",
+        expr(s"(n * $quantNum + ${quantDen - 1}) DIV $quantDen"))
+    val cut = per
+      .withColumn("cum", sum(col("cn")).over(Ranked.bounded(col("b"))))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("b")).as("cut_b"))
+    rows.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("b") <= col("cut_b") - embargoBuckets, "train")
+          .when(col("b") <= col("cut_b"), "purged")
+          .otherwise("test"))
+      .groupBy("grp")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "purged", 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        max(col("cut_b")).as("cut_bucket"))
+      .select(col("grp").as(groupCol), col("n_train"), col("n_purged"),
+        col("n_test"), col("cut_bucket"))
+      .orderBy(groupCol)
+  }
+
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     * More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): split a total token budget across sources so that

@@ -9093,7 +9093,93 @@ object ExtensionCatalog {
          |FROM (SELECT * FROM sc ORDER BY sq DESC, vec_id LIMIT 20)
          |ORDER BY rn""".stripMargin),
       (s, dir) => Similarity.embeddingOutliers(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 20))
+        "vec_id", "embedding", k = 20)),
+
+    // ---- purged time split with a 24 h embargo — the temporal twin
+    //      of x143's hash split: cut at the 0.8 event-time quantile
+    //      computed over HOUR buckets (calendar-bounded histogram, the
+    //      x183 route — raw-timestamp order stats would not scale),
+    //      trainers within the embargo purged, not leaked ----
+    Q("x223_purged_split", Some(
+      """WITH ev AS (
+        |  SELECT event_type AS grp,
+        |    epoch_ns(ts) // 1000000 // 3600000 AS b
+        |  FROM events),
+        |per AS (SELECT b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cn) AS BIGINT) AS n,
+        |    CAST((sum(cn) * 4 + 4) // 5 AS BIGINT) AS k
+        |  FROM per),
+        |cut AS (
+        |  SELECT CAST(min(b) AS BIGINT) AS cut_b FROM (
+        |    SELECT b, sum(cn) OVER (ORDER BY b) AS cum FROM per), tot
+        |  WHERE cum >= tot.k),
+        |lab AS (
+        |  SELECT grp,
+        |    CASE WHEN b <= cut_b - 24 THEN 'train'
+        |      WHEN b <= cut_b THEN 'purged' ELSE 'test' END AS split,
+        |    cut_b
+        |  FROM ev, cut)
+        |SELECT grp AS event_type,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN split = 'purged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purged,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(max(cut_b) AS BIGINT) AS cut_bucket
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+        Sampling.purgedTimeSplit(ev, "ms", "event_type",
+          bucketMs = 3600000L, embargoBuckets = 24L,
+          quantNum = 4, quantDen = 5)
+      }),
+
+    // ---- weighted (multiset) Jaccard on the verified near-dup pairs
+    //      — the frequency-aware refinement x16's set-Jaccard can't
+    //      see (looped-boilerplate pairs under-score, same-vocab
+    //      different-frequency pairs over-score). Tokenization runs
+    //      only over docs that appear in a pair ----
+    Q("x224_weighted_jaccard", Some(
+      s"""WITH ${minhashPairsSql()},
+         |${verifiedPairsSql("documents")},
+         |ids AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM vp
+         |    UNION ALL SELECT id_b FROM vp)),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_transform(${tokSql("lower(text)")},
+         |    t -> ${h60Sql("t", 1152921504606846976L)})) AS h
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM ids)),
+         |tc AS (SELECT doc_id, h, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ga AS (
+         |  SELECT vp.id_a, vp.id_b, tc.h, tc.c AS ca
+         |  FROM vp JOIN tc ON tc.doc_id = vp.id_a),
+         |gb AS (
+         |  SELECT vp.id_a, vp.id_b, tc.h, tc.c AS cb
+         |  FROM vp JOIN tc ON tc.doc_id = vp.id_b),
+         |u AS (
+         |  SELECT coalesce(ga.id_a, gb.id_a) AS id_a,
+         |    coalesce(ga.id_b, gb.id_b) AS id_b,
+         |    coalesce(ga.ca, 0) AS ca, coalesce(gb.cb, 0) AS cb
+         |  FROM ga FULL JOIN gb
+         |    ON ga.id_a = gb.id_a AND ga.id_b = gb.id_b AND ga.h = gb.h),
+         |per AS (
+         |  SELECT id_a, id_b,
+         |    CAST(sum(least(ca, cb)) AS BIGINT) AS sum_min,
+         |    CAST(sum(greatest(ca, cb)) AS BIGINT) AS sum_max
+         |  FROM u GROUP BY 1, 2)
+         |SELECT id_a, id_b, sum_min, sum_max,
+         |  CASE WHEN sum_max = 0 THEN 0.0
+         |    ELSE floor(CAST(sum_min AS DOUBLE) / CAST(sum_max AS DOUBLE)
+         |      * 10000.0 + 0.5) / 10000.0 END AS w_jaccard
+         |FROM per ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.weightedJaccard(t(s, dir, "documents"),
+        "doc_id", "text", verifiedPairs(s, dir)))
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB

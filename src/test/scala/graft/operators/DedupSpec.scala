@@ -304,4 +304,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"))).toSet
     assert(a == b)
   }
+
+  test("weightedJaccard: frequency-aware overlap under-scores the " +
+    "looped pair set semantics calls identical; disjoint pair is 0; " +
+    "non-pair docs never tokenize into the result") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b"), (3L, "x y"),
+      (4L, "noise not in any pair")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.weightedJaccard(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("sum_min"), r.getAs[Long]("sum_max"),
+          r.getAs[Double]("w_jaccard")))).toMap
+    // (1,2): same vocabulary {a,b} (set Jaccard 1.0) but counts
+    // 3a+1b vs 1a+1b -> min 2 / max 4 = 0.5
+    assert(got((1L, 2L)) == ((2L, 4L, 0.5)))
+    assert(got((1L, 3L)) == ((0L, 6L, 0.0)))
+    assert(got.size == 2)
+  }
 }

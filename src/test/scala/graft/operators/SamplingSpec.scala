@@ -441,4 +441,24 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_tokens")).toMap
     assert(re == tight)
   }
+
+  test("purgedTimeSplit: global quantile cut, embargo rows purged from " +
+    "train, groups split against the one shared cut") {
+    // g1 occupies buckets 1-5, g2 buckets 6-10 (bucketMs=1 -> the time
+    // IS the bucket); k = ceil(10*4/5) = 8 -> cut bucket 8
+    val rows = ((1 to 5).map(b => ("g1", b.toLong)) ++
+      (6 to 10).map(b => ("g2", b.toLong))).toDF("grp", "ms")
+    val got = Sampling.purgedTimeSplit(rows, "ms", "grp",
+      bucketMs = 1L, embargoBuckets = 1L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_train"), r.getAs[Long]("n_purged"),
+          r.getAs[Long]("n_test"), r.getAs[Long]("cut_bucket")))).toMap
+    assert(got("g1") == ((5L, 0L, 0L, 8L)), "early group is all train")
+    // g2: 6,7 train; 8 purged (inside the 1-bucket embargo); 9,10 test
+    assert(got("g2") == ((2L, 1L, 2L, 8L)))
+    intercept[IllegalArgumentException] {
+      Sampling.purgedTimeSplit(rows, "ms", "grp", bucketMs = 1L,
+        embargoBuckets = 1L, quantNum = 5, quantDen = 5)
+    }
+  }
 }
