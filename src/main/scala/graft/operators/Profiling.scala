@@ -292,6 +292,66 @@ object Profiling {
       .orderBy(seriesCol)
   }
 
+  /** Leave-one-group-out influence of each source on a corpus-level
+    * mean (delete-a-group jackknife, Tukey/Quenouille): for every
+    * group, the metric recomputed WITHOUT it — "which single source is
+    * dragging my corpus quality score", answered exactly from one
+    * aggregation because a mean's LOO values are algebra on the group
+    * sums (θ₍ₕ₎ = (S−Sₕ)/(N−Nₕ)), never g re-scans. The jackknife
+    * standard error over the g LOO estimates calibrates whether an
+    * influence is signal or just group-size noise.
+    *
+    * Determinism: the metric column must be 1e-4-quantized (the
+    * classifier-probability contract), so group sums are exact longs;
+    * each LOO mean quantizes to a ×10⁸ long; deviations use the
+    * n-scaling trick (g·tqₕ − Σtq, exact), squared into DECIMAL. One
+    * groupBy + scalar cross joins — group-cardinality frames
+    * throughout.
+    *
+    * Output per group: (group, n_docs, loo_mean, influence = loo −
+    * global, mean, jk_se) with mean/jk_se replicated (dashboard
+    * shape). Requires ≥ 2 groups. */
+  def sourceInfluence(df: DataFrame, groupCol: String, probCol: String,
+                      roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sc = df.select(col(groupCol).as("grp"),
+      floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"))
+    val per = sc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pq")).as("sh"))
+    val tot = per.agg(sum(col("n_docs")).as("nn"), sum(col("sh")).as("ss"),
+      count(lit(1)).as("g"))
+    val lo = per.crossJoin(broadcast(tot))
+      .withColumn("tq", floor(
+        (col("ss") - col("sh")).cast("double") /
+          (col("nn") - col("n_docs")).cast("double") * lit(10000.0) +
+          lit(0.5)).cast("long"))
+      .withColumn("thq", floor(
+        col("ss").cast("double") / col("nn").cast("double") *
+          lit(10000.0) + lit(0.5)).cast("long"))
+    val t2 = lo.agg(sum(col("tq")).as("tt"))
+    val withT = lo.crossJoin(broadcast(t2))
+    // deviations cast to DECIMAL BEFORE squaring: g·tq can reach ~g·10⁸,
+    // so the square overflows a long once g passes ~95 groups
+    val devD = (col("g") * col("tq") - col("tt")).cast(dec)
+    val jk = withT.agg(max(col("g")).as("g2"),
+        sum(devD * devD).as("sd2"))
+      .select(TextFunctions.portableRound(
+        sqrt((col("g2") - 1).cast("double") * col("sd2").cast("double") /
+          (col("g2").cast("double") * col("g2").cast("double") *
+            col("g2").cast("double"))) / lit(1.0e8), 6).as("jk_se"))
+    withT.crossJoin(broadcast(jk))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        TextFunctions.portableRound(
+          col("tq").cast("double") / lit(1.0e8), roundTo).as("loo_mean"),
+        TextFunctions.portableRound(
+          (col("tq") - col("thq")).cast("double") / lit(1.0e8) +
+            lit(1000.0), roundTo).minus(lit(1000.0)).as("influence"),
+        TextFunctions.portableRound(
+          col("thq").cast("double") / lit(1.0e8), roundTo).as("mean"),
+        col("jk_se"))
+      .orderBy(groupCol)
+  }
+
   /** Sample autocorrelation of a series at lags 1..maxLag — the
     * seasonality/burst detector next to [[trendTest]]'s monotone
     * drift: r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² over positions t in

@@ -617,6 +617,74 @@ object Sampling {
       .orderBy(sourceCol)
   }
 
+  /** Neyman optimal allocation for stratified sampling (Neyman 1934 —
+    * the classical result): sample size per stratum proportional to
+    * Nₕ·σₕ, which minimizes the variance of the stratified mean at a
+    * fixed total budget. High-variance strata get oversampled relative
+    * to [[quotaAllocate]]'s proportional split; a zero-variance
+    * stratum needs almost no samples to pin its mean. With population
+    * variance σₕ² = (nₕΣx² − (Σx)²)/nₕ², the weight collapses to
+    * wₕ = nₕ·σₕ = √(nₕΣx² − (Σx)²) — one square root of an exact
+    * integer moment expression (DECIMAL, the Pca lesson).
+    *
+    * Weights quantize to ×10⁶ longs before the shared normalizer (an
+    * order-free DECIMAL sum); integer allocation uses the
+    * largest-remainder rule ([[quotaAllocate]]'s), ties on stratum
+    * name. If every stratum is constant (all weights 0) allocation
+    * falls back to proportional-by-count. Allocations are NOT capped
+    * at nₕ: Neyman can assign a small high-variance stratum more than
+    * its population (sampling with replacement) — capping would need
+    * the iterative redistribution this closed form deliberately
+    * avoids, and the report makes the oversample visible instead.
+    *
+    * Output per stratum: (stratum, n_docs, sd, weight_q, alloc). */
+  def neymanAllocate(df: DataFrame, strataCol: String, valueCol: String,
+                     total: Long, roundTo: Int = 4): DataFrame = {
+    require(total >= 0, "total must be >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = df.select(col(strataCol).as("stratum"),
+        col(valueCol).cast("long").as("x"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("s1"),
+        sum((col("x") * col("x")).cast(dec)).as("s2"))
+    val varn2 = (col("n_docs").cast(dec) * col("s2") -
+      col("s1").cast(dec) * col("s1").cast(dec)).cast("double")
+    val w = st
+      .withColumn("wq",
+        floor(sqrt(varn2) * lit(1.0e6) + lit(0.5)).cast("long"))
+      .withColumn("sd",
+        TextFunctions.portableRound(
+          sqrt(varn2) / col("n_docs").cast("double"), roundTo))
+    val z = w.agg(sum(col("wq").cast(dec)).as("z"),
+      sum(col("n_docs")).as("n_tot"))
+    // all-constant fallback: weights become the counts (proportional)
+    val based = w.crossJoin(broadcast(z))
+      .withColumn("eff_w",
+        when(col("z") === lit(0).cast(dec), col("n_docs"))
+          .otherwise(col("wq")))
+      .withColumn("eff_z",
+        when(col("z") === lit(0).cast(dec), col("n_tot").cast(dec))
+          .otherwise(col("z")))
+      // exact floor division on DECIMALs: subtract the pmod remainder
+      // first, so the decimal divide is exact (never a scale-6 round)
+      .withColumn("tw", lit(total).cast(dec) * col("eff_w").cast(dec))
+      .withColumn("remd", pmod(col("tw"), col("eff_z")))
+      .withColumn("base",
+        ((col("tw") - col("remd")) / col("eff_z")).cast("long"))
+      // rank remainders as exact DECIMALs — a double projection could
+      // collapse distinct remainders past 2⁵³ and reorder the leftover
+      .withColumn("remn", col("remd"))
+    val leftover = based.agg((lit(total) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Ranked.bounded(col("remn").desc, col("stratum"))))
+      .select(col("stratum").as(strataCol), col("n_docs"), col("sd"),
+        col("wq").as("weight_q"),
+        (col("base") + when(col("rk") <= col("leftover"), lit(1L))
+          .otherwise(lit(0L))).as("alloc"))
+      .orderBy(strataCol)
+  }
+
   /** Purged time-ordered split with an embargo gap (the leakage-safe
     * split for TEMPORALLY correlated data — de Prado's purged k-fold
     * collapsed to the single train/test split a pretraining-data

@@ -9179,7 +9179,103 @@ object ExtensionCatalog {
          |      * 10000.0 + 0.5) / 10000.0 END AS w_jaccard
          |FROM per ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.weightedJaccard(t(s, dir, "documents"),
-        "doc_id", "text", verifiedPairs(s, dir)))
+        "doc_id", "text", verifiedPairs(s, dir))),
+
+    // ---- Neyman optimal allocation — the variance-minimizing budget
+    //      split the proportional x196 quota can't give: strata sized
+    //      ∝ Nₕσₕ (= √(nΣx²−(Σx)²) exactly), quantized weights, exact
+    //      DECIMAL floor-division with largest-remainder leftover ----
+    Q("x225_neyman_alloc", Some(
+      """WITH st AS (
+        |  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS s2
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_docs,
+        |    CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * s2
+        |        - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS wq,
+        |    floor(sqrt(CAST(CAST(n_docs AS HUGEINT) * s2
+        |        - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE))
+        |      / CAST(n_docs AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sd
+        |  FROM st),
+        |z AS (
+        |  SELECT sum(CAST(wq AS HUGEINT)) AS z,
+        |    CAST(sum(n_docs) AS BIGINT) AS n_tot
+        |  FROM w),
+        |c AS (
+        |  SELECT stratum, n_docs, sd, wq,
+        |    CAST((200 * (CASE WHEN z.z = 0 THEN CAST(n_docs AS HUGEINT)
+        |        ELSE CAST(wq AS HUGEINT) END))
+        |      // (CASE WHEN z.z = 0 THEN CAST(n_tot AS HUGEINT)
+        |        ELSE z.z END) AS BIGINT) AS base,
+        |    (200 * (CASE WHEN z.z = 0 THEN CAST(n_docs AS HUGEINT)
+        |        ELSE CAST(wq AS HUGEINT) END))
+        |      % (CASE WHEN z.z = 0 THEN CAST(n_tot AS HUGEINT)
+        |        ELSE z.z END) AS remn
+        |  FROM w, z),
+        |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS leftover FROM c)
+        |SELECT stratum AS source, n_docs, sd, wq AS weight_q,
+        |  CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS alloc
+        |FROM (SELECT *, row_number() OVER (ORDER BY remn DESC, stratum)
+        |    AS rk FROM c), l
+        |ORDER BY source""".stripMargin),
+      (s, dir) => Sampling.neymanAllocate(t(s, dir, "documents"),
+        "source", "n_chars", total = 200L)),
+
+    // ---- delete-a-source jackknife influence on the corpus quality
+    //      mean — "which single source drags the score", exact from
+    //      ONE aggregation (LOO means are algebra on group sums), with
+    //      the jackknife SE calibrating signal vs group-size noise ----
+    Q("x226_source_influence", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |sc AS (
+         |  SELECT d.source AS grp,
+         |    CAST(floor(cp.cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq
+         |  FROM cp JOIN documents d USING (doc_id)),
+         |per AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pq) AS BIGINT) AS sh
+         |  FROM sc GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |    CAST(sum(sh) AS BIGINT) AS ss,
+         |    CAST(count(*) AS BIGINT) AS g
+         |  FROM per),
+         |lo AS (
+         |  SELECT grp, n_docs, g,
+         |    CAST(floor(CAST(ss - sh AS DOUBLE)
+         |      / CAST(nn - n_docs AS DOUBLE) * 10000.0 + 0.5)
+         |      AS BIGINT) AS tq,
+         |    CAST(floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS thq
+         |  FROM per, tot),
+         |t2 AS (SELECT CAST(sum(tq) AS BIGINT) AS tt FROM lo),
+         |jk AS (
+         |  SELECT floor(sqrt(CAST(max(g) - 1 AS DOUBLE)
+         |      * CAST(sum(CAST(g * tq - tt AS HUGEINT)
+         |        * CAST(g * tq - tt AS HUGEINT)) AS DOUBLE)
+         |      / (CAST(max(g) AS DOUBLE) * CAST(max(g) AS DOUBLE)
+         |        * CAST(max(g) AS DOUBLE)))
+         |    / 100000000.0 * 1000000.0 + 0.5) / 1000000.0 AS jk_se
+         |  FROM lo, t2)
+         |SELECT grp AS source, n_docs,
+         |  floor(CAST(tq AS DOUBLE) / 100000000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS loo_mean,
+         |  floor((CAST(tq - thq AS DOUBLE) / 100000000.0 + 1000.0)
+         |    * 10000.0 + 0.5) / 10000.0 - 1000.0 AS influence,
+         |  floor(CAST(thq AS DOUBLE) / 100000000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS mean,
+         |  jk_se
+         |FROM lo, t2, jk ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("source"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        Profiling.sourceInfluence(scored, "source", "cls_prob")
+      })
   )
 
   val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB

@@ -162,4 +162,25 @@ class ProfilingSpec extends SparkSpec {
       .toMap
     assert(n == got, "layout-independent")
   }
+
+  test("sourceInfluence: LOO means are exact algebra on group sums, " +
+    "influence signs point at the dragging source, hand-checked SE") {
+    val rows = (Seq.fill(2)(("a", 1.0)) ++ Seq.fill(2)(("b", 0.5)) ++
+      Seq.fill(2)(("c", 0.0))).toDF("src", "p")
+    val got = Profiling.sourceInfluence(rows, "src", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Double]("mean") == 0.5)
+    assert(got("a").getAs[Double]("loo_mean") == 0.25)
+    assert(got("a").getAs[Double]("influence") == -0.25)
+    assert(got("b").getAs[Double]("influence") == 0.0)
+    assert(got("c").getAs[Double]("loo_mean") == 0.75)
+    assert(got("c").getAs[Double]("influence") == 0.25)
+    // jackknife SE over LOO means {.25,.5,.75}: sqrt(2/27) = 0.288675
+    got.values.foreach(r =>
+      assert(r.getAs[Double]("jk_se") == 0.288675))
+    val re = Profiling.sourceInfluence(rows.repartition(5), "src", "p")
+      .collect().map(_.toSeq).toSeq
+    assert(re == got.toSeq.sortBy(_._1).map(_._2.toSeq),
+      "layout-independent")
+  }
 }

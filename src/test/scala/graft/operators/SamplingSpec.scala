@@ -461,4 +461,30 @@ class SamplingSpec extends SparkSpec {
         embargoBuckets = 1L, quantNum = 5, quantDen = 5)
     }
   }
+
+  test("neymanAllocate: variance-proportional split, zero-variance " +
+    "stratum gets nothing, remainder to largest fractional part, " +
+    "all-constant corpus falls back to proportional") {
+    // sd: hi {0,10}x5 -> 5.0; mid {4,6}x5 -> 1.0; lo constant -> 0.0
+    val rows = ((1 to 5).flatMap(_ => Seq(("hi", 0L), ("hi", 10L))) ++
+      (1 to 5).flatMap(_ => Seq(("mid", 4L), ("mid", 6L))) ++
+      (1 to 10).map(_ => ("lo", 5L))).toDF("src", "v")
+    def run(total: Long) = Sampling.neymanAllocate(rows, "src", "v",
+      total).collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("sd"), r.getAs[Long]("alloc")))).toMap
+    // weights 50/10/0 -> 12 splits exactly 10/2/0
+    val a = run(12L)
+    assert(a("hi") == ((5.0, 10L)))
+    assert(a("mid") == ((1.0, 2L)))
+    assert(a("lo") == ((0.0, 0L)))
+    // 13: bases 10/2/0, leftover 1 rides the largest remainder (hi)
+    val b = run(13L)
+    assert(b("hi")._2 == 11L && b("mid")._2 == 2L && b("lo")._2 == 0L)
+    // all-constant strata: weights all 0 -> proportional by count
+    val const = ((1 to 4).map(_ => ("a", 7L)) ++
+      (1 to 6).map(_ => ("b", 3L))).toDF("src", "v")
+    val c = Sampling.neymanAllocate(const, "src", "v", 5L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(c == Map("a" -> 2L, "b" -> 3L))
+  }
 }
