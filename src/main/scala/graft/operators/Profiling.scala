@@ -352,6 +352,100 @@ object Profiling {
       .orderBy(groupCol)
   }
 
+  /** Pettitt changepoint test per series — WHERE the level shifted,
+    * completing the drift suite ([[trendTest]] says whether a monotone
+    * drift exists; PSI/KS compare two known windows; Pettitt finds the
+    * unknown split point): Uₜ = Σ_{i≤t} Σ_j sign(xᵢ − xⱼ) via the
+    * rank-based recurrence Uₜ = Uₜ₋₁ + Vₜ, Vₜ = Σⱼ sign(xₜ − xⱼ); the
+    * change point is the t maximizing |Uₜ| (smallest t on ties) and
+    * the approximate significance is p ≈ min(1, 2·exp(−6K²/(T³+T²))).
+    *
+    * V needs one O(points²)-per-series self-join — calendar-bounded
+    * like [[trendTest]], never corpus-bounded — then a per-series
+    * cumulative window over ≤points rows. S, V, U, K exact integers;
+    * p is one fixed-order scalar expression, quantized to 1e-6 before
+    * the significance compare so both engines decide identically.
+    *
+    * Output: (series, n_points, k_stat, t_hat, p_value, significant). */
+  def changepointTest(df: DataFrame, seriesCol: String, timeCol: String,
+                      valueCol: String): DataFrame = {
+    val pts = df.select(col(seriesCol).as("series"),
+      col(timeCol).cast("long").as("t"),
+      col(valueCol).cast("long").as("x"))
+    val a = pts.as("a"); val b = pts.as("b")
+    val v = a.join(b, col("a.series") === col("b.series"))
+      .groupBy(col("a.series").as("series"), col("a.t").as("t"))
+      .agg(sum(when(col("a.x") > col("b.x"), lit(1L))
+        .when(col("a.x") < col("b.x"), lit(-1L)).otherwise(lit(0L)))
+        .as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("series")
+    val u = v
+      .withColumn("u", sum(col("v")).over(w.orderBy("t")))
+      .withColumn("n_points", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(abs(col("u")).desc, col("t"))))
+      .filter(col("rn") === 1)
+    val nd = col("n_points").cast("double")
+    val p = least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+      abs(col("u")).cast("double") * abs(col("u")).cast("double") /
+      (nd * nd * nd + nd * nd)))
+    u.select(col("series").as(seriesCol), col("n_points"),
+        abs(col("u")).as("k_stat"), col("t").as("t_hat"),
+        TextFunctions.portableRound(p, 6).as("p_value"))
+      .withColumn("significant", col("p_value") <= 0.05)
+      .orderBy(seriesCol)
+  }
+
+  /** Trimmed mean of a 1e-4-quantized score per group — the robust
+    * location estimate for quality dashboards (a handful of 0.0-score
+    * crawl failures or 1.0-score spam shouldn't move a source's
+    * reported quality): drop the ⌊n·num/den⌋ lowest and highest
+    * values, average the middle. Computed EXACTLY from the per-group
+    * score histogram — each bucket contributes the overlap of its
+    * cumulative span with the kept rank interval (k, n−k], so there is
+    * no per-row sort, no order statistics over raw rows, and the
+    * window runs over ≤10⁴ distinct quantized scores per group at any
+    * corpus size (the x183 route). Integer arithmetic to one final
+    * division.
+    *
+    * Output: (group, n, k_trim, n_kept, trimmed_mean, raw_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, probCol: String,
+                  trimNum: Int = 1, trimDen: Int = 20,
+                  roundTo: Int = 4): DataFrame = {
+    require(trimNum >= 0 && trimDen >= 1 && 2 * trimNum < trimDen,
+      "trim fraction must be in [0, 1/2)")
+    val sc = df.select(col(groupCol).as("grp"),
+      floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"))
+    val per = sc.groupBy("grp", "pq").agg(count(lit(1)).as("cn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cum = per
+      .withColumn("cb", coalesce(sum(col("cn")).over(w.orderBy("pq")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("n", sum(col("cn")).over(w))
+      .withColumn("s1", sum(col("pq") * col("cn")).over(w))
+      .withColumn("k", expr(s"(n * $trimNum) DIV $trimDen"))
+    val kept = greatest(lit(0L),
+      least(col("cb") + col("cn"), col("n") - col("k")) -
+        greatest(col("cb"), col("k")))
+    cum.groupBy("grp")
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_trim"),
+        sum(kept).as("n_kept"),
+        sum(col("pq") * kept).as("tsum"), max(col("s1")).as("s1"))
+      .select(col("grp").as(groupCol), col("n"), col("k_trim"),
+        col("n_kept"),
+        when(col("n_kept") === 0L, lit(0.0))
+          .otherwise(TextFunctions.portableRound(
+            col("tsum").cast("double") /
+              (col("n_kept").cast("double") * lit(10000.0)), roundTo))
+          .as("trimmed_mean"),
+        TextFunctions.portableRound(
+          col("s1").cast("double") / (col("n").cast("double") *
+            lit(10000.0)), roundTo).as("raw_mean"))
+      .orderBy(groupCol)
+  }
+
   /** Sample autocorrelation of a series at lags 1..maxLag — the
     * seasonality/burst detector next to [[trendTest]]'s monotone
     * drift: r_k = Σ(xₜ−x̄)(xₜ₊ₖ−x̄) / Σ(xₜ−x̄)² over positions t in

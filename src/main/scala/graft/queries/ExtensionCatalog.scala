@@ -9275,6 +9275,104 @@ object ExtensionCatalog {
         val scored = t(s, dir, "documents").select(col("source"),
           TextFunctions.classifierProb(col("text")).as("cls_prob"))
         Profiling.sourceInfluence(scored, "source", "cls_prob")
+      }),
+
+    // ---- Pettitt changepoint per daily event series — WHERE the
+    //      level shifted (x217 says whether it drifts, x181/x192
+    //      compare two KNOWN windows): rank-based U_t via one
+    //      calendar-bounded pair join + a cumulative window, exact
+    //      integers to the final p expression ----
+    Q("x227_changepoint", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT a.event_type, a.t,
+        |    CAST(sum(CASE WHEN a.x > b.x THEN 1
+        |      WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT event_type, t,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY t)
+        |      AS BIGINT) AS u,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_points
+        |  FROM v),
+        |m AS (
+        |  SELECT event_type, n_points, abs(u) AS k_stat, t AS t_hat
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(u) DESC, t) AS rn FROM u)
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT event_type, n_points, k_stat, t_hat,
+        |    floor(least(1.0, 2.0 * exp(-6.0
+        |        * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+        |        / (CAST(n_points AS DOUBLE) * CAST(n_points AS DOUBLE)
+        |            * CAST(n_points AS DOUBLE)
+        |          + CAST(n_points AS DOUBLE)
+        |            * CAST(n_points AS DOUBLE))))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS p_value
+        |  FROM m)
+        |SELECT event_type, n_points, k_stat, t_hat, p_value,
+        |  p_value <= 0.05 AS significant
+        |FROM p ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val daily = ReferenceCatalog.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
+        Profiling.changepointTest(daily, "event_type", "t", "x")
+      }),
+
+    // ---- 5% trimmed mean of the classifier score per source — the
+    //      robust location a few crawl-failure 0.0s or spam 1.0s
+    //      can't move: computed EXACTLY from the per-group score
+    //      histogram (bucket-overlap-with-rank-interval), never a
+    //      per-row sort ----
+    Q("x228_trimmed_mean", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |sc AS (
+         |  SELECT d.source AS grp,
+         |    CAST(floor(cp.cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq
+         |  FROM cp JOIN documents d USING (doc_id)),
+         |per AS (
+         |  SELECT grp, pq, CAST(count(*) AS BIGINT) AS cn
+         |  FROM sc GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT grp, pq, cn,
+         |    CAST(coalesce(sum(cn) OVER (PARTITION BY grp ORDER BY pq
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb,
+         |    CAST(sum(cn) OVER (PARTITION BY grp) AS BIGINT) AS n,
+         |    CAST(sum(pq * cn) OVER (PARTITION BY grp) AS BIGINT) AS s1
+         |  FROM per),
+         |kk AS (SELECT *, (n * 1) // 20 AS k FROM cum),
+         |kept AS (
+         |  SELECT grp, n, k, s1, pq,
+         |    greatest(0, least(cb + cn, n - k) - greatest(cb, k)) AS kc
+         |  FROM kk),
+         |agg AS (
+         |  SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(max(k) AS BIGINT) AS k_trim,
+         |    CAST(sum(kc) AS BIGINT) AS n_kept,
+         |    CAST(sum(pq * kc) AS BIGINT) AS tsum,
+         |    CAST(max(s1) AS BIGINT) AS s1
+         |  FROM kept GROUP BY 1)
+         |SELECT grp AS source, n, k_trim, n_kept,
+         |  CASE WHEN n_kept = 0 THEN 0.0
+         |    ELSE floor(CAST(tsum AS DOUBLE)
+         |      / (CAST(n_kept AS DOUBLE) * 10000.0) * 10000.0 + 0.5)
+         |      / 10000.0 END AS trimmed_mean,
+         |  floor(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+         |    * 10000.0 + 0.5) / 10000.0 AS raw_mean
+         |FROM agg ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("source"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        Profiling.trimmedMean(scored, "source", "cls_prob",
+          trimNum = 1, trimDen = 20)
       })
   )
 

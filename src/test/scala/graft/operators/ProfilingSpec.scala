@@ -183,4 +183,53 @@ class ProfilingSpec extends SparkSpec {
     assert(re == got.toSeq.sortBy(_._1).map(_._2.toSeq),
       "layout-independent")
   }
+
+  test("changepointTest: step series localizes the shift at the last " +
+    "pre-step point; sharp step is significant, constant series is not") {
+    val soft = (1 to 5).map(t => ("soft", t.toLong, 1L)) ++
+      (6 to 10).map(t => ("soft", t.toLong, 10L))
+    val sharp = (1 to 10).map(t => ("sharp", t.toLong, 1L)) ++
+      (11 to 20).map(t => ("sharp", t.toLong, 10L))
+    val const = (1 to 10).map(t => ("const", t.toLong, 3L))
+    val got = Profiling.changepointTest(
+      (soft ++ sharp ++ const).toDF("series", "t", "x"),
+      "series", "t", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // V = -(T/2) on the low side: U dips to -25 at t=5 (T=10)
+    assert(got("soft").getAs[Long]("k_stat") == 25L)
+    assert(got("soft").getAs[Long]("t_hat") == 5L)
+    assert(!got("soft").getAs[Boolean]("significant"),
+      s"p=${got("soft").getAs[Double]("p_value")}")
+    // T=20: K=100, p = 2exp(-60000/8400) ~ 0.0016
+    assert(got("sharp").getAs[Long]("k_stat") == 100L)
+    assert(got("sharp").getAs[Long]("t_hat") == 10L)
+    assert(got("sharp").getAs[Boolean]("significant"))
+    assert(got("const").getAs[Long]("k_stat") == 0L)
+    assert(got("const").getAs[Double]("p_value") == 1.0)
+    assert(!got("const").getAs[Boolean]("significant"))
+  }
+
+  test("trimmedMean: histogram-exact trim drops the tails a raw mean " +
+    "absorbs; k=0 passes through; bucket-overlap arithmetic is exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 18 x 0.5 + 2 x 1.0, 5% trim on n=20 -> k=1: drop one 0.5 and one
+    // 1.0 -> (17*.5 + 1.0)/18 = 0.5278 vs raw 0.55
+    val g1 = (1 to 18).map(_ => ("g1", 0.5)) ++ Seq(("g1", 1.0), ("g1", 1.0))
+    val g2 = Seq(("g2", 0.2), ("g2", 0.4), ("g2", 0.9)) // n=3 -> k=0
+    val got = Profiling.trimmedMean((g1 ++ g2).toDF("grp", "p"),
+      "grp", "p", trimNum = 1, trimDen = 20).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("g1").getAs[Long]("k_trim") == 1L)
+    assert(got("g1").getAs[Long]("n_kept") == 18L)
+    assert(got("g1").getAs[Double]("trimmed_mean") == 0.5278)
+    assert(got("g1").getAs[Double]("raw_mean") == 0.55)
+    assert(got("g2").getAs[Long]("k_trim") == 0L)
+    assert(got("g2").getAs[Double]("trimmed_mean") ==
+      got("g2").getAs[Double]("raw_mean"))
+    intercept[IllegalArgumentException] {
+      Profiling.trimmedMean(g2.toDF("grp", "p"), "grp", "p",
+        trimNum = 1, trimDen = 2)
+    }
+  }
 }
