@@ -352,6 +352,71 @@ object Profiling {
       .orderBy(groupCol)
   }
 
+  /** Dependence report for two categorical columns — chi-square
+    * independence statistic, Cramér's V effect size, and mutual
+    * information in bits, from ONE contingency aggregation: the "is
+    * my quality gate confounded with source" audit (a strong
+    * dependence means per-source mixing decisions and quality
+    * filtering are double-counting the same signal).
+    *
+    * Exactness: with Oᵢⱼ·N and Rᵢ·Cⱼ exact (DECIMAL — the products
+    * overflow longs at ~10⁹ rows), each chi² term is
+    * (OᵢⱼN − RᵢCⱼ)²/(N·Rᵢ·Cⱼ) with integer numerator/denominator cast
+    * once to double, quantized ×10⁶ before the order-free sum; MI
+    * terms Oᵢⱼ·log₂(OᵢⱼN/RᵢCⱼ) quantize the log (one IEEE tree) ×10⁸
+    * and weight by the exact count. Cells with Oᵢⱼ = 0 contribute 0
+    * to MI and (RᵢCⱼ)/N·… to chi² via the grid join.
+    *
+    * Output (one row): n, r_levels, c_levels, dof, chi2, cramers_v,
+    * mi_bits. */
+  def dependenceReport(df: DataFrame, aCol: String, bCol: String,
+                       roundTo: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keyed = df.select(col(aCol).cast("string").as("a"),
+      col(bCol).cast("string").as("b"))
+    val cells = keyed.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    // full r×c grid so empty cells still carry their expected mass
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tot))
+    val num = (col("o").cast(dec) * col("nn").cast(dec) -
+      col("r").cast(dec) * col("c").cast(dec))
+    val den = (col("nn").cast(dec) * col("r").cast(dec) *
+      col("c").cast(dec)).cast("double")
+    val chiTq = floor((num * num).cast("double") / den * lit(1.0e6) +
+      lit(0.5)).cast("long")
+    val miLogQ = floor(log2(
+      (col("o").cast(dec) * col("nn").cast(dec)).cast("double") /
+        (col("r").cast(dec) * col("c").cast(dec)).cast("double")) *
+      lit(1.0e8) + lit(0.5)).cast("long")
+    val miTq = when(col("o") === 0L, lit(0L))
+      .otherwise(col("o") * miLogQ).cast(dec)
+    val withTerms = grid
+      .withColumn("chi_tq", chiTq).withColumn("mi_tq", miTq)
+      .agg(max(col("nn")).as("n"),
+        count_distinct(col("a")).as("r_levels"),
+        count_distinct(col("b")).as("c_levels"),
+        sum(col("chi_tq")).as("chi_q"), sum(col("mi_tq")).as("mi_q"))
+    val chi2d = col("chi_q").cast("double") / lit(1.0e6)
+    val minDim = least(col("r_levels") - 1, col("c_levels") - 1)
+    withTerms.select(col("n"), col("r_levels"), col("c_levels"),
+      ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+      TextFunctions.portableRound(chi2d, roundTo).as("chi2"),
+      when(minDim <= 0L, lit(0.0))
+        .otherwise(TextFunctions.portableRound(
+          sqrt(chi2d / (col("n") * minDim).cast("double")), roundTo))
+        .as("cramers_v"),
+      TextFunctions.portableRound(
+        col("mi_q").cast("double") / lit(1.0e8) /
+          col("n").cast("double") + lit(1000.0), roundTo)
+        .minus(lit(1000.0)).as("mi_bits"))
+  }
+
   /** Pettitt changepoint test per series — WHERE the level shifted,
     * completing the drift suite ([[trendTest]] says whether a monotone
     * drift exists; PSI/KS compare two known windows; Pettitt finds the

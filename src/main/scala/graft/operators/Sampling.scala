@@ -617,6 +617,78 @@ object Sampling {
       .orderBy(sourceCol)
   }
 
+  /** P(X ≤ k) for X ~ Poisson(1), k = 0..4 — the inverse-CDF table
+    * [[bootstrapCi]] shares with its oracle SQL (the literals
+    * interpolate from THESE doubles, so the two engines compare u
+    * against bit-identical constants). Draws are truncated at 5. */
+  val PoissonCdf1: Seq[Double] = {
+    val e = math.exp(-1.0)
+    Seq(e, 2 * e, 2.5 * e, e * 8 / 3, e * 65 / 24)
+  }
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * DISTRIBUTED bootstrap (resampling n rows with replacement needs a
+    * global draw; giving each row an independent Poisson(1) replicate
+    * weight needs only a scan, and the replicate sizes concentrate at
+    * n): B deterministic replicates whose weights derive from a salted
+    * hash of (replicate, id) via the shared [[PoissonCdf1]] inverse-CDF
+    * table, so the interval is replayable and cross-engine checkable —
+    * the same replayable-noise contract as the DP Laplace release
+    * (production draws a fresh secret salt per run).
+    *
+    * Each replicate's mean is one exact-integer ratio quantized to the
+    * score grid; the CI endpoints are order statistics (⌈B/40⌉ and
+    * ⌈39B/40⌉, a 95% percentile interval) over the ≤B replicate means
+    * per group — a bounded window. Cost is the honest bootstrap price:
+    * a B× row fan-out, immediately map-side combined to (group,
+    * replicate) grain, so the shuffle carries g·B rows, not B corpora.
+    *
+    * Output per group: (group, n_docs, mean, ci_lo, ci_hi, b_reps). */
+  def bootstrapCi(df: DataFrame, idCol: String, groupCol: String,
+                  probCol: String, b: Int = 20, salt: String = "v1",
+                  roundTo: Int = 4): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    val sc = df.select(col(groupCol).as("grp"),
+      col(idCol).cast("string").as("id"),
+      floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"))
+    val exploded = sc.withColumn("bi",
+      explode(array((1 to b).map(lit(_)): _*)))
+    val u = (TextFunctions.md5Hash60(concat(lit(s"boot:$salt:"),
+      col("bi").cast("string"), lit(":"), col("id"))).cast("double") +
+      lit(0.5)) / lit(1152921504606846976.0)
+    val w = PoissonCdf1.map(c => when(u >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rep = exploded.withColumn("w", w)
+      .groupBy("grp", "bi")
+      .agg(sum(col("w") * col("pq")).as("swp"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0L)
+      .withColumn("mq", floor(col("swp").cast("double") /
+        col("sw").cast("double") + lit(0.5)).cast("long"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = rep
+      .withColumn("rn", row_number().over(wq.orderBy(col("mq"), col("bi"))))
+      .withColumn("m", count(lit(1)).over(wq))
+    val ci = ranked.groupBy("grp").agg(
+      max(col("m")).as("b_reps"),
+      min(when(col("rn") === expr("(m + 39) DIV 40"), col("mq")))
+        .as("loq"),
+      min(when(col("rn") === expr("(m * 39 + 39) DIV 40"), col("mq")))
+        .as("hiq"))
+    val point = sc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pq")).as("s1"))
+    point.join(ci, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        TextFunctions.portableRound(col("s1").cast("double") /
+          (col("n_docs").cast("double") * lit(10000.0)), roundTo)
+          .as("mean"),
+        TextFunctions.portableRound(
+          col("loq").cast("double") / lit(10000.0), roundTo).as("ci_lo"),
+        TextFunctions.portableRound(
+          col("hiq").cast("double") / lit(10000.0), roundTo).as("ci_hi"),
+        col("b_reps"))
+      .orderBy(groupCol)
+  }
+
   /** Neyman optimal allocation for stratified sampling (Neyman 1934 —
     * the classical result): sample size per stratum proportional to
     * Nₕ·σₕ, which minimizes the variance of the stratified mean at a

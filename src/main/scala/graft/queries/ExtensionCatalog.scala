@@ -8645,6 +8645,10 @@ object ExtensionCatalog {
     * (interpolated as the literal 0.75 into both trees). */
   private val KnD = 0.75
 
+  /** x229's bootstrap replicate count (CI endpoints are the ⌈B/40⌉ and
+    * ⌈39B/40⌉ order statistics — at B = 20, min and max). */
+  private val BootB = 20
+
   private val roundTenB: Seq[Q] = Seq(
 
     // ---- t-closeness release gate — the third privacy lock after
@@ -9373,6 +9377,137 @@ object ExtensionCatalog {
           TextFunctions.classifierProb(col("text")).as("cls_prob"))
         Profiling.trimmedMean(scored, "source", "cls_prob",
           trimNum = 1, trimDen = 20)
+      }),
+
+    // ---- Poisson-bootstrap 95% CI for per-source quality means —
+    //      THE distributed bootstrap (per-row Poisson(1) replicate
+    //      weights from a salted hash, replayable like x213's noise;
+    //      true with-replacement resampling would need a global draw).
+    //      B× fan-out combines immediately to (source, replicate)
+    //      grain; CI endpoints are order stats over ≤B means ----
+    Q("x229_bootstrap_ci", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |sc AS (
+         |  SELECT d.source AS grp, CAST(d.doc_id AS VARCHAR) AS id,
+         |    CAST(floor(cp.cls_prob * 10000.0 + 0.5) AS BIGINT) AS pq
+         |  FROM cp JOIN documents d USING (doc_id)),
+         |ex AS (
+         |  SELECT grp, id, pq, bi
+         |  FROM sc, unnest(generate_series(1, $BootB)) AS gg(bi)),
+         |wts AS (
+         |  SELECT grp, bi, pq,
+         |    (CASE WHEN u >= ${Sampling.PoissonCdf1(0)} THEN 1 ELSE 0 END)
+         |    + (CASE WHEN u >= ${Sampling.PoissonCdf1(1)} THEN 1 ELSE 0 END)
+         |    + (CASE WHEN u >= ${Sampling.PoissonCdf1(2)} THEN 1 ELSE 0 END)
+         |    + (CASE WHEN u >= ${Sampling.PoissonCdf1(3)} THEN 1 ELSE 0 END)
+         |    + (CASE WHEN u >= ${Sampling.PoissonCdf1(4)} THEN 1 ELSE 0 END)
+         |      AS w
+         |  FROM (SELECT grp, bi, pq,
+         |      (CAST(${h60Sql(
+                  "'boot:v1:' || CAST(bi AS VARCHAR) || ':' || id",
+                  1152921504606846976L)} AS DOUBLE) + 0.5)
+         |        / 1152921504606846976.0 AS u
+         |    FROM ex)),
+         |rep AS (
+         |  SELECT grp, bi,
+         |    CAST(floor(CAST(sum(w * pq) AS DOUBLE)
+         |      / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS mq
+         |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+         |rk AS (
+         |  SELECT grp, mq, bi,
+         |    row_number() OVER (PARTITION BY grp ORDER BY mq, bi) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS m
+         |  FROM rep),
+         |ci AS (
+         |  SELECT grp, CAST(max(m) AS BIGINT) AS b_reps,
+         |    CAST(min(CASE WHEN rn = (m + 39) // 40 THEN mq END)
+         |      AS BIGINT) AS loq,
+         |    CAST(min(CASE WHEN rn = (m * 39 + 39) // 40 THEN mq END)
+         |      AS BIGINT) AS hiq
+         |  FROM rk GROUP BY 1),
+         |pt AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pq) AS BIGINT) AS s1
+         |  FROM sc GROUP BY 1)
+         |SELECT pt.grp AS source, n_docs,
+         |  floor(CAST(s1 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)
+         |    * 10000.0 + 0.5) / 10000.0 AS mean,
+         |  floor(CAST(loq AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS ci_lo,
+         |  floor(CAST(hiq AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS ci_hi,
+         |  b_reps
+         |FROM pt JOIN ci ON ci.grp = pt.grp
+         |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val scored = t(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          TextFunctions.classifierProb(col("text")).as("cls_prob"))
+        Sampling.bootstrapCi(scored, "doc_id", "source", "cls_prob",
+          b = BootB)
+      }),
+
+    // ---- source × quality-gate dependence: chi², Cramér's V and
+    //      mutual information from ONE contingency aggregation — "is
+    //      my quality filter confounded with source", the audit that
+    //      says whether mixing and filtering double-count a signal ----
+    Q("x230_dependence", Some(
+      s"""WITH ${gopherKeepCtes("documents")},
+         |keyed AS (
+         |  SELECT CAST(d.source AS VARCHAR) AS a,
+         |    CAST(g.keep AS VARCHAR) AS b
+         |  FROM documents d JOIN g USING (doc_id)),
+         |cells AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS o
+         |  FROM keyed GROUP BY 1, 2),
+         |rw AS (SELECT a, CAST(sum(o) AS BIGINT) AS r
+         |  FROM cells GROUP BY 1),
+         |cl AS (SELECT b, CAST(sum(o) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1),
+         |tt AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         |grid AS (
+         |  SELECT rw.a, cl.b, rw.r, cl.c, coalesce(cells.o, 0) AS o,
+         |    tt.nn
+         |  FROM rw CROSS JOIN cl CROSS JOIN tt
+         |  LEFT JOIN cells ON cells.a = rw.a AND cells.b = cl.b),
+         |terms AS (
+         |  SELECT nn, a, b,
+         |    CAST(floor(CAST((CAST(o AS HUGEINT) * nn
+         |        - CAST(r AS HUGEINT) * c)
+         |        * (CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+         |        AS DOUBLE)
+         |      / CAST(CAST(nn AS HUGEINT) * r * c AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS chi_tq,
+         |    CASE WHEN o = 0 THEN CAST(0 AS HUGEINT)
+         |      ELSE CAST(o AS HUGEINT) * CAST(floor(log2(
+         |        CAST(CAST(o AS HUGEINT) * nn AS DOUBLE)
+         |        / CAST(CAST(r AS HUGEINT) * c AS DOUBLE))
+         |        * 100000000.0 + 0.5) AS BIGINT) END AS mi_tq
+         |  FROM grid),
+         |agg AS (
+         |  SELECT CAST(max(nn) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS c_levels,
+         |    CAST(sum(chi_tq) AS BIGINT) AS chi_q,
+         |    sum(mi_tq) AS mi_q
+         |  FROM terms)
+         |SELECT n, r_levels, c_levels,
+         |  CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+         |  floor(CAST(chi_q AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS chi2,
+         |  CASE WHEN least(r_levels - 1, c_levels - 1) <= 0 THEN 0.0
+         |    ELSE floor(sqrt(CAST(chi_q AS DOUBLE) / 1000000.0
+         |      / CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
+         |      * 10000.0 + 0.5) / 10000.0 END AS cramers_v,
+         |  floor((CAST(mi_q AS DOUBLE) / 100000000.0 / CAST(n AS DOUBLE)
+         |    + 1000.0) * 10000.0 + 0.5) / 10000.0 - 1000.0 AS mi_bits
+         |FROM agg""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val keyed = t(s, dir, "documents").select(col("source"),
+          QualityRules.gopherKeep(
+            QualityRules.tokenStats(col("text"))).as("keep"))
+        Profiling.dependenceReport(keyed, "source", "keep")
       })
   )
 

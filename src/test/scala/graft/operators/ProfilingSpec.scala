@@ -232,4 +232,28 @@ class ProfilingSpec extends SparkSpec {
         trimNum = 1, trimDen = 2)
     }
   }
+
+  test("dependenceReport: exact zeros under designed independence, " +
+    "chi2=N / V=1 / MI=1 bit under perfect 2x2 dependence") {
+    val spark2 = spark
+    import spark2.implicits._
+    // balanced product distribution: every cell = r*c/N exactly
+    val ind = (1 to 100).map(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 4 < 2) "p" else "q"))
+      .toDF("a", "b")
+    val gi = Profiling.dependenceReport(ind, "a", "b").head()
+    assert(gi.getAs[Long]("n") == 100L)
+    assert(gi.getAs[Long]("dof") == 1L)
+    assert(gi.getAs[Double]("chi2") == 0.0)
+    assert(gi.getAs[Double]("cramers_v") == 0.0)
+    assert(gi.getAs[Double]("mi_bits") == 0.0)
+    // b determined by a: chi2 = N, V = 1, MI = H(b) = 1 bit
+    val dep = (1 to 100).map(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 2 == 0) "x" else "y"))
+      .toDF("a", "b")
+    val gd = Profiling.dependenceReport(dep, "a", "b").head()
+    assert(gd.getAs[Double]("chi2") == 100.0)
+    assert(gd.getAs[Double]("cramers_v") == 1.0)
+    assert(gd.getAs[Double]("mi_bits") == 1.0)
+  }
 }

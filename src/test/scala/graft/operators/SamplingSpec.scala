@@ -487,4 +487,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
     assert(c == Map("a" -> 2L, "b" -> 3L))
   }
+
+  test("bootstrapCi: degenerate group collapses to a zero-width CI at " +
+    "the mean; spread group brackets it; replayable per salt") {
+    // "flat": 100 identical values -> every replicate mean is 0.7
+    // exactly; "mix": alternating 0.4/0.6 around mean 0.5
+    val rows = ((1 to 100).map(i => (i.toLong, "flat", 0.7)) ++
+      (1 to 100).map(i => (200L + i, "mix",
+        if (i % 2 == 0) 0.4 else 0.6))).toDF("id", "grp", "p")
+    val got = Sampling.bootstrapCi(rows, "id", "grp", "p")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val flat = got("flat")
+    assert(flat.getAs[Long]("b_reps") == 20L)
+    assert(flat.getAs[Double]("mean") == 0.7)
+    assert(flat.getAs[Double]("ci_lo") == 0.7)
+    assert(flat.getAs[Double]("ci_hi") == 0.7)
+    val mix = got("mix")
+    assert(mix.getAs[Double]("mean") == 0.5)
+    assert(mix.getAs[Double]("ci_lo") <= 0.5)
+    assert(mix.getAs[Double]("ci_hi") >= 0.5)
+    assert(mix.getAs[Double]("ci_lo") < mix.getAs[Double]("ci_hi"),
+      "a spread group must have CI width")
+    // replayable + layout-independent; a fresh salt redraws
+    val re = Sampling.bootstrapCi(rows.repartition(7), "id", "grp", "p")
+      .collect().map(_.toSeq).toSeq
+    assert(re == got.toSeq.sortBy(_._1).map(_._2.toSeq))
+    val other = Sampling.bootstrapCi(rows, "id", "grp", "p",
+      salt = "other").collect().map(r => r.getString(0) -> r).toMap
+    assert(other("mix").getAs[Double]("ci_lo") !=
+      mix.getAs[Double]("ci_lo") ||
+      other("mix").getAs[Double]("ci_hi") !=
+      mix.getAs[Double]("ci_hi"), "fresh salt must redraw")
+  }
 }
