@@ -373,6 +373,134 @@ object LabelQuality {
       .orderBy("bin")
   }
 
+  /** Spearman rank correlation between two per-row scores — the
+    * confound detector ("is the quality classifier just measuring
+    * document length"): Pearson on AVERAGE RANKS, which handles ties
+    * exactly where the classic 1 − 6Σd²/… shortcut silently doesn't.
+    * Both scores must be integer-quantized (the 1e-4 classifier grid,
+    * a token count, …).
+    *
+    * Exactness: a value bucket with `cb` rows before it and `cn` rows
+    * in it has average rank cb + (cn+1)/2, so DOUBLED ranks
+    * r₂ = 2·cb + cn + 1 are exact integers; the ×2 cancels in the
+    * correlation. Ranks come from per-column histograms (cumulative
+    * window over the bucket table, value-cardinality-bounded — the
+    * x183 route) joined back to rows; the five moment sums accumulate
+    * in DECIMAL (Σr₂² ~ 4n³); one fixed-order scalar expression ends
+    * it. Output (one row): n, rho. */
+  def spearman(df: DataFrame, aCol: String, bCol: String,
+               roundTo: Int = 4): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.select(col(aCol).cast("long").as("va"),
+      col(bCol).cast("long").as("vb"))
+    def ranks(vc: String, out: String) = {
+      rows.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cn"))
+        .withColumn("cb", coalesce(sum(col("cn")).over(
+          Ranked.bounded(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v").as(vc),
+          (lit(2L) * col("cb") + col("cn") + 1L).as(out))
+    }
+    val ranked = rows
+      .join(ranks("va", "ra"), Seq("va"))
+      .join(ranks("vb", "rb"), Seq("vb"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("ra").cast(dec)).as("sa"),
+      sum(col("rb").cast(dec)).as("sb"),
+      sum(col("ra").cast(dec) * col("ra").cast(dec)).as("saa"),
+      sum(col("rb").cast(dec) * col("rb").cast(dec)).as("sbb"),
+      sum(col("ra").cast(dec) * col("rb").cast(dec)).as("sab"))
+    val num = (col("n").cast(dec) * col("sab") -
+      col("sa") * col("sb")).cast("double")
+    val f1 = (col("n").cast(dec) * col("saa") -
+      col("sa") * col("sa")).cast("double")
+    val f2 = (col("n").cast(dec) * col("sbb") -
+      col("sb") * col("sb")).cast("double")
+    agg.select(col("n"),
+      when(f1 === 0.0 || f2 === 0.0, lit(0.0))
+        .otherwise(TextFunctions.portableRound(
+          num / (sqrt(f1) * sqrt(f2)) + lit(1000.0), roundTo)
+          .minus(lit(1000.0))).as("rho"))
+  }
+
+  /** Murphy decomposition of the Brier score over quantized forecast
+    * bins — the calibration triptych next to [[calibrationReport]]'s
+    * ECE and [[rocAuc]]: reliability (how far bin forecasts sit from
+    * bin outcomes — lower is better), resolution (how far bin outcomes
+    * spread from the base rate — higher is better), uncertainty (the
+    * base rate's own variance, the no-skill floor). The raw Brier
+    * score is reported alongside; the identity brier = rel − res + unc
+    * holds for the BINNED forecast (within-bin forecast variance is
+    * the standard gap, reported as `within_bin`).
+    *
+    * Exactness: with 1e-4-quantized probabilities and 0/1 labels,
+    * every per-row Brier term (pq − 10⁴y)² is an exact integer
+    * (DECIMAL sums); per-bin rel/res terms are integer² / integer,
+    * quantized ×10⁸ before the ≤bins-sized sums. Output (one row):
+    * n, base_rate, brier, reliability, resolution, uncertainty,
+    * within_bin. */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         labelCol: String, bins: Int = 10,
+                         roundTo: Int = 4): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val dec = DecimalType(38, 0)
+    val sc = df.select(
+        floor(col(probCol) * lit(10000.0) + lit(0.5)).cast("long").as("pq"),
+        col(labelCol).cast("boolean").cast("int").cast("long").as("y"))
+      .withColumn("b", least(expr(s"(pq * $bins) DIV 10000"),
+        lit(bins - 1L)))
+    val per = sc.groupBy("b").agg(count(lit(1)).as("nk"),
+      sum(col("pq")).as("sp"), sum(col("y")).as("sy"),
+      sum(((col("pq") - lit(10000L) * col("y")) *
+        (col("pq") - lit(10000L) * col("y"))).cast(dec)).as("sq"),
+      sum((col("pq") * col("pq")).cast(dec)).as("spp"))
+    // per-bin terms in probability² units, ×10⁸-quantized longs
+    val relT = floor((col("sp") - lit(10000L) * col("sy"))
+      .cast("double") * (col("sp") - lit(10000L) * col("sy"))
+      .cast("double") / col("nk").cast("double") + lit(0.5)).cast("long")
+    // within-bin forecast variance: Σp² − (Σp)²/n_k, exact rationals
+    val wbvT = floor((col("spp").cast("double") -
+      col("sp").cast("double") * col("sp").cast("double") /
+        col("nk").cast("double")) + lit(0.5)).cast("long")
+    val tot = per
+      .withColumn("rel_t", relT).withColumn("wbv_t", wbvT)
+      .agg(sum(col("nk")).as("n"), sum(col("sy")).as("yy"),
+        sum(col("sq")).as("sq"), sum(col("rel_t")).as("rel_q"),
+        sum(col("wbv_t")).as("wbv_q"),
+        // resolution needs n and Y, so fold its exact pieces:
+        // Σ_k (sy·n − Y·nk)²/(nk·n²) — accumulate the scaled parts
+        collect_list(struct(col("b"), col("nk"), col("sy"))).as("_bins"))
+    val n = col("n"); val yy = col("yy")
+    // resolution from the ≤bins-sized collected list, folded in bin
+    // order (deterministic), each term one IEEE tree quantized ×10⁸
+    val resQ = aggregate(
+      array_sort(col("_bins")),
+      lit(0L),
+      (acc, s) => acc + floor(
+        (s.getField("sy").cast("double") * n.cast("double") -
+          yy.cast("double") * s.getField("nk").cast("double")) *
+        (s.getField("sy").cast("double") * n.cast("double") -
+          yy.cast("double") * s.getField("nk").cast("double")) /
+        (s.getField("nk").cast("double") * n.cast("double") *
+          n.cast("double")) * lit(1.0e8) + lit(0.5)).cast("long"))
+    val nd = n.cast("double") * lit(1.0e8)
+    tot.select(n.as("n"),
+      TextFunctions.portableRound(
+        yy.cast("double") / n.cast("double"), roundTo).as("base_rate"),
+      TextFunctions.portableRound(col("sq").cast("double") / nd, roundTo)
+        .as("brier"),
+      TextFunctions.portableRound(col("rel_q").cast("double") / nd,
+        roundTo).as("reliability"),
+      TextFunctions.portableRound(resQ.cast("double") / nd, roundTo)
+        .as("resolution"),
+      TextFunctions.portableRound(
+        yy.cast("double") / n.cast("double") *
+          (lit(1.0) - yy.cast("double") / n.cast("double")), roundTo)
+        .as("uncertainty"),
+      TextFunctions.portableRound(col("wbv_q").cast("double") / nd,
+        roundTo).as("within_bin"))
+  }
+
   /** Split-conformal calibration for a binary classifier (Vovk et al.;
     * the Angelopoulos–Bates recipe): on a held-out calibration split,
     * the nonconformity of a row is 1−s for true positives and s for

@@ -9508,6 +9508,140 @@ object ExtensionCatalog {
           QualityRules.gopherKeep(
             QualityRules.tokenStats(col("text"))).as("keep"))
         Profiling.dependenceReport(keyed, "source", "keep")
+      }),
+
+    // ---- Spearman rank correlation classifier-score × token count —
+    //      "is the quality classifier just measuring length": Pearson
+    //      on exact average ranks (doubled ranks 2·cb+cn+1 are
+    //      integers; the classic 6Σd² shortcut is wrong under ties),
+    //      histograms + DECIMAL moment sums, one scalar finish ----
+    Q("x231_rank_correlation", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |rws AS (
+         |  SELECT CAST(floor(cp.cls_prob * 10000.0 + 0.5) AS BIGINT)
+         |      AS va,
+         |    CAST(len(${tokSql("d.text")}) AS BIGINT) AS vb
+         |  FROM cp JOIN documents d USING (doc_id)),
+         |ra AS (
+         |  SELECT va AS v, 2 * cb + cn + 1 AS r FROM (
+         |    SELECT va, CAST(count(*) AS BIGINT) AS cn,
+         |      CAST(coalesce(sum(count(*)) OVER (ORDER BY va
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cb
+         |    FROM rws GROUP BY va)),
+         |rb AS (
+         |  SELECT vb AS v, 2 * cb + cn + 1 AS r FROM (
+         |    SELECT vb, CAST(count(*) AS BIGINT) AS cn,
+         |      CAST(coalesce(sum(count(*)) OVER (ORDER BY vb
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cb
+         |    FROM rws GROUP BY vb)),
+         |j AS (
+         |  SELECT r1.r AS rra, r2.r AS rrb
+         |  FROM rws JOIN ra r1 ON r1.v = rws.va
+         |    JOIN rb r2 ON r2.v = rws.vb),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(rra AS HUGEINT)) AS sa,
+         |    sum(CAST(rrb AS HUGEINT)) AS sb,
+         |    sum(CAST(rra AS HUGEINT) * CAST(rra AS HUGEINT)) AS saa,
+         |    sum(CAST(rrb AS HUGEINT) * CAST(rrb AS HUGEINT)) AS sbb,
+         |    sum(CAST(rra AS HUGEINT) * CAST(rrb AS HUGEINT)) AS sab
+         |  FROM j)
+         |SELECT n,
+         |  CASE WHEN CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE)
+         |      = 0.0
+         |    OR CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE) = 0.0
+         |    THEN 0.0
+         |    ELSE floor((CAST(CAST(n AS HUGEINT) * sab - sa * sb
+         |        AS DOUBLE)
+         |      / (sqrt(CAST(CAST(n AS HUGEINT) * saa - sa * sa
+         |          AS DOUBLE))
+         |        * sqrt(CAST(CAST(n AS HUGEINT) * sbb - sb * sb
+         |          AS DOUBLE))) + 1000.0) * 10000.0 + 0.5) / 10000.0
+         |      - 1000.0 END AS rho
+         |FROM agg""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(
+          floor(TextFunctions.classifierProb(col("text")) *
+            lit(10000.0) + lit(0.5)).cast("long").as("va"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("vb"))
+        LabelQuality.spearman(d, "va", "vb")
+      }),
+
+    // ---- Murphy decomposition of the Brier score over forecast
+    //      deciles — reliability / resolution / uncertainty beside
+    //      x176's ECE and x183's AUC, plus the within-bin variance
+    //      that separates the raw Brier from the binned identity ----
+    Q("x232_brier_decomposition", Some(
+      s"""WITH ${classifierCtes("documents")},
+         |${gopherKeepCtes("documents")},
+         |sc AS (
+         |  SELECT CAST(floor(cp.cls_prob * 10000.0 + 0.5) AS BIGINT)
+         |      AS pq,
+         |    CAST(CASE WHEN g.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM cp JOIN g USING (doc_id)),
+         |sc2 AS (
+         |  SELECT pq, y, least((pq * 10) // 10000, 9) AS b FROM sc),
+         |per AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(pq) AS BIGINT) AS sp,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST((pq - 10000 * y) * (pq - 10000 * y) AS HUGEINT))
+         |      AS sq,
+         |    sum(CAST(pq * pq AS HUGEINT)) AS spp
+         |  FROM sc2 GROUP BY b),
+         |tq AS (
+         |  SELECT b, nk, sy, sq,
+         |    CAST(floor(CAST(sp - 10000 * sy AS DOUBLE)
+         |      * CAST(sp - 10000 * sy AS DOUBLE)
+         |      / CAST(nk AS DOUBLE) + 0.5) AS BIGINT) AS rel_t,
+         |    CAST(floor((CAST(spp AS DOUBLE)
+         |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+         |        / CAST(nk AS DOUBLE)) + 0.5) AS BIGINT) AS wbv_t
+         |  FROM per),
+         |tot AS (
+         |  SELECT CAST(sum(nk) AS BIGINT) AS n,
+         |    CAST(sum(sy) AS BIGINT) AS yy,
+         |    sum(sq) AS sq, CAST(sum(rel_t) AS BIGINT) AS rel_q,
+         |    CAST(sum(wbv_t) AS BIGINT) AS wbv_q
+         |  FROM tq),
+         |res AS (
+         |  SELECT CAST(sum(CAST(floor(
+         |      (CAST(sy AS DOUBLE) * CAST(n AS DOUBLE)
+         |        - CAST(yy AS DOUBLE) * CAST(nk AS DOUBLE))
+         |      * (CAST(sy AS DOUBLE) * CAST(n AS DOUBLE)
+         |        - CAST(yy AS DOUBLE) * CAST(nk AS DOUBLE))
+         |      / (CAST(nk AS DOUBLE) * CAST(n AS DOUBLE)
+         |        * CAST(n AS DOUBLE)) * 100000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS res_q
+         |  FROM tq, tot)
+         |SELECT n,
+         |  floor(CAST(yy AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0
+         |    + 0.5) / 10000.0 AS base_rate,
+         |  floor(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 100000000.0)
+         |    * 10000.0 + 0.5) / 10000.0 AS brier,
+         |  floor(CAST(rel_q AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 100000000.0) * 10000.0 + 0.5)
+         |    / 10000.0 AS reliability,
+         |  floor(CAST(res_q AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 100000000.0) * 10000.0 + 0.5)
+         |    / 10000.0 AS resolution,
+         |  floor(CAST(yy AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * (1.0 - CAST(yy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS uncertainty,
+         |  floor(CAST(wbv_q AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 100000000.0) * 10000.0 + 0.5)
+         |    / 10000.0 AS within_bin
+         |FROM tot, res""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QualityRules
+        val scored = t(s, dir, "documents").select(
+          TextFunctions.classifierProb(col("text")).as("cls_prob"),
+          QualityRules.gopherKeep(
+            QualityRules.tokenStats(col("text"))).as("keep"))
+        LabelQuality.brierDecomposition(scored, "cls_prob", "keep",
+          bins = 10)
       })
   )
 

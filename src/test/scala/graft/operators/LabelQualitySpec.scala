@@ -226,4 +226,48 @@ class LabelQualitySpec extends SparkSpec {
     assert(deg.getAs[Double]("coverage") == 1.0)
     assert(deg.getAs[Double]("avg_set_size") == 2.0)
   }
+
+  test("spearman: monotone pairs hit ±1 through ties-safe average " +
+    "ranks; designed-independent grid is 0; constant column guarded") {
+    val mono = (1L to 10L).map(i => (i, i * i)).toDF("a", "b")
+    assert(LabelQuality.spearman(mono, "a", "b").head()
+      .getAs[Double]("rho") == 1.0)
+    val inv = (1L to 10L).map(i => (i, 100L - i)).toDF("a", "b")
+    assert(LabelQuality.spearman(inv, "a", "b").head()
+      .getAs[Double]("rho") == -1.0)
+    // tied grid: ranks (1.5,1.5,3.5,3.5) x (1.5,3.5,1.5,3.5) -> 0
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(LabelQuality.spearman(grid, "a", "b").head()
+      .getAs[Double]("rho") == 0.0)
+    val const = (1L to 5L).map(i => (i, 7L)).toDF("a", "b")
+    assert(LabelQuality.spearman(const, "a", "b").head()
+      .getAs[Double]("rho") == 0.0)
+  }
+
+  test("brierDecomposition: calibrated two-bin case satisfies the " +
+    "Murphy identity exactly; overconfident one-bin case pays it all " +
+    "in reliability") {
+    // 10 rows at p=0.2 with 2 positives, 10 at p=0.8 with 8: rel 0,
+    // res 0.09, unc 0.25, brier 0.16 = 0 - 0.09 + 0.25
+    val cal = ((1 to 2).map(_ => (0.2, true)) ++
+      (1 to 8).map(_ => (0.2, false)) ++
+      (1 to 8).map(_ => (0.8, true)) ++ (1 to 2).map(_ => (0.8, false)))
+      .toDF("p", "y")
+    val g = LabelQuality.brierDecomposition(cal, "p", "y").head()
+    assert(g.getAs[Long]("n") == 20L)
+    assert(g.getAs[Double]("base_rate") == 0.5)
+    assert(g.getAs[Double]("brier") == 0.16)
+    assert(g.getAs[Double]("reliability") == 0.0)
+    assert(g.getAs[Double]("resolution") == 0.09)
+    assert(g.getAs[Double]("uncertainty") == 0.25)
+    assert(g.getAs[Double]("within_bin") == 0.0)
+    // all p=0.9, half positive: brier 0.41 = rel 0.16 - 0 + 0.25
+    val over = ((1 to 5).map(_ => (0.9, true)) ++
+      (1 to 5).map(_ => (0.9, false))).toDF("p", "y")
+    val o = LabelQuality.brierDecomposition(over, "p", "y").head()
+    assert(o.getAs[Double]("brier") == 0.41)
+    assert(o.getAs[Double]("reliability") == 0.16)
+    assert(o.getAs[Double]("resolution") == 0.0)
+    assert(o.getAs[Double]("uncertainty") == 0.25)
+  }
 }
