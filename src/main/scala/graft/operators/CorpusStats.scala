@@ -1110,6 +1110,47 @@ object CorpusStats {
             roundTo).minus(lit(1000.0))).as("fk_grade"))
   }
 
+  /** Marginal gram novelty per source — "which sources actually add
+    * text the corpus doesn't already have": every distinct k-token
+    * span is OWNED by its lexicographically-first source, and a
+    * source's novelty is the fraction of its distinct spans it owns.
+    * The deduplicated-acquisition view of the x189 source-similarity
+    * matrix: a mirror site scores ~0 novelty no matter how big it is,
+    * which is the number an acquisition budget should look at.
+    * (Canonical name order makes the attribution deterministic; any
+    * priority order — crawl date, quality — is one ORDER change.)
+    *
+    * Scale shape: one positional-gram fan-out (24-byte hashed rows,
+    * the x43 class) → per-source DISTINCT (one shuffle) → a min-owner
+    * aggregation on the distinct-gram table. Exact integers to one
+    * rounded division.
+    *
+    * Returns (source, n_grams, n_novel, novelty), sources with no
+    * k-span omitted (nothing to attribute). */
+  def sourceNovelty(df: DataFrame, sourceCol: String, textCol: String,
+                    k: Int = 8, roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val base = df.select(col(sourceCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val g = base.filter(col("n_tok") >= k)
+      .select(col("source"), explode(
+        transform(sequence(lit(0), size(col("tk")) - k),
+          i => TextFunctions.md5Hash60(
+            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))).as("h"))
+      .distinct()
+    val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val nov = g.groupBy("h").agg(min(col("source")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    per.join(nov, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        TextFunctions.portableRound(
+          coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), roundTo).as("novelty"))
+      .orderBy("source")
+  }
+
   /** Interpolated Kneser–Ney bigram bits per token — the STANDARD LM
     * smoothing ([[bigramBits]] ships add-1, the teaching baseline; KN
     * is what production n-gram scorers like KenLM actually run):

@@ -352,6 +352,41 @@ object Profiling {
       .orderBy(groupCol)
   }
 
+  /** Weekday-seasonality anomaly flags per daily series — the
+    * calendar-aware complement to [[autocorrelation]] (which detects
+    * that a weekly cycle exists; this says which days BREAK it): each
+    * day's count is compared to its own weekday's mean for the series,
+    * flagged when it deviates by more than half the expected level.
+    * Weekday = epoch-day mod 7 (epoch-aligned index — deterministic
+    * with no calendar library on either engine; day 0 = a Thursday).
+    *
+    * The flag compare is EXACT integers: |x − s/n| > (s/n)/2 ⟺
+    * |2·x·n − 2·s| > s with s = weekday sum, n = weekday day-count —
+    * no rounded threshold can flip a boundary day between engines.
+    * One daily aggregation + one weekday aggregation + a keyed join;
+    * all frames calendar-bounded.
+    *
+    * Output: (series, t, weekday, x, expected, flagged) — every day,
+    * flag set on the breakers. */
+  def weekdayAnomaly(df: DataFrame, seriesCol: String, timeCol: String,
+                     valueCol: String, roundTo: Int = 4): DataFrame = {
+    val pts = df.select(col(seriesCol).as("series"),
+        col(timeCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("weekday", pmod(col("t"), lit(7L)))
+    val wd = pts.groupBy("series", "weekday")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nw"))
+    pts.join(wd, Seq("series", "weekday"))
+      .select(col("series").as(seriesCol), col("t"), col("weekday"),
+        col("x"),
+        TextFunctions.portableRound(
+          col("s").cast("double") / col("nw").cast("double"), roundTo)
+          .as("expected"),
+        (abs(lit(2L) * col("x") * col("nw") - lit(2L) * col("s")) >
+          col("s")).as("flagged"))
+      .orderBy(seriesCol, "t")
+  }
+
   /** Dependence report for two categorical columns — chi-square
     * independence statistic, Cramér's V effect size, and mutual
     * information in bits, from ONE contingency aggregation: the "is

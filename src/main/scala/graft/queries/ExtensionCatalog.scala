@@ -9642,6 +9642,65 @@ object ExtensionCatalog {
             QualityRules.tokenStats(col("text"))).as("keep"))
         LabelQuality.brierDecomposition(scored, "cls_prob", "keep",
           bins = 10)
+      }),
+
+    // ---- marginal gram novelty per source — the deduplicated-
+    //      acquisition view of x189's similarity matrix: every
+    //      distinct 8-token span is owned by its first source, and a
+    //      mirror site scores ~0 novelty regardless of size ----
+    Q("x233_source_novelty", Some(
+      s"""WITH tk AS (
+         |  SELECT source, ${tokSql("text")} AS t FROM documents),
+         |base AS (
+         |  SELECT source, CAST(len(t) AS BIGINT) AS n_tok, t FROM tk),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+         |  FROM base, unnest(generate_series(0, CAST(n_tok AS INTEGER) - 8)) AS u(i)
+         |  WHERE n_tok >= 8),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM g GROUP BY 1),
+         |nov AS (
+         |  SELECT owner AS source, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM (SELECT h, min(source) AS owner FROM g GROUP BY h)
+         |  GROUP BY 1)
+         |SELECT p.source, n_grams, coalesce(n_novel, 0) AS n_novel,
+         |  floor(CAST(coalesce(n_novel, 0) AS DOUBLE)
+         |    / CAST(n_grams AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS novelty
+         |FROM per p LEFT JOIN nov USING (source)
+         |ORDER BY source""".stripMargin),
+      (s, dir) => CorpusStats.sourceNovelty(t(s, dir, "documents"),
+        "source", "text", k = 8)),
+
+    // ---- weekday-seasonality anomaly flags — which days BREAK the
+    //      weekly cycle x218 detects: exact-integer relative-deviation
+    //      compare (|2xn − 2s| > s), epoch-aligned weekday index, all
+    //      frames calendar-bounded ----
+    Q("x234_weekday_anomaly", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (SELECT event_type, t, x, t % 7 AS weekday FROM daily),
+        |wd AS (
+        |  SELECT event_type, weekday, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS nw
+        |  FROM pts GROUP BY 1, 2)
+        |SELECT p.event_type, p.t, p.weekday, p.x,
+        |  floor(CAST(s AS DOUBLE) / CAST(nw AS DOUBLE) * 10000.0 + 0.5)
+        |    / 10000.0 AS expected,
+        |  abs(2 * p.x * nw - 2 * s) > s AS flagged
+        |FROM pts p JOIN wd
+        |  ON wd.event_type = p.event_type AND wd.weekday = p.weekday
+        |ORDER BY p.event_type, p.t""".stripMargin),
+      (s, dir) => {
+        val daily = ReferenceCatalog.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("t"))
+          .groupBy("event_type", "t").agg(count(lit(1)).as("x"))
+        Profiling.weekdayAnomaly(daily, "event_type", "t", "x")
       })
   )
 

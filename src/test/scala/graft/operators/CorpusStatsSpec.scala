@@ -546,4 +546,21 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.kneserNeyBits(docs, "doc_id", "text", discount = 1.5)
     }
   }
+
+  test("sourceNovelty: mirror source owns nothing, unique source owns " +
+    "all, attribution is first-name-deterministic; short docs omitted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val nine = (1 to 9).map("t" + _).mkString(" ")
+    val docs = Seq(("a", nine), ("b", nine),
+      ("c", (1 to 9).map("u" + _).mkString(" ")),
+      ("d", "too short")).toDF("source", "text")
+    val got = CorpusStats.sourceNovelty(docs, "source", "text", k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((2L, 2L, 1.0)), "first name owns the shared spans")
+    assert(got("b") == ((2L, 0L, 0.0)), "the mirror adds nothing")
+    assert(got("c") == ((2L, 2L, 1.0)))
+    assert(!got.contains("d"), "no k-span, nothing to attribute")
+  }
 }

@@ -256,4 +256,23 @@ class ProfilingSpec extends SparkSpec {
     assert(gd.getAs[Double]("cramers_v") == 1.0)
     assert(gd.getAs[Double]("mi_bits") == 1.0)
   }
+
+  test("weekdayAnomaly: breakers beyond half the weekday mean flagged " +
+    "on exact integer compares, the 50% boundary stays unflagged") {
+    // weekday 0 steady (10,10); weekday 1 mild (10,16 -> 23% off);
+    // weekday 2 breakers (10,40 -> 60% off both sides);
+    // weekday 3 exact boundary (10,30 -> exactly 50% off, strict >)
+    val rows = Seq(
+      ("e", 0L, 10L), ("e", 7L, 10L), ("e", 1L, 10L), ("e", 8L, 16L),
+      ("e", 2L, 10L), ("e", 9L, 40L), ("e", 3L, 10L), ("e", 10L, 30L))
+      .toDF("series", "t", "x")
+    val got = Profiling.weekdayAnomaly(rows, "series", "t", "x")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Double]("expected"), r.getAs[Boolean]("flagged")))).toMap
+    assert(got(0L) == ((10.0, false)) && got(7L) == ((10.0, false)))
+    assert(got(1L) == ((13.0, false)) && got(8L) == ((13.0, false)))
+    assert(got(2L) == ((25.0, true)) && got(9L) == ((25.0, true)))
+    assert(got(3L) == ((20.0, false)), "exactly half is NOT a breaker")
+    assert(got(10L) == ((20.0, false)))
+  }
 }
