@@ -581,6 +581,38 @@ object ScaleStress {
       cand
     })
 
+    // round-10b tranche: the shapes with a data-dependent fan-out.
+    // weighted Jaccard rides the verified-pair subset (replica cliques
+    // inflate pairs ~factor²/2 per base doc under all-pairs verify —
+    // measure against the SPANNING edge set, the production shape,
+    // where pair count is linear in the replication)
+    time("weighted jaccard (spanning)")({
+      val pairs = Dedup.nearDupPipeline(docs, "doc_id", "text",
+        edges = "spanning")
+      Dedup.weightedJaccard(docs, "doc_id", "text", pairs).count()
+    })
+    // Poisson bootstrap: the honest 20× row fan-out must combine
+    // map-side to (group, replicate) grain — wall time linear in
+    // corpus, shuffle bounded by g·B rows
+    time("bootstrap ci (B=20)")({
+      val scored = docs.select(col("doc_id"), col("lang"),
+        (pmod(col("doc_id"), lit(10000L)).cast("double") / lit(10000.0))
+          .as("p"))
+      graft.operators.Sampling.bootstrapCi(scored, "doc_id", "lang",
+        "p").count()
+    })
+    // source novelty: one positional-gram fan-out + distinct + min
+    // owner — the x43 cost class, linear in corpus tokens
+    time("source novelty k=8")(graft.operators.CorpusStats
+      .sourceNovelty(docs, "lang", "text").count())
+    // spearman: histogram ranks + one materialized row frame — the
+    // rank machinery isolated behind a cheap upstream score
+    time("spearman ranks")({
+      val rows = docs.select(pmod(col("doc_id"), lit(10000L)).as("va"),
+        length(col("text")).cast("long").as("vb"))
+      graft.operators.LabelQuality.spearman(rows, "va", "vb").count()
+    })
+
     if (only.isEmpty) MergeStress.run(spark, factor, work)
     spark.stop()
   }
