@@ -796,7 +796,8 @@ object Dedup {
     val gb = p.join(tc, col("id_b") === col("doc_id"))
       .select(col("id_a").as("ba"), col("id_b").as("bb"),
         col("h").as("bh"), col("c").as("cb"))
-    ga.join(gb, col("id_a") === col("ba") && col("id_b") === col("bb") &&
+    val per = ga.join(gb,
+        col("id_a") === col("ba") && col("id_b") === col("bb") &&
         col("h") === col("bh"), "full")
       .select(coalesce(col("id_a"), col("ba")).as("id_a"),
         coalesce(col("id_b"), col("bb")).as("id_b"),
@@ -805,8 +806,15 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(sum(least(col("ca"), col("cb"))).as("sum_min"),
         sum(greatest(col("ca"), col("cb"))).as("sum_max"))
-      .select(col("id_a"), col("id_b"), col("sum_min"), col("sum_max"),
-        when(col("sum_max") === 0L, lit(0.0))
+    // left join back to the pair list: a pair whose BOTH sides
+    // tokenize to nothing has no token rows at all and must still
+    // report (0, 0, 0.0) — silently dropping it would leave a caller's
+    // score join with nulls
+    p.join(per, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("sum_min"), lit(0L)).as("sum_min"),
+        coalesce(col("sum_max"), lit(0L)).as("sum_max"),
+        when(coalesce(col("sum_max"), lit(0L)) === 0L, lit(0.0))
           .otherwise(TextFunctions.portableRound(
             col("sum_min").cast("double") / col("sum_max").cast("double"),
             roundTo)).as("w_jaccard"))

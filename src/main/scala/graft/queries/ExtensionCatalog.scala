@@ -9177,11 +9177,15 @@ object ExtensionCatalog {
          |    CAST(sum(least(ca, cb)) AS BIGINT) AS sum_min,
          |    CAST(sum(greatest(ca, cb)) AS BIGINT) AS sum_max
          |  FROM u GROUP BY 1, 2)
-         |SELECT id_a, id_b, sum_min, sum_max,
-         |  CASE WHEN sum_max = 0 THEN 0.0
+         |SELECT vp.id_a, vp.id_b,
+         |  coalesce(sum_min, 0) AS sum_min,
+         |  coalesce(sum_max, 0) AS sum_max,
+         |  CASE WHEN coalesce(sum_max, 0) = 0 THEN 0.0
          |    ELSE floor(CAST(sum_min AS DOUBLE) / CAST(sum_max AS DOUBLE)
          |      * 10000.0 + 0.5) / 10000.0 END AS w_jaccard
-         |FROM per ORDER BY id_a, id_b""".stripMargin),
+         |FROM vp LEFT JOIN per
+         |  ON per.id_a = vp.id_a AND per.id_b = vp.id_b
+         |ORDER BY vp.id_a, vp.id_b""".stripMargin),
       (s, dir) => Dedup.weightedJaccard(t(s, dir, "documents"),
         "doc_id", "text", verifiedPairs(s, dir))),
 

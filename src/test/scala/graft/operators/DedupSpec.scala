@@ -323,4 +323,18 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 3L)) == ((0L, 6L, 0.0)))
     assert(got.size == 2)
   }
+
+  test("weightedJaccard: byte-identical pair scores exactly 1.0; " +
+    "empty-text pair guards the zero denominator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a b a"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.weightedJaccard(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("w_jaccard")).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((3L, 4L)) == 0.0, "no tokens on either side -> 0, not NaN")
+  }
 }

@@ -275,4 +275,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got(3L) == ((20.0, false)), "exactly half is NOT a breaker")
     assert(got(10L) == ((20.0, false)))
   }
+
+  test("trendTest/changepointTest: a single-point series has no pairs " +
+    "and is omitted rather than fabricated") {
+    val df = (Seq(("solo", 1L, 5L)) ++
+      (1 to 5).map(i => ("ok", i.toLong, i.toLong))).toDF("series", "t", "x")
+    val tt = Profiling.trendTest(df, "series", "t", "x")
+      .collect().map(_.getString(0)).toSet
+    assert(tt == Set("ok"), "no pairwise evidence, no trend row")
+    // Pettitt keeps it: V is defined from one self-join row (sign vs
+    // itself = 0), K = 0, p = 1
+    val cp = Profiling.changepointTest(df, "series", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cp("solo").getAs[Long]("k_stat") == 0L)
+    assert(cp("solo").getAs[Double]("p_value") == 1.0)
+  }
+
+  test("dependenceReport: a single-level column yields dof 0 and the " +
+    "guarded zero Cramer's V, never a division error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 10).map(i => ("only", if (i % 2 == 0) "p" else "q"))
+      .toDF("a", "b")
+    val g = Profiling.dependenceReport(df, "a", "b").head()
+    assert(g.getAs[Long]("dof") == 0L)
+    assert(g.getAs[Double]("chi2") == 0.0)
+    assert(g.getAs[Double]("cramers_v") == 0.0)
+    assert(g.getAs[Double]("mi_bits") == 0.0)
+  }
 }

@@ -519,4 +519,17 @@ class SamplingSpec extends SparkSpec {
       other("mix").getAs[Double]("ci_hi") !=
       mix.getAs[Double]("ci_hi"), "fresh salt must redraw")
   }
+
+  test("purgedTimeSplit: a top-heavy quantile (k=n at 9/10 over ties) " +
+    "still yields a nonempty test side only past the cut bucket") {
+    // all rows share one bucket: cut = that bucket, everything is
+    // purged-or-train, test empty — the degenerate single-bucket case
+    val rows = (1 to 10).map(i => ("g", 5L)).toDF("grp", "ms")
+    val got = Sampling.purgedTimeSplit(rows, "ms", "grp",
+      bucketMs = 1L, embargoBuckets = 0L).head()
+    assert(got.getAs[Long]("n_train") == 10L)
+    assert(got.getAs[Long]("n_purged") == 0L)
+    assert(got.getAs[Long]("n_test") == 0L)
+    assert(got.getAs[Long]("cut_bucket") == 5L)
+  }
 }
