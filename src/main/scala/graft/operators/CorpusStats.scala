@@ -609,7 +609,8 @@ object CorpusStats {
     * can't ride the bigram pass), scored-corpus bigrams (dc). */
   def bigramBitsSubset(df: DataFrame, idCol: String, textCol: String,
                        modelPred: Column, roundTo: Int = 4,
-                       materializeModel: Boolean = true): DataFrame = {
+                       materializeModel: Boolean = true,
+                       broadcastMaxModelRows: Long = 3000000L): DataFrame = {
     def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
       transform(TextFunctions.tokens(lower(col(textCol))),
         t => TextFunctions.md5Hash60(t)).as("hs"))
@@ -632,7 +633,12 @@ object CorpusStats {
     // ~2× at sf1).
     val mhsRaw = hashed(model)
     val mhs = if (materializeModel) mhsRaw.localCheckpoint() else mhsRaw
-    val c2 = bigrams(mhs).groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
+    val c2Raw = bigrams(mhs).groupBy("h1", "h2")
+      .agg(count(lit(1)).as("c2"))
+    // materialize the joint-count table too: its row count decides the
+    // join strategy below, and the broadcast/shuffle join then reuses
+    // the same materialization instead of re-aggregating
+    val c2 = if (materializeModel) c2Raw.localCheckpoint() else c2Raw
     val c1 = c2.groupBy("h1").agg(sum(col("c2")).as("c1"))
     val v = mhs.select(explode(col("hs")).as("h"))
       .agg(count_distinct(col("h"))).head().getLong(0)
@@ -648,7 +654,16 @@ object CorpusStats {
       log2((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
         (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")) *
       lit(1e8) + lit(0.5)).cast("long")
-    val per = if (materializeModel) {
+    // Join strategy from the MEASURED model size, never the caller
+    // flag alone: a "clean subset" model is corpus-PROPORTIONAL in the
+    // CCNet shape (x182), so a forced broadcast would hit Spark's 8 GB
+    // broadcast ceiling / driver OOM at scale with no fallback. The
+    // count is one cheap agg over the already-checkpointed c2; above
+    // the row gate the shuffle path below takes over (value-identical
+    // — same left joins, same logQ tree).
+    val broadcastModel = materializeModel &&
+      c2.count() <= broadcastMaxModelRows
+    val per = if (broadcastModel) {
       // small-model path: the raw bigram stream joins the BROADCAST
       // model tables and aggregates straight to doc grain — the only
       // shuffle left is |docs| rows of (n_big, tq) partial sums
@@ -658,8 +673,9 @@ object CorpusStats {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_big"), sum(logQ).as("tq"))
     } else {
-      // self-model path: model tables are corpus-sized, so shrink the
-      // stream to per-doc distinct counts first and shuffle-join
+      // self-model / over-gate path: model tables are corpus-sized (or
+      // measured too large to broadcast), so shrink the stream to
+      // per-doc distinct counts first and shuffle-join
       val dc = bigrams(hashed(df)).groupBy("doc_id", "h1", "h2")
         .agg(count(lit(1)).as("c"))
       dc.join(c2, Seq("h1", "h2"), "left").join(c1, Seq("h1"), "left")

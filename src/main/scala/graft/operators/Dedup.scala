@@ -782,7 +782,11 @@ object Dedup {
     * Returns (id_a, id_b, sum_min, sum_max, w_jaccard). */
   def weightedJaccard(df: DataFrame, idCol: String, textCol: String,
                       pairs: DataFrame, roundTo: Int = 4): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b"))
+    // distinct FIRST: a duplicated (id_a, id_b) input row would join
+    // ga×gb quadratically — sum_min/sum_max inflate (w_jaccard's ratio
+    // survives but the documented exact sums go wrong) and the output
+    // emits duplicate pair rows
+    val p = pairs.select(col("id_a"), col("id_b")).distinct()
     val ids = p.select(col("id_a").as("doc_id"))
       .union(p.select(col("id_b").as("doc_id"))).distinct()
     val tc = df.select(col(idCol).as("doc_id"), col(textCol).as("_t"))

@@ -165,8 +165,14 @@ object Sketches {
                   depth: Int = 4, width: Int = 1024, k: Int = 50)
       : DataFrame = {
     val tc = termCounts(df, textCol)
+    // LEFT join + coalesce-to-0: a probed term whose (d, bkt) cell is
+    // absent from the store has a true cell count of 0 — an inner join
+    // would drop the lane (min over fewer lanes overestimates) or drop
+    // the term entirely, diverging from cmsTopK whenever the probe
+    // corpus isn't fully covered by the sketched batches
     rowBucket(depth, width)(tc)
-      .join(sketch, Seq("d", "bkt"))
+      .join(sketch, Seq("d", "bkt"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .groupBy("term", "cnt").agg(min(col("s")).as("est"))
       .select(col("term"), col("cnt").cast("long").as("true_cnt"),
         col("est").cast("long").as("est_cnt"),

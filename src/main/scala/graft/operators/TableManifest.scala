@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File manifest for [[MergeUpsert.mergeWrite]]'s date-partitioned
@@ -28,6 +28,17 @@ object TableManifest {
 
   private def manifestPath(path: String) = s"$path/_manifest"
 
+  /** `input_file_name()` returns the URI-ENCODED path (SparkPath's
+    * url-encoded form); the manifest stores the DECODED filesystem
+    * path, so re-reads address the literal on-disk names (a partition
+    * value with a space yields a dir with a literal space but a `%20`
+    * in the URI form — reading the encoded string back would miss it).
+    * `url_decode` form-decodes `'+'` to space, so literal `'+'` is
+    * protected first; a real `'%'` in the name is always `%25` in the
+    * URI form, so one decode is exact. */
+  private def decodeUri(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
   /** Scan the given partition values' files and compute one manifest
     * row per file. O(touched partitions), not O(table). */
   private def statsFor(spark: SparkSession, path: String,
@@ -35,10 +46,15 @@ object TableManifest {
                        keyCol: String): DataFrame =
     // the partition DIRS are addressed directly (basePath keeps the
     // partition column) — listing touches k dirs, never the table root
-    // recursively, so maintenance stays O(touched) in LIST calls too
+    // recursively, so maintenance stays O(touched) in LIST calls too.
+    // Partition VALUES are escaped exactly as the writer escaped them
+    // (Spark's Hive-style partition-path escaping) so values with
+    // reserved chars (':', '%', '#', …) address the real dir.
     spark.read.option("basePath", path)
-      .parquet(parts.map(v => s"$path/$partitionCol=$v"): _*)
-      .groupBy(input_file_name().as("file"),
+      .parquet(parts.map(v => s"$path/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)): _*)
+      .groupBy(decodeUri(input_file_name()).as("file"),
         col(partitionCol).cast("string").as("part"))
       .agg(count(lit(1)).as("rows"),
         min(col(keyCol)).cast("string").as("key_lo"),

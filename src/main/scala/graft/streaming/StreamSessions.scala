@@ -66,8 +66,13 @@ object StreamSessions {
       }
       .start()
     q.awaitTermination()
+    // existence via Hadoop FileSystem, not java.io.File: the output may
+    // carry a URI scheme (file:/, hdfs:/, s3a:/) where a local-path
+    // check is silently false even when the sink wrote rows
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val raw =
-      if (new java.io.File(out).exists()) spark.read.parquet(out)
+      if (fs.exists(outPath)) spark.read.parquet(out)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(sessions.schema))

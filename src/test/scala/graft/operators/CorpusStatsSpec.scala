@@ -434,6 +434,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!bits.isNaN && !bits.isInfinite && bits > 1.0, s"bits=$bits")
   }
 
+  test("bigramBitsSubset: the broadcast gate's shuffle fallback is " +
+    "value-identical to the broadcast path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1 to 12).map(i =>
+      (i.toLong, s"alpha beta tok${i % 4} gamma beta"))
+      .toDF("doc_id", "text")
+    val pred = col("doc_id") % 2 === 0
+    val viaBroadcast = CorpusStats.bigramBitsSubset(
+      docs, "doc_id", "text", pred).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // gate of 0 rows: a materialized model MEASURED too large to
+    // broadcast must fall back to the shuffle path, same values
+    val viaShuffle = CorpusStats.bigramBitsSubset(
+      docs, "doc_id", "text", pred, broadcastMaxModelRows = 0L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaBroadcast == viaShuffle)
+  }
+
   test("goodTuring: hand-computed hapax mass") {
     val spark2 = spark
     import spark2.implicits._

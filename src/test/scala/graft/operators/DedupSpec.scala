@@ -337,4 +337,21 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 2L)) == 1.0)
     assert(got((3L, 4L)) == 0.0, "no tokens on either side -> 0, not NaN")
   }
+
+  test("weightedJaccard: duplicated pair rows neither inflate the " +
+    "exact sums nor duplicate output rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b")).toDF("doc_id", "text")
+    // the same pair delivered 3× (an un-deduped LSH candidate list) —
+    // without the input distinct, ga×gb would multiply token matches
+    // quadratically (sum_min 2→18, sum_max 4→36)
+    val pairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val rows = Dedup.weightedJaccard(docs, "doc_id", "text", pairs)
+      .collect()
+    assert(rows.length == 1, "one output row per distinct pair")
+    val r = rows.head
+    assert((r.getAs[Long]("sum_min"), r.getAs[Long]("sum_max"),
+      r.getAs[Double]("w_jaccard")) == ((2L, 4L, 0.5)))
+  }
 }

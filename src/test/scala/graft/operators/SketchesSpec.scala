@@ -251,4 +251,24 @@ class SketchesSpec extends SparkSpec {
       k = 10).collect().map(_.toSeq)
     assert(direct.toSeq == probed.toSeq)
   }
+
+  test("cmsTopKWith: probe terms the store never sketched report " +
+    "est_cnt 0 (one-sided error holds on uncovered probes)") {
+    val sketched = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft-cms-u")
+      .toString + "/s"
+    Sketches.appendCms(spark, p, sketched, "text", depth = 2, width = 64)
+    // probe corpus has tokens the sketch never saw — their (d, bkt)
+    // cells are absent from the store; they must surface with est 0,
+    // not vanish or min over fewer lanes
+    val probe = Seq((2L, "alpha zulu zulu zulu")).toDF("doc_id", "text")
+    val got = Sketches.cmsTopKWith(probe, "text",
+      MergeUpsert.readPlain(spark, p), depth = 2, width = 64, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt")))).toMap
+    assert(got.contains("zulu"), "uncovered term must not vanish")
+    assert(got("zulu") == ((3L, 0L)),
+      "term absent from every sketched batch estimates 0")
+    assert(got("alpha")._2 >= 1L, "covered term keeps its store estimate")
+  }
 }

@@ -79,6 +79,47 @@ class TableManifestSpec extends SparkSpec {
     assert(got == Map("2024-01-01" -> 50L, "2024-02-01" -> 20L))
   }
 
+  test("partition values needing URI/path escaping (space, ':', '%', " +
+    "'+') survive build, carry-over, and re-read") {
+    val path = tmpDir()
+    // ':' and '%' are Hive-escaped in the dir name; ' ' and '+' stay
+    // literal on disk but are %-encoded in input_file_name()'s URI
+    // form — together they cover both failure classes the manifest
+    // must round-trip
+    val parts = Seq("a b", "x:y", "p%q", "c+d")
+    val df = parts.zipWithIndex.flatMap { case (p, i) =>
+      (1L to 10L).map(k => (i * 100L + k, p, 1.0))
+    }.toDF("id", "date", "value")
+    TableManifest.mergeWriteManifested(spark, path, df, keys = Seq("id"))
+    val m = TableManifest.load(spark, path).get.collect()
+    assert(m.map(_.getAs[String]("part")).toSet == parts.toSet,
+      "manifest part values must be the DECODED partition values")
+    // every manifest file path must re-read: decoded paths address the
+    // literal on-disk names
+    val viaM = TableManifest.readViaManifest(spark, path)
+    assert(viaM.count() == 40L)
+    assert(viaM.select("date").distinct().as[String].collect().toSet ==
+      parts.toSet)
+    // incremental merge touching ONE escaped partition: statsFor must
+    // address the escaped dir, untouched escaped entries carry over
+    val before = m.map(r => r.getString(1) -> r.getString(0)).toMap
+    TableManifest.mergeWriteManifested(spark, path,
+      Seq((105L, "x:y", 9.0), (999L, "x:y", 9.0))
+        .toDF("id", "date", "value"), keys = Seq("id"))
+    val after = TableManifest.load(spark, path).get.collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(after("a b") == before("a b") && after("p%q") == before("p%q"),
+      "untouched escaped partitions' entries must carry over")
+    assert(after("x:y") != before("x:y"))
+    val got = TableManifest.readViaManifest(spark, path)
+      .filter(col("id") === 105L).select("value").head().getDouble(0)
+    assert(got == 9.0)
+    assert(TableManifest.readViaManifest(spark, path).count() == 41L)
+    // zone lookup still plans from the manifest over escaped dirs
+    val (hit, rep) = TableManifest.lookup(spark, path, "id", 999L, 999L)
+    assert(rep.filesKept >= 1 && hit.count() == 1L)
+  }
+
   test("lookup prunes by partition and key zone, equals the naive " +
     "filter, reports evidence") {
     val path = tmpDir()
