@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Canary-normalized bench regression gate (round-10 verdict item 2).
+
+The raw per-query ratio between two bench artifacts confounds real
+regressions with HOST DRIFT: same-code sf0.1 totals have swung
+125.7 -> 161.0 s within two hours (PERF.md), and round 10's driver run
+flagged three queries at 2.5-4.1x that a clean-window re-bench put at
+0.73-0.95 s warm (no code change touched them). Both artifacts carry a
+CANARY (the same fixed probe query timed before and after the run);
+dividing each query's raw ratio by the run-pair's canary ratio removes
+the common host-speed factor, so the gate flags only movement the host
+cannot explain.
+
+Rule: flag query q when
+    (new[q] / old[q]) / canary_ratio > threshold   (default 2.0)
+and new[q] exceeds a floor (default 0.25 s -- sub-quarter-second rows
+are dominated by fixed job-launch latency, where ratios are noise).
+canary_ratio = mean(new canary pre, post) / mean(old canary pre, post),
+clamped to >= 1.0 when the new host is FASTER (a faster host must never
+excuse a genuine slowdown).
+
+Usage:
+    python3 scripts/bench_compare.py OLD.json NEW.json [--threshold 2.0]
+                                     [--floor 0.25]
+
+Exit 0 when nothing flags, 1 otherwise; prints one line per flagged
+query plus a summary either way.
+"""
+import argparse
+import json
+import sys
+
+
+def canary_mean(art):
+    vals = [art.get("canary_pre_sec"), art.get("canary_post_sec")]
+    vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+    return sum(vals) / len(vals) if vals else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--floor", type=float, default=0.25)
+    args = ap.parse_args()
+
+    old = json.load(open(args.old))
+    new = json.load(open(args.new))
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    if not common:
+        print("no common queries between artifacts", file=sys.stderr)
+        return 2
+
+    co, cn = canary_mean(old), canary_mean(new)
+    if co and cn:
+        raw_canary = cn / co
+        canary = max(1.0, raw_canary)  # faster host never excuses slowdown
+    else:
+        raw_canary = None
+        canary = 1.0
+
+    ratios = []
+    flagged = []
+    for q in common:
+        if oq[q] <= 0:
+            continue
+        raw = nq[q] / oq[q]
+        norm = raw / canary
+        ratios.append(norm)
+        if norm > args.threshold and nq[q] > args.floor:
+            flagged.append((q, raw, norm, oq[q], nq[q]))
+
+    ratios.sort()
+    med = ratios[len(ratios) // 2] if ratios else float("nan")
+    osum = sum(oq[q] for q in common)
+    nsum = sum(nq[q] for q in common)
+    print(f"common={len(common)} canary_ratio="
+          f"{raw_canary:.3f}" if raw_canary else "canary_ratio=n/a",
+          f"(applied {canary:.3f})  median_norm_ratio={med:.3f}  "
+          f"sum {osum:.1f}s -> {nsum:.1f}s ({nsum / osum:.2f}x)")
+    for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):
+        print(f"FLAG {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x "
+              f"norm {norm:.2f}x")
+    if raw_canary and raw_canary > 1.5:
+        print(f"WARN: canary ratio {raw_canary:.2f} marks a degraded "
+              "host window -- normalization can hide a real regression "
+              "behind the host factor; re-bench in a clean window "
+              "(canary near 1.0) before publishing these numbers")
+    if not flagged:
+        print("OK: no query exceeds "
+              f"{args.threshold}x after canary normalization "
+              f"(floor {args.floor}s)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1149,12 +1149,21 @@ object CorpusStats {
     val base = df.select(col(sourceCol).as("source"),
         TextFunctions.tokens(col(textCol)).as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
+    // materialize the distinct-gram table ONCE: `per` and `nov` below
+    // aggregate it on different keys, and the planner picks different
+    // physical distincts for the two branches (hash vs sort-based), so
+    // ReuseExchange does NOT cover the shared subtree — without the
+    // checkpoint the whole scan+fan-out runs twice (the Spearman
+    // fan-in lesson; PLANS showed two parquet scans for x233). The
+    // materialized frame is the ALREADY-DEDUPED 24-byte hash table,
+    // far smaller than the fan-out it replaces.
     val g = base.filter(col("n_tok") >= k)
       .select(col("source"), explode(
         transform(sequence(lit(0), size(col("tk")) - k),
           i => TextFunctions.md5Hash60(
             concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))).as("h"))
       .distinct()
+      .localCheckpoint()
     val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val nov = g.groupBy("h").agg(min(col("source")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n_novel"))

@@ -116,6 +116,95 @@ object TableManifest {
     report
   }
 
+  /** Manifest-planned read of the given PARTITION values: keep only
+    * the manifest files whose partition matches — the date-filtered
+    * endpoint read (QueryLayer's q07–q10 path) with zero directory
+    * listing. Falls back to the plain partition-pruned scan when the
+    * table has no manifest (a legacy table; pruning still skips data,
+    * but discovery lists the root). The residual `isin` filter keeps
+    * semantics identical either way. */
+  def readPartitions(spark: SparkSession, path: String, parts: Seq[Any],
+                     partitionCol: String = "date"): DataFrame =
+    load(spark, path) match {
+      case None =>
+        spark.read.parquet(path)
+          .filter(col(partitionCol).isin(parts: _*))
+      case Some(m) =>
+        val want = parts.map(_.toString)
+        val all = m.select("file", "part").collect()
+        require(all.nonEmpty, s"manifest at $path lists no files")
+        val kept = all.filter(r => want.contains(r.getString(1)))
+          .map(_.getString(0))
+        val df =
+          if (kept.isEmpty)
+            spark.read.option("basePath", path)
+              .parquet(all.head.getString(0)).filter(lit(false))
+          else spark.read.option("basePath", path)
+            .parquet(kept.toIndexedSeq: _*)
+        df.filter(col(partitionCol).isin(parts: _*))
+    }
+
+  /** [[readViaManifest]] when a manifest exists, the plain scan
+    * otherwise — the drop-in whole-table read for pipelines whose
+    * tables may predate manifest adoption. */
+  def readOrPlain(spark: SparkSession, path: String): DataFrame =
+    if (load(spark, path).isDefined) readViaManifest(spark, path)
+    else spark.read.parquet(path)
+
+  final case class CompactReport(partsCompacted: Int, filesBefore: Long,
+                                 filesAfter: Long)
+
+  /** Small-file compaction REGISTERED in the manifest: partitions
+    * whose file count exceeds `maxFilesPerPart` are found from the
+    * manifest itself (zero listing), their rows rewritten as one file
+    * per partition through the same dynamic partition overwrite the
+    * merge path uses, and exactly those partitions' manifest rows
+    * refreshed through the same atomic `_manifest` publish. Untouched
+    * partitions' files and manifest rows carry over byte-for-byte.
+    * Incremental merges can't create this state themselves (the merge
+    * repartitions to one file per touched date) — external appenders
+    * and task-parallel writers can, and their read cost would
+    * otherwise grow with every small file.
+    *
+    * Contract: the manifest must be CURRENT (run [[update]] after any
+    * out-of-band append) — the rewrite reads exactly the manifest's
+    * file list, so rows in unregistered files of a compacted partition
+    * would not survive the overwrite. */
+  def compactManifested(spark: SparkSession, path: String,
+                        keyCol: String, partitionCol: String = "date",
+                        maxFilesPerPart: Int = 1,
+                        retainVersions: Int = 2): CompactReport = {
+    val m = load(spark, path)
+      .getOrElse(sys.error(s"no manifest at $path — call update() first"))
+      .select("file", "part").collect()
+    val byPart = m.groupBy(_.getString(1))
+    val over = byPart.filter(_._2.length > maxFilesPerPart)
+    if (over.isEmpty)
+      return CompactReport(0, m.length.toLong, m.length.toLong)
+    val files = over.valuesIterator.flatten.map(_.getString(0)).toSeq
+    // read ONLY the over-threshold partitions' files (manifest-planned),
+    // rewrite them one-file-per-partition via dynamic overwrite — the
+    // same publish the merge path uses, so readers never see a partial
+    // partition
+    spark.read.option("basePath", path)
+      .parquet(files: _*)
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    spark.catalog.refreshByPath(path)
+    // refresh exactly the compacted partitions' manifest rows; the
+    // partition values re-enter statsFor in their DECODED string form
+    // (escaped back to the on-disk dir names there)
+    update(spark, path, partitionCol, over.keys.toSeq, keyCol,
+      retainVersions)
+    CompactReport(over.size,
+      m.length.toLong,
+      (m.length - files.length + over.size).toLong)
+  }
+
   final case class LookupReport(filesTotal: Long, filesKept: Long)
 
   /** Read the whole table by manifest file list — zero directory

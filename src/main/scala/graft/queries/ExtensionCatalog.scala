@@ -8118,29 +8118,11 @@ object ExtensionCatalog {
       (s, dir) => {
         import graft.streaming.StreamSessions
         val work = tmp("graft-sess")
-        writeEventArrivalsNs(s, dir, s"$work/arrivals")
-        // sentinel heartbeat: one event 13h (gap + 1h) past the last
-        // real event, staged as a SECOND arrival file with a later
-        // mod time so its watermark advance lands after the data
-        val maxNs = eventsNs(s, dir).agg(max("ts")).head().getLong(0)
-        val sentinelNs = maxNs + 13L * 3600L * 1000000000L
-        import s.implicits._
-        Seq((0L, sentinelNs, StreamSessions.SentinelUser,
-            "sentinel", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value",
-            "props")
-          .coalesce(1).write.parquet(s"$work/sentinel-stage")
-        val sent = new java.io.File(s"$work/sentinel-stage").listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error("no sentinel part file"))
-        val dataFile = new java.io.File(s"$work/arrivals/events_1.parquet")
-        val t0 = System.currentTimeMillis()
-        dataFile.setLastModified(t0 - 120000L)
-        java.nio.file.Files.copy(sent.toPath, java.nio.file.Paths.get(
-          s"$work/arrivals/z_sentinel.parquet"))
-        new java.io.File(s"$work/arrivals/z_sentinel.parquet")
-          .setLastModified(t0)
-        StreamSessions.sessionsAvailableNow(s, s"$work/arrivals",
+        // staging is a FIXTURE (one per session×dir), not the measured
+        // op: every drain replays the same staged arrival bytes against
+        // a fresh checkpoint + sink
+        StreamSessions.sessionsAvailableNow(s,
+          stagedSessionArrivals(s, dir),
           eventArrivalSchema, s"$work/out", s"$work/cp")
       }),
 
@@ -9708,5 +9690,200 @@ object ExtensionCatalog {
       })
   )
 
-  val all: Seq[Q] = base ++ storeProbes ++ roundTen ++ roundTenB
+  /** x201's fully-staged arrival directory — the normalized events
+    * file plus the far-future SENTINEL heartbeat (one event 13h = gap
+    * + 1h past the last real event), mod times fixed so the sentinel
+    * is strictly LAST — built once per (session, dir): the r10 verdict
+    * item-8 fixture. Staging (a toDF write job + the maxNs scan + file
+    * copies) is setup, not the stream being measured; each drain
+    * replays the same staged bytes against a fresh checkpoint, so
+    * repeat runs pay only the drain. Swept like [[arrivalStage]]
+    * (scratchDirs owns the tree at exit). */
+  private val sessArrivals =
+    scala.collection.mutable.HashMap[String, (SparkSession, String)]()
+  private def stagedSessionArrivals(s: SparkSession, dir: String)
+      : String = sessArrivals.synchronized {
+    sessArrivals.filterInPlace { case (_, (sess, _)) =>
+      !sess.sparkContext.isStopped }
+    val k = s"${System.identityHashCode(s)}|$dir"
+    sessArrivals.get(k) match {
+      case Some((sess, p)) if sess eq s => p
+      case _ =>
+        import graft.streaming.StreamSessions
+        val root = tmp("graft-sess-stage")
+        val arrivals = s"$root/arrivals"
+        writeEventArrivalsNs(s, dir, arrivals)
+        val maxNs = eventsNs(s, dir).agg(max("ts")).head().getLong(0)
+        val sentinelNs = maxNs + 13L * 3600L * 1000000000L
+        import s.implicits._
+        Seq((0L, sentinelNs, StreamSessions.SentinelUser,
+            "sentinel", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props")
+          .coalesce(1).write.parquet(s"$root/sentinel-stage")
+        val sent = new java.io.File(s"$root/sentinel-stage").listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("no sentinel part file"))
+        val dataFile = new java.io.File(s"$arrivals/events_1.parquet")
+        val t0 = System.currentTimeMillis()
+        dataFile.setLastModified(t0 - 120000L)
+        java.nio.file.Files.copy(sent.toPath, java.nio.file.Paths.get(
+          s"$arrivals/z_sentinel.parquet"))
+        new java.io.File(s"$arrivals/z_sentinel.parquet")
+          .setLastModified(t0)
+        sessArrivals(k) = (s, arrivals)
+        arrivals
+    }
+  }
+
+  /** [[sqlOf]] for twins of queries OUTSIDE `base` (round-N catalogs
+    * are object vals, so a twin declared in a LATER val can share an
+    * earlier round's SQL — same lookup-not-copy discipline). */
+  private def sqlOfRound(qs: Seq[Q], name: String): Option[String] =
+    Some(qs.find(_.name == name)
+      .getOrElse(sys.error(s"twin references unknown $name"))
+      .sql.getOrElse(sys.error(s"$name has no oracle SQL to share")))
+
+  /** Published margin-mining IVF index (k-means centroids + postings),
+    * built ONCE per (session, dir) — the x115–x118 write-time pattern
+    * applied to margin mining. x200 keeps train-in-query so the oracle
+    * verifies training end to end; this store pins the production READ
+    * path, so x235 pays the probe alone. Sized by the same √n rule as
+    * x200 (and trained on the same side with the same iters), so both
+    * probe an identical index and share one oracle. Swept like the
+    * other memos (dead sessions' stores go with scratchDirs at exit). */
+  private val marginIdx = scala.collection.mutable
+    .HashMap[String, (SparkSession, String, String)]()
+  private def marginIndexStores(s: SparkSession, dir: String)
+      : (String, String) = marginIdx.synchronized {
+    marginIdx.filterInPlace { case (_, (sess, _, _)) =>
+      !sess.sparkContext.isStopped }
+    val k = s"${System.identityHashCode(s)}|$dir"
+    marginIdx.get(k) match {
+      case Some((sess, c, p)) if sess eq s => (c, p)
+      case _ =>
+        val bSide = t(s, dir, "embeddings").filter(col("label") % 2 === 1)
+        val kCents = math.max(16,
+          (math.sqrt(bSide.count().toDouble) / 2).toInt)
+        val centStore = tmp("graft-m235-cent")
+        ArtifactStore.publish(s, centStore, Similarity.kmeansCentroids(
+          bSide, "vec_id", "embedding", k = kCents, iters = 2))
+        val postStore = tmp("graft-m235-post") + "/postings"
+        Similarity.appendIvfPostings(s, postStore, bSide,
+          "vec_id", "embedding", ArtifactStore.load(s, centStore))
+        marginIdx(k) = (s, centStore, postStore)
+        (centStore, postStore)
+    }
+  }
+
+  /** Round-11 additions (r10 verdict items 4/5/6): the margin miner's
+    * store-probe twin, the manifested streaming merge, and
+    * manifest-registered small-file compaction. */
+  private val roundEleven: Seq[Q] = Seq(
+
+    // ---- margin mining probing a VERSIONED STORED index: x200 ≡ this
+    //      by oracle hash, but here the centroids + postings are
+    //      published once per session at write time (marginIndexStores)
+    //      and the query is candidate probe + margin math alone — the
+    //      linear production read path, pinned. The n·√n train/assign
+    //      cost x200 carries in-query is amortized into the store, the
+    //      x115–x118 precedent ----
+    Q("x235_margin_store_probe", sqlOfRound(roundTen,
+      "x200_margin_over_ann"),
+      (s, dir) => {
+        val (centStore, postStore) = marginIndexStores(s, dir)
+        val aSide = t(s, dir, "embeddings")
+          .filter(col("label") % 2 === 0)
+        val cands = Similarity.ivfProbePostings(aSide, "vec_id",
+          "embedding", MergeUpsert.readPlain(s, postStore),
+          k = MarginCandK, ArtifactStore.load(s, centStore), nProbe = 2)
+        Similarity.marginOverCandidates(
+          cands.select(col("qid").as("aid"), col("eid").as("bid"),
+            col("sim")),
+          k = MarginK)
+      }),
+
+    // ---- streaming merge THROUGH the manifest (x11's drain composed
+    //      with x202's table format): a redelivered byte-identical
+    //      arrival file (copies = 2, the at-least-once case) drains
+    //      through per-batch mergeWriteManifested — each micro-batch's
+    //      existing-rows read plans from file zones, each publish
+    //      refreshes only touched manifest rows — and the range lookup
+    //      plans from the post-drain manifest under x202's exact
+    //      oracle, so "streamed table ≡ batch table" is hash-checked ----
+    Q("x236_stream_manifest_merge", sqlOfRound(roundTen,
+      "x202_manifest_lookup"),
+      (s, dir) => {
+        import graft.streaming.StreamIngest
+        val work = tmp("graft-smanifest")
+        writeEventArrivalsNs(s, dir, s"$work/arrivals", copies = 2)
+        StreamIngest.ingestAvailableNowManifested(s, s"$work/arrivals",
+          eventArrivalSchema, s"$work/tbl", keys = Seq("event_id"),
+          checkpoint = s"$work/cp",
+          transform = b => b.select(col("event_id"), col("user_id"),
+            col("event_type"),
+            TextFunctions.portableRound(col("value"), 4).as("value"),
+            to_date(timestamp_micros(expr("ts DIV 1000")))
+              .cast("string").as("date")))
+        val (hit, rep) = TableManifest.lookup(s, s"$work/tbl",
+          "event_id", ManifestLookupLo, ManifestLookupHi)
+        require(rep.filesKept < rep.filesTotal,
+          s"post-drain manifest zones must prune files, got $rep")
+        hit.select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }),
+
+    // ---- small-file compaction REGISTERED in the manifest: an
+    //      external task-parallel append fragments the merged table's
+    //      calendar partitions (4 writer tasks × 30 dates of small
+    //      files), the manifest is refreshed to track them, and
+    //      compactManifested rewrites exactly the over-threshold
+    //      partitions back to one file each through the same dynamic
+    //      overwrite + atomic manifest publish. The oracle reads the
+    //      UNION content back through the manifest — compaction must
+    //      move bytes, never change them ----
+    Q("x237_manifest_compaction", Some(
+      """WITH t AS (
+        |  SELECT event_id, user_id, event_type,
+        |    floor(value * 10000.0 + 0.5) / 10000.0 AS value FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, event_type,
+        |    floor(value * 10000.0 + 0.5) / 10000.0 FROM events
+        |  WHERE event_id % 11 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-compact-m")
+        val path = s"$work/tbl"
+        val ev = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, ev,
+          keys = Seq("event_id"))
+        val extra = ev.filter(col("event_id") % 11 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)
+        extra.repartition(4).write.mode("append")
+          .partitionBy("date").parquet(path)
+        s.catalog.refreshByPath(path)
+        val touched = extra.select("date").distinct().collect()
+          .map(_.getString(0)).toSeq
+        TableManifest.update(s, path, "date", touched, "event_id")
+        val rep = TableManifest.compactManifested(s, path,
+          keyCol = "event_id")
+        require(rep.partsCompacted >= 1 &&
+          rep.filesAfter < rep.filesBefore,
+          s"compaction must collapse the appended fragments, got $rep")
+        TableManifest.readViaManifest(s, path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"))
+          .orderBy("event_type")
+      })
+  )
+
+  val all: Seq[Q] =
+    base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven
 }

@@ -32,6 +32,50 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** [[ingestAvailableNow]] into a DATE-PARTITIONED, MANIFEST-backed
+    * table: each micro-batch merges through
+    * [[graft.operators.TableManifest.mergeWriteManifested]], so the
+    * checkpointed stream gets the same O(touched) manifest maintenance
+    * as the batch path — the existing-rows read of every micro-batch
+    * merge plans from file zones (no root listing at streaming
+    * cadence), and each publish refreshes only the touched partitions'
+    * manifest rows. Redelivery stays idempotent: the merge is
+    * last-writer-wins on `keys`, and a re-merged batch rewrites the
+    * same partitions and re-derives the same manifest rows. */
+  def ingestAvailableNowManifested(spark: SparkSession, srcGlob: String,
+                                   schema: StructType, targetPath: String,
+                                   keys: Seq[String], checkpoint: String,
+                                   partitionCol: String = "date",
+                                   zoneKey: Option[String] = None,
+                                   maxFilesPerTrigger: Option[Int] = None,
+                                   transform: DataFrame => DataFrame =
+                                     identity)
+      : Unit = {
+    // maxFilesPerTrigger(1) makes each FILE one merge — arrival order
+    // (mod time) = merge order, so redelivered files replay with the
+    // same last-writer-wins outcome; the default lets a drain batch
+    // many files per merge (faster, order within a batch keyed-deduped)
+    val src0 = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(src0)(n => src0.option("maxFilesPerTrigger", n.toString))
+    val q = src.parquet(srcGlob)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // `transform` maps the PRODUCER's arrival layout to the table
+        // layout (parse ts → partition date, round, project) before the
+        // keyed merge — per micro-batch, so a redelivered file re-maps
+        // to identical rows
+        graft.operators.TableManifest.mergeWriteManifested(
+          batch.sparkSession, targetPath, transform(batch), keys,
+          partitionCol, zoneKey)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuous ingestion: poll `srcGlob` on a ProcessingTime cadence,
     * merging each micro-batch of newly-arrived files. NON-blocking —
     * returns the running query; callers own stop/await. Restarting with

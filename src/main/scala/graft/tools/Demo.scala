@@ -56,11 +56,14 @@ object Demo {
     val latest = QueryLayer.latestDate(metrics).head().getDate(0)
 
     println("== /metrics/latest:")
-    QueryLayer.metricsLatest(metrics, regions, lit(latest)).show(false)
+    // manifest-planned endpoint twin: the request's date partitions are
+    // resolved from the table's _manifest (zero directory listing)
+    QueryLayer.metricsLatestAt(spark, s"$work/metrics", regions,
+      new java.sql.Date(latest.getTime)).show(false)
 
     println("== /metrics/compare (2024-01-16):")
-    val compared = QueryLayer.metricsCompare(metrics, regions,
-      lit("2024-01-16").cast("date"))
+    val compared = QueryLayer.metricsCompareAt(spark, s"$work/metrics",
+      regions, java.sql.Date.valueOf("2024-01-16"))
     compared.show(false)
 
     println("== dashboard KPIs:")

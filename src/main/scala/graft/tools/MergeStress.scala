@@ -123,6 +123,48 @@ object MergeStress {
         s"manifest must prune files: $rep")
       df.count()
     })
+
+    // ---- parity-surface rows (r10 verdict item 1): the HOSPITAL
+    // pipeline's own incremental derive at 2400 partitions.
+    // capacity is written the way IngestJob now writes it
+    // (mergeWriteManifested); "legacy" is the same table without a
+    // manifest. The timed op is MetricsJob.runIncremental — its
+    // capacity read plans from the manifest's file list vs the plain
+    // scan's O(partitions) root listing ----
+    def hospitalCap = spark.range(nDates.toLong * (factor * 250L)).select(
+      date_add(lit("2018-01-01").cast("date"),
+        (col("id") % nDates).cast("int")).as("date"),
+      concat(lit("r"), (col("id") / nDates).cast("long")).as("region_id"),
+      ((col("id") % 900) + 100).cast("int").as("total_beds"),
+      (col("id") % 800).cast("int").as("occupied_beds"),
+      ((col("id") % 90) + 10).cast("int").as("icu_beds"),
+      (col("id") % 80).cast("int").as("icu_occupied"))
+    import graft.pipeline.MetricsJob
+    val oneDate = Seq(java.sql.Date.valueOf("2018-06-01"))
+    TableManifest.mergeWriteManifested(spark, s"$work/hospcap",
+      hospitalCap, Seq("date", "region_id"), zoneKey = Some("region_id"))
+    MergeUpsert.mergeWrite(spark, s"$work/hospcap_legacy", hospitalCap,
+      Seq("date", "region_id"))
+    // metrics tables pre-created (bootstrap write is not the measured
+    // path) so both timed rows are the same-shape INCREMENTAL merge
+    MetricsJob.runIncremental(spark, s"$work/hospcap",
+      s"$work/hospmet", "seed-m", oneDate)
+    val legacySeed = spark.read.parquet(s"$work/hospcap_legacy")
+      .filter(col("date").isin(oneDate: _*))
+    MergeUpsert.mergeWrite(spark, s"$work/hospmet_legacy",
+      MetricsJob.derive(legacySeed, "seed-l"), Seq("date", "region_id"))
+    time("parity 1-day derive legacy")({
+      val cap = spark.read.parquet(s"$work/hospcap_legacy")
+        .filter(col("date").isin(oneDate: _*))
+      MergeUpsert.mergeWrite(spark, s"$work/hospmet_legacy",
+        MetricsJob.derive(cap, "m-legacy"), Seq("date", "region_id"))
+      factor * 250L
+    })
+    time("parity 1-day derive manifest")({
+      MetricsJob.runIncremental(spark, s"$work/hospcap",
+        s"$work/hospmet", "m-manifest", oneDate)
+      factor * 250L
+    })
   }
 
   def main(args: Array[String]): Unit = {

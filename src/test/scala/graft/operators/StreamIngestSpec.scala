@@ -39,6 +39,57 @@ class StreamIngestSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("manifested availableNow drain: post-drain manifest matches the " +
+    "batch-built twin; redelivery idempotent under manifest maintenance") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ssm").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("date", StringType)))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$work/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name"))
+    }
+    val b1 = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("k", "v", "date")
+    val b2 = Seq((2L, "b2", "2024-01-02"), (3L, "c", "2024-01-02"))
+      .toDF("k", "v", "date")
+    arrive(b1, "f1.parquet"); arrive(b2, "f2.parquet")
+    // explicit mod times: one file per micro-batch, f1 strictly first,
+    // so the stream's merge ORDER equals the batch twin's
+    val t0 = System.currentTimeMillis()
+    new java.io.File(s"$work/in/f1.parquet").setLastModified(t0 - 60000L)
+    new java.io.File(s"$work/in/f2.parquet").setLastModified(t0)
+    StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp",
+      maxFilesPerTrigger = Some(1))
+    // batch twin: the same two batches merged through the batch path
+    TableManifest.mergeWriteManifested(spark, s"$work/twin", b1,
+      keys = Seq("k"))
+    TableManifest.mergeWriteManifested(spark, s"$work/twin", b2,
+      keys = Seq("k"))
+    def manifestShape(p: String) = TableManifest.load(spark, p).get
+      .select("part", "rows", "key_lo", "key_hi").collect()
+      .map(_.toSeq).toSet
+    assert(manifestShape(s"$work/target") == manifestShape(s"$work/twin"),
+      "streamed manifest (part, rows, zones) must equal the batch twin's")
+    def table(p: String) = TableManifest.readViaManifest(spark, p)
+      .select("k", "v", "date").collect().map(_.toSeq).toSet
+    assert(table(s"$work/target") == table(s"$work/twin"))
+    // redelivery with a FRESH checkpoint (at-least-once delivery): the
+    // merge stays last-writer-wins idempotent and the manifest shape is
+    // unchanged — note f1/f2 re-merge in arrival order, so k=2 keeps b2
+    StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp2",
+      maxFilesPerTrigger = Some(1))
+    assert(manifestShape(s"$work/target") == manifestShape(s"$work/twin"))
+    assert(table(s"$work/target") == table(s"$work/twin"))
+  }
+
   test("continuous trigger: micro-batches merge as files arrive, and a " +
        "restart from checkpoint resumes exactly-once") {
     val work = java.nio.file.Files.createTempDirectory("graft-cont").toString

@@ -79,6 +79,49 @@ class TableManifestSpec extends SparkSpec {
     assert(got == Map("2024-01-01" -> 50L, "2024-02-01" -> 20L))
   }
 
+  test("compactManifested: over-threshold partitions collapse to one " +
+    "file, exactly their manifest rows refresh, values unchanged") {
+    val path = tmpDir()
+    // bootstrap via the merge path (1 file per partition)…
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 20L, 1.0)
+        .unionByName(rows("2024-01-02", 21L to 40L, 1.0)),
+      keys = Seq("id"))
+    // …then an external task-parallel APPEND fragments 2024-01-02
+    // (4 extra small files) and the manifest is refreshed to track it
+    rows("2024-01-02", 41L to 60L, 2.0).repartition(4)
+      .write.mode("append").partitionBy("date").parquet(path)
+    spark.catalog.refreshByPath(path)
+    TableManifest.update(spark, path, "date", Seq("2024-01-02"), "id")
+    val before = TableManifest.load(spark, path).get.collect()
+    val beforeByPart = before.groupBy(_.getString(1))
+    assert(beforeByPart("2024-01-02").length == 5)
+    val keepEntry = beforeByPart("2024-01-01").head.getString(0)
+
+    val rep = TableManifest.compactManifested(spark, path, keyCol = "id")
+    assert(rep.partsCompacted == 1 && rep.filesBefore == 6 &&
+      rep.filesAfter == 2, s"unexpected $rep")
+    val after = TableManifest.load(spark, path).get.collect()
+    val afterByPart = after.groupBy(_.getString(1))
+    assert(afterByPart("2024-01-02").length == 1,
+      "compacted partition must hold ONE file")
+    assert(afterByPart("2024-01-01").head.getString(0) == keepEntry,
+      "under-threshold partition's manifest row must carry over")
+    // zone stats re-derived over the union of the compacted files
+    val z = afterByPart("2024-01-02").head
+    assert(z.getAs[Long]("rows") == 40L &&
+      z.getAs[String]("key_lo") == "21" && z.getAs[String]("key_hi") == "60")
+    // values intact through BOTH read paths
+    assert(TableManifest.readViaManifest(spark, path).count() == 60L)
+    assert(spark.read.parquet(path).count() == 60L)
+    val got = TableManifest.readViaManifest(spark, path)
+      .filter(col("id") === 50L).select("value").head().getDouble(0)
+    assert(got == 2.0)
+    // idempotent: nothing left over threshold
+    val rep2 = TableManifest.compactManifested(spark, path, keyCol = "id")
+    assert(rep2.partsCompacted == 0 && rep2.filesAfter == 2)
+  }
+
   test("partition values needing URI/path escaping (space, ':', '%', " +
     "'+') survive build, carry-over, and re-read") {
     val path = tmpDir()

@@ -102,11 +102,32 @@ class EndToEndSpec extends SparkSpec {
     assert(runs.filter($"run_id" === "run-1")
       .select("status").as[String].head() == "success")
 
+    // the parity pipeline now MAINTAINS the file manifest: both
+    // production tables carry one, and the manifest-planned endpoint
+    // twins (zero directory listing per request) serve the same rows
+    import graft.operators.TableManifest
+    assert(TableManifest.load(spark, s"$base/capacity").isDefined &&
+      TableManifest.load(spark, s"$base/metrics").isDefined,
+      "ingest + metrics must maintain _manifest on their tables")
+    val target = java.sql.Date.valueOf("2024-01-16")
+    val viaManifest = QueryLayer.metricsCompareAt(spark,
+      s"$base/metrics", regions, target)
+      .select($"region", $"strain_index", $"delta").collect()
+      .map(_.toSeq).toSet
+    assert(viaManifest == compared.map(_.toSeq).toSet,
+      "manifest-planned compare must equal the plain-scan compare")
+    assert(QueryLayer.capacityLatestAt(spark, s"$base/capacity",
+      regions, target).count() == 2)
+
     // re-ingest is idempotent (S7): same counts, same fact rows
     // (last, because the dim swap invalidates earlier DataFrames' listings)
     IngestJob.run(spark, csvPath,
       s"$base/capacity", s"$base/regions", s"$base/rejects", s"$base/runs",
       "run-3", "fixture", ts("2024-01-19 00:00:00"))
     assert(spark.read.parquet(s"$base/capacity").count() == 4)
+    // idempotent redelivery also left the manifest consistent: row
+    // counts per partition unchanged
+    assert(TableManifest.readViaManifest(spark, s"$base/capacity")
+      .count() == 4)
   }
 }
