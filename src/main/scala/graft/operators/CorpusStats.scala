@@ -610,7 +610,7 @@ object CorpusStats {
   def bigramBitsSubset(df: DataFrame, idCol: String, textCol: String,
                        modelPred: Column, roundTo: Int = 4,
                        materializeModel: Boolean = true,
-                       broadcastMaxModelRows: Long = 3000000L): DataFrame = {
+                       broadcastMaxModelTokens: Long = 3000000L): DataFrame = {
     def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
       transform(TextFunctions.tokens(lower(col(textCol))),
         t => TextFunctions.md5Hash60(t)).as("hs"))
@@ -633,12 +633,7 @@ object CorpusStats {
     // ~2× at sf1).
     val mhsRaw = hashed(model)
     val mhs = if (materializeModel) mhsRaw.localCheckpoint() else mhsRaw
-    val c2Raw = bigrams(mhs).groupBy("h1", "h2")
-      .agg(count(lit(1)).as("c2"))
-    // materialize the joint-count table too: its row count decides the
-    // join strategy below, and the broadcast/shuffle join then reuses
-    // the same materialization instead of re-aggregating
-    val c2 = if (materializeModel) c2Raw.localCheckpoint() else c2Raw
+    val c2 = bigrams(mhs).groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("h1").agg(sum(col("c2")).as("c1"))
     val v = mhs.select(explode(col("hs")).as("h"))
       .agg(count_distinct(col("h"))).head().getLong(0)
@@ -658,11 +653,15 @@ object CorpusStats {
     // flag alone: a "clean subset" model is corpus-PROPORTIONAL in the
     // CCNet shape (x182), so a forced broadcast would hit Spark's 8 GB
     // broadcast ceiling / driver OOM at scale with no fallback. The
-    // count is one cheap agg over the already-checkpointed c2; above
-    // the row gate the shuffle path below takes over (value-identical
-    // — same left joins, same logQ tree).
+    // gate measures model TOKENS — one cheap agg over the
+    // already-materialized token table, and an upper bound on bigram
+    // TYPES (|c2| ≤ tokens), so it is conservative by construction and
+    // costs no extra materialization of c2 itself. Above the gate the
+    // shuffle path below takes over (value-identical — same left
+    // joins, same logQ tree).
     val broadcastModel = materializeModel &&
-      c2.count() <= broadcastMaxModelRows
+      mhs.agg(coalesce(sum(size(col("hs"))), lit(0L))).head().getLong(0) <=
+        broadcastMaxModelTokens
     val per = if (broadcastModel) {
       // small-model path: the raw bigram stream joins the BROADCAST
       // model tables and aggregates straight to doc grain — the only

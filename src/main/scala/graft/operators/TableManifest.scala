@@ -36,7 +36,7 @@ object TableManifest {
     * `url_decode` form-decodes `'+'` to space, so literal `'+'` is
     * protected first; a real `'%'` in the name is always `%25` in the
     * URI form, so one decode is exact. */
-  private def decodeUri(c: Column): Column =
+  private[operators] def decodeUri(c: Column): Column =
     url_decode(regexp_replace(c, "\\+", "%2B"))
 
   /** Scan the given partition values' files and compute one manifest

@@ -26,7 +26,10 @@ object ZoneMap {
     * a long-typed `keyCol`. Run at write time, persist next to the
     * table (an [[ArtifactStore]] payload in production). */
   def stats(df: DataFrame, keyCol: String): DataFrame =
-    df.groupBy(input_file_name().as("path"))
+    // decoded path, not input_file_name()'s URI-encoded form — a table
+    // path with a space/'%' must re-read by its literal on-disk name
+    // (same fix class as TableManifest.decodeUri)
+    df.groupBy(TableManifest.decodeUri(input_file_name()).as("path"))
       .agg(min(col(keyCol)).cast("long").as("lo"),
         max(col(keyCol)).cast("long").as("hi"),
         count(lit(1)).as("rows"))

@@ -448,7 +448,7 @@ class CorpusStatsSpec extends SparkSpec {
     // gate of 0 rows: a materialized model MEASURED too large to
     // broadcast must fall back to the shuffle path, same values
     val viaShuffle = CorpusStats.bigramBitsSubset(
-      docs, "doc_id", "text", pred, broadcastMaxModelRows = 0L)
+      docs, "doc_id", "text", pred, broadcastMaxModelTokens = 0L)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaBroadcast == viaShuffle)
   }

@@ -65,6 +65,25 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.count() == 200)
   }
 
+  test("zone-map paths survive a table dir needing URI escaping " +
+    "(space, '%'): stats store decoded names, prunedRead re-reads them") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zm-esc")
+      .toString
+    // a space AND a literal '%' in the table path: input_file_name()
+    // URI-encodes both; the stored path must be the literal on-disk name
+    val dir = s"$base/zone map%table"
+    ZoneMap.clusterWrite((0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      "k", 2, dir)
+    val zm = ZoneMap.stats(spark.read.parquet(dir), "k")
+    val paths = zm.select("path").collect().map(_.getString(0))
+    assert(paths.forall(p => p.contains("zone map%table") &&
+      !p.contains("%20") && !p.contains("%25")),
+      s"paths must be decoded literal names, got ${paths.head}")
+    val (pruned, rep) = ZoneMap.prunedRead(spark, zm, "k", 10, 20)
+    assert(rep.filesTotal == 2 && rep.filesKept == 1)
+    assert(pruned.count() == 11)
+  }
+
   test("pruning boundary is inclusive on both zone edges") {
     val dir = writeClustered(100, 2) // files cover [0,49] and [50,99]
     val zm = ZoneMap.stats(spark.read.parquet(dir), "k")
