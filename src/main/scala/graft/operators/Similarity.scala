@@ -271,11 +271,20 @@ object Similarity {
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", nProbe, centroidTable)
       .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // NO (qid, eid) distinct: every caller's postings table carries
+    // exactly ONE row per eid — ivfAssign ranks rn=1 per eid and
+    // appendIvfPostings dedups on eid at append time — and a query's
+    // nProbe lists are DISTINCT cids (nearestCentroids rank), so the
+    // join cannot emit a (qid, eid) pair twice. The distinct this
+    // replaced was a no-op the optimizer couldn't see, and it forced
+    // the FULL candidate set (O(|Q|·nProbe·n/k) rows — 45M at sf1)
+    // through two shuffles; without it the per-candidate scoring stays
+    // pipelined into WindowGroupLimit's partial top-k, and only
+    // per-partition winners shuffle. Measured sf1: 16.4 → ~5 s.
     val cands = probes.join(postings, "cid")
       .select(col("qid"), col("eid"),
         round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
           .as("sim"))
-      .dropDuplicates("qid", "eid")
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
     cands.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
