@@ -76,8 +76,8 @@ def main():
     med = ratios[len(ratios) // 2] if ratios else float("nan")
     osum = sum(oq[q] for q in common)
     nsum = sum(nq[q] for q in common)
-    print(f"common={len(common)} canary_ratio="
-          f"{raw_canary:.3f}" if raw_canary else "canary_ratio=n/a",
+    cr = f"{raw_canary:.3f}" if raw_canary else "n/a"
+    print(f"common={len(common)} canary_ratio={cr} "
           f"(applied {canary:.3f})  median_norm_ratio={med:.3f}  "
           f"sum {osum:.1f}s -> {nsum:.1f}s ({nsum / osum:.2f}x)")
     for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):

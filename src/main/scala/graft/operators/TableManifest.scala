@@ -200,9 +200,11 @@ object TableManifest {
     // (escaped back to the on-disk dir names there)
     update(spark, path, partitionCol, over.keys.toSeq, keyCol,
       retainVersions)
-    CompactReport(over.size,
-      m.length.toLong,
-      (m.length - files.length + over.size).toLong)
+    // filesAfter is MEASURED from the refreshed manifest (one row per
+    // file), not derived from a one-file-per-partition assumption a
+    // writer setting like maxRecordsPerFile could break
+    CompactReport(over.size, m.length.toLong,
+      load(spark, path).map(_.count()).getOrElse(0L))
   }
 
   final case class LookupReport(filesTotal: Long, filesKept: Long)
