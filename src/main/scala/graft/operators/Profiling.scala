@@ -50,6 +50,67 @@ object Profiling {
         col("n"))
   }
 
+  /** Append a batch's QUANTIZED value counts to a versioned histogram
+    * store — write-time-maintained distributions, the [[Sketches]]
+    * `appendCms` discipline applied to quantiles: rows are
+    * (grp, q, cnt) with q = floor(value·10^scale + 0.5) exact longs,
+    * and counts are ADDITIVE, so element-wise summation of per-batch
+    * grids equals the from-scratch histogram of the union — exactly,
+    * under any batch split or append order — riding
+    * [[MergeUpsert.mergeAdditiveWritePlain]]'s atomic publish.
+    * State is O(distinct quantized values per group): bounded by the
+    * value domain at the chosen scale, never by row count — the
+    * monitoring-cadence alternative to re-scanning 100 TB for a
+    * percentile dashboard. NULL values are excluded (nothing to rank).
+    *
+    * Idempotence is the caller's file-level exactly-once, as with
+    * every additive sink (the x54/x131 contract). */
+  def appendValueCounts(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String, df: DataFrame,
+                        groupCol: String, valCol: String,
+                        scale: Int = 4, retainVersions: Int = 2): Unit = {
+    val grid = df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(valCol).cast("double") * lit(math.pow(10, scale))
+          + lit(0.5)).cast("long").as("q"))
+      .groupBy("grp", "q").agg(count(lit(1)).as("cnt"))
+    MergeUpsert.mergeAdditiveWritePlain(spark, storePath,
+      grid.coalesce(1), keys = Seq("grp", "q"), sumCols = Seq("cnt"),
+      retainVersions)
+  }
+
+  /** Exact type-1 (lower order statistic) percentiles per group from
+    * an [[appendValueCounts]] store: for each integer percent p, the
+    * value is the smallest stored q whose cumulative count reaches
+    * rank ⌈n·p/100⌉ — ALL rank arithmetic in exact longs
+    * ((n·p + 99) div 100), so no float ceil can disagree between
+    * engines; the returned value is q/10^scale, one IEEE division of
+    * the same integers on any engine. The cumulative walk windows over
+    * the store's per-group bucket rows (domain-bounded metadata, not
+    * data); percents fan out via explode, no join against a literal
+    * frame. Returns (grp, pct, n, value) ordered by (grp, pct). */
+  def quantilesFromStore(store: DataFrame,
+                         percents: Seq[Int] = Seq(25, 50, 75),
+                         scale: Int = 4): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integer percentiles in [1, 100], got $percents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("q")
+    val cum = store.withColumn("cum", sum(col("cnt")).over(w))
+    val tgt = store.groupBy("grp").agg(sum(col("cnt")).as("n"))
+      .select(col("grp"), col("n"),
+        explode(array(percents.map(p => lit(p)): _*)).as("pct"))
+      .withColumn("r", expr("(n * pct + 99) div 100"))
+    cum.join(tgt, "grp")
+      .groupBy("grp", "pct", "n")
+      .agg(min(when(col("cum") >= col("r"), col("q"))).as("qv"))
+      .select(col("grp"), col("pct").cast("int").as("pct"),
+        col("n").cast("long").as("n"),
+        (col("qv").cast("double") / lit(math.pow(10, scale)))
+          .as("value"))
+      .orderBy("grp", "pct")
+  }
+
   /** Pairwise Pearson correlation over the given numeric columns, in
     * ONE aggregation pass (n, Σx, Σx², Σxy for every pair), emitted as
     * one row per (col_a, col_b) pair with a < b.

@@ -9884,6 +9884,100 @@ object ExtensionCatalog {
       })
   )
 
+  /** Round-11b: write-time-maintained distributions and metadata time
+    * travel — the monitoring/audit pair a production lake runs at
+    * cadence. */
+  private val roundElevenB: Seq[Q] = Seq(
+
+    // ---- incremental quantile store: per-batch QUANTIZED value
+    //      counts merged additively into a versioned store (the x85→
+    //      x210 CMS discipline applied to percentiles — any batch
+    //      split/order equals the from-scratch histogram, exactly),
+    //      probed for exact type-1 percentiles with all rank
+    //      arithmetic in integer longs. The oracle replays
+    //      quantize → cumulative count → ⌈n·p/100⌉ order statistics ----
+    Q("x238_quantile_store", Some(
+      """WITH q AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS q
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT grp, q, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM q GROUP BY 1, 2),
+        |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |cum AS (SELECT grp, q,
+        |          sum(cnt) OVER (PARTITION BY grp ORDER BY q) AS cum
+        |        FROM c),
+        |t AS (SELECT grp, n, pct, (n * pct + 99) // 100 AS r
+        |      FROM n, (SELECT unnest([25, 50, 75]) AS pct)),
+        |p AS (
+        |  SELECT cum.grp, t.pct, t.n,
+        |    min(CASE WHEN cum.cum >= t.r THEN cum.q END) AS qv
+        |  FROM cum JOIN t ON cum.grp = t.grp
+        |  GROUP BY 1, 2, 3)
+        |SELECT grp, CAST(pct AS INT) AS pct, n,
+        |  CAST(qv AS DOUBLE) / 10000.0 AS value
+        |FROM p ORDER BY grp, pct""".stripMargin),
+      (s, dir) => {
+        val store = tmp("graft-qstore") + "/hist"
+        val ev = ReferenceCatalog.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        // three appends in an arbitrary split — additivity means the
+        // store equals the one-shot histogram of the union
+        (0 until 3).foreach { k =>
+          Profiling.appendValueCounts(s, store,
+            ev.filter(col("event_id") % 3 === k), "event_type", "value")
+        }
+        Profiling.quantilesFromStore(MergeUpsert.readPlain(s, store))
+      }),
+
+    // ---- manifest version diff (metadata time travel): after an
+    //      incremental merge, diff the RETAINED manifest versions to
+    //      report per partition what moved — added/removed/rewritten/
+    //      carried with file and row counts — from O(files) metadata,
+    //      no data file opened. Day buckets are integer ns-days (the
+    //      x234 convention), so the oracle replays the touched set and
+    //      row deltas exactly ----
+    Q("x239_manifest_diff", Some(
+      """WITH base AS (
+        |  SELECT event_id, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |before AS (SELECT d, CAST(count(*) AS BIGINT) AS n
+        |           FROM base GROUP BY 1),
+        |adds AS (SELECT d, CAST(count(*) AS BIGINT) AS a FROM base
+        |         WHERE event_id % 7 = 0 AND event_id < 1000 GROUP BY 1)
+        |SELECT CAST(b.d AS VARCHAR) AS part,
+        |  CAST(1 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  b.n AS rows_before,
+        |  b.n + coalesce(a.a, 0) AS rows_after,
+        |  CASE WHEN a.d IS NOT NULL THEN 'rewritten'
+        |       ELSE 'carried' END AS status
+        |FROM before b LEFT JOIN adds a USING (d)
+        |ORDER BY part""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-mdiff")
+        val path = s"$work/tbl"
+        val ev = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          expr("ts div 86400000000000").as("d"))
+        TableManifest.mergeWriteManifested(s, path, ev,
+          keys = Seq("event_id"), partitionCol = "d")
+        val v1 = TableManifest.versions(s, path).last
+        // incremental merge: NEW keys landing in the early-day
+        // partitions only — the touched set the diff must report
+        TableManifest.mergeWriteManifested(s, path,
+          ev.filter(col("event_id") % 7 === 0 && col("event_id") < 1000)
+            .withColumn("event_id", col("event_id") + 10000000L),
+          keys = Seq("event_id"), partitionCol = "d")
+        val v2 = TableManifest.versions(s, path).last
+        require(v1 != v2, s"merge must publish a new manifest version")
+        TableManifest.diffVersions(s, path, v1, v2)
+      })
+  )
+
   val all: Seq[Q] =
-    base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven
+    base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven ++
+      roundElevenB
 }

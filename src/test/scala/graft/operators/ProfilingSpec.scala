@@ -291,6 +291,48 @@ class ProfilingSpec extends SparkSpec {
     assert(cp("solo").getAs[Double]("p_value") == 1.0)
   }
 
+  test("quantile store: any batch split/order equals the one-shot " +
+    "histogram; percentiles are exact type-1 order statistics") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group g: values 1..4 (n=4) -> p25=1, p50=2, p75=3 (type-1 lower
+    // order statistic: rank ceil(n*p/100))
+    val df = (Seq(("g", 0.0001), ("g", 0.0002), ("g", 0.0003),
+      ("g", 0.0004)) ++ Seq(("h", 0.5))).toDF("grp", "v")
+      .withColumn("id", monotonically_increasing_id())
+    def store(splits: Seq[org.apache.spark.sql.DataFrame]): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft-qs")
+        .toString + "/h"
+      splits.foreach(b =>
+        Profiling.appendValueCounts(spark, p, b, "grp", "v"))
+      p
+    }
+    val oneShot = store(Seq(df))
+    val byTwo = store(Seq(df.filter($"id" % 2 === 0),
+      df.filter($"id" % 2 === 1)))
+    def grid(p: String) = MergeUpsert.readPlain(spark, p).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(grid(oneShot) == grid(byTwo),
+      "additive appends must equal the from-scratch histogram")
+    val got = Profiling.quantilesFromStore(
+      MergeUpsert.readPlain(spark, oneShot)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("g", 25)) == ((4L, 0.0001)))
+    assert(got(("g", 50)) == ((4L, 0.0002)))
+    assert(got(("g", 75)) == ((4L, 0.0003)))
+    // single-value group: every percentile is that value
+    assert(got(("h", 50)) == ((1L, 0.5)))
+    // NULLs excluded, p100 = max
+    val withNull = Seq(("g", Some(1.0)), ("g", None)).toDF("grp", "v")
+    val p2 = java.nio.file.Files.createTempDirectory("graft-qs2")
+      .toString + "/h"
+    Profiling.appendValueCounts(spark, p2, withNull, "grp", "v")
+    val m = Profiling.quantilesFromStore(
+      MergeUpsert.readPlain(spark, p2), percents = Seq(100)).head()
+    assert(m.getLong(2) == 1L && m.getDouble(3) == 1.0)
+  }
+
   test("dependenceReport: a single-level column yields dof 0 and the " +
     "guarded zero Cramer's V, never a division error") {
     val spark2 = spark

@@ -79,6 +79,33 @@ class TableManifestSpec extends SparkSpec {
     assert(got == Map("2024-01-01" -> 50L, "2024-02-01" -> 20L))
   }
 
+  test("diffVersions: added/removed/rewritten/carried per partition " +
+    "from retained manifest metadata alone") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 20L, 1.0)
+        .unionByName(rows("2024-01-02", 21L to 40L, 1.0)),
+      keys = Seq("id"))
+    val v1 = TableManifest.versions(spark, path).last
+    // merge: new keys into 2024-01-02 (rewritten) + a brand-new
+    // partition (added); 2024-01-01 untouched (carried)
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-02", 41L to 45L, 2.0)
+        .unionByName(rows("2024-01-03", 91L to 93L, 3.0)),
+      keys = Seq("id"))
+    val v2 = TableManifest.versions(spark, path).last
+    val d = TableManifest.diffVersions(spark, path, v1, v2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(d("2024-01-01") == ((1L, 1L, 20L, 20L, "carried")))
+    assert(d("2024-01-02") == ((1L, 1L, 20L, 25L, "rewritten")))
+    assert(d("2024-01-03") == ((0L, 1L, 0L, 3L, "added")))
+    // reversed diff reports the new partition as removed
+    val rev = TableManifest.diffVersions(spark, path, v2, v1).collect()
+      .map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(rev("2024-01-03") == "removed")
+  }
+
   test("compactManifested: over-threshold partitions collapse to one " +
     "file, exactly their manifest rows refresh, values unchanged") {
     val path = tmpDir()
