@@ -441,7 +441,7 @@ object MergeUpsert {
   private val PointerName = "_CURRENT"
   private val CommitMarker = "_GRAFT_COMMITTED"
 
-  private def fsFor(spark: SparkSession, path: String) =
+  private[operators] def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
@@ -525,7 +525,8 @@ object MergeUpsert {
   def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
                  keys: Seq[String], partitionCol: String = "date",
                  broadcastMaxKeys: Long = 500000L,
-                 listingVia: Option[Seq[Any] => DataFrame] = None)
+                 listingVia: Option[Seq[Any] => DataFrame] = None,
+                 cow: Boolean = false)
       : MergeWriteReport = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -567,12 +568,27 @@ object MergeUpsert {
     val broadcastDecision = keyEst <= broadcastMaxKeys
     val merged = merge(pruned, updates, keys,
       broadcastKeys = broadcastDecision)
-    // Dynamic partition overwrite: replace only the touched partitions.
-    merged
+    // Publish the touched partitions' merged rows. Two physical modes
+    // with identical logical semantics for manifest-planned readers:
+    //   - dynamic partition overwrite (default): replace the touched
+    //     partitions in place — superseded files are DELETED by the
+    //     commit, so the dir stays plain-readable but no prior
+    //     snapshot of a rewritten partition survives;
+    //   - copy-on-write (`cow`, the TableManifest protocol): APPEND
+    //     the merged rows as new immutable files and leave the
+    //     superseded ones on disk — visibility is the MANIFEST version
+    //     flip, prior versions stay readable (time travel / in-flight
+    //     readers) until TableManifest.vacuum reclaims them. A cow dir
+    //     is NOT plain-readable after its first rewrite (it holds both
+    //     generations); every read must plan from the manifest.
+    val laidOut = merged
       .repartition(col(partitionCol)) // one task per date → one file per date
       .sortWithinPartitions(keys.map(col): _*) // clustered row groups →
       // parquet min/max stats prune key lookups inside each date file
       .write
+    if (cow)
+      laidOut.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    else laidOut
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -3,10 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** File manifest for [[MergeUpsert.mergeWrite]]'s date-partitioned
-  * tables — the Delta/Iceberg idea reduced to its load-bearing core:
-  * readers and point lookups plan from a SMALL metadata table instead
-  * of an O(partitions) recursive directory listing, which MergeStress
+/** File manifest for keyed, date-partitioned parquet tables — the
+  * Delta/Iceberg idea reduced to its load-bearing core: readers and
+  * point lookups plan from a SMALL metadata table instead of an
+  * O(partitions) recursive directory listing, which MergeStress
   * measured as the dominant cost of incremental merges and point
   * lookups at 2400 partitions (PERF.md round-8 — "the argument for a
   * manifest-backed table format in front of the same merge plan").
@@ -17,8 +17,22 @@ import org.apache.spark.sql.functions._
   * ([[MergeUpsert.publishPlain]] on `path/_manifest`; the underscore
   * prefix keeps it invisible to plain parquet readers of `path`).
   * Maintenance is O(touched): after a merge rewrites k partitions, only
-  * those partitions' rows are re-scanned and replaced; the publish is
-  * the same pointer flip the data itself gets.
+  * those partitions' NEW files are scanned and their rows replaced; the
+  * publish is the same pointer flip the data itself gets.
+  *
+  * COPY-ON-WRITE data protocol (round 12): a merge or compaction
+  * APPENDS new immutable files and never deletes — what changes is
+  * which files the freshly published manifest version references. That
+  * makes every retained manifest version a complete, readable SNAPSHOT
+  * of the table ([[readVersion]] time travel; an in-flight reader that
+  * planned from the previous version keeps valid files under its
+  * feet), at the price that the partition dirs accumulate superseded
+  * files until [[vacuum]] reclaims the ones no retained version
+  * references. Consequently a manifested table is NOT plain-readable
+  * after its first rewrite — `spark.read.parquet(path)` would see both
+  * generations; every read must plan from the manifest
+  * ([[readViaManifest]] / [[readPartitions]] / [[lookup]]), exactly
+  * Delta's contract for its log.
   *
   * Reference: the reference stores rows in Postgres where point
   * lookups ride a B-tree (`backend/app/main.py:110-373`); at 100 TB the
@@ -27,6 +41,15 @@ import org.apache.spark.sql.functions._
 object TableManifest {
 
   private def manifestPath(path: String) = s"$path/_manifest"
+
+  /** Driver-side planning bound: a manifest read materializes the
+    * MATCHING file rows (never the whole manifest) on the driver to
+    * hand Spark an explicit file list — one string per data file, the
+    * same driver cost Delta pays to plan a scan. At the Delta-scale
+    * contract of ~100 MB–1 GB data files, 2M rows ≈ 200 TB–2 PB of
+    * addressed data; a collect beyond it means the table needs
+    * [[compactManifested]], not a bigger driver. */
+  private val MaxPlanFiles = 2000000
 
   /** `input_file_name()` returns the URI-ENCODED path (SparkPath's
     * url-encoded form); the manifest stores the DECODED filesystem
@@ -38,6 +61,52 @@ object TableManifest {
     * URI form, so one decode is exact. */
   private[operators] def decodeUri(c: Column): Column =
     url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** Scheme-and-slash-count–insensitive identity for a file path:
+    * manifest rows carry `input_file_name`'s decoded URI form
+    * (`file:///tmp/...`) while FileSystem listings print `file:/tmp/...`
+    * — both normalize to the same raw `/tmp/...` through the Path→URI
+    * round-trip (which [[TableManifestSpec]] proves for names carrying
+    * spaces, '%', '+', ':'). Used ONLY for set membership
+    * ([[vacuum]]'s live/dead split); reads use the original strings. */
+  private def canon(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  private def partDir(path: String, partitionCol: String, v: Any): String =
+    s"$path/$partitionCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString)
+
+  /** The given partition values' current on-disk parquet files —
+    * k LIST calls against the partition DIRS (absent dirs contribute
+    * nothing), never a recursive root listing. The before/after pair
+    * of these listings around a copy-on-write append is how the new
+    * files are identified without any committer hook. */
+  private def listPartFiles(spark: SparkSession, path: String,
+                            partitionCol: String,
+                            parts: Seq[Any]): Set[String] = {
+    val fs = MergeUpsert.fsFor(spark, path)
+    parts.flatMap { v =>
+      val d = new org.apache.hadoop.fs.Path(partDir(path, partitionCol, v))
+      if (!fs.exists(d)) Seq.empty[String]
+      else fs.listStatus(d).toIndexedSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }.toSet
+  }
+
+  /** One manifest row per given data file — O(new files), the
+    * incremental refresh unit of every copy-on-write publish. */
+  private def statsForFiles(spark: SparkSession, path: String,
+                            files: Seq[String], partitionCol: String,
+                            keyCol: String): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(files: _*)
+      .groupBy(decodeUri(input_file_name()).as("file"),
+        col(partitionCol).cast("string").as("part"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyCol)).cast("string").as("key_lo"),
+        max(col(keyCol)).cast("string").as("key_hi"))
 
   /** Scan the given partition values' files and compute one manifest
     * row per file. O(touched partitions), not O(table). */
@@ -51,20 +120,23 @@ object TableManifest {
     // (Spark's Hive-style partition-path escaping) so values with
     // reserved chars (':', '%', '#', …) address the real dir.
     spark.read.option("basePath", path)
-      .parquet(parts.map(v => s"$path/$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(v.toString)): _*)
+      .parquet(parts.map(v => partDir(path, partitionCol, v)): _*)
       .groupBy(decodeUri(input_file_name()).as("file"),
         col(partitionCol).cast("string").as("part"))
       .agg(count(lit(1)).as("rows"),
         min(col(keyCol)).cast("string").as("key_lo"),
         max(col(keyCol)).cast("string").as("key_hi"))
 
-  /** (Re)build manifest rows for `touched` partitions and publish the
-    * merged manifest atomically. Call with the table's full partition
-    * set after a create, with the batch's touched set after a merge.
-    * Untouched partitions' rows carry over byte-for-byte — their files
-    * were not rewritten (the dynamic-overwrite contract). */
+  /** (Re)build manifest rows for `touched` partitions from a FULL
+    * rescan of those partitions' dirs, and publish the merged manifest
+    * atomically. This is the BOOTSTRAP/adoption path (a table created
+    * by plain writes gains a manifest; MergeStress uses it at 2400
+    * partitions): the dir rescan registers EVERY file it finds, so on
+    * a copy-on-write table it is only correct for partitions that hold
+    * no superseded files — i.e. never rewritten, or vacuumed with
+    * `keepVersions = 1` since their last rewrite. For out-of-band data
+    * arrival on a live table use [[appendManifested]], which registers
+    * exactly the files it wrote. */
   def update(spark: SparkSession, path: String, partitionCol: String,
              touched: Seq[Any], keyCol: String,
              retainVersions: Int = 2): Unit = {
@@ -83,46 +155,127 @@ object TableManifest {
   def load(spark: SparkSession, path: String): Option[DataFrame] =
     MergeUpsert.existingPlain(spark, manifestPath(path))
 
-  /** [[MergeUpsert.mergeWrite]] + manifest maintenance: the touched
-    * partition set is computed once from the batch (O(batch)), the
-    * manifest refresh re-scans only those partitions' files. First
-    * write bootstraps the manifest over the whole (just-created)
-    * table. */
+  /** The matching file rows' paths, collected BOUNDED: only rows whose
+    * partition matches reach the driver (O(files in the requested
+    * partitions), never O(table files)). */
+  private def keptFiles(m: DataFrame, parts: Seq[String]): Array[String] = {
+    val kept = m.filter(col("part").isin(parts: _*))
+      .select("file").collect().map(_.getString(0))
+    require(kept.length <= MaxPlanFiles,
+      s"${kept.length} files match ${parts.length} partitions — beyond " +
+        s"the $MaxPlanFiles-file planning bound; compact the table " +
+        "(compactManifested) before reading this partition set")
+    kept
+  }
+
+  /** An explicit-file-list read that stays schema-correct when the
+    * list is empty: one manifest-listed file is read (for its schema)
+    * under a false filter. */
+  private def readFiles(spark: SparkSession, path: String, m: DataFrame,
+                        kept: Seq[String]): DataFrame =
+    if (kept.isEmpty) {
+      val sample = m.select("file").limit(1).collect()
+      require(sample.nonEmpty, s"manifest at $path lists no files")
+      spark.read.option("basePath", path)
+        .parquet(sample.head.getString(0)).filter(lit(false))
+    } else spark.read.option("basePath", path).parquet(kept: _*)
+
+  /** [[MergeUpsert.mergeWrite]] + manifest maintenance, copy-on-write:
+    * the touched partition set is computed once from the batch
+    * (O(batch)); the merge's existing-rows read plans from the
+    * manifest (file list per touched partition, zero root listing);
+    * the merged rows are APPENDED as new immutable files (the
+    * superseded generation stays on disk for retained-version readers
+    * and [[readVersion]], reclaimed by [[vacuum]]); and exactly the
+    * new files' manifest rows are computed (before/after dir listing
+    * of the touched partitions) and published atomically. First write
+    * bootstraps both table and manifest. A crash between the data
+    * append and the manifest publish leaves unreferenced files that no
+    * reader ever sees and [[vacuum]] reclaims — strictly safer than
+    * the in-place overwrite it replaces, which deleted files still
+    * referenced by retained manifest versions.
+    *
+    * `zoneKey` picks the manifest's zone column (default `keys.head`);
+    * it must stay the same across every publish to a table — mixed-key
+    * zones would make [[lookup]]'s typed zone cast silently prune
+    * wrong. */
   def mergeWriteManifested(spark: SparkSession, path: String,
                            updates: DataFrame, keys: Seq[String],
                            partitionCol: String = "date",
-                           zoneKey: Option[String] = None)
+                           zoneKey: Option[String] = None,
+                           retainVersions: Int = 2)
       : MergeUpsert.MergeWriteReport = {
-    // when a manifest already exists, the merge's existing-rows read
-    // plans from it (file list per touched partition, zero root
-    // listing); new partitions simply resolve to no files
-    val resolver = load(spark, path).map { m => (touched: Seq[Any]) =>
-      val all = m.select("file", "part").collect()
-      val kept = all.filter(r =>
-        touched.map(_.toString).contains(r.getString(1)))
-        .map(_.getString(0))
-      if (kept.isEmpty)
-        spark.read.option("basePath", path)
-          .parquet(all.head.getString(0)).filter(lit(false))
-      else spark.read.option("basePath", path)
-        .parquet(kept.toIndexedSeq: _*)
-    }
-    val report = MergeUpsert.mergeWrite(spark, path, updates, keys,
-      partitionCol, listingVia = resolver)
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    update(spark, path, partitionCol, touched,
-      zoneKey.getOrElse(keys.head))
+    val existing = load(spark, path)
+    // when a manifest already exists, the merge's existing-rows read
+    // plans from it; new partitions simply resolve to no files
+    val resolver = existing.map { m => (ts: Seq[Any]) =>
+      readFiles(spark, path, m,
+        keptFiles(m, ts.map(_.toString)).toIndexedSeq)
+    }
+    val before = listPartFiles(spark, path, partitionCol, touched)
+    val report = MergeUpsert.mergeWrite(spark, path, updates, keys,
+      partitionCol, listingVia = resolver, cow = true)
+    val newFiles =
+      (listPartFiles(spark, path, partitionCol, touched) -- before).toSeq
+    if (newFiles.nonEmpty) {
+      val fresh = statsForFiles(spark, path, newFiles, partitionCol,
+        zoneKey.getOrElse(keys.head))
+      val parts = touched.map(_.toString)
+      val merged = existing match {
+        case None => fresh
+        case Some(old) => old.filter(!col("part").isin(parts: _*))
+          .unionByName(fresh)
+      }
+      MergeUpsert.publishPlain(spark, manifestPath(path), merged,
+        retainVersions)
+    }
     report
+  }
+
+  /** Out-of-band APPEND with exact manifest registration: writes `df`
+    * as new files (no merge semantics — the caller owns key
+    * uniqueness) and registers EXACTLY the files it wrote, leaving
+    * every existing manifest row in place. This is the safe form of
+    * "external writer lands data on a live table": unlike [[update]]'s
+    * dir rescan it cannot resurrect superseded copy-on-write files,
+    * because it never looks at files it didn't just create. */
+  def appendManifested(spark: SparkSession, path: String, df: DataFrame,
+                       keyCol: String, partitionCol: String = "date",
+                       retainVersions: Int = 2): Unit = {
+    val touched = df.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val before = listPartFiles(spark, path, partitionCol, touched)
+    df.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(partitionCol).parquet(path)
+    spark.catalog.refreshByPath(path)
+    val newFiles =
+      (listPartFiles(spark, path, partitionCol, touched) -- before).toSeq
+    if (newFiles.isEmpty) return
+    val fresh = statsForFiles(spark, path, newFiles, partitionCol, keyCol)
+    val merged = load(spark, path) match {
+      case None => fresh
+      case Some(old) => old.unionByName(fresh)
+    }
+    MergeUpsert.publishPlain(spark, manifestPath(path), merged,
+      retainVersions)
   }
 
   /** Manifest-planned read of the given PARTITION values: keep only
     * the manifest files whose partition matches — the date-filtered
     * endpoint read (QueryLayer's q07–q10 path) with zero directory
-    * listing. Falls back to the plain partition-pruned scan when the
-    * table has no manifest (a legacy table; pruning still skips data,
-    * but discovery lists the root). The residual `isin` filter keeps
-    * semantics identical either way. */
+    * listing and an O(matching files) driver plan (never the whole
+    * manifest). Falls back to the plain partition-pruned scan when the
+    * table has no manifest (a legacy, never-rewritten table; pruning
+    * still skips data, but discovery lists the root). The residual
+    * `isin` filter keeps semantics identical either way.
+    *
+    * Manifest-currency contract (applies to every manifest-planned
+    * read here): files appended out-of-band and never registered via
+    * [[appendManifested]]/[[update]] are INVISIBLE — derived jobs
+    * reading through the manifest silently exclude them, they do not
+    * fail. Register every out-of-band arrival before reading. */
   def readPartitions(spark: SparkSession, path: String, parts: Seq[Any],
                      partitionCol: String = "date"): DataFrame =
     load(spark, path) match {
@@ -130,23 +283,16 @@ object TableManifest {
         spark.read.parquet(path)
           .filter(col(partitionCol).isin(parts: _*))
       case Some(m) =>
-        val want = parts.map(_.toString)
-        val all = m.select("file", "part").collect()
-        require(all.nonEmpty, s"manifest at $path lists no files")
-        val kept = all.filter(r => want.contains(r.getString(1)))
-          .map(_.getString(0))
-        val df =
-          if (kept.isEmpty)
-            spark.read.option("basePath", path)
-              .parquet(all.head.getString(0)).filter(lit(false))
-          else spark.read.option("basePath", path)
-            .parquet(kept.toIndexedSeq: _*)
-        df.filter(col(partitionCol).isin(parts: _*))
+        val kept = keptFiles(m, parts.map(_.toString))
+        readFiles(spark, path, m, kept.toIndexedSeq)
+          .filter(col(partitionCol).isin(parts: _*))
     }
 
   /** [[readViaManifest]] when a manifest exists, the plain scan
     * otherwise — the drop-in whole-table read for pipelines whose
-    * tables may predate manifest adoption. */
+    * tables may predate manifest adoption. Same manifest-currency
+    * contract as [[readPartitions]]: unregistered out-of-band files
+    * are silently excluded, not an error. */
   def readOrPlain(spark: SparkSession, path: String): DataFrame =
     if (load(spark, path).isDefined) readViaManifest(spark, path)
     else spark.read.parquet(path)
@@ -156,54 +302,71 @@ object TableManifest {
 
   /** Small-file compaction REGISTERED in the manifest: partitions
     * whose file count exceeds `maxFilesPerPart` are found from the
-    * manifest itself (zero listing), their rows rewritten as one file
-    * per partition through the same dynamic partition overwrite the
-    * merge path uses, and exactly those partitions' manifest rows
-    * refreshed through the same atomic `_manifest` publish. Untouched
-    * partitions' files and manifest rows carry over byte-for-byte.
-    * Incremental merges can't create this state themselves (the merge
-    * repartitions to one file per touched date) — external appenders
-    * and task-parallel writers can, and their read cost would
-    * otherwise grow with every small file.
+    * manifest itself (zero listing), their rows rewritten one file per
+    * partition as NEW files (copy-on-write — readers on the previous
+    * manifest version keep their files; the fragments become
+    * unreferenced in the new version and [[vacuum]] reclaims them),
+    * and exactly those partitions' manifest rows replaced through the
+    * same atomic `_manifest` publish. Untouched partitions' files and
+    * manifest rows carry over byte-for-byte.  Incremental merges can't
+    * create this state themselves (the merge repartitions to one file
+    * per touched date) — external appenders and task-parallel writers
+    * can, and their read cost would otherwise grow with every small
+    * file.
     *
-    * Contract: the manifest must be CURRENT (run [[update]] after any
-    * out-of-band append) — the rewrite reads exactly the manifest's
-    * file list, so rows in unregistered files of a compacted partition
-    * would not survive the overwrite. */
+    * Contract: the manifest must be CURRENT (register any out-of-band
+    * append via [[appendManifested]] first) — the rewrite reads exactly
+    * the manifest's file list, so rows in unregistered files of a
+    * compacted partition would vanish from the new manifest version.
+    * `zoneKey` must match the zone column every prior publish used
+    * (default: the sort key `keyCol` — pass the table's established
+    * zone key when they differ, e.g. IngestJob's capacity table sorts
+    * by (date, region_id) but zones on region_id); mixed-key zones
+    * would make [[lookup]]'s typed cast silently prune wrong. */
   def compactManifested(spark: SparkSession, path: String,
                         keyCol: String, partitionCol: String = "date",
                         maxFilesPerPart: Int = 1,
-                        retainVersions: Int = 2): CompactReport = {
+                        retainVersions: Int = 2,
+                        zoneKey: Option[String] = None): CompactReport = {
     val m = load(spark, path)
       .getOrElse(sys.error(s"no manifest at $path — call update() first"))
-      .select("file", "part").collect()
-    val byPart = m.groupBy(_.getString(1))
-    val over = byPart.filter(_._2.length > maxFilesPerPart)
-    if (over.isEmpty)
-      return CompactReport(0, m.length.toLong, m.length.toLong)
-    val files = over.valuesIterator.flatten.map(_.getString(0)).toSeq
-    // read ONLY the over-threshold partitions' files (manifest-planned),
-    // rewrite them one-file-per-partition via dynamic overwrite — the
-    // same publish the merge path uses, so readers never see a partial
-    // partition
+    val filesBefore = m.count()
+    // over-threshold partitions found DISTRIBUTED from the manifest;
+    // only their names (bounded by partition count) reach the driver
+    val overParts = m.groupBy("part").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > maxFilesPerPart)
+      .select("part").collect().map(_.getString(0)).toSeq
+    if (overParts.isEmpty)
+      return CompactReport(0, filesBefore, filesBefore)
+    val files = keptFiles(m, overParts)
+    val before = listPartFiles(spark, path, partitionCol, overParts)
+    // read ONLY the over-threshold partitions' live files
+    // (manifest-planned), rewrite them one-file-per-partition as new
+    // appended files — the copy-on-write publish, so readers never see
+    // a partial partition and prior versions stay readable
     spark.read.option("basePath", path)
-      .parquet(files: _*)
+      .parquet(files.toIndexedSeq: _*)
       .repartition(col(partitionCol))
       .sortWithinPartitions(col(keyCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(partitionCol)
       .parquet(path)
     spark.catalog.refreshByPath(path)
-    // refresh exactly the compacted partitions' manifest rows; the
-    // partition values re-enter statsFor in their DECODED string form
-    // (escaped back to the on-disk dir names there)
-    update(spark, path, partitionCol, over.keys.toSeq, keyCol,
+    val newFiles =
+      (listPartFiles(spark, path, partitionCol, overParts) -- before).toSeq
+    // replace exactly the compacted partitions' manifest rows with the
+    // new files' stats; the partition values re-enter statsForFiles in
+    // their DECODED string form
+    val fresh = statsForFiles(spark, path, newFiles, partitionCol,
+      zoneKey.getOrElse(keyCol))
+    val merged = m.filter(!col("part").isin(overParts: _*))
+      .unionByName(fresh)
+    MergeUpsert.publishPlain(spark, manifestPath(path), merged,
       retainVersions)
     // filesAfter is MEASURED from the refreshed manifest (one row per
     // file), not derived from a one-file-per-partition assumption a
     // writer setting like maxRecordsPerFile could break
-    CompactReport(over.size, m.length.toLong,
+    CompactReport(overParts.size, filesBefore,
       load(spark, path).map(_.count()).getOrElse(0L))
   }
 
@@ -212,6 +375,27 @@ object TableManifest {
     * travel rides [[MergeUpsert.retainedVersions]] directly. */
   def versions(spark: SparkSession, path: String): Seq[String] =
     MergeUpsert.retainedVersions(spark, manifestPath(path))
+
+  /** DATA time travel: read the table exactly as manifest `version`
+    * saw it — the file list that version references, which
+    * copy-on-write guarantees is still on disk for every retained
+    * version ([[vacuum]]'s contract). The audit/debug read a
+    * production lake runs daily: "what did this table hold before last
+    * night's merges". Versions outside the retention window are GC'd —
+    * size `retainVersions`/`keepVersions` to how far back readers
+    * look. */
+  def readVersion(spark: SparkSession, path: String,
+                  version: String): DataFrame = {
+    val files = MergeUpsert
+      .readPlainVersion(spark, manifestPath(path), version)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty,
+      s"manifest version $version of $path lists no files")
+    require(files.length <= MaxPlanFiles,
+      s"${files.length} files in version $version — beyond the " +
+        s"$MaxPlanFiles-file planning bound; compact before time travel")
+    spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+  }
 
   /** Metadata time-travel audit between two retained manifest
     * versions: per partition, file/row counts before and after plus a
@@ -243,17 +427,110 @@ object TableManifest {
       .orderBy("part")
   }
 
+  final case class VacuumReport(versionsDropped: Int, versionsKept: Int,
+                                filesLive: Long, filesDeleted: Long)
+
+  /** Reclaim data files no retained manifest version references — the
+    * Delta `VACUUM` core, and the storage bound that makes
+    * copy-on-write viable at merge cadence (without it, every rewrite
+    * grows the table dir forever). In order:
+    *
+    *  1. RETENTION PUBLISH: manifest versions beyond the newest
+    *     `keepVersions` are deleted (whole immutable version dirs; the
+    *     `_CURRENT` pointer — which every reader resolves first — is
+    *     untouched, so this narrows only how far back [[readVersion]]
+    *     reaches). After this step the on-disk version set IS the
+    *     retention pointer the deletion below derives from.
+    *  2. LIVE SET: the union of `file` across the retained versions.
+    *  3. SAFETY GATE: every live file must exist on disk — a dangling
+    *     reference means the table was mutated outside the
+    *     copy-on-write protocol, and vacuum REFUSES rather than guess.
+    *  4. DELETE: on-disk parquet files under the partition dirs that
+    *     no retained version references, removed executor-parallel
+    *     (DELETE is a per-file RPC; at a post-merge backlog of
+    *     thousands of files a driver loop would serialize them).
+    *
+    * Idempotent: a re-run finds an empty dead set and deletes nothing.
+    * Single-writer, like every publish in this engine — run it from
+    * the table's writer, never concurrently with one (it would reclaim
+    * a concurrent writer's not-yet-published files).
+    *
+    * `keepVersions = 1` keeps only the live version — maximal space
+    * reclaim, no time travel window. */
+  def vacuum(spark: SparkSession, path: String,
+             keepVersions: Int = 2): VacuumReport = {
+    require(keepVersions >= 1,
+      s"keepVersions must retain at least the live version, got " +
+        s"$keepVersions")
+    val mp = manifestPath(path)
+    val vs = MergeUpsert.retainedVersions(spark, mp)
+    require(vs.nonEmpty, s"no manifest at $path — nothing to vacuum")
+    val fs = MergeUpsert.fsFor(spark, path)
+    val mpP = new org.apache.hadoop.fs.Path(mp)
+    val drop = vs.dropRight(keepVersions)
+    val keep = vs.takeRight(keepVersions)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(mpP, v), true))
+    val live = keep.map(v =>
+        MergeUpsert.readPlainVersion(spark, mp, v).select("file"))
+      .reduce(_.unionByName(_)).distinct()
+      .collect().map(r => canon(r.getString(0))).toSet
+    require(live.nonEmpty, s"retained manifest versions of $path list " +
+      "no files — refusing to treat the whole table as dead")
+    require(live.size <= MaxPlanFiles,
+      s"${live.size} live files — beyond the $MaxPlanFiles-file bound; " +
+        "compact before vacuuming")
+    // candidates: parquet files under the FIRST-LEVEL partition dirs
+    // (the only place this format writes data); `_manifest`, pointer
+    // files and job markers are never candidates
+    val root = new org.apache.hadoop.fs.Path(path)
+    val partDirs = fs.listStatus(root).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val cands = partDirs.flatMap(d => fs.listStatus(d.getPath).toIndexedSeq)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val candSet = cands.map(p => canon(p.toString)).toSet
+    val missing = live -- candSet
+    require(missing.isEmpty,
+      s"manifest references ${missing.size} files absent on disk " +
+        s"(mutated outside the copy-on-write protocol?) — refusing to " +
+        s"vacuum; e.g. ${missing.take(3).mkString(", ")}")
+    val dead = cands.filterNot(p => live.contains(canon(p.toString)))
+    if (dead.nonEmpty) {
+      // executor-parallel delete; SerializableConfiguration ships the
+      // hadoop conf so each partition opens the real FileSystem
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      import spark.implicits._
+      spark.createDataset(dead.map(_.toString))
+        .repartition(math.min(32, dead.size))
+        .foreachPartition { (it: Iterator[String]) =>
+          it.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf.value).delete(p, false)
+          }
+        }
+      spark.catalog.refreshByPath(path)
+    }
+    VacuumReport(drop.size, keep.size, live.size.toLong,
+      dead.size.toLong)
+  }
+
   final case class LookupReport(filesTotal: Long, filesKept: Long)
 
   /** Read the whole table by manifest file list — zero directory
     * listing on the read path (the manifest read is one small
-    * versioned table). Schema/partition semantics match
-    * `spark.read.parquet(path)` via basePath. */
+    * versioned table). Schema/partition semantics match a plain read
+    * of the live file set via basePath. Same manifest-currency
+    * contract as [[readPartitions]]. */
   def readViaManifest(spark: SparkSession, path: String): DataFrame = {
     val files = load(spark, path)
       .getOrElse(sys.error(s"no manifest at $path — call update() first"))
       .select("file").collect().map(_.getString(0))
     require(files.nonEmpty, s"manifest at $path lists no files")
+    require(files.length <= MaxPlanFiles,
+      s"${files.length} files — beyond the $MaxPlanFiles-file planning " +
+        "bound; compact the table or read by partition")
     spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
   }
 
@@ -262,20 +539,21 @@ object TableManifest {
     * intersects [lo, hi] — the comparison happens in the KEY's own
     * type, so string zones compare in string order and numeric zones
     * numerically (the manifest stores zones as strings; they are cast
-    * back here). Returns the exact-filtered rows plus the prune
-    * evidence. */
+    * back here). Only the SURVIVING file rows are collected to plan
+    * the read — O(kept), never O(table files). Returns the
+    * exact-filtered rows plus the prune evidence. */
   def lookup(spark: SparkSession, path: String, keyCol: String,
              lo: Any, hi: Any, partitionCol: String = "date",
              partVal: Option[Any] = None)
       : (DataFrame, LookupReport) = {
     val m = load(spark, path)
       .getOrElse(sys.error(s"no manifest at $path — call update() first"))
-    // one row per FILE — bounded metadata, not table data. The key's
-    // type comes from ONE manifest-listed file's footer, never from a
-    // whole-table listing (which is the cost this path exists to skip).
-    val allFiles = m.select("file").collect().map(_.getString(0))
-    require(allFiles.nonEmpty, s"manifest at $path lists no files")
-    val keyType = spark.read.parquet(allFiles.head).schema(keyCol).dataType
+    // The key's type comes from ONE manifest-listed file's footer,
+    // never from a whole-table listing (the cost this path skips).
+    val sample = m.select("file").limit(1).collect()
+    require(sample.nonEmpty, s"manifest at $path lists no files")
+    val keyType =
+      spark.read.parquet(sample.head.getString(0)).schema(keyCol).dataType
     val zoned = m.filter(
       col("key_lo").cast(keyType) <= lit(hi) &&
       col("key_hi").cast(keyType) >= lit(lo))
@@ -284,14 +562,11 @@ object TableManifest {
       case None => zoned
     }
     val kept = pruned.select("file").collect().map(_.getString(0))
-    val total = allFiles.length.toLong
-    val df =
-      if (kept.isEmpty)
-        spark.read.option("basePath", path)
-          .parquet(allFiles.head)
-          .filter(lit(false))
-      else spark.read.option("basePath", path)
-        .parquet(kept.toIndexedSeq: _*)
+    require(kept.length <= MaxPlanFiles,
+      s"${kept.length} files survive zone pruning — beyond the " +
+        s"$MaxPlanFiles-file planning bound; compact the table")
+    val total = m.count()
+    val df = readFiles(spark, path, m, kept.toIndexedSeq)
     val exact = partVal match {
       case Some(v) =>
         df.filter(col(keyCol).between(lit(lo), lit(hi)) &&

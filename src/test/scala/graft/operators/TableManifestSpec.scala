@@ -138,15 +138,157 @@ class TableManifestSpec extends SparkSpec {
     val z = afterByPart("2024-01-02").head
     assert(z.getAs[Long]("rows") == 40L &&
       z.getAs[String]("key_lo") == "21" && z.getAs[String]("key_hi") == "60")
-    // values intact through BOTH read paths
+    // values intact through the manifest read; the dir still holds the
+    // copy-on-write fragments until vacuum reclaims them
     assert(TableManifest.readViaManifest(spark, path).count() == 60L)
-    assert(spark.read.parquet(path).count() == 60L)
+    assert(spark.read.parquet(path).count() > 60L,
+      "copy-on-write compaction must leave the superseded fragments " +
+        "on disk for retained-version readers")
     val got = TableManifest.readViaManifest(spark, path)
       .filter(col("id") === 50L).select("value").head().getDouble(0)
     assert(got == 2.0)
     // idempotent: nothing left over threshold
     val rep2 = TableManifest.compactManifested(spark, path, keyCol = "id")
     assert(rep2.partsCompacted == 0 && rep2.filesAfter == 2)
+    // vacuum to the live version alone: the dir becomes exactly the
+    // table again (plain read agrees), content unchanged
+    val vac = TableManifest.vacuum(spark, path, keepVersions = 1)
+    assert(vac.filesDeleted >= 4, s"fragments must be reclaimed: $vac")
+    assert(spark.read.parquet(path).count() == 60L)
+    assert(TableManifest.readViaManifest(spark, path).count() == 60L)
+  }
+
+  test("vacuum reclaims exactly the files no retained manifest version " +
+    "references; retained versions stay readable; re-run deletes nothing") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 20L, 1.0)
+        .unionByName(rows("2024-01-02", 21L to 40L, 1.0)),
+      keys = Seq("id"))
+    val v1 = TableManifest.versions(spark, path).last
+    val snap1 = TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet
+    // rewrite 2024-01-02 (copy-on-write: its old file stays on disk)
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-02", 31L to 45L, 2.0), keys = Seq("id"))
+    val v2 = TableManifest.versions(spark, path).last
+    val snap2 = TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet
+    // time travel: v1 reads the PRE-merge table, v2 the post-merge one
+    assert(TableManifest.readVersion(spark, path, v1)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap1)
+    assert(TableManifest.readVersion(spark, path, v2)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap2)
+    // both versions retained → every on-disk file is referenced →
+    // vacuum deletes NOTHING (the retention contract protects v1)
+    val vac0 = TableManifest.vacuum(spark, path, keepVersions = 2)
+    assert(vac0.filesDeleted == 0 && vac0.versionsDropped == 0,
+      s"files referenced by retained versions must survive: $vac0")
+    assert(TableManifest.readVersion(spark, path, v1)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap1)
+    // third merge: the publish GC drops v1 from retention; v1's
+    // exclusive file (2024-01-02's original) becomes dead
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-02", 41L to 50L, 3.0), keys = Seq("id"))
+    val v3 = TableManifest.versions(spark, path).last
+    val snap3 = TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet
+    val vac1 = TableManifest.vacuum(spark, path, keepVersions = 2)
+    assert(vac1.filesDeleted == 1, s"exactly v1's exclusive file: $vac1")
+    // retained versions read byte-identically AFTER the vacuum
+    assert(TableManifest.readVersion(spark, path, v2)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap2)
+    assert(TableManifest.readVersion(spark, path, v3)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap3)
+    // idempotent
+    val vac2 = TableManifest.vacuum(spark, path, keepVersions = 2)
+    assert(vac2.filesDeleted == 0, s"re-run must delete nothing: $vac2")
+    // keepVersions = 1: maximal reclaim, live table untouched, plain
+    // dir == live file set again
+    val vac3 = TableManifest.vacuum(spark, path, keepVersions = 1)
+    assert(vac3.versionsDropped == 1 && vac3.filesDeleted == 1)
+    assert(TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap3)
+    assert(spark.read.parquet(path)
+      .select("id", "value", "date").collect().map(_.toSeq).toSet == snap3)
+  }
+
+  test("vacuum + readVersion round-trip partition values needing " +
+    "URI/path escaping") {
+    val path = tmpDir()
+    val parts = Seq("a b", "x:y", "p%q", "c+d")
+    val df = parts.zipWithIndex.flatMap { case (p, i) =>
+      (1L to 10L).map(k => (i * 100L + k, p, 1.0))
+    }.toDF("id", "date", "value")
+    TableManifest.mergeWriteManifested(spark, path, df, keys = Seq("id"))
+    val v1 = TableManifest.versions(spark, path).last
+    TableManifest.mergeWriteManifested(spark, path,
+      Seq((105L, "x:y", 9.0), (301L, "c+d", 9.0))
+        .toDF("id", "date", "value"), keys = Seq("id"))
+    // the canon() identity must match manifest strings to disk files
+    // for every escaped name: nothing live may be deleted, and the two
+    // superseded files must be found once v1 ages out
+    val vac0 = TableManifest.vacuum(spark, path, keepVersions = 2)
+    assert(vac0.filesDeleted == 0, s"all files retained: $vac0")
+    assert(TableManifest.readVersion(spark, path, v1).count() == 40L)
+    val vac1 = TableManifest.vacuum(spark, path, keepVersions = 1)
+    assert(vac1.filesDeleted == 2, s"two rewritten partitions: $vac1")
+    assert(TableManifest.readViaManifest(spark, path).count() == 40L)
+    assert(spark.read.parquet(path).count() == 40L)
+    assert(TableManifest.readViaManifest(spark, path)
+      .filter(col("id") === 105L).select("value").head().getDouble(0)
+      == 9.0)
+  }
+
+  test("appendManifested registers exactly the appended files; " +
+    "existing rows — including superseded-on-disk partitions — carry " +
+    "over; no resurrection") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 20L, 1.0), keys = Seq("id"))
+    // rewrite once so the partition dir holds a SUPERSEDED file — the
+    // state where update()'s dir rescan would resurrect it
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 11L to 25L, 2.0), keys = Seq("id"))
+    assert(TableManifest.readViaManifest(spark, path).count() == 25L)
+    // out-of-band arrival into the SAME partition + a new one
+    TableManifest.appendManifested(spark, path,
+      rows("2024-01-01", 101L to 105L, 5.0)
+        .unionByName(rows("2024-01-02", 201L to 203L, 5.0))
+        .repartition(col("date")),
+      keyCol = "id")
+    val got = TableManifest.readViaManifest(spark, path)
+    assert(got.count() == 33L,
+      "append must add its rows without resurrecting the superseded file")
+    assert(got.filter(col("id") === 15L).select("value").head()
+      .getDouble(0) == 2.0)
+    val m = TableManifest.load(spark, path).get.collect()
+    assert(m.count(_.getString(1) == "2024-01-01") == 2 &&
+      m.count(_.getString(1) == "2024-01-02") == 1,
+      "one manifest row per appended file plus the carried merge file")
+  }
+
+  test("compactManifested honors a zoneKey distinct from the sort key " +
+    "(the capacity-table shape: sort (date,id), zones on group)") {
+    val path = tmpDir()
+    val df = (1L to 40L).map(i =>
+        (i, s"g${i % 4}", "2024-01-01", i.toDouble))
+      .toDF("id", "g", "date", "value")
+    TableManifest.mergeWriteManifested(spark, path, df,
+      keys = Seq("id"), zoneKey = Some("g"))
+    TableManifest.appendManifested(spark, path,
+      (41L to 48L).map(i => (i, s"g${i % 4}", "2024-01-01", i.toDouble))
+        .toDF("id", "g", "date", "value").repartition(4), keyCol = "g")
+    val rep = TableManifest.compactManifested(spark, path,
+      keyCol = "id", zoneKey = Some("g"))
+    assert(rep.partsCompacted == 1 && rep.filesAfter == 1, s"got $rep")
+    // the refreshed row's zones must be g-ranges, not id-ranges —
+    // mixed-key zones would cast to null in lookup and silently prune
+    val z = TableManifest.load(spark, path).get.collect().head
+    assert(z.getAs[String]("key_lo") == "g0" &&
+      z.getAs[String]("key_hi") == "g3", s"zone must stay on g: $z")
+    val (hit, lrep) = TableManifest.lookup(spark, path, "g", "g2", "g2")
+    assert(lrep.filesKept == 1 && hit.count() == 12L)
   }
 
   test("partition values needing URI/path escaping (space, ':', '%', " +

@@ -124,10 +124,16 @@ class EndToEndSpec extends SparkSpec {
     IngestJob.run(spark, csvPath,
       s"$base/capacity", s"$base/regions", s"$base/rejects", s"$base/runs",
       "run-3", "fixture", ts("2024-01-19 00:00:00"))
-    assert(spark.read.parquet(s"$base/capacity").count() == 4)
     // idempotent redelivery also left the manifest consistent: row
     // counts per partition unchanged
     assert(TableManifest.readViaManifest(spark, s"$base/capacity")
       .count() == 4)
+    // run-3's copy-on-write rewrite left run-1's files on disk for
+    // retained-version readers; vacuum to the live version and the
+    // dir is exactly the table again
+    val vac = TableManifest.vacuum(spark, s"$base/capacity",
+      keepVersions = 1)
+    assert(vac.filesDeleted >= 1, s"superseded ingest files: $vac")
+    assert(spark.read.parquet(s"$base/capacity").count() == 4)
   }
 }
