@@ -9865,12 +9865,11 @@ object ExtensionCatalog {
           keys = Seq("event_id"))
         val extra = ev.filter(col("event_id") % 11 === 0)
           .withColumn("event_id", col("event_id") + 10000000L)
-        extra.repartition(4).write.mode("append")
-          .partitionBy("date").parquet(path)
-        s.catalog.refreshByPath(path)
-        val touched = extra.select("date").distinct().collect()
-          .map(_.getString(0)).toSeq
-        TableManifest.update(s, path, "date", touched, "event_id")
+        // out-of-band arrival registered with EXACT file accounting
+        // (appendManifested) — on a copy-on-write table a dir rescan
+        // (update) could resurrect superseded files
+        TableManifest.appendManifested(s, path, extra.repartition(4),
+          keyCol = "event_id")
         val rep = TableManifest.compactManifested(s, path,
           keyCol = "event_id")
         require(rep.partsCompacted >= 1 &&
@@ -9977,7 +9976,139 @@ object ExtensionCatalog {
       })
   )
 
+  /** Round-12: the copy-on-write table format's lifecycle closed —
+    * vacuum reclaim, data time travel, and the hospital parity
+    * endpoint served through manifest-planned partitions, each under a
+    * DuckDB oracle. */
+  private val roundTwelve: Seq[Q] = Seq(
+
+    // ---- the PARITY surface through the manifest, oracle-checked:
+    //      a metrics-shaped table (date × region keyed, strain values)
+    //      is published via mergeWriteManifested exactly as
+    //      IngestJob/MetricsJob publish the hospital tables, and
+    //      /metrics/compare is served by QueryLayer.metricsCompareAt —
+    //      whose scan must touch ONLY the target and −1-day partitions'
+    //      files (the in-query require reads the plan's inputFiles).
+    //      Closes the r11 gap "manifest-planned parity endpoints are
+    //      spec-tested, not oracle-checked" ----
+    Q("q24_manifest_compare", Some(
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         floor(SUM(value) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS target FROM d)
+        |SELECT c.day AS date, upper(c.event_type) AS region,
+        |       c.v AS strain_index, p.v AS prev_strain,
+        |       floor((c.v - p.v) * 10000.0 + 0.5) / 10000.0 AS delta
+        |FROM d c
+        |JOIN mx ON c.day = mx.target
+        |LEFT JOIN d p
+        |  ON p.event_type = c.event_type AND p.day = c.day - 1
+        |ORDER BY region""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-q24")
+        val path = s"$work/metrics"
+        val daily = ReferenceCatalog.events(s, dir)
+          .groupBy(col("event_type").as("region_id"),
+            to_date(col("ts")).as("date"))
+          .agg(TextFunctions.portableRound(sum("value"), 4)
+            .as("strain_index"))
+        TableManifest.mergeWriteManifested(s, path, daily,
+          keys = Seq("date", "region_id"), zoneKey = Some("region_id"))
+        val target = daily.agg(max("date")).head().getDate(0)
+        val regions = daily.select(col("region_id")).distinct()
+          .select(col("region_id"), upper(col("region_id")).as("name"))
+        val out = graft.pipeline.QueryLayer.metricsCompareAt(
+          s, path, regions, target)
+        val totalFiles = TableManifest.load(s, path).get.count()
+        // the plan also scans the regions dim (events-derived); count
+        // only the metrics TABLE's files it touches
+        val scanned = out.inputFiles.count(_.contains(work))
+        require(scanned >= 1 && scanned <= 2 && scanned < totalFiles,
+          s"compare must read only the target and -1-day partitions' " +
+            s"files, got $scanned of $totalFiles")
+        out.select(col("date"), col("region"), col("strain_index"),
+          col("prev_strain"),
+          TextFunctions.portableRound(col("delta"), 4).as("delta"))
+          .orderBy("region")
+      }),
+
+    // ---- vacuum: after a create + two redelivered merges, the table
+    //      dir holds superseded copy-on-write generations; vacuum
+    //      reclaims exactly the files no retained manifest version
+    //      references (proven non-zero), a re-run reclaims nothing,
+    //      and the post-vacuum range lookup is hash-checked under
+    //      x202's byte-identical oracle — reclaim must free bytes,
+    //      never change answers ----
+    Q("x240_table_vacuum", sqlOfRound(roundTen, "x202_manifest_lookup"),
+      (s, dir) => {
+        val work = tmp("graft-vacuum")
+        val path = s"$work/events_table"
+        val ev = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, ev,
+          keys = Seq("event_id"))
+        TableManifest.mergeWriteManifested(s, path,
+          ev.filter(col("event_id") % 7 === 0), keys = Seq("event_id"))
+        TableManifest.mergeWriteManifested(s, path,
+          ev.filter(col("event_id") % 5 === 0), keys = Seq("event_id"))
+        val vac = TableManifest.vacuum(s, path, keepVersions = 2)
+        require(vac.filesDeleted >= 1,
+          s"three publishes must leave unreferenced generations: $vac")
+        val again = TableManifest.vacuum(s, path, keepVersions = 2)
+        require(again.filesDeleted == 0,
+          s"vacuum must be idempotent: $again")
+        val (hit, rep) = TableManifest.lookup(s, path, "event_id",
+          ManifestLookupLo, ManifestLookupHi)
+        require(rep.filesKept < rep.filesTotal,
+          s"zones must still prune after vacuum, got $rep")
+        hit.select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }),
+
+    // ---- data time travel: a merge lands 10M-offset NEW keys, then
+    //      readVersion re-reads the PRE-merge manifest version — the
+    //      audit read a production lake runs daily — and its aggregate
+    //      hash-checks against the oracle replaying the original
+    //      events alone. The in-query require proves the live table
+    //      really moved on (time travel is not just the live read) ----
+    Q("x241_time_travel", Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-asof")
+        val path = s"$work/tbl"
+        val ev = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, ev,
+          keys = Seq("event_id"))
+        val v1 = TableManifest.versions(s, path).last
+        TableManifest.mergeWriteManifested(s, path,
+          ev.filter(col("event_id") % 13 === 0)
+            .withColumn("event_id", col("event_id") + 10000000L),
+          keys = Seq("event_id"))
+        val asOf = TableManifest.readVersion(s, path, v1)
+        val liveN = TableManifest.readViaManifest(s, path).count()
+        val v1N = asOf.count()
+        require(liveN > v1N,
+          s"the live table must have moved past v1 ($liveN vs $v1N)")
+        asOf.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("event_type")
+      })
+  )
+
   val all: Seq[Q] =
     base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven ++
-      roundElevenB
+      roundElevenB ++ roundTwelve
 }
