@@ -19,6 +19,11 @@ canary_ratio = mean(new canary pre, post) / mean(old canary pre, post),
 clamped to >= 1.0 when the new host is FASTER (a faster host must never
 excuse a genuine slowdown).
 
+Queries whose RAW ratio exceeds the threshold but whose normalized
+ratio passes are reported as MASKED (not flagged): normalization can
+scale a genuine regression under the gate during a degraded window, so
+the masked set must stay visible for adjudication.
+
 Usage:
     python3 scripts/bench_compare.py OLD.json NEW.json [--threshold 2.0]
                                      [--floor 0.25]
@@ -28,6 +33,8 @@ query plus a summary either way.
 """
 import argparse
 import json
+import re
+import statistics
 import sys
 
 
@@ -45,8 +52,44 @@ def main():
     ap.add_argument("--floor", type=float, default=0.25)
     args = ap.parse_args()
 
-    old = json.load(open(args.old))
-    new = json.load(open(args.new))
+    def load(path):
+        art = json.load(open(path))
+        if "queries" in art:
+            return art
+        # driver round artifacts wrap the bench output: the parsed JSON
+        # under "parsed" when the driver parsed it, else the raw stdout
+        # tail containing the one {"metric":...} line Bench prints
+        if isinstance(art.get("parsed"), dict) and "queries" in art["parsed"]:
+            return art["parsed"]
+        out = None
+        for line in reversed(art.get("tail", "").splitlines()):
+            i = line.find('{"metric"')
+            if i >= 0:
+                out = json.loads(line[i:])
+                break
+        if out is None:
+            raise SystemExit(f"{path}: no bench JSON found")
+        if "queries" not in out:
+            # the summary line points at a BENCH_FULL the driver run
+            # overwrote; recover per-query times from the stderr
+            # "[bench] NAME reps=[a,b,...]" lines (min-of-reps, matching
+            # what Bench publishes)
+            qs = {}
+            for line in art.get("tail", "").splitlines():
+                m = re.search(r"\[bench\] (\S+) reps=\[([0-9.,]+)\]", line)
+                if m:
+                    qs[m.group(1)] = min(
+                        float(v) for v in m.group(2).split(","))
+            if not qs:
+                raise SystemExit(f"{path}: no per-query data found")
+            print(f"note: {path}: recovered {len(qs)} queries from the "
+                  "(truncated) stderr tail -- PARTIAL coverage; prefer "
+                  "the run's BENCH_FULL artifact", file=sys.stderr)
+            out["queries"] = qs
+        return out
+
+    old = load(args.old)
+    new = load(args.new)
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
     if not common:
@@ -63,31 +106,40 @@ def main():
 
     ratios = []
     flagged = []
+    masked = []
     for q in common:
         if oq[q] <= 0:
             continue
         raw = nq[q] / oq[q]
         norm = raw / canary
         ratios.append(norm)
-        if norm > args.threshold and nq[q] > args.floor:
-            flagged.append((q, raw, norm, oq[q], nq[q]))
+        if nq[q] > args.floor:
+            if norm > args.threshold:
+                flagged.append((q, raw, norm, oq[q], nq[q]))
+            elif raw > args.threshold:
+                masked.append((q, raw, norm, oq[q], nq[q]))
 
-    ratios.sort()
-    med = ratios[len(ratios) // 2] if ratios else float("nan")
+    med = statistics.median(ratios) if ratios else float("nan")
     osum = sum(oq[q] for q in common)
     nsum = sum(nq[q] for q in common)
+    sum_ratio = f"{nsum / osum:.2f}x" if osum > 0 else "n/a"
     cr = f"{raw_canary:.3f}" if raw_canary else "n/a"
     print(f"common={len(common)} canary_ratio={cr} "
           f"(applied {canary:.3f})  median_norm_ratio={med:.3f}  "
-          f"sum {osum:.1f}s -> {nsum:.1f}s ({nsum / osum:.2f}x)")
+          f"sum {osum:.1f}s -> {nsum:.1f}s ({sum_ratio})")
     for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):
         print(f"FLAG {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x "
               f"norm {norm:.2f}x")
-    if raw_canary and raw_canary > 1.5:
-        print(f"WARN: canary ratio {raw_canary:.2f} marks a degraded "
+    for q, raw, norm, o, n in sorted(masked, key=lambda t: -t[1]):
+        print(f"MASKED {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x passes "
+              f"only via canary normalization (norm {norm:.2f}x) -- "
+              "adjudicate against a clean-window artifact")
+    if raw_canary and raw_canary > 1.2:
+        print(f"WARN: canary ratio {raw_canary:.2f} marks a drifting "
               "host window -- normalization can hide a real regression "
-              "behind the host factor; re-bench in a clean window "
-              "(canary near 1.0) before publishing these numbers")
+              "up to threshold*canary behind the host factor; re-bench "
+              "in a clean window (canary near 1.0) before publishing "
+              "these numbers")
     if not flagged:
         print("OK: no query exceeds "
               f"{args.threshold}x after canary normalization "

@@ -120,6 +120,17 @@ object Bench {
         val runs = scala.collection.mutable.ArrayBuffer.empty[Timing]
         while (runs.size < reps && runs.forall(_.err.isEmpty))
           runs += timeOnce(fn)
+        // blip guard: two rounds running, the driver artifact flagged
+        // sub-second queries whose two reps disagreed wildly (a GC or
+        // host hiccup landing on one rep of a cheap query); when that
+        // shape appears, one extra rep arbitrates — bounded extra cost
+        // (only blipped sub-second rows), and min-of-3 is the honest
+        // wall time the other reps corroborate.
+        if (runs.size > 1 && runs.forall(_.err.isEmpty)) {
+          val secs = runs.map(_.sec)
+          if (secs.max / math.max(secs.min, 1e-9) > 3.0 && secs.min < 1.0)
+            runs += timeOnce(fn)
+        }
         val best = runs.find(_.err.isDefined).getOrElse(runs.minBy(_.sec))
         if (reps > 1) Console.err.println(
           f"[bench] $name reps=[${runs.map(r => f"${r.sec}%.2f").mkString(",")}]"

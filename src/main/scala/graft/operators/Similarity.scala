@@ -262,7 +262,15 @@ object Similarity {
     * ((eid, ev, cid, enorm) — e.g. [[appendIvfPostings]]'s store): the
     * read path once BOTH training and assignment have moved to write
     * time. The query-side centroid probe is the only per-query work
-    * beyond the candidate scan. */
+    * beyond the candidate scan.
+    *
+    * CONTRACT: `postings` must carry exactly ONE row per `eid`, as
+    * [[appendIvfPostings]] guarantees (it dedups on eid at append
+    * time) and [[ivfAssign]] produces (rank rn=1 per eid). The probe
+    * performs NO (qid, eid) dedup — a postings frame violating this
+    * (e.g. a unionByName of two stores, or ivfAssign over overlapping
+    * batches without the store dedup) emits duplicate candidates that
+    * crowd distinct neighbors out of the top-k. */
   def ivfProbePostings(queries: DataFrame, idCol: String, vecCol: String,
                        postings: DataFrame, k: Int,
                        centroidTable: DataFrame, nProbe: Int = 2,

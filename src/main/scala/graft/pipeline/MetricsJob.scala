@@ -54,6 +54,10 @@ object MetricsJob {
     Lineage.append(spark, runsPath,
       Lineage.RunState(runId, "compute_metrics", "running", now))
     try {
+      // manifest-currency contract (TableManifest.readOrPlain): rows
+      // appended to capacity out-of-band and never registered
+      // (appendManifested/update) are silently EXCLUDED from the
+      // derivation, not an error — register arrivals before deriving
       val capacity = TableManifest.readOrPlain(spark, capacityPath)
       val metrics = derive(capacity, runId)
       TableManifest.mergeWriteManifested(spark, metricsPath, metrics,

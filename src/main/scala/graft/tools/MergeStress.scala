@@ -124,6 +124,44 @@ object MergeStress {
       df.count()
     })
 
+    // ---- vacuum at merge cadence (r11 verdict item 1): N copy-on-
+    // write merges of ONE date grow that partition's dir linearly (each
+    // rewrite appends a new generation, retained for in-flight readers
+    // and time travel); vacuum after the cycle reclaims every
+    // generation no retained manifest version references, holding the
+    // table's file count FLAT. The vacuum pays one full listing of the
+    // 2400 partition dirs — the bounded, schedulable cost that replaces
+    // unbounded growth ----
+    def partFileCount(date: String): Int =
+      new java.io.File(s"$work/bigcap/date=$date")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val cycles = 5
+    time(s"$cycles COW merges of one date")({
+      (1 to cycles).foreach { i =>
+        val b = capTable(3 + i)
+          .filter(col("date") === lit("2018-08-01").cast("date")).cache()
+        b.count()
+        TableManifest.mergeWriteManifested(spark, s"$work/bigcap", b,
+          Seq("date", "region_id"), zoneKey = Some("region_id"))
+        b.unpersist()
+      }
+      partFileCount("2018-08-01").toLong
+    })
+    time("vacuum (2400-part listing)")({
+      val grown = partFileCount("2018-08-01")
+      val vac = TableManifest.vacuum(spark, s"$work/bigcap",
+        keepVersions = 2)
+      val flat = partFileCount("2018-08-01")
+      println(s"[stress]   vacuum report: $vac; " +
+        s"merged-date dir files $grown -> $flat")
+      assert(grown >= cycles && flat <= 2,
+        s"vacuum must reclaim superseded generations: $grown -> $flat")
+      val vac2 = TableManifest.vacuum(spark, s"$work/bigcap",
+        keepVersions = 2)
+      assert(vac2.filesDeleted == 0, s"idempotent re-run: $vac2")
+      vac.filesDeleted
+    })
+
     // ---- parity-surface rows (r10 verdict item 1): the HOSPITAL
     // pipeline's own incremental derive at 2400 partitions.
     // capacity is written the way IngestJob now writes it
