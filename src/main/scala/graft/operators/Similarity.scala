@@ -299,6 +299,102 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** PQ code assignment against a FIXED [[pqCodebooks]] artifact — the
+    * incremental-encode path (new corpus batches coded with the stored
+    * book, so codes can never drift from the LUT side). Output
+    * (vec_id, k0..k{m−1}), one row per input vector; assignment uses
+    * the same round-6 cosine + cid tiebreak as every PQ path here. */
+  def pqCodesWith(corpus: DataFrame, idCol: String, vecCol: String,
+                  codebooks: DataFrame, m: Int = 4): DataFrame = {
+    val dims = vecDims(corpus, vecCol, "corpus")
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val sv = corpus.select(col(idCol).cast("long").as("eid"),
+        slice(col(vecCol), s * sub + 1, sub).as("sv"))
+      val cents = broadcast(codebooks.filter(col("subspace") === s)
+        .select(col("cid"), col("cvec")))
+      subspaceCodes(sv, cents, s"k$s")
+    }.reduce((a, b) => a.join(b, "eid"))
+      .withColumnRenamed("eid", "vec_id")
+  }
+
+  /** Two-stage ANN read over a CODED postings store — the standard
+    * IVFADC layout (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): stage 1 ranks every IVF candidate
+    * by an asymmetric-distance LUT score that reads m small code ints
+    * per row and NEVER touches the stored vectors (column pruning
+    * keeps `ev` out of the candidate scan entirely — at 64 float
+    * dims that is ~30× less data through the candidate join, the
+    * memory-bandwidth win that makes ADC an index); stage 2 re-reads
+    * full vectors for only the top-`rescoreK` shortlist per query and
+    * scores them with the EXACT [[ivfProbePostings]] expression
+    * (identical rounding and tiebreaks), so the returned top-k equals
+    * the single-stage probe whenever each query's true exact top-k
+    * survives the ADC shortlist.
+    *
+    * `rescoreK` is the recall knob: exactness holds iff ADC's top-
+    * `rescoreK` contains the exact top-`k` — size it by measured
+    * agreement (the x242 path holds hash-equality at 4·k across both
+    * test corpora and sf1). `postings` must carry the [[pqCodesWith]]
+    * columns k0..k{m−1} alongside (eid, ev, cid, enorm), and the same
+    * one-row-per-eid contract as [[ivfProbePostings]]. */
+  def ivfProbePostingsAdc(queries: DataFrame, idCol: String,
+                          vecCol: String, postings: DataFrame, k: Int,
+                          centroidTable: DataFrame, codebooks: DataFrame,
+                          m: Int = 4, nProbe: Int = 2,
+                          rescoreK: Int = 32,
+                          roundTo: Int = 4): DataFrame = {
+    require(rescoreK >= k,
+      s"rescoreK ($rescoreK) must cover the requested top-k ($k)")
+    val dims = vecDims(queries, vecCol, "queries")
+    require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", nProbe, centroidTable)
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    // per-subspace query LUT against the stored codebooks: O(|Q|·kCent)
+    // rows, broadcast — the whole query-side ADC state
+    val luts = (0 until m).map { s =>
+      val cents = broadcast(codebooks.filter(col("subspace") === s)
+        .select(col("cid"), col("cvec")))
+      broadcast(queries
+        .select(col(idCol).as("qid"),
+          slice(col(vecCol), s * sub + 1, sub).as("qsv"))
+        .join(cents)
+        .select(col("qid"), col("cid").as(s"k$s"),
+          dot(col("qsv"), col("cvec")).as(s"part$s")))
+    }
+    // stage 1: candidates WITHOUT vectors. Only (eid, cid, enorm,
+    // codes) flow through the IVF join — `ev` is pruned at the scan.
+    val lite = probes.select(col("qid"), col("cid"), col("qnorm"))
+      .join(postings.select(Seq(col("eid"), col("cid"), col("enorm")) ++
+        (0 until m).map(s => col(s"k$s")): _*), "cid")
+    val adcScored = luts.zipWithIndex.foldLeft(lite) {
+      case (acc, (lut, s)) => acc.join(lut, Seq(s"k$s", "qid"))
+    }.withColumn("adc",
+      (0 until m).map(s => col(s"part$s")).reduce(_ + _)
+        / (col("qnorm") * col("enorm")))
+    val wAdc = Window.partitionBy("qid").orderBy(desc("adc"), col("eid"))
+    val shortlist = adcScored
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rescoreK)
+      .select(col("qid"), col("eid"), col("qnorm"), col("enorm"))
+    // stage 2: exact rescore of the shortlist alone — the ONLY reads
+    // of full vectors, O(|Q|·rescoreK) rows on each side
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv2"))
+    val ev = postings.select(col("eid"), col("ev").as("ev2"))
+    val exact = shortlist.join(qv, "qid").join(ev, "eid")
+      .select(col("qid"), col("eid"),
+        round(dot(col("qv2"), col("ev2"))
+          / (col("qnorm") * col("enorm")), roundTo).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** Scalar int8 quantization for embedding storage at scale: 4× (fp32)
     * to 8× (fp64) smaller vectors — the standard first compression tier
     * before product quantization, and the difference between shipping

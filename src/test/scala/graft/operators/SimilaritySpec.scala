@@ -304,6 +304,69 @@ class SimilaritySpec extends SparkSpec {
     assert(incremental == fromScratch)
   }
 
+  test("ivfProbePostingsAdc: full-cover shortlist equals the exact " +
+    "probe row-for-row; a 10-of-50 shortlist admits only genuine " +
+    "cluster-mates into the top-k") {
+    // 8 well-separated prototypes with ~2% jitter; each QUERY also has
+    // an exact duplicate planted in the corpus (the query's own vector
+    // under the next odd id, which is the SMALLEST eid of its cluster,
+    // so an ADC code-tie can never crowd it out of the shortlist)
+    val dims = 64
+    def vec(i: Long): Array[Float] = {
+      val p = ((i / 2) % 8).toInt // clusters span BOTH parity halves
+      Array.tabulate(dims) { d =>
+        val base = if (d % 8 == p) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 11 - 5) * 0.02f
+      }
+    }
+    val all = (0L until 400L).map { i =>
+      // odd ids below 60 duplicate the preceding even (query) vector
+      if (i % 2 == 1 && i < 60) (i, vec(i - 1)) else (i, vec(i))
+    }.toDF("vec_id", "embedding")
+    val corpus = all.filter($"vec_id" % 2 === 1)
+    val q = all.filter($"vec_id" % 2 === 0 && $"vec_id" < 60)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-adcpost").toString + "/p"
+    Similarity.appendIvfPostings(spark, store, corpus,
+      "vec_id", "embedding", cents)
+    val postings = MergeUpsert.readPlain(spark, store)
+    val books = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1)
+    val coded = postings.join(
+      Similarity.pqCodesWith(corpus, "vec_id", "embedding", books, m = 4)
+        .withColumnRenamed("vec_id", "eid"), "eid")
+    val exact = Similarity.ivfProbePostings(q, "vec_id", "embedding",
+      postings, k = 5, cents, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    // (a) the GUARANTEE path: a shortlist covering every candidate
+    // (~50/query here) makes the two-stage read exactly the one-stage
+    // probe — same rounding, same tiebreaks, row-for-row
+    val full = Similarity.ivfProbePostingsAdc(q, "vec_id", "embedding",
+      coded, k = 5, cents, books, m = 4, nProbe = 2, rescoreK = 60)
+      .collect().map(_.toSeq).toSet
+    assert(full == exact,
+      s"full-cover two-stage must equal exact: " +
+        s"only-exact=${(exact -- full).take(3)} " +
+        s"only-adc=${(full -- exact).take(3)}")
+    // (b) the USEFUL path, stated structurally: nProbe=2 admits ~25
+    // own-cluster and ~25 foreign-cluster candidates per query; the
+    // ADC scores separate the two LISTS cleanly (within-cluster ranks
+    // are quantization ties), so a 10-of-~50 shortlist must fill the
+    // final top-5 exclusively with genuine cluster-mates, rescored to
+    // their true near-1 cosines — no foreign candidate leaks through
+    val small = Similarity.ivfProbePostingsAdc(q, "vec_id", "embedding",
+      coded, k = 5, cents, books, m = 4, nProbe = 2, rescoreK = 10)
+      .collect()
+    assert(small.length == 30 * 5)
+    small.foreach { r =>
+      val (qid, eid, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert((eid / 2) % 8 == (qid / 2) % 8 && sim >= 0.999,
+        s"shortlist let a foreign-cluster candidate into the top-5: $r")
+    }
+  }
+
   test("retrievalMetrics: perfect, shifted, and missing-top1 rankings") {
     def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "eid", "rn")
     val truth = rk((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
