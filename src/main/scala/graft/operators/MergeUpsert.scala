@@ -114,6 +114,33 @@ object MergeUpsert {
     publishVersion(spark, path, merged, retainVersions, cur, legacyFlat)
   }
 
+  /** Retention-prune a versioned plain store OUTSIDE the publish path:
+    * delete published version dirs beyond the newest `keepVersions`,
+    * never touching the live version or the `_CURRENT` pointer. Every
+    * publish already GCs to its `retainVersions` (floor 2, the
+    * in-flight-reader window); this is the maintenance pass that can
+    * go BELOW that floor between publishes — e.g. a monitoring store
+    * compacted to its live fold once the reader window has drained
+    * (`keepVersions = 1`). Only PUBLISHED lineage (dirs at-or-below
+    * the current version) is considered: a dead writer's orphan dir
+    * above it is the next publish's GC to classify, not ours. Returns
+    * the number of version dirs deleted; idempotent. */
+  def vacuumPlain(spark: SparkSession, path: String,
+                  keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1,
+      s"keepVersions must retain the live version, got $keepVersions")
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val cur = currentPlainVersion(spark, path)
+    val curN = cur.map(versionNumber).getOrElse(return 0)
+    val lineage = versionDirs(fs, p).filter(versionNumber(_) <= curN)
+      .sortBy(versionNumber)
+    val drop = lineage.dropRight(keepVersions)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
+    drop.size
+  }
+
   /** Delete matching rows from a versioned plain store — the retention/
     * takedown pass upserts cannot express. Publishes the filtered
     * contents as a new version through the same atomic protocol

@@ -79,6 +79,21 @@ object Profiling {
       retainVersions)
   }
 
+  /** Retention compaction of an [[appendValueCounts]] store: every
+    * publish already folds the WHOLE histogram into the new version
+    * (the store is state, not a delta log), so compaction is a pure
+    * retention prune — drop published versions beyond the newest
+    * `keepVersions`, live fold untouched, probes unchanged. At
+    * monitoring cadence this is the pass that takes the store below
+    * the publish path's 2-version floor once the in-flight-reader
+    * window has drained (each retained version is a full histogram
+    * copy; `keepVersions = 1` halves the store's footprint). Returns
+    * the number of versions dropped; idempotent; the next append
+    * publishes and merges against the live fold exactly as before. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String, keepVersions: Int = 1): Int =
+    MergeUpsert.vacuumPlain(spark, storePath, keepVersions)
+
   /** Exact type-1 (lower order statistic) percentiles per group from
     * an [[appendValueCounts]] store: for each integer percent p, the
     * value is the smallest stored q whose cumulative count reaches

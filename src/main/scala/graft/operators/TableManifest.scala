@@ -466,11 +466,8 @@ object TableManifest {
     val vs = MergeUpsert.retainedVersions(spark, mp)
     require(vs.nonEmpty, s"no manifest at $path — nothing to vacuum")
     val fs = MergeUpsert.fsFor(spark, path)
-    val mpP = new org.apache.hadoop.fs.Path(mp)
-    val drop = vs.dropRight(keepVersions)
-    val keep = vs.takeRight(keepVersions)
-    drop.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(mpP, v), true))
+    val dropped = MergeUpsert.vacuumPlain(spark, mp, keepVersions)
+    val keep = MergeUpsert.retainedVersions(spark, mp)
     val live = keep.map(v =>
         MergeUpsert.readPlainVersion(spark, mp, v).select("file"))
       .reduce(_.unionByName(_)).distinct()
@@ -512,7 +509,7 @@ object TableManifest {
         }
       spark.catalog.refreshByPath(path)
     }
-    VacuumReport(drop.size, keep.size, live.size.toLong,
+    VacuumReport(dropped, keep.size, live.size.toLong,
       dead.size.toLong)
   }
 

@@ -333,6 +333,37 @@ class ProfilingSpec extends SparkSpec {
     assert(m.getLong(2) == 1L && m.getDouble(3) == 1.0)
   }
 
+  test("compactStore: version count drops to 1, probe unchanged, " +
+    "re-run drops nothing, next append still merges additively") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-qsc")
+      .toString + "/h"
+    val df = (1 to 40).map(i => ("g", i * 0.001)).toDF("grp", "v")
+      .withColumn("id", monotonically_increasing_id())
+    (0 until 3).foreach(k =>
+      Profiling.appendValueCounts(spark, p,
+        df.filter($"id" % 3 === k), "grp", "v"))
+    // three publishes, publish-path retention floor = 2 versions
+    assert(MergeUpsert.retainedVersions(spark, p).size == 2)
+    val before = Profiling.quantilesFromStore(
+      MergeUpsert.readPlain(spark, p)).collect().map(_.toSeq).toSeq
+    val dropped = Profiling.compactStore(spark, p)
+    assert(dropped == 1 &&
+      MergeUpsert.retainedVersions(spark, p).size == 1)
+    val after = Profiling.quantilesFromStore(
+      MergeUpsert.readPlain(spark, p)).collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not move a probe result")
+    assert(Profiling.compactStore(spark, p) == 0, "idempotent")
+    // the store keeps working: one more append merges with the live
+    // fold (n rises from 40 to 41 for group g)
+    Profiling.appendValueCounts(spark, p,
+      Seq(("g", 0.5)).toDF("grp", "v"), "grp", "v")
+    val n = Profiling.quantilesFromStore(
+      MergeUpsert.readPlain(spark, p), percents = Seq(100)).head()
+    assert(n.getLong(2) == 41L && n.getDouble(3) == 0.5)
+  }
+
   test("dependenceReport: a single-level column yields dof 0 and the " +
     "guarded zero Cramer's V, never a division error") {
     val spark2 = spark
