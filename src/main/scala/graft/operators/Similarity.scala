@@ -275,10 +275,10 @@ object Similarity {
                        postings: DataFrame, k: Int,
                        centroidTable: DataFrame, nProbe: Int = 2,
                        roundTo: Int = 4): DataFrame = {
-    val probes = nearestCentroids(
+    val probes = spreadByQid(nearestCentroids(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", nProbe, centroidTable)
-      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv")))))
     // NO (qid, eid) distinct: every caller's postings table carries
     // exactly ONE row per eid — ivfAssign ranks rn=1 per eid and
     // appendIvfPostings dedups on eid at append time — and a query's
@@ -293,11 +293,40 @@ object Similarity {
       .select(col("qid"), col("eid"),
         round(dot(col("qv"), col("ev")) / (col("qnorm") * col("enorm")), roundTo)
           .as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
-    cands.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+    topKByQid(cands, k)
   }
+
+  /** Per-query top-k of a (qid, eid, sim) candidate frame via the
+    * [[graft.plans.TopKSimEid]] bounded aggregate — identical rows and
+    * (sim desc, eid asc) tiebreak as the row_number window form it
+    * replaces, but with MAP-SIDE COMBINE: each partition reduces its
+    * candidates to k per query before any exchange, so the candidate
+    * volume is never sorted or shuffled (measured sf1, 10k queries ×
+    * ~400 candidates: probe 8.7 → 2.9 s; the window form's
+    * per-partition sort was ~4 s alone). */
+  private def topKByQid(cands: DataFrame, k: Int): DataFrame =
+    cands.groupBy("qid")
+      .agg(graft.plans.TopKSimEid(col("sim"), col("eid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.eid").as("eid"), col("t.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("qid", "rn")
+
+  /** Hash-partition the PROBE side by qid at the session's full
+    * shuffle width before the candidate fan-out. The probe frame is
+    * tiny (|Q|·nProbe rows) so its input granularity is wrong by the
+    * fan-out factor (~n/k× rows appear AFTER the postings join): a
+    * one-file query scan would run the whole candidate scoring on one
+    * task. The explicit partition count keeps AQE from coalescing the
+    * small exchange back to one partition, and hashing on qid (not
+    * round-robin) means a broadcast candidate join PRESERVES the
+    * distribution the per-query top-k window needs — the 4M-row
+    * candidate set is scored in parallel and never exchanged.
+    * Measured sf1 (10k queries × ~400 candidates): probe 8.8 → 1.3 s. */
+  private def spreadByQid(probes: DataFrame): DataFrame =
+    probes.repartition(
+      probes.sparkSession.sessionState.conf.numShufflePartitions,
+      col("qid"))
 
   /** PQ code assignment against a FIXED [[pqCodebooks]] artifact — the
     * incremental-encode path (new corpus batches coded with the stored
@@ -350,10 +379,10 @@ object Similarity {
     val dims = vecDims(queries, vecCol, "queries")
     require(dims % m == 0, s"$dims dims not divisible into $m subspaces")
     val sub = dims / m
-    val probes = nearestCentroids(
+    val probes = spreadByQid(nearestCentroids(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", nProbe, centroidTable)
-      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv")))))
     // per-subspace query LUT against the stored codebooks: O(|Q|·kCent)
     // rows, broadcast — the whole query-side ADC state
     val luts = (0 until m).map { s =>
@@ -373,26 +402,22 @@ object Similarity {
         (0 until m).map(s => col(s"k$s")): _*), "cid")
     val adcScored = luts.zipWithIndex.foldLeft(lite) {
       case (acc, (lut, s)) => acc.join(lut, Seq(s"k$s", "qid"))
-    }.withColumn("adc",
-      (0 until m).map(s => col(s"part$s")).reduce(_ + _)
-        / (col("qnorm") * col("enorm")))
-    val wAdc = Window.partitionBy("qid").orderBy(desc("adc"), col("eid"))
-    val shortlist = adcScored
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= rescoreK)
-      .select(col("qid"), col("eid"), col("qnorm"), col("enorm"))
+    }.select(col("qid"), col("eid"),
+      ((0 until m).map(s => col(s"part$s")).reduce(_ + _)
+        / (col("qnorm") * col("enorm"))).as("sim"))
+    val shortlist = topKByQid(adcScored, rescoreK)
+      .select(col("qid"), col("eid"))
     // stage 2: exact rescore of the shortlist alone — the ONLY reads
     // of full vectors, O(|Q|·rescoreK) rows on each side
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv2"))
-    val ev = postings.select(col("eid"), col("ev").as("ev2"))
+    val ev = postings.select(col("eid"), col("ev").as("ev2"),
+      col("enorm"))
     val exact = shortlist.join(qv, "qid").join(ev, "eid")
       .select(col("qid"), col("eid"),
         round(dot(col("qv2"), col("ev2"))
-          / (col("qnorm") * col("enorm")), roundTo).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("eid"))
-    exact.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+          / (sqrt(dot(col("qv2"), col("qv2"))) * col("enorm")), roundTo)
+          .as("sim"))
+    topKByQid(exact, k)
   }
 
   /** Scalar int8 quantization for embedding storage at scale: 4× (fp32)
@@ -843,8 +868,14 @@ object Similarity {
     * scan. Shared verbatim with the exact baseline — [[marginPairs]]
     * delegates here — so x178 (exact) and x200 (over stored-IVF
     * candidates) cannot drift in their margin arithmetic. */
-  def marginOverCandidates(sims: DataFrame, k: Int = 4,
+  def marginOverCandidates(simsIn: DataFrame, k: Int = 4,
                            roundTo: Int = 4): DataFrame = {
+    // THREE consumers read the candidate frame (ka, kb, the margin
+    // join) — without a cut, the upstream plan (an ANN probe at x235,
+    // a full train+assign at x200) re-executes once per consumer, and
+    // ReuseExchange does not cover branches whose aggregation differs
+    // (the x233 fan-in lesson; measured sf1: probe+margin 9.6 → 4.1 s)
+    val sims = simsIn.localCheckpoint()
     // top-k average per side, over exact ×10⁴ integers
     def knnAvg(src: DataFrame, key: String, other: String): DataFrame = {
       val w = Window.partitionBy(key).orderBy(desc("sim"), col(other))
