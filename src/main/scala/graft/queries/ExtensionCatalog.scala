@@ -10069,6 +10069,46 @@ object ExtensionCatalog {
           .orderBy("event_id")
       }),
 
+    // ---- vacuum AT STREAMING CADENCE: the x236 drain re-run with
+    //      one file per micro-batch (the redelivered copy rewrites
+    //      every partition — the copy-on-write growth worst case) and
+    //      vacuumEvery=1/keepVersions=1; the in-query require proves
+    //      the table dir holds EXACTLY the live file set after the
+    //      drain, and the range lookup stays hash-checked under x202's
+    //      byte-identical oracle — the storage bound that makes COW
+    //      viable at merge cadence, proven on the streaming path ----
+    Q("x243_stream_vacuum", sqlOfRound(roundTen, "x202_manifest_lookup"),
+      (s, dir) => {
+        import graft.streaming.StreamIngest
+        val work = tmp("graft-svac")
+        writeEventArrivalsNs(s, dir, s"$work/arrivals", copies = 2)
+        StreamIngest.ingestAvailableNowManifested(s, s"$work/arrivals",
+          eventArrivalSchema, s"$work/tbl", keys = Seq("event_id"),
+          checkpoint = s"$work/cp",
+          transform = b => b.select(col("event_id"), col("user_id"),
+            col("event_type"),
+            TextFunctions.portableRound(col("value"), 4).as("value"),
+            to_date(timestamp_micros(expr("ts DIV 1000")))
+              .cast("string").as("date")),
+          maxFilesPerTrigger = Some(1), vacuumEvery = 1,
+          keepVersions = 1)
+        val manifestFiles =
+          TableManifest.load(s, s"$work/tbl").get.count()
+        val dirFiles = new java.io.File(s"$work/tbl").listFiles()
+          .filter(d => d.isDirectory && d.getName.startsWith("date="))
+          .map(_.listFiles.count(_.getName.endsWith(".parquet")).toLong)
+          .sum
+        require(dirFiles == manifestFiles,
+          s"post-drain storage must equal the live file set: " +
+            s"dir=$dirFiles manifest=$manifestFiles")
+        val (hit, rep) = TableManifest.lookup(s, s"$work/tbl",
+          "event_id", ManifestLookupLo, ManifestLookupHi)
+        require(rep.filesKept < rep.filesTotal,
+          s"post-vacuum manifest zones must prune files, got $rep")
+        hit.select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      }),
+
     // ---- data time travel: a merge lands 10M-offset NEW keys, then
     //      readVersion re-reads the PRE-merge manifest version — the
     //      audit read a production lake runs daily — and its aggregate

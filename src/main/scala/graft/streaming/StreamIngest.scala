@@ -41,7 +41,18 @@ object StreamIngest {
     * cadence), and each publish refreshes only the touched partitions'
     * manifest rows. Redelivery stays idempotent: the merge is
     * last-writer-wins on `keys`, and a re-merged batch rewrites the
-    * same partitions and re-derives the same manifest rows. */
+    * same partitions and re-derives the same manifest rows.
+    *
+    * `vacuumEvery`: run [[graft.operators.TableManifest.vacuum]] after
+    * every N data micro-batches (0 = never). Copy-on-write merges
+    * append a new generation of every touched partition per batch, so
+    * at streaming cadence an unvacuumed table's storage grows with
+    * every merge; the in-stream vacuum (single-writer — it runs inside
+    * the same foreachBatch serial loop as the merges) reclaims
+    * generations no retained manifest version references, bounding
+    * growth to `keepVersions` generations of the touched partitions.
+    * Size `keepVersions` to the reader window exactly as
+    * [[ingestContinuous]]'s retainVersions contract describes. */
   def ingestAvailableNowManifested(spark: SparkSession, srcGlob: String,
                                    schema: StructType, targetPath: String,
                                    keys: Seq[String], checkpoint: String,
@@ -49,7 +60,9 @@ object StreamIngest {
                                    zoneKey: Option[String] = None,
                                    maxFilesPerTrigger: Option[Int] = None,
                                    transform: DataFrame => DataFrame =
-                                     identity)
+                                     identity,
+                                   vacuumEvery: Int = 0,
+                                   keepVersions: Int = 2)
       : Unit = {
     // maxFilesPerTrigger(1) makes each FILE one merge — arrival order
     // (mod time) = merge order, so redelivered files replay with the
@@ -62,7 +75,7 @@ object StreamIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // `transform` maps the PRODUCER's arrival layout to the table
         // layout (parse ts → partition date, round, project) before the
         // keyed merge — per micro-batch, so a redelivered file re-maps
@@ -70,7 +83,15 @@ object StreamIngest {
         graft.operators.TableManifest.mergeWriteManifested(
           batch.sparkSession, targetPath, transform(batch), keys,
           partitionCol, zoneKey)
-        ()
+        // a vacuum that races a crash is safe: it deletes only files no
+        // retained manifest version references, which no restart can
+        // resurrect (the checkpointed source never re-delivers a
+        // committed batch, and an uncommitted batch re-merges fresh)
+        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
+          graft.operators.TableManifest.vacuum(
+            batch.sparkSession, targetPath, keepVersions)
+          ()
+        }
       }
       .start()
     q.awaitTermination()

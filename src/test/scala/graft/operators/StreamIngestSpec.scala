@@ -90,6 +90,55 @@ class StreamIngestSpec extends SparkSpec {
     assert(table(s"$work/target") == table(s"$work/twin"))
   }
 
+  test("vacuumEvery bounds copy-on-write growth at streaming cadence: " +
+    "post-drain storage equals the live file set, content unchanged") {
+    val work = java.nio.file.Files.createTempDirectory("graft-ssv").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("date", StringType)))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String,
+               mod: Long): Unit = {
+      val stage = s"$work/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name"))
+      new java.io.File(s"$work/in/$name").setLastModified(mod)
+    }
+    // four single-file batches ALL rewriting the same partition: the
+    // copy-on-write growth worst case (one new generation per merge)
+    val t0 = System.currentTimeMillis()
+    (1 to 4).foreach { i =>
+      arrive(Seq((i.toLong, s"v$i", "2024-01-01"), (100L + i, s"w$i",
+        "2024-01-01")).toDF("k", "v", "date"),
+        s"f$i.parquet", t0 - (5 - i) * 60000L)
+    }
+    StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp",
+      maxFilesPerTrigger = Some(1), vacuumEvery = 1, keepVersions = 1)
+    // the partition column reads back type-inferred (DATE); compare in
+    // string space
+    val got = TableManifest.readViaManifest(spark, s"$work/target")
+      .select(col("k"), col("v"), col("date").cast("string"))
+      .collect().map(_.toSeq).toSet
+    assert(got.size == 8 && got.contains(Seq(3L, "v3", "2024-01-01")))
+    // keepVersions=1 + vacuum every batch → the partition dir holds
+    // EXACTLY the live file set (without vacuum it would hold one
+    // generation per merge); plain read agrees with the manifest read
+    val dirFiles = new java.io.File(s"$work/target/date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val manifestFiles = TableManifest.load(spark, s"$work/target").get
+      .count()
+    assert(dirFiles.toLong == manifestFiles,
+      s"vacuum cadence must hold storage at the live set: " +
+        s"dir=$dirFiles manifest=$manifestFiles")
+    assert(spark.read.parquet(s"$work/target")
+      .select(col("k"), col("v"), col("date").cast("string"))
+      .collect().map(_.toSeq).toSet == got)
+  }
+
   test("continuous trigger: micro-batches merge as files arrive, and a " +
        "restart from checkpoint resumes exactly-once") {
     val work = java.nio.file.Files.createTempDirectory("graft-cont").toString
