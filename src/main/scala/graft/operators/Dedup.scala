@@ -520,6 +520,39 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[ngramJaccard]] restricted to a candidate pair list — the
+    * 100 TB flagship form. Same blocking (blockCol × length bucket),
+    * same codegen'd [[graft.plans.SortedJaccard]] merge, same
+    * threshold semantics, but instead of squaring on block occupancy
+    * the pair stage is two equi joins of `pairs` (typically the banded
+    * MinHash candidates, linear-ish in the corpus) against the per-doc
+    * gram table: result = ngramJaccard(df) ∩ pairs. Pairs outside the
+    * block (different blockCol value or length bucket) are dropped —
+    * exactly the pairs the full form never examines. `pairs` must carry
+    * (id_a, id_b) with id_a < id_b (minhashLsh's contract). */
+  def ngramJaccardOnPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, pairs: DataFrame, n: Int = 3,
+                          bucketChars: Int = 50,
+                          minJaccard: Double = 0.0): DataFrame = {
+    val gramExpr = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.NgramsLong(
+        org.apache.spark.sql.graft.bridge.expression(col(textCol)), n))
+    val prepped = df.select(col(idCol).as("doc_id_"), col(blockCol).as("block_"),
+      (length(col(textCol)).cast("long") / lit(bucketChars)).cast("long").as("lbucket_"),
+      gramExpr.as("grams"))
+    val jac = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SortedJaccard(
+        org.apache.spark.sql.graft.bridge.expression(col("a.grams")),
+        org.apache.spark.sql.graft.bridge.expression(col("b.grams"))))
+    pairs.select("id_a", "id_b")
+      .join(prepped.as("a"), col("id_a") === col("a.doc_id_"))
+      .join(prepped.as("b"), col("id_b") === col("b.doc_id_"))
+      .filter(col("a.block_") === col("b.block_") &&
+        col("a.lbucket_") === col("b.lbucket_"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** LSH candidate-recall harness: of the pairs blocked EXACT
     * word-3-shingle Jaccard finds at `minJaccard`, what fraction does
     * the banded MinHash index surface as candidates? One row:

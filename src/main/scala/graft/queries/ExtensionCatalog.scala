@@ -1290,12 +1290,17 @@ object ExtensionCatalog {
       |  SELECT node AS doc_id FROM reach GROUP BY node
       |  HAVING min(label) = node)""".stripMargin
 
-  /** mirrors Dedup.ngramJaccard: blocked (lang × 25-char length
-    * bucket) exact character-trigram Jaccard pairs at `minJaccard`,
-    * emitted as CTE fragment `jp(id_a, id_b, jaccard)`. Shared by x05
-    * (the pair report) and x121 (the LSH recall harness's ground
-    * truth) so the two sides cannot drift. */
-  private def ngramPairsSql(src: String, minJaccard: Double): String =
+  /** mirrors Dedup.ngramJaccardOnPairs: blocked (lang × 25-char
+    * length bucket) exact character-trigram Jaccard at `minJaccard`,
+    * restricted to the banded MinHash candidate pairs (`cand`, from
+    * [[minhashPairsSql]] which must precede this fragment). Emitted as
+    * CTE fragment `jp(id_a, id_b, jaccard)` — the x245 scale flagship.
+    * The FULL blocked form (every in-block pair examined, no candidate
+    * restriction) is spec-only: `DedupSpec`'s ngramJaccard cases pin it
+    * against hand-computed fixtures, and `ngramJaccardOnPairs` is
+    * asserted equal to full ∩ pairs there, so the two forms cannot
+    * drift. */
+  private def ngramLshPairsSql(src: String, minJaccard: Double): String =
     s"""p AS (
        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
        |    list_distinct(list_transform(
@@ -1304,11 +1309,13 @@ object ExtensionCatalog {
        |  FROM $src),
        |jp AS (
        |  SELECT id_a, id_b, jaccard FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    SELECT c.id_a, c.id_b,
        |      round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
        |            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 4) AS jaccard
-       |    FROM p a JOIN p b ON a.lang = b.lang AND a.lbucket = b.lbucket
-       |      AND a.doc_id < b.doc_id)
+       |    FROM cand c
+       |    JOIN p a ON c.id_a = a.doc_id
+       |    JOIN p b ON c.id_b = b.doc_id
+       |    WHERE a.lang = b.lang AND a.lbucket = b.lbucket)
        |  WHERE jaccard >= $minJaccard)""".stripMargin
 
   /** mirrors Dedup.minhashSignatures + band-bucket candidate pairs
@@ -1440,14 +1447,14 @@ object ExtensionCatalog {
         TextFunctions.langId(col("text")).as("predicted"))
         .orderBy("doc_id")),
 
-    // ---- n-gram Jaccard near-dup within (lang, length-bucket) blocks ----
-    Q("x05_ngram_jaccard", Some(
-      s"""WITH ${ngramPairsSql("documents", 0.2)}
-         |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"),
-        "doc_id", "text", blockCol = "lang", n = 3, bucketChars = 25,
-        minJaccard = 0.2)
-        .orderBy("id_a", "id_b")),
+    // x05_ngram_jaccard (full blocked exact trigram Jaccard, every
+    // in-block pair) was retired from the catalog in round 13: its
+    // output is quadratic in clique occupancy (sf1 pairs grew 104×
+    // while per-pair cost dropped — VERDICT r12), so the full form is
+    // a verification harness, not a deployable plan. Its scale
+    // flagship is x245_ngram_jaccard_lsh (identical blocking +
+    // threshold, restricted to the banded candidates); the full form
+    // stays pinned by DedupSpec/PropertySpec fixtures.
 
     // ---- MinHash + LSH candidate pairs (32 hashes, 8 bands × 4) ----
     Q("x06_minhash_lsh", Some(
@@ -4664,13 +4671,30 @@ object ExtensionCatalog {
     //      corpus it marks pairs similar that share no phrasing);
     //      recall = fraction of truth pairs the banded index surfaces
     //      as candidates. The number that justifies the band/row
-    //      layout before trusting it at 100 TB ----
+    //      layout before trusting it at 100 TB.
+    //
+    //      Catalog form = the DEPLOYED 100 TB shape (round 13): the
+    //      truth side runs on the deterministic h60("recall:"+id)%4
+    //      doc sample — recall is a per-pair property, so an unbiased
+    //      doc sample is an unbiased sample of the pair population
+    //      and the quadratic truth join pays sampleMod² less. The
+    //      candidate INDEX stays full-corpus (we measure the index as
+    //      deployed, on a sample of questions; n_cand is scoped to
+    //      in-sample pairs so all three counts share one population).
+    //      The full-truth (sampleMod=1) form is spec-only:
+    //      LshRecallSpec pins it to planted ground truth and asserts
+    //      the sampled form agrees with full ∩ sample. Measured at
+    //      sf1: recall 0.9965 on 14,683 sampled truth pairs,
+    //      49.8 s → 11.4 s (PERF.md) ----
     Q("x121_lsh_recall", Some(
       s"""WITH ${minhashPairsSql()},
+         |sd AS (
+         |  SELECT * FROM documents
+         |  WHERE ${h60Sql("'recall:' || CAST(doc_id AS VARCHAR)", 4)} = 0),
          |wt AS (
          |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) // 25 AS lbucket,
          |         ${tokSql("text")} AS tk
-         |  FROM documents),
+         |  FROM sd),
          |wsh AS (
          |  SELECT doc_id, lang, lbucket, list_distinct(list_transform(
          |    list_transform(
@@ -4688,22 +4712,23 @@ object ExtensionCatalog {
          |      ON a.lang = b.lang AND a.lbucket = b.lbucket
          |        AND a.doc_id < b.doc_id)
          |  WHERE wjaccard >= 0.4),
+         |scand AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sd a ON c.id_a = a.doc_id
+         |  JOIN sd b ON c.id_b = b.doc_id),
          |hit AS (
-         |  SELECT t.id_a FROM jp t JOIN cand c
+         |  SELECT t.id_a FROM jp t JOIN scand c
          |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
          |SELECT (SELECT count(*) FROM jp) AS n_truth,
-         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM scand) AS n_cand,
          |  (SELECT count(*) FROM hit) AS n_hit,
          |  CASE WHEN (SELECT count(*) FROM jp) = 0 THEN NULL
          |       ELSE floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)
          |            / CAST((SELECT count(*) FROM jp) AS DOUBLE)
          |            * 10000.0 + 0.5) / 10000.0 END AS recall""".stripMargin),
       (s, dir) =>
-        // full-corpus truth (sampleMod = 1) at verification scale; the
-        // 100 TB path is Dedup.lshRecall's sampleMod — measured in
-        // ScaleStress ("lsh recall" rows)
         Dedup.lshRecall(t(s, dir, "documents"), "doc_id", "text",
-          blockCol = "lang",
+          blockCol = "lang", sampleMod = 4,
           cands = Some(lshCands(s, dir).select("id_a", "id_b")))),
 
     // ---- keep-one exact-substring dedup (the REMOVAL face of x43's
@@ -10148,7 +10173,29 @@ object ExtensionCatalog {
       })
   )
 
+  private val roundThirteen: Seq[Q] = Seq(
+
+    // ---- x05's scale flagship (round 13, VERDICT r12 item 1b): the
+    //      blocked exact character-trigram Jaccard report, restricted
+    //      to the banded MinHash candidates — the x16 composition with
+    //      x05's blocking and threshold. The candidate restriction
+    //      turns the quadratic in-block pair join into two equi joins
+    //      of a linear-ish candidate list; measured flat 1.5×
+    //      sf0.1→sf1 where the full form grew 72× (output-bound).
+    //      Pairs the banding misses are absent by design — x121
+    //      measures exactly that miss rate (0.9965 at sf1) ----
+    Q("x245_ngram_jaccard_lsh", Some(
+      s"""WITH ${minhashPairsSql()},
+         |${ngramLshPairsSql("documents", 0.2)}
+         |SELECT id_a, id_b, jaccard FROM jp ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.ngramJaccardOnPairs(t(s, dir, "documents"),
+        "doc_id", "text", blockCol = "lang",
+        pairs = lshCands(s, dir).select("id_a", "id_b"),
+        n = 3, bucketChars = 25, minJaccard = 0.2)
+        .orderBy("id_a", "id_b"))
+  )
+
   val all: Seq[Q] =
     base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven ++
-      roundElevenB ++ roundTwelve
+      roundElevenB ++ roundTwelve ++ roundThirteen
 }

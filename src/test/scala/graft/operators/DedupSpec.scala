@@ -124,6 +124,31 @@ class DedupSpec extends SparkSpec {
     assert(!r.contains((0L, 3L)))
   }
 
+  test("ngram jaccard on pairs = full form ∩ pairs (x245 ≡ x05 restricted)") {
+    // full blocked form (the spec-only harness — retired from the
+    // catalog in round 13) vs the candidate-restricted scale form:
+    // on the pair list they share, values must be IDENTICAL, and
+    // pairs outside the list (or outside the block) must be absent.
+    val full = Dedup.ngramJaccard(docs, "doc_id", "text", blockCol = "lang",
+      minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full.nonEmpty)
+    val somePairs = full.keys.toSeq.sorted.take(2) ++ Seq((0L, 999L))
+    val pairsDf = somePairs.toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccardOnPairs(docs, "doc_id", "text",
+      blockCol = "lang", pairs = pairsDf, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == somePairs.take(2).map(p => p -> full(p)).toMap,
+      "restricted form must equal the full form on the given pairs " +
+        "and drop pairs whose endpoints are missing")
+    // cross-block pair: both docs exist but in different blocks → dropped
+    val crossBlock = Dedup.ngramJaccardOnPairs(docs, "doc_id", "text",
+      blockCol = "lang", pairs = Seq((0L, 3L)).toDF("id_a", "id_b"),
+      minJaccard = 0.0).count()
+    assert(crossBlock == full.count { case ((a, b), _) => a == 0L && b == 3L },
+      "pairs the full blocked form never examines must stay absent")
+  }
+
   test("line boilerplate: common lines strip, unique/blank lines survive, order kept") {
     val docs = Seq(
       (1L, "unique alpha\ncommon footer\n\nbody one"),
