@@ -129,16 +129,33 @@ object MergeUpsert {
                   keepVersions: Int = 1): Int = {
     require(keepVersions >= 1,
       s"keepVersions must retain the live version, got $keepVersions")
+    vacuumPlainKeeping(spark, path, keepVersions)._1
+  }
+
+  /** [[vacuumPlain]] that also returns the RETAINED version names
+    * (oldest first) from the same directory listing — callers that need
+    * both (TableManifest.vacuum derives the live file set from the
+    * kept versions) pay one LIST, not two. */
+  def vacuumPlainKeeping(spark: SparkSession, path: String,
+                         keepVersions: Int = 1): (Int, Seq[String]) = {
+    require(keepVersions >= 1,
+      s"keepVersions must retain the live version, got $keepVersions")
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
-    val cur = currentPlainVersion(spark, path)
-    val curN = cur.map(versionNumber).getOrElse(return 0)
-    val lineage = versionDirs(fs, p).filter(versionNumber(_) <= curN)
-      .sortBy(versionNumber)
-    val drop = lineage.dropRight(keepVersions)
-    drop.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
-    drop.size
+    // explicit match, NOT .getOrElse(return ...): a non-local return in
+    // a deletion path rides NonLocalReturnControl — swallowed by any
+    // future enclosing catch-all, and gone in Scala 3
+    currentPlainVersion(spark, path) match {
+      case None => (0, versionDirs(fs, p).sortBy(versionNumber))
+      case Some(cur) =>
+        val curN = versionNumber(cur)
+        val all = versionDirs(fs, p).sortBy(versionNumber)
+        val (lineage, above) = all.partition(versionNumber(_) <= curN)
+        val drop = lineage.dropRight(keepVersions)
+        drop.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, v), true))
+        (drop.size, lineage.takeRight(keepVersions) ++ above)
+    }
   }
 
   /** Delete matching rows from a versioned plain store — the retention/
@@ -244,8 +261,22 @@ object MergeUpsert {
 
   /** Shared publish core: version write, pointer flip, GC. `cur` and
     * `legacyFlat` are the caller's already-resolved filesystem state
-    * (one pointer read + listing per publish, not two). */
-  private def publishVersion(spark: SparkSession, path: String,
+    * (one pointer read + listing per publish, not two).
+    *
+    * CONCURRENCY GUARD (read-check-flip): just before the pointer
+    * flip, the live version is re-resolved; if it moved past `cur` —
+    * another writer published while this merge ran — the publish
+    * REFUSES (deletes its own version dir, throws
+    * ConcurrentModificationException) instead of silently clobbering
+    * the other writer's merge with a result computed against a stale
+    * base. The caller re-runs the merge against the new base
+    * (at-least-once upstream redelivery is the recovery story, same
+    * as a crash). This is detection, not mutual exclusion: a window
+    * remains between the check and the rename, so SINGLE-WRITER stays
+    * the contract — the guard turns the most likely violation (two
+    * long merges interleaving) from silent lost-update into a hard
+    * error. Package-private for the two-writer interleaving spec. */
+  private[operators] def publishVersion(spark: SparkSession, path: String,
                              df: DataFrame, retainVersions: Int,
                              cur: Option[String],
                              legacyFlat: Boolean): Unit = {
@@ -288,6 +319,21 @@ object MergeUpsert {
     if (!fs.rename(vtmp, vdir))
       throw new java.io.IOException(s"cannot commit version dir $vdir")
     fs.create(new org.apache.hadoop.fs.Path(vdir, CommitMarker), true).close()
+    // read-check-flip (see scaladoc): the live version must still be
+    // the one this merge read as its base. Our own freshly marked dir
+    // can win currentPlainVersion's lost-pointer fallback (fresh table,
+    // no pointer yet) — that is not a move.
+    val nowCur = currentPlainVersion(spark, path)
+    if (nowCur != cur && nowCur != Some(vname)) {
+      fs.delete(vdir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent publish detected at $path: live version moved " +
+          s"from ${cur.getOrElse("<none>")} to " +
+          s"${nowCur.getOrElse("<none>")} while this merge ran — " +
+          "refusing to flip a result computed against a stale base; " +
+          "re-run the merge (single-writer is the contract, this guard " +
+          "only detects violations)")
+    }
     // publish: write the pointer beside the table, then one atomic
     // rename. rename-over works on POSIX; filesystems that refuse to
     // clobber get delete+rename of the POINTER FILE only (a lost
@@ -549,11 +595,26 @@ object MergeUpsert {
     * mega-table can carry millions of keys, and a partition-count gate
     * would happily broadcast them (the r4 audit's few-but-huge hole;
     * MergeStress's `few-huge` case proves the switch). */
+  /** ONE stats pass over a batch: the touched-partition IN-list (small
+    * by construction — one ingest covers few dates) and the
+    * key-cardinality estimate the join decision needs. Exposed to
+    * callers (TableManifest) that need `touched` for their own
+    * bookkeeping, so the batch is scanned once, not once per layer. */
+  def batchStats(updates: DataFrame, keys: Seq[String],
+                 partitionCol: String): (Seq[Any], Long) = {
+    val statsRow = updates.agg(
+      collect_set(col(partitionCol)).as("parts"),
+      approx_count_distinct(xxhash64(keys.map(col): _*)).as("key_est"))
+      .collect().head
+    (statsRow.getSeq[Any](0), statsRow.getLong(1))
+  }
+
   def mergeWrite(spark: SparkSession, path: String, updates: DataFrame,
                  keys: Seq[String], partitionCol: String = "date",
                  broadcastMaxKeys: Long = 500000L,
                  listingVia: Option[Seq[Any] => DataFrame] = None,
-                 cow: Boolean = false)
+                 cow: Boolean = false,
+                 precomputedStats: Option[(Seq[Any], Long)] = None)
       : MergeWriteReport = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -568,15 +629,8 @@ object MergeUpsert {
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       return MergeWriteReport(0, 0L, broadcastKeys = false)
     }
-    // ONE stats pass over the batch: the touched-partition IN-list
-    // (small by construction — one ingest covers few dates) and the
-    // key-cardinality estimate the join decision needs.
-    val statsRow = updates.agg(
-      collect_set(col(partitionCol)).as("parts"),
-      approx_count_distinct(xxhash64(keys.map(col): _*)).as("key_est"))
-      .collect().head
-    val touched = statsRow.getSeq[Any](0)
-    val keyEst = statsRow.getLong(1)
+    val (touched, keyEst) =
+      precomputedStats.getOrElse(batchStats(updates, keys, partitionCol))
     // `listingVia` (e.g. TableManifest's file-zone planner) resolves
     // the touched partitions' rows WITHOUT the O(partitions) recursive
     // root listing — MergeStress measured that listing as the dominant

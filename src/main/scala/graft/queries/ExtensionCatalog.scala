@@ -10175,6 +10175,61 @@ object ExtensionCatalog {
 
   private val roundThirteen: Seq[Q] = Seq(
 
+    // ---- schema evolution on the MANIFESTED copy-on-write path
+    //      (r12 verdict item 6): a widened batch (new score_q column,
+    //      fresh keys) lands through appendManifested — exact file
+    //      registration, no dir rescan — and the manifest read
+    //      reconciles both schema generations with mergeSchema
+    //      (pre-evolution rows read NULL in the added column). The
+    //      oracle replays the union with an explicit NULL column. All
+    //      aggregates integer-typed (quantized score) so the hash
+    //      compare is float-order-free ----
+    Q("x244_manifest_evolution", Some(
+      """WITH t AS (
+        |  SELECT event_id, event_type, CAST(NULL AS BIGINT) AS score_q
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+        |  FROM events WHERE event_id % 9 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(score_q) AS BIGINT) AS n_scored,
+        |  CAST(sum(score_q) AS BIGINT) AS score_sum
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-evolve-m")
+        val path = s"$work/tbl"
+        def evBase = eventsNs(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          TextFunctions.portableRound(col("value"), 4).as("value"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, evBase,
+          keys = Seq("event_id"))
+        // the widened generation: same layout + score_q, disjoint keys
+        // (appendManifested is append-only — the caller owns uniqueness)
+        val widened = eventsNs(s, dir)
+          .filter(col("event_id") % 9 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            col("user_id"), col("event_type"),
+            TextFunctions.portableRound(col("value"), 4).as("value"),
+            to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+              .as("date"),
+            floor(col("value") * 10000.0 + 0.5).cast("long").as("score_q"))
+        TableManifest.appendManifested(s, path, widened,
+          keyCol = "event_id")
+        val t = TableManifest.readViaManifest(s, path, mergeSchema = true)
+        require(t.columns.contains("score_q"),
+          "the merged manifest read must carry the evolved column")
+        t.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            count(col("score_q")).as("n_scored"),
+            sum(col("score_q")).cast("long").as("score_sum"))
+          .orderBy("event_type")
+      }),
+
     // ---- x05's scale flagship (round 13, VERDICT r12 item 1b): the
     //      blocked exact character-trigram Jaccard report, restricted
     //      to the banded MinHash candidates — the x16 composition with

@@ -53,6 +53,15 @@ object StreamIngest {
     * growth to `keepVersions` generations of the touched partitions.
     * Size `keepVersions` to the reader window exactly as
     * [[ingestContinuous]]'s retainVersions contract describes. */
+  /** `afterBatch(batchId)` runs after a batch's merge (and its cadence
+    * vacuum) but BEFORE the checkpoint commit — the telemetry seam, and
+    * the fault-injection point for the crash-ordering contract: a crash
+    * here leaves the manifest FLIPPED but the batch UNCOMMITTED, so the
+    * restart re-delivers and re-merges it. That replay converges
+    * byte-identically because the merge is last-writer-wins keyed and
+    * the manifest rows are a deterministic function of the re-written
+    * partitions (StreamIngestSpec's restart-mid-publish case proves
+    * it). */
   def ingestAvailableNowManifested(spark: SparkSession, srcGlob: String,
                                    schema: StructType, targetPath: String,
                                    keys: Seq[String], checkpoint: String,
@@ -62,7 +71,9 @@ object StreamIngest {
                                    transform: DataFrame => DataFrame =
                                      identity,
                                    vacuumEvery: Int = 0,
-                                   keepVersions: Int = 2)
+                                   keepVersions: Int = 2,
+                                   afterBatch: Long => Unit = _ => (),
+                                   shufflePartitions: Int = 0)
       : Unit = {
     // maxFilesPerTrigger(1) makes each FILE one merge — arrival order
     // (mod time) = merge order, so redelivered files replay with the
@@ -76,22 +87,41 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // `transform` maps the PRODUCER's arrival layout to the table
-        // layout (parse ts → partition date, round, project) before the
-        // keyed merge — per micro-batch, so a redelivered file re-maps
-        // to identical rows
-        graft.operators.TableManifest.mergeWriteManifested(
-          batch.sparkSession, targetPath, transform(batch), keys,
-          partitionCol, zoneKey)
-        // a vacuum that races a crash is safe: it deletes only files no
-        // retained manifest version references, which no restart can
-        // resurrect (the checkpointed source never re-delivers a
-        // committed batch, and an uncommitted batch re-merges fresh)
-        if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
-          graft.operators.TableManifest.vacuum(
-            batch.sparkSession, targetPath, keepVersions)
-          ()
+        // micro-batch-scoped shuffle sizing (the StreamCuration
+        // pattern), OPT-IN via shufflePartitions > 0: callers whose
+        // micro-batches are small (single-file trickle) cut the
+        // merge's ~5 shuffles per publish down from a corpus-sized
+        // session partition count. Default inherits the session conf —
+        // measured: corpus-sized redelivery batches (x243's shape)
+        // REGRESS under a small fixed count, so this must stay a
+        // caller decision. Set on the micro-batch's OWN session clone,
+        // where the batch plans actually execute.
+        graft.ScopedSessionConf.withShufflePartitions(
+          batch.sparkSession, shufflePartitions) {
+          // `transform` maps the PRODUCER's arrival layout to the table
+          // layout (parse ts → partition date, round, project) before
+          // the keyed merge — per micro-batch, so a redelivered file
+          // re-maps to identical rows
+          // retainVersions must COVER the vacuum window: each publish
+          // GCs the manifest store to its retainVersions, so merging
+          // with the default (2) while keepVersions > 2 would silently
+          // shrink the retained-version set every batch — vacuum could
+          // then never see (or honor) the window the caller asked for
+          graft.operators.TableManifest.mergeWriteManifested(
+            batch.sparkSession, targetPath, transform(batch), keys,
+            partitionCol, zoneKey,
+            retainVersions = math.max(2, keepVersions))
+          // a vacuum that races a crash is safe: it deletes only files
+          // no retained manifest version references, which no restart
+          // can resurrect (the checkpointed source never re-delivers a
+          // committed batch, and an uncommitted batch re-merges fresh)
+          if (vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0) {
+            graft.operators.TableManifest.vacuum(
+              batch.sparkSession, targetPath, keepVersions)
+            ()
+          }
         }
+        afterBatch(batchId)
       }
       .start()
     q.awaitTermination()

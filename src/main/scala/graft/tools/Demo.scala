@@ -48,7 +48,13 @@ object Demo {
     MetricsJob.run(spark, s"$work/capacity", s"$work/metrics",
       s"$work/runs", "demo-run-2", now)
 
-    val metrics = spark.read.parquet(s"$work/metrics")
+    // manifest-aware reads: against a REUSED workDir the second run's
+    // merges are copy-on-write rewrites, so a plain spark.read.parquet
+    // would see both generations of every rewritten partition (double
+    // counts); readOrPlain plans from the manifest when one exists and
+    // falls back to the plain scan on a fresh workdir
+    val metrics = graft.operators.TableManifest
+      .readOrPlain(spark, s"$work/metrics")
     val regions = spark.read.parquet(s"$work/regions")
 
     println("== latest date:")

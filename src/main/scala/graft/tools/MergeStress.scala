@@ -162,6 +162,71 @@ object MergeStress {
       vac.filesDeleted
     })
 
+    // ---- vacuum planning at 10^6 files (r12 verdict item 2): the
+    // live/dead split is ONE distributed full-outer join of
+    // executor-parallel partition listings against the manifest — no
+    // file list ever reaches the driver, so there is no planning bound
+    // to hit. 1e6 empty data files under 1000 synthetic partitions are
+    // created and registered in a published manifest version; vacuum
+    // must (a) plan with all 1e6 live and delete nothing, then (b)
+    // after the synthetic generation is deregistered, reclaim all 1e6
+    // executor-parallel ----
+    time("vacuum planning @ 1e6 files")({
+      import spark.implicits._
+      val path = s"$work/bigvac"
+      val base = spark.range(100L).select(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("id") % 2).cast("int")).as("date"),
+        col("id").as("region_id"),
+        lit(1).cast("int").as("total_beds"))
+      TableManifest.mergeWriteManifested(spark, path, base,
+        Seq("date", "region_id"), zoneKey = Some("region_id"))
+      val nFiles = 1000000L
+      def synthFile = concat(lit(s"$path/date=2200-"),
+        lpad((col("id") % 1000).cast("string"), 4, "0"),
+        lit("/f-"), lpad(col("id").cast("string"), 7, "0"),
+        lit(".parquet"))
+      // raw java.io creation: this is test RIGGING, not the path under
+      // test — hadoop's ChecksumFileSystem pays ~2 ms/file (a .crc
+      // sibling + parent checks), which would make the rig 30× slower
+      // than the vacuum it exists to measure
+      spark.range(nFiles).select(synthFile.as("p")).as[String]
+        .foreachPartition { (it: Iterator[String]) =>
+          val seen = scala.collection.mutable.HashSet[String]()
+          it.foreach { f =>
+            val file = new java.io.File(f)
+            val dir = file.getParentFile
+            if (seen.add(dir.getPath)) dir.mkdirs()
+            file.createNewFile()
+          }
+        }
+      val real = TableManifest.load(spark, path).get
+        .filter(!col("part").startsWith("2200-")).localCheckpoint()
+      val synthRows = spark.range(nFiles).select(
+        synthFile.as("file"),
+        concat(lit("2200-"),
+          lpad((col("id") % 1000).cast("string"), 4, "0")).as("part"),
+        lit(1L).as("rows"),
+        col("id").cast("string").as("key_lo"),
+        col("id").cast("string").as("key_hi"))
+      MergeUpsert.publishPlain(spark, s"$path/_manifest",
+        real.unionByName(synthRows))
+      val t0 = System.nanoTime()
+      val rep = TableManifest.vacuum(spark, path, keepVersions = 1)
+      val planSec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress]   1e6-file vacuum (all live): $rep, $planSec%.1f s")
+      assert(rep.filesLive > nFiles && rep.filesDeleted == 0, s"$rep")
+      // deregister the synthetic generation; the next vacuum reclaims it
+      MergeUpsert.publishPlain(spark, s"$path/_manifest", real)
+      val t1 = System.nanoTime()
+      val rep2 = TableManifest.vacuum(spark, path, keepVersions = 1)
+      val delSec = (System.nanoTime() - t1) / 1e9
+      println(f"[stress]   1e6-file vacuum (reclaim): $rep2, $delSec%.1f s")
+      assert(rep2.filesDeleted == nFiles,
+        s"all synthetic files must be reclaimed: $rep2")
+      nFiles
+    })
+
     // ---- planning at 10^5 files (the 100 TB manifest question): the
     // planner's input is the MANIFEST TABLE, never the filesystem, so
     // its latency is a metadata scan + an O(kept) collect. A real

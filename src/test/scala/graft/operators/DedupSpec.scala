@@ -115,6 +115,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("driverMaxEdges gate: distributed fixpoint equals the driver " +
+    "union-find on a random graph + worst-case chain (the 100 TB " +
+    "degradation path, exercised every round)") {
+    import org.apache.spark.sql.functions.lit
+    val rnd = new scala.util.Random(13)
+    val n = 120
+    // random sparse graph plus a 30-node path (worst-case diameter for
+    // the label-propagation fixpoint) and untouched singletons
+    val chain = (0 until 29).map(i => (1000L + i, 1001L + i))
+    val random = (1 to 150).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val allDocs = ((0L until n.toLong) ++ (1000L to 1029L) ++
+      Seq(5000L, 5001L)).toDF("doc_id")
+    val pairs = (random ++ chain).toDF("id_a", "id_b")
+      .withColumn("est_jaccard", lit(1.0)).withColumn("jaccard", lit(1.0))
+    def labels(threshold: Long) =
+      Dedup.resolveClusters(allDocs, "doc_id", pairs,
+        driverMaxEdges = threshold)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val driver = labels(1000000L) // driver union-find fast path
+    val dist = labels(0L)         // forced distributed fixpoint
+    assert(driver == dist,
+      "both paths must assign identical cluster labels and keepers")
+    // sanity on the shapes: the chain is one cluster labeled by its min
+    assert(driver(1029L) == ((1000L, false)))
+    assert(driver(5000L) == ((5000L, true)), "singletons keep themselves")
+  }
+
   test("ngram jaccard: identical 1.0, near-dup high, blocked pairs only") {
     val r = Dedup.ngramJaccard(docs, "doc_id", "text", blockCol = "lang",
       minJaccard = 0.5)

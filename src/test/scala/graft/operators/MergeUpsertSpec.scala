@@ -333,4 +333,64 @@ class MergeUpsertSpec extends SparkSpec {
     val strict = MergeUpsert.merge(existing, batch, Seq("id"))
     assert(strict.columns.toSeq == Seq("id", "v"))
   }
+
+  test("concurrent publish: a moved pointer is detected and refused, " +
+    "never silently clobbered") {
+    val dir = Files.createTempDirectory("graft-concur").toString + "/t"
+    val keys = Seq("date", "region_id")
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 100)), keys)
+
+    // writer B resolves its base at v1 and computes its merge...
+    val curB = MergeUpsert.currentPlainVersion(spark, dir)
+    val baseB = spark.read.parquet(s"$dir/${curB.get}")
+    val mergedB = MergeUpsert.merge(baseB,
+      tbl(("2024-01-15", "TX", 200)), keys)
+
+    // ...while writer A publishes first
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "CA", 111)), keys)
+    val afterA = MergeUpsert.currentPlainVersion(spark, dir).get
+
+    // B's flip must refuse: its merge never saw A's row
+    intercept[java.util.ConcurrentModificationException] {
+      MergeUpsert.publishVersion(spark, dir, mergedB, 2, curB,
+        legacyFlat = false)
+    }
+
+    // the x202-style invariant: the table is EXACTLY A's publish —
+    // byte-identical to a world where B never ran
+    assert(MergeUpsert.currentPlainVersion(spark, dir).contains(afterA),
+      "the live pointer must still be A's version")
+    val rows = MergeUpsert.readPlain(spark, dir)
+      .orderBy("region_id").as[(String, String, Int)].collect().toSeq
+    assert(rows == Seq(("2024-01-15", "CA", 111)),
+      s"B's stale merge must not be visible: $rows")
+    // B's refused version dir is deleted, not left as an adoptable orphan
+    // (v-%010d names compare numerically as strings)
+    assert(MergeUpsert.retainedVersions(spark, dir).forall(_ <= afterA),
+      "no version dir newer than A's publish may remain")
+
+    // B re-runs against the fresh base — the documented recovery — and
+    // both writers' rows land
+    MergeUpsert.mergeWritePlain(spark, dir,
+      tbl(("2024-01-15", "TX", 200)), keys)
+    val retried = MergeUpsert.readPlain(spark, dir)
+      .orderBy("region_id").as[(String, String, Int)].collect().toSeq
+    assert(retried == Seq(("2024-01-15", "CA", 111),
+      ("2024-01-15", "TX", 200)))
+  }
+
+  test("concurrent publish guard: an unmoved pointer still publishes " +
+    "(no false positive), including the fresh-table first publish") {
+    val dir = Files.createTempDirectory("graft-concur2").toString + "/t"
+    val keys = Seq("date", "region_id")
+    // fresh table: cur = None, and the guard must not trip on its own
+    // freshly marked dir winning the lost-pointer fallback
+    MergeUpsert.mergeWritePlain(spark, dir, tbl(("2024-01-15", "CA", 1)), keys)
+    // steady state: pointer present and unmoved
+    MergeUpsert.mergeWritePlain(spark, dir, tbl(("2024-01-15", "CA", 2)), keys)
+    assert(MergeUpsert.readPlain(spark, dir)
+      .select("total_beds").as[Int].collect().toSeq == Seq(2))
+  }
 }

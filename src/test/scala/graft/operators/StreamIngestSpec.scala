@@ -139,6 +139,66 @@ class StreamIngestSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == got)
   }
 
+  test("crash between manifest flip and checkpoint commit: restart " +
+    "replays the uncommitted batch and converges byte-identically") {
+    val work = java.nio.file.Files.createTempDirectory("graft-sscr").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("date", StringType)))
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String,
+               mod: Long): Unit = {
+      val stage = s"$work/stage-$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$work/in/$name"))
+      new java.io.File(s"$work/in/$name").setLastModified(mod)
+    }
+    val t0 = System.currentTimeMillis()
+    arrive(Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("k", "v", "date"), "f1.parquet", t0 - 60000L)
+    arrive(Seq((2L, "b2", "2024-01-02"), (3L, "c", "2024-01-02"))
+      .toDF("k", "v", "date"), "f2.parquet", t0)
+
+    // clean-run twin: the byte-identical invariant's reference table
+    StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+      s"$work/clean", Seq("k"), s"$work/cpc",
+      maxFilesPerTrigger = Some(1))
+
+    // crashed run: die AFTER batch 0's merge + manifest flip, BEFORE
+    // its checkpoint commit — the exact interleaving the COW protocol
+    // must survive (publish is ahead of the commit log)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+        s"$work/target", Seq("k"), s"$work/cp",
+        maxFilesPerTrigger = Some(1),
+        afterBatch = bid =>
+          if (bid == 0) sys.error("injected crash between flip and commit"))
+    }
+    // the manifest DID flip before the crash (that is the case under test)
+    assert(TableManifest.load(spark, s"$work/target").isDefined,
+      "batch 0's manifest publish must precede the injected crash")
+
+    // restart, SAME checkpoint: the uncommitted batch 0 is redelivered,
+    // re-merged (last-writer-wins, idempotent), then batch 1 proceeds
+    StreamIngest.ingestAvailableNowManifested(spark, s"$work/in", schema,
+      s"$work/target", Seq("k"), s"$work/cp",
+      maxFilesPerTrigger = Some(1))
+
+    def table(p: String) = TableManifest.readViaManifest(spark, p)
+      .select(col("k"), col("v"), col("date").cast("string"))
+      .collect().map(_.toSeq).toSet
+    def manifestShape(p: String) = TableManifest.load(spark, p).get
+      .select("part", "rows", "key_lo", "key_hi").collect()
+      .map(_.toSeq).toSet
+    assert(table(s"$work/target") == table(s"$work/clean"),
+      "replay must converge to the no-crash table")
+    assert(manifestShape(s"$work/target") == manifestShape(s"$work/clean"),
+      "replayed manifest (part, rows, zones) must equal the clean run's")
+  }
+
   test("continuous trigger: micro-batches merge as files arrive, and a " +
        "restart from checkpoint resumes exactly-once") {
     val work = java.nio.file.Files.createTempDirectory("graft-cont").toString

@@ -356,4 +356,28 @@ class TableManifestSpec extends SparkSpec {
     assert(rep3.filesKept == 0 && df3.count() == 0L)
     assert(df3.columns.contains("value"))
   }
+
+  test("schema evolution via appendManifested: mergeSchema read " +
+    "reconciles generations, pre-evolution rows read null") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0), keys = Seq("id"))
+    // the widened generation: same layout + a new column, fresh keys
+    val widened = (101L to 120L).map(i => (i, "2024-01-01", 2.0, i * 10L))
+      .toDF("id", "date", "value", "score")
+    TableManifest.appendManifested(spark, path, widened, keyCol = "id")
+    val t = TableManifest.readViaManifest(spark, path, mergeSchema = true)
+    assert(t.columns.contains("score"))
+    val byId = t.select("id", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).isEmpty, "pre-evolution rows read null in the new column")
+    assert(byId(110L).contains(1100L))
+    assert(t.count() == 70L)
+    // the manifest itself is schema-agnostic: zones/rows still cover
+    // both generations, and the default (non-merged) read still works
+    assert(TableManifest.load(spark, path).get
+      .agg(sum("rows")).head.getLong(0) == 70L)
+    assert(TableManifest.readViaManifest(spark, path).count() == 70L)
+  }
 }

@@ -61,7 +61,12 @@ class PartitionPruningSpec extends SparkSpec {
     val after = new java.io.File(s"$base/met/date=2024-01-17")
       .listFiles().toSet
     assert(before == after, "untouched metrics partition must not be rewritten")
-    val m = spark.read.parquet(s"$base/met")
+    // the metrics table is COW (manifested): the corrected partition
+    // holds both generations on disk, so the read MUST plan from the
+    // manifest — a plain read here is exactly the double-read bug the
+    // format's contract forbids (and was a latent flaky assert until
+    // r13: head() on a plain scan picked an arbitrary generation)
+    val m = graft.operators.TableManifest.readOrPlain(spark, s"$base/met")
       .filter($"date" === lit("2024-01-16").cast("date")).head()
     assert(m.getAs[Double]("bed_occ_pct") == 0.9)
   }
