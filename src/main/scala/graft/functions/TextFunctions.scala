@@ -347,4 +347,16 @@ object TextFunctions {
     * base hash for minhash/simhash so oracles can reproduce signatures. */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Driver-side twin of [[md5Hash60]] — bit-identical to the Column
+    * form (first 15 hex digits of the md5 of the UTF-8 bytes, parsed
+    * base 16), for the rare constant-sized structure computed once on
+    * the driver and embedded as a literal (e.g. a consistent-hash
+    * ring) rather than re-hashed per row. */
+  def md5Hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

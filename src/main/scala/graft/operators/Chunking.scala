@@ -121,4 +121,129 @@ object Chunking {
         expr(s"(end_tok - n_tok) div ${seqLen.toLong}").as("seq_id"),
         ((col("end_tok") - col("n_tok")) % lit(seqLen.toLong)).as("offset"))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync family, gear-hash
+    * simplified to a portable fixed-window hash): a chunk boundary
+    * falls after character position i whenever the 60-bit md5 hash of
+    * the `w`-char window ENDING at i is ≡ 0 mod `mask+1` — so
+    * boundaries move with content, not offsets, and an insertion near
+    * the head of a document only perturbs the chunks that overlap it
+    * (the property that makes chunk-hash dedup robust to prefix edits
+    * where fixed-stride chunking re-hashes everything; see
+    * CdcChunkSpec's shift-locality case). Expected chunk length is
+    * `mask+1` chars; the document end is always a boundary.
+    *
+    * Scale shape: pure per-row fan-out — boundary positions via
+    * filter(sequence(...)) and chunks via one posexplode, all
+    * codegen'd builtins, no UDFs, no shuffle; callers aggregate the
+    * (chunk_hash) stream (an exact-dedup-shaped hash agg) or sink it.
+    *
+    * Returns (doc_id, chunk_idx, chunk_len, chunk_hash) with
+    * `carryCols` passed through; empty documents yield no chunks,
+    * documents of ≤ w chars are a single chunk. chunk_hash is the
+    * portable md5-60 of the chunk text. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 8, mask: Int = 63,
+                carryCols: Seq[String] = Seq.empty): DataFrame = {
+    require(w >= 2 && mask >= 1, "window must be >= 2, mask >= 1")
+    val m = mask + 1
+    // boundary set: content-defined positions plus the document end,
+    // deduped (the end may itself hash to a boundary) and sorted —
+    // CASE guards the short-doc path because sequence(w, len) DESCENDS
+    // when len < w (Spark semantics), which would manufacture
+    // phantom boundaries
+    val bnds = s"""CASE WHEN length(txt_) <= $w THEN array(length(txt_))
+      ELSE array_sort(array_distinct(concat(
+        filter(sequence($w, length(txt_)),
+          i -> CAST(conv(substring(md5(substring(txt_, i - ${w - 1}, $w)),
+                 1, 15), 16, 10) AS BIGINT) % $m = 0),
+        array(length(txt_))))) END"""
+    df.select((col(idCol).as("doc_id") +: col(textCol).as("txt_") +:
+        carryCols.map(col)): _*)
+      .filter(length(col("txt_")) > 0)
+      .withColumn("bnds_", expr(bnds))
+      .select((col("doc_id") +: col("txt_") +: col("bnds_") +:
+        posexplode(sequence(lit(1), size(col("bnds_"))))
+          .as(Seq("pos_", "k_")) +: carryCols.map(col)): _*)
+      .withColumn("start_",
+        // element_at(_, 0) throws in Spark; the first chunk starts at 0
+        when(col("k_") === 1, lit(0))
+          .otherwise(element_at(col("bnds_"), col("k_") - 1)))
+      .withColumn("chunk_len",
+        (element_at(col("bnds_"), col("k_")) - col("start_")).cast("long"))
+      .select((col("doc_id") +: (col("k_") - 1).cast("long").as("chunk_idx") +:
+        col("chunk_len") +:
+        TextFunctions.md5Hash60(
+          expr("substring(txt_, start_ + 1, chunk_len)")).as("chunk_hash") +:
+        carryCols.map(col)): _*)
+  }
+
+  /** Per-group chunk-level dedup report over [[cdcChunks]]: how much
+    * of each group's character mass is duplicated at CDC-chunk grain —
+    * the storage-dedup dashboard row (and the cheap upper-bound signal
+    * for document near-duplication: shared boilerplate shows up here
+    * before any pair join runs). One hash-aggregate over the chunk
+    * stream; dup_ratio = 1 − distinct/total, floor-rounded 4dp. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, w: Int = 8, mask: Int = 63)
+      : DataFrame =
+    cdcChunks(df, idCol, textCol, w, mask, carryCols = Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct"),
+        sum(col("chunk_len")).as("total_chars"),
+        TextFunctions.portableRound(
+          lit(1.0) - countDistinct(col("chunk_hash")).cast("double") /
+            count(lit(1)).cast("double"), 4).as("dup_ratio"))
+      .orderBy(col(groupCol))
+
+  /** Incremental CDC chunk ledger: upsert a batch's chunk rows into a
+    * keyed store — the chunk-grain sibling of
+    * [[IncrementalDedup.appendExact]] (doc grain) and the incremental
+    * face of [[cdcChunkStats]]. The store is keyed on
+    * (doc_id, chunk_idx), NOT hash-aggregated, for the same reason
+    * appendExact is doc-keyed: a redelivered batch upserts the same
+    * rows and the ledger is unchanged (at-least-once idempotence);
+    * first-seen attribution is derived at READ time as min(batch) per
+    * hash, so it cannot be corrupted by replay order. Per-append text
+    * work is one chunking pass over the batch; reports run over slim
+    * (id, idx, hash, len, batch) rows. */
+  def appendCdcChunks(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, batch: DataFrame,
+                      idCol: String, textCol: String, batchTag: Long,
+                      w: Int = 8, mask: Int = 63,
+                      retainVersions: Int = 2): Unit =
+    MergeUpsert.mergeWritePlain(spark, storePath,
+      cdcChunks(batch, idCol, textCol, w, mask)
+        .select(col("doc_id").as("doc_id_"), col("chunk_idx"),
+          col("chunk_hash"), col("chunk_len"), lit(batchTag).as("batch")),
+      Seq("doc_id_", "chunk_idx"), retainVersions)
+
+  /** Per-batch novelty report over the accumulated ledger: how much of
+    * each batch's chunk mass had never been seen in any EARLIER batch —
+    * the "does this crawl still bring new content" curve that decides
+    * when a source is exhausted (x199's question at chunk grain,
+    * robust to re-wrapped/re-ordered documents because CDC boundaries
+    * move with content). novel = distinct hashes whose first-seen
+    * batch is this batch; ratio over the batch's distinct hashes.
+    * Returns (batch, n_chunks, n_distinct, n_novel, novel_ratio). */
+  def cdcStoreReport(spark: org.apache.spark.sql.SparkSession,
+                     storePath: String, roundTo: Int = 4): DataFrame = {
+    val rows = MergeUpsert.readPlain(spark, storePath)
+    val firstSeen = rows.groupBy("chunk_hash")
+      .agg(min("batch").as("first_batch"))
+    val perBatchHash = rows.groupBy("batch", "chunk_hash")
+      .agg(count(lit(1)).as("occ"))
+    perBatchHash.join(firstSeen, Seq("chunk_hash"))
+      .groupBy("batch")
+      .agg(sum("occ").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"),
+        TextFunctions.portableRound(
+          sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), roundTo)
+          .as("novel_ratio"))
+      .orderBy("batch")
+  }
 }

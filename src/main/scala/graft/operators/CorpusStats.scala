@@ -1245,4 +1245,85 @@ object CorpusStats {
         coalesce(col("n_big"), lit(0L)).as("n_big"),
         coalesce(col("kn_bpt"), lit(0.0)).as("kn_bpt"))
   }
+
+  /** Hill estimator of the tail index α over a positive long column —
+    * the standard answer to "how heavy is the document-length tail?",
+    * which decides whether a pipeline needs length caps / packing
+    * slack (α ≤ 2: infinite variance, a few giants dominate shuffle
+    * sizing; larger α: tails are tame). α = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the k largest values; the sum telescopes to
+    * Σ ln x over the top k+1 minus (k+1)·ln x₍ₖ₊₁₎, so NO per-rank
+    * bookkeeping is needed — order-statistic values are deterministic
+    * under ties even though row ranks are not.
+    *
+    * Scale shape: one TakeOrderedAndProject top-(k+1) (per-partition
+    * heaps of k+1 rows, no global sort) + a 1-row aggregate. With
+    * fewer than k+1 positive rows the estimator uses all n rows
+    * (k_eff = n − 1); a degenerate tail (all sampled values equal)
+    * returns NULL α. Output (single row): k, x_k, alpha. */
+  def hillTail(df: DataFrame, valueCol: String, k: Int = 100,
+               roundTo: Int = 4): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .orderBy(col("v").desc).limit(k + 1)
+    val kEff = (count(lit(1)) - lit(1L)).cast("long")
+    val denom = sum(log(col("v").cast("double"))) -
+      count(lit(1)).cast("double") * log(min(col("v")).cast("double"))
+    // stability floor 1e-6, not a zero test: an all-equal tail leaves
+    // the telescoped sum at ±(a few ulps), not exactly 0 — and ANY
+    // denominator that small means alpha is float noise on every
+    // engine, so both sides (this and the oracle SQL) report NULL
+    top.agg(kEff.as("k"), min(col("v")).as("x_k"), denom.as("_d"))
+      .select(col("k"), col("x_k"),
+        when(col("_d") < 1e-6 || col("k") < 1L, lit(null).cast("double"))
+          .otherwise(TextFunctions.portableRound(
+            col("k").cast("double") / col("_d"), roundTo)).as("alpha"))
+  }
+
+  /** Sentence-level language segmentation: split each document with
+    * the portable `[^.!?]+[.!?]*` pattern (the sentenceChunks
+    * splitter), language-ID every sentence, and report per document
+    * how MIXED it is — dominant language, distinct-language count, and
+    * adjacent-sentence language switches. The within-doc complement of
+    * doc-level langid (x04) and script mixing (x153): a
+    * half-translated page or quote-heavy forum thread is exactly what
+    * single-label langid mislabels, and segment counts are the filter
+    * signal multilingual pipelines use (e.g. "drop docs whose dominant
+    * language owns < 60% of sentences").
+    *
+    * Scale shape: one per-row fan-out (posexplode of the sentence
+    * list), one doc-keyed window for the switch flags, two doc-keyed
+    * aggregations — all partitioned by doc, no global state. Dominant
+    * ties break (count desc, lang asc) deterministically.
+    *
+    * Returns (doc_id, n_seg, n_langs, dominant_lang, n_switches);
+    * docs with no tokenized sentence emit nothing. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sents = df.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sidx", "sent")))
+      .filter(size(TextFunctions.tokens(col("sent"))) > 0)
+      .withColumn("slang", TextFunctions.langId(col("sent")))
+    val wDoc = Window.partitionBy("doc_id").orderBy("sidx")
+    val flags = sents
+      .withColumn("sw", when(lag(col("slang"), 1).over(wDoc).isNotNull &&
+        lag(col("slang"), 1).over(wDoc) =!= col("slang"), 1L)
+        .otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_seg"), sum(col("sw")).as("n_switches"))
+    val perLang = sents.groupBy("doc_id", "slang")
+      .agg(count(lit(1)).as("c"))
+    val wDom = Window.partitionBy("doc_id")
+      .orderBy(col("c").desc, col("slang").asc)
+    val dom = perLang
+      .withColumn("rn", row_number().over(wDom))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("slang"))).as("dominant_lang"))
+    flags.join(dom, Seq("doc_id"))
+      .select(col("doc_id"), col("n_seg"), col("n_langs"),
+        col("dominant_lang"), col("n_switches"))
+  }
 }

@@ -857,4 +857,46 @@ object Dedup {
             roundTo)).as("w_jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  /** LSH design sweep: for every (bands, rowsPerBand) factorization of
+    * the signature budget, the EXPECTED recall over this corpus's
+    * verified near-dup population — E[1 − (1 − j^r)^b] with the
+    * expectation taken over the verified pairs' exact Jaccards. The
+    * analytic complement of x121 (measured recall of the deployed
+    * config) and x138 (estimator calibration): this is the table a
+    * team reads to re-budget bands/rows BEFORE re-indexing a 100 TB
+    * corpus, priced against its own duplicate population instead of a
+    * textbook S-curve at one j.
+    *
+    * Scale shape: the config grid is a handful of literal rows
+    * broadcast against the (already slim) verified-pair list — one
+    * pass, one ≤|grid|-group aggregate.
+    *
+    * Returns (bands, rows_per_band, n_pairs, expected_recall). */
+  def lshDesignSweep(verified: DataFrame, jaccardCol: String = "jaccard",
+                     totalHashes: Int = 32, roundTo: Int = 4): DataFrame = {
+    require(totalHashes >= 1, "totalHashes >= 1")
+    val configs = (1 to totalHashes)
+      .filter(totalHashes % _ == 0)
+      .map(b => struct(lit(b).as("bands"),
+        lit(totalHashes / b).as("rows_per_band")))
+    val detect = lit(1.0) -
+      pow(lit(1.0) - pow(col(jaccardCol).cast("double"),
+        col("rows_per_band").cast("double")), col("bands").cast("double"))
+    // per-pair terms quantize to ×10⁸ longs so the mean is an exact
+    // integer ratio — the x212 discipline: summation order can never
+    // move the rounded result
+    val detectQ = floor(detect * lit(1e8) + lit(0.5)).cast("long")
+    verified.select(col(jaccardCol))
+      .withColumn("cfg", explode(array(configs: _*)))
+      .select(col("cfg.bands").as("bands"),
+        col("cfg.rows_per_band").as("rows_per_band"), col(jaccardCol))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        TextFunctions.portableRound(
+          sum(detectQ).cast("double") /
+            (count(lit(1)).cast("double") * lit(1e8)), roundTo)
+          .as("expected_recall"))
+      .orderBy("bands")
+  }
 }

@@ -574,4 +574,70 @@ object LabelQuality {
             col("set_sum").cast("double") / col("n_test").cast("double"),
             roundTo)).as("avg_set_size"))
   }
+
+  /** Kruskal–Wallis H across k groups of a long-valued column — the
+    * multi-group rank test ("do the language length distributions
+    * differ at all?") where [[rocAuc]]'s Mann–Whitney core answers
+    * only the two-sample question. Average-rank ties; reports both
+    * raw H and the tie-corrected H / (1 − ΣT/(n³−n)).
+    *
+    * Determinism + scale, the ksDrift recipe: per-(group, value)
+    * counts first (the only corpus-sized shuffle), then per-value
+    * totals with the two-level prefix-sum discipline (in-bucket window
+    * + bucket-totals join — no single-partition window over the value
+    * domain). Rank sums stay EXACT integers via doubled average ranks:
+    * 2·R_g = Σ t_g·(2·C_less + t + 1); the only doubles are the final
+    * k-term combination (error ≤ ~12n·2⁻⁵², orders below the 1e-4
+    * grid for any feasible n). Output (single row): n, k_groups, h,
+    * h_tc — NULL h when every value ties (n³ = n) or n ≤ k. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    roundTo: Int = 4): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val gv = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("tg"))
+    val per = gv.groupBy("v").agg(sum("tg").as("t"))
+      .withColumn("b", expr("v div 1000"))
+    val wIncl = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inb = per.withColumn("cin", sum("t").over(wIncl))
+    val btot = per.groupBy("b").agg(sum("t").as("bt"))
+    val below = btot.select(col("b").as("_lb"))
+      .join(btot.select(col("b").as("_hb"), col("bt")),
+        col("_hb") < col("_lb"), "left")
+      .groupBy(col("_lb").as("b"))
+      .agg(coalesce(sum("bt"), lit(0L)).as("t_below"))
+    val ranks = inb.join(below, Seq("b"))
+      .select(col("v"), col("t"),
+        (col("t_below") + col("cin") - col("t")).as("cless"))
+    val perGroup = gv.join(ranks, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("tg")).as("ng"),
+        sum(col("tg").cast(dec) *
+          (lit(2L) * col("cless") + col("t") + lit(1L)).cast(dec))
+          .as("r2g"))
+    // Σ (R_g²/n_g) with R_g = r2g/2 — the squared terms leave Int64,
+    // so the division runs in double; see the error bound above
+    val sTerm = sum(col("r2g").cast("double") * col("r2g").cast("double") /
+      (lit(4.0) * col("ng").cast("double")))
+    val gAgg = perGroup.agg(sTerm.as("s"),
+      count(lit(1)).as("k_groups"), sum("ng").as("n"))
+    val tieAgg = ranks.agg(
+      sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+        col("t").cast(dec)).as("tie"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) * col("s") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val denom = lit(1.0) -
+      col("tie").cast("double") / (nD * nD * nD - nD)
+    gAgg.crossJoin(broadcast(tieAgg))
+      .select(col("n"), col("k_groups"),
+        when(col("n") <= col("k_groups"), lit(null).cast("double"))
+          .otherwise(TextFunctions.portableRound(h, roundTo)).as("h"),
+        when(col("n") <= col("k_groups") || denom <= lit(0.0),
+            lit(null).cast("double"))
+          .otherwise(TextFunctions.portableRound(h / denom, roundTo))
+          .as("h_tc"))
+  }
 }

@@ -874,4 +874,45 @@ object Sampling {
           .as("epochs_used"))
       .orderBy("source")
   }
+
+  /** Consistent-hash ring rebalance plan: assign every row to a shard
+    * on an md5-60 ring (`vnodes` virtual nodes per shard — the
+    * classic variance reducer) under the BEFORE and AFTER shard
+    * counts, and report the transition matrix (shard_before,
+    * shard_after, n_docs). Consistent hashing's point is exactly this
+    * row count: growing n→n+1 shards moves only ~1/(n+1) of the keys
+    * (mod-n sharding would move ~n/(n+1) of them) — the plan a 100 TB
+    * store consults before adding capacity.
+    *
+    * The rings are tiny (shards × vnodes positions) and their
+    * positions are pure md5 functions of "ring:shard:vnode", so both
+    * rings are computed driver-side and EMBEDDED as sorted array
+    * literals: assignment is a codegen'd successor scan over a
+    * ~hundred-element constant array per row — no join, no shuffle,
+    * nothing broadcast — followed by one ≤(n·m)-group aggregate. */
+  def ringRebalance(df: DataFrame, idCol: String,
+                    shardsBefore: Int, shardsAfter: Int,
+                    vnodes: Int = 16): DataFrame = {
+    require(shardsBefore >= 1 && shardsAfter >= 1 && vnodes >= 1,
+      "shard counts and vnodes must be >= 1")
+    def ringLit(n: Int): Column = array(
+      (0 until n).flatMap(s => (0 until vnodes).map(v =>
+          (TextFunctions.md5Hash60Local(s"ring:$s:$v"), s)))
+        .sortBy(_._1)
+        .map { case (p, s) =>
+          struct(lit(p).as("p"), lit(s).as("sh")) }: _*)
+    def assign(ring: Column, dpos: Column): Column =
+      // get() not element_at(): a key hashing past the last vnode has
+      // an EMPTY successor set, and ANSI element_at throws on it where
+      // get returns the NULL the wrap-around coalesce needs
+      coalesce(get(filter(ring, x => x.getField("p") >= dpos), lit(0)),
+        get(ring, lit(0))).getField("sh")
+    val dpos = TextFunctions.md5Hash60(concat(lit("doc:"),
+      col(idCol).cast("string")))
+    df.select(assign(ringLit(shardsBefore), dpos).as("shard_before"),
+        assign(ringLit(shardsAfter), dpos).as("shard_after"))
+      .groupBy("shard_before", "shard_after")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard_before", "shard_after")
+  }
 }

@@ -181,11 +181,38 @@ object ExtensionCatalog {
   private def h60Sql(x: String, m: Long) =
     s"(('0x' || substr(md5($x), 1, 15))::BIGINT % $m)"
 
+  /** mirrors Chunking.cdcChunks (w=8, mask=63): CDC chunk CTE chain
+    * over a preceding CTE `d($carry, text)` pre-filtered to
+    * length(text) > 0 — emits `c($carry, clen, chash)`. Shared by
+    * x249 (per-source stats) and x256 (incremental ledger) so the
+    * boundary rule cannot drift between the two oracles. */
+  private def cdcChunkSql(carry: String): String =
+    s"""b AS (
+       |  SELECT $carry, text,
+       |    CASE WHEN length(text) <= 8 THEN [length(text)]
+       |    ELSE list_sort(list_distinct(list_concat(
+       |      list_filter(generate_series(8, length(text)),
+       |        i -> ${h60Sql("substr(text, i - 7, 8)", 64)} = 0),
+       |      [length(text)]))) END AS bnds
+       |  FROM d),
+       |c0 AS (
+       |  SELECT $carry, text, bnds,
+       |    unnest(generate_series(1, len(bnds))) AS k
+       |  FROM b),
+       |c AS (
+       |  SELECT $carry,
+       |    bnds[k] - coalesce(bnds[k-1], 0) AS clen,
+       |    ${h60Sql(
+        "substr(text, coalesce(bnds[k-1], 0) + 1, " +
+          "bnds[k] - coalesce(bnds[k-1], 0))",
+        1152921504606846976L)} AS chash
+       |  FROM c0)""".stripMargin
+
   private def stopRegexSql(words: Seq[String]) =
     "'\\b(" + words.mkString("|") + ")\\b'"
 
-  private def hitsSql(lang: String) =
-    s"len(regexp_extract_all(lower(text), ${stopRegexSql(TextFunctions.stopwords.toMap.apply(lang))}))"
+  private def hitsSql(lang: String, c: String = "text") =
+    s"len(regexp_extract_all(lower($c), ${stopRegexSql(TextFunctions.stopwords.toMap.apply(lang))}))"
 
   /** x20's session gap: 12 h — the sf0.01 median inter-event gap per
     * user is ~7.3 h, so sessions are multi-event but plural per user. */
@@ -1240,9 +1267,14 @@ object ExtensionCatalog {
 
   /** mirrors TextFunctions.langId: (hit-count columns, best expression,
     * CASE arms) — shared by x04 and x31. */
-  private def langIdSqlPieces: (String, String, String) = {
+  private def langIdSqlPieces: (String, String, String) =
+    langIdSqlPiecesOn("text")
+
+  /** [[langIdSqlPieces]] over an arbitrary column — x254 runs the same
+    * cascade per SENTENCE where x04 runs it per document. */
+  private def langIdSqlPiecesOn(c: String): (String, String, String) = {
     val langs = TextFunctions.stopwords.map(_._1)
-    val hitCols = langs.map(l => s"${hitsSql(l)} AS h_$l").mkString(", ")
+    val hitCols = langs.map(l => s"${hitsSql(l, c)} AS h_$l").mkString(", ")
     val best = "greatest(" + langs.map(l => s"h_$l").mkString(", ") + ")"
     val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'")
       .mkString(" ")
@@ -1661,27 +1693,15 @@ object ExtensionCatalog {
           "vec_id", "embedding", k = 10, planes = 8)
       }),
 
-    // ---- SimHash near-dup pairs (byte-blocked hamming ≤ 2 of 32 —
-    //      wider thresholds on a shared-vocabulary corpus degenerate
-    //      to everything-matches) ----
-    Q("x13_simhash_pairs", {
-      val blockList = Dedup.simhashBlocks(3).map { case (k, shift, w) =>
-        s"'$k:' || ((simhash >> $shift) & ${(1L << w) - 1})"
-      }.mkString(", ")
-      Some(
-        s"""WITH sig AS ($simhashSql),
-           |bands AS (
-           |  SELECT doc_id, simhash, unnest([$blockList]) AS block_key
-           |  FROM sig)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-           |FROM bands a JOIN bands b
-           |  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-           |ORDER BY id_a, id_b""".stripMargin)
-    },
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
+    // x13_simhash_pairs retired from the catalog (round 13): the full
+    // pair LIST is output-quadratic in replica-clique occupancy
+    // (3.2M rows at sf1 — 93× sf0.1, per-pair cost DROPPING, pure
+    // output growth; PERF.md sf1 table). The catalog row is now the
+    // deterministic doc-sample audit x246_simhash_pairs_sampled —
+    // identical signature/banding/verify, scoped like x121; the
+    // full-corpus form stays DedupSpec/RegressionSpec coverage and
+    // the dedup DEPLOYED faces (spanning edges → x18/x91) never
+    // emitted the pair square in the first place.
 
     // ---- IVF ANN: deterministic-k-means coarse quantizer + nProbe
     //      probing. The oracle replays the k-means training itself
@@ -1717,42 +1737,14 @@ object ExtensionCatalog {
           "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 2)
       }),
 
-    // ---- embedding near-dup pairs (LSH-blocked exact cosine).
-    //      The synthetic embeddings are near-orthogonal (max natural
-    //      cosine ≈ 0.46), so the corpus is seeded with deterministic
-    //      scaled copies (vec_id + 1e12, v·1.02): cosine(v, 1.02·v)
-    //      rounds to 1.0 and sign-LSH is scale-invariant, so every
-    //      planted pair is found — the oracle row is non-vacuous
-    //      (spark_rows = |corpus| instead of 0). ----
-    Q("x14_embedding_neardup", Some(
-      s"""WITH base AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-         |  FROM embeddings),
-         |seeded AS (
-         |  SELECT vec_id, embedding FROM base
-         |  UNION ALL
-         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * 1.02)
-         |  FROM base),
-         |b AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
-         |  FROM seeded)
-         |SELECT id_a, id_b, sim FROM (
-         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         |         ${cosineSql("a.embedding", "b2.embedding")} AS sim
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-         |WHERE sim >= 0.95 ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => {
-        val base = t(s, dir, "embeddings").select(col("vec_id"),
-          col("embedding").cast("array<double>").as("embedding"))
-        // offset far above any natural vec_id (collision would silently
-        // pair unrelated vectors under one id on both engines)
-        val planted = base.select(
-          (col("vec_id") + lit(1000000000000L)).as("vec_id"),
-          transform(col("embedding"), x => x * lit(1.02)).as("embedding"))
-        Similarity.embeddingNearDup(base.unionByName(planted),
-          "vec_id", "embedding", threshold = 0.95, planes = 4)
-          .orderBy("id_a", "id_b")
-      }),
+    // x14_embedding_neardup retired from the catalog (round 13): same
+    // output-quadratic pair-list shape as x13 (380k rows at sf1, 190×
+    // sf0.1, per-pair cost DROPPING — PERF.md sf1 table). The catalog
+    // row is now x247_embedding_neardup_sampled: identical planting +
+    // sign-LSH blocking + exact-cosine verify, restricted to a
+    // deterministic base-id sample so output scales with the SAMPLED
+    // clique mass. SimilaritySpec keeps the full-corpus coverage;
+    // x62_semdedup remains the keep-one (linear-output) face.
 
     // ---- stateful sessionization, oracle-proven: the batch path runs
     //      the SAME per-key fold as the streaming flatMapGroupsWithState
@@ -3916,40 +3908,14 @@ object ExtensionCatalog {
           "doc_id", "text", lshCands(s, dir), ContainMin)
         .orderBy("id_a", "id_b")),
 
-    // ---- edit-distance-verified near-dups: character-level Levenshtein
-    //      over LSH candidates (threshold'd DP — bounded cost per pair),
-    //      the strictest verifier in the family; both engines implement
-    //      classic unit-cost edit distance. ----
-    Q("x93_editdist_neardup", Some(
-      s"""WITH ${minhashPairsSql()}
-         |SELECT c.id_a, c.id_b,
-         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
-         |  floor((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
-         |    greatest(length(da.text), length(db.text), 1))
-         |    * 10000.0 + 0.5) / 10000.0 AS edit_sim
-         |FROM cand c
-         |JOIN documents da ON c.id_a = da.doc_id
-         |JOIN documents db ON c.id_b = db.doc_id
-         |WHERE c.est_jaccard >= 0.25
-         |  AND levenshtein(da.text, db.text) <= $EditDistMax
-         |ORDER BY id_a, id_b""".stripMargin),
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        lshCands(s, dir).filter(col("est_jaccard") >= 0.25)
-          .join(docs.select(col("doc_id").as("id_a"),
-            col("text").as("ta")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"),
-            col("text").as("tb")), Seq("id_b"))
-          .withColumn("dist",
-            levenshtein(col("ta"), col("tb"), EditDistMax).cast("long"))
-          .filter(col("dist") >= 0)
-          .select(col("id_a"), col("id_b"), col("dist"),
-            TextFunctions.portableRound(
-              lit(1.0) - col("dist").cast("double") /
-                greatest(length(col("ta")), length(col("tb")), lit(1))
-                  .cast("double"), 4).as("edit_sim"))
-          .orderBy("id_a", "id_b")
-      }),
+    // x93_editdist_neardup retired from the catalog (round 13): the
+    // candidate restriction bounds COMPUTE per pair, but the emitted
+    // pair list is still quadratic in replica-clique occupancy (315k
+    // rows at sf1, 343× sf0.1 — PERF.md sf1 table). The catalog row is
+    // now x248_editdist_sampled: the same est≥0.25 candidates and
+    // threshold'd Levenshtein verify, scoped to a deterministic doc
+    // sample on both pair sides (the x121 audit pattern). The
+    // Levenshtein expression keeps its DedupSpec coverage.
 
     // ---- quality-curriculum ordering: percentile-cutpoint bands (no
     //      global ntile sort) + deterministic in-band shuffle ----
@@ -10247,7 +10213,438 @@ object ExtensionCatalog {
         "doc_id", "text", blockCol = "lang",
         pairs = lshCands(s, dir).select("id_a", "id_b"),
         n = 3, bucketChars = 25, minJaccard = 0.2)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- SimHash near-dup audit on a deterministic doc sample
+    //      (replaces x13's full pair list — round 13): identical
+    //      32-bit signature, 3-block pigeonhole banding and hamming≤2
+    //      verify, restricted to the h60('shp:'+id)%2 doc sample.
+    //      Signatures are per-doc (sample-independent), so sampling
+    //      BEFORE banding changes nothing but the pair population:
+    //      output falls with the sampled clique mass (~4× here) while
+    //      the full form grew 93× sf0.1→sf1 on replica cliques. At
+    //      100 TB this is the audit shape; removal flows run spanning
+    //      edges (x18/x91), never the pair square. ----
+    Q("x246_simhash_pairs_sampled", {
+      val blockList = Dedup.simhashBlocks(3).map { case (k, shift, w) =>
+        s"'$k:' || ((simhash >> $shift) & ${(1L << w) - 1})"
+      }.mkString(", ")
+      Some(
+        s"""WITH sig AS ($simhashSql),
+           |ssig AS (
+           |  SELECT * FROM sig
+           |  WHERE ${h60Sql("'shp:' || CAST(doc_id AS VARCHAR)", 2)} = 0),
+           |bands AS (
+           |  SELECT doc_id, simhash, unnest([$blockList]) AS block_key
+           |  FROM ssig)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM bands a JOIN bands b
+           |  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin)
+    },
+      (s, dir) => Dedup.simhashPairs(
+        t(s, dir, "documents").filter(TextFunctions.md5Hash60(
+          concat(lit("shp:"), col("doc_id").cast("string"))) % 2 === 0),
+        "doc_id", "text", maxHamming = 2).orderBy("id_a", "id_b")),
+
+    // ---- embedding near-dup audit on a deterministic base-id sample
+    //      (replaces x14's full pair list — round 13). Planting is
+    //      applied AFTER the sample, so every sampled vector still
+    //      carries its scaled copy (vec_id + 1e12, v·1.02 — cosine
+    //      rounds to 1.0, sign-LSH is scale-invariant): the planted
+    //      pair population stays non-vacuous at every SF while the
+    //      replica-clique mass falls quadratically with the sample. ----
+    Q("x247_embedding_neardup_sampled", Some(
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  WHERE ${h60Sql("'emn:' || CAST(vec_id AS VARCHAR)", 2)} = 0),
+         |seeded AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000, list_transform(embedding, x -> x * 1.02)
+         |  FROM base),
+         |b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM seeded)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |         ${cosineSql("a.embedding", "b2.embedding")} AS sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE sim >= 0.95 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "embeddings")
+          .filter(TextFunctions.md5Hash60(
+            concat(lit("emn:"), col("vec_id").cast("string"))) % 2 === 0)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        // offset far above any natural vec_id (collision would silently
+        // pair unrelated vectors under one id on both engines)
+        val planted = base.select(
+          (col("vec_id") + lit(1000000000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.02)).as("embedding"))
+        Similarity.embeddingNearDup(base.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.95, planes = 4)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- edit-distance near-dup audit on a deterministic doc sample
+    //      (replaces x93's full candidate sweep — round 13): the same
+    //      est_jaccard ≥ 0.25 MinHash candidates and threshold'd
+    //      Levenshtein (bounded DP), with BOTH pair sides required
+    //      in-sample — the h60 doc sample induces an unbiased pair
+    //      sample (the x121 audit argument), cutting emitted pairs
+    //      ~4× where the full form grew 343× sf0.1→sf1. ----
+    Q("x248_editdist_sampled", Some(
+      s"""WITH ${minhashPairsSql()},
+         |sd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${h60Sql("'edd:' || CAST(doc_id AS VARCHAR)", 2)} = 0)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         |  floor((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(length(da.text), length(db.text), 1))
+         |    * 10000.0 + 0.5) / 10000.0 AS edit_sim
+         |FROM cand c
+         |JOIN sd da ON c.id_a = da.doc_id
+         |JOIN sd db ON c.id_b = db.doc_id
+         |WHERE c.est_jaccard >= 0.25
+         |  AND levenshtein(da.text, db.text) <= $EditDistMax
+         |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => {
+        val sd = t(s, dir, "documents")
+          .filter(TextFunctions.md5Hash60(
+            concat(lit("edd:"), col("doc_id").cast("string"))) % 2 === 0)
+        lshCands(s, dir).filter(col("est_jaccard") >= 0.25)
+          .join(sd.select(col("doc_id").as("id_a"),
+            col("text").as("ta")), Seq("id_a"))
+          .join(sd.select(col("doc_id").as("id_b"),
+            col("text").as("tb")), Seq("id_b"))
+          .withColumn("dist",
+            levenshtein(col("ta"), col("tb"), EditDistMax).cast("long"))
+          .filter(col("dist") >= 0)
+          .select(col("id_a"), col("id_b"), col("dist"),
+            TextFunctions.portableRound(
+              lit(1.0) - col("dist").cast("double") /
+                greatest(length(col("ta")), length(col("tb")), lit(1))
+                  .cast("double"), 4).as("edit_sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- content-defined chunking dedup report (FastCDC/rsync
+    //      family): boundaries where the md5-60 of the 8-char window
+    //      ending at i ≡ 0 mod 64 (expected chunk ≈ 64 chars), doc end
+    //      always a boundary — boundaries move WITH content, so shared
+    //      boilerplate dedups at chunk grain regardless of its offset
+    //      (CdcChunkSpec proves prefix-edit locality). Per-source
+    //      duplicated-character-mass report: scan-shaped fan-out + one
+    //      hash agg, the storage-dedup dashboard row. ----
+    Q("x249_cdc_chunk_stats", Some(
+      s"""WITH d AS (
+         |  SELECT source, text FROM documents
+         |  WHERE length(text) > 0),
+         |${cdcChunkSql("source")}
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct,
+         |  CAST(sum(clen) AS BIGINT) AS total_chars,
+         |  floor((1.0 - CAST(count(DISTINCT chash) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         |    AS dup_ratio
+         |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => Chunking.cdcChunkStats(t(s, dir, "documents"),
+        "doc_id", "text", "source", w = 8, mask = 63)),
+
+    // ---- watermark late-data audit: the batch replay of Structured
+    //      Streaming's per-row drop decision (late iff event time <
+    //      max-seen − delay AT ARRIVAL) — the report that sizes
+    //      `withWatermark` BEFORE the stream silently discards data.
+    //      Arrival order is a deterministic jitter model (event time +
+    //      salted md5 % 2 h) so the replay is layout-independent and
+    //      cross-engine checkable; the running max-seen uses the
+    //      two-level prefix discipline (day-bucket windows + a
+    //      bucket-maxima join), never a global-order window. ~26% of
+    //      arrivals land late under a 1 h delay at this jitter. ----
+    Q("x250_late_arrival_audit", Some(
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_ns(ts) // 1000000 AS ms,
+         |    epoch_ns(ts) // 1000000 +
+         |      (${h60Sql("'arr:' || CAST(event_id AS VARCHAR)", 7200000L)})
+         |      AS arr_ms
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, ms,
+         |    max(ms) OVER (ORDER BY arr_ms, ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+         |  FROM e),
+         |l AS (
+         |  SELECT event_type,
+         |    CASE WHEN seen IS NULL THEN 0
+         |         ELSE greatest(seen - 3600000 - ms, 0) END AS late_by
+         |  FROM w)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_late,
+         |  floor(CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS late_ratio,
+         |  CAST(max(late_by) AS BIGINT) AS max_late_ms
+         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        // eventsNs normalizes ts to ns-since-epoch longs on every
+        // parquet layout (NANOS/NTZ/TZ) — div to ms from there
+        val ms = expr("ts div 1000000")
+        val e = eventsNs(s, dir).select(
+          (ms + TextFunctions.md5Hash60(concat(lit("arr:"),
+            col("event_id").cast("string"))) % lit(7200000L)).as("arr_ms"),
+          ms.as("ms"), col("event_type"))
+        graft.streaming.LateData.lateArrivalAudit(e, "arr_ms", "ms",
+          "event_type", delayMs = 3600000L)
+      }),
+
+    // ---- Hill tail-index estimator over document character mass —
+    //      "how heavy is the length tail?" decides length caps and
+    //      packing slack (α ≤ 2 ⇒ infinite variance, giants dominate
+    //      shuffle sizing). One top-(k+1) TakeOrderedAndProject + a
+    //      1-row aggregate; the rank-k sum telescopes so no per-rank
+    //      bookkeeping exists to disagree under ties. ----
+    Q("x251_hill_tail", Some(
+      s"""WITH t AS (
+         |  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+         |  WHERE n_chars > 0 ORDER BY v DESC LIMIT 101),
+         |a AS (
+         |  SELECT CAST(count(*) - 1 AS BIGINT) AS k, min(v) AS x_k,
+         |    sum(ln(CAST(v AS DOUBLE))) -
+         |      count(*) * ln(CAST(min(v) AS DOUBLE)) AS d
+         |  FROM t)
+         |SELECT k, x_k,
+         |  CASE WHEN d < 0.000001 OR k < 1 THEN NULL
+         |       ELSE floor(CAST(k AS DOUBLE) / d * 10000.0 + 0.5)
+         |            / 10000.0 END AS alpha
+         |FROM a""".stripMargin),
+      (s, dir) => CorpusStats.hillTail(t(s, dir, "documents"),
+        "n_chars", k = 100)),
+
+    // ---- Kruskal–Wallis H across the five language groups on
+    //      character mass — the multi-group rank test (x183's
+    //      Mann–Whitney core answers only two-sample); average-rank
+    //      ties, raw and tie-corrected H. Rank sums stay exact
+    //      integers (doubled average ranks) through the ksDrift
+    //      two-level prefix discipline; only the final k-term
+    //      combination is floating. ----
+    Q("x252_kruskal_wallis", Some(
+      s"""WITH gv AS (
+         |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         |    CAST(count(*) AS BIGINT) AS tg
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         |per AS (SELECT v, CAST(sum(tg) AS BIGINT) AS t FROM gv GROUP BY v),
+         |r AS (
+         |  SELECT v, t,
+         |    CAST(sum(t) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+         |      AS BIGINT) AS cless
+         |  FROM per),
+         |pg AS (
+         |  SELECT g, CAST(sum(tg) AS BIGINT) AS ng,
+         |    sum(CAST(tg AS HUGEINT) * (2 * cless + t + 1)) AS r2g
+         |  FROM gv JOIN r USING (v) GROUP BY g),
+         |st AS (
+         |  SELECT sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE) /
+         |      (4.0 * CAST(ng AS DOUBLE))) AS s,
+         |    CAST(count(*) AS BIGINT) AS k_groups,
+         |    CAST(sum(ng) AS BIGINT) AS n
+         |  FROM pg),
+         |tie AS (
+         |  SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM r)
+         |SELECT n, k_groups,
+         |  CASE WHEN n <= k_groups THEN NULL
+         |       ELSE floor((12.0 * s / (CAST(n AS DOUBLE) * (n + 1.0))
+         |              - 3.0 * (n + 1.0)) * 10000.0 + 0.5) / 10000.0
+         |  END AS h,
+         |  CASE WHEN n <= k_groups
+         |         OR (1.0 - CAST(tie AS DOUBLE) /
+         |             (CAST(n AS DOUBLE) * n * n - n)) <= 0 THEN NULL
+         |       ELSE floor((12.0 * s / (CAST(n AS DOUBLE) * (n + 1.0))
+         |              - 3.0 * (n + 1.0))
+         |            / (1.0 - CAST(tie AS DOUBLE) /
+         |               (CAST(n AS DOUBLE) * n * n - n))
+         |            * 10000.0 + 0.5) / 10000.0
+         |  END AS h_tc
+         |FROM st, tie""".stripMargin),
+      (s, dir) => LabelQuality.kruskalWallis(t(s, dir, "documents"),
+        "lang", "n_chars")),
+
+    // ---- consistent-hash ring rebalance plan (8 → 9 shards, 16
+    //      vnodes each): the transition matrix consistent hashing
+    //      exists for — only ~1/9 of keys move where mod-n sharding
+    //      would move 8/9. The rings are pure md5 functions of
+    //      "ring:shard:vnode", computed once driver-side and embedded
+    //      as sorted array LITERALS: per-row assignment is a codegen'd
+    //      successor scan over a constant array — no join, no
+    //      broadcast, no shuffle until the ≤72-group count. ----
+    Q("x253_ring_rebalance", Some(
+      s"""WITH v8 AS (
+         |  SELECT CAST(s.sh AS INT) AS sh,
+         |    ${h60Sql(
+             "'ring:' || CAST(s.sh AS VARCHAR) || ':' || CAST(v.vn AS VARCHAR)",
+             1152921504606846976L)} AS pos
+         |  FROM generate_series(0, 7) s(sh), generate_series(0, 15) v(vn)),
+         |v9 AS (
+         |  SELECT CAST(s.sh AS INT) AS sh,
+         |    ${h60Sql(
+             "'ring:' || CAST(s.sh AS VARCHAR) || ':' || CAST(v.vn AS VARCHAR)",
+             1152921504606846976L)} AS pos
+         |  FROM generate_series(0, 8) s(sh), generate_series(0, 15) v(vn)),
+         |d AS (
+         |  SELECT doc_id, ${h60Sql("'doc:' || CAST(doc_id AS VARCHAR)",
+             1152921504606846976L)} AS dpos
+         |  FROM documents),
+         |a8 AS (
+         |  SELECT doc_id, coalesce(
+         |      arg_min(sh, pos) FILTER (WHERE pos >= dpos),
+         |      arg_min(sh, pos)) AS shard
+         |  FROM d CROSS JOIN v8 GROUP BY doc_id),
+         |a9 AS (
+         |  SELECT doc_id, coalesce(
+         |      arg_min(sh, pos) FILTER (WHERE pos >= dpos),
+         |      arg_min(sh, pos)) AS shard
+         |  FROM d CROSS JOIN v9 GROUP BY doc_id)
+         |SELECT a8.shard AS shard_before, a9.shard AS shard_after,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM a8 JOIN a9 USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => Sampling.ringRebalance(t(s, dir, "documents"),
+        "doc_id", shardsBefore = 8, shardsAfter = 9, vnodes = 16)),
+
+    // ---- sentence-level language segmentation: x04's cascade per
+    //      SENTENCE (x157's portable splitter), reporting how mixed
+    //      each doc is — dominant language, distinct-language count,
+    //      adjacent switches. The within-doc complement of doc-level
+    //      langid (x04) and script mixing (x153); the filter signal
+    //      for half-translated/quote-heavy pages. One fan-out + two
+    //      doc-keyed aggs + one doc-keyed window. ----
+    Q("x254_lang_segments", {
+      val (hitCols, best, cases) = langIdSqlPiecesOn("sent")
+      Some(
+        s"""WITH s0 AS (
+           |  SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*')
+           |    AS sents
+           |  FROM documents),
+           |s1 AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(sents))) AS k,
+           |    sents
+           |  FROM s0 WHERE len(sents) > 0),
+           |s2 AS (SELECT doc_id, k, sents[k] AS sent FROM s1),
+           |s3 AS (SELECT doc_id, k, sent FROM s2
+           |       WHERE len(${tokSql("sent")}) > 0),
+           |h AS (SELECT doc_id, k, $hitCols FROM s3),
+           |sl AS (
+           |  SELECT doc_id, k, CASE $cases ELSE 'und' END AS slang
+           |  FROM (SELECT *, $best AS best FROM h)),
+           |sw AS (
+           |  SELECT doc_id, slang,
+           |    CASE WHEN lag(slang) OVER w IS NOT NULL
+           |              AND lag(slang) OVER w <> slang
+           |         THEN 1 ELSE 0 END AS sw
+           |  FROM sl WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+           |f AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+           |    CAST(sum(sw) AS BIGINT) AS n_switches
+           |  FROM sw GROUP BY doc_id),
+           |pl AS (SELECT doc_id, slang, count(*) AS c FROM sl GROUP BY 1, 2),
+           |dm AS (
+           |  SELECT doc_id, slang,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY c DESC, slang) AS rn
+           |  FROM pl),
+           |nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs
+           |       FROM pl GROUP BY doc_id)
+           |SELECT f.doc_id, f.n_seg, nl.n_langs,
+           |  d.slang AS dominant_lang, f.n_switches
+           |FROM f JOIN nl USING (doc_id)
+           |JOIN dm d ON d.doc_id = f.doc_id AND d.rn = 1
+           |ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => CorpusStats.langSegments(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // ---- LSH design sweep: expected recall of every (bands × rows)
+    //      factorization of the 32-hash budget over THIS corpus's
+    //      verified near-dup population — E[1 − (1 − j^r)^b] on the
+    //      exact pair Jaccards (×10⁸-quantized terms, exact integer
+    //      mean). The analytic complement of x121 (measured recall of
+    //      the deployed 8×4) and x138 (estimator calibration): the
+    //      re-budgeting table consulted before re-indexing 100 TB. ----
+    Q("x255_lsh_design_sweep", Some(
+      s"""WITH ${minhashPairsSql()},
+         |g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - 2, 1)),
+         |    i -> text[i : i + 2])) AS grams
+         |  FROM documents),
+         |vj AS (
+         |  SELECT round(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 4)
+         |    AS jaccard
+         |  FROM cand c
+         |  JOIN g ga ON c.id_a = ga.doc_id
+         |  JOIN g gb ON c.id_b = gb.doc_id
+         |  WHERE c.est_jaccard >= 0.25),
+         |v AS (SELECT jaccard FROM vj WHERE jaccard >= 0.4),
+         |cfg AS (SELECT * FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4),
+         |  (16, 2), (32, 1)) AS t(bands, rows_per_band)),
+         |q AS (
+         |  SELECT bands, rows_per_band,
+         |    CAST(floor((1.0 - power(1.0 -
+         |        power(jaccard, CAST(rows_per_band AS DOUBLE)),
+         |        CAST(bands AS DOUBLE))) * 100000000.0 + 0.5) AS BIGINT)
+         |      AS dq
+         |  FROM v CROSS JOIN cfg)
+         |SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(sum(dq) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * 100000000.0) * 10000.0 + 0.5)
+         |    / 10000.0 AS expected_recall
+         |FROM q GROUP BY 1, 2 ORDER BY bands""".stripMargin),
+      (s, dir) => Dedup.lshDesignSweep(verifiedPairs(s, dir),
+        "jaccard", totalHashes = 32)),
+
+    // ---- incremental CDC chunk ledger: three batch appends into a
+    //      keyed (doc, chunk_idx) store, then the per-batch novelty
+    //      curve — "does this crawl still bring NEW content", x199's
+    //      exhaustion question at chunk grain, robust to re-wrapped
+    //      documents because CDC boundaries move with content.
+    //      First-seen attribution derives at read time (min batch per
+    //      hash), so redelivery cannot corrupt it. ----
+    Q("x256_cdc_store", Some(
+      s"""WITH d AS (
+         |  SELECT doc_id % 3 AS batch, text FROM documents
+         |  WHERE length(text) > 0),
+         |${cdcChunkSql("batch")},
+         |fs AS (SELECT chash, min(batch) AS first_batch
+         |       FROM c GROUP BY chash),
+         |pb AS (SELECT batch, chash, count(*) AS occ
+         |       FROM c GROUP BY 1, 2)
+         |SELECT CAST(batch AS BIGINT) AS batch,
+         |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  floor(CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS novel_ratio
+         |FROM pb JOIN fs USING (chash)
+         |GROUP BY 1 ORDER BY batch""".stripMargin),
+      (s, dir) => {
+        val store = s"${tmp("graft-cdcstore")}/ledger"
+        val docs = t(s, dir, "documents")
+        (0L to 2L).foreach { b =>
+          Chunking.appendCdcChunks(s, store,
+            docs.filter(col("doc_id") % 3 === b), "doc_id", "text",
+            batchTag = b)
+        }
+        Chunking.cdcStoreReport(s, store)
+      })
   )
 
   val all: Seq[Q] =

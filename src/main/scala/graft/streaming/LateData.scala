@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Watermark late-data accounting — the BATCH replay of the decision
+  * Structured Streaming's watermark makes on every row: a row is LATE
+  * iff its event time is below (max event time seen so far − delay) at
+  * the moment it ARRIVES. Streaming drops such rows silently (state for
+  * their window is already evicted); this audit is the report a
+  * pipeline runs BEFORE picking `withWatermark`'s delay — "how much
+  * data would each candidate delay discard, and how late is the tail?"
+  *
+  * Deterministic by construction: arrival order is a caller-supplied
+  * column (a file sequence number, an ingest offset), so the replay is
+  * layout-independent and oracle-checkable — unlike the live stream,
+  * where arrival order is whatever the source raced to.
+  *
+  * Scale shape: the running "max event time seen so far" is a prefix
+  * maximum over arrival order — computed with the two-level discipline
+  * (in-bucket window over arrival-time buckets + a bucket-maxima join),
+  * NEVER a single-partition global window; bucket count is bounded by
+  * the corpus time span, not its row count. One corpus-sized shuffle
+  * (the bucket window), one tiny join, one group-by. */
+object LateData {
+
+  /** Per-group late-arrival audit: (group, n, n_late, late_ratio,
+    * max_late_ms). `arrivalCol` orders arrivals (ties break on it
+    * being unique per row — use the ingest sequence); `tsMsCol` is the
+    * event time in epoch millis; a row is late when
+    * ts < max(prior ts) − delayMs. max_late_ms reports how far past
+    * the watermark the latest row was (0 when none) — the number that
+    * says what delay WOULD have kept everything. */
+  def lateArrivalAudit(df: DataFrame, arrivalCol: String, tsMsCol: String,
+                       groupCol: String, delayMs: Long,
+                       bucketMs: Long = 86400000L): DataFrame = {
+    require(delayMs >= 0 && bucketMs >= 1, "delayMs >= 0, bucketMs >= 1")
+    val base = df.select(col(arrivalCol).as("arr"),
+        col(tsMsCol).cast("long").as("ms"), col(groupCol).as("g"))
+      .withColumn("b", expr(s"arr div $bucketMs"))
+    // in-bucket strict prefix max over arrival order
+    val wPrev = Window.partitionBy("b").orderBy("arr", "ms")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = base.withColumn("prev_in", max("ms").over(wPrev))
+    // max of every EARLIER bucket (bucket count ~ time span / bucketMs)
+    val btot = base.groupBy("b").agg(max("ms").as("bm"))
+    val below = btot.select(col("b").as("_lb"))
+      .join(btot.select(col("b").as("_hb"), col("bm")),
+        col("_hb") < col("_lb"), "left")
+      .groupBy(col("_lb").as("b"))
+      .agg(max("bm").as("prev_below"))
+    val seen = greatest(coalesce(col("prev_in"), lit(Long.MinValue)),
+      coalesce(col("prev_below"), lit(Long.MinValue)))
+    val lateBy = seen - lit(delayMs) - col("ms")
+    inb.join(below, Seq("b"))
+      // the global first arrival has no watermark yet and is never late
+      .withColumn("late_by",
+        when(col("prev_in").isNull && col("prev_below").isNull, lit(0L))
+          .otherwise(greatest(lateBy, lit(0L))))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_by") > 0L, 1L).otherwise(0L)).as("n_late"),
+        graft.functions.TextFunctions.portableRound(
+          sum(when(col("late_by") > 0L, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("late_ratio"),
+        max(col("late_by")).as("max_late_ms"))
+      .orderBy(groupCol)
+  }
+}

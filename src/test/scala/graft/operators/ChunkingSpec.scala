@@ -92,4 +92,91 @@ class ChunkingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(a == b)
   }
+
+  private def longText: String =
+    (1 to 200).map(i => s"w${i * 7 % 97}x${i % 13}").mkString(" ")
+
+  test("cdcChunks: chunks reconstruct the doc exactly; short docs are " +
+    "one chunk; empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, longText), (2L, "tiny"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Chunking.cdcChunks(docs, "doc_id", "text", w = 8, mask = 63)
+    val perDoc = got.groupBy("doc_id")
+      .agg(sum("chunk_len").as("chars"), count(lit(1)).as("n"),
+        max("chunk_idx").as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(perDoc(1L)._1 == longText.length.toLong,
+      "chunk lengths must tile the document")
+    assert(perDoc(1L)._2 > 5, "a ~1400-char doc should split into chunks")
+    assert(perDoc(1L)._3 == perDoc(1L)._2 - 1, "chunk_idx contiguous from 0")
+    assert(perDoc(2L) == ((4L, 1L, 0L)), "short doc = single chunk")
+    assert(!perDoc.contains(3L), "empty doc emits nothing")
+  }
+
+  test("cdcChunks: prefix-edit locality — inserting one char at the " +
+    "head changes at most the chunks overlapping the edit") {
+    import spark.implicits._
+    val docs = Seq((1L, longText), (2L, "Z" + longText))
+      .toDF("doc_id", "text")
+    val h = Chunking.cdcChunks(docs, "doc_id", "text", w = 8, mask = 63)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("chunk_hash")).toSeq }
+    // boundaries are functions of WINDOW CONTENT, so the shifted copy
+    // re-finds every boundary after the edit: only the first chunk
+    // (which absorbed the inserted char) may differ
+    val lost = h(1L).diff(h(2L)) // multiset difference
+    assert(lost.size <= 1,
+      s"prefix edit must not re-chunk the tail (lost ${lost.size} chunks)")
+    // fixed-stride chunking would lose EVERY chunk here; require the
+    // overwhelming majority survive
+    assert(h(1L).intersect(h(2L)).size >= h(1L).size - 1)
+  }
+
+  test("cdcChunkStats: dup mass of a cloned source is visible; " +
+    "layout independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, longText, "a"), (2L, longText, "a"), // full clone inside a
+      (3L, longText.substring(100), "b"),       // content shared with a
+      (4L, "unrelated content entirely", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = Chunking.cdcChunkStats(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("dup_ratio"))).toMap
+    assert(r("a")._3 >= 0.5, "a cloned doc halves the distinct ratio")
+    assert(r("a")._2 <= r("a")._1 / 2 + 1)
+    val again = Chunking.cdcChunkStats(docs.repartition(7), "doc_id",
+      "text", "source").collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSet
+    assert(again == r.map { case (k, v) => (k, v._1, v._2) }.toSet)
+  }
+
+  test("cdc store: novelty curve attributes first-seen to the earliest " +
+    "batch; a redelivered batch is a no-op") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cdc-spec").toString + "/ledger"
+    val b0 = Seq((1L, longText)).toDF("doc_id", "text")
+    // batch 1 re-ships batch 0's content under a new id plus one
+    // genuinely new doc — its novelty must count only the new doc
+    val b1 = Seq((2L, longText), (3L, longText.reverse))
+      .toDF("doc_id", "text")
+    Chunking.appendCdcChunks(spark, store, b0, "doc_id", "text", 0L)
+    Chunking.appendCdcChunks(spark, store, b1, "doc_id", "text", 1L)
+    val r = Chunking.cdcStoreReport(spark, store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(r(0L)._3 == r(0L)._2, "first batch: everything is novel")
+    assert(r(1L)._3 < r(1L)._2,
+      "re-shipped content must not count as novel")
+    assert(r(1L)._3 > 0L, "the reversed doc brings new chunks")
+    // redelivery: same batch upserts the same keyed rows — no change
+    Chunking.appendCdcChunks(spark, store, b1, "doc_id", "text", 1L)
+    val again = Chunking.cdcStoreReport(spark, store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == r)
+  }
 }

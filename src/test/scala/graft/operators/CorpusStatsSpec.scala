@@ -582,4 +582,67 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("c") == ((2L, 2L, 1.0)))
     assert(!got.contains("d"), "no k-span, nothing to attribute")
   }
+
+  test("hillTail: recovers alpha ~ 1 on a Zipf tail, NULL on a " +
+    "degenerate (all-equal) tail, layout independent") {
+    import spark.implicits._
+    // x_i = floor(1e7 / i) is Pareto(alpha = 1) in the tail
+    val zipf = (1 to 500).map(i => Tuple1((1e7 / i).toLong)).toDF("v")
+    val got = CorpusStats.hillTail(zipf, "v", k = 100).head()
+    assert(got.getAs[Long]("k") == 100L)
+    val alpha = got.getAs[Double]("alpha")
+    assert(alpha > 0.85 && alpha < 1.15, s"alpha=$alpha, want ~1.0")
+    // all-equal: every log ratio is 0 → estimator undefined
+    val flat = (1 to 200).map(_ => Tuple1(42L)).toDF("v")
+    assert(CorpusStats.hillTail(flat, "v", 50).head().isNullAt(2))
+    val again = CorpusStats.hillTail(zipf.repartition(11), "v", 100).head()
+    assert(again.getAs[Double]("alpha") == alpha)
+  }
+
+  test("langSegments: mixed doc reports dominant by majority, switch " +
+    "count, and distinct langs; clean docs report one lang") {
+    import spark.implicits._
+    val docs = Seq(
+      // en, en, es → dominant en, 1 switch, 2 langs
+      (1L, "the quick fox jumps with the dog. the cat sat on the mat. " +
+        "el perro come en la casa con los gatos."),
+      // clean single-language doc, no terminal punctuation = one segment
+      (2L, "the dog and the cat are in the house with a fox"),
+      (3L, "   "), (4L, "")).toDF("doc_id", "text")
+    val got = CorpusStats.langSegments(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(got(1L)._1 == 3L, "three sentences")
+    assert(got(1L)._3 == "en", "majority language wins")
+    assert(got(1L)._2 == 2L && got(1L)._4 == 1L,
+      "one en→es switch, two languages")
+    assert(got(2L) == ((1L, 1L, "en", 0L)))
+    assert(!got.contains(3L) && !got.contains(4L),
+      "token-less docs emit nothing")
+  }
+
+  test("langSegments: dominant ties break (count desc, lang asc) and " +
+    "the result is layout independent") {
+    import spark.implicits._
+    // one en sentence, one es sentence → tie → 'en' < 'es' wins
+    val docs = Seq((1L, "the dog and the cat sat with a fox. " +
+      "el perro come en la casa con los gatos.")).toDF("doc_id", "text")
+    val r = CorpusStats.langSegments(docs, "doc_id", "text").head()
+    assert(r.getString(3) == "en")
+    val a = CorpusStats.langSegments(docs, "doc_id", "text").collect().toSeq
+    val b = CorpusStats.langSegments(docs.repartition(5), "doc_id", "text")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("hillTail: fewer than k+1 positive rows degrade to k_eff = n-1; " +
+    "non-positive values are ignored") {
+    import spark.implicits._
+    val few = Seq(100L, 50L, 25L, 0L, -5L).map(Tuple1(_)).toDF("v")
+    val got = CorpusStats.hillTail(few, "v", k = 100).head()
+    assert(got.getAs[Long]("k") == 2L, "3 positive rows -> k_eff 2")
+    assert(got.getAs[Long]("x_k") == 25L)
+    // alpha = 2 / (ln(100/25) + ln(50/25)) = 2 / (2.0794) = 0.9618
+    assert(math.abs(got.getAs[Double]("alpha") - 0.9618) < 1e-4)
+  }
 }

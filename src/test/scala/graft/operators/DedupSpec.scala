@@ -14,6 +14,31 @@ class DedupSpec extends SparkSpec {
     (3L, "completely different content about spark query engines at scale", "en")
   ).toDF("doc_id", "text", "lang")
 
+  test("lshDesignSweep: exact pairs give analytic certainty at b=32/r=1, " +
+    "deep rows crush recall, and the hand case checks out") {
+    import spark.implicits._
+    // two verified pairs at j=1.0 and j=0.5
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.5))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.lshDesignSweep(pairs, "jaccard", totalHashes = 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set((1, 32), (2, 16), (4, 8), (8, 4), (16, 2),
+      (32, 1)), "every factorization of the budget")
+    assert(got.values.forall(_._1 == 2L))
+    // j=1 detects always; j=0.5 at (32,1): 1-(1-0.5)^32 ≈ 1 → mean 1.0
+    assert(got((32, 1))._2 == 1.0)
+    // (1,32): j=0.5 → 0.5^32 ≈ 2.3e-10 → mean ≈ 0.5; j=1 → 1
+    assert(got((1, 32))._2 == 0.5)
+    // deployed 8×4: 1-(1-0.5^4)^8 = 0.40328... → mean (1+0.40328)/2
+    // → 0.70164 → 4dp floor-round 0.7016
+    assert(got((8, 4))._2 == 0.7016)
+    // recall is monotone in bands for fixed budget on this population
+    val ordered = Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+      .map(got(_)._2)
+    assert(ordered == ordered.sorted)
+  }
+
   test("exact dedup groups identical texts, keeps min id") {
     val r = Dedup.exact(docs, "doc_id", "text")
     assert(r.count() == 3)

@@ -270,4 +270,39 @@ class LabelQualitySpec extends SparkSpec {
     assert(o.getAs[Double]("resolution") == 0.0)
     assert(o.getAs[Double]("uncertainty") == 0.25)
   }
+
+  test("kruskalWallis: textbook no-tie case gives H = 7.2 exactly; " +
+    "tie correction is a no-op without ties") {
+    import spark.implicits._
+    // A={1,2,3} B={4,5,6} C={7,8,9}: ranks are 1..9, R = 6/15/24,
+    // H = 12/90 * (12 + 75 + 192) - 30 = 7.2 by hand
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val r = LabelQuality.kruskalWallis(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k_groups") == 3L)
+    assert(r.getAs[Double]("h") == 7.2)
+    assert(r.getAs[Double]("h_tc") == 7.2)
+  }
+
+  test("kruskalWallis: all-equal values give H = 0 with NULL tie " +
+    "correction; identical groups give H ~ 0; layout independent") {
+    import spark.implicits._
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L),
+      ("c", 5L), ("c", 5L)).toDF("g", "v")
+    val rf = LabelQuality.kruskalWallis(flat, "g", "v").head()
+    assert(rf.getAs[Double]("h") == 0.0)
+    assert(rf.isNullAt(3), "total ties -> correction undefined")
+    // same distribution in both groups -> H small; a shifted group -> large
+    val same = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 30).map(i => ("b", i.toLong))).toDF("g", "v")
+    assert(LabelQuality.kruskalWallis(same, "g", "v")
+      .head().getAs[Double]("h") < 0.5)
+    val shifted = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (1 to 30).map(i => ("b", i.toLong + 100))).toDF("g", "v")
+    val hs = LabelQuality.kruskalWallis(shifted, "g", "v").head()
+    assert(hs.getAs[Double]("h") > 40.0, "disjoint ranks maximize H")
+    val again = LabelQuality.kruskalWallis(shifted.repartition(7),
+      "g", "v").head()
+    assert(again.getAs[Double]("h") == hs.getAs[Double]("h"))
+  }
 }

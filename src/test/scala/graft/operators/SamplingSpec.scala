@@ -532,4 +532,27 @@ class SamplingSpec extends SparkSpec {
     assert(got.getAs[Long]("n_test") == 0L)
     assert(got.getAs[Long]("cut_bucket") == 5L)
   }
+
+  test("ringRebalance: growing the ring only moves keys TO the new " +
+    "shard, preserves every key, and moves roughly 1/(n+1) of them") {
+    val docs = (1L to 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Sampling.ringRebalance(docs, "doc_id", 8, 9).collect()
+    assert(got.map(_.getLong(2)).sum == 2000L, "every key assigned once")
+    // consistent hashing's contract: a key either stays or lands on
+    // the NEW shard — old→other-old moves cannot happen
+    got.filter(r => r.getInt(0) != r.getInt(1))
+      .foreach(r => assert(r.getInt(1) == 8,
+        s"moved key landed on old shard ${r.getInt(1)}"))
+    val moved = got.filter(r => r.getInt(0) != r.getInt(1))
+      .map(_.getLong(2)).sum.toDouble / 2000.0
+    assert(moved > 0.02 && moved < 0.35,
+      s"expected ~1/9 of keys to move, got $moved")
+  }
+
+  test("ringRebalance: identical before/after rings move nothing") {
+    val docs = (1L to 300L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Sampling.ringRebalance(docs, "doc_id", 8, 8).collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(got.map(_.getLong(2)).sum == 300L)
+  }
 }
