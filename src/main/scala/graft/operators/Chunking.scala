@@ -122,46 +122,39 @@ object Chunking {
         ((col("end_tok") - col("n_tok")) % lit(seqLen.toLong)).as("offset"))
   }
 
-  /** Content-defined chunking (the FastCDC/rsync family, gear-hash
-    * simplified to a portable fixed-window hash): a chunk boundary
-    * falls after character position i whenever the 60-bit md5 hash of
-    * the `w`-char window ENDING at i is ≡ 0 mod `mask+1` — so
-    * boundaries move with content, not offsets, and an insertion near
-    * the head of a document only perturbs the chunks that overlap it
-    * (the property that makes chunk-hash dedup robust to prefix edits
-    * where fixed-stride chunking re-hashes everything; see
-    * CdcChunkSpec's shift-locality case). Expected chunk length is
-    * `mask+1` chars; the document end is always a boundary.
+  /** Content-defined chunking (the FastCDC/rsync family): a chunk
+    * boundary falls after character position i whenever the rolling
+    * polynomial hash of the `w`-char window ENDING at i (the winnow
+    * k-gram hash, Σ cp·31^j) is ≡ 0 mod `mask+1` — so boundaries move
+    * with content, not offsets, and an insertion near the head of a
+    * document only perturbs the chunks that overlap it (the property
+    * that makes chunk-hash dedup robust to prefix edits where
+    * fixed-stride chunking re-hashes everything; see CdcChunkSpec's
+    * shift-locality case). Expected chunk length is `mask+1` chars;
+    * the document end is always a boundary.
     *
-    * Scale shape: pure per-row fan-out — boundary positions via
-    * filter(sequence(...)) and chunks via one posexplode, all
-    * codegen'd builtins, no UDFs, no shuffle; callers aggregate the
-    * (chunk_hash) stream (an exact-dedup-shaped hash agg) or sink it.
+    * Scale shape: boundary detection is ONE codegen'd rolling pass —
+    * O(1) per character ([[graft.plans.CdcBoundaries]]; a per-position
+    * digest would burn ~100× on the scan's hot loop at 100 TB) — then
+    * one posexplode for the chunks; no UDFs, no shuffle. Callers
+    * aggregate the (chunk_hash) stream or sink it.
     *
     * Returns (doc_id, chunk_idx, chunk_len, chunk_hash) with
     * `carryCols` passed through; empty documents yield no chunks,
     * documents of ≤ w chars are a single chunk. chunk_hash is the
-    * portable md5-60 of the chunk text. */
+    * portable md5-60 of the chunk text (once per CHUNK, not per
+    * position). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 8, mask: Int = 63,
                 carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(w >= 2 && mask >= 1, "window must be >= 2, mask >= 1")
-    val m = mask + 1
-    // boundary set: content-defined positions plus the document end,
-    // deduped (the end may itself hash to a boundary) and sorted —
-    // CASE guards the short-doc path because sequence(w, len) DESCENDS
-    // when len < w (Spark semantics), which would manufacture
-    // phantom boundaries
-    val bnds = s"""CASE WHEN length(txt_) <= $w THEN array(length(txt_))
-      ELSE array_sort(array_distinct(concat(
-        filter(sequence($w, length(txt_)),
-          i -> CAST(conv(substring(md5(substring(txt_, i - ${w - 1}, $w)),
-                 1, 15), 16, 10) AS BIGINT) % $m = 0),
-        array(length(txt_))))) END"""
+    val bnds = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.CdcBoundaries(
+        org.apache.spark.sql.graft.bridge.expression(col("txt_")), w, mask))
     df.select((col(idCol).as("doc_id") +: col(textCol).as("txt_") +:
         carryCols.map(col)): _*)
       .filter(length(col("txt_")) > 0)
-      .withColumn("bnds_", expr(bnds))
+      .withColumn("bnds_", bnds)
       .select((col("doc_id") +: col("txt_") +: col("bnds_") +:
         posexplode(sequence(lit(1), size(col("bnds_"))))
           .as(Seq("pos_", "k_")) +: carryCols.map(col)): _*)

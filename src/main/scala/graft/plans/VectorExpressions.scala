@@ -576,6 +576,83 @@ object WinnowFingerprint {
   }
 }
 
+/** Content-defined chunk boundaries (the FastCDC/rsync family): a
+  * boundary falls after character position i whenever the polynomial
+  * hash of the `w`-char window ENDING at i (the winnow k-gram hash,
+  * Σ cp(j)·31^j — exact in 64 bits for w ≤ 9) is ≡ 0 mod `mask`+1;
+  * the document end is always a boundary. Computed with a TRUE rolling
+  * update — O(1) per character, the property that makes CDC viable at
+  * 100 TB where a per-position digest (md5 of every window) burns a
+  * constant-factor ~100× on the scan's hot loop. Returns the sorted
+  * distinct boundary positions (1-based character counts, matching
+  * SQL `length`); documents of ≤ w chars are the single boundary
+  * [length]. Oracle mirror: the same per-window polynomial evaluated
+  * directly (the winnowFpsSql recipe). */
+case class CdcBoundaries(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression {
+
+  require(w >= 2 && w <= 9, "window hash must stay exact in 64 bits")
+  require(mask >= 1, "mask must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "cdc_boundaries needs a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    CdcBoundaries.compute(input.asInstanceOf[UTF8String], w, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.CdcBoundaries.compute($c, $w, $mask)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, w: Int, mask: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    val m = mask + 1
+    if (n <= w)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(n.toLong))
+    var powTop = 1L // 31^(w-1)
+    var j = 1
+    while (j < w) { powTop *= 31L; j += 1 }
+    // h over the first window (chars 0..w-1), lowest power first —
+    // identical to the per-window Σ cp(start+j)·31^j the oracle runs
+    var h = 0L
+    var pow = 1L
+    j = 0
+    while (j < w) { h += cps(j) * pow; pow *= 31L; j += 1 }
+    val out = new Array[Long](n / 1 + 1)
+    var outN = 0
+    var i = w // 1-based boundary position = window end
+    while (i <= n) {
+      if (h % m == 0) { out(outN) = i.toLong; outN += 1 }
+      if (i < n) {
+        // roll: drop cps(i-w) (the ·31^0 term, exactly divisible),
+        // shift down one power, append the new char at ·31^(w-1)
+        h = (h - cps(i - w)) / 31L + cps(i) * powTop
+      }
+      i += 1
+    }
+    // the document end is always a boundary; positions ascend, so the
+    // only possible duplicate is a content boundary AT the end
+    if (outN == 0 || out(outN - 1) != n.toLong) { out(outN) = n.toLong; outN += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
 /** Thread-local md5 digester shared by the fused signature expressions
   * (one digest instance per executor thread, reset per value). */
 object Md5Hash60 {

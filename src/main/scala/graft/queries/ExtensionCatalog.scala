@@ -185,14 +185,22 @@ object ExtensionCatalog {
     * over a preceding CTE `d($carry, text)` pre-filtered to
     * length(text) > 0 — emits `c($carry, clen, chash)`. Shared by
     * x249 (per-source stats) and x256 (incremental ledger) so the
-    * boundary rule cannot drift between the two oracles. */
-  private def cdcChunkSql(carry: String): String =
+    * boundary rule cannot drift between the two oracles. The boundary
+    * hash is the winnow polynomial (Σ cp·31^j over the window ending
+    * at i — the winnowFpsSql recipe), which the engine computes as a
+    * TRUE rolling update in [[graft.plans.CdcBoundaries]]. */
+  private def cdcChunkSql(carry: String): String = {
+    val w = 8
+    val pow31 = (0 until w).map(j => math.pow(31, j).toLong)
+    val hsum = (0 until w).map(j =>
+      s"(ascii(text[i - ${w - 1 - j} : i - ${w - 1 - j}])::BIGINT) * ${pow31(j)}")
+      .mkString(" + ")
     s"""b AS (
        |  SELECT $carry, text,
-       |    CASE WHEN length(text) <= 8 THEN [length(text)]
+       |    CASE WHEN length(text) <= $w THEN [length(text)]
        |    ELSE list_sort(list_distinct(list_concat(
-       |      list_filter(generate_series(8, length(text)),
-       |        i -> ${h60Sql("substr(text, i - 7, 8)", 64)} = 0),
+       |      list_filter(generate_series($w, length(text)),
+       |        i -> ($hsum) % 64 = 0),
        |      [length(text)]))) END AS bnds
        |  FROM d),
        |c0 AS (
@@ -207,6 +215,7 @@ object ExtensionCatalog {
           "bnds[k] - coalesce(bnds[k-1], 0))",
         1152921504606846976L)} AS chash
        |  FROM c0)""".stripMargin
+  }
 
   private def stopRegexSql(words: Seq[String]) =
     "'\\b(" + words.mkString("|") + ")\\b'"
