@@ -886,31 +886,30 @@ object Sampling {
     *
     * The rings are tiny (shards × vnodes positions) and their
     * positions are pure md5 functions of "ring:shard:vnode", so both
-    * rings are computed driver-side and EMBEDDED as sorted array
-    * literals: assignment is a codegen'd successor scan over a
-    * ~hundred-element constant array per row — no join, no shuffle,
-    * nothing broadcast — followed by one ≤(n·m)-group aggregate. */
+    * rings are computed driver-side and EMBEDDED in a
+    * [[graft.plans.RingAssign]] expression: assignment is ONE
+    * codegen'd binary search per row — no join, no shuffle, nothing
+    * broadcast — followed by one ≤(n·m)-group aggregate. (A
+    * filter()-over-array-literal successor scan measured ~10× slower:
+    * higher-order array functions run interpreted per row.) */
   def ringRebalance(df: DataFrame, idCol: String,
                     shardsBefore: Int, shardsAfter: Int,
                     vnodes: Int = 16): DataFrame = {
     require(shardsBefore >= 1 && shardsAfter >= 1 && vnodes >= 1,
       "shard counts and vnodes must be >= 1")
-    def ringLit(n: Int): Column = array(
-      (0 until n).flatMap(s => (0 until vnodes).map(v =>
+    def assign(n: Int, dpos: Column): Column = {
+      val ring = (0 until n)
+        .flatMap(s => (0 until vnodes).map(v =>
           (TextFunctions.md5Hash60Local(s"ring:$s:$v"), s)))
         .sortBy(_._1)
-        .map { case (p, s) =>
-          struct(lit(p).as("p"), lit(s).as("sh")) }: _*)
-    def assign(ring: Column, dpos: Column): Column =
-      // get() not element_at(): a key hashing past the last vnode has
-      // an EMPTY successor set, and ANSI element_at throws on it where
-      // get returns the NULL the wrap-around coalesce needs
-      coalesce(get(filter(ring, x => x.getField("p") >= dpos), lit(0)),
-        get(ring, lit(0))).getField("sh")
+      org.apache.spark.sql.graft.bridge.column(graft.plans.RingAssign(
+        org.apache.spark.sql.graft.bridge.expression(dpos),
+        ring.map(_._1).toArray, ring.map(_._2).toArray))
+    }
     val dpos = TextFunctions.md5Hash60(concat(lit("doc:"),
       col(idCol).cast("string")))
-    df.select(assign(ringLit(shardsBefore), dpos).as("shard_before"),
-        assign(ringLit(shardsAfter), dpos).as("shard_after"))
+    df.select(assign(shardsBefore, dpos).as("shard_before"),
+        assign(shardsAfter, dpos).as("shard_after"))
       .groupBy("shard_before", "shard_after")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("shard_before", "shard_after")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd dot product over array<float>/array<double> columns.
@@ -650,6 +650,60 @@ object CdcBoundaries {
     if (outN == 0 || out(outN - 1) != n.toLong) { out(outN) = n.toLong; outN += 1 }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, outN))
+  }
+}
+
+/** Consistent-hash ring successor lookup: given a key position, the
+  * shard of the first ring vnode at-or-after it (wrapping to the ring
+  * start). The ring (sorted positions + parallel shard ids) is a
+  * CONSTANT embedded in the expression — a few hundred longs — so the
+  * per-row work is one binary search, fully inside whole-stage codegen.
+  * Replaces a filter()-over-array-literal formulation: higher-order
+  * array functions run INTERPRETED per row in Spark, which measured
+  * ~10× the cost of this expression on the same scan (x253, sf1). */
+case class RingAssign(child: Expression,
+                      positions: Array[Long], shards: Array[Int])
+    extends UnaryExpression {
+
+  require(positions.length == shards.length && positions.nonEmpty,
+    "ring must be non-empty with parallel position/shard arrays")
+  require((1 until positions.length)
+    .forall(i => positions(i - 1) < positions(i)),
+    "ring positions must be strictly ascending")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "ring_assign needs a long key position")
+
+  override def nullSafeEval(input: Any): Any =
+    RingAssign.lookup(input.asInstanceOf[Long], positions, shards)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pos = ctx.addReferenceObj("ringPositions", positions, "long[]")
+    val sh = ctx.addReferenceObj("ringShards", shards, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.RingAssign.lookup($c, $pos, $sh)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RingAssign {
+  /** Static entry shared by interpreted eval and generated code. */
+  def lookup(key: Long, positions: Array[Long], shards: Array[Int]): Int = {
+    val i = java.util.Arrays.binarySearch(positions, key)
+    // exact hit IS the successor (pos >= key); a miss returns
+    // -(insertionPoint) - 1, and an insertion point past the end
+    // wraps to the ring start
+    val ip = if (i >= 0) i else -i - 1
+    shards(if (ip == positions.length) 0 else ip)
   }
 }
 

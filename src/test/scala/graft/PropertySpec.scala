@@ -270,4 +270,47 @@ class PropertySpec extends SparkSpec {
       assert(p10(w) <= p5(w), s"more merges can never grow $w's pieces")
     }
   }
+
+  test("cdc chunks: for random strings the chunks exactly tile the " +
+    "document, and a planted shared run yields a shared chunk hash") {
+    import graft.operators.Chunking
+    val w = 8
+    val rand = Gen.listOfN(300,
+      Gen.frequency((20, Gen.alphaLowerChar), (4, Gen.const(' ')),
+        (2, Gen.numChar))).map(_.mkString)
+    val casesV = sampled(Gen.listOfN(25, for {
+      a <- rand; b <- rand
+      // boundaries inside the run depend only on run content, so both
+      // copies chunk its interior identically; ~9 expected boundaries
+      // in 600 chars ⇒ a FULL common chunk exists w.p. ≈ 1 − 1e-3
+      shared <- Gen.listOfN(600, Gen.alphaUpperChar).map(_.mkString)
+      cutA <- Gen.chooseNum(0, 300); cutB <- Gen.chooseNum(0, 300)
+    } yield (a.take(cutA) + shared + a.drop(cutA),
+             b.take(cutB) + shared + b.drop(cutB))))
+    val docs = casesV.zipWithIndex.flatMap { case ((ta, tb), i) =>
+      Seq((2L * i, ta), (2L * i + 1, tb))
+    }.toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(docs, "doc_id", "text", w, mask = 63)
+      .collect()
+    val lens = chunks.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_len")).sum).toMap
+    val texts = casesV.zipWithIndex.flatMap { case ((ta, tb), i) =>
+      Seq(2L * i -> ta, 2L * i + 1 -> tb) }.toMap
+    texts.foreach { case (id, t) =>
+      assert(lens(id) == t.length.toLong,
+        s"doc $id: chunks must tile the text exactly")
+    }
+    // ONE shared chunk hash per planted pair: the shared run is long
+    // enough that identical content-defined boundaries recur inside it
+    // (same alphabet trick as the winnowing guarantee above). The run
+    // is all-uppercase and the hosts are lowercase/digit/space, so a
+    // shared hash cannot come from the host strings.
+    val hs = chunks.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_hash")).toSet).toMap
+    val sharedCount = casesV.indices
+      .count(i => hs(2L * i).intersect(hs(2L * i + 1)).nonEmpty)
+    assert(sharedCount >= 22,
+      s"only $sharedCount/25 planted pairs share a chunk — CDC boundary " +
+        "locality is broken")
+  }
 }
