@@ -60,7 +60,13 @@ object GraftExtensions {
       "graft_unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - " +
         "Unicode normalization (TR#15); no-alloc fast path when already normalized",
       exprs => UnicodeNormalize(exprs(0),
-        exprs(1).eval().asInstanceOf[UTF8String].toString))
+        exprs(1).eval().asInstanceOf[UTF8String].toString)),
+    ("graft_cdc_boundaries",
+      "graft_cdc_boundaries(text, w, mask) - content-defined chunk " +
+        "boundaries (rolling window-polynomial ≡ 0 mod mask+1; doc end " +
+        "always included), 1-based character positions",
+      exprs => CdcBoundaries(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   )
 
   /** Register into an ALREADY-BUILT session (extensions only apply at

@@ -42,6 +42,14 @@ object ScaleStress {
       "vec_id", "embedding", 10, planes = 8).count())
     time("embedding neardup")(Similarity.embeddingNearDup(emb, "vec_id", "embedding", 0.95, 8).count())
     time("winnow overlap")(Dedup.winnowOverlapPairs(docs, "doc_id", "text").count())
+    // round-13 scan-shaped additions: all three must stay linear in the
+    // replica corpus (no pair joins anywhere in their plans)
+    time("cdc chunk stats")(graft.operators.Chunking
+      .cdcChunkStats(docs, "doc_id", "text", "lang").count())
+    time("ring rebalance")(graft.operators.Sampling
+      .ringRebalance(docs, "doc_id", 8, 9).count())
+    time("lang segments")(graft.operators.CorpusStats
+      .langSegments(docs, "doc_id", "text").count())
     // adversarial skew: 10% of the corpus is ONE boilerplate text, so
     // its band buckets hold factor*500 docs each — n² pair blowup
     // without the maxBucket valve. Prove the valve keeps the pair count

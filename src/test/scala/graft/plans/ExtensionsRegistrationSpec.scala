@@ -36,6 +36,18 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
     assert(grams.length == 2 && grams == grams.sorted)
   }
 
+  test("graft_cdc_boundaries callable from SQL: end always a boundary, " +
+    "short strings are one chunk") {
+    val r = spark.sql(
+      """SELECT graft_cdc_boundaries('tiny', 8, 63) AS short,
+        |       graft_cdc_boundaries(repeat('abcdefgh', 40), 8, 63) AS long
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(4L))
+    val bs = r.getSeq[Long](1)
+    assert(bs.last == 320L, "document end is always a boundary")
+    assert(bs == bs.sorted && bs.distinct == bs)
+  }
+
   test("codegen and interpreted paths agree") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val off = spark.sql(
