@@ -5,6 +5,8 @@ import graft.SparkSpec
 class LateDataSpec extends SparkSpec {
   import spark.implicits._
 
+  private case class Arr(id: Long, ts: java.sql.Timestamp)
+
   // (arrival, event-ms, group): row 3 arrives after the watermark has
   // advanced past it by 140 ms; row 4 is out of order but inside delay
   private lazy val rows = Seq(
@@ -34,6 +36,42 @@ class LateDataSpec extends SparkSpec {
     // rows 3 (50 < 200) and 4 (195 < 200) are both behind the max
     assert(got("a") == ((2L, 150L)))
     assert(got("b") == ((0L, 0L)))
+  }
+
+  test("lateArrivalAudit predicts Structured Streaming's ACTUAL drop " +
+    "set: a real watermarked stream over the same arrival order keeps " +
+    "exactly total - n_late rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    // one row per micro-batch so Spark's batch-boundary watermark (max
+    // prior event time - delay) coincides with the audit's per-arrival
+    // rule; ts values avoid the exact wm boundary so strictness
+    // conventions cannot flip a row
+    val seq = Seq( // (id, event-second): rows 90 and 150 arrive late
+      (1L, 100L), (2L, 130L), (3L, 90L), (4L, 125L),
+      (5L, 300L), (6L, 150L), (7L, 305L))
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Arr]
+    val q = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("id")
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      seq.foreach { case (id, s) =>
+        input.addData(Arr(id, new Timestamp(s * 1000)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val kept = spark.table("latedrop").count()
+    val audit = LateData.lateArrivalAudit(
+      seq.zipWithIndex.map { case ((id, s), i) => (i.toLong, s * 1000, "g") }
+        .toDF("arr", "ms", "g"),
+      "arr", "ms", "g", delayMs = 10000L).head()
+    assert(audit.getAs[Long]("n_late") == 2L, "fixture sanity")
+    assert(kept == seq.size - audit.getAs[Long]("n_late"),
+      s"stream kept $kept rows; audit predicted ${seq.size} - 2")
   }
 
   test("lateArrivalAudit: bucket boundaries do not change the result " +
