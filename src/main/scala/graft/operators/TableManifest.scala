@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File manifest for keyed, date-partitioned parquet tables — the
@@ -696,5 +696,53 @@ object TableManifest {
       case None => df.filter(col(keyCol).between(lit(lo), lit(hi)))
     }
     (exact, LookupReport(total, kept.length))
+  }
+
+  /** Export the LIVE manifest in the symlink-format-manifest
+    * convention (Delta's generateSymlinkManifest / Hive
+    * SymlinkTextInputFormat): under `out`, one directory per
+    * partition (`<partitionCol>=<part>/`) holding text file(s) whose
+    * lines are the partition's live data-file paths. External engines
+    * (Presto/Trino/Athena/Hive) read the COW table through this
+    * WITHOUT understanding the `_manifest` protocol — they see exactly
+    * the live snapshot, never superseded or in-flight files, because
+    * the export derives from the same atomic manifest version every
+    * graft reader plans from.
+    *
+    * Distributed end to end: the manifest rows are repartitioned by
+    * partition and written through the text sink's partitionBy — no
+    * file list touches the driver. Re-export OVERWRITES (the manifest
+    * flip's external twin: regenerate after merges/compactions/vacuums,
+    * stale exports dangle exactly like Delta's). Returns the exported
+    * file-path count. */
+  def exportSymlinkManifest(spark: SparkSession, path: String,
+                            out: String,
+                            partitionCol: String = "date"): Long = {
+    val m = load(spark, path)
+      .getOrElse(sys.error(s"no manifest at $path — call update() first"))
+    val rows = m.select(col("file").as("value"),
+      col("part").as(partitionCol)).cache()
+    val n = rows.count()
+    rows.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .text(out)
+    rows.unpersist()
+    n
+  }
+
+  /** Read the table THROUGH an exported symlink manifest — what an
+    * external engine does, expressed in Spark for the parity check:
+    * collect the listed paths (bounded by the same planning cap as
+    * [[readViaManifest]]) and scan exactly those parquet files. */
+  def readViaSymlinkManifest(spark: SparkSession, tablePath: String,
+                             manifestDir: String): DataFrame = {
+    val files = spark.read.textFile(s"$manifestDir/*/")
+      .collect().map(_.trim).filter(_.nonEmpty)
+    require(files.nonEmpty, s"symlink manifest at $manifestDir is empty")
+    require(files.length <= MaxPlanFiles,
+      s"${files.length} files — beyond the $MaxPlanFiles-file planning " +
+        "bound; compact the table before exporting")
+    spark.read.option("basePath", tablePath)
+      .parquet(files.toIndexedSeq: _*)
   }
 }

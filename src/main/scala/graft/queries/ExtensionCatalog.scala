@@ -10653,6 +10653,87 @@ object ExtensionCatalog {
             batchTag = b)
         }
         Chunking.cdcStoreReport(s, store)
+      }),
+
+    // ---- symlink-format manifest export (the Delta
+    //      generateSymlinkManifest convention): the COW table's live
+    //      snapshot published as per-partition text file lists that
+    //      external engines (Presto/Trino/Athena/Hive) read WITHOUT
+    //      the _manifest protocol. The query reads the table back
+    //      THROUGH the export and aggregates; an in-query require
+    //      proves the exported set is exactly the live manifest's —
+    //      so external readers see the snapshot, never superseded or
+    //      in-flight files. Oracle replays the aggregates from the
+    //      source rows. ----
+    Q("x257_symlink_export", Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS value_q
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-symlink")
+        val path = s"$work/tbl"
+        val base = eventsNs(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          floor(TextFunctions.portableRound(col("value"), 4) *
+            lit(10000.0) + lit(0.5)).cast("long").as("value_q"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, base,
+          keys = Seq("event_id"))
+        val manifestDir = s"$work/sym"
+        val n = TableManifest.exportSymlinkManifest(s, path, manifestDir)
+        val live = TableManifest.load(s, path).get
+          .select("file").collect().map(_.getString(0)).toSet
+        val listed = s.read.textFile(s"$manifestDir/*")
+          .collect().map(_.trim).filter(_.nonEmpty).toSet
+        require(n == live.size && listed == live,
+          s"symlink export must list exactly the live manifest's files " +
+            s"(exported $n, live ${live.size}, matched ${
+              listed.intersect(live).size})")
+        TableManifest.readViaSymlinkManifest(s, path, manifestDir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            sum(col("value_q")).cast("long").as("value_q"))
+          .orderBy("event_type")
+      }),
+
+    // ---- late-data quarantine: the rows x250's watermark would have
+    //      DROPPED, landed as a dead-letter table with each row's
+    //      lateness margin — the reference's reject-sink policy
+    //      (rejects are data, not log lines; S8) applied at stream
+    //      grain. Same deterministic arrival model and two-level
+    //      prefix machinery as the audit. ----
+    Q("x258_late_quarantine", Some(
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, epoch_ns(ts) // 1000000 AS ms,
+         |    epoch_ns(ts) // 1000000 +
+         |      (${h60Sql("'arr:' || CAST(event_id AS VARCHAR)", 7200000L)})
+         |      AS arr_ms
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, event_type, ms,
+         |    max(ms) OVER (ORDER BY arr_ms, ms
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+         |  FROM e)
+         |SELECT event_id, event_type, ms,
+         |  CAST(seen - 3600000 - ms AS BIGINT) AS late_by
+         |FROM w
+         |WHERE seen IS NOT NULL AND ms < seen - 3600000
+         |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ms = expr("ts div 1000000")
+        val e = eventsNs(s, dir).select(
+          (ms + TextFunctions.md5Hash60(concat(lit("arr:"),
+            col("event_id").cast("string"))) % lit(7200000L)).as("arr_ms"),
+          ms.as("ms"), col("event_id"), col("event_type"))
+        graft.streaming.LateData.lateRows(e, "arr_ms", "ms",
+            Seq("event_id", "event_type"), delayMs = 3600000L)
+          .select(col("event_id"), col("event_type"), col("ms"),
+            col("late_by"))
+          .orderBy("event_id")
       })
   )
 

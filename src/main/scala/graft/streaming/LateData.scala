@@ -34,10 +34,40 @@ object LateData {
     * says what delay WOULD have kept everything. */
   def lateArrivalAudit(df: DataFrame, arrivalCol: String, tsMsCol: String,
                        groupCol: String, delayMs: Long,
-                       bucketMs: Long = 86400000L): DataFrame = {
+                       bucketMs: Long = 86400000L): DataFrame =
+    flagged(df, arrivalCol, tsMsCol, Seq(groupCol), delayMs, bucketMs)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_by") > 0L, 1L).otherwise(0L)).as("n_late"),
+        graft.functions.TextFunctions.portableRound(
+          sum(when(col("late_by") > 0L, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("late_ratio"),
+        max(col("late_by")).as("max_late_ms"))
+      .orderBy(groupCol)
+
+  /** The QUARANTINE face: the rows the watermark would have dropped,
+    * with how far past it each arrived — the dead-letter table a
+    * pipeline lands instead of discarding (the reference's reject-sink
+    * policy applied at stream grain: rejects are data, not log lines).
+    * Same per-arrival rule and two-level machinery as the audit;
+    * `carryCols` ride through for downstream triage. */
+  def lateRows(df: DataFrame, arrivalCol: String, tsMsCol: String,
+               carryCols: Seq[String], delayMs: Long,
+               bucketMs: Long = 86400000L): DataFrame =
+    flagged(df, arrivalCol, tsMsCol, carryCols, delayMs, bucketMs)
+      .filter(col("late_by") > 0L)
+      .select((col("arr") +: col("ms") +: carryCols.map(col)) :+
+        col("late_by"): _*)
+
+  /** Shared per-row frame: every input row plus its `late_by` margin
+    * (0 = on time; the global first arrival has no watermark yet and
+    * is never late). */
+  private def flagged(df: DataFrame, arrivalCol: String, tsMsCol: String,
+                      carryCols: Seq[String], delayMs: Long,
+                      bucketMs: Long): DataFrame = {
     require(delayMs >= 0 && bucketMs >= 1, "delayMs >= 0, bucketMs >= 1")
-    val base = df.select(col(arrivalCol).as("arr"),
-        col(tsMsCol).cast("long").as("ms"), col(groupCol).as("g"))
+    val base = df.select(col(arrivalCol).as("arr") +:
+        col(tsMsCol).cast("long").as("ms") +: carryCols.map(col): _*)
       .withColumn("b", expr(s"arr div $bucketMs"))
     // in-bucket strict prefix max over arrival order
     val wPrev = Window.partitionBy("b").orderBy("arr", "ms")
@@ -54,17 +84,8 @@ object LateData {
       coalesce(col("prev_below"), lit(Long.MinValue)))
     val lateBy = seen - lit(delayMs) - col("ms")
     inb.join(below, Seq("b"))
-      // the global first arrival has no watermark yet and is never late
       .withColumn("late_by",
         when(col("prev_in").isNull && col("prev_below").isNull, lit(0L))
           .otherwise(greatest(lateBy, lit(0L))))
-      .groupBy(col("g").as(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("late_by") > 0L, 1L).otherwise(0L)).as("n_late"),
-        graft.functions.TextFunctions.portableRound(
-          sum(when(col("late_by") > 0L, 1L).otherwise(0L)).cast("double")
-            / count(lit(1)).cast("double"), 4).as("late_ratio"),
-        max(col("late_by")).as("max_late_ms"))
-      .orderBy(groupCol)
   }
 }

@@ -380,4 +380,47 @@ class TableManifestSpec extends SparkSpec {
       .agg(sum("rows")).head.getLong(0) == 70L)
     assert(TableManifest.readViaManifest(spark, path).count() == 70L)
   }
+
+  test("symlink export lists exactly the LIVE snapshot after a " +
+    "rewriting merge; the through-export read equals the manifest " +
+    "read; re-export overwrites") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 1.0)
+        .unionByName(rows("2024-01-02", 51L to 90L, 1.0)),
+      keys = Seq("id"))
+    // rewrite 01-01: superseded generation files stay ON DISK for
+    // retained-version readers — the export must NOT list them
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 50L, 2.0), keys = Seq("id"))
+    val sym = tmpDir() + "-sym"
+    val n = TableManifest.exportSymlinkManifest(spark, path, sym)
+    val live = TableManifest.load(spark, path).get
+      .select("file").collect().map(_.getString(0)).toSet
+    val listed = spark.read.textFile(s"$sym/*")
+      .collect().map(_.trim).filter(_.nonEmpty).toSet
+    assert(n == live.size && listed == live,
+      "export = the live manifest's file set, nothing superseded")
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("date=")).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(onDisk > live.size,
+      "fixture sanity: superseded files are still on disk to mislist")
+    val viaSym = TableManifest.readViaSymlinkManifest(spark, path, sym)
+      .select("id", "value", "date").collect().toSet
+    val viaM = TableManifest.readViaManifest(spark, path)
+      .select("id", "value", "date").collect().toSet
+    assert(viaSym == viaM)
+    assert(viaSym.count(_.getDouble(1) == 2.0) == 50,
+      "the export sees the rewrite, not the superseded generation")
+    // re-export after another merge: overwrite, still exactly live
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-02", 51L to 90L, 3.0), keys = Seq("id"))
+    TableManifest.exportSymlinkManifest(spark, path, sym)
+    val listed2 = spark.read.textFile(s"$sym/*")
+      .collect().map(_.trim).filter(_.nonEmpty).toSet
+    val live2 = TableManifest.load(spark, path).get
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(listed2 == live2)
+  }
 }

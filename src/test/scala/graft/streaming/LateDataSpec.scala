@@ -74,6 +74,20 @@ class LateDataSpec extends SparkSpec {
       s"stream kept $kept rows; audit predicted ${seq.size} - 2")
   }
 
+  test("lateRows: the quarantine face emits exactly the audit's late " +
+    "rows with their margins, carrying triage columns") {
+    val got = LateData.lateRows(rows, "arr", "ms", Seq("g"),
+        delayMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // only arrival 2 (ms=50 against watermark 200-10) is late, by 140
+    assert(got.toSeq == Seq((2L, 50L, "a", 140L)))
+    val audit = LateData.lateArrivalAudit(rows, "arr", "ms", "g", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.length.toLong == audit.values.sum,
+      "quarantine row count == audit n_late across groups")
+  }
+
   test("lateArrivalAudit: bucket boundaries do not change the result " +
     "(two-level prefix max == single-window truth); layout independent") {
     val many = (0L until 400L).map { i =>
