@@ -633,7 +633,8 @@ object CdcBoundaries {
     var pow = 1L
     j = 0
     while (j < w) { h += cps(j) * pow; pow *= 31L; j += 1 }
-    val out = new Array[Long](n / 1 + 1)
+    // at most one boundary per position from w..n, plus the forced end
+    val out = new Array[Long](n - w + 2)
     var outN = 0
     var i = w // 1-based boundary position = window end
     while (i <= n) {
