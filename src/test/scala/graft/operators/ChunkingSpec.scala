@@ -153,6 +153,28 @@ class ChunkingSpec extends SparkSpec {
     assert(again == r.map { case (k, v) => (k, v._1, v._2) }.toSet)
   }
 
+  test("cdcChunks: supplementary-plane characters count as ONE position " +
+    "(codepoints, not UTF-16 units) and still tile exactly") {
+    import spark.implicits._
+    // astral chars (4 UTF-8 bytes, 2 UTF-16 units) interleaved with
+    // ascii: boundary positions, chunk lengths and the substring math
+    // must all agree on the CODEPOINT metric Spark's length() uses
+    val astral = (1 to 60).map(i => s"w$i😀x").mkString(" ")
+    val docs = Seq((1L, astral)).toDF("doc_id", "text")
+    val got = Chunking.cdcChunks(docs, "doc_id", "text", w = 8, mask = 15)
+      .agg(sum("chunk_len"), count(lit(1))).head()
+    val cpLen = astral.codePointCount(0, astral.length).toLong
+    assert(got.getLong(0) == cpLen,
+      s"chunk lengths must sum to the codepoint count $cpLen")
+    assert(got.getLong(1) > 1, "mask 15 must split a ~360-cp doc")
+    // layout independence with the astral payload
+    val a = Chunking.cdcChunks(docs, "doc_id", "text", 8, 15)
+      .collect().map(_.getAs[Long]("chunk_hash")).sorted.toSeq
+    val b = Chunking.cdcChunks(docs.repartition(3), "doc_id", "text", 8, 15)
+      .collect().map(_.getAs[Long]("chunk_hash")).sorted.toSeq
+    assert(a == b)
+  }
+
   test("cdc store: novelty curve attributes first-seen to the earliest " +
     "batch; a redelivered batch is a no-op") {
     import spark.implicits._
