@@ -555,4 +555,20 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(r => r.getInt(0) == r.getInt(1)))
     assert(got.map(_.getLong(2)).sum == 300L)
   }
+
+  test("RingAssign: exact hit takes that vnode, a key past the last " +
+    "vnode wraps to the ring start, and lookup matches a linear scan") {
+    import graft.plans.RingAssign
+    val pos = Array(10L, 20L, 300L, 4000L)
+    val sh = Array(3, 1, 2, 0)
+    def linear(k: Long): Int =
+      pos.indices.find(i => pos(i) >= k).map(sh).getOrElse(sh(0))
+    assert(RingAssign.lookup(20L, pos, sh) == 1, "exact hit IS the successor")
+    assert(RingAssign.lookup(4001L, pos, sh) == 3, "past the end wraps")
+    assert(RingAssign.lookup(Long.MinValue, pos, sh) == 3)
+    val probes = Seq(0L, 9L, 10L, 11L, 19L, 21L, 299L, 301L, 3999L,
+      4000L, 4001L, Long.MaxValue)
+    probes.foreach(k =>
+      assert(RingAssign.lookup(k, pos, sh) == linear(k), s"key $k"))
+  }
 }

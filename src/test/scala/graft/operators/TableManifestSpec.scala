@@ -330,6 +330,19 @@ class TableManifestSpec extends SparkSpec {
     // zone lookup still plans from the manifest over escaped dirs
     val (hit, rep) = TableManifest.lookup(spark, path, "id", 999L, 999L)
     assert(rep.filesKept >= 1 && hit.count() == 1L)
+    // symlink export over the SAME escaped partitions: the text sink
+    // re-escapes its own dir names, but the exported LINES are the
+    // manifest's decoded-on-disk file paths — the through-export read
+    // must land on every escaped partition's files
+    val sym = tmpDir() + "-sym"
+    val n = TableManifest.exportSymlinkManifest(spark, path, sym)
+    val live = TableManifest.load(spark, path).get
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(n == live.size)
+    val viaSym = TableManifest.readViaSymlinkManifest(spark, path, sym)
+    assert(viaSym.count() == 41L)
+    assert(viaSym.select("date").distinct().as[String].collect().toSet ==
+      parts.toSet)
   }
 
   test("lookup prunes by partition and key zone, equals the naive " +
