@@ -363,38 +363,23 @@ object Multimodal {
     * offsets downstream. Output: (doc_id, fh), 60-bit hash per
     * landmark.
     *
-    * Everything after the byte decode is array Column algebra — one
-    * scan, no shuffle; payload sizes bound the per-row work (n/frame
-    * frames, ≤ that many peaks, ≤ fanout pairs per peak). */
+    * The whole extraction (energies → peaks → pair hashes) is ONE
+    * codegen expression ([[graft.plans.AudioLandmarks]]) — one scan,
+    * no shuffle; payload sizes bound the per-row work (n/frame frames,
+    * ≤ that many peaks, ≤ fanout pairs per peak). The declarative
+    * `transform`/`filter`/`aggregate` formulation it replaces ran
+    * INTERPRETED per row (Spark HOF lambdas never enter whole-stage
+    * codegen) and was measured at ~5× on this very scan —
+    * MultimodalSpec pins the expression to that formulation's exact
+    * output. */
   def audioLandmarks(pcm: DataFrame, frame: Int = 4,
                      fanout: Int = 8): DataFrame = {
     require(frame >= 1 && fanout >= 1, "frame and fanout must be >= 1")
-    val nf = (size(col("samples")) / frame).cast("int")
-    // energies per full frame (tail partial frame dropped); an
-    // unguarded sequence(0, -1) DESCENDS, hence the nf >= 1 gate
-    val energies = when(nf >= 1,
-      transform(sequence(lit(0), nf - 1),
-        f => aggregate(slice(col("samples"), f * frame + 1, lit(frame)),
-          lit(0L), (acc, x) =>
-            acc + x.cast("long") * x.cast("long"))))
-      .otherwise(array().cast("array<bigint>"))
-    val withE = pcm.select(col("doc_id"), energies.as("es"))
-    // strict local maxima over interior frames
-    val peaks = when(size(col("es")) >= 3,
-      filter(sequence(lit(1), size(col("es")) - 2),
-        p => element_at(col("es"), p + 1) > element_at(col("es"), p) &&
-          element_at(col("es"), p + 1) > element_at(col("es"), p + 2)))
-      .otherwise(array().cast("array<int>"))
-    val withP = withE.select(col("doc_id"), col("es"), peaks.as("pk"))
-    def band(p: org.apache.spark.sql.Column) =
-      shiftright(element_at(col("es"), p + 1), 8).cast("long")
-    val pairs = flatten(transform(col("pk"), p1 =>
-      transform(filter(col("pk"), p2 => p2 > p1 && p2 - p1 <= fanout),
-        p2 => graft.functions.TextFunctions.md5Hash60(
-          concat_ws("|", band(p1).cast("string"), band(p2).cast("string"),
-            (p2 - p1).cast("long").cast("string"),
-            p1.cast("long").cast("string"))))))
-    withP.select(col("doc_id"), explode(pairs).as("fh"))
+    val lm = org.apache.spark.sql.graft.bridge.column(
+      graft.plans.AudioLandmarks(
+        org.apache.spark.sql.graft.bridge.expression(col("samples")),
+        frame, fanout))
+    pcm.select(col("doc_id"), explode(lm).as("fh"))
   }
 
   /** Cross-track fingerprint matching: hash-bucket join (the Shazam

@@ -1244,3 +1244,135 @@ object DeflateLen {
     } finally d.end()
   }
 }
+
+/** Shazam-style audio landmark hashes over a decoded PCM sample array —
+  * the whole x179 extraction stage (frame energies → strict
+  * local-maximum peaks → in-window peak-pair hashes) as ONE codegen
+  * expression. The declarative formulation it replaces
+  * (`transform`/`filter`/`aggregate` array lambdas) ran INTERPRETED per
+  * row — Spark's higher-order functions never enter whole-stage codegen
+  * — which made the landmark scan the slowest scan-shaped query in the
+  * catalog (the x253/x249 lesson a third time: hot-loop per-row DSP
+  * must be a codegen expression).
+  *
+  * Semantics, bit-identical to the Column algebra and the SQL oracle:
+  * frame the samples into `frame`-sample windows (tail partial frame
+  * dropped), sum-of-squares energy per frame in exact longs, keep
+  * STRICT local-maximum interior frames as peaks, and for every peak
+  * pair (p1, p2) with 0 < p2 − p1 ≤ `fanout` emit the portable 60-bit
+  * md5 hash of "band1|band2|Δframe|anchor" where band = energy >> 8
+  * (TextFunctions.md5Hash60 of the same concat_ws string). Pair order
+  * is (p1 asc, p2 asc), matching the nested-transform emission order.
+  *
+  * Reference: the landmark constellation follows Wang's "An
+  * Industrial-Strength Audio Search Algorithm" (ISMIR 2003) shape;
+  * the reference pipeline has no audio surface — this is extension
+  * machinery for the multimodal training-data path. */
+case class AudioLandmarks(child: Expression, frame: Int, fanout: Int)
+    extends UnaryExpression {
+
+  require(frame >= 1 && fanout >= 1, "frame and fanout must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"audio_landmarks needs array<int> PCM samples, got " +
+            s"${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioLandmarks.compute(input.asInstanceOf[ArrayData], frame, fanout)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.AudioLandmarks.compute($c, $frame, $fanout)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioLandmarks {
+
+  /** One MD5 instance per executor thread — `digest()` resets it, so
+    * reuse across rows is sound and skips the per-landmark
+    * getInstance lookup. */
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val Empty = org.apache.spark.sql.catalyst.expressions
+    .UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(samples: ArrayData, frame: Int, fanout: Int): ArrayData = {
+    val s = samples.toIntArray()
+    val nf = s.length / frame
+    // < 3 full frames → no interior frame can be a strict local max
+    if (nf < 3) return Empty
+    val e = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var acc = 0L
+      var j = f * frame
+      val end = j + frame
+      while (j < end) { val x = s(j).toLong; acc += x * x; j += 1 }
+      e(f) = acc
+      f += 1
+    }
+    val pk = new Array[Int](nf)
+    var np = 0
+    var p = 1
+    while (p <= nf - 2) {
+      if (e(p) > e(p - 1) && e(p) > e(p + 1)) { pk(np) = p; np += 1 }
+      p += 1
+    }
+    // exact landmark count first (peaks ascend, so each anchor's
+    // in-window partners are one contiguous run — two monotone
+    // pointers, no over-allocation)
+    var total = 0
+    var i = 0
+    var j = 0
+    while (i < np) {
+      if (j < i + 1) j = i + 1
+      while (j < np && pk(j) - pk(i) <= fanout) j += 1
+      total += j - (i + 1)
+      i += 1
+    }
+    if (total == 0) return Empty
+    val out = new Array[Long](total)
+    var outN = 0
+    val dg = md.get()
+    val sb = new java.lang.StringBuilder(48)
+    i = 0
+    while (i < np) {
+      val p1 = pk(i)
+      val b1 = e(p1) >> 8
+      var k = i + 1
+      while (k < np && pk(k) - p1 <= fanout) {
+        val p2 = pk(k)
+        sb.setLength(0)
+        sb.append(b1).append('|').append(e(p2) >> 8).append('|')
+          .append(p2 - p1).append('|').append(p1)
+        // md5Hash60: first 15 hex digits of the md5 = bytes 0..6 in
+        // full plus byte 7's high nibble, assembled big-endian
+        val d = dg.digest(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L
+        var bi = 0
+        while (bi < 7) { v = (v << 8) | (d(bi) & 0xffL); bi += 1 }
+        out(outN) = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+        outN += 1
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}

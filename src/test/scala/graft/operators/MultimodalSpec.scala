@@ -179,4 +179,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioLandmarks(Multimodal.pcmArray(junk))
       .count() == 0)
   }
+
+  test("audio landmarks: the codegen expression reproduces the " +
+    "interpreted HOF formulation exactly (including short-track edges)") {
+    // lengths straddle every edge: empty, < one frame, < 3 frames
+    // (no interior peak possible), and long-enough real constellations
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 137), (3L, "z" * 60),
+      (4L, "ab"), (5L, ""), (6L, "short frame" * 2))
+      .toDF("doc_id", "text")
+    val pcm = Multimodal.pcmArray(
+      Multimodal.withWavPayload(docs, "doc_id", "text"))
+      .localCheckpoint()
+    val frame = 4
+    val fanout = 8
+    // the pre-r14 Column-algebra formulation, verbatim — the semantic
+    // pin the codegen expression must match hash-for-hash
+    val nf = (size(col("samples")) / frame).cast("int")
+    val energies = when(nf >= 1,
+      transform(sequence(lit(0), nf - 1),
+        f => aggregate(slice(col("samples"), f * frame + 1, lit(frame)),
+          lit(0L), (acc, x) =>
+            acc + x.cast("long") * x.cast("long"))))
+      .otherwise(array().cast("array<bigint>"))
+    val withE = pcm.select(col("doc_id"), energies.as("es"))
+    val peaks = when(size(col("es")) >= 3,
+      filter(sequence(lit(1), size(col("es")) - 2),
+        p => element_at(col("es"), p + 1) > element_at(col("es"), p) &&
+          element_at(col("es"), p + 1) > element_at(col("es"), p + 2)))
+      .otherwise(array().cast("array<int>"))
+    val withP = withE.select(col("doc_id"), col("es"), peaks.as("pk"))
+    def band(p: org.apache.spark.sql.Column) =
+      shiftright(element_at(col("es"), p + 1), 8).cast("long")
+    val pairs = flatten(transform(col("pk"), p1 =>
+      transform(filter(col("pk"), p2 => p2 > p1 && p2 - p1 <= fanout),
+        p2 => graft.functions.TextFunctions.md5Hash60(
+          concat_ws("|", band(p1).cast("string"), band(p2).cast("string"),
+            (p2 - p1).cast("long").cast("string"),
+            p1.cast("long").cast("string"))))))
+    val legacy = withP.select(col("doc_id"), explode(pairs).as("fh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val codegen = Multimodal.audioLandmarks(pcm, frame, fanout)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(legacy.nonEmpty, "the pin needs real landmarks to compare")
+    assert(codegen == legacy)
+  }
 }
