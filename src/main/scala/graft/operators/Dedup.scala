@@ -106,11 +106,20 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id_"),
-        org.apache.spark.sql.graft.bridge.column(
-          graft.plans.MinhashSig(
-            org.apache.spark.sql.graft.bridge.expression(col(textCol)),
-            numHashes, shingleN)).as("sig"))
+        minhashSigColumn(col(textCol), numHashes, shingleN).as("sig"))
       .filter(size(col("sig")) > 0)
+
+  /** The signature as a bare Column — for callers that fuse the
+    * minhash pass into a wider batch scan (StreamCuration computes
+    * quality, language AND signatures in the one checkpointed pass
+    * over the batch text) instead of paying a second scan through
+    * [[minhashSignatures]]. Same codegen expression either way. */
+  def minhashSigColumn(text: org.apache.spark.sql.Column, numHashes: Int,
+                       shingleN: Int = 3): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.MinhashSig(
+        org.apache.spark.sql.graft.bridge.expression(text),
+        numHashes, shingleN))
 
   /** LSH candidate pairs: signatures banded into `bands` groups of
     * `rowsPerBand`; docs sharing any band bucket become a candidate pair

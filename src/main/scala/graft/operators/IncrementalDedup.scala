@@ -66,6 +66,45 @@ object IncrementalDedup {
   def signatures(spark: SparkSession, storePath: String): DataFrame =
     MergeUpsert.readPlain(spark, storePath)
 
+  /** [[appendBatch]]'s candidate stage decoupled from its store merge,
+    * for callers that run the two CONCURRENTLY (StreamCuration): pairs
+    * are computed against (previous store version ∪ batch signatures)
+    * with the batch's rows replacing any redelivered doc's old row —
+    * row-identical to the version the merge is publishing in parallel,
+    * because the merge IS that anti-join-union and signatures are a
+    * deterministic function of text. The candidate join therefore no
+    * longer waits for the publish round-trip (measured ~0.4 s/batch of
+    * pure serialization at micro-batch scale), and it never re-reads
+    * the store it just wrote. Same banding, caps and est_jaccard
+    * arithmetic as [[appendBatch]] — the x38 union-equivalence
+    * invariant carries over verbatim (StreamCurationSpec pins the
+    * fixpoint; the caller must still consume the result before the
+    * prev version leaves the retention window). */
+  def candidatesVsPrev(prevSigs: Option[DataFrame], batchSigs: DataFrame,
+                       batchIds: DataFrame,
+                       bands: Int = 8, rowsPerBand: Int = 4,
+                       minEstJaccard: Double = 0.0,
+                       maxBucket: Int = 10000,
+                       repartitionTo: Int = 0): DataFrame = {
+    val union = prevSigs match {
+      case Some(prev) =>
+        prev.join(batchIds.select("doc_id_"), Seq("doc_id_"), "left_anti")
+          .unionByName(batchSigs)
+      case None => batchSigs
+    }
+    // band-key hashing is map-side work whose parallelism is the
+    // store's FILE layout (a store published at micro-batch shuffle
+    // sizing reads back ~4-way). For a replay/backfill-scale batch
+    // (`repartitionTo` > 0, the caller's batch-size decision) the slim
+    // sig rows take one width-restoring exchange, which measured
+    // cheaper than banding the corpus on four cores (3.2 → ~1 s/batch
+    // on the sf1 replay); micro-batches skip it.
+    val wide =
+      if (repartitionTo > 0) union.repartition(repartitionTo) else union
+    candidatesVsCorpus(wide, batchIds, bands,
+      rowsPerBand, minEstJaccard, maxBucket)
+  }
+
   /** Incremental EXACT dedup: upsert the batch's (doc_id_, text_hash)
     * rows into a keyed store, then derive the exact-dup report. The
     * store is doc-keyed, NOT hash-aggregated, deliberately: an

@@ -14,23 +14,28 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * scratch.
   *
   * Per micro-batch (foreachBatch):
-  *   1. quality gate + language ID — codegen'd scan of the NEW docs only;
-  *   2. docs-store merge (keyed upsert; idempotent under redelivery);
-  *   3. [[IncrementalDedup.appendBatch]] — minhash vs the signature
-  *      store, candidates batch-vs-corpus only;
-  *   4. exact n-gram verify of those candidates, text served by the
+  *   1. quality gate + language ID — codegen'd scan of the NEW docs
+  *      only — and ONE minhash pass over the batch text;
+  *   2. three independent jobs OVERLAPPED (r14: serially they stack
+  *      ~1 s/batch of pure store round-trip latency): the docs-store
+  *      merge (keyed upsert; idempotent under redelivery), the
+  *      signature-store merge, and
+  *      [[IncrementalDedup.candidatesVsPrev]] — minhash candidates
+  *      batch-vs-corpus only, against prev ∪ batch signatures
+  *      (row-identical to the version the merge publishes);
+  *   3. exact n-gram verify of those candidates, text served by the
   *      docs store (the join prunes to the candidates' ids);
-  *   5. verified-pairs merge (keyed on the pair);
-  *   6. republish curated: cluster resolution over ACCUMULATED pairs →
+  *   4. verified-pairs merge (keyed on the pair);
+  *   5. republish curated: cluster resolution over ACCUMULATED pairs →
   *      keepers → stratified sample → pre-quantized embeddings joined →
   *      [[MergeUpsert.publishPlain]] (atomic version flip — the row set
   *      can shrink when an arriving doc displaces a kept near-dup, so
   *      this is a publish, not an upsert).
   *
-  * Convergence: steps 1–5 accumulate exactly the quality-filtered docs
+  * Convergence: steps 1–4 accumulate exactly the quality-filtered docs
   * and verified pairs a batch CurationJob run over the union corpus
   * would compute (the x38 invariant for candidates; the verify filter
-  * is per-pair so it commutes with accumulation). Step 6's cluster
+  * is per-pair so it commutes with accumulation). Step 5's cluster
   * resolution, sampling and embedding join are deterministic functions
   * of that state — so after any prefix of batches, the curated table
   * EQUALS the batch pipeline's output on the documents seen so far,
@@ -49,7 +54,7 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * are SPARSE (verified near-dups) and label propagation touches ids,
   * not text. The curated republish rewrites the output table, so it
   * runs on a `publishEvery`-batch cadence (the `compactEvery` pattern
-  * from [[StreamIngest]]): steps 1-5 accumulate every batch, step 6
+  * from [[StreamIngest]]): steps 1-4 accumulate every batch, step 5
   * fires every Nth data batch — retention already decouples readers
   * from cadence, and the stores themselves never rewrite history.
   * Because the publish is a deterministic function of the accumulated
@@ -167,6 +172,17 @@ object StreamCuration {
                   minQuality: Double, rates: Map[String, Double],
                   defaultRate: Double, publish: Boolean = true,
                   shufflePartitions: Int = 8): Unit = {
+    // One column-pruned pre-count sizes the batch's COMPUTE WIDTH: a
+    // true micro-batch (the design cadence) runs the narrow path —
+    // small scoped shuffles, no repartitions, latency-optimal. A
+    // backfill/replay-scale batch (≥ ~2k docs per core) additionally
+    // repartitions its two compute-heavy text scans (scoring+minhash,
+    // n-gram verify) to machine width: such a batch often arrives as
+    // ONE parquet file = one task, which serialized 3+ s/batch of
+    // minhash on a single core in the sf1 replay while 31 cores idled.
+    val cores = spark.sparkContext.defaultParallelism
+    val width =
+      if (batch.count() >= 2048L * cores) cores else 0
     // Scoped shuffle sizing (the StreamJoin/StreamDedup lesson, batch
     // face): a micro-batch is SMALL by construction, but its ~10
     // shuffles (store merges, candidate join, verify, publish) would
@@ -176,7 +192,7 @@ object StreamCuration {
     // batches ever stop being serial. 0 = inherit the session conf.
     graft.ScopedSessionConf.withShufflePartitions(spark, shufflePartitions) {
       curateBatchInner(spark, batch, workDir, minQuality, rates,
-        defaultRate, publish)
+        defaultRate, publish, width)
     }
   }
 
@@ -184,36 +200,109 @@ object StreamCuration {
                                workDir: String, minQuality: Double,
                                rates: Map[String, Double],
                                defaultRate: Double,
-                               publish: Boolean): Unit = {
+                               publish: Boolean,
+                               width: Int): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // localCheckpoint (eager): scored feeds the docs-store merge AND
-    // the signature append — without it each action re-reads and
-    // re-scores the batch text
-    val scored = batch
+    // the signature work — without it each action re-reads and
+    // re-scores the batch text. The minhash signatures ride the SAME
+    // scan (quality, language and sigs in one checkpointed pass; a
+    // separate minhashSignatures pass was a second full read+
+    // materialize of the batch text, ~0.3 s/batch of pure repetition)
+    // A replay-scale batch (width > 0, sized by curateBatch's
+    // pre-count) is repartitioned to compute width FIRST: its
+    // parallelism is whatever its source files gave it (a single
+    // parquet file = ONE task doing every minhash — measured 3.2 s of
+    // the sf1 replay per batch on one core), and the heavy text scan
+    // below deserves the machine. Micro-batches skip the exchange.
+    val widened = if (width > 0) batch.repartition(width) else batch
+    val scored0 = widened
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .filter(col("quality") >= minQuality)
+      .withColumn("sig_", Dedup.minhashSigColumn(col("text"), 32))
       .localCheckpoint()
-    // docs store first: the verify join needs BOTH pair sides' text,
-    // and a candidate's corpus-side doc lives only here
-    MergeUpsert.mergeWritePlain(spark, docsPath(workDir), scored,
-      Seq("doc_id"))
-    // candidates materialized (they are consumed twice below, and the
-    // documented appendBatch contract wants them consumed before the
-    // store version window moves anyway)
-    val cands = IncrementalDedup.appendBatch(spark, sigsPath(workDir),
-      scored, "doc_id", "text", minEstJaccard = 0.25)
+    val scored = scored0.drop("sig_")
+    val batchSigs = scored0
+      .select(col("doc_id").as("doc_id_"), col("sig_").as("sig"))
+      .filter(size(col("sig")) > 0)
+    val batchIds = scored.select(col("doc_id").as("doc_id_")).distinct()
+    // the PREVIOUS store versions, pinned by path now (resolveBase
+    // reads the pointer at call time) — safe to consume while the
+    // merges below publish the next versions (retention keeps them)
+    val prevSigs = MergeUpsert.existingPlain(spark, sigsPath(workDir))
+    val prevDocs = MergeUpsert.existingPlain(spark, docsPath(workDir))
+    // The two store merges run in the BACKGROUND while the caller
+    // thread drives the whole candidate→verify→pairs chain — legal
+    // because nothing in that chain needs the post-merge versions:
+    // candidates derive from prev ∪ batchSigs (row-identical to the
+    // version fSigs is publishing, see candidatesVsPrev), and every
+    // candidate pair has ≥ 1 member IN the batch (text in `scored`)
+    // while its other member is either also in the batch or in the
+    // PREVIOUS docs version (text in `prevDocs`). Serially the merges
+    // stacked ~1 s/batch of pure store round-trip latency (measured);
+    // overlapped they hide behind the verify chain entirely. The
+    // futures' frames are bound to `spark` (session conf, not
+    // thread-locals, drives their plans), and both are awaited before
+    // the batch returns — the stream's durability barrier.
+    val fDocs = Future {
+      MergeUpsert.mergeWritePlain(spark, docsPath(workDir), scored,
+        Seq("doc_id"))
+    }
+    val fSigs = Future {
+      MergeUpsert.mergeWritePlain(spark, sigsPath(workDir), batchSigs,
+        Seq("doc_id_"))
+    }
+    // candidates materialized (they are consumed twice below, and must
+    // be consumed before the store version window moves anyway)
+    val cands = IncrementalDedup.candidatesVsPrev(prevSigs, batchSigs,
+      batchIds, minEstJaccard = 0.25, repartitionTo = width)
       .localCheckpoint()
-    val allDocs = MergeUpsert.readPlain(spark, docsPath(workDir))
     // verify touches only the docs the candidates involve — O(batch
-    // candidates), NOT a per-batch n-gram pass over the whole corpus
-    val involved = allDocs.join(
-      cands.select(col("id_a").as("doc_id"))
-        .unionByName(cands.select(col("id_b").as("doc_id"))).distinct(),
-      Seq("doc_id"), "left_semi")
-    val verified = Dedup.verifyCandidates(involved, "doc_id", "text",
-      cands, minJaccard = 0.4)
+    // candidates), NOT a per-batch n-gram pass over the whole corpus.
+    // Batch-side text comes from the in-memory checkpoint; only
+    // corpus-side members (anti the batch) read the previous docs
+    // version. Intra-batch duplicate ids (at-least-once redelivery
+    // inside one batch: same bytes) can duplicate verified rows —
+    // the pairs merge's key dedup absorbs them.
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionByName(cands.select(col("id_b").as("doc_id"))).distinct()
+    val batchInvolved = scored.select("doc_id", "text")
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val involved = prevDocs match {
+      case Some(prev) =>
+        prev.select("doc_id", "text")
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .join(scored.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(batchInvolved)
+      case None => batchInvolved
+    }
+    // the n-gram verify is the batch's second compute-heavy scan; on
+    // a replay-scale batch it inherits narrow parallelism (its input
+    // is a micro-batch-sized join), so it runs width-wide and
+    // materializes BEFORE the pairs merge — the merge round-trip then
+    // moves only slim verified rows. Same-thread nesting of the scoped
+    // conf restores outside-in; the background merges above read
+    // whatever sizing is current when they plan, which is harmless for
+    // their metadata-scale stages. Micro-batches keep the lazy narrow
+    // verify (one fewer materialization round).
+    val verified =
+      if (width > 0)
+        graft.ScopedSessionConf.withShufflePartitions(spark, width) {
+          Dedup.verifyCandidates(involved.repartition(width), "doc_id",
+            "text", cands, minJaccard = 0.4).localCheckpoint()
+        }
+      else
+        Dedup.verifyCandidates(involved, "doc_id", "text", cands,
+          minJaccard = 0.4)
     MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
       Seq("id_a", "id_b"))
+    // durability barrier: the batch commits only after every store
+    // version this batch produced is published
+    Await.result(fDocs, Duration.Inf)
+    Await.result(fSigs, Duration.Inf)
     if (publish) republishCurated(spark, workDir, rates, defaultRate)
   }
 
