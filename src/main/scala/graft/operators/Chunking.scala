@@ -144,10 +144,23 @@ object Chunking {
     * documents of ≤ w chars are a single chunk. chunk_hash is the
     * portable md5-60 of the chunk text (once per CHUNK, not per
     * position). */
+  /** Column names [[cdcChunks]] owns — its outputs plus the
+    * intermediates of the boundary walk. A carry column with one of
+    * these names would be silently shadowed (or break resolution
+    * mid-chain), so the operator refuses it loudly instead. */
+  private val CdcReserved = Set("doc_id", "txt_", "bnds_", "pos_", "k_",
+    "start_", "chunk_idx", "chunk_len", "chunk_hash")
+
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 8, mask: Int = 63,
                 carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(w >= 2 && mask >= 1, "window must be >= 2, mask >= 1")
+    val clash = carryCols.filter(CdcReserved)
+    require(clash.isEmpty,
+      s"carryCols ${clash.mkString(", ")} collide with cdcChunks' " +
+        s"reserved output/intermediate names " +
+        s"(${CdcReserved.toSeq.sorted.mkString(", ")}) — rename before " +
+        "chunking")
     val bnds = org.apache.spark.sql.graft.bridge.column(
       graft.plans.CdcBoundaries(
         org.apache.spark.sql.graft.bridge.expression(col("txt_")), w, mask))
@@ -211,6 +224,43 @@ object Chunking {
         .select(col("doc_id").as("doc_id_"), col("chunk_idx"),
           col("chunk_hash"), col("chunk_len"), lit(batchTag).as("batch")),
       Seq("doc_id_", "chunk_idx"), retainVersions)
+
+  /** Grouped form of [[appendCdcChunks]]: chunk several tagged batches
+    * and land them in ONE store publish. N sequential appends cost N
+    * store round-trips (read base + version write + pointer flip — the
+    * x59 job-latency class, ~0.7 s each at micro-batch scale) for work
+    * whose data volume is one batch union; a backfill or a drained
+    * stream's catch-up should pay ONE. Converges to exactly the state
+    * sequential appends in ascending tag order reach: per
+    * (doc_id, chunk_idx) key the highest tag's row wins here, which is
+    * the sequential path's last-writer-wins outcome — and under the
+    * ledger's content-stable contract (same doc_id ⇒ same bytes) the
+    * competing rows differ only in the `batch` tag anyway
+    * (CdcChunkSpec proves the equivalence). */
+  def appendCdcChunksBatches(spark: org.apache.spark.sql.SparkSession,
+                             storePath: String,
+                             batches: Seq[(Long, DataFrame)],
+                             idCol: String, textCol: String,
+                             w: Int = 8, mask: Int = 63,
+                             retainVersions: Int = 2): Unit = {
+    require(batches.nonEmpty, "appendCdcChunksBatches needs >= 1 batch")
+    val tagged = batches.map { case (tag, b) =>
+      cdcChunks(b, idCol, textCol, w, mask)
+        .select(col("doc_id").as("doc_id_"), col("chunk_idx"),
+          col("chunk_hash"), col("chunk_len"), lit(tag).as("batch"))
+    }.reduce(_ unionByName _)
+    // in-group LWW: the highest batch tag per key, resolved BEFORE the
+    // single merge (mergeWritePlain's own dropDuplicates is
+    // order-arbitrary and must not pick the winner)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id_", "chunk_idx")
+      .orderBy(col("batch").desc)
+    val resolved = tagged
+      .withColumn("rn_", row_number().over(byKey))
+      .filter(col("rn_") === 1).drop("rn_")
+    MergeUpsert.mergeWritePlain(spark, storePath, resolved,
+      Seq("doc_id_", "chunk_idx"), retainVersions)
+  }
 
   /** Per-batch novelty report over the accumulated ledger: how much of
     * each batch's chunk mass had never been seen in any EARLIER batch —

@@ -434,8 +434,60 @@ object TableManifest {
       s"manifest version $version of $path lists no files")
     require(files.length <= MaxPlanFiles,
       s"${files.length} files in version $version — beyond the " +
-        s"$MaxPlanFiles-file planning bound; compact before time travel")
+        s"$MaxPlanFiles-file planning bound; compact before time travel " +
+        "or read a partition subset via readVersionPartitions (no " +
+        "driver file list)")
     spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Time travel a PARTITION SUBSET of manifest `version` with NO
+    * driver file list — the read-side twin of [[vacuum]]'s distributed
+    * live/dead split, and the actionable path past [[readVersion]]'s
+    * [[MaxPlanFiles]] gate (MergeStress time-travels a 1e6-file table
+    * through it). The plan: scan the subset's partition DIRS (every
+    * copy-on-write generation that still sits in them) and keep
+    * exactly the rows whose source file the version references, via a
+    * semi join of `input_file_name()` against the version's manifest
+    * rows on the canonical path — per-ROW selection decided
+    * distributed, so nothing scales with the table's total file count
+    * on the driver.
+    *
+    * Cost model vs [[readVersion]]: the scan touches ALL retained
+    * generations of the requested partitions (typically
+    * `retainVersions` ≈ 2 of each — vacuum bounds the amplification)
+    * and discards superseded rows by the join, where the explicit
+    * file list reads only the referenced generation. The trade is
+    * deliberate: bounded read amplification for unbounded planning.
+    * Requested partitions absent from the version contribute nothing;
+    * a subset whose dirs are all absent yields an empty frame with
+    * the version's schema. */
+  def readVersionPartitions(spark: SparkSession, path: String,
+                            version: String, parts: Seq[Any],
+                            partitionCol: String = "date"): DataFrame = {
+    require(parts.nonEmpty, "readVersionPartitions needs >= 1 partition")
+    val mv = MergeUpsert
+      .readPlainVersion(spark, manifestPath(path), version)
+      .filter(col("part").isin(parts.map(_.toString): _*))
+    val fs = MergeUpsert.fsFor(spark, path)
+    val dirs = parts
+      .map(v => partDir(path, partitionCol, v))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty)
+      // schema from ONE referenced file of the version (or the live
+      // manifest when the subset is empty in this version too)
+      return readFiles(spark, path,
+        MergeUpsert.readPlainVersion(spark, manifestPath(path), version),
+        Seq.empty)
+    val referenced = mv.select(canonCol(col("file")).as("cfile_"))
+      .distinct()
+    spark.read.option("basePath", path).parquet(dirs: _*)
+      // input_file_name() is the URI-encoded form; the manifest holds
+      // the decoded path — decode then canonicalize BOTH sides (the
+      // same normalization vacuum's split rides, spec-proven on
+      // hostile names)
+      .withColumn("cfile_", canonCol(decodeUri(input_file_name())))
+      .join(referenced, Seq("cfile_"), "left_semi")
+      .drop("cfile_")
   }
 
   /** Metadata time-travel audit between two retained manifest
@@ -714,35 +766,125 @@ object TableManifest {
     * file list touches the driver. Re-export OVERWRITES (the manifest
     * flip's external twin: regenerate after merges/compactions/vacuums,
     * stale exports dangle exactly like Delta's). Returns the exported
-    * file-path count. */
+    * file-path count.
+    *
+    * `parts` scopes the re-export: only the given partition values'
+    * export dirs are rewritten (dynamic partition overwrite), every
+    * other partition's files stay byte-identical on disk — so after a
+    * merge touching k partitions the refresh costs O(k), independent
+    * of the table's partition count (MergeStress "scoped symlink
+    * re-export"), where the full form rewrites everything. A requested
+    * partition with NO live files (vacuumed away / removed) has its
+    * export dir deleted — partition-overwrite alone would leave the
+    * stale listing dangling. [[refreshSymlinkExport]] derives `parts`
+    * from a manifest version diff. */
   def exportSymlinkManifest(spark: SparkSession, path: String,
                             out: String,
-                            partitionCol: String = "date"): Long = {
+                            partitionCol: String = "date",
+                            parts: Option[Seq[Any]] = None): Long = {
     val m = load(spark, path)
       .getOrElse(sys.error(s"no manifest at $path — call update() first"))
-    val rows = m.select(col("file").as("value"),
+    val scoped = parts match {
+      case Some(ps) => m.filter(col("part").isin(ps.map(_.toString): _*))
+      case None => m
+    }
+    val rows = scoped.select(col("file").as("value"),
       col("part").as(partitionCol)).cache()
     val n = rows.count()
-    rows.repartition(col(partitionCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-      .text(out)
+    parts match {
+      case None =>
+        rows.repartition(col(partitionCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+          .text(out)
+      case Some(ps) =>
+        if (n > 0)
+          // dynamic overwrite: only partitions present in `rows` are
+          // replaced; the untouched ones keep their existing exports
+          graft.ScopedSessionConf.withConf(spark,
+            "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+            rows.repartition(col(partitionCol))
+              .write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+              .text(out)
+          }
+        // requested partitions that no longer hold live files: remove
+        // their export dirs (the writer above never visits them)
+        val live = rows.select(col(partitionCol)).distinct()
+          .collect().map(_.getString(0)).toSet
+        val fs = MergeUpsert.fsFor(spark, out)
+        ps.map(_.toString).filterNot(live).foreach { v =>
+          fs.delete(
+            new org.apache.hadoop.fs.Path(partDir(out, partitionCol, v)),
+            true)
+        }
+    }
     rows.unpersist()
     n
   }
 
+  /** Incremental export maintenance: re-export ONLY the partitions a
+    * manifest-version transition touched — [[diffVersions]] already
+    * computes the per-partition delta, so the external mirror pays
+    * O(changed partitions) per refresh instead of a full rewrite
+    * (at 1e6+ files a full re-export rewrites everything after every
+    * merge). `removed` partitions' export dirs are deleted; `carried`
+    * ones are not touched. Returns the re-exported path count.
+    *
+    * The export body always materializes the LIVE manifest's listing
+    * for the changed partitions — pass the live version as `vNew`
+    * (the normal "refresh after a publish" call); an older `vNew`
+    * would scope the partition set to that transition but still
+    * export the live rows. */
+  def refreshSymlinkExport(spark: SparkSession, path: String,
+                           out: String, vOld: String, vNew: String,
+                           partitionCol: String = "date"): Long = {
+    val changed = diffVersions(spark, path, vOld, vNew)
+      .filter(col("status") =!= "carried")
+      .select("part").collect().map(_.getString(0)).toSeq
+    if (changed.isEmpty) 0L
+    else exportSymlinkManifest(spark, path, out, partitionCol,
+      Some(changed))
+  }
+
   /** Read the table THROUGH an exported symlink manifest — what an
     * external engine does, expressed in Spark for the parity check:
-    * collect the listed paths (bounded by the same planning cap as
-    * [[readViaManifest]]) and scan exactly those parquet files. */
+    * resolve the listed paths (bounded by the same planning cap as
+    * [[readViaManifest]]) and scan exactly those parquet files. The
+    * manifest text files are resolved with ONE FileSystem glob and
+    * read driver-side — they are metadata (a handful of line files per
+    * partition), and the trailing-slash `textFile` glob this replaces
+    * made Spark's path probe log a spurious ERROR stack trace on every
+    * first read (clean runs must log clean). */
   def readViaSymlinkManifest(spark: SparkSession, tablePath: String,
                              manifestDir: String): DataFrame = {
-    val files = spark.read.textFile(s"$manifestDir/*/")
-      .collect().map(_.trim).filter(_.nonEmpty)
+    val files = symlinkListedPaths(spark, manifestDir)
     require(files.nonEmpty, s"symlink manifest at $manifestDir is empty")
     require(files.length <= MaxPlanFiles,
       s"${files.length} files — beyond the $MaxPlanFiles-file planning " +
         "bound; compact the table before exporting")
     spark.read.option("basePath", tablePath)
-      .parquet(files.toIndexedSeq: _*)
+      .parquet(files: _*)
+  }
+
+  /** Every data-file path an exported symlink manifest lists — ONE
+    * driver-side FileSystem glob over the per-partition line files
+    * (metadata scale; also what keeps `DataFrameReader`'s path-probe
+    * machinery, which logs a spurious ERROR stack for glob paths, off
+    * the read path entirely). Shared by [[readViaSymlinkManifest]] and
+    * export-consistency checks. */
+  def symlinkListedPaths(spark: SparkSession,
+                         manifestDir: String): Vector[String] = {
+    val fs = MergeUpsert.fsFor(spark, manifestDir)
+    val lineFiles = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$manifestDir/*/*"))
+    if (lineFiles == null) return Vector.empty
+    lineFiles.iterator
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toVector
+        finally in.close()
+      }.toVector
   }
 }

@@ -10647,11 +10647,14 @@ object ExtensionCatalog {
       (s, dir) => {
         val store = s"${tmp("graft-cdcstore")}/ledger"
         val docs = t(s, dir, "documents")
-        (0L to 2L).foreach { b =>
-          Chunking.appendCdcChunks(s, store,
-            docs.filter(col("doc_id") % 3 === b), "doc_id", "text",
-            batchTag = b)
-        }
+        // grouped append: three tagged batches, ONE store publish —
+        // spec-proven equal to three sequential appendCdcChunks calls
+        // (which cost a store round-trip each, the x59 job-latency
+        // class; CdcChunkSpec pins the equivalence)
+        Chunking.appendCdcChunksBatches(s, store,
+          (0L to 2L).map(b =>
+            b -> docs.filter(col("doc_id") % 3 === b)),
+          "doc_id", "text")
         Chunking.cdcStoreReport(s, store)
       }),
 
@@ -10686,8 +10689,11 @@ object ExtensionCatalog {
         val n = TableManifest.exportSymlinkManifest(s, path, manifestDir)
         val live = TableManifest.load(s, path).get
           .select("file").collect().map(_.getString(0)).toSet
-        val listed = s.read.textFile(s"$manifestDir/*")
-          .collect().map(_.trim).filter(_.nonEmpty).toSet
+        // driver-side FS walk, not textFile: DataFrameReader's path
+        // probe logs a spurious ERROR stack for glob paths (the r13
+        // bench-tail noise; clean runs must log clean)
+        val listed =
+          TableManifest.symlinkListedPaths(s, manifestDir).toSet
         require(n == live.size && listed == live,
           s"symlink export must list exactly the live manifest's files " +
             s"(exported $n, live ${live.size}, matched ${

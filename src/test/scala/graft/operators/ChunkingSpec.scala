@@ -201,4 +201,41 @@ class ChunkingSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == r)
   }
+
+  test("cdc store: the grouped append converges to exactly the " +
+    "sequential appends' state, one publish instead of N") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-multi").toString
+    val b0 = Seq((1L, longText), (2L, "tiny doc here")).toDF("doc_id", "text")
+    // batch 1 REDELIVERS doc 1 (same bytes — the ledger's contract)
+    // alongside new content: the overlap exercises the in-group LWW
+    val b1 = Seq((1L, longText), (3L, longText.reverse))
+      .toDF("doc_id", "text")
+    val batches = Seq(0L -> b0, 1L -> b1)
+    batches.foreach { case (tag, b) =>
+      Chunking.appendCdcChunks(spark, s"$base/seq", b, "doc_id", "text", tag)
+    }
+    Chunking.appendCdcChunksBatches(spark, s"$base/multi", batches,
+      "doc_id", "text")
+    def rows(p: String) = MergeUpsert.readPlain(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(rows(s"$base/multi") == rows(s"$base/seq"),
+      "grouped and sequential ledgers must be row-identical " +
+        "(including the redelivered doc's winning batch tag)")
+    // exactly ONE published version: the round-trip saving is the point
+    assert(MergeUpsert.retainedVersions(spark, s"$base/multi").size == 1)
+  }
+
+  test("cdcChunks: a carry column named like a reserved " +
+    "output/intermediate is refused loudly, not silently shadowed") {
+    import spark.implicits._
+    val df = Seq((1L, "some text", "x"))
+      .toDF("doc_id", "text", "start_")
+    val err = intercept[IllegalArgumentException] {
+      Chunking.cdcChunks(df, "doc_id", "text", carryCols = Seq("start_"))
+    }
+    assert(err.getMessage.contains("start_"))
+  }
 }
