@@ -259,6 +259,24 @@ object MergeUpsert {
       cur.isEmpty && hasFlatParquet(fs, p))
   }
 
+  /** [[publishPlain]] with the caller's BASE version pinned: `baseCur`
+    * is the live version the caller read when it started computing
+    * `df`, and the read-check-flip guard refuses the publish if the
+    * pointer has moved past it — where publishPlain re-resolves the
+    * pointer at flip time and so cannot see that its input was derived
+    * from a stale base. This is how a COMPOSED publish (TableManifest's
+    * data-append-then-manifest-flip) extends the two-writer lost-update
+    * detection across its whole span: capture the manifest's version at
+    * merge start, publish through this. */
+  def publishPlainFrom(spark: SparkSession, path: String, df: DataFrame,
+                       retainVersions: Int,
+                       baseCur: Option[String]): Unit = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    publishVersion(spark, path, df, retainVersions, baseCur,
+      baseCur.isEmpty && hasFlatParquet(fs, p))
+  }
+
   /** Shared publish core: version write, pointer flip, GC. `cur` and
     * `legacyFlat` are the caller's already-resolved filesystem state
     * (one pointer read + listing per publish, not two).

@@ -225,8 +225,17 @@ object TableManifest {
                            updates: DataFrame, keys: Seq[String],
                            partitionCol: String = "date",
                            zoneKey: Option[String] = None,
-                           retainVersions: Int = 2)
+                           retainVersions: Int = 2,
+                           beforeManifestPublish: () => Unit = () => ())
       : MergeUpsert.MergeWriteReport = {
+    // the manifest version this merge PLANS from, captured before any
+    // work: the final manifest flip is guarded against it, so a second
+    // manifested writer interleaving anywhere in the merge+append span
+    // is refused at the flip instead of silently unreferencing the
+    // other writer's publish (its own appended data files stay
+    // unreferenced orphans, reclaimed by vacuum) — the two-writer spec
+    // interleaves through the beforeManifestPublish seam.
+    val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
     // ONE stats pass serves this layer's touched-partition bookkeeping
     // AND mergeWrite's broadcast decision (it would otherwise re-scan
     // the batch for the same numbers — one whole Spark job per merge
@@ -246,6 +255,7 @@ object TableManifest {
       precomputedStats = Some(stats))
     val newFiles =
       (listPartFiles(spark, path, partitionCol, touched) -- before).toSeq
+    beforeManifestPublish()
     if (newFiles.nonEmpty) {
       // manifest maintenance is METADATA-scale always (rows = file
       // count, bounded by MaxPlanFiles) — its stats agg and publish
@@ -260,8 +270,8 @@ object TableManifest {
           case Some(old) => old.filter(!col("part").isin(parts: _*))
             .unionByName(fresh)
         }
-        MergeUpsert.publishPlain(spark, manifestPath(path), merged,
-          retainVersions)
+        MergeUpsert.publishPlainFrom(spark, manifestPath(path), merged,
+          retainVersions, mBase)
       }
     }
     report
@@ -277,6 +287,9 @@ object TableManifest {
   def appendManifested(spark: SparkSession, path: String, df: DataFrame,
                        keyCol: String, partitionCol: String = "date",
                        retainVersions: Int = 2): Unit = {
+    // pinned like mergeWriteManifested's mBase: a concurrent manifest
+    // publish during the append is refused at the flip
+    val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
     val touched = df.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     val before = listPartFiles(spark, path, partitionCol, touched)
@@ -293,8 +306,8 @@ object TableManifest {
         case None => fresh
         case Some(old) => old.unionByName(fresh)
       }
-      MergeUpsert.publishPlain(spark, manifestPath(path), merged,
-        retainVersions)
+      MergeUpsert.publishPlainFrom(spark, manifestPath(path), merged,
+        retainVersions, mBase)
     }
   }
 
@@ -366,6 +379,7 @@ object TableManifest {
                         zoneKey: Option[String] = None): CompactReport = {
     val m = load(spark, path)
       .getOrElse(sys.error(s"no manifest at $path — call update() first"))
+    val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
     val filesBefore = m.count()
     // over-threshold partitions found DISTRIBUTED from the manifest;
     // only their names (bounded by partition count) reach the driver
@@ -401,8 +415,8 @@ object TableManifest {
         zoneKey.getOrElse(keyCol))
       val merged = m.filter(!col("part").isin(overParts: _*))
         .unionByName(fresh)
-      MergeUpsert.publishPlain(spark, manifestPath(path), merged,
-        retainVersions)
+      MergeUpsert.publishPlainFrom(spark, manifestPath(path), merged,
+        retainVersions, mBase)
     }
     // filesAfter is MEASURED from the refreshed manifest (one row per
     // file), not derived from a one-file-per-partition assumption a
