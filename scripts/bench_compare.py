@@ -38,8 +38,9 @@ import statistics
 import sys
 
 
-def canary_mean(art):
-    vals = [art.get("canary_pre_sec"), art.get("canary_post_sec")]
+def canary_mean(art, prefix=""):
+    vals = [art.get(prefix + "canary_pre_sec"),
+            art.get(prefix + "canary_post_sec")]
     vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
     return sum(vals) / len(vals) if vals else None
 
@@ -103,6 +104,15 @@ def main():
     else:
         raw_canary = None
         canary = 1.0
+    # IO canary (store round-trip probe, r14): the scan canary misses
+    # IO/job-latency drift -- r13->r14 store-probe rows moved 1.2-1.5x
+    # under a ~0.97 scan ratio. When both artifacts carry it, normalize
+    # by the LARGER of the two host factors; anything that passes only
+    # through normalization still surfaces as MASKED.
+    io_o, io_n = canary_mean(old, "io_"), canary_mean(new, "io_")
+    raw_io = (io_n / io_o) if (io_o and io_n) else None
+    if raw_io:
+        canary = max(canary, raw_io)
 
     ratios = []
     flagged = []
@@ -124,7 +134,8 @@ def main():
     nsum = sum(nq[q] for q in common)
     sum_ratio = f"{nsum / osum:.2f}x" if osum > 0 else "n/a"
     cr = f"{raw_canary:.3f}" if raw_canary else "n/a"
-    print(f"common={len(common)} canary_ratio={cr} "
+    cio = f"{raw_io:.3f}" if raw_io else "n/a"
+    print(f"common={len(common)} canary_ratio={cr} io_canary_ratio={cio} "
           f"(applied {canary:.3f})  median_norm_ratio={med:.3f}  "
           f"sum {osum:.1f}s -> {nsum:.1f}s ({sum_ratio})")
     for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):
@@ -134,6 +145,11 @@ def main():
         print(f"MASKED {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x passes "
               f"only via canary normalization (norm {norm:.2f}x) -- "
               "adjudicate against a clean-window artifact")
+    if raw_io and raw_io > 1.2 and not (raw_canary and raw_canary > 1.2):
+        print(f"WARN: io canary ratio {raw_io:.2f} marks IO/job-latency "
+              "drift (scan canary clean) -- store-probe rows' movement "
+              "is host state; adjudicate flagged rows against plans and "
+              "shuffle bytes", file=sys.stderr)
     if raw_canary and raw_canary > 1.2:
         print(f"WARN: canary ratio {raw_canary:.2f} marks a drifting "
               "host window -- normalization can hide a real regression "

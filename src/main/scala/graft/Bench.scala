@@ -110,7 +110,26 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"),
           org.apache.spark.sql.functions.avg("l_extendedprice"),
           org.apache.spark.sql.functions.count("*"))
+    // IO canary: one fixed store round-trip (two versioned merges +
+    // pointer flips + read-back) — the job-latency/IO class the scan
+    // canary cannot see. Evidence (r13→r14): store-probe rows drifted
+    // 1.2–1.5× round-over-round under a ~0.97 scan-canary ratio with
+    // identical plans and shuffle bytes; normalizing only by the scan
+    // canary let that host state masquerade as a regression.
+    // bench_compare normalizes by the larger of the two ratios.
+    def ioCanary(): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-iocanary").toString + "/t"
+      val df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+      val t0 = System.nanoTime()
+      graft.operators.MergeUpsert.mergeWritePlain(spark, dir, df, Seq("id"))
+      graft.operators.MergeUpsert.mergeWritePlain(spark, dir,
+        df.limit(100), Seq("id"))
+      graft.operators.MergeUpsert.readPlain(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaryPre = timeOnce(canaryFn).sec
+    val ioCanaryPre = ioCanary()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -149,6 +168,7 @@ object Bench {
         (name, best, runs.map(_.sec).toSeq, blipped)
       }.toSeq
     val canaryPost = timeOnce(canaryFn).sec
+    val ioCanaryPost = ioCanary()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -191,7 +211,7 @@ object Bench {
     // seconds/shuffle/peak/error maps go to BENCH_FULL.json on disk, and
     // stdout ends with ONE compact line that always fits the tail window.
     val canaries =
-      s""""canary_pre_sec":${f"$canaryPre%.3f"},"canary_post_sec":${f"$canaryPost%.3f"},"reps":$reps"""
+      s""""canary_pre_sec":${f"$canaryPre%.3f"},"canary_post_sec":${f"$canaryPost%.3f"},"io_canary_pre_sec":${f"$ioCanaryPre%.3f"},"io_canary_post_sec":${f"$ioCanaryPost%.3f"},"reps":$reps"""
     val blippedArr = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val full =

@@ -1259,15 +1259,17 @@ object CorpusStats {
     * Scale shape: one TakeOrderedAndProject top-(k+1) (per-partition
     * heaps of k+1 rows, no global sort) + a 1-row aggregate. With
     * fewer than k+1 positive rows the estimator uses all n rows
-    * (k_eff = n − 1); a degenerate tail (all sampled values equal)
-    * returns NULL α. Output (single row): k, x_k, alpha. */
+    * (k_eff = n − 1, clamped to 0 — a frame with NO positive values
+    * reports (k=0, x_k NULL, alpha NULL), not a k=−1 sentinel); a
+    * degenerate tail (all sampled values equal) returns NULL α.
+    * Output (single row): k, x_k, alpha. */
   def hillTail(df: DataFrame, valueCol: String, k: Int = 100,
                roundTo: Int = 4): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val top = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v") > 0)
       .orderBy(col("v").desc).limit(k + 1)
-    val kEff = (count(lit(1)) - lit(1L)).cast("long")
+    val kEff = greatest(count(lit(1)) - lit(1L), lit(0L)).cast("long")
     val denom = sum(log(col("v").cast("double"))) -
       count(lit(1)).cast("double") * log(min(col("v")).cast("double"))
     // stability floor 1e-6, not a zero test: an all-equal tail leaves

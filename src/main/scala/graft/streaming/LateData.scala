@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * pipeline runs BEFORE picking `withWatermark`'s delay — "how much
   * data would each candidate delay discard, and how late is the tail?"
   *
+  * The per-arrival rule is a CONSERVATIVE (upper-bound) model of the
+  * engine: a real stream advances the watermark only at micro-batch
+  * BOUNDARIES, so rows that arrive in the same batch as the maximum
+  * that would doom them are in fact admitted — the replay counts them
+  * dropped. Exact equality holds when every arrival is its own
+  * micro-batch (LateDataSpec's MemoryStream case pins that); at
+  * coarser batching the audit over-counts, never under-counts, which
+  * is the safe direction for picking a delay.
+  *
   * Deterministic by construction: arrival order is a caller-supplied
   * column (a file sequence number, an ingest offset), so the replay is
   * layout-independent and oracle-checkable — unlike the live stream,
@@ -61,14 +70,37 @@ object LateData {
 
   /** Shared per-row frame: every input row plus its `late_by` margin
     * (0 = on time; the global first arrival has no watermark yet and
-    * is never late). */
+    * is never late).
+    *
+    * Bucket width is validated against the OBSERVED arrival span:
+    * `bucketMs` is in the arrival column's own units (epoch millis for
+    * the default; a file sequence number or ingest offset needs a
+    * width scaled to ITS range), and a mis-scaled width — the
+    * day-in-millis default over small-integer sequence numbers — would
+    * land every row in one bucket, silently degenerating the two-level
+    * prefix max into the single-partition global window this class
+    * exists to avoid. When the caller's width yields < 32 buckets over
+    * the span, the width is re-derived to ~1024 buckets (deterministic
+    * in the data; bucketing is a physical strategy only — `late_by` is
+    * bucket-independent, so results never move). Costs one
+    * column-pruned min/max pre-pass. */
   private def flagged(df: DataFrame, arrivalCol: String, tsMsCol: String,
                       carryCols: Seq[String], delayMs: Long,
                       bucketMs: Long): DataFrame = {
     require(delayMs >= 0 && bucketMs >= 1, "delayMs >= 0, bucketMs >= 1")
+    val spanRow = df.agg(
+      min(col(arrivalCol).cast("long")),
+      max(col(arrivalCol).cast("long"))).head()
+    val effBucket =
+      if (spanRow.isNullAt(0)) bucketMs
+      else {
+        val span = spanRow.getLong(1) - spanRow.getLong(0) + 1L
+        if (span / bucketMs >= 32L) bucketMs
+        else math.max(1L, span / 1024L)
+      }
     val base = df.select(col(arrivalCol).as("arr") +:
         col(tsMsCol).cast("long").as("ms") +: carryCols.map(col): _*)
-      .withColumn("b", expr(s"arr div $bucketMs"))
+      .withColumn("b", expr(s"arr div $effBucket"))
     // in-bucket strict prefix max over arrival order
     val wPrev = Window.partitionBy("b").orderBy("arr", "ms")
       .rowsBetween(Window.unboundedPreceding, -1)

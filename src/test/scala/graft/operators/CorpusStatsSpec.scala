@@ -597,6 +597,12 @@ class CorpusStatsSpec extends SparkSpec {
     assert(CorpusStats.hillTail(flat, "v", 50).head().isNullAt(2))
     val again = CorpusStats.hillTail(zipf.repartition(11), "v", 100).head()
     assert(again.getAs[Double]("alpha") == alpha)
+    // no positive values at all: (k=0, NULL, NULL) — not a k=-1
+    // sentinel for dashboards to trip over
+    val none = Seq(Tuple1(0L), Tuple1(-5L)).toDF("v")
+    val empty = CorpusStats.hillTail(none, "v", 50).head()
+    assert(empty.getAs[Long]("k") == 0L &&
+      empty.isNullAt(1) && empty.isNullAt(2))
   }
 
   test("langSegments: mixed doc reports dominant by majority, switch " +

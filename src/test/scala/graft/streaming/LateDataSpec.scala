@@ -104,4 +104,23 @@ class LateDataSpec extends SparkSpec {
       "bucketing is an implementation detail, not a semantics change")
     assert(tiny.exists(_._3 > 0), "the sawtooth must produce late rows")
   }
+
+  test("lateArrivalAudit: a sequence-number arrival column under the " +
+    "default day-in-millis bucket width is re-bucketed, same results") {
+    // 400 small-integer sequence arrivals: arr div 86400000 would put
+    // EVERY row in bucket 0 (the one-bucket global window the class
+    // promises to avoid); the span check re-derives the width, and the
+    // answer equals an explicitly well-scaled run
+    val many = (0L until 400L).map { i =>
+      (i, i * 7 % 113 + (i / 13) * 50, if (i % 3 == 0) "x" else "y")
+    }.toDF("arr", "ms", "g")
+    def run(bucket: Long) =
+      LateData.lateArrivalAudit(many, "arr", "ms", "g",
+          delayMs = 25L, bucketMs = bucket)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).toSet
+    assert(run(86400000L) == run(3L),
+      "the default width over sequence numbers must not change results" +
+        " (and must not degenerate to one bucket)")
+  }
 }
