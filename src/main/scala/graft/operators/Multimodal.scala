@@ -331,23 +331,17 @@ object Multimodal {
     * downstream DSP step over `samples` can then be a declarative
     * array expression that a SQL oracle mirrors 1:1 on the recurrence-
     * reconstructed PCM. Non-WAV payloads yield an empty array (total
-    * function, like every decoder here). */
-  def pcmArray(withPayloads: DataFrame): DataFrame = {
-    val spark = withPayloads.sparkSession
-    import spark.implicits._
-    withPayloads.select("doc_id", "payload")
-      .map { r =>
-        val docId = r.getAs[Long]("doc_id")
-        val payload = r.getAs[Array[Byte]]("payload")
-        val samples = AudioCodec.decode(payload) match {
-          case Some(d) if d.channels == 1 && d.nFrames > 0 =>
-            AudioCodec.pcmSamples(payload)
-          case _ => Array.empty[Int]
-        }
-        (docId, samples)
-      }
-      .toDF("doc_id", "samples")
-  }
+    * function, like every decoder here). One codegen expression
+    * ([[graft.plans.PcmSamples]]) — the typed Dataset.map it replaces
+    * paid encoder ser/deser per row BETWEEN two codegen'd stages,
+    * splitting the whole-stage span of every consumer (x179's
+    * fingerprint chain is decode→landmarks→explode in one span now). */
+  def pcmArray(withPayloads: DataFrame): DataFrame =
+    withPayloads.select(col("doc_id"),
+      org.apache.spark.sql.graft.bridge.column(
+        graft.plans.PcmSamples(
+          org.apache.spark.sql.graft.bridge.expression(col("payload"))))
+        .as("samples"))
 
   /** Shazam-style audio landmark fingerprints over decoded PCM: frame
     * the samples into `frame`-sample windows, sum-of-squares energy

@@ -1376,3 +1376,53 @@ object AudioLandmarks {
       .fromPrimitiveArray(out)
   }
 }
+
+/** WAV payload → mono PCM sample array, as a codegen expression — the
+  * byte→Column bridge of the audio path without the typed Dataset.map
+  * it replaces (whose per-row encoder ser/deser sat between two
+  * codegen'd stages, breaking the x179 chain's whole-stage span).
+  * Semantics are exactly Multimodal.pcmArray's row function: payloads
+  * [[graft.operators.AudioCodec.decode]] accepts as mono PCM-16 with
+  * ≥ 1 frame yield their interleaved samples; anything else — non-WAV
+  * bytes, multi-channel, truncated/forged chunk sizes — yields an
+  * EMPTY array (total function, never throws). */
+case class PcmSamples(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pcm_samples needs a binary payload, got " +
+          s"${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    PcmSamples.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PcmSamples.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmSamples {
+  private val Empty = org.apache.spark.sql.catalyst.expressions
+    .UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(payload: Array[Byte]): ArrayData = {
+    val samples = graft.operators.AudioCodec.decode(payload) match {
+      case Some(d) if d.channels == 1 && d.nFrames > 0 =>
+        graft.operators.AudioCodec.pcmSamples(payload)
+      case _ => Array.emptyIntArray
+    }
+    if (samples.isEmpty) Empty
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(samples)
+  }
+}

@@ -10743,7 +10743,161 @@ object ExtensionCatalog {
       })
   )
 
+  /** Round 14: the scoped-maintenance surface — incremental symlink
+    * refresh, distributed partition-subset time travel, grouped CDC
+    * append under redelivery overlap. */
+  private val roundFourteen: Seq[Q] = Seq(
+
+    // ---- scoped symlink refresh: full export once, then a merge
+    //      touching ONE epoch-day and refreshSymlinkExport over the
+    //      version diff — the in-query requires prove the refresh
+    //      re-exported a strict subset (O(touched), not O(table)) and
+    //      that the refreshed export lists exactly the live manifest;
+    //      the query reads the table back THROUGH the refreshed export
+    //      so the oracle hash proves external readers see the merge ----
+    Q("x259_symlink_refresh", Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |d0 AS (SELECT min(day) AS d FROM base),
+        |m AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN day = (SELECT d FROM d0) THEN vq + 7 ELSE vq END
+        |      AS vq
+        |  FROM base)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(vq) AS BIGINT) AS vq_sum
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-symref")
+        val path = s"$work/tbl"
+        val base = eventsNs(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          floor(TextFunctions.portableRound(col("value"), 4) *
+            lit(10000.0) + lit(0.5)).cast("long").as("vq"),
+          expr("ts div 86400000000000").as("day_"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, base,
+          keys = Seq("event_id"))
+        val sym = s"$work/sym"
+        val full = TableManifest.exportSymlinkManifest(s, path, sym)
+        val vOld = TableManifest.versions(s, path).last
+        val minDay = base.agg(min("day_")).head().getLong(0)
+        TableManifest.mergeWriteManifested(s, path,
+          base.filter(col("day_") === minDay)
+            .withColumn("vq", col("vq") + 7L),
+          keys = Seq("event_id"))
+        val vNew = TableManifest.versions(s, path).last
+        val refreshed = TableManifest.refreshSymlinkExport(s, path, sym,
+          vOld, vNew)
+        val nParts = TableManifest.load(s, path).get
+          .select("part").distinct().count()
+        require(refreshed >= 1 && (refreshed < full || nParts == 1),
+          s"refresh must re-export only the touched partitions " +
+            s"($refreshed of $full across $nParts parts)")
+        val live = TableManifest.load(s, path).get
+          .select("file").collect().map(_.getString(0)).toSet
+        require(TableManifest.symlinkListedPaths(s, sym).toSet == live,
+          "refreshed export must list exactly the live manifest")
+        TableManifest.readViaSymlinkManifest(s, path, sym)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("long").as("id_sum"),
+            sum(col("vq")).cast("long").as("vq_sum"))
+          .orderBy("event_type")
+      }),
+
+    // ---- partition-subset time travel with NO driver file list:
+    //      merge rewrites one epoch-day's rows, then
+    //      readVersionPartitions re-reads that day from the PRE-merge
+    //      version via the canonical-path semi join (the 1e6-file
+    //      MergeStress plan shape) — row-level oracle over the
+    //      ORIGINAL rows proves the superseded generation is what the
+    //      subset read returns, while the live read has moved on ----
+    Q("x260_time_travel_parts", Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |d0 AS (SELECT min(day) AS d FROM base)
+        |SELECT event_id, event_type, vq FROM base
+        |WHERE day = (SELECT d FROM d0) ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val work = tmp("graft-ttparts")
+        val path = s"$work/tbl"
+        val base = eventsNs(s, dir).select(col("event_id"),
+          col("event_type"),
+          floor(TextFunctions.portableRound(col("value"), 4) *
+            lit(10000.0) + lit(0.5)).cast("long").as("vq"),
+          expr("ts div 86400000000000").as("day_"),
+          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string")
+            .as("date"))
+        TableManifest.mergeWriteManifested(s, path, base,
+          keys = Seq("event_id"))
+        val v1 = TableManifest.versions(s, path).last
+        val minDay = base.agg(min("day_")).head().getLong(0)
+        val minDate = base.filter(col("day_") === minDay)
+          .select("date").head().getString(0)
+        TableManifest.mergeWriteManifested(s, path,
+          base.filter(col("day_") === minDay)
+            .withColumn("vq", col("vq") + 1000L),
+          keys = Seq("event_id"))
+        val asOf = TableManifest.readVersionPartitions(s, path, v1,
+          Seq(minDate))
+        val liveSum = TableManifest.readPartitions(s, path, Seq(minDate))
+          .agg(sum("vq")).head().getLong(0)
+        val asOfSum = asOf.agg(sum("vq")).head().getLong(0)
+        require(liveSum > asOfSum,
+          s"the live partition must have moved past v1 " +
+            s"($liveSum vs $asOfSum)")
+        asOf.select(col("event_id"), col("event_type"), col("vq"))
+          .orderBy("event_id")
+      }),
+
+    // ---- grouped CDC append under redelivery OVERLAP: two tagged
+    //      batches share a third of the corpus (same bytes, the
+    //      ledger's contract), landed in ONE publish — per-key LWW
+    //      gives the redelivered docs the later tag, exactly the
+    //      sequential appends' outcome, and the novelty curve is
+    //      replayed over that effective attribution ----
+    Q("x261_cdc_group_redeliver", Some(
+      s"""WITH d AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS batch,
+         |    text
+         |  FROM documents WHERE length(text) > 0),
+         |${cdcChunkSql("batch")},
+         |fs AS (SELECT chash, min(batch) AS first_batch
+         |       FROM c GROUP BY chash),
+         |pb AS (SELECT batch, chash, count(*) AS occ
+         |       FROM c GROUP BY 1, 2)
+         |SELECT CAST(batch AS BIGINT) AS batch,
+         |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  floor(CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+         |    / 10000.0 AS novel_ratio
+         |FROM pb JOIN fs USING (chash)
+         |GROUP BY 1 ORDER BY batch""".stripMargin),
+      (s, dir) => {
+        val store = s"${tmp("graft-cdcredeliver")}/ledger"
+        val docs = t(s, dir, "documents")
+        Chunking.appendCdcChunksBatches(s, store, Seq(
+          0L -> docs.filter(col("doc_id") % 3 <= 1),
+          // %3==1 docs REDELIVERED under tag 1 with the same bytes —
+          // their ledger rows take the later tag (LWW), as sequential
+          // appends in tag order would leave them
+          1L -> docs.filter(col("doc_id") % 3 >= 1)),
+          "doc_id", "text")
+        Chunking.cdcStoreReport(s, store)
+      })
+  )
+
   val all: Seq[Q] =
     base ++ storeProbes ++ roundTen ++ roundTenB ++ roundEleven ++
-      roundElevenB ++ roundTwelve ++ roundThirteen
+      roundElevenB ++ roundTwelve ++ roundThirteen ++ roundFourteen
 }
