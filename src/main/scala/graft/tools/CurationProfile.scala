@@ -7,9 +7,11 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling,
   Similarity}
 import graft.streaming.StreamCuration
 
-/** Phase-level timing of x39's incremental curation replay — the dev
-  * harness behind the r13 "incremental signatures" work. Mirrors
-  * StreamCuration.curateBatchInner step by step with timers. Run:
+/** Phase-level timing of the r13 SERIAL curation replay — kept as the
+  * A/B baseline for the r14 overlapped/adaptive-width path (this file
+  * mirrors the pre-r14 curateBatchInner step order; CurateStepProfile
+  * mirrors the CURRENT structure, CurateNewProfile times the real
+  * curateBatch end to end). Run:
   * `runMain graft.tools.CurationProfile [sfDir]`. */
 object CurationProfile {
   def main(args: Array[String]): Unit = {
