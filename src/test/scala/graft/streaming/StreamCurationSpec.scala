@@ -122,4 +122,48 @@ class StreamCurationSpec extends SparkSpec {
       fingerprint(batchCurated(s"$sfDir/documents.parquet")),
       "publishEvery=N must converge to the same final curated table")
   }
+
+  test("curateBatch surfaces a BACKGROUND store-merge failure as the " +
+    "batch's failure (the durability barrier), never silently") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-fail").toString + "/cur"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(work))
+    // the docs-store path pre-exists as a FILE: the background docs
+    // merge cannot create its version dir and must fail — and that
+    // failure must reach the caller through the Await barrier (a
+    // foreachBatch that swallowed it would checkpoint a batch whose
+    // state never landed)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(StreamCuration.docsPath(work)))
+    StreamCuration.publishQuantized(spark, work,
+      graft.operators.Similarity.quantizeInt8(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    intercept[Exception] {
+      StreamCuration.curateBatch(spark, docs, work,
+        minQuality = 0.3, rates = Map("en" -> 0.8), defaultRate = 0.5)
+    }
+  }
+
+  test("curateBatch: an empty micro-batch is a no-op that leaves the " +
+    "stores and the curated table converged") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-empty").toString + "/cur"
+    StreamCuration.publishQuantized(spark, work,
+      graft.operators.Similarity.quantizeInt8(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    StreamCuration.curateBatch(spark, docs, work,
+      minQuality = 0.3, rates = Map("en" -> 0.8), defaultRate = 0.5)
+    val before = fingerprint(StreamCuration.readCurated(spark, work))
+    // zero-row batch (a trigger with no new files): every store merge
+    // is a keyed no-op and the republish converges to the same table
+    StreamCuration.curateBatch(spark, docs.filter(lit(false)), work,
+      minQuality = 0.3, rates = Map("en" -> 0.8), defaultRate = 0.5)
+    assert(fingerprint(StreamCuration.readCurated(spark, work)) == before,
+      "an empty batch must not move the curated table")
+  }
 }
