@@ -114,6 +114,22 @@ def main():
     if raw_io:
         canary = max(canary, raw_io)
 
+    # rep_spread (r15): per-query max/min over the reps that produced
+    # each artifact's recorded value. A flagged query whose NEW spread
+    # is high was measured under contention -- its recorded value is an
+    # upper bound on the tree's cost, so the flag line says so instead
+    # of presenting the ratio as a plan property. Annotation only: a
+    # high spread never auto-passes a flag (contention must not become
+    # a blanket excuse).
+    spread = new.get("rep_spread", {}) or {}
+
+    def spread_note(q):
+        s = spread.get(q)
+        if isinstance(s, (int, float)) and s > 1.5:
+            return (f" [new rep spread {s:.2f}x -- measured under "
+                    "contention; value is an upper bound]")
+        return ""
+
     ratios = []
     flagged = []
     masked = []
@@ -140,11 +156,11 @@ def main():
           f"sum {osum:.1f}s -> {nsum:.1f}s ({sum_ratio})")
     for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):
         print(f"FLAG {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x "
-              f"norm {norm:.2f}x")
+              f"norm {norm:.2f}x{spread_note(q)}")
     for q, raw, norm, o, n in sorted(masked, key=lambda t: -t[1]):
         print(f"MASKED {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x passes "
               f"only via canary normalization (norm {norm:.2f}x) -- "
-              "adjudicate against a clean-window artifact")
+              f"adjudicate against a clean-window artifact{spread_note(q)}")
     if raw_io and raw_io > 1.2 and not (raw_canary and raw_canary > 1.2):
         print(f"WARN: io canary ratio {raw_io:.2f} marks IO/job-latency "
               "drift (scan canary clean) -- store-probe rows' movement "

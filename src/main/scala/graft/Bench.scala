@@ -110,26 +110,46 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"),
           org.apache.spark.sql.functions.avg("l_extendedprice"),
           org.apache.spark.sql.functions.count("*"))
-    // IO canary: one fixed store round-trip (two versioned merges +
-    // pointer flips + read-back) — the job-latency/IO class the scan
-    // canary cannot see. Evidence (r13→r14): store-probe rows drifted
-    // 1.2–1.5× round-over-round under a ~0.97 scan-canary ratio with
-    // identical plans and shuffle bytes; normalizing only by the scan
-    // canary let that host state masquerade as a regression.
-    // bench_compare normalizes by the larger of the two ratios.
+    // IO canary: a fixed PRODUCT-CODE-FREE probe of the job-latency/IO
+    // class the scan canary cannot see — two plain parquet writes, an
+    // atomic java.nio rename (the pointer-flip primitive), and a
+    // read-back, all via stock Spark/NIO. Evidence (r13→r14):
+    // store-probe rows drifted 1.2–1.5× round-over-round under a ~0.97
+    // scan-canary ratio with identical plans and shuffle bytes.
+    // Deliberately NOT MergeUpsert round-trips (r14 advice): the
+    // normalizer must measure host state only — a probe built on the
+    // merge path would fold a real merge regression into the canary
+    // ratio and normalize it away across every query. The merge path
+    // itself stays covered as MEASURED store-probe queries (x236+).
+    // The probe dir lives under the bench cwd (typically real disk —
+    // on a tmpfs cwd it measures memory, weakening the drift signal)
+    // and is deleted after each probe so runs don't leak store dirs.
     def ioCanary(): Double = {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-iocanary").toString + "/t"
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("").toAbsolutePath, ".graft-iocanary")
       val df = spark.range(1000).selectExpr("id", "id % 7 AS v")
       val t0 = System.nanoTime()
-      graft.operators.MergeUpsert.mergeWritePlain(spark, dir, df, Seq("id"))
-      graft.operators.MergeUpsert.mergeWritePlain(spark, dir,
-        df.limit(100), Seq("id"))
-      graft.operators.MergeUpsert.readPlain(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      df.write.mode("overwrite").parquet(s"$root/staged")
+      df.limit(100).write.mode("overwrite").parquet(s"$root/v2")
+      java.nio.file.Files.move(root.resolve("staged"), root.resolve("v1"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      spark.read.parquet(s"$root/v1", s"$root/v2").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      sec
     }
     val canaryPre = timeOnce(canaryFn).sec
+    // one discarded probe first: the session's first parquet WRITE pays
+    // committer/writer init (~2× a warm probe), which is JVM state, not
+    // the host-IO signal the canary exists to measure
+    ioCanary()
     val ioCanaryPre = ioCanary()
+    // above this, the window is treated as IO-degraded and the blip
+    // guard's spread trigger tightens (clean-host probe ≈ 0.3-0.6 s)
+    val ioBlipThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_IO_BLIP_SEC", "1.2").toDouble
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -139,27 +159,35 @@ object Bench {
         val runs = scala.collection.mutable.ArrayBuffer.empty[Timing]
         while (runs.size < reps && runs.forall(_.err.isEmpty))
           runs += timeOnce(fn)
-        // blip guard: two rounds running, the driver artifact flagged
-        // sub-second queries whose two reps disagreed wildly (a GC or
-        // host hiccup landing on one rep of a cheap query); when that
-        // shape appears, one extra rep arbitrates. Arbitration is
-        // SYMMETRIC (median-of-3, not min-of-3 — a one-sided retry
-        // could only lower published timings, biasing the artifacts
-        // the regression gate compares), and the row is flagged in the
-        // artifact ("blipped") so comparisons know it was re-repped.
+        // blip guard (widened, r14 verdict item 2): the r14 driver
+        // artifact recorded x39 at 15.7 s off reps [53.8, 15.7] and
+        // x192 at 10.35 s that the same tree runs in 0.83 s — window
+        // contention landing on BOTH reps of expensive queries. When
+        // the two reps disagree by > 2× (any magnitude, not just
+        // sub-second rows), or the pre-suite IO canary already marks a
+        // degraded window and the reps still spread > 1.5×, a third
+        // rep arbitrates and the MIN is recorded. Min, not median
+        // (reversing r13's symmetric-median choice, per the r14
+        // verdict): a query cannot run FASTER than its true cost, so
+        // min converges on the quiet-window value while median stays
+        // hostage to a window where 2 of 3 reps stalled; the one-sided
+        // bias is bounded below by physics, and the full rep list plus
+        // the rep_spread column keep the evidence in the artifact.
         var blipped = false
+        def spreadOf(ts: Seq[Timing]): Double = {
+          val secs = ts.map(_.sec)
+          secs.max / math.max(secs.min, 1e-9)
+        }
         if (runs.size > 1 && runs.forall(_.err.isEmpty)) {
-          val secs = runs.map(_.sec)
-          if (secs.max / math.max(secs.min, 1e-9) > 3.0 && secs.min < 1.0) {
+          val trigger = spreadOf(runs.toSeq) > 2.0 ||
+            (ioCanaryPre > ioBlipThreshold && spreadOf(runs.toSeq) > 1.5)
+          if (trigger) {
             runs += timeOnce(fn)
             blipped = true
           }
         }
-        val best = runs.find(_.err.isDefined).getOrElse {
-          if (blipped) runs.sortBy(_.sec)(Ordering.Double.TotalOrdering)
-            .apply(runs.size / 2)
-          else runs.minBy(_.sec)
-        }
+        val best = runs.find(_.err.isDefined)
+          .getOrElse(runs.minBy(_.sec))
         if (reps > 1) Console.err.println(
           f"[bench] $name reps=[${runs.map(r => f"${r.sec}%.2f").mkString(",")}]"
             + s" gc=[${runs.map(_.gcDeltaMs).mkString(",")}]ms"
@@ -189,6 +217,15 @@ object Bench {
     val repsMap = results.map { case (n, _, rs, _) =>
       s"\"" + n + "\":[" + rs.mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // rep spread (max/min over reps): the per-query measurement-
+    // stability column bench_compare consumes — a flagged query whose
+    // spread is high was measured in contention, so its recorded value
+    // is an upper bound, not a plan property
+    val spreadMap = results.map { case (n, _, rs, _) =>
+      val s = if (rs.isEmpty) 1.0
+        else rs.max / math.max(rs.min, 1e-9)
+      s"\"" + n + "\":" + (math.round(s * 100.0) / 100.0) }
+      .mkString("{", ",", "}")
     val qs = numMap(_.sec)
     // telemetry maps parallel to "queries" (additive: the driver's
     // seconds-map contract is untouched). shuffle_mb counts write+read
@@ -215,7 +252,7 @@ object Bench {
     val blippedArr = results.collect { case (n, _, _, true) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"reps_sec":$repsMap,"blipped":$blippedArr,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"reps_sec":$repsMap,"rep_spread":$spreadMap,"blipped":$blippedArr,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

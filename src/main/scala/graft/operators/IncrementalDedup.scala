@@ -86,9 +86,16 @@ object IncrementalDedup {
                        minEstJaccard: Double = 0.0,
                        maxBucket: Int = 10000,
                        repartitionTo: Int = 0): DataFrame = {
+    // the anti-join keys on batchSigs' ids — the SAME key set the
+    // concurrent merge replaces — not on batchIds (r14 advice): a
+    // batch doc whose current sig is empty but whose stored sig is
+    // non-empty (possible only outside the same-bytes redelivery
+    // contract) must keep its stored row here exactly as the merge
+    // keeps it, or the union stops being row-identical to the version
+    // the merge is publishing
     val union = prevSigs match {
       case Some(prev) =>
-        prev.join(batchIds.select("doc_id_"), Seq("doc_id_"), "left_anti")
+        prev.join(batchSigs.select("doc_id_"), Seq("doc_id_"), "left_anti")
           .unionByName(batchSigs)
       case None => batchSigs
     }

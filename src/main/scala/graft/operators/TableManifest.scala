@@ -377,9 +377,18 @@ object TableManifest {
                         maxFilesPerPart: Int = 1,
                         retainVersions: Int = 2,
                         zoneKey: Option[String] = None): CompactReport = {
-    val m = load(spark, path)
-      .getOrElse(sys.error(s"no manifest at $path — call update() first"))
+    // the flip-guard base is captured FIRST and the manifest contents
+    // read explicitly from THAT version path (r14 advice): load()-then-
+    // currentPlainVersion left a window where a concurrent manifest
+    // publish landing between the two calls paired stale contents with
+    // the new pointer — the guard passed and the compacted manifest
+    // silently unreferenced the interleaver's files. With base and
+    // contents pinned to the same version, such an interleave is
+    // refused at the flip instead (the publishPlainFrom contract).
     val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
+    val m = mBase.map(v => spark.read.parquet(s"${manifestPath(path)}/$v"))
+      .orElse(load(spark, path)) // legacy flat manifest: no guard possible
+      .getOrElse(sys.error(s"no manifest at $path — call update() first"))
     val filesBefore = m.count()
     // over-threshold partitions found DISTRIBUTED from the manifest;
     // only their names (bounded by partition count) reach the driver
