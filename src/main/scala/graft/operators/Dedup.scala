@@ -347,7 +347,16 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val mapping = parent.keys.map(n => n -> find(n)).toSeq.toDF("node", "label")
+      // SNAPSHOT the keys before mapping (r15 correctness fix): find()
+      // path-compresses — a put() on mutable.HashMap can growTable even
+      // for an EXISTING key (2.13 checks the load factor before the
+      // key), so mapping over the LIVE keySet while find() writes can
+      // rehash mid-iteration and silently skip entries. Reproduced
+      // deterministically: a 24-edge label graph yielded 13 of 23
+      // mapping rows, every skipped node silently falling back to a
+      // self label downstream (DedupSpec pins the regression).
+      val mapping = parent.keysIterator.toArray.map(n => n -> find(n))
+        .toSeq.toDF("node", "label")
       return nodes.join(broadcast(mapping), Seq("node"), "left")
         .select(col("node").as("doc_id"),
           coalesce(col("label"), col("node")).as("cluster_id"),

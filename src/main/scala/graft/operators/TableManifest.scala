@@ -284,6 +284,50 @@ object TableManifest {
     * "external writer lands data on a live table": unlike [[update]]'s
     * dir rescan it cannot resurrect superseded copy-on-write files,
     * because it never looks at files it didn't just create. */
+  /** Wholesale COPY-ON-WRITE replacement of a PARTITION SET's
+    * contents: `df` (whose rows must all fall in `replaceParts` — the
+    * caller owns that containment) is appended as new immutable files,
+    * and one atomic manifest publish drops every existing row of
+    * `replaceParts` while adding exactly the new files. Partitions
+    * outside `replaceParts` are untouched — this is the fold primitive
+    * for merge-on-read layouts (StreamCuration's curated epochs: N
+    * published epoch partitions minus a deletes store collapse into
+    * one fresh epoch, while unpublished epochs above the fold keep
+    * accumulating). The superseded generation stays on disk for
+    * retained-version readers ([[readVersion]]) until [[vacuum]].
+    * Same interleave guard as [[mergeWriteManifested]]: the manifest
+    * base is pinned first, so a concurrent publish is refused at the
+    * flip and this call's appended files stay vacuumable orphans. */
+  def replacePartitions(spark: SparkSession, path: String, df: DataFrame,
+                        keyCol: String, partitionCol: String,
+                        replaceParts: Seq[Any],
+                        retainVersions: Int = 2): Unit = {
+    val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
+    val m = mBase.map(v => spark.read.parquet(s"${manifestPath(path)}/$v"))
+      .orElse(load(spark, path))
+      .getOrElse(sys.error(s"no manifest at $path — nothing to replace"))
+    // only the dirs receiving NEW files need the before/after listing;
+    // the dropped partitions are removed from the manifest by name
+    val landing = df.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val before = listPartFiles(spark, path, partitionCol, landing)
+    df.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy(partitionCol).parquet(path)
+    spark.catalog.refreshByPath(path)
+    val newFiles =
+      (listPartFiles(spark, path, partitionCol, landing) -- before).toSeq
+    graft.ScopedSessionConf.withShufflePartitions(spark, 4) {
+      val dropped = replaceParts.map(_.toString)
+      val kept = m.filter(!col("part").isin(dropped: _*))
+      val merged =
+        if (newFiles.isEmpty) kept
+        else kept.unionByName(
+          statsForFiles(spark, path, newFiles, partitionCol, keyCol))
+      MergeUpsert.publishPlainFrom(spark, manifestPath(path), merged,
+        retainVersions, mBase)
+    }
+  }
+
   def appendManifested(spark: SparkSession, path: String, df: DataFrame,
                        keyCol: String, partitionCol: String = "date",
                        retainVersions: Int = 2): Unit = {
@@ -449,18 +493,41 @@ object TableManifest {
     * size `retainVersions`/`keepVersions` to how far back readers
     * look. */
   def readVersion(spark: SparkSession, path: String,
-                  version: String): DataFrame = {
-    val files = MergeUpsert
-      .readPlainVersion(spark, manifestPath(path), version)
-      .select("file").collect().map(_.getString(0))
-    require(files.nonEmpty,
+                  version: String,
+                  partitionCol: String = "date"): DataFrame = {
+    val mv = MergeUpsert.readPlainVersion(spark, manifestPath(path), version)
+    // file count = manifest row count: decide the plan shape BEFORE
+    // any driver materialization (r15 — the old gate collected the
+    // list first, then threw past MaxPlanFiles)
+    val nFiles = mv.count()
+    require(nFiles > 0,
       s"manifest version $version of $path lists no files")
-    require(files.length <= MaxPlanFiles,
-      s"${files.length} files in version $version — beyond the " +
-        s"$MaxPlanFiles-file planning bound; compact before time travel " +
-        "or read a partition subset via readVersionPartitions (no " +
-        "driver file list)")
+    if (nFiles > MaxPlanFiles)
+      // past the explicit-list planning bound the read switches to the
+      // distributed semi-join plan — full-table time travel with NO
+      // driver file list (the gate used to throw here; MergeStress
+      // time-travels the full 1e6-file table through this path)
+      return readVersionAll(spark, path, version, partitionCol)
+    val files = mv.select("file").collect().map(_.getString(0))
     spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** [[readVersionPartitions]] generalized to EVERY partition the
+    * version references — the all-partitions semi-join read behind
+    * [[readVersion]]'s large-table fallback. Driver state is one
+    * string per PARTITION (bounded by partition count, not file
+    * count); per-row file membership is decided distributed.
+    * Package-visible so the spec can pin its row-equality to the
+    * explicit-list read on the same version. */
+  private[operators] def readVersionAll(spark: SparkSession, path: String,
+                                        version: String,
+                                        partitionCol: String = "date")
+      : DataFrame = {
+    val parts = MergeUpsert
+      .readPlainVersion(spark, manifestPath(path), version)
+      .select("part").distinct().collect()
+      .map(_.getString(0)).toSeq
+    readVersionPartitions(spark, path, version, parts, partitionCol)
   }
 
   /** Time travel a PARTITION SUBSET of manifest `version` with NO
@@ -590,7 +657,29 @@ object TableManifest {
     * `keepVersions = 1` keeps only the live version — maximal space
     * reclaim, no time travel window. */
   def vacuum(spark: SparkSession, path: String,
-             keepVersions: Int = 2): VacuumReport = {
+             keepVersions: Int = 2): VacuumReport =
+    vacuumImpl(spark, path, keepVersions, scope = None)
+
+  /** PARTITION-SCOPED vacuum (r15) — the steady-state maintenance pass
+    * after a merge that touched k partitions: list ONLY those
+    * partitions' dirs and reclaim their superseded generations, at a
+    * cost independent of the table's total partition count (the mirror
+    * of the scoped symlink re-export). Semantics per partition are
+    * identical to [[vacuum]] — same retention prune, same live/dead
+    * split against the RETAINED manifest versions, same
+    * dangling-reference refusal (checked for the scoped partitions'
+    * live files). Orphans outside the scope are untouched; run the
+    * full [[vacuum]] for the periodic whole-table orphan sweep. */
+  def vacuumPartitions(spark: SparkSession, path: String,
+                       parts: Seq[Any], partitionCol: String = "date",
+                       keepVersions: Int = 2): VacuumReport = {
+    require(parts.nonEmpty, "vacuumPartitions needs >= 1 partition")
+    vacuumImpl(spark, path, keepVersions, Some((partitionCol, parts)))
+  }
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+                         keepVersions: Int,
+                         scope: Option[(String, Seq[Any])]): VacuumReport = {
     require(keepVersions >= 1,
       s"keepVersions must retain at least the live version, got " +
         s"$keepVersions")
@@ -600,19 +689,40 @@ object TableManifest {
     val (dropped, keep) =
       MergeUpsert.vacuumPlainKeeping(spark, mp, keepVersions)
     require(keep.nonEmpty, s"no manifest at $path — nothing to vacuum")
-    val live = keep.map(v =>
-        MergeUpsert.readPlainVersion(spark, mp, v).select("file"))
+    // scoped: the global we-still-reference-SOMETHING guard must look
+    // at the whole manifest (a legitimately dead partition has zero
+    // live files of its own), then the live set narrows to the scope
+    val liveAll = keep.map(v =>
+        MergeUpsert.readPlainVersion(spark, mp, v).select("file", "part"))
       .reduce(_.unionByName(_))
+    val live = scope.map { case (_, parts) =>
+        liveAll.filter(col("part").isin(parts.map(_.toString): _*))
+      }.getOrElse(liveAll)
       .select(canonCol(col("file")).as("cfile")).distinct()
     // candidates: parquet files under the FIRST-LEVEL partition dirs
     // (the only place this format writes data); `_manifest`, pointer
-    // files and job markers are never candidates. The dir NAMES come
-    // from one root listing (O(partitions)); the per-dir file listings
-    // run on executors.
+    // files and job markers are never candidates. Unscoped, the dir
+    // NAMES come from one root listing (O(partitions)); scoped, the k
+    // dirs are addressed directly — NO root listing, which is the
+    // whole point. The per-dir file listings run on executors.
     val root = new org.apache.hadoop.fs.Path(path)
-    val partDirs = fs.listStatus(root).toIndexedSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map(_.getPath.toString)
+    val partDirs = scope match {
+      case Some((pc, parts)) => parts
+        .map(v => partDir(path, pc, v))
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        .toIndexedSeq
+      case None => fs.listStatus(root).toIndexedSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.toString)
+    }
+
+    // whole-table-dead refusal: unscoped, the live set itself must be
+    // nonempty (checked per path below); scoped, a partition may be
+    // legitimately all-dead, so the guard moves to the GLOBAL manifest
+    if (scope.nonEmpty)
+      require(!liveAll.limit(1).isEmpty,
+        s"retained manifest versions of $path list no files — refusing " +
+          "to treat the whole table as dead")
 
     // ---- driver fast path (small tables; see scaladoc step 3) ----
     if (partDirs.size <= VacuumDriverMaxParts) {
@@ -625,16 +735,14 @@ object TableManifest {
         // metadata-scale distinct: a handful of manifest versions,
         // bounded rows — 4 shuffle partitions, not the session's count
         val liveSet = graft.ScopedSessionConf.withShufflePartitions(spark, 4) {
-          keep.map(v =>
-              MergeUpsert.readPlainVersion(spark, mp, v).select("file"))
-            .reduce(_.unionByName(_)).distinct()
-            .collect()
-        }.map(r => canon(r.getString(0))).toSet
+          live.collect()
+        }.map(_.getString(0)).toSet
         require(liveSet.size <= MaxPlanFiles,
           s"${liveSet.size} live files referenced by a " +
             s"${candPaths.size}-file table — manifest inconsistent")
-        require(liveSet.nonEmpty, s"retained manifest versions of $path " +
-          "list no files — refusing to treat the whole table as dead")
+        require(liveSet.nonEmpty || scope.nonEmpty,
+          s"retained manifest versions of $path " +
+            "list no files — refusing to treat the whole table as dead")
         val candSet = candPaths.map(p => canon(p.toString)).toSet
         val missing = liveSet -- candSet
         require(missing.isEmpty,
@@ -676,8 +784,9 @@ object TableManifest {
         count(when(col("live").isNull, 1)).as("deadN")).collect().head
       val (liveN, missingN, deadN) =
         (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-      require(liveN > 0, s"retained manifest versions of $path list " +
-        "no files — refusing to treat the whole table as dead")
+      require(liveN > 0 || scope.nonEmpty,
+        s"retained manifest versions of $path list " +
+          "no files — refusing to treat the whole table as dead")
       if (missingN > 0) {
         val ex = joined.filter(col("live") && col("path").isNull)
           .select("cfile").take(3).map(_.getString(0))

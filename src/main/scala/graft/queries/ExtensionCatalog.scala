@@ -10320,17 +10320,27 @@ object ExtensionCatalog {
          |JOIN sd da ON c.id_a = da.doc_id
          |JOIN sd db ON c.id_b = db.doc_id
          |WHERE c.est_jaccard >= 0.25
+         |  AND abs(length(da.text) - length(db.text)) <= $EditDistMax
          |  AND levenshtein(da.text, db.text) <= $EditDistMax
          |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => {
         val sd = t(s, dir, "documents")
           .filter(TextFunctions.md5Hash60(
             concat(lit("edd:"), col("doc_id").cast("string"))) % 2 === 0)
+        // length-band prefilter (r15): |len_a − len_b| lower-bounds the
+        // edit distance, so pairs outside the band can never pass the
+        // dist ≤ max cut — skipping their DP entirely. Result-identical
+        // by construction (mirrored in the oracle WHERE); this row was
+        // the bench's most CPU-elastic (a 4.7× window swing on the
+        // levenshtein shape), so cutting its hot-loop mass also cuts
+        // its variance.
         lshCands(s, dir).filter(col("est_jaccard") >= 0.25)
           .join(sd.select(col("doc_id").as("id_a"),
             col("text").as("ta")), Seq("id_a"))
           .join(sd.select(col("doc_id").as("id_b"),
             col("text").as("tb")), Seq("id_b"))
+          .filter(abs(length(col("ta")) - length(col("tb")))
+            <= EditDistMax)
           .withColumn("dist",
             levenshtein(col("ta"), col("tb"), EditDistMax).cast("long"))
           .filter(col("dist") >= 0)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similarity}
+import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similarity, TableManifest}
 
 /** Event-triggered CURATION — the reference's S3 → Lambda → ETL shape
   * (aws/lambda_handler.py:7-52) applied to the training-data surface:
@@ -26,21 +26,42 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   *   3. exact n-gram verify of those candidates, text served by the
   *      docs store (the join prunes to the candidates' ids);
   *   4. verified-pairs merge (keyed on the pair);
-  *   5. republish curated: cluster resolution over ACCUMULATED pairs →
-  *      keepers → stratified sample → pre-quantized embeddings joined →
-  *      [[MergeUpsert.publishPlain]] (atomic version flip — the row set
-  *      can shrink when an arriving doc displaces a kept near-dup, so
-  *      this is a publish, not an upsert).
+  *   5. INCREMENTAL cluster labels (r15): the batch's verified pairs
+  *      only MERGE persisted label state — new docs enter as
+  *      singletons, a new pair unions its endpoints' clusters (min
+  *      label wins, computed on the tiny label graph the batch's
+  *      pairs induce) — so the per-batch label work is O(batch pairs
+  *      + affected clusters), never a re-resolution over the
+  *      accumulated pair set;
+  *   6. curated DELTA: keeper status is MONOTONE under union (a
+  *      cluster's min id only decreases), so the only curated changes
+  *      a batch can cause are INSERTS (this batch's docs that are
+  *      still their own cluster min after step 5, gated by the
+  *      deterministic stratified-sample hash, embeddings joined) and
+  *      DELETES (previous keepers whose label a merge displaced —
+  *      exactly the remapped old labels). Inserts ride a keyed
+  *      manifested merge into an epoch partition of the curated BASE
+  *      (copy-on-write, idempotent under same-epoch redelivery);
+  *      deletes ride a keyed merge into a small DELETES store — the
+  *      merge-on-read deletion-vector layout;
+  *   7. publish = ONE atomic pointer flip naming the newest visible
+  *      epoch. Readers compose base epochs ≤ pointer minus deletes
+  *      ≤ pointer, so a publish tick costs O(1) — the whole-table
+  *      rebuild and rewrite the pre-r15 design paid per tick is gone.
   *
   * Convergence: steps 1–4 accumulate exactly the quality-filtered docs
   * and verified pairs a batch CurationJob run over the union corpus
   * would compute (the x38 invariant for candidates; the verify filter
-  * is per-pair so it commutes with accumulation). Step 5's cluster
-  * resolution, sampling and embedding join are deterministic functions
-  * of that state — so after any prefix of batches, the curated table
-  * EQUALS the batch pipeline's output on the documents seen so far,
-  * and a checkpoint restart resumes mid-stream to the same fixpoint
-  * (StreamCurationSpec proves both).
+  * is per-pair so it commutes with accumulation). Step 5's label state
+  * equals [[graft.operators.Dedup.resolveClusters]] over those
+  * accumulated stores because union-find is order-independent and the
+  * min of a merged component is the min of its parts' mins; step 6's
+  * insert gate (stratified hash) and embedding join are per-doc
+  * deterministic and keeper-status changes are monotone, so the
+  * composed read after any prefix of batches EQUALS the batch
+  * pipeline's output on the documents seen so far, and a checkpoint
+  * restart resumes mid-stream to the same fixpoint (StreamCurationSpec
+  * proves batch-equality, label-state equality, and cadence restart).
   *
   * Contract: doc_id is content-stable — redelivery means the same
   * bytes (the at-least-once file-source model; every store here is
@@ -49,28 +70,49 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * pairs computed from the old text standing; corrections need a new
   * doc_id (append-only corpus semantics, the norm for training data).
   *
+  * Crash ordering (why the writes land in the order they do): a batch
+  * redelivered after a crash must recompute the SAME delta, so the
+  * LABELS merge is the batch's last store write — until it lands, the
+  * delta derivation sees unchanged label state and re-derives
+  * identical inserts/deletes, which re-merge idempotently (same epoch,
+  * same keys); once it lands, the re-derivation is empty and the
+  * already-landed delta stands. The pointer flip comes after
+  * everything (readers pinned at the previous epoch never see a
+  * partial batch).
+  *
   * Scale notes: per-batch text work is O(batch) (the whole point);
-  * cluster resolution re-runs over the accumulated pair set but pairs
-  * are SPARSE (verified near-dups) and label propagation touches ids,
-  * not text. The curated republish rewrites the output table, so it
-  * runs on a `publishEvery`-batch cadence (the `compactEvery` pattern
-  * from [[StreamIngest]]): steps 1-4 accumulate every batch, step 5
-  * fires every Nth data batch — retention already decouples readers
-  * from cadence, and the stores themselves never rewrite history.
-  * Because the publish is a deterministic function of the accumulated
-  * stores, an AvailableNow drain finishes with one convergence
-  * republish, so the final table is cadence-independent (and a
-  * checkpoint restart mid-cadence resumes the batch counter — proven
-  * by StreamCurationSpec). Embeddings are int8-quantized ONCE at
-  * stream start, not per batch. */
+  * label and delta work is O(batch + changed rows). `publishEvery`
+  * keeps its production meaning — the curated view trails the stores
+  * by up to N-1 batches between pointer flips — but the flip itself is
+  * free, so the cadence is now purely a reader-visibility choice. The
+  * epoch partitions the per-batch inserts create accumulate like any
+  * streaming sink's small files; [[compactCurated]] folds the
+  * published epochs minus the deletes into one fresh epoch (the
+  * amortized maintenance pass, off the per-tick path, same role as
+  * [[StreamIngest]]'s compactEvery). Embeddings are int8-quantized
+  * ONCE at stream start, not per batch. */
 object StreamCuration {
 
   /** Paths inside a curation work dir. */
   def docsPath(work: String) = s"$work/docs"
   def sigsPath(work: String) = s"$work/sigs"
   def pairsPath(work: String) = s"$work/pairs"
+  def labelsPath(work: String) = s"$work/labels"
+  /** The curated table's PUBLIC face: holds only the published-epoch
+    * pointer. The rows live in [[curatedBasePath]] (manifested,
+    * epoch-partitioned) minus [[curatedDelsPath]] (deletion vectors);
+    * [[readCurated]] composes them. */
   def curatedPath(work: String) = s"$work/curated"
+  private[streaming] def curatedBasePath(work: String) = s"$work/curated_rows"
+  private[streaming] def curatedDelsPath(work: String) = s"$work/curated_dels"
   private def embPath(work: String) = s"$work/emb_q"
+
+  /** The epoch partition column and value encoding: zero-padded so
+    * LEXICOGRAPHIC part-string order is numeric epoch order (the
+    * pointer comparison and partition filtering are string ≤). */
+  private[streaming] val EpochCol = "cur_epoch"
+  private[streaming] def epochName(n: Long): String = f"ep$n%012d"
+  private val PublishedPointer = "_PUBLISHED"
 
   /** Drain all currently-available document files, curating
     * incrementally; blocking. `publishEvery` = republish the curated
@@ -114,9 +156,88 @@ object StreamCuration {
       minQuality, rates, defaultRate, Trigger.ProcessingTime(interval),
       publishEvery)
 
-  /** The live curated corpus (readers see atomic version flips). */
-  def readCurated(spark: SparkSession, workDir: String): DataFrame =
-    MergeUpsert.readPlain(spark, curatedPath(workDir))
+  /** The live curated corpus: base epochs up to the published pointer
+    * minus the deletion vectors up to the same pointer — ONE pointer
+    * read gives readers an atomic, consistent view (a flip mid-read
+    * cannot mix epochs, because both sides filter on the value
+    * resolved up front; superseded base files stay on disk for the
+    * copy-on-write retention window, so a reader that resolved the
+    * previous pointer keeps valid files under its feet). */
+  def readCurated(spark: SparkSession, workDir: String): DataFrame = {
+    val p = publishedEpoch(spark, workDir).getOrElse(throw
+      new IllegalStateException(
+        s"no published curated table under $workDir — run a publishing " +
+          "batch or republishCurated first"))
+    val base = TableManifest.load(spark, curatedBasePath(workDir)) match {
+      case None => emptyCurated(spark, workDir)
+      case Some(m) =>
+        // the epoch list is O(#epochs) manifest metadata, tiny by
+        // construction (compactCurated folds old epochs)
+        val parts = m.select("part").distinct().collect()
+          .map(_.getString(0)).filter(_ <= p).toSeq
+        if (parts.isEmpty) emptyCurated(spark, workDir)
+        else TableManifest.readPartitions(spark, curatedBasePath(workDir),
+          parts, EpochCol).drop(EpochCol)
+    }
+    MergeUpsert.existingPlain(spark, curatedDelsPath(workDir)) match {
+      case Some(d) =>
+        // deletion vectors are SPARSE (displaced near-dup keepers) —
+        // broadcast them so the base side never shuffles
+        base.join(broadcast(d.filter(col("del_epoch") <= p)
+          .select("doc_id")), Seq("doc_id"), "left_anti")
+      case None => base
+    }
+  }
+
+  /** Zero-row frame with the curated schema (docs-store columns plus
+    * the embedding join's scale/codes) — the all-docs-filtered corner
+    * where a publish happened but no insert ever did. */
+  private def emptyCurated(spark: SparkSession, workDir: String): DataFrame = {
+    val docs = MergeUpsert.existingPlain(spark, docsPath(workDir))
+      .getOrElse(throw new IllegalStateException(
+        s"curated table at $workDir published but no docs store exists"))
+    docs.limit(0).join(
+      MergeUpsert.readPlain(spark, embPath(workDir)).limit(0),
+      Seq("doc_id"), "left")
+  }
+
+  /** The published epoch pointer, if any. */
+  private[streaming] def publishedEpoch(spark: SparkSession,
+                                        workDir: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(curatedPath(workDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(
+      curatedPath(workDir), PublishedPointer)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val s = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  /** Atomically flip the published-epoch pointer (write-beside +
+    * rename, the same primitive as the stores' `_CURRENT` flips). */
+  private def flipPointer(spark: SparkSession, workDir: String,
+                          epoch: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(curatedPath(workDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val ptr = new org.apache.hadoop.fs.Path(dir, PublishedPointer)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$PublishedPointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, ptr)) {
+      fs.delete(ptr, false)
+      if (!fs.rename(tmp, ptr))
+        throw new java.io.IOException(s"cannot publish pointer $ptr")
+    }
+  }
 
   private def start(spark: SparkSession, srcGlob: String,
                     schema: StructType, workDir: String,
@@ -133,10 +254,14 @@ object StreamCuration {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // cadence counts DATA batches by checkpointed batchId, so a
-        // restart mid-cadence resumes the same publish schedule
+        // restart mid-cadence resumes the same publish schedule; the
+        // checkpointed batchId is also the batch's EPOCH — a crash-
+        // redelivered batch re-merges into the same epoch partition,
+        // which is what makes the curated-base insert idempotent
         curateBatch(batch.sparkSession, batch, workDir, minQuality,
           rates, defaultRate,
-          publish = (batchId + 1) % publishEvery == 0)
+          publish = (batchId + 1) % publishEvery == 0,
+          epoch = batchId)
       }
       .start()
   }
@@ -171,18 +296,21 @@ object StreamCuration {
   def curateBatch(spark: SparkSession, batch: DataFrame, workDir: String,
                   minQuality: Double, rates: Map[String, Double],
                   defaultRate: Double, publish: Boolean = true,
-                  shufflePartitions: Int = 8): Unit = {
-    // One column-pruned pre-count sizes the batch's COMPUTE WIDTH: a
-    // true micro-batch (the design cadence) runs the narrow path —
-    // small scoped shuffles, no repartitions, latency-optimal. A
-    // backfill/replay-scale batch (≥ ~2k docs per core) additionally
-    // repartitions its two compute-heavy text scans (scoring+minhash,
-    // n-gram verify) to machine width: such a batch often arrives as
-    // ONE parquet file = one task, which serialized 3+ s/batch of
-    // minhash on a single core in the sf1 replay while 31 cores idled.
+                  shufflePartitions: Int = 8, epoch: Long = -1L): Unit = {
+    // FILE METADATA sizes the batch's COMPUTE WIDTH (r15 — previously
+    // one column-pruned count() job per micro-batch on the latency
+    // path): a true micro-batch (the design cadence) runs the narrow
+    // path — small scoped shuffles, no repartitions, latency-optimal.
+    // A backfill/replay-scale batch (input bytes at machine scale)
+    // additionally repartitions its two compute-heavy text scans
+    // (scoring+minhash, n-gram verify) to machine width: such a batch
+    // often arrives as ONE parquet file = one task, which serialized
+    // 3+ s/batch of minhash on a single core in the sf1 replay while
+    // 31 cores idled.
     val cores = spark.sparkContext.defaultParallelism
     val width =
-      if (batch.count() >= 2048L * cores) cores else 0
+      if (batchBytes(spark, batch) >= ReplayBytesPerCore * cores) cores
+      else 0
     // Scoped shuffle sizing (the StreamJoin/StreamDedup lesson, batch
     // face): a micro-batch is SMALL by construction, but its ~10
     // shuffles (store merges, candidate join, verify, publish) would
@@ -192,7 +320,33 @@ object StreamCuration {
     // batches ever stop being serial. 0 = inherit the session conf.
     graft.ScopedSessionConf.withShufflePartitions(spark, shufflePartitions) {
       curateBatchInner(spark, batch, workDir, minQuality, rates,
-        defaultRate, publish, width)
+        defaultRate, publish, width, epoch)
+    }
+  }
+
+  /** ~2 MB of compressed parquet per core ≈ the old 2048-rows-per-core
+    * widening threshold at typical document sizes. */
+  private val ReplayBytesPerCore = 2L << 20
+
+  /** The batch's input size from FILE METADATA only — `inputFiles`
+    * walks the plan's file index and `getFileStatus` is a driver
+    * metadata call, so the replay-vs-micro-batch decision costs ZERO
+    * Spark jobs (StreamCurationSpec asserts that). A non-file-backed
+    * batch reports 0 = micro (the streaming file source always
+    * reports its files). A filter over a file-backed frame reports the
+    * FULL files' bytes — conservative toward widening, which is the
+    * safe direction for a replay-scale source. */
+  private[streaming] def batchBytes(spark: SparkSession,
+                                    batch: DataFrame): Long = {
+    val files = batch.inputFiles
+    if (files.isEmpty) 0L
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.iterator.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
     }
   }
 
@@ -201,7 +355,7 @@ object StreamCuration {
                                rates: Map[String, Double],
                                defaultRate: Double,
                                publish: Boolean,
-                               width: Int): Unit = {
+                               width: Int, epoch: Long): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -288,6 +442,8 @@ object StreamCuration {
     // whatever sizing is current when they plan, which is harmless for
     // their metadata-scale stages. Micro-batches keep the lazy narrow
     // verify (one fewer materialization round).
+    // verified is consumed twice (pairs merge + label edges), so it is
+    // materialized on BOTH width paths now
     val verified =
       if (width > 0)
         graft.ScopedSessionConf.withShufflePartitions(spark, width) {
@@ -296,33 +452,195 @@ object StreamCuration {
         }
       else
         Dedup.verifyCandidates(involved, "doc_id", "text", cands,
-          minJaccard = 0.4)
+          minJaccard = 0.4).localCheckpoint()
     MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
       Seq("id_a", "id_b"))
-    // durability barrier: the batch commits only after every store
-    // version this batch produced is published
+
+    // ---- step 5: incremental cluster labels ----
+    val epochStr = epochName(
+      if (epoch >= 0) epoch else deriveEpoch(spark, workDir))
+    val prevLabels = MergeUpsert.existingPlain(spark, labelsPath(workDir))
+    val batchDocIds = batchIds.select(col("doc_id_").cast("long").as("doc_id"))
+    val verEdges = verified.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val endpoints = verEdges.select(col("id_a").as("doc_id"))
+      .unionByName(verEdges.select(col("id_b").as("doc_id"))).distinct()
+    // ONE probe scan of the labels store serves singleton detection
+    // AND endpoint-label lookup: the store side streams under a
+    // broadcast semi join (never shuffles), and every later join runs
+    // small-vs-small against the tiny checkpointed hit set. A plain
+    // big-side anti join here would shuffle the whole store per batch.
+    val hitOpt = prevLabels.map(pl =>
+      pl.join(broadcast(endpoints.unionByName(batchDocIds).distinct()),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint())
+    val singletons = (hitOpt match {
+      case Some(hit) =>
+        batchDocIds.join(hit.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => batchDocIds
+    }).withColumn("cluster_id", col("doc_id"))
+    val epLabels = (hitOpt match {
+      case Some(hit) => endpoints.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
+      case None => endpoints.withColumn("lbl", col("doc_id"))
+    })
+    // the label graph this batch's pairs induce: O(batch pairs) edges
+    val labelEdges = verEdges
+      .join(epLabels.select(col("doc_id").as("id_a"), col("lbl").as("la")),
+        Seq("id_a"))
+      .join(epLabels.select(col("doc_id").as("id_b"), col("lbl").as("lb")),
+        Seq("id_b"))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct().localCheckpoint()
+    // remap: old cluster label → merged component's min label. Reuses
+    // resolveClusters ON THE LABEL GRAPH (driver union-find for the
+    // sparse normal case, distributed fixpoint past its edge cap), so
+    // incremental-vs-batch equality inherits its invariant: the min of
+    // a merged component is the min of its parts' mins, and union-find
+    // is order-independent — labels after any batch prefix equal a
+    // from-scratch resolveClusters over the accumulated pairs store
+    // (StreamCurationSpec pins exactly that).
+    val remap =
+      if (labelEdges.isEmpty) None
+      else Some(Dedup.resolveClusters(
+          labelEdges.select(col("id_a").as("lbl"))
+            .unionByName(labelEdges.select(col("id_b").as("lbl")))
+            .distinct(),
+          "lbl", labelEdges)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as("old_lbl"), col("cluster_id").as("new_lbl"))
+        .localCheckpoint())
+    val singletonsFinal = (remap match {
+      case Some(r) => singletons.join(broadcast(r),
+          singletons("cluster_id") === r("old_lbl"), "left")
+        .select(singletons("doc_id"),
+          coalesce(col("new_lbl"), singletons("cluster_id"))
+            .as("cluster_id"))
+      case None => singletons
+    }).localCheckpoint()
+
+    // ---- step 6: curated delta (inserts + deletion vectors) ----
+    // Keeper status is monotone (once a doc's label drops below its
+    // id, it never recovers), so inserts can only be THIS batch's
+    // still-self-labeled docs and deletes exactly the remapped old
+    // labels (each was its cluster's keeper until this batch).
+    val newKeepIds = singletonsFinal
+      .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+    // the deletes merge overlaps (plain store, lock-free); the INSERTS
+    // merge runs on the caller thread — mergeWriteManifested's
+    // manifest publish takes the ScopedSessionConf lock, which this
+    // thread already holds re-entrantly from curateBatch's outer
+    // window (a future would deadlock against our own Await)
+    val fDels: Future[Unit] = remap match {
+      case Some(r) => Future {
+        MergeUpsert.mergeWritePlain(spark, curatedDelsPath(workDir),
+          r.select(col("old_lbl").as("doc_id"))
+            .withColumn("del_epoch", lit(epochStr)),
+          Seq("doc_id"))
+      }
+      case None => Future.successful(())
+    }
+    if (!newKeepIds.isEmpty) {
+      val sampled = Sampling.stratifiedSample(
+        scored.join(newKeepIds, Seq("doc_id")),
+        "doc_id", "lang_pred", rates, defaultRate)
+      // embeddings pruned by a broadcast semi join FIRST (store side
+      // streams, no shuffle), then the left join runs small-vs-small
+      val embQ = MergeUpsert.readPlain(spark, embPath(workDir))
+      val embHit = embQ.join(broadcast(sampled.select("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TableManifest.mergeWriteManifested(spark,
+        curatedBasePath(workDir),
+        sampled.join(embHit, Seq("doc_id"), "left")
+          .withColumn(EpochCol, lit(epochStr)),
+        Seq("doc_id"), partitionCol = EpochCol,
+        zoneKey = Some("doc_id"))
+    }
+    // durability barrier: every store version this batch produced is
+    // published before the LABELS merge lands (crash ordering — see
+    // the object doc: labels last, pointer after everything)
+    Await.result(fDels, Duration.Inf)
     Await.result(fDocs, Duration.Inf)
     Await.result(fSigs, Duration.Inf)
-    if (publish) republishCurated(spark, workDir, rates, defaultRate)
+    val labelUpdates = remap match {
+      case Some(r) =>
+        val changedPrev = prevLabels.map(pl =>
+          pl.join(broadcast(r), pl("cluster_id") === r("old_lbl"))
+            .select(pl("doc_id"), col("new_lbl").as("cluster_id")))
+        changedPrev.map(singletonsFinal.unionByName(_))
+          .getOrElse(singletonsFinal)
+      case None => singletonsFinal
+    }
+    if (remap.nonEmpty || !singletonsFinal.isEmpty)
+      MergeUpsert.mergeWritePlain(spark, labelsPath(workDir),
+        labelUpdates, Seq("doc_id"))
+    if (publish) flipPointer(spark, workDir, epochStr)
   }
 
-  /** Step 6 alone: rebuild + atomically republish the curated table
-    * from the accumulated stores (ids + sparse pairs — no text re-scan
-    * beyond the output write itself). Deterministic in the store state,
-    * so calling it twice, or after a crash/restart anywhere in the
-    * cadence, converges to the same table. */
+  /** Next epoch for DIRECT (non-stream) callers: one past the newest
+    * epoch any curated store mentions (the stream passes its
+    * checkpointed batchId instead, which is what makes crash
+    * redelivery idempotent). Metadata-scale: a max over the manifest's
+    * part strings and the small deletes store. */
+  private def deriveEpoch(spark: SparkSession, workDir: String): Long = {
+    def parse(s: String): Long = s.stripPrefix("ep").toLong
+    val fromBase = TableManifest.load(spark, curatedBasePath(workDir))
+      .flatMap(m => Option(m.agg(max(col("part"))).head.getString(0)))
+      .map(parse)
+    val fromDels = MergeUpsert.existingPlain(spark, curatedDelsPath(workDir))
+      .flatMap(d => Option(d.agg(max(col("del_epoch"))).head.getString(0)))
+      .map(parse)
+    (fromBase.toSeq ++ fromDels.toSeq).foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Step 7 alone: make everything the stores have accumulated
+    * VISIBLE — one atomic pointer flip to the newest epoch present
+    * (O(1); the pre-r15 design rebuilt and rewrote the whole table
+    * here). Deterministic in the store state, so calling it twice, or
+    * after a crash/restart anywhere in the cadence, converges to the
+    * same table. `rates`/`defaultRate` are kept for call
+    * compatibility: since r15 the sample gate is applied at INSERT
+    * time with the rates the accumulating batches were given — a
+    * republish cannot re-sample. */
   def republishCurated(spark: SparkSession, workDir: String,
                        rates: Map[String, Double],
                        defaultRate: Double): Unit = {
-    val allDocs = MergeUpsert.readPlain(spark, docsPath(workDir))
-    val pairs = MergeUpsert.readPlain(spark, pairsPath(workDir))
-    val keepers = Dedup.resolveClusters(allDocs, "doc_id", pairs)
-      .filter(col("keep")).select("doc_id")
-    val sampled = Sampling.stratifiedSample(
-      allDocs.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
-      rates, defaultRate)
-    val curated = sampled.join(
-      MergeUpsert.readPlain(spark, embPath(workDir)), Seq("doc_id"), "left")
-    MergeUpsert.publishPlain(spark, curatedPath(workDir), curated)
+    val newest = deriveEpoch(spark, workDir) - 1
+    flipPointer(spark, workDir, epochName(math.max(newest, 0L)))
+  }
+
+  /** Amortized maintenance (the [[StreamIngest]] compactEvery role):
+    * fold the PUBLISHED curated state into ONE fresh epoch partition —
+    * the folded rows already exclude the deleted docs, so the absorbed
+    * deletion vectors retire — and drop the folded epochs from the
+    * manifest (copy-on-write: superseded files await
+    * TableManifest.vacuum). Epochs above the pointer (accumulated but
+    * unpublished) are untouched. Off the per-tick path by design:
+    * per-batch work stays O(changed rows) and this pass re-pays
+    * O(published rows) only when the caller schedules it. */
+  def compactCurated(spark: SparkSession, workDir: String): Unit = {
+    (publishedEpoch(spark, workDir),
+        TableManifest.load(spark, curatedBasePath(workDir))) match {
+      case (Some(p), Some(m)) =>
+        val parts = m.select("part").distinct().collect()
+          .map(_.getString(0)).filter(_ <= p).toSeq
+        if (parts.nonEmpty) {
+          val folded = readCurated(spark, workDir)
+            .withColumn(EpochCol, lit(p))
+          TableManifest.replacePartitions(spark, curatedBasePath(workDir),
+            folded, "doc_id", EpochCol, parts)
+          // crash between the fold's manifest flip and this prune
+          // leaves stale vectors whose targets are already gone from
+          // the base — the anti join is then a no-op, and the next
+          // compact retires them
+          MergeUpsert.existingPlain(spark, curatedDelsPath(workDir))
+            .foreach { _ =>
+              MergeUpsert.deleteWhere(spark, curatedDelsPath(workDir),
+                col("del_epoch") <= p)
+            }
+        }
+      case _ => ()
+    }
   }
 }

@@ -74,13 +74,27 @@ object CurateStepProfile {
               StreamCuration.pairsPath(work), verified, Seq("id_a", "id_b")))
         }
       }
+      // the pre-r15 O(corpus) publish, INLINED as the A/B baseline
+      // (see CurationProfile; the real curateBatch now publishes
+      // O(changed) deltas + a pointer flip instead)
       graft.ScopedSessionConf.withShufflePartitions(spark, 4) {
-        time("final republish")(
-          StreamCuration.republishCurated(spark, work,
-            Map("en" -> 0.8), 0.5))
+        time("final full rebuild (baseline)") {
+          val allDocs = MergeUpsert.readPlain(spark,
+            StreamCuration.docsPath(work))
+          val pairs = MergeUpsert.readPlain(spark,
+            StreamCuration.pairsPath(work))
+          val keepers = Dedup.resolveClusters(allDocs, "doc_id", pairs)
+            .filter(col("keep")).select("doc_id")
+          val sampled = graft.operators.Sampling.stratifiedSample(
+            allDocs.join(keepers, Seq("doc_id")), "doc_id", "lang_pred",
+            Map("en" -> 0.8), 0.5)
+          sampled.join(quant.select(col("vec_id").as("doc_id"),
+              col("scale"), col("codes")), Seq("doc_id"), "left")
+            .write.mode("overwrite").parquet(s"$work/curated_baseline")
+        }
       }
       time("read curated")(
-        StreamCuration.readCurated(spark, work).count())
+        spark.read.parquet(s"$work/curated_baseline").count())
     }
     spark.stop()
   }

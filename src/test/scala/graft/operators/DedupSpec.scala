@@ -435,4 +435,40 @@ class DedupSpec extends SparkSpec {
     assert((r.getAs[Long]("sum_min"), r.getAs[Long]("sum_max"),
       r.getAs[Double]("w_jaccard")) == ((2L, 4L, 0.5)))
   }
+
+  test("resolveClusters: driver union-find mapping is complete on the " +
+    "exact 24-edge graph that once lost 10 of 23 entries (r15: mapping " +
+    "over the LIVE keySet while path compression resized the map)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the label graph from the StreamCuration drain where mutable.
+    // HashMap.put grew the table mid-iteration: before the key-snapshot
+    // fix, 10 of these nodes silently fell back to self labels
+    val es = Seq((0L, 50L), (0L, 82L), (5L, 450L), (8L, 12L), (16L, 369L),
+      (26L, 176L), (33L, 436L), (45L, 487L), (50L, 82L), (56L, 157L),
+      (77L, 459L), (89L, 114L), (95L, 138L), (110L, 467L), (119L, 425L),
+      (144L, 161L), (205L, 251L), (211L, 404L), (229L, 263L),
+      (260L, 391L), (270L, 329L), (328L, 428L), (349L, 411L),
+      (430L, 482L))
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.toDF("doc_id")
+    val pairs = es.toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 22 components, each labeled by its min; 23 nodes relabel
+    val expected = es.foldLeft(Map.empty[Long, Long]) { case (acc, (a, b)) =>
+      // tiny reference union-find over immutable state
+      def root(m: Map[Long, Long], x: Long): Long =
+        if (m.getOrElse(x, x) == x) x else root(m, m(x))
+      val (ra, rb) = (root(acc, a), root(acc, b))
+      if (ra == rb) acc
+      else if (ra < rb) acc + (rb -> ra) else acc + (ra -> rb)
+    }
+    def root(x: Long): Long =
+      if (expected.getOrElse(x, x) == x) x else root(expected(x))
+    nodes.as[Long].collect().foreach { n =>
+      assert(got(n) == root(n), s"node $n: got ${got(n)}, want ${root(n)}")
+    }
+    assert(got.count { case (n, l) => n != l } == 23,
+      "all 23 non-min nodes must relabel")
+  }
 }

@@ -586,4 +586,73 @@ class TableManifestSpec extends SparkSpec {
       empty.columns.toSet == Set("id", "value", "date"))
     assert(v1 != vLive)
   }
+
+  test("readVersionAll: full-table semi-join time travel equals the " +
+    "explicit-file-list readVersion on every retained version (r15 — " +
+    "the form readVersion falls back to past its planning gate)") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 30L, 1.0)
+        .unionByName(rows("2024 Q2", 31L to 60L, 1.0)),
+      keys = Seq("id"))
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 30L, 2.0), keys = Seq("id"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "value", "date").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sorted.toSeq
+    TableManifest.versions(spark, path).foreach { v =>
+      assert(collect(TableManifest.readVersionAll(spark, path, v)) ==
+        collect(TableManifest.readVersion(spark, path, v)),
+        s"version $v: semi-join full read must equal the file-list read")
+    }
+  }
+
+  test("vacuumPartitions reclaims ONLY the scoped partitions' dead " +
+    "generations at a cost independent of the rest of the table; the " +
+    "full vacuum afterwards finds exactly the out-of-scope leftovers") {
+    val path = tmpDir()
+    TableManifest.mergeWriteManifested(spark, path,
+      rows("2024-01-01", 1L to 20L, 1.0)
+        .unionByName(rows("2024-01-02", 21L to 40L, 1.0))
+        .unionByName(rows("2024-01-03", 41L to 60L, 1.0)),
+      keys = Seq("id"))
+    // rewrite d1 and d2 enough times that their oldest generations
+    // leave the retention window (retainVersions=2 keeps 2 manifests)
+    (2 to 4).foreach { k =>
+      TableManifest.mergeWriteManifested(spark, path,
+        rows("2024-01-01", 1L to 20L, k.toDouble), keys = Seq("id"))
+      TableManifest.mergeWriteManifested(spark, path,
+        rows("2024-01-02", 21L to 40L, k.toDouble), keys = Seq("id"))
+    }
+    def filesIn(d: String): Set[String] = {
+      val dir = new java.io.File(s"$path/date=$d")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    }
+    val d1Before = filesIn("2024-01-01")
+    val d2Before = filesIn("2024-01-02")
+    val d3Before = filesIn("2024-01-03")
+    // scoped vacuum of d1 only: d1's dead generations go, d2's stay
+    val r1 = TableManifest.vacuumPartitions(spark, path,
+      Seq("2024-01-01"), keepVersions = 2)
+    assert(r1.filesDeleted > 0, "d1 accumulated superseded generations")
+    assert(filesIn("2024-01-01").size < d1Before.size)
+    assert(filesIn("2024-01-02") == d2Before,
+      "out-of-scope partitions untouched")
+    assert(filesIn("2024-01-03") == d3Before)
+    // scoped vacuum of the never-rewritten partition: zero dead
+    val r3 = TableManifest.vacuumPartitions(spark, path,
+      Seq("2024-01-03"), keepVersions = 2)
+    assert(r3.filesDeleted == 0)
+    // table reads unaffected, and the full sweep reclaims exactly
+    // what the scope skipped (d2's dead generations)
+    val live = TableManifest.readViaManifest(spark, path)
+    assert(live.filter(col("date") === "2024-01-01")
+      .agg(max("value")).head.getDouble(0) == 4.0)
+    assert(live.count() == 60)
+    val rFull = TableManifest.vacuum(spark, path, keepVersions = 2)
+    assert(rFull.filesDeleted > 0 && filesIn("2024-01-02").size < d2Before.size)
+    assert(TableManifest.readViaManifest(spark, path).count() == 60)
+  }
 }

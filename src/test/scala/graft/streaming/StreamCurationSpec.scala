@@ -147,6 +147,113 @@ class StreamCurationSpec extends SparkSpec {
     }
   }
 
+  test("label store equals a from-scratch resolveClusters over the " +
+    "accumulated stores, and the curated delta is redelivery-idempotent " +
+    "(same batch, same epoch, twice)") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-redeliver").toString + "/cur"
+    StreamCuration.publishQuantizedEmbeddings(spark, work,
+      s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 2).foreach { k =>
+      StreamCuration.curateBatch(spark, docs.filter(col("doc_id") % 3 === k),
+        work, minQuality = 0.3, rates = Map("en" -> 0.8),
+        defaultRate = 0.5, publish = true, epoch = k.toLong)
+    }
+    val before = fingerprint(StreamCuration.readCurated(spark, work))
+    val labelsBefore = graft.operators.MergeUpsert
+      .readPlain(spark, StreamCuration.labelsPath(work))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the incremental invariant: labels == batch resolveClusters over
+    // the accumulated docs+pairs stores (min id per component)
+    val ref = graft.operators.Dedup.resolveClusters(
+        graft.operators.MergeUpsert.readPlain(spark,
+          StreamCuration.docsPath(work)),
+        "doc_id",
+        graft.operators.MergeUpsert.readPlain(spark,
+          StreamCuration.pairsPath(work)))
+      .select("doc_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsBefore == ref,
+      "incremental label state must equal from-scratch cluster resolution")
+    // crash-redelivery: the at-least-once contract re-runs batch 1 with
+    // the SAME checkpointed epoch — every store merge must be a keyed
+    // no-op and the curated base must not grow duplicate rows
+    StreamCuration.curateBatch(spark, docs.filter(col("doc_id") % 3 === 1),
+      work, minQuality = 0.3, rates = Map("en" -> 0.8),
+      defaultRate = 0.5, publish = true, epoch = 1L)
+    val after = StreamCuration.readCurated(spark, work)
+    assert(fingerprint(after) == before,
+      "redelivered batch must not move the curated table")
+    assert(after.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "redelivery must not duplicate curated rows")
+    val labelsAfter = graft.operators.MergeUpsert
+      .readPlain(spark, StreamCuration.labelsPath(work))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelsAfter == labelsBefore)
+  }
+
+  test("compactCurated folds the published epochs into one and retires " +
+    "the absorbed deletion vectors without moving the readable table") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-compact").toString + "/cur"
+    StreamCuration.publishQuantizedEmbeddings(spark, work,
+      s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { k =>
+      StreamCuration.curateBatch(spark, docs.filter(col("doc_id") % 3 === k),
+        work, minQuality = 0.3, rates = Map("en" -> 0.8),
+        defaultRate = 0.5, publish = true, epoch = k.toLong)
+    }
+    val before = fingerprint(StreamCuration.readCurated(spark, work))
+    val epochsBefore = graft.operators.TableManifest
+      .load(spark, StreamCuration.curatedBasePath(work)).get
+      .select("part").distinct().count()
+    assert(epochsBefore > 1, "the three batches should have made epochs")
+    StreamCuration.compactCurated(spark, work)
+    assert(fingerprint(StreamCuration.readCurated(spark, work)) == before,
+      "compaction is a pure re-layout")
+    val epochsAfter = graft.operators.TableManifest
+      .load(spark, StreamCuration.curatedBasePath(work)).get
+      .select("part").distinct().count()
+    assert(epochsAfter == 1, s"folded to one epoch, got $epochsAfter")
+    val delsLeft = graft.operators.MergeUpsert.existingPlain(spark,
+      StreamCuration.curatedDelsPath(work)).map(_.count()).getOrElse(0L)
+    assert(delsLeft == 0, "absorbed deletion vectors must retire")
+    // and the fold composes with further incremental batches: nothing
+    // about the layout change leaks into delta derivation
+    StreamCuration.curateBatch(spark, docs.filter(col("doc_id") % 3 === 0),
+      work, minQuality = 0.3, rates = Map("en" -> 0.8),
+      defaultRate = 0.5, publish = true, epoch = 3L)
+    assert(fingerprint(StreamCuration.readCurated(spark, work)) == before,
+      "a redelivered batch after compaction is still a no-op")
+  }
+
+  test("the replay-vs-micro-batch width decision reads file metadata " +
+    "only — zero Spark jobs (the r14 per-batch count() is gone)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // settle lazy listing state first, then count jobs
+    StreamCuration.batchBytes(spark, docs)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val b = StreamCuration.batchBytes(spark, docs)
+      assert(b > 0, "file-backed batch reports its bytes")
+      val mem = { val s2 = spark; import s2.implicits._
+        Seq((1L, "t")).toDF("doc_id", "text") }
+      assert(StreamCuration.batchBytes(spark, mem) == 0L,
+        "non-file-backed batch reports 0 (micro path)")
+      org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"width decision must run no jobs, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("curateBatch: an empty micro-batch is a no-op that leaves the " +
     "stores and the curated table converged") {
     val work = java.nio.file.Files
