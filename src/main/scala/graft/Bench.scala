@@ -192,7 +192,7 @@ object Bench {
           f"[bench] $name reps=[${runs.map(r => f"${r.sec}%.2f").mkString(",")}]"
             + s" gc=[${runs.map(_.gcDeltaMs).mkString(",")}]ms"
             + s" compiles=[${runs.map(_.compiles).mkString(",")}]"
-            + (if (blipped) " blipped(median)" else ""))
+            + (if (blipped) " blipped(min-of-3)" else ""))
         (name, best, runs.map(_.sec).toSeq, blipped)
       }.toSeq
     val canaryPost = timeOnce(canaryFn).sec

@@ -303,9 +303,11 @@ object TableManifest {
                         replaceParts: Seq[Any],
                         retainVersions: Int = 2): Unit = {
     val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
+    // first write BOOTSTRAPS (no manifest yet → nothing to drop):
+    // replacePartitions doubles as the idempotent "this partition's
+    // contents ARE this frame" writer (StreamCuration's epoch inserts)
     val m = mBase.map(v => spark.read.parquet(s"${manifestPath(path)}/$v"))
       .orElse(load(spark, path))
-      .getOrElse(sys.error(s"no manifest at $path — nothing to replace"))
     // only the dirs receiving NEW files need the before/after listing;
     // the dropped partitions are removed from the manifest by name
     val landing = df.select(col(partitionCol)).distinct()
@@ -318,13 +320,22 @@ object TableManifest {
       (listPartFiles(spark, path, partitionCol, landing) -- before).toSeq
     graft.ScopedSessionConf.withShufflePartitions(spark, 4) {
       val dropped = replaceParts.map(_.toString)
-      val kept = m.filter(!col("part").isin(dropped: _*))
-      val merged =
-        if (newFiles.isEmpty) kept
-        else kept.unionByName(
-          statsForFiles(spark, path, newFiles, partitionCol, keyCol))
-      MergeUpsert.publishPlainFrom(spark, manifestPath(path), merged,
-        retainVersions, mBase)
+      val kept = m.map(_.filter(!col("part").isin(dropped: _*)))
+      val fresh =
+        if (newFiles.isEmpty) None
+        else Some(statsForFiles(spark, path, newFiles, partitionCol, keyCol))
+      (kept, fresh) match {
+        case (Some(k), Some(f)) =>
+          MergeUpsert.publishPlainFrom(spark, manifestPath(path),
+            k.unionByName(f), retainVersions, mBase)
+        case (Some(k), None) =>
+          MergeUpsert.publishPlainFrom(spark, manifestPath(path), k,
+            retainVersions, mBase)
+        case (None, Some(f)) =>
+          MergeUpsert.publishPlainFrom(spark, manifestPath(path), f,
+            retainVersions, mBase)
+        case (None, None) => () // empty df on an absent table: no-op
+      }
     }
   }
 
@@ -516,13 +527,13 @@ object TableManifest {
     * version references — the all-partitions semi-join read behind
     * [[readVersion]]'s large-table fallback. Driver state is one
     * string per PARTITION (bounded by partition count, not file
-    * count); per-row file membership is decided distributed.
-    * Package-visible so the spec can pin its row-equality to the
-    * explicit-list read on the same version. */
-  private[operators] def readVersionAll(spark: SparkSession, path: String,
-                                        version: String,
-                                        partitionCol: String = "date")
-      : DataFrame = {
+    * count); per-row file membership is decided distributed. Public:
+    * callers past the gate can invoke the semi-join full read
+    * directly (MergeStress time-travels a 1e6-file table through it);
+    * the spec pins its row-equality to the explicit-list read. */
+  def readVersionAll(spark: SparkSession, path: String,
+                     version: String,
+                     partitionCol: String = "date"): DataFrame = {
     val parts = MergeUpsert
       .readPlainVersion(spark, manifestPath(path), version)
       .select("part").distinct().collect()

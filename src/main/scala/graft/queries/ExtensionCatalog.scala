@@ -2299,9 +2299,12 @@ object ExtensionCatalog {
         // doc rows — 8 was sized for the generic micro-batch, 4
         // measured faster for this replay's store merges
         (0 until 3).foreach { k =>
+          // explicit epoch = what the stream's checkpointed batchId
+          // provides — skips deriveEpoch's two metadata jobs per batch
           StreamCuration.curateBatch(s, docs.filter(col("doc_id") % 3 === k),
             work, minQuality = 0.3, rates = Map("en" -> 0.8),
-            defaultRate = 0.5, publish = k == 2, shufflePartitions = 4)
+            defaultRate = 0.5, publish = k == 2, shufflePartitions = 4,
+            epoch = k.toLong)
         }
         StreamCuration.readCurated(s, work)
           .select(col("doc_id"), col("lang_pred"),

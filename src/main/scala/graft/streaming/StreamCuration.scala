@@ -26,28 +26,32 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   *   3. exact n-gram verify of those candidates, text served by the
   *      docs store (the join prunes to the candidates' ids);
   *   4. verified-pairs merge (keyed on the pair);
-  *   5. INCREMENTAL cluster labels (r15): the batch's verified pairs
-  *      only MERGE persisted label state — new docs enter as
-  *      singletons, a new pair unions its endpoints' clusters (min
-  *      label wins, computed on the tiny label graph the batch's
-  *      pairs induce) — so the per-batch label work is O(batch pairs
-  *      + affected clusters), never a re-resolution over the
-  *      accumulated pair set;
-  *   6. curated DELTA: keeper status is MONOTONE under union (a
-  *      cluster's min id only decreases), so the only curated changes
-  *      a batch can cause are INSERTS (this batch's docs that are
+  *   5. (publish ticks only) INCREMENTAL cluster labels (r15): the
+  *      tick's DELTA PASS ranges over the docs and verified pairs the
+  *      stores accumulated after the absorbed watermark (rows are
+  *      epoch-stamped, so the range is a pushed-filter scan) and only
+  *      MERGES persisted label state — new docs enter as singletons, a
+  *      new pair unions its endpoints' clusters (min label wins,
+  *      computed on the tiny label graph the range's pairs induce) —
+  *      so per-tick label work is O(range + affected clusters), never
+  *      a re-resolution over the accumulated pair set;
+  *   6. (publish ticks only) curated DELTA: keeper status is MONOTONE
+  *      under union (a cluster's min id only decreases), so the only
+  *      curated changes a tick can cause are INSERTS (the range's docs
   *      still their own cluster min after step 5, gated by the
   *      deterministic stratified-sample hash, embeddings joined) and
   *      DELETES (previous keepers whose label a merge displaced —
-  *      exactly the remapped old labels). Inserts ride a keyed
-  *      manifested merge into an epoch partition of the curated BASE
-  *      (copy-on-write, idempotent under same-epoch redelivery);
+  *      exactly the remapped old labels). Inserts become ONE file that
+  *      REPLACES the tick's epoch partition of the curated BASE
+  *      (copy-on-write [[graft.operators.TableManifest.replacePartitions]]
+  *      — an epoch's content is exactly one tick's inserts, so a
+  *      crash-redelivered tick replaces instead of duplicating);
   *      deletes ride a keyed merge into a small DELETES store — the
   *      merge-on-read deletion-vector layout;
   *   7. publish = ONE atomic pointer flip naming the newest visible
   *      epoch. Readers compose base epochs ≤ pointer minus deletes
-  *      ≤ pointer, so a publish tick costs O(1) — the whole-table
-  *      rebuild and rewrite the pre-r15 design paid per tick is gone.
+  *      ≤ pointer — the whole-table rebuild and rewrite the pre-r15
+  *      design paid per tick is gone.
   *
   * Convergence: steps 1–4 accumulate exactly the quality-filtered docs
   * and verified pairs a batch CurationJob run over the union corpus
@@ -70,22 +74,23 @@ import graft.operators.{Dedup, IncrementalDedup, MergeUpsert, Sampling, Similari
   * pairs computed from the old text standing; corrections need a new
   * doc_id (append-only corpus semantics, the norm for training data).
   *
-  * Crash ordering (why the writes land in the order they do): a batch
+  * Crash ordering (why the writes land in the order they do): a tick
   * redelivered after a crash must recompute the SAME delta, so the
-  * LABELS merge is the batch's last store write — until it lands, the
-  * delta derivation sees unchanged label state and re-derives
-  * identical inserts/deletes, which re-merge idempotently (same epoch,
-  * same keys); once it lands, the re-derivation is empty and the
-  * already-landed delta stands. The pointer flip comes after
-  * everything (readers pinned at the previous epoch never see a
-  * partial batch).
+  * LABELS merge is the tick's last store write and the ABSORBED
+  * watermark advances only after it — until then, the delta pass
+  * re-derives the identical range delta (inserts REPLACE their epoch
+  * partition, deletes and labels re-merge keyed); after it, the
+  * re-derived range yields empty singletons and self-edges, so the
+  * re-run is a no-op that re-flips the watermark. The published
+  * pointer flips after everything (readers pinned at the previous
+  * epoch never see a partial tick).
   *
   * Scale notes: per-batch text work is O(batch) (the whole point);
-  * label and delta work is O(batch + changed rows). `publishEvery`
-  * keeps its production meaning — the curated view trails the stores
-  * by up to N-1 batches between pointer flips — but the flip itself is
-  * free, so the cadence is now purely a reader-visibility choice. The
-  * epoch partitions the per-batch inserts create accumulate like any
+  * label and delta work is O(range + changed rows), paid once per
+  * publish tick. `publishEvery` keeps its production meaning — the
+  * curated view trails the stores by up to N-1 batches, and the delta
+  * work amortizes over exactly that cadence. The
+  * epoch partitions the per-tick inserts create accumulate like any
   * streaming sink's small files; [[compactCurated]] folds the
   * published epochs minus the deletes into one fresh epoch (the
   * amortized maintenance pass, off the per-tick path, same role as
@@ -113,6 +118,7 @@ object StreamCuration {
   private[streaming] val EpochCol = "cur_epoch"
   private[streaming] def epochName(n: Long): String = f"ep$n%012d"
   private val PublishedPointer = "_PUBLISHED"
+  private val AbsorbedPointer = "_ABSORBED"
 
   /** Drain all currently-available document files, curating
     * incrementally; blocking. `publishEvery` = republish the curated
@@ -196,18 +202,25 @@ object StreamCuration {
     val docs = MergeUpsert.existingPlain(spark, docsPath(workDir))
       .getOrElse(throw new IllegalStateException(
         s"curated table at $workDir published but no docs store exists"))
-    docs.limit(0).join(
+    docs.limit(0).drop("ingest_epoch").join(
       MergeUpsert.readPlain(spark, embPath(workDir)).limit(0),
       Seq("doc_id"), "left")
   }
 
   /** The published epoch pointer, if any. */
   private[streaming] def publishedEpoch(spark: SparkSession,
-                                        workDir: String): Option[String] = {
+                                        workDir: String): Option[String] =
+    readPointerFile(spark, workDir, PublishedPointer)
+
+  private def flipPointer(spark: SparkSession, workDir: String,
+                          epoch: String): Unit =
+    flipPointerFile(spark, workDir, PublishedPointer, epoch)
+
+  private def readPointerFile(spark: SparkSession, workDir: String,
+                              name: String): Option[String] = {
     val fs = new org.apache.hadoop.fs.Path(curatedPath(workDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = new org.apache.hadoop.fs.Path(
-      curatedPath(workDir), PublishedPointer)
+    val ptr = new org.apache.hadoop.fs.Path(curatedPath(workDir), name)
     if (!fs.exists(ptr)) None
     else {
       val in = fs.open(ptr)
@@ -220,15 +233,15 @@ object StreamCuration {
     }
   }
 
-  /** Atomically flip the published-epoch pointer (write-beside +
-    * rename, the same primitive as the stores' `_CURRENT` flips). */
-  private def flipPointer(spark: SparkSession, workDir: String,
-                          epoch: String): Unit = {
+  /** Atomically flip a curated pointer file (write-beside + rename,
+    * the same primitive as the stores' `_CURRENT` flips). */
+  private def flipPointerFile(spark: SparkSession, workDir: String,
+                              name: String, epoch: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(curatedPath(workDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val ptr = new org.apache.hadoop.fs.Path(dir, PublishedPointer)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"$PublishedPointer.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -350,7 +363,10 @@ object StreamCuration {
     }
   }
 
-  private def curateBatchInner(spark: SparkSession, batch: DataFrame,
+  // package-visible so StreamCurationSpec can force the replay-scale
+  // (width > 0) label/delta path on small data and pin it equal to the
+  // driver path
+  private[streaming] def curateBatchInner(spark: SparkSession, batch: DataFrame,
                                workDir: String, minQuality: Double,
                                rates: Map[String, Double],
                                defaultRate: Double,
@@ -383,6 +399,10 @@ object StreamCuration {
       .select(col("doc_id").as("doc_id_"), col("sig_").as("sig"))
       .filter(size(col("sig")) > 0)
     val batchIds = scored.select(col("doc_id").as("doc_id_")).distinct()
+    // the batch's epoch, resolved up front: it stamps the docs and
+    // pairs rows the tick delta pass later ranges over
+    val epochStr = epochName(
+      if (epoch >= 0) epoch else deriveEpoch(spark, workDir))
     // the PREVIOUS store versions, pinned by path now (resolveBase
     // reads the pointer at call time) — safe to consume while the
     // merges below publish the next versions (retention keeps them)
@@ -402,8 +422,10 @@ object StreamCuration {
     // thread-locals, drives their plans), and both are awaited before
     // the batch returns — the stream's durability barrier.
     val fDocs = Future {
-      MergeUpsert.mergeWritePlain(spark, docsPath(workDir), scored,
-        Seq("doc_id"))
+      // epoch-stamped: the tick delta pass derives its new-docs range
+      // from this column with a pushed filter, never an anti join
+      MergeUpsert.mergeWritePlain(spark, docsPath(workDir),
+        scored.withColumn("ingest_epoch", lit(epochStr)), Seq("doc_id"))
     }
     val fSigs = Future {
       MergeUpsert.mergeWritePlain(spark, sigsPath(workDir), batchSigs,
@@ -442,8 +464,10 @@ object StreamCuration {
     // whatever sizing is current when they plan, which is harmless for
     // their metadata-scale stages. Micro-batches keep the lazy narrow
     // verify (one fewer materialization round).
-    // verified is consumed twice (pairs merge + label edges), so it is
-    // materialized on BOTH width paths now
+    // verified is consumed twice (pairs merge + label edges); the
+    // micro path COLLECTS it (pairs are candidate-verified near-dups —
+    // collected-scale by the pipeline's whole point) and re-merges a
+    // LocalRelation; the replay path keeps the distributed checkpoint
     val verified =
       if (width > 0)
         graft.ScopedSessionConf.withShufflePartitions(spark, width) {
@@ -452,40 +476,251 @@ object StreamCuration {
         }
       else
         Dedup.verifyCandidates(involved, "doc_id", "text", cands,
-          minJaccard = 0.4).localCheckpoint()
-    MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verified,
-      Seq("id_a", "id_b"))
+          minJaccard = 0.4)
 
-    // ---- step 5: incremental cluster labels ----
-    val epochStr = epochName(
-      if (epoch >= 0) epoch else deriveEpoch(spark, workDir))
-    val prevLabels = MergeUpsert.existingPlain(spark, labelsPath(workDir))
-    val batchDocIds = batchIds.select(col("doc_id_").cast("long").as("doc_id"))
-    val verEdges = verified.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b"))
+    // the pairs merge moves slim verified rows; the replay path
+    // materializes the verify first so the merge round-trip never
+    // recomputes the wide text join (mergeWritePlain executes its
+    // updates twice: distinct keys + write)
+    val verifiedStamped = verified.withColumn("pair_epoch", lit(epochStr))
+    MergeUpsert.mergeWritePlain(spark, pairsPath(workDir), verifiedStamped,
+      Seq("id_a", "id_b"))
+    // ---- steps 5-7 run on the PUBLISH CADENCE, not per batch: the
+    // delta pass below derives labels + curated changes from the
+    // epoch-stamped ranges the stores accumulated since the absorbed
+    // watermark, so accumulate-only batches pay steps 1-4 only (the
+    // r14 cost), and the per-tick delta work is O(range), never
+    // O(corpus). The pass reads THIS batch's docs and pairs from the
+    // stores, so their merges must land first (the docs future is
+    // awaited early only on tick batches). ----
+    if (publish) {
+      Await.result(fDocs, Duration.Inf)
+      deltaPass(spark, workDir, epochStr, rates, defaultRate)
+    }
+    // durability barrier: the batch returns only after every store
+    // version it produced is published
+    Await.result(fDocs, Duration.Inf)
+    Await.result(fSigs, Duration.Inf)
+    if (publish) flipPointer(spark, workDir, epochStr)
+  }
+
+  /** Driver-size gates for the tick delta pass: ranges below these
+    * resolve on the driver (a cadence of micro-batches is driver-sized
+    * by construction); past either, the pass switches to the fully
+    * distributed twin. */
+  private[streaming] val DeltaDriverMaxIds = 2000000
+  private[streaming] val DeltaDriverMaxPairs = 1000000
+
+  /** Steps 5-7's worker — runs at publish ticks and from
+    * [[republishCurated]]: absorb every doc and verified pair the
+    * stores accumulated AFTER the absorbed watermark (epoch-stamped
+    * rows; pushed-filter scans), update the persisted cluster labels
+    * incrementally, derive the curated inserts/deletes from monotone
+    * keeper status, land them, then advance the watermark. Idempotent
+    * under crash-redelivery at every cut: until the labels merge
+    * lands, a re-run re-derives the identical delta (inserts REPLACE
+    * their epoch partition, deletes/labels re-merge keyed); after it,
+    * the re-derived range yields empty singletons and self-edges, so
+    * re-running is a no-op that just re-flips the watermark. */
+  private[streaming] def deltaPass(spark: SparkSession, workDir: String,
+                                   tickEpoch: String,
+                                   rates: Map[String, Double],
+                                   defaultRate: Double,
+                                   maxDriverIds: Int = DeltaDriverMaxIds,
+                                   maxDriverPairs: Int = DeltaDriverMaxPairs)
+      : Unit = {
+    MergeUpsert.existingPlain(spark, docsPath(workDir)) match {
+      case None => () // nothing ever ingested: nothing to absorb
+      case Some(docsStore) =>
+        val wm = absorbedEpoch(spark, workDir)
+        def sinceWm(c: org.apache.spark.sql.Column) =
+          wm.map(w => c > lit(w)).getOrElse(lit(true))
+        val newDocIds = docsStore.filter(sinceWm(col("ingest_epoch")))
+          .select(col("doc_id").cast("long").as("doc_id")).distinct()
+        val newPairs = MergeUpsert.existingPlain(spark, pairsPath(workDir))
+          .map(_.filter(sinceWm(col("pair_epoch")))
+            .select(col("id_a").cast("long").as("id_a"),
+              col("id_b").cast("long").as("id_b")))
+        val prevLabels = MergeUpsert.existingPlain(spark, labelsPath(workDir))
+        // bounded probes decide the path without separate count jobs
+        val idProbe = newDocIds.limit(maxDriverIds + 1).collect()
+        val pairProbe = newPairs
+          .map(_.limit(maxDriverPairs + 1).collect())
+          .getOrElse(Array.empty[org.apache.spark.sql.Row])
+        if (idProbe.length <= maxDriverIds &&
+            pairProbe.length <= maxDriverPairs)
+          deltaDriver(spark, workDir, docsStore,
+            idProbe.map(_.getLong(0)),
+            pairProbe.map(r => (r.getLong(0), r.getLong(1))),
+            prevLabels, sinceWm(col("ingest_epoch")), tickEpoch,
+            rates, defaultRate)
+        else
+          deltaDistributed(spark, workDir, docsStore, newDocIds,
+            newPairs, prevLabels, sinceWm(col("ingest_epoch")), tickEpoch,
+            rates, defaultRate)
+        // watermark advances ONLY after the labels merge landed (the
+        // crash-ordering anchor: an unadvanced watermark re-derives)
+        flipAbsorbed(spark, workDir, tickEpoch)
+    }
+  }
+
+  /** Driver-resolved delta (the micro-cadence path): ONE probe scan of
+    * the labels store (streams under a broadcast semi join, never
+    * shuffles), then the union-find, keeper deltas and label updates
+    * are plain driver structures over the range's ids and pairs, and
+    * every store write consumes a LocalRelation — the r15 first cut's
+    * ~12 DataFrame stages per batch cost ~250 fresh codegen compiles
+    * and ~6 s/batch of pure plan churn at sf0.1. */
+  private def deltaDriver(spark: SparkSession, workDir: String,
+                          docsStore: DataFrame,
+                          rangeIds: Array[Long],
+                          rangePairs: Array[(Long, Long)],
+                          prevLabels: Option[DataFrame],
+                          rangeFilter: org.apache.spark.sql.Column,
+                          tickEpoch: String,
+                          rates: Map[String, Double],
+                          defaultRate: Double): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val edges = rangePairs.distinct
+    val probe = (rangeIds ++ edges.flatMap(e => Seq(e._1, e._2))).distinct
+    val hit: Map[Long, Long] = prevLabels match {
+      case Some(pl) if probe.nonEmpty =>
+        val probeDf = spark.createDataFrame(
+          java.util.Arrays.asList(probe.map(org.apache.spark.sql.Row(_)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType))))
+        pl.join(broadcast(probeDf), Seq("doc_id"), "left_semi")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+    def lbl(x: Long): Long = hit.getOrElse(x, x)
+    // min-root union-find over the label graph — the same math as
+    // Dedup.resolveClusters' driver path (keys snapshotted before the
+    // mapping, the r15 fix)
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(lbl(a)), find(lbl(b)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val remap: Map[Long, Long] = parent.keysIterator.toArray
+      .map(n => n -> find(n)).filter { case (n, l) => n != l }.toMap
+    val singletonIds = rangeIds.filterNot(hit.contains).distinct
+    val singFinal = singletonIds.map(id => id -> remap.getOrElse(id, id))
+    val newKeep = singFinal.collect { case (id, l) if id == l => id }
+    val lostKeep = remap.keys.toArray.sorted
+
+    def longsDf(name: String, vs: Array[Long]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          vs.map(v => org.apache.spark.sql.Row(v)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.LongType))))
+    // deletes merge overlaps (plain store, lock-free); the inserts
+    // replace stays on the caller thread (it takes the
+    // ScopedSessionConf lock this thread already holds re-entrantly)
+    val fDels: Future[Unit] =
+      if (lostKeep.isEmpty) Future.successful(())
+      else Future {
+        MergeUpsert.mergeWritePlain(spark, curatedDelsPath(workDir),
+          longsDf("doc_id", lostKeep)
+            .withColumn("del_epoch", lit(tickEpoch)),
+          Seq("doc_id"))
+      }
+    if (newKeep.nonEmpty)
+      insertCurated(spark, workDir,
+        docsStore.filter(rangeFilter)
+          .join(broadcast(longsDf("doc_id", newKeep)), Seq("doc_id")),
+        tickEpoch, rates, defaultRate)
+    Await.result(fDels, Duration.Inf)
+    // labels merge LAST (crash ordering): singleton rows ride a
+    // LocalRelation; prev docs whose cluster was remapped are relabeled
+    // by one broadcast-probe scan folded into the merge's own plan
+    if (singFinal.nonEmpty || remap.nonEmpty) {
+      val singDf = spark.createDataFrame(
+        java.util.Arrays.asList(singFinal.map { case (id, l) =>
+          org.apache.spark.sql.Row(id, l) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType))))
+      val labelUpdates = (prevLabels, remap.nonEmpty) match {
+        case (Some(pl), true) =>
+          val remapDf = spark.createDataFrame(
+            java.util.Arrays.asList(remap.toSeq.sorted.map { case (o, n) =>
+              org.apache.spark.sql.Row(o, n) }: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("old_lbl",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("new_lbl",
+                org.apache.spark.sql.types.LongType))))
+          singDf.unionByName(
+            pl.join(broadcast(remapDf), pl("cluster_id") === col("old_lbl"))
+              .select(pl("doc_id"), col("new_lbl").as("cluster_id")))
+        case _ => singDf
+      }
+      MergeUpsert.mergeWritePlain(spark, labelsPath(workDir),
+        labelUpdates, Seq("doc_id"))
+    }
+  }
+
+  /** Replay-scale delta: the fully distributed twin of [[deltaDriver]]
+    * — every set stays a DataFrame, cluster merging reuses
+    * [[Dedup.resolveClusters]] on the label graph (driver union-find
+    * under its edge cap, distributed fixpoint past it). Same
+    * invariants: min label per component, order-independent unions,
+    * labels after any tick equal a from-scratch resolveClusters over
+    * the accumulated pairs store (StreamCurationSpec pins the two
+    * paths equal on identical input). */
+  private def deltaDistributed(spark: SparkSession, workDir: String,
+                               docsStore: DataFrame, newDocIds: DataFrame,
+                               newPairs: Option[DataFrame],
+                               prevLabels: Option[DataFrame],
+                               rangeFilter: org.apache.spark.sql.Column,
+                               tickEpoch: String,
+                               rates: Map[String, Double],
+                               defaultRate: Double): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val verEdges = newPairs.getOrElse(
+      newDocIds.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+        .limit(0)).localCheckpoint()
     val endpoints = verEdges.select(col("id_a").as("doc_id"))
       .unionByName(verEdges.select(col("id_b").as("doc_id"))).distinct()
     // ONE probe scan of the labels store serves singleton detection
     // AND endpoint-label lookup: the store side streams under a
     // broadcast semi join (never shuffles), and every later join runs
     // small-vs-small against the tiny checkpointed hit set. A plain
-    // big-side anti join here would shuffle the whole store per batch.
+    // big-side anti join here would shuffle the whole store per tick.
     val hitOpt = prevLabels.map(pl =>
-      pl.join(broadcast(endpoints.unionByName(batchDocIds).distinct()),
+      pl.join(broadcast(endpoints.unionByName(newDocIds).distinct()),
           Seq("doc_id"), "left_semi")
         .localCheckpoint())
     val singletons = (hitOpt match {
       case Some(hit) =>
-        batchDocIds.join(hit.select("doc_id"), Seq("doc_id"), "left_anti")
-      case None => batchDocIds
+        newDocIds.join(hit.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => newDocIds
     }).withColumn("cluster_id", col("doc_id"))
-    val epLabels = (hitOpt match {
+    val epLabels = hitOpt match {
       case Some(hit) => endpoints.join(hit, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
       case None => endpoints.withColumn("lbl", col("doc_id"))
-    })
-    // the label graph this batch's pairs induce: O(batch pairs) edges
+    }
     val labelEdges = verEdges
       .join(epLabels.select(col("doc_id").as("id_a"), col("lbl").as("la")),
         Seq("id_a"))
@@ -493,14 +728,6 @@ object StreamCuration {
         Seq("id_b"))
       .select(col("la").as("id_a"), col("lb").as("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct().localCheckpoint()
-    // remap: old cluster label → merged component's min label. Reuses
-    // resolveClusters ON THE LABEL GRAPH (driver union-find for the
-    // sparse normal case, distributed fixpoint past its edge cap), so
-    // incremental-vs-batch equality inherits its invariant: the min of
-    // a merged component is the min of its parts' mins, and union-find
-    // is order-independent — labels after any batch prefix equal a
-    // from-scratch resolveClusters over the accumulated pairs store
-    // (StreamCurationSpec pins exactly that).
     val remap =
       if (labelEdges.isEmpty) None
       else Some(Dedup.resolveClusters(
@@ -519,50 +746,24 @@ object StreamCuration {
             .as("cluster_id"))
       case None => singletons
     }).localCheckpoint()
-
-    // ---- step 6: curated delta (inserts + deletion vectors) ----
-    // Keeper status is monotone (once a doc's label drops below its
-    // id, it never recovers), so inserts can only be THIS batch's
-    // still-self-labeled docs and deletes exactly the remapped old
-    // labels (each was its cluster's keeper until this batch).
     val newKeepIds = singletonsFinal
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
-    // the deletes merge overlaps (plain store, lock-free); the INSERTS
-    // merge runs on the caller thread — mergeWriteManifested's
-    // manifest publish takes the ScopedSessionConf lock, which this
-    // thread already holds re-entrantly from curateBatch's outer
-    // window (a future would deadlock against our own Await)
     val fDels: Future[Unit] = remap match {
       case Some(r) => Future {
         MergeUpsert.mergeWritePlain(spark, curatedDelsPath(workDir),
           r.select(col("old_lbl").as("doc_id"))
-            .withColumn("del_epoch", lit(epochStr)),
+            .withColumn("del_epoch", lit(tickEpoch)),
           Seq("doc_id"))
       }
       case None => Future.successful(())
     }
-    if (!newKeepIds.isEmpty) {
-      val sampled = Sampling.stratifiedSample(
-        scored.join(newKeepIds, Seq("doc_id")),
-        "doc_id", "lang_pred", rates, defaultRate)
-      // embeddings pruned by a broadcast semi join FIRST (store side
-      // streams, no shuffle), then the left join runs small-vs-small
-      val embQ = MergeUpsert.readPlain(spark, embPath(workDir))
-      val embHit = embQ.join(broadcast(sampled.select("doc_id")),
-        Seq("doc_id"), "left_semi")
-      TableManifest.mergeWriteManifested(spark,
-        curatedBasePath(workDir),
-        sampled.join(embHit, Seq("doc_id"), "left")
-          .withColumn(EpochCol, lit(epochStr)),
-        Seq("doc_id"), partitionCol = EpochCol,
-        zoneKey = Some("doc_id"))
-    }
-    // durability barrier: every store version this batch produced is
-    // published before the LABELS merge lands (crash ordering — see
-    // the object doc: labels last, pointer after everything)
+    if (!newKeepIds.isEmpty)
+      insertCurated(spark, workDir,
+        docsStore.filter(rangeFilter)
+          .join(newKeepIds.select(col("doc_id").cast("long").as("doc_id")),
+            Seq("doc_id")),
+        tickEpoch, rates, defaultRate)
     Await.result(fDels, Duration.Inf)
-    Await.result(fDocs, Duration.Inf)
-    Await.result(fSigs, Duration.Inf)
     val labelUpdates = remap match {
       case Some(r) =>
         val changedPrev = prevLabels.map(pl =>
@@ -575,39 +776,77 @@ object StreamCuration {
     if (remap.nonEmpty || !singletonsFinal.isEmpty)
       MergeUpsert.mergeWritePlain(spark, labelsPath(workDir),
         labelUpdates, Seq("doc_id"))
-    if (publish) flipPointer(spark, workDir, epochStr)
   }
+
+  /** Shared insert writer: apply the deterministic sample gate, join
+    * the pre-quantized embeddings (store side pruned FIRST by a
+    * broadcast semi join — streams, never shuffles), materialize ONCE,
+    * and REPLACE the tick's epoch partition of the curated base — an
+    * epoch's content is exactly one tick's inserts, so a re-run
+    * replaces instead of duplicating (the superseded file becomes a
+    * vacuumable orphan). */
+  private def insertCurated(spark: SparkSession, workDir: String,
+                            newKeepRows: DataFrame, tickEpoch: String,
+                            rates: Map[String, Double],
+                            defaultRate: Double): Unit = {
+    val sampled = Sampling.stratifiedSample(
+      newKeepRows.drop("ingest_epoch"), "doc_id", "lang_pred",
+      rates, defaultRate)
+    val embQ = MergeUpsert.readPlain(spark, embPath(workDir))
+    val embHit = embQ.join(broadcast(sampled.select("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val insertRows = sampled.join(embHit, Seq("doc_id"), "left")
+      .withColumn(EpochCol, lit(tickEpoch))
+      .coalesce(1).localCheckpoint()
+    TableManifest.replacePartitions(spark, curatedBasePath(workDir),
+      insertRows, "doc_id", EpochCol, Seq(tickEpoch))
+  }
+
+  /** The absorbed-watermark pointer: the newest epoch whose docs and
+    * pairs the label state has absorbed. */
+  private def absorbedEpoch(spark: SparkSession,
+                            workDir: String): Option[String] =
+    readPointerFile(spark, workDir, AbsorbedPointer)
+
+  private def flipAbsorbed(spark: SparkSession, workDir: String,
+                           epoch: String): Unit =
+    flipPointerFile(spark, workDir, AbsorbedPointer, epoch)
 
   /** Next epoch for DIRECT (non-stream) callers: one past the newest
     * epoch any curated store mentions (the stream passes its
     * checkpointed batchId instead, which is what makes crash
     * redelivery idempotent). Metadata-scale: a max over the manifest's
     * part strings and the small deletes store. */
-  private def deriveEpoch(spark: SparkSession, workDir: String): Long = {
-    def parse(s: String): Long = s.stripPrefix("ep").toLong
+  private def deriveEpoch(spark: SparkSession, workDir: String): Long =
+    newestEpoch(spark, workDir).map(parseEpoch).getOrElse(-1L) + 1
+
+  private def parseEpoch(s: String): Long = s.stripPrefix("ep").toLong
+
+  /** The newest epoch ANY curation store mentions — the docs store's
+    * ingest stamps cover every batch that ever ran, so this is the
+    * tick epoch a convergence republish absorbs up to. */
+  private def newestEpoch(spark: SparkSession,
+                          workDir: String): Option[String] = {
+    val fromDocs = MergeUpsert.existingPlain(spark, docsPath(workDir))
+      .flatMap(d => Option(d.agg(max(col("ingest_epoch"))).head.getString(0)))
     val fromBase = TableManifest.load(spark, curatedBasePath(workDir))
       .flatMap(m => Option(m.agg(max(col("part"))).head.getString(0)))
-      .map(parse)
-    val fromDels = MergeUpsert.existingPlain(spark, curatedDelsPath(workDir))
-      .flatMap(d => Option(d.agg(max(col("del_epoch"))).head.getString(0)))
-      .map(parse)
-    (fromBase.toSeq ++ fromDels.toSeq).foldLeft(-1L)(math.max) + 1
+    (fromDocs.toSeq ++ fromBase.toSeq).sorted.lastOption
   }
 
-  /** Step 7 alone: make everything the stores have accumulated
-    * VISIBLE — one atomic pointer flip to the newest epoch present
-    * (O(1); the pre-r15 design rebuilt and rewrote the whole table
-    * here). Deterministic in the store state, so calling it twice, or
-    * after a crash/restart anywhere in the cadence, converges to the
-    * same table. `rates`/`defaultRate` are kept for call
-    * compatibility: since r15 the sample gate is applied at INSERT
-    * time with the rates the accumulating batches were given — a
-    * republish cannot re-sample. */
+  /** Steps 5-7 alone: absorb everything the stores accumulated (the
+    * tick delta pass, O(range since the watermark) — the pre-r15
+    * design re-resolved and rewrote the whole table here) and flip the
+    * published pointer. Deterministic in the store state, so calling
+    * it twice, or after a crash/restart anywhere in the cadence,
+    * converges to the same table. `rates`/`defaultRate` gate the
+    * inserts exactly as a publishing batch would. */
   def republishCurated(spark: SparkSession, workDir: String,
                        rates: Map[String, Double],
                        defaultRate: Double): Unit = {
-    val newest = deriveEpoch(spark, workDir) - 1
-    flipPointer(spark, workDir, epochName(math.max(newest, 0L)))
+    val tick = newestEpoch(spark, workDir).getOrElse(epochName(0L))
+    deltaPass(spark, workDir, tick, rates, defaultRate)
+    flipPointer(spark, workDir, tick)
   }
 
   /** Amortized maintenance (the [[StreamIngest]] compactEvery role):

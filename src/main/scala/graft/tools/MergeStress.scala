@@ -183,15 +183,35 @@ object MergeStress {
       }
       partFileCount("2018-08-01").toLong
     })
-    time("vacuum (2400-part listing)")({
+    // ---- PARTITION-SCOPED vacuum (r14 verdict item 5): the steady-
+    // state pass after a k-partition merge lists ONLY those k dirs —
+    // its cost is the k dirs' listings plus the manifest scan,
+    // independent of the table's 2400 partitions (compare the full
+    // sweep's root listing below). Reclaims exactly the merged date's
+    // superseded generations; the full vacuum afterwards finds nothing
+    // more for that date ----
+    time("scoped vacuum (1 of 2400 parts)")({
       val grown = partFileCount("2018-08-01")
+      val vac = TableManifest.vacuumPartitions(spark, s"$work/bigcap",
+        Seq(java.sql.Date.valueOf("2018-08-01")), keepVersions = 2)
+      val flat = partFileCount("2018-08-01")
+      println(s"[stress]   scoped vacuum report: $vac; " +
+        s"merged-date dir files $grown -> $flat")
+      assert(grown >= cycles && flat <= 2,
+        s"scoped vacuum must reclaim the merged date's generations: " +
+          s"$grown -> $flat")
+      vac.filesDeleted
+    })
+    time("vacuum (2400-part listing)")({
+      val before = partFileCount("2018-08-01")
       val vac = TableManifest.vacuum(spark, s"$work/bigcap",
         keepVersions = 2)
       val flat = partFileCount("2018-08-01")
       println(s"[stress]   vacuum report: $vac; " +
-        s"merged-date dir files $grown -> $flat")
-      assert(grown >= cycles && flat <= 2,
-        s"vacuum must reclaim superseded generations: $grown -> $flat")
+        s"merged-date dir files $before -> $flat")
+      assert(flat == before,
+        "the scoped pass already reclaimed the merged date: " +
+          s"$before -> $flat")
       val vac2 = TableManifest.vacuum(spark, s"$work/bigcap",
         keepVersions = 2)
       assert(vac2.filesDeleted == 0, s"idempotent re-run: $vac2")
@@ -222,18 +242,27 @@ object MergeStress {
         lpad((col("id") % 1000).cast("string"), 4, "0"),
         lit("/f-"), lpad(col("id").cast("string"), 7, "0"),
         lit(".parquet"))
-      // raw java.io creation: this is test RIGGING, not the path under
-      // test — hadoop's ChecksumFileSystem pays ~2 ms/file (a .crc
-      // sibling + parent checks), which would make the rig 30× slower
-      // than the vacuum it exists to measure
+      // raw java.nio HARDLINKS to one real parquet file: this is test
+      // RIGGING, not the path under test — hadoop's ChecksumFileSystem
+      // pays ~2 ms/file (a .crc sibling + parent checks), which would
+      // make the rig 30× slower than the vacuum it exists to measure.
+      // Links (not empty touches, the pre-r15 rig) make every
+      // synthetic file REAL parquet, so the full-table time-travel
+      // read below can actually execute against all 1e6 files.
+      // largest file = guaranteed non-empty donor (a shuffle task that
+      // received no rows still writes a footer-only parquet file)
+      val donor = new java.io.File(s"$path/date=2024-01-01")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .maxBy(_.length).getAbsolutePath
       spark.range(nFiles).select(synthFile.as("p")).as[String]
         .foreachPartition { (it: Iterator[String]) =>
           val seen = scala.collection.mutable.HashSet[String]()
+          val src = java.nio.file.Paths.get(donor)
           it.foreach { f =>
             val file = new java.io.File(f)
             val dir = file.getParentFile
             if (seen.add(dir.getPath)) dir.mkdirs()
-            file.createNewFile()
+            java.nio.file.Files.createLink(file.toPath, src)
           }
         }
       val real = TableManifest.load(spark, path).get
@@ -267,6 +296,23 @@ object MergeStress {
         f"$ttSec%.1f s")
       assert(ttRows == 50L,
         s"subset time travel must read the partition's snapshot: $ttRows")
+      // ---- FULL-table time travel at 1e6 files (r14 verdict item 4):
+      // past readVersion's 2M-file explicit-list bound the read falls
+      // back to this distributed semi-join plan (readVersionAll — the
+      // same plan, invoked directly since the rig sits at 1e6): no
+      // driver file list, per-row membership decided by the
+      // canonical-path semi join, and because the rig hardlinks REAL
+      // parquet the read executes end to end over all 1e6 files ----
+      val donorRows = spark.read.parquet(donor).count()
+      val tf0 = System.nanoTime()
+      val fullRows = TableManifest.readVersionAll(spark, path, vSynth)
+        .count()
+      val tfSec = (System.nanoTime() - tf0) / 1e9
+      println(f"[stress]   1e6-file FULL time travel: $fullRows rows, " +
+        f"$tfSec%.1f s")
+      assert(fullRows == 100L + nFiles * donorRows,
+        s"full time travel must read every referenced file exactly " +
+          s"once: $fullRows vs ${100L + nFiles * donorRows}")
       // deregister the synthetic generation; the next vacuum reclaims it
       MergeUpsert.publishPlain(spark, s"$path/_manifest", real)
       val t1 = System.nanoTime()

@@ -51,7 +51,8 @@ object ProfileCuration {
           StreamCuration.curateBatch(spark,
             docs.filter(col("doc_id") % 3 === k), work,
             minQuality = 0.3, rates = Map("en" -> 0.8),
-            defaultRate = 0.5, publish = k == 2, shufflePartitions = 4))
+            defaultRate = 0.5, publish = k == 2, shufflePartitions = 4,
+            epoch = k.toLong))
       }
       time("readCurated count")(
         StreamCuration.readCurated(spark, work).count())

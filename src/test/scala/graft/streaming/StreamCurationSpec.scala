@@ -229,6 +229,40 @@ class StreamCurationSpec extends SparkSpec {
       "a redelivered batch after compaction is still a no-op")
   }
 
+  test("the driver and distributed tick delta paths produce identical " +
+    "stores and curated table on the same accumulated ranges") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(maxIds: Int): (Set[(Long, Long)], Set[Long]) = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-scur-cap$maxIds").toString + "/cur"
+      StreamCuration.publishQuantizedEmbeddings(spark, work,
+        s"$sfDir/embeddings.parquet")
+      (0 until 3).foreach { k =>
+        // accumulate only; the tick delta runs explicitly below so
+        // BOTH paths see identical two-tick ranges
+        StreamCuration.curateBatch(spark,
+          docs.filter(col("doc_id") % 3 === k), work,
+          minQuality = 0.3, rates = Map("en" -> 0.8), defaultRate = 0.5,
+          publish = false, epoch = k.toLong)
+        if (k >= 1) // tick at epochs 1 and 2: exercises watermark ranges
+          StreamCuration.deltaPass(spark, work,
+            StreamCuration.epochName(k.toLong), Map("en" -> 0.8), 0.5,
+            maxDriverIds = maxIds, maxDriverPairs = maxIds)
+      }
+      StreamCuration.republishCurated(spark, work, Map("en" -> 0.8), 0.5)
+      val labels = graft.operators.MergeUpsert
+        .readPlain(spark, StreamCuration.labelsPath(work))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val curated = StreamCuration.readCurated(spark, work)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (labels, curated)
+    }
+    val (lDriver, cDriver) = run(maxIds = 2000000)
+    val (lDist, cDist) = run(maxIds = 0) // forces the distributed twin
+    assert(lDriver == lDist, "label stores must be identical")
+    assert(cDriver == cDist, "curated tables must be identical")
+  }
+
   test("the replay-vs-micro-batch width decision reads file metadata " +
     "only — zero Spark jobs (the r14 per-batch count() is gone)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
