@@ -348,6 +348,17 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Codegen'd `transform(tokens(lower(text)), md5Hash60)` — the
+    * per-doc hashed-token array of the n-gram LM family, hash-for-hash
+    * identical to the Column composition but without the interpreted
+    * per-element lambda (measured 2.0× the stage at sf1; see
+    * [[graft.plans.HashedTokens]] for the exact-parity argument). */
+  def hashedTokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.{bridge => ExpressionUtils}
+    ExpressionUtils.column(graft.plans.HashedTokens(
+      ExpressionUtils.expression(text)))
+  }
+
   /** Driver-side twin of [[md5Hash60]] — bit-identical to the Column
     * form (first 15 hex digits of the md5 of the UTF-8 bytes, parsed
     * base 16), for the rare constant-sized structure computed once on

@@ -612,8 +612,7 @@ object CorpusStats {
                        materializeModel: Boolean = true,
                        broadcastMaxModelTokens: Long = 3000000L): DataFrame = {
     def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
-      transform(TextFunctions.tokens(lower(col(textCol))),
-        t => TextFunctions.md5Hash60(t)).as("hs"))
+      TextFunctions.hashedTokens(col(textCol)).as("hs"))
     def bigrams(src: DataFrame) = {
       val nb = greatest(size(col("hs")) - 1, lit(0))
       src.select(col("doc_id"),
@@ -707,8 +706,7 @@ object CorpusStats {
                         idCol: String, textCol: String,
                         roundTo: Int = 4): DataFrame = {
     def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
-      transform(TextFunctions.tokens(lower(col(textCol))),
-        t => TextFunctions.md5Hash60(t)).as("hs"))
+      TextFunctions.hashedTokens(col(textCol)).as("hs"))
     def bigrams(src: DataFrame) = {
       val nb = greatest(size(col("hs")) - 1, lit(0))
       src.select(col("doc_id"),
@@ -771,8 +769,7 @@ object CorpusStats {
                   l3: Double = 0.7, l2: Double = 0.2, l1: Double = 0.1,
                   roundTo: Int = 4): DataFrame = {
     val hs = df.select(col(idCol).as("doc_id"),
-      transform(TextFunctions.tokens(lower(col(textCol))),
-        t => TextFunctions.md5Hash60(t)).as("hs"))
+      TextFunctions.hashedTokens(col(textCol)).as("hs"))
     val nb = greatest(size(col("hs")) - 1, lit(0))
     val nt = greatest(size(col("hs")) - 2, lit(0))
     val bg = hs.select(col("doc_id"),
@@ -1156,11 +1153,18 @@ object CorpusStats {
     // fan-in lesson; PLANS showed two parquet scans for x233). The
     // materialized frame is the ALREADY-DEDUPED 24-byte hash table,
     // far smaller than the fan-out it replaces.
+    // explode the POSITIONS first, then slice/concat/md5 as top-level
+    // (codegen'd) expressions: the same work inside the transform
+    // lambda ran through the Catalyst interpreter per position —
+    // measured 2.0× the whole stage at sf1 (HofAudit, r15). Values
+    // identical; whole-stage codegen fuses generate+project, so the
+    // token array is a per-input-row reference, never copied per
+    // position.
     val g = base.filter(col("n_tok") >= k)
-      .select(col("source"), explode(
-        transform(sequence(lit(0), size(col("tk")) - k),
-          i => TextFunctions.md5Hash60(
-            concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))).as("h"))
+      .select(col("source"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - k)).as("i"))
+      .select(col("source"), TextFunctions.md5Hash60(
+        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(k)))).as("h"))
       .distinct()
       .localCheckpoint()
     val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
@@ -1204,8 +1208,7 @@ object CorpusStats {
                     roundTo: Int = 4): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
     def hashed(src: DataFrame) = src.select(col(idCol).as("doc_id"),
-      transform(TextFunctions.tokens(lower(col(textCol))),
-        t => TextFunctions.md5Hash60(t)).as("hs"))
+      TextFunctions.hashedTokens(col(textCol)).as("hs"))
     def bigrams(src: DataFrame) = {
       val nb = greatest(size(col("hs")) - 1, lit(0))
       src.select(col("doc_id"),

@@ -842,9 +842,8 @@ object Dedup {
       .union(p.select(col("id_b").as("doc_id"))).distinct()
     val tc = df.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(
-        transform(TextFunctions.tokens(lower(col("_t"))),
-          t => TextFunctions.md5Hash60(t))).as("h"))
+      .select(col("doc_id"),
+        explode(TextFunctions.hashedTokens(col("_t"))).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val ga = p.join(tc, col("id_a") === col("doc_id"))
       .select(col("id_a"), col("id_b"), col("h"), col("c").as("ca"))

@@ -1426,3 +1426,80 @@ object PcmSamples {
       .fromPrimitiveArray(samples)
   }
 }
+
+/** Codegen'd replacement for the hot-loop token-hash pattern
+  * `transform(tokens(lower(text)), md5Hash60)` (the bigram/trigram
+  * LM family's per-doc hashed-token arrays — x88/x145/x182/x186/x192
+  * and the weighted-Jaccard fetch): a higher-order `transform` lambda
+  * is evaluated through the Catalyst interpreter per ELEMENT, which
+  * the r15 HofAudit measured at 2.0× the whole stage's cost at sf1.
+  * This expression walks the tokens once in a tight loop with a
+  * thread-local MD5.
+  *
+  * Semantics, hash-for-hash identical to the Column composition
+  * (HashedTokensSpec pins it on hostile inputs):
+  * lower = UTF8String.toLowerCase (what Spark's `lower` runs); trim =
+  * UTF8String.trim (what `trim` runs — SPACES only, so a tab-leading
+  * document still yields a leading "" token from the regex split,
+  * exactly like the Column form); zero chars after trim → empty
+  * array; else Java-regex split on "\\s+" with limit -1 (what
+  * `split(str, "\\s+")` compiles to); each token's 60-bit hash = the
+  * first 15 hex digits of the MD5 of its UTF-8 bytes, read base 16 —
+  * computed here as the big-endian first 8 digest bytes >>> 4. */
+case class HashedTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_tokens needs a string column, got " +
+            s"${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashedTokens.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashedTokens.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedTokens {
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  private val Empty = org.apache.spark.sql.catalyst.expressions
+    .UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): ArrayData = {
+    val trimmed = text.toLowerCase.trim()
+    if (trimmed.numBytes == 0) return Empty
+    val toks = Ws.split(trimmed.toString, -1)
+    val out = new Array[Long](toks.length)
+    val digest = md.get()
+    var i = 0
+    while (i < toks.length) {
+      val d = digest.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions
+      .UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
