@@ -14,9 +14,31 @@ object CurateStepProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-step shuffle telemetry (the Bench listener, step-scoped):
+    // the verify stage's corpus-side read must STREAM under the
+    // broadcast semi join — shuffle bytes there are candidate-sized,
+    // never corpus-sized (r14 verdict item 8's done-bar)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
     def time[T](label: String)(f: => T): T = {
+      org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+      shufRead.set(0); shufWrite.set(0)
       val t0 = System.nanoTime(); val r = f
-      println(f"[step] $label%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.listenerBridge.drain(spark.sparkContext)
+      println(f"[step] $label%-30s $sec%7.2f s  " +
+        f"shuffle r/w ${shufRead.get / 1e6}%.2f/${shufWrite.get / 1e6}%.2f MB")
       r
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")

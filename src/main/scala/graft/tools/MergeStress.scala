@@ -250,19 +250,32 @@ object MergeStress {
       // synthetic file REAL parquet, so the full-table time-travel
       // read below can actually execute against all 1e6 files.
       // largest file = guaranteed non-empty donor (a shuffle task that
-      // received no rows still writes a footer-only parquet file)
+      // received no rows still writes a footer-only parquet file).
+      // Links fan out over a 64-copy donor POOL — ext4 caps hardlinks
+      // per inode at ~65k, so 1e6 links to one file would fail; the
+      // pool lives under a dot-dir (never a partition dir, so vacuum
+      // and reads don't see it)
       val donor = new java.io.File(s"$path/date=2024-01-01")
         .listFiles().filter(_.getName.endsWith(".parquet"))
         .maxBy(_.length).getAbsolutePath
+      val poolN = 64
+      val pool = (0 until poolN).map { i =>
+        val p = java.nio.file.Paths.get(s"$path/.linkpool/d-$i.parquet")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(donor), p)
+        p.toString
+      }.toArray
       spark.range(nFiles).select(synthFile.as("p")).as[String]
         .foreachPartition { (it: Iterator[String]) =>
           val seen = scala.collection.mutable.HashSet[String]()
-          val src = java.nio.file.Paths.get(donor)
+          var i = 0
           it.foreach { f =>
             val file = new java.io.File(f)
             val dir = file.getParentFile
             if (seen.add(dir.getPath)) dir.mkdirs()
-            java.nio.file.Files.createLink(file.toPath, src)
+            java.nio.file.Files.createLink(file.toPath,
+              java.nio.file.Paths.get(pool(i % poolN)))
+            i += 1
           }
         }
       val real = TableManifest.load(spark, path).get
