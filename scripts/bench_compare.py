@@ -27,14 +27,32 @@ the masked set must stay visible for adjudication.
 Usage:
     python3 scripts/bench_compare.py OLD.json NEW.json [--threshold 2.0]
                                      [--floor 0.25]
+                                     [--rebench OLD_COMMIT]
+                                     [--sf-dir DIR] [--cpus 32] [--reps 3]
 
-Exit 0 when nothing flags, 1 otherwise; prints one line per flagged
-query plus a summary either way.
+--rebench OLD_COMMIT (r15 verdict item 3 -- automates the same-window
+A/B the judge ran by hand every round): for each FLAGGED or MASKED
+query, re-run it isolated (SPARK_GRAFT_ONLY) on BOTH trees in the same
+host window -- the current repo and a git worktree of OLD_COMMIT -- and
+report the same-window ratio alongside the artifact ratio. Artifact
+ratios compare two different host windows; the same-window ratio is the
+only trustworthy cross-tree signal on a drifting host (r13: x248 4.7x
+pure-window swing; r14: x77/x211; r15: x210/x258 -- every flag in three
+rounds adjudicated as window noise by exactly this procedure). A flag
+whose same-window normalized ratio passes the threshold is adjudicated
+WINDOW NOISE and no longer fails the gate; a flag the same-window run
+CONFIRMS stays fatal.
+
+Exit 0 when nothing flags (or every flag is adjudicated window noise by
+--rebench), 1 otherwise; prints one line per flagged query plus a
+summary either way.
 """
 import argparse
 import json
+import os
 import re
 import statistics
+import subprocess
 import sys
 
 
@@ -45,12 +63,70 @@ def canary_mean(art, prefix=""):
     return sum(vals) / len(vals) if vals else None
 
 
+def run_scoped(tree, queries, sf_dir, cpus, reps, log):
+    """Run Bench on `tree` scoped to `queries`; return its per-query
+    min-of-reps seconds. Reads BENCH_SCOPED.json when the tree's Bench
+    writes it (r16+); falls back to BENCH_FULL.json for older trees
+    (whose scoped run clobbers it -- restored via git afterwards)."""
+    env = os.environ.copy()
+    env.update({"SPARK_GRAFT_ONLY": ",".join(queries),
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "SPARK_GRAFT_CPUS": str(cpus),
+                "SPARK_GRAFT_REPS": str(reps)})
+    t0 = __import__("time").time()
+    with open(log, "ab") as lf:
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=tree, env=env, check=True,
+                       stdout=lf, stderr=lf)
+    out = None
+    for name in ("BENCH_SCOPED.json", "BENCH_FULL.json"):
+        p = os.path.join(tree, name)
+        if os.path.exists(p) and os.path.getmtime(p) >= t0:
+            out = json.load(open(p))["queries"]
+            break
+    # never leave a scoped run's partial totals in a tree's committed
+    # artifacts (the r14/r15 post-close clobber)
+    subprocess.run(["git", "-C", tree, "checkout", "--",
+                    "BENCH_FULL.json", "BENCH_SUMMARY.json"],
+                   stderr=subprocess.DEVNULL)
+    scoped = os.path.join(tree, "BENCH_SCOPED.json")
+    if os.path.exists(scoped):
+        os.remove(scoped)
+    if out is None:
+        raise SystemExit(f"{tree}: scoped bench produced no artifact")
+    return out
+
+
+def rebench(commit, queries, sf_dir, cpus, reps):
+    """Same-window A/B: scoped bench of `queries` on the current tree
+    and on a worktree of `commit`, interleaved old-then-new so window
+    drift during the run hits both sides. Returns (old_q, new_q)."""
+    short = subprocess.check_output(
+        ["git", "rev-parse", "--short", commit]).decode().strip()
+    wt = f"/tmp/graft-rebench-{short}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", wt, commit], check=True)
+    log = "/tmp/graft-rebench.log"
+    print(f"rebench: same-window scoped run of {len(queries)} quer"
+          f"{'y' if len(queries) == 1 else 'ies'} on {wt} (old) and "
+          f"{os.getcwd()} (new); sbt output -> {log}", file=sys.stderr)
+    old_q = run_scoped(wt, queries, sf_dir, cpus, reps, log)
+    new_q = run_scoped(os.getcwd(), queries, sf_dir, cpus, reps, log)
+    return old_q, new_q
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=2.0)
     ap.add_argument("--floor", type=float, default=0.25)
+    ap.add_argument("--rebench", metavar="OLD_COMMIT", default=None,
+                    help="same-window A/B every flagged/masked query "
+                         "against a worktree of this commit")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     def load(path):
@@ -154,13 +230,39 @@ def main():
     print(f"common={len(common)} canary_ratio={cr} io_canary_ratio={cio} "
           f"(applied {canary:.3f})  median_norm_ratio={med:.3f}  "
           f"sum {osum:.1f}s -> {nsum:.1f}s ({sum_ratio})")
+    # same-window adjudication (--rebench): artifact ratios compare two
+    # host windows; re-measuring both trees NOW removes the window term
+    # entirely. sw[q] = (new-tree sec, old-tree sec) in the same window.
+    sw = {}
+    if args.rebench and (flagged or masked):
+        names = sorted({q for q, *_ in flagged} | {q for q, *_ in masked})
+        old_sw, new_sw = rebench(args.rebench, names, args.sf_dir,
+                                 args.cpus, args.reps)
+        sw = {q: (new_sw.get(q), old_sw.get(q)) for q in names}
+
+    def sw_note(q):
+        n_sw, o_sw = sw.get(q, (None, None))
+        if not (n_sw and o_sw and o_sw > 0):
+            return "", None
+        r = n_sw / o_sw
+        verdict = ("WINDOW NOISE" if r <= args.threshold
+                   else "CONFIRMED REGRESSION")
+        return (f" | same-window {o_sw:.2f}s -> {n_sw:.2f}s "
+                f"({r:.2f}x) => {verdict}"), r
+
+    fatal = []
     for q, raw, norm, o, n in sorted(flagged, key=lambda t: -t[2]):
+        note, r = sw_note(q)
+        if r is None or r > args.threshold:
+            fatal.append(q)
         print(f"FLAG {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x "
-              f"norm {norm:.2f}x{spread_note(q)}")
+              f"norm {norm:.2f}x{spread_note(q)}{note}")
     for q, raw, norm, o, n in sorted(masked, key=lambda t: -t[1]):
+        note, _ = sw_note(q)
         print(f"MASKED {q}: {o:.2f}s -> {n:.2f}s raw {raw:.2f}x passes "
               f"only via canary normalization (norm {norm:.2f}x) -- "
-              f"adjudicate against a clean-window artifact{spread_note(q)}")
+              f"adjudicate against a clean-window artifact"
+              f"{spread_note(q)}{note}")
     if raw_io and raw_io > 1.2 and not (raw_canary and raw_canary > 1.2):
         print(f"WARN: io canary ratio {raw_io:.2f} marks IO/job-latency "
               "drift (scan canary clean) -- store-probe rows' movement "
@@ -176,7 +278,10 @@ def main():
         print("OK: no query exceeds "
               f"{args.threshold}x after canary normalization "
               f"(floor {args.floor}s)")
-    return 1 if flagged else 0
+    elif not fatal:
+        print("OK: every flag adjudicated WINDOW NOISE by the "
+              "same-window A/B (--rebench)")
+    return 1 if fatal else 0
 
 
 if __name__ == "__main__":

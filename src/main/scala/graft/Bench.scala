@@ -127,18 +127,24 @@ object Bench {
     def ioCanary(): Double = {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("").toAbsolutePath, ".graft-iocanary")
-      val df = spark.range(1000).selectExpr("id", "id % 7 AS v")
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(s"$root/staged")
-      df.limit(100).write.mode("overwrite").parquet(s"$root/v2")
-      java.nio.file.Files.move(root.resolve("staged"), root.resolve("v1"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      spark.read.parquet(s"$root/v1", s"$root/v2").count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      sec
+      // cleanup in finally (and the walk stream closed) so a failed
+      // probe never leaks a .graft-iocanary dir under the bench cwd
+      try {
+        val df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").parquet(s"$root/staged")
+        df.limit(100).write.mode("overwrite").parquet(s"$root/v2")
+        java.nio.file.Files.move(root.resolve("staged"), root.resolve("v1"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        spark.read.parquet(s"$root/v1", s"$root/v2").count()
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
     }
     val canaryPre = timeOnce(canaryFn).sec
     // one discarded probe first: the session's first parquet WRITE pays
@@ -149,7 +155,8 @@ object Bench {
     // above this, the window is treated as IO-degraded and the blip
     // guard's spread trigger tightens (clean-host probe ≈ 0.3-0.6 s)
     val ioBlipThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_IO_BLIP_SEC", "1.2").toDouble
+      sys.env.get("SPARK_GRAFT_IO_BLIP_SEC")
+        .flatMap(_.toDoubleOption).getOrElse(1.2)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -253,7 +260,12 @@ object Bench {
       .mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$canaries,"queries":$qs,"shuffle_mb":$shuf,"peak_mem_mb":$peak,"gc_ms":$gc,"codegen_compiles":$compiles,"reps_sec":$repsMap,"rep_spread":$spreadMap,"blipped":$blippedArr,"errors":$errs,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    // A SCOPED run (SPARK_GRAFT_ONLY set) writes BENCH_SCOPED.json and
+    // leaves the full-suite artifacts untouched — a dev subset run can
+    // no longer clobber BENCH_FULL/BENCH_SUMMARY with partial totals
+    // (it did, twice: the r14 and r15 post-close restores).
+    val fullPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json")
     java.nio.file.Files.write(fullPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // The driver's parse slot has recorded null for four rounds because it
@@ -262,8 +274,9 @@ object Bench {
     // BENCH_SUMMARY.json — that needs no tail-window luck to recover.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},$canaries,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        compact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(compact)
     spark.stop()
     if (failed.nonEmpty) {

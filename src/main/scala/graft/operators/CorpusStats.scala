@@ -147,17 +147,23 @@ object CorpusStats {
     * hashes — the house convention — so the model table shuffles
     * 16-byte keys). T = corpus tokens, V = distinct hashes.
     *
-    * Cross-engine float determinism: same construction as
-    * [[Sampling.dsirWeights]] — the per-doc sum folds over the doc's
-    * HASH-SORTED bucket list (Spark `aggregate` / DuckDB `list_reduce`,
-    * both sequential left folds), totals enter as exact integers, the
+    * Cross-engine float determinism (r16 — the quantize-then-integer-
+    * sum recipe replaces the r13 sorted-fold): each TERM's
+    * contribution c·log2((cnt+1)/(T+V)) is quantized to an integer
+    * (`floor(term × 1e6)`) BEFORE the per-doc reduction, so the sum is
+    * exact integer arithmetic in ANY order — a plain codegen
+    * `sum(long)` here, a plain `sum(BIGINT)` in the oracle — and the
+    * old collect_list + array_sort + interpreted `aggregate` fold
+    * (HofAudit: 1.61× stage tax, plus the per-doc array
+    * materialization) is gone. Totals enter as exact integers; the
     * result is portable-rounded.
     *
     * Scale shape: one explode → per-doc-hash and global-hash
     * aggregations; the model join is hash-keyed (shuffle or broadcast
     * at the planner's discretion — the model has one row per distinct
-    * corpus token, so NOT forced broadcast); per-doc state is the doc's
-    * distinct tokens. Output: (doc_id, n_tok, bpt); tokenless docs 0. */
+    * corpus token, so NOT forced broadcast); per-doc state is now two
+    * LONGS (was: the doc's distinct-token struct list). Output:
+    * (doc_id, n_tok, bpt); tokenless docs 0. */
   def unigramBits(df: DataFrame, idCol: String, textCol: String,
                   roundTo: Int = 4): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
@@ -171,14 +177,13 @@ object CorpusStats {
     val per = dc.join(g, Seq("h"))
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_tok"),
-        array_sort(collect_list(struct(col("h"), col("c"), col("cnt"))))
-          .as("arr"))
+        sum(floor(col("c").cast("double") *
+          log2((col("cnt").cast("double") + lit(1.0)) / lit(tv.toDouble)) *
+          lit(1e6))).as("q"))
       .select(col("doc_id"), col("n_tok"),
         TextFunctions.portableRound(
-          (lit(0.0) - aggregate(col("arr"), lit(0.0), (acc, s) =>
-            acc + s.getField("c").cast("double") *
-              log2((s.getField("cnt").cast("double") + lit(1.0)) /
-                lit(tv.toDouble)))) / col("n_tok").cast("double"),
+          (lit(0.0) - col("q").cast("double") / lit(1e6)) /
+            col("n_tok").cast("double"),
           roundTo).as("bpt"))
     df.select(col(idCol).as("doc_id"))
       .join(per, Seq("doc_id"), "left")

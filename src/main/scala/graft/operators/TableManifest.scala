@@ -301,7 +301,8 @@ object TableManifest {
   def replacePartitions(spark: SparkSession, path: String, df: DataFrame,
                         keyCol: String, partitionCol: String,
                         replaceParts: Seq[Any],
-                        retainVersions: Int = 2): Unit = {
+                        retainVersions: Int = 2,
+                        landingParts: Option[Seq[Any]] = None): Unit = {
     val mBase = MergeUpsert.currentPlainVersion(spark, manifestPath(path))
     // first write BOOTSTRAPS (no manifest yet → nothing to drop):
     // replacePartitions doubles as the idempotent "this partition's
@@ -309,9 +310,14 @@ object TableManifest {
     val m = mBase.map(v => spark.read.parquet(s"${manifestPath(path)}/$v"))
       .orElse(load(spark, path))
     // only the dirs receiving NEW files need the before/after listing;
-    // the dropped partitions are removed from the manifest by name
-    val landing = df.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    // the dropped partitions are removed from the manifest by name.
+    // Callers that KNOW df's partition set pass it via `landingParts`
+    // (it must cover every partition value df writes — a missed value
+    // leaves that dir's new files unregistered) so df executes exactly
+    // once, in the write (r15 advice: compactCurated's fold plan was
+    // paid twice — once for this distinct-collect, once writing).
+    val landing = landingParts.getOrElse(
+      df.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq)
     val before = listPartFiles(spark, path, partitionCol, landing)
     df.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy(partitionCol).parquet(path)
@@ -517,10 +523,32 @@ object TableManifest {
       // past the explicit-list planning bound the read switches to the
       // distributed semi-join plan — full-table time travel with NO
       // driver file list (the gate used to throw here; MergeStress
-      // time-travels the full 1e6-file table through this path)
+      // time-travels the full 1e6-file table through this path).
+      // readVersionAll derives the true partition column from the
+      // manifest's own paths, so a table partitioned by anything
+      // other than the defaulted `partitionCol` still reads correctly
+      // through the fallback (r15 advice: the defaulted column made
+      // the semi-join plan silently find zero partition dirs).
       return readVersionAll(spark, path, version, partitionCol)
     val files = mv.select("file").collect().map(_.getString(0))
     spark.read.option("basePath", path).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** The partition COLUMN a manifest file path encodes — the
+    * `<col>=<value>` dir segment directly above the file. The manifest
+    * stores partition VALUES only (`part`), so reads that construct
+    * partition dirs need the column name from somewhere; deriving it
+    * from the version's own paths beats trusting a caller default
+    * (r15 advice: [[readVersion]]'s large-table fallback with the
+    * defaulted "date" on a differently-partitioned table built dirs
+    * that don't exist and returned silent zero rows). None for a
+    * file written unpartitioned at the table root. */
+  private[operators] def partitionColOf(file: String): Option[String] = {
+    val dir = new org.apache.hadoop.fs.Path(file).getParent.getName
+    val i = dir.indexOf('=')
+    if (i <= 0) None
+    else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dir.substring(0, i)))
   }
 
   /** [[readVersionPartitions]] generalized to EVERY partition the
@@ -534,11 +562,15 @@ object TableManifest {
   def readVersionAll(spark: SparkSession, path: String,
                      version: String,
                      partitionCol: String = "date"): DataFrame = {
-    val parts = MergeUpsert
-      .readPlainVersion(spark, manifestPath(path), version)
-      .select("part").distinct().collect()
+    val mv = MergeUpsert.readPlainVersion(spark, manifestPath(path), version)
+    val parts = mv.select("part").distinct().collect()
       .map(_.getString(0)).toSeq
-    readVersionPartitions(spark, path, version, parts, partitionCol)
+    // the version's own paths name the partition column — prefer that
+    // over the caller's default (r15 advice: a wrong default built
+    // nonexistent dirs and read silent zero rows)
+    val pc = mv.select("file").limit(1).collect().headOption
+      .map(_.getString(0)).flatMap(partitionColOf).getOrElse(partitionCol)
+    readVersionPartitions(spark, path, version, parts, pc)
   }
 
   /** Time travel a PARTITION SUBSET of manifest `version` with NO
@@ -573,6 +605,32 @@ object TableManifest {
     val dirs = parts
       .map(v => partDir(path, partitionCol, v))
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // LOUD-FAILURE GATE (r15 advice): if the version REFERENCES files
+    // in a requested partition but that partition's constructed dir
+    // does not exist, the semi join below would silently drop those
+    // rows — the usual cause is a wrong `partitionCol` (the dirs on
+    // disk are `<other>=v`, not `<partitionCol>=v`). Refuse with the
+    // column the manifest's own paths encode. Distinct-collect is
+    // bounded by the REQUESTED partition count.
+    locally {
+      val referenced = mv.select("part").distinct().collect()
+        .map(_.getString(0)).toSet
+      val missing = parts.map(_.toString).filter(referenced)
+        .filterNot(v => fs.exists(
+          new org.apache.hadoop.fs.Path(partDir(path, partitionCol, v))))
+      if (missing.nonEmpty) {
+        val hint = mv.select("file").limit(1).collect().headOption
+          .map(_.getString(0)).flatMap(partitionColOf)
+          .map(c => s"; the manifest's paths encode partition column " +
+            s"'$c'").getOrElse("")
+        throw new IllegalStateException(
+          s"manifest version $version of $path references files in " +
+            s"partition(s) ${missing.take(5).mkString(", ")} but no dir " +
+            s"'$partitionCol=<value>' exists for them — wrong " +
+            s"partitionCol, or the table was mutated outside the " +
+            s"copy-on-write protocol$hint")
+      }
+    }
     if (dirs.isEmpty)
       // schema from ONE referenced file of the version (or the live
       // manifest when the subset is empty in this version too)

@@ -3103,7 +3103,9 @@ object ExtensionCatalog {
 
     // ---- unigram cross-entropy (CCNet-style perplexity signal):
     //      bits/token under the corpus's own add-1-smoothed unigram
-    //      model; hash-sorted left fold = deterministic float sum ----
+    //      model; per-term contributions quantized to integers before
+    //      the per-doc sum (r16) = order-free exact reduction, plain
+    //      codegen sum on both engines ----
     Q("x67_unigram_bits", Some(
       s"""WITH tk AS (
          |  SELECT doc_id, ${h60Sql("t", 1152921504606846976L)} AS h FROM (
@@ -3117,15 +3119,14 @@ object ExtensionCatalog {
          |per AS (
          |  SELECT dc.doc_id,
          |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
-         |    list_sort(list(struct_pack(h := dc.h, c := dc.c, cnt := g.cnt)))
-         |      AS arr
-         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+         |    CAST(sum(CAST(floor(dc.c * log2((g.cnt + 1.0) / tv)
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+         |  FROM dc JOIN g USING (h), tot GROUP BY dc.doc_id),
          |w AS (
          |  SELECT doc_id, n_tok,
-         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
-         |        s -> s.c * log2((s.cnt + 1.0) / tv))), (a, x) -> a + x))
-         |      / n_tok * 10000.0 + 0.5) / 10000.0 AS bpt
-         |  FROM per, tot)
+         |    floor((0.0 - q / 1000000.0) / n_tok * 10000.0 + 0.5)
+         |      / 10000.0 AS bpt
+         |  FROM per)
          |SELECT d.doc_id,
          |       coalesce(w.n_tok, 0) AS n_tok,
          |       coalesce(w.bpt, 0.0) AS bpt
@@ -6366,15 +6367,14 @@ object ExtensionCatalog {
          |per AS (
          |  SELECT dc.doc_id,
          |    CAST(sum(dc.c) AS BIGINT) AS n_tok,
-         |    list_sort(list(struct_pack(h := dc.h, c := dc.c, cnt := g.cnt)))
-         |      AS arr
-         |  FROM dc JOIN g USING (h) GROUP BY dc.doc_id),
+         |    CAST(sum(CAST(floor(dc.c * log2((g.cnt + 1.0) / tv)
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS q
+         |  FROM dc JOIN g USING (h), tot GROUP BY dc.doc_id),
          |w AS (
          |  SELECT doc_id, n_tok,
-         |    floor((0.0 - list_reduce(list_prepend(0.0, list_transform(arr,
-         |        s -> s.c * log2((s.cnt + 1.0) / tv))), (a, x) -> a + x))
-         |      / n_tok * 10000.0 + 0.5) / 10000.0 AS bpt
-         |  FROM per, tot),
+         |    floor((0.0 - q / 1000000.0) / n_tok * 10000.0 + 0.5)
+         |      / 10000.0 AS bpt
+         |  FROM per),
          |sl AS (
          |  SELECT d.source, CAST(sum(w.n_tok) AS BIGINT) AS n_tokens,
          |    floor(sum(w.bpt * w.n_tok) / sum(w.n_tok) * 10000.0 + 0.5)

@@ -108,8 +108,8 @@ object StreamCuration {
     * epoch-partitioned) minus [[curatedDelsPath]] (deletion vectors);
     * [[readCurated]] composes them. */
   def curatedPath(work: String) = s"$work/curated"
-  private[streaming] def curatedBasePath(work: String) = s"$work/curated_rows"
-  private[streaming] def curatedDelsPath(work: String) = s"$work/curated_dels"
+  private[graft] def curatedBasePath(work: String) = s"$work/curated_rows"
+  private[graft] def curatedDelsPath(work: String) = s"$work/curated_dels"
   private def embPath(work: String) = s"$work/emb_q"
 
   /** The epoch partition column and value encoding: zero-padded so
@@ -133,9 +133,11 @@ object StreamCuration {
                          minQuality: Double = 0.3,
                          rates: Map[String, Double] = Map("en" -> 0.8),
                          defaultRate: Double = 0.5,
-                         publishEvery: Int = 1): Unit = {
+                         publishEvery: Int = 1,
+                         compactEvery: Int = 0): Unit = {
     start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
-      minQuality, rates, defaultRate, Trigger.AvailableNow(), publishEvery)
+      minQuality, rates, defaultRate, Trigger.AvailableNow(), publishEvery,
+      compactEvery)
       .awaitTermination()
     // guard: a zero-data drain has no stores to publish from
     val docsDir = new org.apache.hadoop.fs.Path(docsPath(workDir))
@@ -156,11 +158,12 @@ object StreamCuration {
                        rates: Map[String, Double] = Map("en" -> 0.8),
                        defaultRate: Double = 0.5,
                        interval: String = "1 second",
-                       publishEvery: Int = 1)
+                       publishEvery: Int = 1,
+                       compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     start(spark, srcGlob, schema, workDir, embeddingsPath, checkpoint,
       minQuality, rates, defaultRate, Trigger.ProcessingTime(interval),
-      publishEvery)
+      publishEvery, compactEvery)
 
   /** The live curated corpus: base epochs up to the published pointer
     * minus the deletion vectors up to the same pointer — ONE pointer
@@ -188,12 +191,26 @@ object StreamCuration {
     MergeUpsert.existingPlain(spark, curatedDelsPath(workDir)) match {
       case Some(d) =>
         // deletion vectors are SPARSE (displaced near-dup keepers) —
-        // broadcast them so the base side never shuffles
-        base.join(broadcast(d.filter(col("del_epoch") <= p)
-          .select("doc_id")), Seq("doc_id"), "left_anti")
+        // broadcast them so the base side never shuffles. The hint is
+        // SIZE-GATED (r15 verdict): a dedup-heavy corpus can grow the
+        // dels store past driver-broadcast comfort, at which point the
+        // anti join degrades gracefully to the planner's choice
+        // (shuffled hash/SMJ) instead of OOMing the driver. File
+        // metadata only — no extra job.
+        val dels = d.filter(col("del_epoch") <= p).select("doc_id")
+        val hinted =
+          if (batchBytes(spark, d) <= DelsBroadcastMaxBytes) broadcast(dels)
+          else dels
+        base.join(hinted, Seq("doc_id"), "left_anti")
       case None => base
     }
   }
+
+  /** Compressed on-disk size above which [[readCurated]] stops
+    * force-broadcasting the deletion vectors (~64 MB parquet ≈ a few
+    * hundred MB of hashed-relation heap — the conventional comfort
+    * bound for an explicit driver broadcast). */
+  private[streaming] val DelsBroadcastMaxBytes: Long = 64L << 20
 
   /** Zero-row frame with the curated schema (docs-store columns plus
     * the embedding join's scale/codes) — the all-docs-filtered corner
@@ -257,9 +274,11 @@ object StreamCuration {
                     embeddingsPath: String, checkpoint: String,
                     minQuality: Double, rates: Map[String, Double],
                     defaultRate: Double, trigger: Trigger,
-                    publishEvery: Int = 1)
+                    publishEvery: Int = 1,
+                    compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(publishEvery >= 1, s"publishEvery must be >= 1: $publishEvery")
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
     publishQuantizedEmbeddings(spark, workDir, embeddingsPath)
     spark.readStream.schema(schema).parquet(srcGlob)
       .writeStream
@@ -275,6 +294,16 @@ object StreamCuration {
           rates, defaultRate,
           publish = (batchId + 1) % publishEvery == 0,
           epoch = batchId)
+        // maintenance cadence (r15 verdict task 1): without it a
+        // publishEvery=1 stream accumulates one epoch partition + one
+        // manifest generation PER TICK — readCurated's epoch list and
+        // the on-disk COW backlog grow O(ticks). Counted in DATA
+        // batches like StreamIngest.compactEvery (restart-stable via
+        // the checkpointed batchId); a maintenance tick that races a
+        // crash is safe — the fold is a publish like any other and
+        // the scoped vacuum is idempotent.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          maintainCurated(batch.sparkSession, workDir)
       }
       .start()
   }
@@ -798,8 +827,12 @@ object StreamCuration {
     val insertRows = sampled.join(embHit, Seq("doc_id"), "left")
       .withColumn(EpochCol, lit(tickEpoch))
       .coalesce(1).localCheckpoint()
+    // landingParts: the epoch stamp IS the only partition value, so
+    // the writer skips the landing distinct-collect job (per-tick
+    // latency: one fewer plan on the micro path)
     TableManifest.replacePartitions(spark, curatedBasePath(workDir),
-      insertRows, "doc_id", EpochCol, Seq(tickEpoch))
+      insertRows, "doc_id", EpochCol, Seq(tickEpoch),
+      landingParts = Some(Seq(tickEpoch)))
   }
 
   /** The absorbed-watermark pointer: the newest epoch whose docs and
@@ -858,17 +891,44 @@ object StreamCuration {
     * unpublished) are untouched. Off the per-tick path by design:
     * per-batch work stays O(changed rows) and this pass re-pays
     * O(published rows) only when the caller schedules it. */
-  def compactCurated(spark: SparkSession, workDir: String): Unit = {
+  def compactCurated(spark: SparkSession, workDir: String,
+                     targetBytes: Long = 128L << 20): Seq[String] = {
     (publishedEpoch(spark, workDir),
         TableManifest.load(spark, curatedBasePath(workDir))) match {
       case (Some(p), Some(m)) =>
         val parts = m.select("part").distinct().collect()
           .map(_.getString(0)).filter(_ <= p).toSeq
         if (parts.nonEmpty) {
+          // size the fold's OUTPUT (the point of compaction is fewer,
+          // bigger files): target byte-sized files from a k-dir
+          // listing (metadata; superseded generations overcount ≤ the
+          // retention factor, which only rounds the target up).
+          // repartition, not coalesce — a narrow coalesce would
+          // propagate through the broadcast-join fold plan and
+          // serialize the base scan itself.
+          val base = curatedBasePath(workDir)
+          val fs = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val bytes = parts.iterator.map { v =>
+            val d = new org.apache.hadoop.fs.Path(s"$base/$EpochCol=$v")
+            if (!fs.exists(d)) 0L
+            else fs.listStatus(d).iterator
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+              .map(_.getLen).sum
+          }.sum
+          val targetN =
+            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
           val folded = readCurated(spark, workDir)
             .withColumn(EpochCol, lit(p))
+            .repartition(targetN)
+          // landingParts = the fold's single epoch stamp, so the full
+          // readCurated composition executes ONCE (the write) instead
+          // of twice (r15 advice: the landing distinct-collect re-ran
+          // the whole fold plan before the write did)
           TableManifest.replacePartitions(spark, curatedBasePath(workDir),
-            folded, "doc_id", EpochCol, parts)
+            folded, "doc_id", EpochCol, parts,
+            landingParts = Some(Seq(p)))
           // crash between the fold's manifest flip and this prune
           // leaves stale vectors whose targets are already gone from
           // the base — the anti join is then a no-op, and the next
@@ -878,8 +938,60 @@ object StreamCuration {
               MergeUpsert.deleteWhere(spark, curatedDelsPath(workDir),
                 col("del_epoch") <= p)
             }
+          // every touched dir: the dropped epochs (their files are
+          // dead once the previous manifest version retires) plus the
+          // landing epoch (its pre-fold generation is superseded) —
+          // the scoped-vacuum set maintainCurated reclaims
+          (parts :+ p).distinct
+        } else Seq.empty
+      case _ => Seq.empty
+    }
+  }
+
+  /** The stream's amortized maintenance tick (r15 verdict task 1 —
+    * the one unbounded-state gap at 100 TB): fold the published epochs
+    * ([[compactCurated]]) and reclaim the superseded copy-on-write
+    * generations with a PARTITION-SCOPED vacuum over exactly the dirs
+    * the fold touched — cost O(folded partitions), independent of the
+    * table's total partition count. `keepVersions = 2` keeps one
+    * manifest generation of time travel between maintenance ticks;
+    * each tick's retention prune retires the previous tick's
+    * superseded files, so a long-running stream's storage is bounded
+    * at ~one extra generation. Single-writer like every publish here:
+    * the stream calls it from its own foreachBatch thread. */
+  def maintainCurated(spark: SparkSession, workDir: String,
+                      keepVersions: Int = 2): Unit = {
+    val touched = compactCurated(spark, workDir)
+    if (touched.nonEmpty) {
+      val base = curatedBasePath(workDir)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Vacuum scope = every ON-DISK epoch dir, not the fold's parts:
+      // a fold's superseded generation dies only at the NEXT insert
+      // publish (when manifest retention prunes the version that
+      // still referenced it), by which time those partitions have
+      // left the manifest — scoping by the manifest's current parts
+      // would orphan each cycle's dead files forever. One LIST of the
+      // base root, bounded because this same pass removes emptied
+      // dirs below (so dir count tracks the cadence, not tick count).
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$EpochCol="))
+        .map(_.getPath).toIndexedSeq
+      val parts = dirs.map(d =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(d.getName.stripPrefix(s"$EpochCol=")))
+      if (parts.nonEmpty) {
+        TableManifest.vacuumPartitions(spark, base, parts, EpochCol,
+          keepVersions)
+        // an empty dir holds no file any retained version references
+        // (vacuum just enforced that invariant), so removing it can't
+        // strand a pinned reader — it only keeps the root listing
+        // from accumulating one empty dir per folded epoch
+        dirs.foreach { d =>
+          if (fs.listStatus(d).isEmpty) fs.delete(d, false)
         }
-      case _ => ()
+      }
     }
   }
 }

@@ -307,4 +307,82 @@ class StreamCurationSpec extends SparkSpec {
     assert(fingerprint(StreamCuration.readCurated(spark, work)) == before,
       "an empty batch must not move the curated table")
   }
+
+  test("maintainCurated (the compactEvery tick) bounds epoch count AND " +
+    "on-disk COW backlog across a many-tick run without moving the table") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-maint").toString + "/cur"
+    StreamCuration.publishQuantizedEmbeddings(spark, work,
+      s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ticks = 9
+    def baseFiles(): Long = {
+      val d = new java.io.File(StreamCuration.curatedBasePath(work))
+      if (!d.exists()) 0L
+      else java.nio.file.Files.walk(d.toPath).filter(p =>
+        p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_manifest")).count()
+    }
+    (0 until ticks).foreach { k =>
+      StreamCuration.curateBatch(spark,
+        docs.filter(col("doc_id") % ticks === k), work,
+        minQuality = 0.3, rates = Map("en" -> 0.8),
+        defaultRate = 0.5, publish = true, epoch = k.toLong)
+      if ((k + 1) % 3 == 0)
+        StreamCuration.maintainCurated(spark, work)
+    }
+    val epochs = graft.operators.TableManifest
+      .load(spark, StreamCuration.curatedBasePath(work)).get
+      .select("part").distinct().count()
+    // after a maintenance tick the manifest holds ONE folded epoch;
+    // between ticks at most compactEvery-1 fresh ones accumulate —
+    // never O(ticks)
+    assert(epochs <= 3, s"epoch count must stay bounded, got $epochs")
+    // the scoped vacuum reclaims superseded generations: steady state
+    // is the previous fold + the cycle's inserts + the new fold (the
+    // retained-generation window), never one file per tick. 9 ticks
+    // unmaintained leave >= 12 data files; maintained must hold the
+    // cadence-sized set.
+    assert(baseFiles() <= 6,
+      s"vacuum must reclaim superseded generations, ${baseFiles()} files")
+    // ...and emptied epoch dirs are removed, so the base root listing
+    // tracks the cadence, not the tick count
+    val dirCount = new java.io.File(StreamCuration.curatedBasePath(work))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("cur_epoch="))
+    assert(dirCount <= 5, s"emptied epoch dirs must be removed, $dirCount dirs")
+    // purity: the maintained table equals the batch pipeline on the
+    // same corpus (the same bar every other curation test pins)
+    val full = s"$work/fulldocs"
+    docs.write.parquet(full)
+    assert(fingerprint(StreamCuration.readCurated(spark, work)) ==
+      fingerprint(batchCurated(full)),
+      "maintenance must not move the curated table")
+    // and a redelivered tick after maintenance is still idempotent
+    val before = fingerprint(StreamCuration.readCurated(spark, work))
+    StreamCuration.curateBatch(spark,
+      docs.filter(col("doc_id") % ticks === (ticks - 1)), work,
+      minQuality = 0.3, rates = Map("en" -> 0.8),
+      defaultRate = 0.5, publish = true, epoch = (ticks - 1).toLong)
+    assert(fingerprint(StreamCuration.readCurated(spark, work)) == before)
+  }
+
+  test("curateAvailableNow wires the compactEvery cadence: a drain with " +
+    "compactEvery=1 leaves a folded single-epoch manifest") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-scur-ce").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$work/in"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    arrive(work, docs.filter(col("doc_id") % 2 === 0), "f1.parquet")
+    StreamCuration.curateAvailableNow(spark, s"$work/in", docs.schema,
+      s"$work/cur", s"$sfDir/embeddings.parquet", s"$work/cp",
+      compactEvery = 1)
+    val epochs = graft.operators.TableManifest
+      .load(spark, StreamCuration.curatedBasePath(s"$work/cur")).get
+      .select("part").distinct().count()
+    assert(epochs == 1, s"compactEvery=1 drain must fold, got $epochs")
+    val half = s"$work/halfdocs"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(half)
+    assert(fingerprint(StreamCuration.readCurated(spark, s"$work/cur")) ==
+      fingerprint(batchCurated(half)))
+  }
 }
