@@ -43,6 +43,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // STATIC conf, default 100 entries: the streaming/store-protocol
+      // rows generate several hundred distinct stage bodies per run,
+      // so at the default the whole-stage-codegen cache evicts itself
+      // every rep and a WARM rep recompiles ~300 classes (~3-6 s of
+      // pure janino on x39 — r15 verdict task 2). Generated classes
+      // are a few KB each; 5000 entries is ~tens of MB, nothing
+      // against the driver heap, and the right setting for any
+      // long-lived session running micro-batch cadences.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val telemetry = new Telemetry

@@ -350,9 +350,19 @@ object StreamCuration {
     // 3+ s/batch of minhash on a single core in the sf1 replay while
     // 31 cores idled.
     val cores = spark.sparkContext.defaultParallelism
-    val width =
-      if (batchBytes(spark, batch) >= ReplayBytesPerCore * cores) cores
-      else 0
+    val bytes = batchBytes(spark, batch)
+    val width = if (bytes >= ReplayBytesPerCore * cores) cores else 0
+    // MID-SIZE batches (r16): below the replay threshold the batch
+    // keeps the micro PATH (driver delta, collected verify) but its
+    // two text scans still deserve more than the source's file-count
+    // parallelism — a 600 KB single-file batch ran its whole minhash
+    // pass on ONE core (~0.45 s/batch at sf0.1, measured). Scan width
+    // is byte-proportional (~1 task per 192 KB compressed), engaged
+    // only when it buys >= 2 tasks; the exchange it adds is a stage
+    // inside the same job, not a new job.
+    val scanWidth =
+      if (width > 0) 0
+      else math.min(cores.toLong, bytes / ScanBytesPerTask).toInt
     // Scoped shuffle sizing (the StreamJoin/StreamDedup lesson, batch
     // face): a micro-batch is SMALL by construction, but its ~10
     // shuffles (store merges, candidate join, verify, publish) would
@@ -361,14 +371,31 @@ object StreamCuration {
     // ScopedSessionConf lock makes the set/restore window sound even if
     // batches ever stop being serial. 0 = inherit the session conf.
     graft.ScopedSessionConf.withShufflePartitions(spark, shufflePartitions) {
-      curateBatchInner(spark, batch, workDir, minQuality, rates,
-        defaultRate, publish, width, epoch)
+      // AQE off for the MICRO path (r16): adaptive execution
+      // materializes every exchange as its own query-stage JOB, and at
+      // micro-batch scale those jobs are pure scheduler latency — the
+      // warm 3-batch x39 replay ran 105 jobs under AQE for ~20 actual
+      // actions (~25 ms apiece). A micro plan has nothing for AQE to
+      // adapt: its joins are explicitly broadcast and its shuffles are
+      // already scoped to `shufflePartitions`. Replay-scale batches
+      // (width > 0) keep AQE — skew and coalescing matter there.
+      val run = () => curateBatchInner(spark, batch, workDir, minQuality,
+        rates, defaultRate, publish, width, epoch, scanWidth)
+      if (width == 0)
+        graft.ScopedSessionConf.withConf(spark,
+          "spark.sql.adaptive.enabled", "false")(run())
+      else run()
     }
   }
 
   /** ~2 MB of compressed parquet per core ≈ the old 2048-rows-per-core
     * widening threshold at typical document sizes. */
   private val ReplayBytesPerCore = 2L << 20
+
+  /** Mid-size scan widening: one text-scan task per this many
+    * compressed batch bytes (so the exchange only engages once the
+    * single-task scan would dominate the batch's latency). */
+  private val ScanBytesPerTask = 192L << 10
 
   /** The batch's input size from FILE METADATA only — `inputFiles`
     * walks the plan's file index and `getFileStatus` is a driver
@@ -400,7 +427,8 @@ object StreamCuration {
                                rates: Map[String, Double],
                                defaultRate: Double,
                                publish: Boolean,
-                               width: Int, epoch: Long): Unit = {
+                               width: Int, epoch: Long,
+                               scanWidth: Int = 0): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -416,7 +444,10 @@ object StreamCuration {
     // parquet file = ONE task doing every minhash — measured 3.2 s of
     // the sf1 replay per batch on one core), and the heavy text scan
     // below deserves the machine. Micro-batches skip the exchange.
-    val widened = if (width > 0) batch.repartition(width) else batch
+    val widened =
+      if (width > 0) batch.repartition(width)
+      else if (scanWidth > 1) batch.repartition(scanWidth)
+      else batch
     val scored0 = widened
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
@@ -504,8 +535,13 @@ object StreamCuration {
             "text", cands, minJaccard = 0.4).localCheckpoint()
         }
       else
+        // checkpointed on the micro path too (r16): mergeWritePlain's
+        // plan consumes `updates` twice (distinct-keys broadcast +
+        // union), so a lazy verify ran its wide text join TWICE inside
+        // the pairs merge — measured as the bulk of an 0.8 s/batch
+        // merge of a handful of pairs
         Dedup.verifyCandidates(involved, "doc_id", "text", cands,
-          minJaccard = 0.4)
+          minJaccard = 0.4).localCheckpoint()
 
     // the pairs merge moves slim verified rows; the replay path
     // materializes the verify first so the merge round-trip never
@@ -564,18 +600,29 @@ object StreamCuration {
         val wm = absorbedEpoch(spark, workDir)
         def sinceWm(c: org.apache.spark.sql.Column) =
           wm.map(w => c > lit(w)).getOrElse(lit(true))
+        // no distinct: the docs store is KEYED on doc_id (mergeWritePlain
+        // dropDuplicates), so the range scan is already unique — the
+        // distinct was a pure extra shuffle on the tick path (r16)
         val newDocIds = docsStore.filter(sinceWm(col("ingest_epoch")))
-          .select(col("doc_id").cast("long").as("doc_id")).distinct()
+          .select(col("doc_id").cast("long").as("doc_id"))
         val newPairs = MergeUpsert.existingPlain(spark, pairsPath(workDir))
           .map(_.filter(sinceWm(col("pair_epoch")))
             .select(col("id_a").cast("long").as("id_a"),
               col("id_b").cast("long").as("id_b")))
         val prevLabels = MergeUpsert.existingPlain(spark, labelsPath(workDir))
-        // bounded probes decide the path without separate count jobs
-        val idProbe = newDocIds.limit(maxDriverIds + 1).collect()
-        val pairProbe = newPairs
+        // bounded probes decide the path without separate count jobs;
+        // the two stores are independent, so the probes run
+        // CONCURRENTLY (two ~0.1-0.2 s collects serialized were pure
+        // tick latency, r16)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fIdProbe = Future(newDocIds.limit(maxDriverIds + 1).collect())
+        val fPairProbe = Future(newPairs
           .map(_.limit(maxDriverPairs + 1).collect())
-          .getOrElse(Array.empty[org.apache.spark.sql.Row])
+          .getOrElse(Array.empty[org.apache.spark.sql.Row]))
+        val idProbe = Await.result(fIdProbe, Duration.Inf)
+        val pairProbe = Await.result(fPairProbe, Duration.Inf)
         if (idProbe.length <= maxDriverIds &&
             pairProbe.length <= maxDriverPairs)
           deltaDriver(spark, workDir, docsStore,
