@@ -608,6 +608,36 @@ class TableManifestSpec extends SparkSpec {
     }
   }
 
+  test("readVersionAll derives the partition COLUMN from the manifest's " +
+    "own paths (r15 advice: a non-'date' table read through readVersion's " +
+    "large-table fallback with the defaulted column returned silent zero " +
+    "rows); readVersionPartitions refuses loudly on a wrong partitionCol") {
+    val path = tmpDir()
+    // table partitioned by REGION, not date — the defaulted "date"
+    // used to construct dirs that don't exist
+    val df = (1L to 40L).map(i => (i, s"r${i % 4}", i * 1.0))
+      .toDF("id", "region", "value")
+    TableManifest.mergeWriteManifested(spark, path, df,
+      keys = Seq("id"), partitionCol = "region")
+    val v = TableManifest.versions(spark, path).last
+    // the default-arg call must still read ALL rows — the column is
+    // derived from the version's file paths, not trusted
+    assert(TableManifest.readVersionAll(spark, path, v).count() == 40L,
+      "readVersionAll with the defaulted partitionCol must derive " +
+        "'region' from the manifest paths")
+    assert(TableManifest.partitionColOf(
+      s"$path/region=r1/part-0.parquet").contains("region"))
+    assert(TableManifest.partitionColOf(s"$path/part-0.parquet").isEmpty)
+    // an EXPLICITLY wrong column on the partition-subset read is a
+    // loud protocol error naming the real column, never empty rows
+    val e = intercept[IllegalStateException] {
+      TableManifest.readVersionPartitions(spark, path, v,
+        Seq("r1"), partitionCol = "date").count()
+    }
+    assert(e.getMessage.contains("region"),
+      s"error must name the manifest-derived column: ${e.getMessage}")
+  }
+
   test("vacuumPartitions reclaims ONLY the scoped partitions' dead " +
     "generations at a cost independent of the rest of the table; the " +
     "full vacuum afterwards finds exactly the out-of-scope leftovers") {
